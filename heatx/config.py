@@ -1,0 +1,55 @@
+"""Simulation configuration.
+
+The reference hard-codes its numerical knobs (max_dx=0.04 / min_dt=60 at
+model.rs:236-237, MAX_RS at discretization.rs:21, SAFETY=2 at model.rs:329,
+convergence tolerances at surface.rs:885) and exposes no options
+(``OptionType = ()``, model.rs:190).  A JAX framework needs an explicit dtype
+policy and sharding knobs, so heatx promotes all of these into a real config
+dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Numerical and execution configuration for a compiled simulation."""
+
+    # Device dtype for the marching state. float32 is the TPU-native choice;
+    # tests compare against the f64 reference on CPU with x64 enabled.
+    dtype: jnp.dtype = jnp.float32
+
+    # Discretization knobs (model.rs:236-237, model.rs:329).
+    max_dx: float = 0.04
+    min_dt: float = 60.0
+    safety: int = 2
+
+    # No-mass fixed-point solve (surface.rs:808-896): mean-error tolerance,
+    # escalated tolerance after `escalate_after` iterations, and a hard
+    # iteration cap (the reference loops unbounded with an assert bomb at
+    # surface.rs:869-877; a compiled while_loop wants a finite cap).
+    nomass_tol: float = 0.01
+    nomass_tol_escalated: float = 0.5
+    nomass_escalate_after: int = 100
+    nomass_max_iter: int = 500
+
+    # Reproduce the reference's back-side AmbientTemperature boundary reusing
+    # *front* surface values (surface.rs:672-686) — an apparent upstream bug,
+    # kept by default for fixture parity. Set False for the physically
+    # sensible behavior.
+    replicate_ambient_back_bug: bool = True
+
+    # Name of the mesh axis the surface batch is sharded over (None = no
+    # sharding annotations).
+    surface_axis: Optional[str] = None
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SimConfig()

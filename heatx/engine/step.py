@@ -1,0 +1,157 @@
+"""Time marching: sub-step, main step (hour fraction), and multi-step runs.
+
+TPU-native re-design of ThermalModel::march (model.rs:359-427).  The
+reference's "one main timestep = dt_subdivisions serial sub-steps" loop
+becomes a ``lax.scan`` whose carry is the :class:`~heatx.engine.state.SimState`
+pytree; a whole run is a second scan over main steps with the exogenous
+inputs (weather, irradiance, gains) as scanned xs.  One compiled XLA call
+therefore marches the entire building for as many hours as you ask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from heatx.build.layout import CompiledBuilding
+from heatx.engine import surface as surf_mod
+from heatx.engine import zone as zone_mod
+from heatx.engine.state import SimState, StepInputs
+
+
+def substep(
+    building: CompiledBuilding,
+    state: SimState,
+    t_out,
+    wind_speed,
+    wind_direction,
+    inputs: StepInputs,
+) -> SimState:
+    """One stability sub-step (the body of model.rs:369-424):
+
+    1. resolve boundary air temperatures from the current zone temps;
+    2. march every surface (no-mass solve + massive RK4);
+    3. write back the post-march convection coefficients and convective heat
+       flows (iterate_surfaces, model.rs:140-169);
+    4. update zone temperatures analytically (model.rs:410-423).
+    """
+    sb = building.surfaces
+    cfg = building.config
+    dt = building.dt
+
+    t_front, t_back = surf_mod.boundary_temperatures(sb, state.zone_T, t_out)
+
+    node_T = surf_mod.march_surfaces(
+        sb,
+        state.node_T,
+        t_front,
+        t_back,
+        wind_direction,
+        wind_speed,
+        inputs.sol_front,
+        inputs.sol_back,
+        inputs.ir_front,
+        inputs.ir_back,
+        dt,
+        cfg,
+        has_massive=sb.has_massive,
+    )
+
+    # Post-march conditions with the *updated* node temperatures
+    # (model.rs:145-169: temperatures are written to state first, then h and
+    # the convective flows are recomputed from them).
+    env_f, env_b = surf_mod.border_conditions(
+        sb,
+        node_T,
+        t_front,
+        t_back,
+        wind_direction,
+        wind_speed,
+        inputs.ir_front,
+        inputs.ir_back,
+        cfg,
+    )
+    ts_front = node_T[:, 0]
+    ts_back = surf_mod._last_node(sb, node_T)
+    q_front = (ts_front - t_front) * env_f.h
+    q_back = (ts_back - t_back) * env_b.h
+
+    a, b, c = zone_mod.zone_abc(
+        building, state.zone_T, env_f.h, env_b.h, ts_front, ts_back, inputs
+    )
+    zone_T = zone_mod.future_zone_temperatures(state.zone_T, a, b, c, dt)
+
+    return SimState(
+        node_T=node_T,
+        zone_T=zone_T,
+        h_front=env_f.h,
+        h_back=env_b.h,
+        q_front=q_front,
+        q_back=q_back,
+    )
+
+
+def _per_substep_weather(building: CompiledBuilding, value):
+    """Broadcast a scalar (constant weather, like SyntheticWeather) to one
+    value per sub-step, or pass through a [dt_subdivisions] array."""
+    value = jnp.asarray(value)
+    if value.ndim == 0:
+        return jnp.broadcast_to(value, (building.dt_subdivisions,))
+    assert value.shape[0] == building.dt_subdivisions
+    return value
+
+
+def march(building: CompiledBuilding, state: SimState, inputs: StepInputs) -> SimState:
+    """One main timestep = ``dt_subdivisions`` sub-steps (model.rs:359-427).
+
+    Equivalent to one ``ThermalModel::march`` call: weather may vary per
+    sub-step; irradiance and gains are held for the whole main step.
+    """
+    t_out = _per_substep_weather(building, inputs.t_out)
+    ws = _per_substep_weather(building, inputs.wind_speed)
+    wd = _per_substep_weather(building, inputs.wind_direction)
+
+    def body(carry, xs):
+        t_o, w_s, w_d = xs
+        return substep(building, carry, t_o, w_s, w_d, inputs), None
+
+    state, _ = jax.lax.scan(body, state, (t_out, ws, wd))
+    return state
+
+
+def make_march_fn(building: CompiledBuilding, donate: bool = True):
+    """jit-compiled ``(state, inputs) -> state`` main-step function."""
+    fn = partial(march, building)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def run(
+    building: CompiledBuilding,
+    state: SimState,
+    inputs_seq: StepInputs,
+    collect_zone_T: bool = True,
+) -> Tuple[SimState, Optional[jnp.ndarray]]:
+    """March over a whole sequence of main steps in one XLA call.
+
+    ``inputs_seq`` is a StepInputs pytree whose leaves carry a leading time
+    axis [T_steps, ...] (weather leaves may be [T_steps] scalars-per-step or
+    [T_steps, dt_subdivisions]).  Returns the final state and, optionally,
+    the [T_steps, Z] zone-temperature history (the reference's observable
+    output channel, zone.rs:45-49).
+    """
+
+    def body(carry, step_inputs):
+        new_state = march(building, carry, step_inputs)
+        out = new_state.zone_T if collect_zone_T else None
+        return new_state, out
+
+    return jax.lax.scan(body, state, inputs_seq)
+
+
+def make_run_fn(building: CompiledBuilding, collect_zone_T: bool = True, donate: bool = True):
+    fn = partial(run, building, collect_zone_T=collect_zone_T)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

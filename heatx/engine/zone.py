@@ -1,0 +1,107 @@
+"""Zone (space air) energy balance: ABC assembly + analytical update.
+
+TPU-native re-design of model.rs:489-675 and zone.rs.  The reference loops
+over HVACs, luminaires and surfaces accumulating per-zone A/B coefficients;
+here those loops are ``segment_sum`` scatter-adds over the batched surface
+axis — the only cross-surface data dependency in the whole model (SURVEY.md
+section 2.2), which under sharding becomes a partial segment-sum plus an
+all-reduce over the mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from heatx.constants import KELVIN
+from heatx.build.layout import B_SPACE, CompiledBuilding
+from heatx.physics import gas
+
+
+def zone_abc(
+    building: CompiledBuilding,
+    zone_T,
+    h_front,
+    h_back,
+    surf_T_front,
+    surf_T_back,
+    inputs,
+):
+    """Per-zone A, B, C coefficients (model.rs:489-597 calculate_zones_abc).
+
+    A collects gains (HVAC, luminaires, infiltration/ventilation enthalpy,
+    surface convective h*A*T); B collects the temperature-proportional loss
+    terms; C is the zone air capacitance V*rho(T)*cp(T) (zone.rs:59-65).
+    """
+    sb = building.surfaces
+    Z = building.n_zones
+    dtype = zone_T.dtype
+
+    a = jnp.zeros((Z,), dtype)
+    b = jnp.zeros((Z,), dtype)
+
+    # HVAC gains (heating_cooling.rs:96-142): power already resolved per
+    # (unit -> space) pair.
+    if building.hvac_pair_unit.size:
+        a = a + jax.ops.segment_sum(
+            inputs.hvac_power[building.hvac_pair_unit],
+            building.hvac_pair_space,
+            num_segments=Z,
+        )
+
+    # Luminaire gains (model.rs:509-516).
+    if building.lum_space.size:
+        a = a + jax.ops.segment_sum(
+            inputs.lum_power, building.lum_space, num_segments=Z
+        )
+
+    # Infiltration & ventilation with temperature-dependent rho*cp
+    # (model.rs:524-544).
+    def air_exchange(a, b, vol, temp, mask):
+        t_k = temp + KELVIN
+        cp = gas.heat_capacity(gas.AIR, t_k)
+        rho = gas.density(gas.AIR, t_k)
+        term = jnp.where(mask, rho * vol * cp, 0.0)
+        return a + term * temp, b + term
+
+    a, b = air_exchange(a, b, inputs.inf_vol, inputs.inf_temp, inputs.inf_mask)
+    a, b = air_exchange(a, b, inputs.vent_vol, inputs.vent_temp, inputs.vent_mask)
+
+    # Surface convective coupling Sum h*A*T / Sum h*A into the adjacent zones
+    # (model.rs:556-590).  Faces not bounding a space scatter into a dump slot.
+    def face(a, b, code, space, h, t_s):
+        idx = jnp.where(code == B_SPACE, space, Z).astype(jnp.int32)
+        ha = h * sb.area
+        a = a + jax.ops.segment_sum(ha * t_s, idx, num_segments=Z + 1)[:Z]
+        b = b + jax.ops.segment_sum(ha, idx, num_segments=Z + 1)[:Z]
+        return a, b
+
+    a, b = face(a, b, sb.front_code, sb.front_space, h_front, surf_T_front)
+    a, b = face(a, b, sb.back_code, sb.back_space, h_back, surf_T_back)
+
+    # Capacitance (zone.rs:59-65).
+    t_k = zone_T + KELVIN
+    volume = jnp.asarray(building.zone_volume, dtype=dtype)
+    c = volume * gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
+    return a, b, c
+
+
+def future_zone_temperatures(zone_T, a, b, c, dt):
+    """Exact exponential update T(t) = A/B + (T0 - A/B) e^(-Bt/C)
+    (model.rs:650-674), in the expm1 form T0 - (A/B - T0)*expm1(-Bt/C) which
+    is exact in the same way but loses no precision when B*dt/C << 1 (the
+    common case, important for float32 on TPU).  Zones with |B| ~ 0 hold
+    their temperature (model.rs:662-670)."""
+    safe_b = jnp.where(jnp.abs(b) > 1e-9, b, 1.0)
+    ratio = a / safe_b
+    t_new = zone_T - (ratio - zone_T) * jnp.expm1(-safe_b * dt / c)
+    return jnp.where(jnp.abs(b) > 1e-9, t_new, zone_T)
+
+
+def mean_future_zone_temperatures(zone_T, a, b, c, dt):
+    """Average temperature over the next dt (model.rs:617-644; dead code in
+    the reference but part of its public math, exposed for parity)."""
+    safe_b = jnp.where(jnp.abs(b) > 1e-9, b, 1.0)
+    ratio = a / safe_b
+    t_mean = ratio - (c * (zone_T - ratio) / (dt * safe_b)) * jnp.expm1(-safe_b * dt / c)
+    return jnp.where(jnp.abs(b) > 1e-9, t_mean, zone_T)

@@ -1,0 +1,315 @@
+"""Building data model: the subset of SIMPLE's ``simple_model`` that the
+thermal module consumes.
+
+The reference depends on an external crate for substances / materials /
+constructions / surfaces / spaces / boundaries / HVACs / luminaires
+(SURVEY.md section 1, layer L0).  heatx re-creates that data model here as
+plain immutable-ish dataclasses.  Everything in this module is host-side
+build-time description; the compiled, padded device arrays live in
+``heatx.build.layout``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from heatx.model import geometry
+
+# ---------------------------------------------------------------------------
+# Substances / materials / constructions
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Substance:
+    """A 'Normal' (solid) substance.
+
+    Optional properties mirror simple_model's optional fields; `None` means
+    "not specified" and consumers fall back to defaults (e.g. emissivity 0.84,
+    surface.rs:449-461) or raise when the property is required
+    (discretization.rs:440-445).
+    """
+
+    name: str
+    thermal_conductivity: Optional[float] = None  # W/m.K
+    density: Optional[float] = None  # kg/m3
+    specific_heat_capacity: Optional[float] = None  # J/kg.K
+    front_thermal_absorbtance: Optional[float] = None  # emissivity
+    back_thermal_absorbtance: Optional[float] = None
+    solar_transmittance: Optional[float] = None
+    front_solar_absorbtance: Optional[float] = None
+    back_solar_absorbtance: Optional[float] = None
+
+    @property
+    def is_gas(self) -> bool:
+        return False
+
+
+@dataclass
+class GasSubstance:
+    """A gas substance referencing a standard gas (gas.rs:45-74)."""
+
+    name: str
+    gas: str = "air"  # one of air/argon/krypton/xenon
+
+    @property
+    def is_gas(self) -> bool:
+        return True
+
+
+@dataclass
+class Material:
+    name: str
+    substance: str  # substance name
+    thickness: float  # m
+
+
+@dataclass
+class Construction:
+    name: str
+    materials: List[str] = field(default_factory=list)  # material names, front->back
+
+
+# ---------------------------------------------------------------------------
+# Boundaries
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Boundary:
+    """Boundary condition of one face of a surface (simple_model::Boundary).
+
+    kind: 'outdoor' | 'space' | 'ambient' | 'ground'
+    The reference leaves 'ground' unimplemented (model.rs:92, surface.rs:642);
+    heatx rejects it explicitly at compile time.
+    """
+
+    kind: str = "outdoor"
+    space: Optional[str] = None
+    temperature: Optional[float] = None
+
+    @staticmethod
+    def outdoor() -> "Boundary":
+        return Boundary("outdoor")
+
+    @staticmethod
+    def space_(name: str) -> "Boundary":
+        return Boundary("space", space=name)
+
+    @staticmethod
+    def ambient(temperature: float) -> "Boundary":
+        return Boundary("ambient", temperature=temperature)
+
+    @staticmethod
+    def ground() -> "Boundary":
+        return Boundary("ground")
+
+
+# ---------------------------------------------------------------------------
+# Surfaces / spaces / systems
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SurfaceDef:
+    """A wall/roof/floor (or fenestration — the solver treats them alike,
+    surface.rs:310-314).  Geometry can be given as an explicit polygon or as
+    precomputed scalars (tests drive single walls directly, surface.rs tests).
+    """
+
+    name: str
+    construction: str
+    front_boundary: Boundary = field(default_factory=Boundary.outdoor)
+    back_boundary: Boundary = field(default_factory=Boundary.outdoor)
+    vertices: Optional[np.ndarray] = None  # (n,3) outer loop
+    # Explicit overrides (used when vertices is None, or to force values):
+    area: Optional[float] = None
+    perimeter: Optional[float] = None
+    normal: Optional[Tuple[float, float, float]] = None
+    height: Optional[float] = None  # centroid z, for the wind profile
+
+    def resolved_geometry(self):
+        """area, perimeter, normal, centroid-height."""
+        if self.vertices is not None:
+            v = np.asarray(self.vertices, dtype=np.float64)
+            area = self.area if self.area is not None else geometry.polygon_area(v)
+            perim = (
+                self.perimeter
+                if self.perimeter is not None
+                else geometry.polygon_perimeter(v)
+            )
+            normal = (
+                np.asarray(self.normal, dtype=np.float64)
+                if self.normal is not None
+                else geometry.polygon_normal(v)
+            )
+            height = (
+                self.height
+                if self.height is not None
+                else float(geometry.polygon_centroid(v)[2])
+            )
+            return float(area), float(perim), normal, float(height)
+        if self.area is None or self.perimeter is None or self.normal is None:
+            raise ValueError(
+                f"surface '{self.name}': provide either vertices or "
+                "(area, perimeter, normal)"
+            )
+        return (
+            float(self.area),
+            float(self.perimeter),
+            np.asarray(self.normal, dtype=np.float64),
+            float(self.height if self.height is not None else 0.0),
+        )
+
+
+@dataclass
+class SpaceDef:
+    name: str
+    volume: float  # m3
+
+
+@dataclass
+class ElectricHeater:
+    """heating_cooling.rs:41-47 — heat delivered to one space, power read from
+    the state vector at run time."""
+
+    name: str
+    target_space: str
+
+
+@dataclass
+class IdealHeaterCooler:
+    """heating_cooling.rs:29-38.  ``todo!()`` in the reference; implemented
+    here (documented deviation): delivers its heating/cooling consumption to
+    each target space."""
+
+    name: str
+    target_spaces: List[str] = field(default_factory=list)
+
+
+HVAC = Union[ElectricHeater, IdealHeaterCooler]
+
+
+@dataclass
+class Luminaire:
+    """luminaire.rs — lighting heat gain into a space."""
+
+    name: str
+    target_space: str
+
+
+@dataclass
+class SiteDetails:
+    """Terrain class for the wind-speed profile (surface.rs:135-166)."""
+
+    terrain: str = "urban"  # country|suburbs|city|ocean|urban
+
+
+TERRAIN_TABLE = {
+    "country": (0.14, 270.0),
+    "suburbs": (0.22, 370.0),
+    "city": (0.33, 460.0),
+    "ocean": (0.10, 210.0),
+    "urban": (0.22, 370.0),
+}
+
+
+def wind_speed_modifier(height: float, site_details: Optional[SiteDetails]) -> float:
+    """EnergyPlus wind profile factor (surface.rs:104-166).
+
+    Zero for surfaces at ground level; defaults to Urban terrain when no site
+    details are given.
+    """
+    if height < 1e-5:
+        return 0.0
+    if site_details is not None and site_details.terrain in TERRAIN_TABLE:
+        alpha, delta = TERRAIN_TABLE[site_details.terrain]
+    else:
+        alpha, delta = TERRAIN_TABLE["urban"]
+    return (270.0 / 10.0) ** 0.14 * (height / delta) ** alpha
+
+
+# ---------------------------------------------------------------------------
+# The whole building
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BuildingModel:
+    """Equivalent of ``SimpleModel`` for thermal purposes."""
+
+    substances: Dict[str, Union[Substance, GasSubstance]] = field(default_factory=dict)
+    materials: Dict[str, Material] = field(default_factory=dict)
+    constructions: Dict[str, Construction] = field(default_factory=dict)
+    surfaces: List[SurfaceDef] = field(default_factory=list)
+    fenestrations: List[SurfaceDef] = field(default_factory=list)
+    spaces: List[SpaceDef] = field(default_factory=list)
+    hvacs: List[HVAC] = field(default_factory=list)
+    luminaires: List[Luminaire] = field(default_factory=list)
+    site_details: Optional[SiteDetails] = None
+
+    # -- construction helpers ------------------------------------------------
+
+    def add_substance(self, s):
+        self.substances[s.name] = s
+        return s
+
+    def add_material(self, m: Material) -> Material:
+        self.materials[m.name] = m
+        return m
+
+    def add_construction(self, c: Construction) -> Construction:
+        self.constructions[c.name] = c
+        return c
+
+    def add_surface(self, s: SurfaceDef) -> SurfaceDef:
+        self.surfaces.append(s)
+        return s
+
+    def add_fenestration(self, s: SurfaceDef) -> SurfaceDef:
+        self.fenestrations.append(s)
+        return s
+
+    def add_space(self, s: SpaceDef) -> SpaceDef:
+        self.spaces.append(s)
+        return s
+
+    def add_hvac(self, h: HVAC) -> HVAC:
+        self.hvacs.append(h)
+        return h
+
+    def add_luminaire(self, l: Luminaire) -> Luminaire:
+        self.luminaires.append(l)
+        return l
+
+    # -- lookups -------------------------------------------------------------
+
+    def get_substance(self, name: str):
+        try:
+            return self.substances[name]
+        except KeyError:
+            raise KeyError(f"unknown substance '{name}'") from None
+
+    def get_material(self, name: str) -> Material:
+        try:
+            return self.materials[name]
+        except KeyError:
+            raise KeyError(f"unknown material '{name}'") from None
+
+    def get_material_substance(self, mat_name: str):
+        return self.get_substance(self.get_material(mat_name).substance)
+
+    def get_construction(self, name: str) -> Construction:
+        try:
+            return self.constructions[name]
+        except KeyError:
+            raise KeyError(f"unknown construction '{name}'") from None
+
+    def space_index(self, name: str) -> int:
+        for i, s in enumerate(self.spaces):
+            if s.name == name:
+                return i
+        raise KeyError(f"unknown space '{name}'")

@@ -1,0 +1,78 @@
+"""TARP convection correlations (EnergyPlus formulation), vectorized.
+
+TPU-native re-design of /root/reference/src/convection.rs.  The reference
+computes one scalar ``h`` per surface face inside a serial loop; here the same
+correlations are pure elementwise array math over a whole batch of faces so a
+building's worth of coefficients evaluates in one fused VPU pass.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from heatx.constants import MIN_H
+
+# R_f roughness multipliers, index 0 = Very Rough .. 5 = Very Smooth
+# (convection.rs:157).
+ROUGHNESS_COEFFICIENTS = (2.17, 1.67, 1.52, 1.13, 1.11, 1.0)
+
+
+def tarp_natural_convection_coefficient(air_temperature, surface_temperature, cos_surface_tilt):
+    """Natural (indoor) TARP h (convection.rs:87-110).
+
+    Three cases keyed on the sign of ``delta_t * cos(tilt)``:
+
+    * either magnitude ~ 0:          ``h = 1.31 |dT|^(1/3)``
+    * same sign (enhanced/buoyant):  ``h = 9.482 |dT|^(1/3) / (7.238 - |cos|)``
+    * opposite sign (stable):        ``h = 1.81 |dT|^(1/3) / (1.382 + |cos|)``
+
+    floored at ``MIN_H`` (convection.rs:22,105-109).
+    """
+    delta_t = air_temperature - surface_temperature
+    abs_dt = jnp.abs(delta_t)
+    abs_cos = jnp.abs(cos_surface_tilt)
+    cbrt = jnp.cbrt(abs_dt)
+
+    h_zero = 1.31 * cbrt
+    h_same = 9.482 * cbrt / (7.238 - abs_cos)
+    h_opposite = 1.81 * cbrt / (1.382 + abs_cos)
+
+    near_zero = (abs_dt < 1e-3) | (abs_cos < 1e-3)
+    same_sign = delta_t * cos_surface_tilt > 0.0
+    h = jnp.where(near_zero, h_zero, jnp.where(same_sign, h_same, h_opposite))
+    return jnp.maximum(h, MIN_H)
+
+
+def tarp_convection_coefficient(
+    air_temperature,
+    surface_temperature,
+    cos_surface_tilt,
+    air_speed,
+    area,
+    perimeter,
+    windward,
+    roughness_index=1,
+):
+    """Exterior TARP h = forced + natural (convection.rs:151-168).
+
+    ``windward`` is boolean (W_f = 1.0 windward, 0.5 leeward); the roughness
+    multiplier table mirrors convection.rs:157 (the reference always passes
+    roughness_index=1, i.e. R_f = 1.67).
+    """
+    rf = jnp.asarray(ROUGHNESS_COEFFICIENTS)[roughness_index]
+    wf = jnp.where(windward, 1.0, 0.5)
+    forced = 2.537 * wf * rf * jnp.sqrt(perimeter * air_speed / area)
+    natural = tarp_natural_convection_coefficient(
+        air_temperature, surface_temperature, cos_surface_tilt
+    )
+    return forced + natural
+
+
+def is_windward(wind_direction, cos_tilt, normal_x, normal_y):
+    """Whether a surface faces the wind (surface.rs:37-46).
+
+    ``wind_direction`` in radians.  Horizontal surfaces (|cos_tilt| >= 0.98)
+    are always windward.
+    """
+    dot = normal_x * jnp.sin(wind_direction) + normal_y * jnp.cos(wind_direction)
+    return jnp.where(jnp.abs(cos_tilt) < 0.98, dot > 0.0, True)
