@@ -1,0 +1,526 @@
+"""Building "compiler": BuildingModel -> static padded device arrays.
+
+This is the TPU-native replacement for the reference's ``ThermalModel::new``
+build phase (model.rs:215-354).  Where the reference builds a
+``Vec<ThermalSurface>`` of ragged per-surface objects, heatx compiles the
+whole building into one padded tensor layout
+
+    [n_surfaces, MAX_NODES]
+
+plus per-surface scalars, so that every wall and window in the building
+marches as a single batched XLA computation.  Chunk structure (massive vs
+no-mass runs, discretization.rs:139-160) is expressed as masks and chunk-id
+arrays rather than index ranges.
+
+Everything here is host-side numpy/float64; ``SurfaceBatch.astype`` casts to
+the simulation dtype right before the arrays go to the device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, fields, replace
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from heatx.config import DEFAULT_CONFIG, SimConfig
+from heatx.constants import DEFAULT_EMISSIVITY
+from heatx.build import discretize as disc_mod
+from heatx.model.building import (
+    Boundary,
+    BuildingModel,
+    ElectricHeater,
+    IdealHeaterCooler,
+    SurfaceDef,
+    wind_speed_modifier,
+)
+from heatx.physics import glazing as glazing_mod
+from heatx.physics.gas import GasProps
+
+# Boundary codes used on device.
+B_OUTDOOR = 0
+B_SPACE = 1
+B_AMBIENT = 2
+
+_ROUGHNESS_RF = 1.67  # reference always uses roughness_index=1 (surface.rs:619)
+
+
+# ---------------------------------------------------------------------------
+# Glazing scan (host)
+# ---------------------------------------------------------------------------
+
+
+def glazing_system(
+    construction, model: BuildingModel, reverse: bool = False
+) -> List[Tuple[int, glazing_mod.Glazing]]:
+    """Collect translucent layers from one side until the first opaque layer
+    (glazing.rs:67-137), returning (original_layer_index, Glazing) pairs.
+
+    Layer properties (front/back solar absorbtance) are used as stored, not
+    swapped for the back scan — matching the reference exactly.
+    """
+    n_layers = len(construction.materials)
+    if n_layers == 0:
+        raise ValueError(
+            f"trying to get glazing system of empty construction '{construction.name}'"
+        )
+    order = list(range(n_layers))
+    if reverse:
+        order = order[::-1]
+
+    out: List[Tuple[int, glazing_mod.Glazing]] = []
+    i = 0
+    while True:
+        li = order[i]
+        sub = model.get_material_substance(construction.materials[li])
+        if sub.is_gas:
+            raise ValueError(
+                f"construction '{construction.name}': not expecting a gas layer here"
+            )
+        tau = sub.solar_transmittance or 0.0
+        af = (
+            sub.front_solar_absorbtance
+            if sub.front_solar_absorbtance is not None
+            else DEFAULT_EMISSIVITY
+        )
+        ab = (
+            sub.back_solar_absorbtance
+            if sub.back_solar_absorbtance is not None
+            else DEFAULT_EMISSIVITY
+        )
+        out.append((li, glazing_mod.Glazing(tau, 1.0 - tau - af, 1.0 - tau - ab)))
+        if tau < 1e-9:
+            break
+        i += 1
+        if i >= len(order):
+            break
+        gas_li = order[i]
+        gas_sub = model.get_material_substance(construction.materials[gas_li])
+        if not gas_sub.is_gas:
+            raise ValueError(
+                f"construction '{construction.name}': expected a gas cavity between "
+                "translucent layers"
+            )
+        i += 1
+        if i >= len(order):
+            raise ValueError(
+                f"construction '{construction.name}' has a gas as its outermost layer"
+            )
+    return out
+
+
+def node_alphas(
+    construction,
+    model: BuildingModel,
+    d: disc_mod.Discretization,
+    n_nodes: int,
+    back: bool,
+) -> np.ndarray:
+    """Distribute glazing-layer absorbed fractions onto nodes
+    (surface.rs:465-537): opaque layers put all absorption on their boundary
+    node; transparent layers spread it uniformly over their n+1 nodes."""
+    pairs = glazing_system(construction, model, reverse=back)
+    layer_alphas = glazing_mod.alphas([g for _, g in pairs])
+
+    # Node start index of each layer (gas/no-mass layers consume 1 segment).
+    counts = [max(n, 1) for n in d.n_elements]
+    starts = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+
+    out = np.zeros(n_nodes, dtype=np.float64)
+    for (li, _), alpha in zip(pairs, layer_alphas):
+        n = counts[li]
+        sub = model.get_material_substance(construction.materials[li])
+        tau = (sub.solar_transmittance or 0.0) if not sub.is_gas else 0.0
+        if tau > 0.0:
+            out[starts[li] : starts[li] + n + 1] += alpha / (n + 1)
+        elif back:
+            out[starts[li] + n] += alpha
+        else:
+            out[starts[li]] += alpha
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compiled layout
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SurfaceBatch:
+    """Padded per-surface arrays — the compiled thermal network of a building.
+
+    Shapes: S = number of surfaces (+fenestrations), N = MAX_NODES,
+    C = max no-mass chunks per surface.
+    """
+
+    # node data
+    node_mask: np.ndarray  # [S, N] bool
+    n_nodes: np.ndarray  # [S] int32
+    mass: np.ndarray  # [S, N]
+    massive: np.ndarray  # [S, N] bool (mass >= 1e-5 and valid)
+    seg_u: np.ndarray  # [S, N] static solid U of segment i->i+1 (0 otherwise)
+    seg_is_cavity: np.ndarray  # [S, N] bool
+    cav_gas: GasProps  # each field [S, N]
+    cav_thickness: np.ndarray  # [S, N]
+    cav_height: np.ndarray  # [S, N]
+    cav_angle: np.ndarray  # [S, N]
+    cav_ein: np.ndarray  # [S, N]
+    cav_eout: np.ndarray  # [S, N]
+    same_chunk: np.ndarray  # [S, N] bool: nodes i,i+1 belong to the same chunk
+    nomass_chunk_id: np.ndarray  # [S, N] int32, -1 for massive/invalid nodes
+    nomass_chunk_count: np.ndarray  # [S, C] float: nodes per chunk (0 = absent)
+    has_nomass: bool  # whether any surface has no-mass nodes (static)
+    has_massive: bool  # whether any surface has massive nodes (static)
+    has_cavity: bool  # whether any cavity exists (static)
+    front_alphas: np.ndarray  # [S, N]
+    back_alphas: np.ndarray  # [S, N]
+
+    # per-surface scalars
+    area: np.ndarray  # [S]
+    perimeter: np.ndarray  # [S]
+    normal: np.ndarray  # [S, 3]
+    cos_tilt: np.ndarray  # [S]
+    wind_mod: np.ndarray  # [S]
+    eps_front: np.ndarray  # [S]
+    eps_back: np.ndarray  # [S]
+    rf: np.ndarray  # [S] roughness multiplier (1.67)
+
+    front_code: np.ndarray  # [S] int32 boundary code
+    front_space: np.ndarray  # [S] int32 (0 when unused)
+    front_temp: np.ndarray  # [S] ambient temperature (0 when unused)
+    back_code: np.ndarray  # [S] int32
+    back_space: np.ndarray  # [S] int32
+    back_temp: np.ndarray  # [S]
+
+    # test-only convection overrides (surface.rs:374-381); NaN = none
+    fixed_h_front: np.ndarray  # [S]
+    fixed_h_back: np.ndarray  # [S]
+
+    is_fenestration: np.ndarray  # [S] bool
+
+    def astype(self, dtype):
+        """Cast floating arrays to the simulation dtype (device-bound copy)."""
+        def cast(v):
+            if isinstance(v, np.ndarray) and np.issubdtype(v.dtype, np.floating):
+                return v.astype(dtype)
+            return v
+
+        kw = {}
+        for f in fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, GasProps):
+                v = GasProps(*[cast(x) for x in v])
+            else:
+                v = cast(v)
+            kw[f.name] = v
+        return replace(self, **kw)
+
+    @property
+    def n_surfaces(self) -> int:
+        return int(self.node_mask.shape[0])
+
+    @property
+    def max_nodes(self) -> int:
+        return int(self.node_mask.shape[1])
+
+
+@dataclass
+class CompiledBuilding:
+    """Everything the engine needs to march a building."""
+
+    surfaces: SurfaceBatch
+    n_zones: int
+    zone_volume: np.ndarray  # [Z]
+    dt: float
+    dt_subdivisions: int
+    n_steps_per_hour: int  # `n` of the host loop (main timesteps per hour)
+
+    # gains wiring
+    lum_space: np.ndarray  # [L] int32
+    hvac_pair_space: np.ndarray  # [P] int32 (flattened hvac->space pairs)
+    hvac_pair_unit: np.ndarray  # [P] int32 index into the hvac power channel
+    n_hvacs: int
+    n_luminaires: int
+
+    n_real_surfaces: int  # surfaces [0:n_real_surfaces], fenestrations after
+    config: SimConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+    discretizations: List[disc_mod.Discretization] = field(default_factory=list)
+
+    @property
+    def n_surfaces(self) -> int:
+        return self.surfaces.n_surfaces
+
+    @property
+    def max_nodes(self) -> int:
+        return self.surfaces.max_nodes
+
+    def set_fixed_h(self, front=None, back=None):
+        """Pin convection coefficients (the reference's debug-only
+        front_hs/back_hs override, surface.rs:374-381).  Pass scalars or [S]
+        arrays; None leaves the side untouched."""
+        if front is not None:
+            self.surfaces.fixed_h_front[:] = front
+        if back is not None:
+            self.surfaces.fixed_h_back[:] = back
+        return self
+
+
+def _boundary_arrays(b: Boundary, model: BuildingModel) -> Tuple[int, int, float]:
+    if b.kind == "outdoor":
+        return B_OUTDOOR, 0, 0.0
+    if b.kind == "space":
+        return B_SPACE, model.space_index(b.space), 0.0
+    if b.kind == "ambient":
+        return B_AMBIENT, 0, float(b.temperature)
+    if b.kind == "ground":
+        raise NotImplementedError(
+            "Boundary::Ground is unimplemented in the reference (model.rs:92); "
+            "heatx rejects it at compile time"
+        )
+    raise ValueError(f"unknown boundary kind '{b.kind}'")
+
+
+def compile_building(
+    model: BuildingModel,
+    n: int = 1,
+    config: SimConfig = DEFAULT_CONFIG,
+) -> CompiledBuilding:
+    """ThermalModel::new equivalent (model.rs:215-354).
+
+    ``n`` is the number of main timesteps per hour taken by the caller's
+    simulation loop; the compiled building subdivides it further into
+    ``dt_subdivisions`` stability sub-steps (times the safety factor 2).
+    """
+    main_dt = 3600.0 / n
+
+    surf_defs: List[Tuple[SurfaceDef, bool]] = [(s, False) for s in model.surfaces]
+    surf_defs += [(s, True) for s in model.fenestrations]
+    if not surf_defs:
+        raise ValueError("building has no surfaces")
+
+    discs: List[disc_mod.Discretization] = []
+    geo = []
+    dt_subdivisions = 1
+    for sdef, _is_fen in surf_defs:
+        construction = model.get_construction(sdef.construction)
+        area, perimeter, normal, height = sdef.resolved_geometry()
+        cos_tilt = float(normal[2])
+        angle = float(np.arccos(np.clip(cos_tilt, -1.0, 1.0)))
+        # The reference hard-codes the cavity-correlation height to 1 m with a
+        # debug note (model.rs:250-252); replicated here.
+        cavity_height = 1.0
+        d = disc_mod.discretize(
+            construction, model, main_dt, config.max_dx, config.min_dt, cavity_height, angle
+        )
+        dt_subdivisions = max(dt_subdivisions, d.tstep_subdivision)
+        discs.append(d)
+        geo.append((area, perimeter, normal, height, cos_tilt))
+
+    # model.rs:326-331: dt = main_dt / (subdivisions * SAFETY)
+    dt = 3600.0 / (n * dt_subdivisions)
+    dt /= config.safety
+    dt_subdivisions *= config.safety
+
+    S = len(surf_defs)
+    N = max(len(d.segments) for d in discs)
+
+    f64 = np.float64
+    zeros = lambda *sh: np.zeros(sh, dtype=f64)  # noqa: E731
+
+    node_mask = np.zeros((S, N), dtype=bool)
+    n_nodes = np.zeros(S, dtype=np.int32)
+    mass = zeros(S, N)
+    seg_u = zeros(S, N)
+    seg_is_cavity = np.zeros((S, N), dtype=bool)
+    cav_fields = [zeros(S, N) for _ in range(7)]
+    cav_thickness = zeros(S, N)
+    cav_height = np.ones((S, N), dtype=f64)
+    cav_angle = zeros(S, N)
+    cav_ein = zeros(S, N)
+    cav_eout = zeros(S, N)
+    front_alphas = zeros(S, N)
+    back_alphas = zeros(S, N)
+
+    area_a = zeros(S)
+    perim_a = zeros(S)
+    normal_a = zeros(S, 3)
+    cos_tilt_a = zeros(S)
+    wind_mod_a = zeros(S)
+    eps_f = zeros(S)
+    eps_b = zeros(S)
+    front_code = np.zeros(S, dtype=np.int32)
+    front_space = np.zeros(S, dtype=np.int32)
+    front_temp = zeros(S)
+    back_code = np.zeros(S, dtype=np.int32)
+    back_space = np.zeros(S, dtype=np.int32)
+    back_temp = zeros(S)
+    is_fen = np.zeros(S, dtype=bool)
+
+    for si, ((sdef, fen), d, (area, perimeter, normal, height, cos_tilt)) in enumerate(
+        zip(surf_defs, discs, geo)
+    ):
+        construction = model.get_construction(sdef.construction)
+        nn = len(d.segments)
+        n_nodes[si] = nn
+        node_mask[si, :nn] = True
+        for i, seg in enumerate(d.segments):
+            mass[si, i] = seg.mass
+            if seg.kind == "solid":
+                seg_u[si, i] = seg.u
+            elif seg.kind == "cavity":
+                seg_is_cavity[si, i] = True
+                c = seg.cavity
+                for j, v in enumerate(c.gas):
+                    cav_fields[j][si, i] = v
+                cav_thickness[si, i] = c.thickness
+                cav_height[si, i] = c.height
+                cav_angle[si, i] = c.angle
+                cav_ein[si, i] = c.ein
+                cav_eout[si, i] = c.eout
+
+        # Emissivities from the outermost substances (surface.rs:444-461).
+        front_sub = model.get_material_substance(construction.materials[0])
+        back_sub = model.get_material_substance(construction.materials[-1])
+        if front_sub.is_gas or back_sub.is_gas:
+            raise ValueError(
+                f"construction '{construction.name}' has a gas as an outer layer"
+            )
+        eps_f[si] = (
+            front_sub.front_thermal_absorbtance
+            if front_sub.front_thermal_absorbtance is not None
+            else DEFAULT_EMISSIVITY
+        )
+        eps_b[si] = (
+            back_sub.back_thermal_absorbtance
+            if back_sub.back_thermal_absorbtance is not None
+            else DEFAULT_EMISSIVITY
+        )
+
+        front_alphas[si, :nn] = node_alphas(construction, model, d, nn, back=False)
+        back_alphas[si, :nn] = node_alphas(construction, model, d, nn, back=True)
+
+        area_a[si] = area
+        perim_a[si] = perimeter
+        normal_a[si] = normal
+        cos_tilt_a[si] = cos_tilt
+        wind_mod_a[si] = wind_speed_modifier(height, model.site_details)
+        front_code[si], front_space[si], front_temp[si] = _boundary_arrays(
+            sdef.front_boundary, model
+        )
+        back_code[si], back_space[si], back_temp[si] = _boundary_arrays(
+            sdef.back_boundary, model
+        )
+        is_fen[si] = fen
+
+    massive = node_mask & (mass >= 1e-5)
+
+    # same_chunk[i]: nodes i and i+1 are in the same chunk (both valid and
+    # same massiveness) — the mask form of get_chunks (discretization.rs:144).
+    same_chunk = np.zeros((S, N), dtype=bool)
+    same_chunk[:, : N - 1] = (
+        node_mask[:, : N - 1]
+        & node_mask[:, 1:]
+        & (massive[:, : N - 1] == massive[:, 1:])
+    )
+
+    # No-mass chunk ids per node: consecutive runs of no-mass nodes.
+    nomass = node_mask & ~massive
+    nomass_chunk_id = -np.ones((S, N), dtype=np.int32)
+    max_chunks = 1
+    for si in range(S):
+        cid = -1
+        prev = False
+        for i in range(int(n_nodes[si])):
+            if nomass[si, i]:
+                if not prev:
+                    cid += 1
+                nomass_chunk_id[si, i] = cid
+            prev = bool(nomass[si, i])
+        max_chunks = max(max_chunks, cid + 1)
+    C = max_chunks
+    nomass_chunk_count = np.zeros((S, C), dtype=f64)
+    for si in range(S):
+        for i in range(int(n_nodes[si])):
+            cid = nomass_chunk_id[si, i]
+            if cid >= 0:
+                nomass_chunk_count[si, cid] += 1.0
+
+    batch = SurfaceBatch(
+        node_mask=node_mask,
+        n_nodes=n_nodes,
+        mass=mass,
+        massive=massive,
+        seg_u=seg_u,
+        seg_is_cavity=seg_is_cavity,
+        cav_gas=GasProps(*cav_fields),
+        cav_thickness=cav_thickness,
+        cav_height=cav_height,
+        cav_angle=cav_angle,
+        cav_ein=cav_ein,
+        cav_eout=cav_eout,
+        same_chunk=same_chunk,
+        nomass_chunk_id=nomass_chunk_id,
+        nomass_chunk_count=nomass_chunk_count,
+        has_nomass=bool(nomass.any()),
+        has_massive=bool(massive.any()),
+        has_cavity=bool(seg_is_cavity.any()),
+        front_alphas=front_alphas,
+        back_alphas=back_alphas,
+        area=area_a,
+        perimeter=perim_a,
+        normal=normal_a,
+        cos_tilt=cos_tilt_a,
+        wind_mod=wind_mod_a,
+        eps_front=eps_f,
+        eps_back=eps_b,
+        rf=np.full(S, _ROUGHNESS_RF, dtype=f64),
+        front_code=front_code,
+        front_space=front_space,
+        front_temp=front_temp,
+        back_code=back_code,
+        back_space=back_space,
+        back_temp=back_temp,
+        fixed_h_front=np.full(S, np.nan, dtype=f64),
+        fixed_h_back=np.full(S, np.nan, dtype=f64),
+        is_fenestration=is_fen,
+    )
+
+    # Zones
+    Z = len(model.spaces)
+    zone_volume = np.array([sp.volume for sp in model.spaces], dtype=f64)
+
+    # Luminaires
+    lum_space = np.array(
+        [model.space_index(l.target_space) for l in model.luminaires], dtype=np.int32
+    )
+
+    # HVAC pairs
+    pair_space: List[int] = []
+    pair_unit: List[int] = []
+    for hi, hvac in enumerate(model.hvacs):
+        if isinstance(hvac, ElectricHeater):
+            pair_space.append(model.space_index(hvac.target_space))
+            pair_unit.append(hi)
+        elif isinstance(hvac, IdealHeaterCooler):
+            for sp in hvac.target_spaces:
+                pair_space.append(model.space_index(sp))
+                pair_unit.append(hi)
+        else:
+            raise ValueError(f"unknown HVAC type {type(hvac)}")
+
+    return CompiledBuilding(
+        surfaces=batch,
+        n_zones=Z,
+        zone_volume=zone_volume,
+        dt=dt,
+        dt_subdivisions=dt_subdivisions,
+        n_steps_per_hour=n,
+        lum_space=lum_space,
+        hvac_pair_space=np.array(pair_space, dtype=np.int32),
+        hvac_pair_unit=np.array(pair_unit, dtype=np.int32),
+        n_hvacs=len(model.hvacs),
+        n_luminaires=len(model.luminaires),
+        n_real_surfaces=len(model.surfaces),
+        config=config,
+        discretizations=discs,
+    )
