@@ -37,6 +37,19 @@ class ThermalModel:
         self.building: CompiledBuilding = compile_building(model, n=n, config=config)
         self._march = None
         self._run = None
+        self._device_building = None
+
+    def _device(self) -> CompiledBuilding:
+        """Dtype-cast building snapshot handed to jitted engine calls.
+        Created lazily so host-side tweaks (set_fixed_h, emissivity edits)
+        made before the first march are picked up; call ``invalidate()``
+        after later edits."""
+        if self._device_building is None:
+            self._device_building = self.building.astype(self.building.config.dtype)
+        return self._device_building
+
+    def invalidate(self):
+        self._device_building = None
 
     # -- introspection -------------------------------------------------------
 
@@ -65,7 +78,7 @@ class ThermalModel:
     def march(self, state: SimState, inputs: StepInputs) -> SimState:
         """One main timestep (= dt_subdivisions sub-steps), jit-compiled."""
         if self._march is None:
-            self._march = step_mod.make_march_fn(self.building, donate=False)
+            self._march = step_mod.make_march_fn(self._device(), donate=False)
         return self._march(state, inputs)
 
     def run(
@@ -74,6 +87,6 @@ class ThermalModel:
         """March a whole [T, ...] input sequence in one compiled scan."""
         if self._run is None:
             self._run = step_mod.make_run_fn(
-                self.building, collect_zone_T=collect_zone_T, donate=False
+                self._device(), collect_zone_T=collect_zone_T, donate=False
             )
         return self._run(state, inputs_seq)

@@ -21,6 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field, fields, replace
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from heatx.config import DEFAULT_CONFIG, SimConfig
@@ -254,6 +255,16 @@ class CompiledBuilding:
     def max_nodes(self) -> int:
         return self.surfaces.max_nodes
 
+    def astype(self, dtype) -> "CompiledBuilding":
+        """Cast all floating-point arrays to the simulation dtype (do this
+        once before handing the building to jitted engine functions so no
+        implicit f64->f32 conversion happens at every call)."""
+        return replace(
+            self,
+            surfaces=self.surfaces.astype(dtype),
+            zone_volume=self.zone_volume.astype(dtype),
+        )
+
     def set_fixed_h(self, front=None, back=None):
         """Pin convection coefficients (the reference's debug-only
         front_hs/back_hs override, surface.rs:374-381).  Pass scalars or [S]
@@ -263,6 +274,67 @@ class CompiledBuilding:
         if back is not None:
             self.surfaces.fixed_h_back[:] = back
         return self
+
+
+# ---------------------------------------------------------------------------
+# Pytree registration: the compiled building is passed to jitted engine
+# functions as a *traced argument*, not a closure constant — embedding a
+# 10k-surface layout as HLO literals makes compilation explode.
+# ---------------------------------------------------------------------------
+
+_SB_STATIC = ("has_nomass", "has_massive", "has_cavity")
+_SB_FIELDS = None  # resolved lazily from dataclass fields
+
+
+def _sb_field_names():
+    global _SB_FIELDS
+    if _SB_FIELDS is None:
+        _SB_FIELDS = [f.name for f in fields(SurfaceBatch) if f.name not in _SB_STATIC]
+    return _SB_FIELDS
+
+
+def _sb_flatten(sb: SurfaceBatch):
+    children = tuple(getattr(sb, n) for n in _sb_field_names())
+    aux = tuple(getattr(sb, n) for n in _SB_STATIC)
+    return children, aux
+
+
+def _sb_unflatten(aux, children):
+    kw = dict(zip(_sb_field_names(), children))
+    kw.update(dict(zip(_SB_STATIC, aux)))
+    return SurfaceBatch(**kw)
+
+
+jax.tree_util.register_pytree_node(SurfaceBatch, _sb_flatten, _sb_unflatten)
+
+_CB_CHILDREN = ("surfaces", "zone_volume", "lum_space", "hvac_pair_space", "hvac_pair_unit")
+_CB_STATIC = (
+    "n_zones",
+    "dt",
+    "dt_subdivisions",
+    "n_steps_per_hour",
+    "n_hvacs",
+    "n_luminaires",
+    "n_real_surfaces",
+    "config",
+)
+
+
+def _cb_flatten(cb: CompiledBuilding):
+    children = tuple(getattr(cb, n) for n in _CB_CHILDREN)
+    aux = tuple(getattr(cb, n) for n in _CB_STATIC)
+    return children, aux
+
+
+def _cb_unflatten(aux, children):
+    kw = dict(zip(_CB_CHILDREN, children))
+    kw.update(dict(zip(_CB_STATIC, aux)))
+    # Host-side build artifacts (discretizations) are not part of the traced
+    # representation.
+    return CompiledBuilding(discretizations=[], **kw)
+
+
+jax.tree_util.register_pytree_node(CompiledBuilding, _cb_flatten, _cb_unflatten)
 
 
 def _boundary_arrays(b: Boundary, model: BuildingModel) -> Tuple[int, int, float]:
@@ -284,12 +356,17 @@ def compile_building(
     model: BuildingModel,
     n: int = 1,
     config: SimConfig = DEFAULT_CONFIG,
+    pad_surfaces_to: Optional[int] = None,
 ) -> CompiledBuilding:
     """ThermalModel::new equivalent (model.rs:215-354).
 
     ``n`` is the number of main timesteps per hour taken by the caller's
     simulation loop; the compiled building subdivides it further into
     ``dt_subdivisions`` stability sub-steps (times the safety factor 2).
+
+    ``pad_surfaces_to`` appends thermally isolated dummy surfaces (ambient
+    boundaries, no zone coupling) so the surface axis divides a device mesh
+    evenly for sharding.
     """
     main_dt = 3600.0 / n
 
@@ -297,6 +374,27 @@ def compile_building(
     surf_defs += [(s, True) for s in model.fenestrations]
     if not surf_defs:
         raise ValueError("building has no surfaces")
+    n_pad = 0
+    if pad_surfaces_to is not None and pad_surfaces_to > len(surf_defs):
+        n_pad = pad_surfaces_to - len(surf_defs)
+        template = surf_defs[0][0]
+        for i in range(n_pad):
+            area, perimeter, normal, height = template.resolved_geometry()
+            surf_defs.append(
+                (
+                    SurfaceDef(
+                        f"__pad{i}",
+                        template.construction,
+                        Boundary.ambient(22.0),
+                        Boundary.ambient(22.0),
+                        area=area,
+                        perimeter=perimeter,
+                        normal=tuple(normal),
+                        height=height,
+                    ),
+                    False,
+                )
+            )
 
     discs: List[disc_mod.Discretization] = []
     geo = []

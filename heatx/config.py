@@ -38,6 +38,14 @@ class SimConfig:
     nomass_escalate_after: int = 100
     nomass_max_iter: int = 500
 
+    # Performance mode: run exactly this many fixed-point iterations per
+    # sub-step (statically unrolled, no data-dependent while_loop) instead of
+    # iterating to tolerance.  Successive sub-steps warm-start from the
+    # previous solution, so 2-3 iterations track the reference closely (the
+    # EnergyPlus replay suite is re-checked under this mode).  None =
+    # reference-exact convergence loop.
+    nomass_fixed_iters: Optional[int] = None
+
     # Reproduce the reference's back-side AmbientTemperature boundary reusing
     # *front* surface values (surface.rs:672-686) — an apparent upstream bug,
     # kept by default for fixture parity. Set False for the physically

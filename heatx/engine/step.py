@@ -123,10 +123,22 @@ def march(building: CompiledBuilding, state: SimState, inputs: StepInputs) -> Si
     return state
 
 
+_march_jit = None
+
+
 def make_march_fn(building: CompiledBuilding, donate: bool = True):
-    """jit-compiled ``(state, inputs) -> state`` main-step function."""
-    fn = partial(march, building)
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    """jit-compiled ``(state, inputs) -> state`` main-step function.
+
+    The building is passed to the jitted function as a traced pytree argument
+    (not a baked constant), so compilation cost is independent of building
+    size and one executable serves all same-shaped buildings.
+    """
+    jitted = jax.jit(march, donate_argnums=(1,) if donate else ())
+
+    def fn(state, inputs):
+        return jitted(building, state, inputs)
+
+    return fn
 
 
 def run(
@@ -153,5 +165,12 @@ def run(
 
 
 def make_run_fn(building: CompiledBuilding, collect_zone_T: bool = True, donate: bool = True):
-    fn = partial(run, building, collect_zone_T=collect_zone_T)
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(
+        partial(run, collect_zone_T=collect_zone_T),
+        donate_argnums=(1,) if donate else (),
+    )
+
+    def fn(state, inputs_seq):
+        return jitted(building, state, inputs_seq)
+
+    return fn

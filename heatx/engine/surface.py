@@ -324,6 +324,13 @@ def march_nomass(
         active0,
         jnp.asarray(0, jnp.int32),
     )
+    if config.nomass_fixed_iters is not None:
+        # Performance mode: statically unrolled fixed iteration count with
+        # the same per-chunk update/convergence masking.
+        carry = carry0
+        for _ in range(config.nomass_fixed_iters):
+            carry = body(carry)
+        return carry[0]
     T_final, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
     return T_final
 

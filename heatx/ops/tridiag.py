@@ -42,38 +42,31 @@ def solve(lower, diag, upper, rhs):
     construction (K diagonals are -(sum of couplings) - h).  Identity rows
     (diag=1, offs=0) decouple the system into independent chunks, which is
     exactly how per-chunk solves of the reference are batched.
+
+    The node axis is tiny and static (~4-32), so both sweeps are unrolled
+    into pure dataflow — a ``lax.scan`` here costs more in per-step overhead
+    than the whole solve.
     """
     n = rhs.shape[-1]
-    # Move the node axis to the front for scanning: [N, ...]
-    l = jnp.moveaxis(lower, -1, 0)
-    d = jnp.moveaxis(diag, -1, 0)
-    u = jnp.moveaxis(upper, -1, 0)
-    b = jnp.moveaxis(rhs, -1, 0)
+    l = [lower[..., i] for i in range(n)]
+    d = [diag[..., i] for i in range(n)]
+    u = [upper[..., i] for i in range(n)]
+    b = [rhs[..., i] for i in range(n)]
 
-    # Forward elimination: c'[i], d'[i]
-    def fwd(carry, inp):
-        c_prev, d_prev = carry
-        li, di, ui, bi = inp
-        denom = di - li * c_prev
-        c_i = ui / denom
-        d_i = (bi - li * d_prev) / denom
-        return (c_i, d_i), (c_i, d_i)
-
-    c0 = u[0] / d[0]
-    dp0 = b[0] / d[0]
-    (_, _), (cs, ds) = jax.lax.scan(
-        fwd, (c0, dp0), (l[1:], d[1:], u[1:], b[1:])
-    )
-    cs = jnp.concatenate([c0[None], cs], axis=0)
-    ds = jnp.concatenate([dp0[None], ds], axis=0)
+    # Forward elimination
+    cs = [None] * n
+    ds = [None] * n
+    inv0 = 1.0 / d[0]
+    cs[0] = u[0] * inv0
+    ds[0] = b[0] * inv0
+    for i in range(1, n):
+        inv = 1.0 / (d[i] - l[i] * cs[i - 1])
+        cs[i] = u[i] * inv
+        ds[i] = (b[i] - l[i] * ds[i - 1]) * inv
 
     # Back substitution
-    def bwd(x_next, inp):
-        c_i, d_i = inp
-        x_i = d_i - c_i * x_next
-        return x_i, x_i
-
-    x_last = ds[n - 1]
-    _, xs = jax.lax.scan(bwd, x_last, (cs[: n - 1], ds[: n - 1]), reverse=True)
-    x = jnp.concatenate([xs, x_last[None]], axis=0)
-    return jnp.moveaxis(x, 0, -1)
+    xs = [None] * n
+    xs[n - 1] = ds[n - 1]
+    for i in range(n - 2, -1, -1):
+        xs[i] = ds[i] - cs[i] * xs[i + 1]
+    return jnp.stack(xs, axis=-1)

@@ -1,0 +1,155 @@
+"""EnergyPlus fixture replay harness.
+
+heatx equivalent of the reference's ``march_model`` validation driver
+(tests/validate_wall_heat_transfer.rs:615-750): replay EnergyPlus's own
+boundary conditions — site wind, incident solar, outdoor dry-bulb, and the
+logged net IR gain converted back to incident IR irradiance via
+``gain/(A*eps) + sigma*T_s^4`` — through the wall+zone solver, and compare
+the resulting zone temperature series after a 5000-step warm-up skip.
+
+Where the reference loops on the host per CSV row, heatx runs the whole
+21-day replay as ONE ``lax.scan`` on device: the IR back-conversion reads the
+front-node temperature from the scan carry.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import heatx
+from heatx.constants import SIGMA
+from heatx.engine import state as state_mod
+from heatx.engine import step as step_mod
+from heatx.io.eplus import EPlusWallRun, read_eplusout
+from heatx.model.spl import load_spl
+from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+
+
+def replay_wall_run(
+    tm: "heatx.ThermalModel",
+    run: EPlusWallRun,
+    emissivity: float,
+    surface_area: float,
+    warmup: int = 5000,
+):
+    """March the compiled model through the fixture's boundary conditions.
+
+    Returns (expected, found) zone-temperature series with the first
+    ``warmup`` steps skipped, exactly like the reference
+    (validate_wall_heat_transfer.rs:662-709).
+    """
+    building = tm.building
+    dtype = building.config.dtype
+    S = building.n_surfaces
+
+    state = state_mod.initial_state(building)
+    state = state._replace(
+        zone_T=jnp.full_like(state.zone_T, run.zone_air_temp[0])
+    )
+    base = state_mod.default_inputs(building)
+
+    xs = (
+        jnp.asarray(run.outdoor_temp, dtype),
+        jnp.asarray(run.site_wind_speed, dtype),
+        jnp.asarray(np.radians(run.site_wind_direction), dtype),
+        jnp.asarray(run.incident_solar, dtype),
+        jnp.asarray(run.outdoor_thermal_gain, dtype),
+    )
+    use_ir = emissivity > 1e-3
+
+    def body(carry, x):
+        t_out, ws, wd, sol, gain = x
+        ts = carry.node_T[:, 0]
+        if use_ir:
+            ir = gain / (surface_area * emissivity) + SIGMA * (ts + 273.15) ** 4
+        else:
+            ir = jnp.zeros((S,), dtype)
+        inputs = base._replace(
+            t_out=t_out,
+            wind_speed=ws,
+            wind_direction=wd,
+            sol_front=jnp.broadcast_to(sol, (S,)),
+            ir_front=ir,
+        )
+        new = step_mod.march(building, carry, inputs)
+        # Record the zone temperature *before* this march, like the reference.
+        return new, carry.zone_T[0]
+
+    _, found = jax.jit(partial(jax.lax.scan, body))(state, xs)
+    found = np.asarray(found)
+    expected = run.zone_air_temp
+    # i > warmup (strict), matching validate_wall_heat_transfer.rs:669
+    return expected[warmup + 1 :], found[warmup + 1 :]
+
+
+# ---------------------------------------------------------------------------
+# The 13 fixture cases (validate_wall_heat_transfer.rs:817-994)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WallCase:
+    name: str  # fixture directory
+    emissivity: float
+    solar_abs: float
+    construction: Optional[List[TestMat]] = None  # None -> .spl model
+    spl_file: str = "back"
+    surface_area: float = 60.0
+
+
+CONCRETE = [TestMat.concrete(0.2)]
+MIXED = [TestMat.polyurethane(0.02), TestMat.concrete(0.2), TestMat.polyurethane(0.02)]
+NOMASS = [TestMat.polyurethane(0.02)]
+
+WALL_CASES: Dict[str, WallCase] = {
+    c.name: c
+    for c in [
+        WallCase("massive_full", 0.9, 0.7, CONCRETE),
+        WallCase("massive_no_ir_no_solar", 0.0, 0.0, CONCRETE),
+        WallCase("massive_no_ir_yes_solar", 0.0, 0.7, CONCRETE),
+        WallCase("massive_yes_ir_no_solar", 0.9, 0.0, CONCRETE),
+        WallCase("mixed_full", 0.9, 0.7, MIXED),
+        WallCase("mixed_no_ir_no_solar", 0.0, 0.0, MIXED),
+        WallCase("mixed_no_ir_yes_solar", 0.0, 0.7, MIXED),
+        WallCase("mixed_yes_ir_no_solar", 0.9, 0.0, MIXED),
+        WallCase("nomass_full", 0.9, 0.7, NOMASS),
+        WallCase("nomass_no_ir_no_solar", 0.0, 0.0, NOMASS),
+        WallCase("nomass_no_ir_yes_solar", 0.0, 0.7, NOMASS),
+        WallCase("nomass_yes_ir_no_solar", 0.9, 0.0, NOMASS),
+        WallCase("tilted", 0.9, 0.7, None),
+        WallCase("horizontal", 0.9, 0.7, None),
+    ]
+}
+
+
+def build_case_model(case: WallCase, fixtures_root: str):
+    """march_test_model / march_simple_model equivalents
+    (validate_wall_heat_transfer.rs:713-750)."""
+    if case.construction is not None:
+        opts = SingleZoneOptions(
+            zone_volume=600.0,
+            surface_height=3.0,
+            surface_width=20.0,
+            construction=case.construction,
+            emissivity=case.emissivity,
+            solar_absorbtance=case.solar_abs,
+        )
+        return single_zone_building(opts)
+    return load_spl(f"{fixtures_root}/{case.name}/{case.spl_file}.spl")
+
+
+def run_case(case: WallCase, fixtures_root: str, n: int = 20, dtype=np.float64):
+    """Compile + replay one fixture case; returns (expected, found)."""
+    model = build_case_model(case, fixtures_root)
+    tm = heatx.ThermalModel(model, n=n, config=heatx.SimConfig(dtype=dtype))
+    # "in models like these — a single surface — EnergyPlus assumes zero IR
+    # radiation indoors" (validate_wall_heat_transfer.rs:629-630)
+    tm.building.surfaces.eps_back[:] = 0.0
+    run = read_eplusout(f"{fixtures_root}/{case.name}/eplusout.csv")
+    return replay_wall_run(tm, run, case.emissivity, case.surface_area)

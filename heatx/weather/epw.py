@@ -1,0 +1,88 @@
+"""EPW weather-file reader.
+
+Host-side replacement for the slice of SIMPLE's external ``weather`` crate
+that the thermal module consumes (model.rs:372-374: dry-bulb temperature,
+wind speed, wind direction per timestep).  Returns plain numpy arrays; the
+run pipeline tiles/interpolates them into per-substep scan inputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+# EPW data-record field indices (EnergyPlus Auxiliary Programs spec).
+_F_DRY_BULB = 6
+_F_WIND_DIR = 20
+_F_WIND_SPEED = 21
+_F_GLOBAL_HORIZ = 13
+_F_DIRECT_NORMAL = 14
+_F_DIFFUSE_HORIZ = 15
+_F_HORIZ_IR = 12
+
+
+@dataclass
+class EPWData:
+    """Hourly weather series (8760 or 8784 entries)."""
+
+    dry_bulb: np.ndarray  # C
+    wind_speed: np.ndarray  # m/s
+    wind_direction_deg: np.ndarray  # degrees
+    global_horizontal: np.ndarray  # W/m2
+    direct_normal: np.ndarray  # W/m2
+    diffuse_horizontal: np.ndarray  # W/m2
+    horizontal_ir: np.ndarray  # W/m2
+    location: str = ""
+
+    @property
+    def n_hours(self) -> int:
+        return len(self.dry_bulb)
+
+    @property
+    def wind_direction_rad(self) -> np.ndarray:
+        return np.radians(self.wind_direction_deg)
+
+
+def read_epw(path: str) -> EPWData:
+    """Parse an EPW file (8 header lines + hourly records)."""
+    with open(path, "r", errors="replace") as f:
+        lines = f.readlines()
+    location = lines[0].strip() if lines else ""
+    rows = []
+    for line in lines[8:]:
+        parts = line.strip().split(",")
+        if len(parts) < 22:
+            continue
+        rows.append(
+            (
+                float(parts[_F_DRY_BULB]),
+                float(parts[_F_WIND_SPEED]),
+                float(parts[_F_WIND_DIR]),
+                float(parts[_F_GLOBAL_HORIZ]),
+                float(parts[_F_DIRECT_NORMAL]),
+                float(parts[_F_DIFFUSE_HORIZ]),
+                float(parts[_F_HORIZ_IR]),
+            )
+        )
+    data = np.array(rows, dtype=np.float64)
+    return EPWData(
+        dry_bulb=data[:, 0],
+        wind_speed=data[:, 1],
+        wind_direction_deg=data[:, 2],
+        global_horizontal=data[:, 3],
+        direct_normal=data[:, 4],
+        diffuse_horizontal=data[:, 5],
+        horizontal_ir=data[:, 6],
+        location=location,
+    )
+
+
+def interpolate_to_steps(values: np.ndarray, steps_per_hour: int) -> np.ndarray:
+    """Linearly interpolate an hourly series to ``steps_per_hour`` sub-values
+    per hour (length n_hours * steps_per_hour), wrapping at the year end."""
+    n = len(values)
+    x = np.arange(n)
+    xi = np.arange(n * steps_per_hour) / steps_per_hour
+    wrapped = np.concatenate([values, values[:1]])
+    return np.interp(xi, np.arange(n + 1), wrapped)

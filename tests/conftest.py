@@ -7,15 +7,16 @@ host devices forced below.  TPU benchmarking happens separately (bench.py).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force CPU: the ambient environment points JAX at a remote TPU (an `axon`
+# PJRT plugin registered by sitecustomize, which sets jax_platforms itself,
+# overriding the JAX_PLATFORMS env var) — that chip is reserved for bench.py.
+# Parity tests run locally on a virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 # XLA compiles slowly on this class of host; a persistent cache makes test

@@ -1,0 +1,107 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The sharded march must produce the same numbers as the single-device one:
+sharding the surface axis only changes where the work runs, the zone
+reduction becomes partial-sum + all-reduce under GSPMD.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+import heatx
+from heatx.build.layout import compile_building
+from heatx.engine import state as state_mod
+from heatx.engine import step as step_mod
+from heatx.parallel import sharding as sh
+from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+from heatx.model.building import Boundary, SurfaceDef
+
+
+def multi_surface_model(n_surfaces=8):
+    opts = SingleZoneOptions(
+        zone_volume=600.0,
+        surface_height=3.0,
+        surface_width=20.0,
+        construction=[TestMat.polyurethane(0.02), TestMat.concrete(0.2)],
+        emissivity=0.9,
+        solar_absorbtance=0.7,
+    )
+    m = single_zone_building(opts)
+    base = m.surfaces[0]
+    for i in range(n_surfaces - 1):
+        m.add_surface(
+            SurfaceDef(
+                f"wall{i}",
+                base.construction,
+                Boundary.outdoor(),
+                Boundary.space_("Space"),
+                vertices=np.array(
+                    [[0, 0, 0], [20, 0, 0], [20, 0, 3], [0, 0, 3]], float
+                ),
+            )
+        )
+    return m
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_march_matches_single_device():
+    model = multi_surface_model(8)
+    building = compile_building(model, n=4, config=heatx.SimConfig(dtype=np.float64))
+    assert building.n_surfaces == 8
+
+    state0 = state_mod.initial_state(building)
+    inputs = state_mod.default_inputs(
+        building,
+        t_out=-2.0,
+        wind_speed=3.0,
+        sol_front=np.full(8, 150.0),
+        ir_front=np.full(8, 350.0),
+    )
+
+    # single device
+    st_ref = state0
+    march_ref = step_mod.make_march_fn(building, donate=False)
+    for _ in range(10):
+        st_ref = march_ref(st_ref, inputs)
+
+    # 8-device mesh
+    mesh = sh.make_mesh(jax.devices()[:8])
+    march_sh = sh.make_sharded_march(building, mesh)
+    st = sh.shard_state(state0, mesh)
+    inp = sh.shard_inputs(inputs, mesh)
+    for _ in range(10):
+        st = march_sh(st, inp)
+
+    np.testing.assert_allclose(
+        np.asarray(st.zone_T), np.asarray(st_ref.zone_T), rtol=0, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.node_T), np.asarray(st_ref.node_T), rtol=0, atol=1e-12
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_padding_for_mesh_divisibility():
+    model = multi_surface_model(5)  # 5 surfaces -> pad to 8
+    building = compile_building(
+        model, n=4, config=heatx.SimConfig(dtype=np.float64), pad_surfaces_to=8
+    )
+    assert building.n_surfaces == 8
+
+    mesh = sh.make_mesh(jax.devices()[:8])
+    march_sh = sh.make_sharded_march(building, mesh)
+    st = sh.shard_state(state_mod.initial_state(building), mesh)
+    inp = sh.shard_inputs(state_mod.default_inputs(building, t_out=0.0), mesh)
+    st = march_sh(st, inp)
+    assert np.all(np.isfinite(np.asarray(st.zone_T)))
+
+
+def test_unpadded_rejected():
+    model = multi_surface_model(5)
+    building = compile_building(model, n=4, config=heatx.SimConfig(dtype=np.float64))
+    mesh = sh.make_mesh(jax.devices()[:8]) if len(jax.devices()) >= 8 else None
+    if mesh is None:
+        pytest.skip("needs 8 devices")
+    with pytest.raises(ValueError, match="not divisible"):
+        sh.make_sharded_march(building, mesh)
