@@ -133,8 +133,35 @@ def discretize_construction(
 
     while keeping dx <= max_dx; a layer that cannot comply at the dt floor is
     marked no-mass (0 elements).  Implemented iteratively (the reference
-    recursion restarts the whole layer scan on each n bump).
+    recursion restarts the whole layer scan on each n bump).  Uses the native
+    C++ search when available (heatx.native), with this Python fallback.
     """
+    # Native fast path
+    props = []
+    all_resolved = True
+    for mat_name in construction.materials:
+        material = model.get_material(mat_name)
+        substance = model.get_substance(material.substance)
+        if substance.is_gas:
+            props.append((0.0, 1.0, 1.0, material.thickness, 1))
+        else:
+            k, rho, cp = _normal_props(substance)
+            props.append((k, rho, cp, material.thickness, 0))
+    if all_resolved and props:
+        from heatx import native
+        import numpy as np
+
+        arr = np.array(props, dtype=np.float64)
+        res = native.discretize_batch(
+            arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3],
+            arr[:, 4].astype(np.uint8),
+            np.array([0, len(props)], dtype=np.int64),
+            model_dt, max_dx, min_dt, MAX_RS,
+        )
+        if res is not None:
+            tsubs, n_elements = res
+            return int(tsubs[0]), [int(x) for x in n_elements]
+
     n = 1
     while True:
         dt = model_dt / n

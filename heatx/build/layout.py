@@ -399,6 +399,7 @@ def compile_building(
     discs: List[disc_mod.Discretization] = []
     geo = []
     dt_subdivisions = 1
+    disc_cache: Dict[Tuple[str, float], disc_mod.Discretization] = {}
     for sdef, _is_fen in surf_defs:
         construction = model.get_construction(sdef.construction)
         area, perimeter, normal, height = sdef.resolved_geometry()
@@ -407,9 +408,16 @@ def compile_building(
         # The reference hard-codes the cavity-correlation height to 1 m with a
         # debug note (model.rs:250-252); replicated here.
         cavity_height = 1.0
-        d = disc_mod.discretize(
-            construction, model, main_dt, config.max_dx, config.min_dt, cavity_height, angle
-        )
+        # A discretization depends only on (construction, tilt angle) — one
+        # per unique pair, shared by all surfaces using it.
+        key = (construction.name, round(angle, 12))
+        d = disc_cache.get(key)
+        if d is None:
+            d = disc_mod.discretize(
+                construction, model, main_dt, config.max_dx, config.min_dt,
+                cavity_height, angle,
+            )
+            disc_cache[key] = d
         dt_subdivisions = max(dt_subdivisions, d.tstep_subdivision)
         discs.append(d)
         geo.append((area, perimeter, normal, height, cos_tilt))
@@ -523,25 +531,35 @@ def compile_building(
 
     # No-mass chunk ids per node: consecutive runs of no-mass nodes.
     nomass = node_mask & ~massive
-    nomass_chunk_id = -np.ones((S, N), dtype=np.int32)
-    max_chunks = 1
-    for si in range(S):
-        cid = -1
-        prev = False
-        for i in range(int(n_nodes[si])):
-            if nomass[si, i]:
-                if not prev:
-                    cid += 1
-                nomass_chunk_id[si, i] = cid
-            prev = bool(nomass[si, i])
-        max_chunks = max(max_chunks, cid + 1)
-    C = max_chunks
-    nomass_chunk_count = np.zeros((S, C), dtype=f64)
-    for si in range(S):
-        for i in range(int(n_nodes[si])):
-            cid = nomass_chunk_id[si, i]
-            if cid >= 0:
-                nomass_chunk_count[si, cid] += 1.0
+    from heatx import native
+
+    c_cap = max(1, (N + 1) // 2)  # runs alternate, so at most ceil(N/2)
+    native_res = native.chunk_ids(nomass, n_nodes, c_cap)
+    if native_res is not None:
+        chunk_id_full, chunk_count_full, max_runs = native_res
+        C = max(1, max_runs)
+        nomass_chunk_id = chunk_id_full
+        nomass_chunk_count = chunk_count_full[:, :C]
+    else:
+        nomass_chunk_id = -np.ones((S, N), dtype=np.int32)
+        max_chunks = 1
+        for si in range(S):
+            cid = -1
+            prev = False
+            for i in range(int(n_nodes[si])):
+                if nomass[si, i]:
+                    if not prev:
+                        cid += 1
+                    nomass_chunk_id[si, i] = cid
+                prev = bool(nomass[si, i])
+            max_chunks = max(max_chunks, cid + 1)
+        C = max_chunks
+        nomass_chunk_count = np.zeros((S, C), dtype=f64)
+        for si in range(S):
+            for i in range(int(n_nodes[si])):
+                cid = nomass_chunk_id[si, i]
+                if cid >= 0:
+                    nomass_chunk_count[si, cid] += 1.0
 
     batch = SurfaceBatch(
         node_mask=node_mask,

@@ -36,5 +36,9 @@ class EPlusWallRun:
 
 
 def read_eplusout(path: str) -> EPlusWallRun:
-    data = np.genfromtxt(path, delimiter=",", skip_header=1, usecols=range(1, 13))
+    from heatx import native
+
+    data = native.parse_csv(path, list(range(1, 13)), skip_header=1)
+    if data is None:
+        data = np.genfromtxt(path, delimiter=",", skip_header=1, usecols=range(1, 13))
     return EPlusWallRun(*[np.ascontiguousarray(data[:, i]) for i in range(12)])
