@@ -192,13 +192,14 @@ def main():
             jnp.asarray(v[sl], dtype) for v in (dry, wind, wdir, ghi, ir)
         )
 
-    # Warm-up + compile
-    t0 = time.time()
-    state, _ = year_fn(state0, xs_slice(0, args.warmup_hours))
-    jax.block_until_ready(state)
-    print(f"# compile+warmup ({args.warmup_hours}h): {time.time() - t0:.1f}s", file=sys.stderr)
-
+    # Warm-up + compile with the SAME scan length as the timed run (a
+    # different length is a different executable).
     xs = xs_slice(0, args.hours)
+    t0 = time.time()
+    state, _ = year_fn(state0, xs)
+    jax.block_until_ready(state)
+    print(f"# compile+warmup pass: {time.time() - t0:.1f}s", file=sys.stderr)
+
     t0 = time.time()
     state, zt = year_fn(state, xs)
     jax.block_until_ready(zt)

@@ -151,30 +151,33 @@ class SurfaceBatch:
     """Padded per-surface arrays — the compiled thermal network of a building.
 
     Shapes: S = number of surfaces (+fenestrations), N = MAX_NODES,
-    C = max no-mass chunks per surface.
+    C = max no-mass chunks per surface.  Node arrays are **node-major**
+    ``[N, S]``: the tiny node axis sits on TPU sublanes, the large surface
+    batch on the 128-wide vector lanes, and per-surface ``[S]`` scalars
+    broadcast against them without reshapes.
     """
 
     # node data
-    node_mask: np.ndarray  # [S, N] bool
+    node_mask: np.ndarray  # [N, S] bool
     n_nodes: np.ndarray  # [S] int32
-    mass: np.ndarray  # [S, N]
-    massive: np.ndarray  # [S, N] bool (mass >= 1e-5 and valid)
-    seg_u: np.ndarray  # [S, N] static solid U of segment i->i+1 (0 otherwise)
-    seg_is_cavity: np.ndarray  # [S, N] bool
-    cav_gas: GasProps  # each field [S, N]
-    cav_thickness: np.ndarray  # [S, N]
-    cav_height: np.ndarray  # [S, N]
-    cav_angle: np.ndarray  # [S, N]
-    cav_ein: np.ndarray  # [S, N]
-    cav_eout: np.ndarray  # [S, N]
-    same_chunk: np.ndarray  # [S, N] bool: nodes i,i+1 belong to the same chunk
-    nomass_chunk_id: np.ndarray  # [S, N] int32, -1 for massive/invalid nodes
+    mass: np.ndarray  # [N, S]
+    massive: np.ndarray  # [N, S] bool (mass >= 1e-5 and valid)
+    seg_u: np.ndarray  # [N, S] static solid U of segment i->i+1 (0 otherwise)
+    seg_is_cavity: np.ndarray  # [N, S] bool
+    cav_gas: GasProps  # each field [N, S]
+    cav_thickness: np.ndarray  # [N, S]
+    cav_height: np.ndarray  # [N, S]
+    cav_angle: np.ndarray  # [N, S]
+    cav_ein: np.ndarray  # [N, S]
+    cav_eout: np.ndarray  # [N, S]
+    same_chunk: np.ndarray  # [N, S] bool: nodes i,i+1 belong to the same chunk
+    nomass_chunk_id: np.ndarray  # [N, S] int32, -1 for massive/invalid nodes
     nomass_chunk_count: np.ndarray  # [S, C] float: nodes per chunk (0 = absent)
     has_nomass: bool  # whether any surface has no-mass nodes (static)
     has_massive: bool  # whether any surface has massive nodes (static)
     has_cavity: bool  # whether any cavity exists (static)
-    front_alphas: np.ndarray  # [S, N]
-    back_alphas: np.ndarray  # [S, N]
+    front_alphas: np.ndarray  # [N, S]
+    back_alphas: np.ndarray  # [N, S]
 
     # per-surface scalars
     area: np.ndarray  # [S]
@@ -218,11 +221,11 @@ class SurfaceBatch:
 
     @property
     def n_surfaces(self) -> int:
-        return int(self.node_mask.shape[0])
+        return int(self.node_mask.shape[1])
 
     @property
     def max_nodes(self) -> int:
-        return int(self.node_mask.shape[1])
+        return int(self.node_mask.shape[0])
 
 
 @dataclass
@@ -561,27 +564,31 @@ def compile_building(
                 if cid >= 0:
                     nomass_chunk_count[si, cid] += 1.0
 
+    # Device layout is node-major [N, S] (see SurfaceBatch docstring); the
+    # host-side build loops above fill surface-major [S, N] naturally.
+    tr = lambda a: np.ascontiguousarray(a.T)  # noqa: E731
+
     batch = SurfaceBatch(
-        node_mask=node_mask,
+        node_mask=tr(node_mask),
         n_nodes=n_nodes,
-        mass=mass,
-        massive=massive,
-        seg_u=seg_u,
-        seg_is_cavity=seg_is_cavity,
-        cav_gas=GasProps(*cav_fields),
-        cav_thickness=cav_thickness,
-        cav_height=cav_height,
-        cav_angle=cav_angle,
-        cav_ein=cav_ein,
-        cav_eout=cav_eout,
-        same_chunk=same_chunk,
-        nomass_chunk_id=nomass_chunk_id,
+        mass=tr(mass),
+        massive=tr(massive),
+        seg_u=tr(seg_u),
+        seg_is_cavity=tr(seg_is_cavity),
+        cav_gas=GasProps(*[tr(f) for f in cav_fields]),
+        cav_thickness=tr(cav_thickness),
+        cav_height=tr(cav_height),
+        cav_angle=tr(cav_angle),
+        cav_ein=tr(cav_ein),
+        cav_eout=tr(cav_eout),
+        same_chunk=tr(same_chunk),
+        nomass_chunk_id=tr(nomass_chunk_id),
         nomass_chunk_count=nomass_chunk_count,
         has_nomass=bool(nomass.any()),
         has_massive=bool(massive.any()),
         has_cavity=bool(seg_is_cavity.any()),
-        front_alphas=front_alphas,
-        back_alphas=back_alphas,
+        front_alphas=tr(front_alphas),
+        back_alphas=tr(back_alphas),
         area=area_a,
         perimeter=perim_a,
         normal=normal_a,

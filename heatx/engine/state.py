@@ -23,7 +23,7 @@ from heatx.constants import INITIAL_CONVECTION_COEFFICIENT, INITIAL_TEMPERATURE
 class SimState(NamedTuple):
     """The scan carry: everything that evolves during the simulation."""
 
-    node_T: jnp.ndarray  # [S, N] node temperatures, C
+    node_T: jnp.ndarray  # [N, S] node temperatures (node-major), C
     zone_T: jnp.ndarray  # [Z] zone dry-bulb temperatures, C
     h_front: jnp.ndarray  # [S] front convection coefficient, W/m2.K
     h_back: jnp.ndarray  # [S]

@@ -75,7 +75,7 @@ def substep(
         inputs.ir_back,
         cfg,
     )
-    ts_front = node_T[:, 0]
+    ts_front = node_T[0]
     ts_back = surf_mod._last_node(sb, node_T)
     q_front = (ts_front - t_front) * env_f.h
     q_back = (ts_back - t_back) * env_b.h

@@ -5,7 +5,9 @@ once.
 TPU-native re-design of /root/reference/src/surface.rs (ThermalSurfaceData)
 and the K/q assembly of discretization.rs:596-700.  The reference marches one
 surface at a time, one chunk at a time, over ragged index ranges; here every
-operation is a masked computation over padded ``[S, N]`` arrays:
+operation is a masked computation over padded node-major ``[N, S]`` arrays
+(node axis on sublanes, the large surface batch on the 128-wide vector
+lanes):
 
 * chunk ranges (``get_chunks``) become a ``same_chunk`` coupling mask and a
   per-node no-mass ``chunk_id``;
@@ -15,9 +17,13 @@ operation is a masked computation over padded ``[S, N]`` arrays:
   identity rows outside the chunks (chunks never couple directly, so the
   padded system block-decouples into exactly the reference's chunk systems);
 * the data-dependent no-mass fixed point (surface.rs:808-896) becomes a
-  ``lax.while_loop`` with per-chunk active masks reproducing the reference's
-  convergence rules (error-increase break before update, averaged relaxation
-  update, escalating tolerance after 100 iterations).
+  ``lax.while_loop`` (or a statically unrolled fixed iteration count in
+  performance mode) with per-chunk active masks reproducing the reference's
+  convergence rules: error-increase break before update, averaged relaxation
+  update, escalating tolerance after 100 iterations.
+
+Per-surface scalars ([S] arrays: boundary data, h, areas) broadcast against
+``[N, S]`` node arrays with no reshapes.
 """
 
 from __future__ import annotations
@@ -66,8 +72,15 @@ def boundary_temperatures(sb: SurfaceBatch, zone_T, t_out):
 
 
 def _last_node(sb: SurfaceBatch, T):
-    idx = (sb.n_nodes - 1).astype(jnp.int32)
-    return jnp.take_along_axis(T, idx[:, None], axis=1)[:, 0]
+    """T at each surface's last valid node: [S].
+
+    Mask-reduce instead of a gather — dynamic gathers are slow on the TPU
+    vector unit, a masked sum over the tiny node axis fuses for free.
+    """
+    valid = sb.node_mask
+    next_valid = jnp.concatenate([valid[1:], jnp.zeros_like(valid[:1])], axis=0)
+    is_last = valid & ~next_valid
+    return jnp.sum(jnp.where(is_last, T, 0.0), axis=0)
 
 
 def border_conditions(
@@ -100,7 +113,7 @@ def border_conditions(
     boundary reuses the *front* surface temperature and the *front* boundary
     temperature as radiant temperature, exactly like surface.rs:672-686.
     """
-    front_surf = T[:, 0]
+    front_surf = T[0]
     back_surf = _last_node(sb, T)
 
     windward = is_windward(wind_direction, sb.cos_tilt, sb.normal[:, 0], sb.normal[:, 1])
@@ -171,11 +184,11 @@ def segment_u(sb: SurfaceBatch, T, back_air):
     if not sb.has_cavity:
         return sb.seg_u
     t_this = T
-    t_next = jnp.concatenate([T[:, 1:], jnp.zeros_like(T[:, :1])], axis=1)
+    t_next = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
     next_valid = jnp.concatenate(
-        [sb.node_mask[:, 1:], jnp.zeros_like(sb.node_mask[:, :1])], axis=1
+        [sb.node_mask[1:], jnp.zeros_like(sb.node_mask[:1])], axis=0
     )
-    t_next = jnp.where(next_valid, t_next, back_air[:, None])
+    t_next = jnp.where(next_valid, t_next, back_air)
     u_cav = cavity_u_value(
         sb.cav_gas,
         sb.cav_thickness,
@@ -202,30 +215,30 @@ def assemble_k_q(
     """Tridiagonal K and forcing q for ALL nodes (discretization.rs:596-700),
     with cross-chunk couplings replaced by Dirichlet source terms in q.
 
-    Returns (lower, diag, upper, q), each [S, N].  Rows of nodes outside any
+    Returns (lower, diag, upper, q), each [N, S].  Rows of nodes outside any
     chunk of interest are filtered by the caller.
     """
     valid = sb.node_mask
     # left neighbor exists (node i-1 valid) / right neighbor exists
-    left_exists = jnp.concatenate([jnp.zeros_like(valid[:, :1]), valid[:, :-1]], axis=1) & valid
+    left_exists = jnp.concatenate([jnp.zeros_like(valid[:1]), valid[:-1]], axis=0) & valid
     right_exists = (
-        jnp.concatenate([valid[:, 1:], jnp.zeros_like(valid[:, :1])], axis=1) & valid
+        jnp.concatenate([valid[1:], jnp.zeros_like(valid[:1])], axis=0) & valid
     )
     is_first = valid & ~left_exists  # node 0
     is_last = valid & ~right_exists  # node n-1
 
-    U_left = jnp.concatenate([jnp.zeros_like(U[:, :1]), U[:, :-1]], axis=1)
+    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
     same_left = jnp.concatenate(
-        [jnp.zeros_like(sb.same_chunk[:, :1]), sb.same_chunk[:, :-1]], axis=1
+        [jnp.zeros_like(sb.same_chunk[:1]), sb.same_chunk[:-1]], axis=0
     )
     couple_left = left_exists & same_left
     couple_right = right_exists & sb.same_chunk
 
-    T_left = jnp.concatenate([jnp.zeros_like(T[:, :1]), T[:, :-1]], axis=1)
-    T_right = jnp.concatenate([T[:, 1:], jnp.zeros_like(T[:, :1])], axis=1)
+    T_left = jnp.concatenate([jnp.zeros_like(T[:1]), T[:-1]], axis=0)
+    T_right = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
 
-    h_f = env_f.h[:, None]
-    h_b = env_b.h[:, None]
+    h_f = env_f.h
+    h_b = env_b.h
 
     diag = (
         -U_left * left_exists
@@ -238,8 +251,8 @@ def assemble_k_q(
 
     q = (
         solar_q
-        + is_first * (env_f.air[:, None] * h_f + rad_hs_f[:, None] * (env_f.rad[:, None] - T))
-        + is_last * (env_b.air[:, None] * h_b + rad_hs_b[:, None] * (env_b.rad[:, None] - T))
+        + is_first * (env_f.air * h_f + rad_hs_f * (env_f.rad - T))
+        + is_last * (env_b.air * h_b + rad_hs_b * (env_b.rad - T))
         + (left_exists & ~couple_left) * U_left * T_left
         + (right_exists & ~couple_right) * U * T_right
     )
@@ -265,14 +278,15 @@ def march_nomass(
     state snapshot); cavity U-values and Dirichlet couplings re-evaluate each
     iteration.
     """
-    sel = sb.node_mask & ~sb.massive
-    chunk_id = jnp.maximum(sb.nomass_chunk_id, 0)
+    sel = sb.node_mask & ~sb.massive  # [N, S]
     chunk_n = sb.nomass_chunk_count  # [S, C]
     C = chunk_n.shape[1]
-    onehot = (
-        (sb.nomass_chunk_id[:, :, None] == jnp.arange(C, dtype=jnp.int32)[None, None, :])
-        & sel[:, :, None]
-    ).astype(T0.dtype)
+    # Per-chunk one-hot masks [N, S, C]: C is tiny (1-4 runs per surface), so
+    # chunk reductions/broadcasts are mask algebra, never gathers/scatters.
+    onehot_bool = (
+        sb.nomass_chunk_id[:, :, None] == jnp.arange(C, dtype=jnp.int32)[None, None, :]
+    ) & sel[:, :, None]
+    onehot = onehot_bool.astype(T0.dtype)
 
     big = jnp.asarray(99999.0, T0.dtype)
 
@@ -296,11 +310,13 @@ def march_nomass(
         T, old_err, count, active, it = carry
         T_sol = one_iteration(T)
         err_node = jnp.abs(T_sol - T) * sel
-        err_chunk = jnp.einsum("snc,sn->sc", onehot, err_node)
+        err_chunk = jnp.einsum("nsc,ns->sc", onehot, err_node)  # [S, C]
 
         increase = err_chunk > old_err
-        upd_chunk = active & ~increase
-        upd_node = jnp.take_along_axis(upd_chunk, chunk_id, axis=1) & sel
+        upd_chunk = active & ~increase  # [S, C]
+        # Broadcast chunk decisions back to nodes via the one-hot masks
+        # (a [S,C]-indexed gather would serialize on the VPU).
+        upd_node = jnp.any(onehot_bool & upd_chunk[None, :, :], axis=-1)  # [N, S]
         T_new = jnp.where(upd_node, 0.5 * (T + T_sol), T)
 
         tol = jnp.where(
@@ -413,7 +429,7 @@ def march_surfaces(
     # second check tests the already-clamped front value — dead code).
     sol_f = jnp.where(jnp.isnan(sol_front) | (sol_front < 0.0), 0.0, sol_front)
     sol_b = jnp.where(jnp.isnan(sol_back), 0.0, sol_back)
-    solar_q = sb.front_alphas * sol_f[:, None] + sb.back_alphas * sol_b[:, None]
+    solar_q = sb.front_alphas * sol_f + sb.back_alphas * sol_b
 
     T = node_T
     if sb.has_nomass:

@@ -38,8 +38,9 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = SURFACE_AXIS)
 
 def state_shardings(mesh: Mesh, axis: str = SURFACE_AXIS) -> SimState:
     s = NamedSharding(mesh, P(axis))
+    ns = NamedSharding(mesh, P(None, axis))  # node-major [N, S]
     r = NamedSharding(mesh, P())
-    return SimState(node_T=s, zone_T=r, h_front=s, h_back=s, q_front=s, q_back=s)
+    return SimState(node_T=ns, zone_T=r, h_front=s, h_back=s, q_front=s, q_back=s)
 
 
 def inputs_shardings(mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
@@ -78,12 +79,17 @@ def building_shardings(
     """Sharding pytree for the compiled building: arrays with a leading
     surface dimension shard over the mesh axis, everything else replicates."""
     s = NamedSharding(mesh, P(axis))
+    ns = NamedSharding(mesh, P(None, axis))
     r = NamedSharding(mesh, P())
     S = building.n_surfaces
 
     def spec(x):
         arr = np.asarray(x)
-        return s if (arr.ndim >= 1 and arr.shape[0] == S) else r
+        if arr.ndim == 2 and arr.shape[1] == S:
+            return ns  # node-major [N, S] node data
+        if arr.ndim >= 1 and arr.shape[0] == S:
+            return s  # per-surface scalars / [S, ...] data
+        return r
 
     return jax.tree_util.tree_map(spec, building)
 

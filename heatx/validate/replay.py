@@ -65,7 +65,7 @@ def replay_wall_run(
 
     def body(carry, x):
         t_out, ws, wd, sol, gain = x
-        ts = carry.node_T[:, 0]
+        ts = carry.node_T[0]
         if use_ir:
             ir = gain / (surface_area * emissivity) + SIGMA * (ts + 273.15) ** 4
         else:

@@ -105,8 +105,9 @@ def test_assembly_matches_dense_reference():
 
     nn = int(sb.n_nodes[0])
     rng = np.random.default_rng(0)
+    # node-major [N, S=1]
     T = np.zeros_like(np.asarray(sb.mass))
-    T[0, :nn] = 20.0 + rng.uniform(-5, 5, nn)
+    T[:nn, 0] = 20.0 + rng.uniform(-5, 5, nn)
 
     env_f = surf.FaceEnv(
         air=jnp.array([30.0]), rad=jnp.array([25.0]),
@@ -114,7 +115,7 @@ def test_assembly_matches_dense_reference():
     )
     env_b = surf.FaceEnv(
         air=jnp.array([21.0]), rad=jnp.array([21.0]),
-        surf=jnp.array([T[0, nn - 1]]), h=jnp.array([2.1]),
+        surf=jnp.array([T[nn - 1, 0]]), h=jnp.array([2.1]),
     )
     rad_hs_f = jnp.array([4.4])
     rad_hs_b = jnp.array([3.3])
@@ -133,19 +134,21 @@ def test_assembly_matches_dense_reference():
     back = {"air": 21.0, "rad": 21.0, "h": 2.1, "rad_hs": 3.3}
 
     for ini, fin in nomass_chunks + mass_chunks:
-        K_ref, q_ref = dense_ref_k_q(U[0], T[0, :nn], ini, fin, front, back, solar[0])
+        K_ref, q_ref = dense_ref_k_q(
+            U[:, 0], T[:nn, 0], ini, fin, front, back, solar[:, 0]
+        )
         for li, gi in enumerate(range(ini, fin)):
-            np.testing.assert_allclose(diag[0, gi], K_ref[li, li], rtol=1e-14)
-            np.testing.assert_allclose(q[0, gi], q_ref[li], rtol=1e-13)
+            np.testing.assert_allclose(diag[gi, 0], K_ref[li, li], rtol=1e-14)
+            np.testing.assert_allclose(q[gi, 0], q_ref[li], rtol=1e-13)
             if li > 0:
-                np.testing.assert_allclose(lower[0, gi], K_ref[li, li - 1], rtol=1e-14)
+                np.testing.assert_allclose(lower[gi, 0], K_ref[li, li - 1], rtol=1e-14)
             if li + 1 < fin - ini:
-                np.testing.assert_allclose(upper[0, gi], K_ref[li, li + 1], rtol=1e-14)
+                np.testing.assert_allclose(upper[gi, 0], K_ref[li, li + 1], rtol=1e-14)
         # couplings across the chunk boundary must be absent from the matrix
         if ini > 0:
-            assert lower[0, ini] == 0.0
+            assert lower[ini, 0] == 0.0
         if fin < nn:
-            assert upper[0, fin - 1] == 0.0
+            assert upper[fin - 1, 0] == 0.0
 
 
 def test_rk4_exact_ode():
@@ -156,10 +159,11 @@ def test_rk4_exact_ode():
 
     dt = 0.01
     n_steps = 10000
-    lower = jnp.array([[0.0, 4.0]]) * dt
-    diag = jnp.array([[1.0, -6.0]]) * dt
-    upper = jnp.array([[-3.0, 0.0]]) * dt
-    q = jnp.zeros((1, 2))
+    # node-major [N=2, S=1]
+    lower = jnp.array([[0.0], [4.0]]) * dt
+    diag = jnp.array([[1.0], [-6.0]]) * dt
+    upper = jnp.array([[-3.0], [0.0]]) * dt
+    q = jnp.zeros((2, 1))
 
     @jax.jit
     def rollout(T0):
@@ -167,9 +171,9 @@ def test_rk4_exact_ode():
             T_new = surf.rk4_apply(lower, diag, upper, q, T)
             return T_new, T
         _, hist = jax.lax.scan(body, T0, None, length=n_steps + 1)
-        return hist  # [n_steps+1, 1, 2]
+        return hist  # [n_steps+1, 2, 1]
 
-    hist = np.asarray(rollout(jnp.array([[1.75, 2.0]])))[:, 0, :]
+    hist = np.asarray(rollout(jnp.array([[1.75], [2.0]])))[:, :, 0]
     t = np.arange(n_steps + 1) * dt
     exp_a = 0.75 * np.exp(-3 * t) + np.exp(-2 * t)
     exp_b = np.exp(-3 * t) + np.exp(-2 * t)

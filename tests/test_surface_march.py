@@ -73,7 +73,7 @@ def test_march_massive_equilibrium():
         count += 1
         assert count < 10000, f"no convergence, q={q}"
 
-    temps = np.asarray(st.node_T[0])
+    temps = np.asarray(st.node_T[:, 0])
     np.testing.assert_allclose(temps, 10.0, atol=0.002)
 
 
@@ -133,7 +133,7 @@ def test_march_nomass_instantaneous():
         dtype=np.float64, t_out=10.0, ir_front=np.array([ir]), ir_back=np.array([ir])
     )
     st = tm.march(st, inp)
-    temps = np.asarray(st.node_T[0])
+    temps = np.asarray(st.node_T[:, 0])
     assert abs(temps[0] - 10.0) < 0.2
     assert abs(temps[-1] - 10.0) < 0.2
     assert abs(float(st.q_front[0])) < 0.07
@@ -200,5 +200,5 @@ def test_mixed_wall_marches():
         if q < 1e-4:
             break
     assert q < 1e-4
-    temps = np.asarray(st.node_T[0])[np.asarray(sb.node_mask[0])]
+    temps = np.asarray(st.node_T[:, 0])[np.asarray(sb.node_mask[:, 0])]
     np.testing.assert_allclose(temps, 10.0, atol=0.01)

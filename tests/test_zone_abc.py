@@ -23,7 +23,7 @@ def test_calculate_zones_abc():
     state = tm.initial_state()
     inputs = tm.inputs()
 
-    ts_front = state.node_T[:, 0]
+    ts_front = state.node_T[0]
     ts_back = surf_mod._last_node(b.surfaces, state.node_T)
     a, bb, c = zone_mod.zone_abc(
         b, state.zone_T, state.h_front, state.h_back, ts_front, ts_back, inputs
