@@ -1,0 +1,235 @@
+"""Zone-closed surface blocking for the fused Pallas hour-kernel.
+
+The only cross-surface data dependency in the model is the per-zone energy
+balance (SURVEY.md section 2.2), and zones never interact with each other
+(inter-zone air mixing is unimplemented in the reference, model.rs:546).
+Buildings therefore decompose into independent *components* — groups of zones
+connected by shared surfaces — and components pack into fixed-size blocks:
+
+* every surface of a block only references zones local to that block;
+* each Pallas grid cell marches one block for a whole hour (all stability
+  sub-steps) with state resident in VMEM;
+* the zone reduction becomes two small one-hot matmuls per face inside the
+  kernel (scatter-free, MXU-friendly).
+
+This module computes the surface permutation, the per-block zone tables, and
+the one-hot membership matrices.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from heatx.build.layout import B_SPACE, CompiledBuilding, SurfaceBatch
+
+
+def _union_find_components(building: CompiledBuilding):
+    """Group zones into connected components via shared surfaces; lone
+    surfaces (no space boundary) form their own singleton components."""
+    Z = building.n_zones
+    parent = list(range(Z))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    sb = building.surfaces
+    fronts = np.asarray(sb.front_code)
+    backs = np.asarray(sb.back_code)
+    fspace = np.asarray(sb.front_space)
+    bspace = np.asarray(sb.back_space)
+    S = building.n_surfaces
+    for s in range(S):
+        if fronts[s] == B_SPACE and backs[s] == B_SPACE:
+            union(int(fspace[s]), int(bspace[s]))
+
+    comp_of_zone = np.array([find(z) for z in range(Z)], dtype=np.int64)
+    return comp_of_zone
+
+
+@dataclass
+class BlockedLayout:
+    """Surface permutation + zone tables for block-local zone coupling."""
+
+    block_size: int  # SB: surfaces per block (padded)
+    zones_per_block: int  # ZB: zone slots per block (padded)
+    n_blocks: int
+
+    surf_perm: np.ndarray  # [n_blocks*SB] original surface idx, -1 = padding
+    zone_table: np.ndarray  # [n_blocks, ZB] original zone idx, -1 = padding
+    # one-hot zone membership of each face, [n_blocks*SB, ZB] float:
+    # row s has a single 1 in the column of its local zone when that face
+    # bounds a space, else all zeros.
+    front_oh: np.ndarray
+    back_oh: np.ndarray
+    surf_valid: np.ndarray  # [n_blocks*SB] bool
+    zone_valid: np.ndarray  # [n_blocks, ZB] bool
+
+    @property
+    def padded_surfaces(self) -> int:
+        return self.n_blocks * self.block_size
+
+    # -- state/zone conversion ----------------------------------------------
+
+    def zones_to_blocked(self, zone_vec: np.ndarray, fill=0.0) -> np.ndarray:
+        """[Z] -> [n_blocks, ZB]."""
+        out = np.full((self.n_blocks, self.zones_per_block), fill, dtype=np.asarray(zone_vec).dtype)
+        zt = self.zone_table
+        valid = zt >= 0
+        out[valid] = np.asarray(zone_vec)[zt[valid]]
+        return out
+
+    def zones_from_blocked(self, blocked: np.ndarray, n_zones: int) -> np.ndarray:
+        """[n_blocks, ZB] -> [Z]."""
+        out = np.zeros((n_zones,), dtype=np.asarray(blocked).dtype)
+        zt = self.zone_table
+        valid = zt >= 0
+        out[zt[valid]] = np.asarray(blocked)[valid]
+        return out
+
+    def surfaces_to_blocked(self, arr: np.ndarray, fill=0.0) -> np.ndarray:
+        """Permute/pad a per-surface array: [..., S] -> [..., n_blocks*SB]
+        (surface axis last, matching the node-major device layout)."""
+        arr = np.asarray(arr)
+        shape = arr.shape[:-1] + (self.padded_surfaces,)
+        out = np.full(shape, fill, dtype=arr.dtype)
+        valid = self.surf_perm >= 0
+        out[..., valid] = arr[..., self.surf_perm[valid]]
+        return out
+
+    def surfaces_from_blocked(self, arr: np.ndarray, n_surfaces: int) -> np.ndarray:
+        arr = np.asarray(arr)
+        out = np.zeros(arr.shape[:-1] + (n_surfaces,), dtype=arr.dtype)
+        valid = self.surf_perm >= 0
+        out[..., self.surf_perm[valid]] = arr[..., valid]
+        return out
+
+
+def build_blocks(
+    building: CompiledBuilding, block_size: int = 1024, zones_per_block: int = None
+) -> BlockedLayout:
+    """Pack zone-components into surface blocks of ``block_size``.
+
+    Greedy first-fit by descending component size.  Raises if a single
+    component exceeds the block size (use a bigger block or the unblocked
+    XLA path).
+    """
+    S = building.n_surfaces
+    Z = building.n_zones
+    sb = building.surfaces
+    fronts = np.asarray(sb.front_code)
+    backs = np.asarray(sb.back_code)
+    fspace = np.asarray(sb.front_space)
+    bspace = np.asarray(sb.back_space)
+
+    comp_of_zone = _union_find_components(building)
+
+    # Component id per surface (via its zones; surfaces without zones get
+    # their own pseudo-component).
+    comp_surfaces: dict = {}
+    comp_zones: dict = {}
+    solo = []
+    for s in range(S):
+        if fronts[s] == B_SPACE:
+            c = int(comp_of_zone[fspace[s]])
+        elif backs[s] == B_SPACE:
+            c = int(comp_of_zone[bspace[s]])
+        else:
+            solo.append(s)
+            continue
+        comp_surfaces.setdefault(c, []).append(s)
+    for z in range(Z):
+        comp_zones.setdefault(int(comp_of_zone[z]), []).append(z)
+
+    # Components as (surfaces, zones); solo surfaces are zero-zone components.
+    comps = []
+    for c, zs in comp_zones.items():
+        comps.append((comp_surfaces.get(c, []), zs))
+    # zones with no surfaces still occupy a slot so their temperature is carried
+    for s in solo:
+        comps.append(([s], []))
+
+    for surfs, zs in comps:
+        if len(surfs) > block_size:
+            raise ValueError(
+                f"a zone-connected component has {len(surfs)} surfaces "
+                f"> block_size {block_size}; increase the block size"
+            )
+
+    # Greedy first-fit decreasing packing.
+    comps.sort(key=lambda c: len(c[0]), reverse=True)
+    blocks: List[List] = []  # each: [surfs, zones]
+    for surfs, zs in comps:
+        placed = False
+        for blk in blocks:
+            if len(blk[0]) + len(surfs) <= block_size and (
+                zones_per_block is None or len(blk[1]) + len(zs) <= zones_per_block
+            ):
+                blk[0].extend(surfs)
+                blk[1].extend(zs)
+                placed = True
+                break
+        if not placed:
+            blocks.append([list(surfs), list(zs)])
+
+    n_blocks = len(blocks)
+    zb = max((len(b[1]) for b in blocks), default=1)
+    zb = max(zb, 1)
+    if zones_per_block is not None:
+        zb = zones_per_block
+    # Round ZB up to a multiple of 8 (f32 sublane tile).
+    zb = ((zb + 7) // 8) * 8
+
+    surf_perm = np.full(n_blocks * block_size, -1, dtype=np.int64)
+    zone_table = np.full((n_blocks, zb), -1, dtype=np.int64)
+    for bi, (surfs, zs) in enumerate(blocks):
+        surf_perm[bi * block_size : bi * block_size + len(surfs)] = surfs
+        zone_table[bi, : len(zs)] = zs
+
+    # Local zone index of each face -> one-hot matrices.
+    zone_local = np.full(Z, -1, dtype=np.int64)
+    zone_block = np.full(Z, -1, dtype=np.int64)
+    for bi in range(n_blocks):
+        for j, z in enumerate(zone_table[bi]):
+            if z >= 0:
+                zone_local[z] = j
+                zone_block[z] = bi
+
+    SP = n_blocks * block_size
+    front_oh = np.zeros((SP, zb), dtype=np.float64)
+    back_oh = np.zeros((SP, zb), dtype=np.float64)
+    for sp in range(SP):
+        s = surf_perm[sp]
+        if s < 0:
+            continue
+        bi = sp // block_size
+        if fronts[s] == B_SPACE:
+            z = int(fspace[s])
+            assert zone_block[z] == bi, "zone not local to its surface's block"
+            front_oh[sp, zone_local[z]] = 1.0
+        if backs[s] == B_SPACE:
+            z = int(bspace[s])
+            assert zone_block[z] == bi, "zone not local to its surface's block"
+            back_oh[sp, zone_local[z]] = 1.0
+
+    return BlockedLayout(
+        block_size=block_size,
+        zones_per_block=zb,
+        n_blocks=n_blocks,
+        surf_perm=surf_perm,
+        zone_table=zone_table,
+        front_oh=front_oh,
+        back_oh=back_oh,
+        surf_valid=surf_perm >= 0,
+        zone_valid=zone_table >= 0,
+    )

@@ -172,7 +172,7 @@ class SurfaceBatch:
     cav_eout: np.ndarray  # [N, S]
     same_chunk: np.ndarray  # [N, S] bool: nodes i,i+1 belong to the same chunk
     nomass_chunk_id: np.ndarray  # [N, S] int32, -1 for massive/invalid nodes
-    nomass_chunk_count: np.ndarray  # [S, C] float: nodes per chunk (0 = absent)
+    nomass_chunk_count: np.ndarray  # [C, S] float: nodes per chunk (0 = absent)
     has_nomass: bool  # whether any surface has no-mass nodes (static)
     has_massive: bool  # whether any surface has massive nodes (static)
     has_cavity: bool  # whether any cavity exists (static)
@@ -583,7 +583,7 @@ def compile_building(
         cav_eout=tr(cav_eout),
         same_chunk=tr(same_chunk),
         nomass_chunk_id=tr(nomass_chunk_id),
-        nomass_chunk_count=nomass_chunk_count,
+        nomass_chunk_count=np.ascontiguousarray(nomass_chunk_count.T),
         has_nomass=bool(nomass.any()),
         has_massive=bool(massive.any()),
         has_cavity=bool(seg_is_cavity.any()),

@@ -46,6 +46,11 @@ class SimConfig:
     # reference-exact convergence loop.
     nomass_fixed_iters: Optional[int] = None
 
+    # Set (internally) while tracing inside the Pallas hour kernel: selects
+    # Mosaic-lowerable op forms (pow-based cbrt, loop/scan solvers) over the
+    # XLA-preferred ones.  Not a user knob.
+    kernel_mode: bool = False
+
     # Reproduce the reference's back-side AmbientTemperature boundary reusing
     # *front* surface values (surface.rs:672-686) — an apparent upstream bug,
     # kept by default for fixture parity. Set False for the physically

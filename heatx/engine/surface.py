@@ -55,6 +55,22 @@ class FaceEnv(NamedTuple):
     h: jnp.ndarray  # [S] convection coefficient, W/m2.K
 
 
+def _shift_prev(mask):
+    """mask[i-1] (False for i=0) — via a float shift: Mosaic miscompiles
+    boolean-vector concatenates, float concat + compare is safe and XLA fuses
+    it away."""
+    f = jnp.where(mask, 1.0, 0.0)
+    fs = jnp.concatenate([jnp.zeros_like(f[:1]), f[:-1]], axis=0)
+    return fs > 0.5
+
+
+def _shift_next(mask):
+    """mask[i+1] (False for i=N-1)."""
+    f = jnp.where(mask, 1.0, 0.0)
+    fs = jnp.concatenate([f[1:], jnp.zeros_like(f[:1])], axis=0)
+    return fs > 0.5
+
+
 def boundary_temperatures(sb: SurfaceBatch, zone_T, t_out):
     """Air temperature on each side of each surface
     (model.rs:79-96 get_boundary_temperature)."""
@@ -71,15 +87,59 @@ def boundary_temperatures(sb: SurfaceBatch, zone_T, t_out):
     return t_front, t_back
 
 
-def _last_node(sb: SurfaceBatch, T):
+class SurfaceStatics(NamedTuple):
+    """Loop-invariant mask structure of the node network, hoisted out of the
+    sub-step loop (XLA hoists these automatically out of a scan; the Pallas
+    hour kernel computes them once before its fori_loop)."""
+
+    left_exists: jnp.ndarray  # [N, S] node i-1 exists
+    right_exists: jnp.ndarray  # [N, S] node i+1 exists
+    is_first: jnp.ndarray  # [N, S] node 0 of its surface
+    is_last: jnp.ndarray  # [N, S] last valid node of its surface
+    couple_left: jnp.ndarray  # [N, S] coupled to node i-1 within its chunk
+    couple_right: jnp.ndarray  # [N, S]
+    dirichlet_left: jnp.ndarray  # [N, S] left neighbor is a frozen source
+    dirichlet_right: jnp.ndarray  # [N, S]
+    nomass_sel: jnp.ndarray  # [N, S] valid no-mass node
+    chunk_masks: tuple  # C x [N, S] per-chunk node masks
+
+
+def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
+    valid = sb.node_mask
+    left_exists = _shift_prev(valid) & valid
+    right_exists = _shift_next(valid) & valid
+    is_first = valid & ~left_exists
+    is_last = valid & ~right_exists
+    couple_left = left_exists & _shift_prev(sb.same_chunk)
+    couple_right = right_exists & sb.same_chunk
+    sel = valid & ~sb.massive
+    C = sb.nomass_chunk_count.shape[0]
+    chunk_masks = tuple((sb.nomass_chunk_id == c) & sel for c in range(C))
+    return SurfaceStatics(
+        left_exists=left_exists,
+        right_exists=right_exists,
+        is_first=is_first,
+        is_last=is_last,
+        couple_left=couple_left,
+        couple_right=couple_right,
+        dirichlet_left=left_exists & ~couple_left,
+        dirichlet_right=right_exists & ~couple_right,
+        nomass_sel=sel,
+        chunk_masks=chunk_masks,
+    )
+
+
+def _last_node(sb: SurfaceBatch, T, statics: SurfaceStatics = None):
     """T at each surface's last valid node: [S].
 
     Mask-reduce instead of a gather — dynamic gathers are slow on the TPU
     vector unit, a masked sum over the tiny node axis fuses for free.
     """
-    valid = sb.node_mask
-    next_valid = jnp.concatenate([valid[1:], jnp.zeros_like(valid[:1])], axis=0)
-    is_last = valid & ~next_valid
+    if statics is not None:
+        is_last = statics.is_last
+    else:
+        valid = sb.node_mask
+        is_last = valid & ~_shift_next(valid)
     return jnp.sum(jnp.where(is_last, T, 0.0), axis=0)
 
 
@@ -93,6 +153,7 @@ def border_conditions(
     ir_front,
     ir_back,
     config: SimConfig,
+    statics: SurfaceStatics = None,
 ):
     """Front/back ConvectionParams + h for every surface
     (surface.rs:596-717 calc_border_conditions).
@@ -114,9 +175,13 @@ def border_conditions(
     temperature as radiant temperature, exactly like surface.rs:672-686.
     """
     front_surf = T[0]
-    back_surf = _last_node(sb, T)
+    back_surf = _last_node(sb, T, statics)
 
-    windward = is_windward(wind_direction, sb.cos_tilt, sb.normal[:, 0], sb.normal[:, 1])
+    if isinstance(sb.normal, tuple):
+        normal_x, normal_y = sb.normal[0], sb.normal[1]  # kernel path
+    else:
+        normal_x, normal_y = sb.normal[:, 0], sb.normal[:, 1]
+    windward = is_windward(wind_direction, sb.cos_tilt, normal_x, normal_y)
     speed_out = wind_speed * sb.wind_mod
 
     f_out = sb.front_code == B_OUTDOOR
@@ -151,7 +216,9 @@ def border_conditions(
     wf = jnp.where(windward, 1.0, 0.5)
 
     def total_h(air, surf, cos_eff, speed):
-        natural = tarp_natural_convection_coefficient(air, surf, cos_eff)
+        natural = tarp_natural_convection_coefficient(
+            air, surf, cos_eff, mosaic_compat=config.kernel_mode
+        )
         forced = 2.537 * wf * sb.rf * jnp.sqrt(sb.perimeter * speed / sb.area)
         return natural + forced
 
@@ -185,10 +252,7 @@ def segment_u(sb: SurfaceBatch, T, back_air):
         return sb.seg_u
     t_this = T
     t_next = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
-    next_valid = jnp.concatenate(
-        [sb.node_mask[1:], jnp.zeros_like(sb.node_mask[:1])], axis=0
-    )
-    t_next = jnp.where(next_valid, t_next, back_air)
+    t_next = jnp.where(_shift_next(sb.node_mask), t_next, back_air)
     u_cav = cavity_u_value(
         sb.cav_gas,
         sb.cav_thickness,
@@ -211,6 +275,7 @@ def assemble_k_q(
     rad_hs_f,
     rad_hs_b,
     solar_q,
+    statics: SurfaceStatics = None,
 ):
     """Tridiagonal K and forcing q for ALL nodes (discretization.rs:596-700),
     with cross-chunk couplings replaced by Dirichlet source terms in q.
@@ -218,21 +283,15 @@ def assemble_k_q(
     Returns (lower, diag, upper, q), each [N, S].  Rows of nodes outside any
     chunk of interest are filtered by the caller.
     """
-    valid = sb.node_mask
-    # left neighbor exists (node i-1 valid) / right neighbor exists
-    left_exists = jnp.concatenate([jnp.zeros_like(valid[:1]), valid[:-1]], axis=0) & valid
-    right_exists = (
-        jnp.concatenate([valid[1:], jnp.zeros_like(valid[:1])], axis=0) & valid
-    )
-    is_first = valid & ~left_exists  # node 0
-    is_last = valid & ~right_exists  # node n-1
+    st = statics if statics is not None else compute_statics(sb)
+    left_exists = st.left_exists
+    right_exists = st.right_exists
+    is_first = st.is_first
+    is_last = st.is_last
+    couple_left = st.couple_left
+    couple_right = st.couple_right
 
     U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
-    same_left = jnp.concatenate(
-        [jnp.zeros_like(sb.same_chunk[:1]), sb.same_chunk[:-1]], axis=0
-    )
-    couple_left = left_exists & same_left
-    couple_right = right_exists & sb.same_chunk
 
     T_left = jnp.concatenate([jnp.zeros_like(T[:1]), T[:-1]], axis=0)
     T_right = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
@@ -240,21 +299,28 @@ def assemble_k_q(
     h_f = env_f.h
     h_b = env_b.h
 
-    diag = (
-        -U_left * left_exists
-        - U * right_exists
-        - h_f * is_first
-        - h_b * is_last
+    # All masking via where-selects: bool*float arithmetic needs i1->f32
+    # vector casts that the Mosaic backend miscompiles.
+    zero = jnp.zeros_like(U)
+
+    def sel(mask, v):
+        return jnp.where(mask, v, zero)
+
+    diag = -(
+        sel(left_exists, U_left)
+        + sel(right_exists, U)
+        + sel(is_first, h_f + zero)
+        + sel(is_last, h_b + zero)
     )
-    lower = U_left * couple_left
-    upper = U * couple_right
+    lower = sel(couple_left, U_left)
+    upper = sel(couple_right, U)
 
     q = (
         solar_q
-        + is_first * (env_f.air * h_f + rad_hs_f * (env_f.rad - T))
-        + is_last * (env_b.air * h_b + rad_hs_b * (env_b.rad - T))
-        + (left_exists & ~couple_left) * U_left * T_left
-        + (right_exists & ~couple_right) * U * T_right
+        + sel(is_first, env_f.air * h_f + rad_hs_f * (env_f.rad - T))
+        + sel(is_last, env_b.air * h_b + rad_hs_b * (env_b.rad - T))
+        + sel(st.dirichlet_left, U_left * T_left)
+        + sel(st.dirichlet_right, U * T_right)
     )
     return lower, diag, upper, q
 
@@ -268,6 +334,8 @@ def march_nomass(
     rad_hs_b,
     solar_q,
     config: SimConfig,
+    solver=None,
+    statics: SurfaceStatics = None,
 ):
     """Iterative steady-state solve of all no-mass chunks (surface.rs:790-898).
 
@@ -278,45 +346,54 @@ def march_nomass(
     state snapshot); cavity U-values and Dirichlet couplings re-evaluate each
     iteration.
     """
-    sel = sb.node_mask & ~sb.massive  # [N, S]
-    chunk_n = sb.nomass_chunk_count  # [S, C]
-    C = chunk_n.shape[1]
-    # Per-chunk one-hot masks [N, S, C]: C is tiny (1-4 runs per surface), so
-    # chunk reductions/broadcasts are mask algebra, never gathers/scatters.
-    onehot_bool = (
-        sb.nomass_chunk_id[:, :, None] == jnp.arange(C, dtype=jnp.int32)[None, None, :]
-    ) & sel[:, :, None]
-    onehot = onehot_bool.astype(T0.dtype)
+    st = statics if statics is not None else compute_statics(sb)
+    sel = st.nomass_sel  # [N, S]
+    chunk_n = sb.nomass_chunk_count  # [C, S]
+    C = chunk_n.shape[0]
+    # Per-chunk masks (C is tiny: 1-4 runs per surface), kept as a static
+    # tuple of [N, S] arrays — chunk reductions/broadcasts are pure mask
+    # algebra, never gathers/scatters, and everything stays <= 2-D (which
+    # also keeps this code lowerable inside a Pallas kernel).
+    chunk_masks = st.chunk_masks
 
     big = jnp.asarray(99999.0, T0.dtype)
+
+    if solver is None:
+        solver = tridiag.solve_pcr if config.kernel_mode else tridiag.solve
 
     def one_iteration(T):
         U = segment_u(sb, T, env_b.air)
         lower, diag, upper, q = assemble_k_q(
-            sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q
+            sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics=st
         )
         # no-mass rows solve K x = -q; all other rows are identity x = T
         lower = jnp.where(sel, lower, 0.0)
         upper = jnp.where(sel, upper, 0.0)
         diag = jnp.where(sel, diag, 1.0)
         rhs = jnp.where(sel, -q, T)
-        return tridiag.solve(lower, diag, upper, rhs)
+        return solver(lower, diag, upper, rhs)
 
+    # Loop-carried chunk state is all-float ([C, S] f32: active flag as 0/1,
+    # iteration count as float) — Mosaic miscompiles bool/int loop carries.
     def cond(carry):
-        _, _, _, active, it = carry
-        return jnp.any(active) & (it < config.nomass_max_iter)
+        _, _, _, active_f, it = carry
+        return jnp.any(active_f > 0.5) & (it < config.nomass_max_iter)
 
     def body(carry):
-        T, old_err, count, active, it = carry
+        T, old_err, count, active_f, it = carry
+        active = active_f > 0.5
         T_sol = one_iteration(T)
-        err_node = jnp.abs(T_sol - T) * sel
-        err_chunk = jnp.einsum("nsc,ns->sc", onehot, err_node)  # [S, C]
+        err_node = _ftz(jnp.where(sel, jnp.abs(T_sol - T), 0.0))
+        err_chunk = jnp.stack(
+            [jnp.sum(jnp.where(m, err_node, 0.0), axis=0) for m in chunk_masks],
+            axis=0,
+        )  # [C, S]
 
         increase = err_chunk > old_err
-        upd_chunk = active & ~increase  # [S, C]
-        # Broadcast chunk decisions back to nodes via the one-hot masks
-        # (a [S,C]-indexed gather would serialize on the VPU).
-        upd_node = jnp.any(onehot_bool & upd_chunk[None, :, :], axis=-1)  # [N, S]
+        upd_chunk = active & ~increase  # [C, S]
+        upd_node = chunk_masks[0] & upd_chunk[0]
+        for c in range(1, C):
+            upd_node = upd_node | (chunk_masks[c] & upd_chunk[c])
         T_new = jnp.where(upd_node, 0.5 * (T + T_sol), T)
 
         tol = jnp.where(
@@ -328,24 +405,35 @@ def march_nomass(
         converged = mean_err < tol
 
         new_active = active & ~increase & ~converged
+        new_active_f = jnp.where(new_active, 1.0, 0.0).astype(T.dtype)
         new_old_err = jnp.where(upd_chunk, err_chunk, old_err)
-        new_count = count + new_active.astype(count.dtype)
-        return T_new, new_old_err, new_count, new_active, it + 1
+        new_count = count + new_active_f
+        return T_new, new_old_err, new_count, new_active_f, it + 1
 
-    active0 = chunk_n > 0
+    active0 = jnp.where(chunk_n > 0, 1.0, 0.0).astype(T0.dtype)
     carry0 = (
         T0,
         jnp.full_like(chunk_n, big),
-        jnp.zeros_like(chunk_n, dtype=jnp.int32),
+        jnp.zeros_like(chunk_n),
         active0,
         jnp.asarray(0, jnp.int32),
     )
     if config.nomass_fixed_iters is not None:
-        # Performance mode: statically unrolled fixed iteration count with
-        # the same per-chunk update/convergence masking.
-        carry = carry0
-        for _ in range(config.nomass_fixed_iters):
-            carry = body(carry)
+        # Performance mode: fixed iteration count with the same per-chunk
+        # update/convergence masking.  Loop form keeps the compiled body
+        # small (important for Mosaic); unrolled form lets XLA fuse across
+        # iterations.
+        if config.kernel_mode:
+            carry = jax.lax.fori_loop(
+                0,
+                config.nomass_fixed_iters,
+                lambda _, c: body(c),
+                carry0,
+            )
+        else:
+            carry = carry0
+            for _ in range(config.nomass_fixed_iters):
+                carry = body(carry)
         return carry[0]
     T_final, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
     return T_final
@@ -360,6 +448,7 @@ def march_massive(
     rad_hs_b,
     solar_q,
     dt,
+    statics: SurfaceStatics = None,
 ):
     """RK4 march of all massive chunks (surface.rs:720-787 march_mass,
     rearrange_k at :168-187, rk4 at :228-308).
@@ -373,7 +462,7 @@ def march_massive(
     sel = sb.massive
     U = segment_u(sb, T, env_b.air)
     lower, diag, upper, q = assemble_k_q(
-        sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q
+        sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics=statics
     )
     scale = jnp.where(sel, dt / jnp.where(sel, sb.mass, 1.0), 0.0)
     lower = lower * scale
@@ -385,14 +474,23 @@ def march_massive(
     return jnp.where(sel, T_new, T)
 
 
+def _ftz(x, threshold=1e-25):
+    """Flush tiny magnitudes to zero.  As a wall approaches equilibrium the
+    RK4 stage values decay into the subnormal range, where this TPU runtime's
+    vector unit drops onto a ~20x slow path; flushing below `threshold`
+    (still ~13 orders below any meaningful temperature increment) keeps the
+    fusions on the fast path with no effect on results."""
+    return jnp.where(jnp.abs(x) < threshold, 0.0, x)
+
+
 def rk4_apply(lower, diag, upper, q, T):
     """Classic RK4 update for dT = K'T + q' with K', q' pre-scaled by dt/C
     (surface.rs:228-308 rk4; the rearrange_k scaling is the caller's job)."""
     mv = partial(tridiag.matvec, lower, diag, upper)
-    k1 = mv(T) + q
-    k2 = mv(T + 0.5 * k1) + q
-    k3 = mv(T + 0.5 * k2) + q
-    k4 = mv(T + k3) + q
+    k1 = _ftz(mv(T) + q)
+    k2 = _ftz(mv(T + 0.5 * k1) + q)
+    k3 = _ftz(mv(T + 0.5 * k2) + q)
+    k4 = _ftz(mv(T + k3) + q)
     return T + k1 / 6.0 + k2 / 3.0 + k3 / 3.0 + k4 / 6.0
 
 
@@ -410,6 +508,9 @@ def march_surfaces(
     dt,
     config: SimConfig,
     has_massive: bool = True,
+    skip_nomass: bool = False,
+    solver=None,
+    statics: SurfaceStatics = None,
 ):
     """One sub-step of every surface (surface.rs:902-1001 march):
     solar distribution -> no-mass chunks -> massive chunks.
@@ -419,7 +520,8 @@ def march_surfaces(
     from the returned temperatures.
     """
     env_f, env_b = border_conditions(
-        sb, node_T, t_front, t_back, wind_direction, wind_speed, ir_front, ir_back, config
+        sb, node_T, t_front, t_back, wind_direction, wind_speed, ir_front,
+        ir_back, config, statics=statics,
     )
     rad_hs_f = linearized_rad_coefficient(sb.eps_front, env_f)
     rad_hs_b = linearized_rad_coefficient(sb.eps_back, env_b)
@@ -432,8 +534,13 @@ def march_surfaces(
     solar_q = sb.front_alphas * sol_f + sb.back_alphas * sol_b
 
     T = node_T
-    if sb.has_nomass:
-        T = march_nomass(sb, T, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, config)
+    if sb.has_nomass and not skip_nomass:
+        T = march_nomass(
+            sb, T, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, config,
+            solver=solver, statics=statics,
+        )
     if has_massive:
-        T = march_massive(sb, T, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, dt)
+        T = march_massive(
+            sb, T, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, dt, statics=statics
+        )
     return T

@@ -17,7 +17,9 @@ from heatx.constants import MIN_H
 ROUGHNESS_COEFFICIENTS = (2.17, 1.67, 1.52, 1.13, 1.11, 1.0)
 
 
-def tarp_natural_convection_coefficient(air_temperature, surface_temperature, cos_surface_tilt):
+def tarp_natural_convection_coefficient(
+    air_temperature, surface_temperature, cos_surface_tilt, mosaic_compat=False
+):
     """Natural (indoor) TARP h (convection.rs:87-110).
 
     Three cases keyed on the sign of ``delta_t * cos(tilt)``:
@@ -31,7 +33,16 @@ def tarp_natural_convection_coefficient(air_temperature, surface_temperature, co
     delta_t = air_temperature - surface_temperature
     abs_dt = jnp.abs(delta_t)
     abs_cos = jnp.abs(cos_surface_tilt)
-    cbrt = jnp.cbrt(abs_dt)
+    if mosaic_compat:
+        # Inside the Pallas kernel: jnp.cbrt has no Mosaic lowering, so use
+        # pow with the argument clamped away from zero (a -inf intermediate
+        # from log(0) hits a VPU slow path; the clamp is value-exact because
+        # 1.31*cbrt(1e-30) is far below the MIN_H floor anyway).
+        cbrt = jnp.maximum(abs_dt, 1e-30) ** (1.0 / 3.0)
+    else:
+        # XLA path: the dedicated cbrt lowering is fast for all inputs (the
+        # pow form takes data-dependent slow paths near |dT| ~ 0).
+        cbrt = jnp.cbrt(abs_dt)
 
     h_zero = 1.31 * cbrt
     h_same = 9.482 * cbrt / (7.238 - abs_cos)
@@ -52,6 +63,7 @@ def tarp_convection_coefficient(
     perimeter,
     windward,
     roughness_index=1,
+    mosaic_compat=False,
 ):
     """Exterior TARP h = forced + natural (convection.rs:151-168).
 
@@ -63,7 +75,7 @@ def tarp_convection_coefficient(
     wf = jnp.where(windward, 1.0, 0.5)
     forced = 2.537 * wf * rf * jnp.sqrt(perimeter * air_speed / area)
     natural = tarp_natural_convection_coefficient(
-        air_temperature, surface_temperature, cos_surface_tilt
+        air_temperature, surface_temperature, cos_surface_tilt, mosaic_compat
     )
     return forced + natural
 
@@ -75,4 +87,6 @@ def is_windward(wind_direction, cos_tilt, normal_x, normal_y):
     are always windward.
     """
     dot = normal_x * jnp.sin(wind_direction) + normal_y * jnp.cos(wind_direction)
-    return jnp.where(jnp.abs(cos_tilt) < 0.98, dot > 0.0, True)
+    # Pure boolean algebra (equivalent to where(tilted, dot>0, True); a bool
+    # select with a scalar literal has no Mosaic lowering).
+    return (jnp.abs(cos_tilt) >= 0.98) | (dot > 0.0)
