@@ -1,0 +1,37 @@
+"""Checkpoint / resume for simulation state.
+
+The reference externalizes persistence: all mutable state is the flat
+``SimulationState`` vector owned by the caller (SURVEY.md section 5), so
+"checkpointing" is serializing that vector.  heatx keeps the same design —
+the :class:`~heatx.engine.state.SimState` pytree is the whole simulation
+state — and provides direct save/load here (plain ``.npz``; for
+multi-host/async checkpointing the same pytree drops into orbax unchanged).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from heatx.engine.state import SimState
+
+
+def save_state(path: str, state: SimState, step: int = 0):
+    """Serialize a SimState (and the step counter) to ``path`` (.npz)."""
+    np.savez(
+        path,
+        step=np.int64(step),
+        **{k: np.asarray(v) for k, v in state._asdict().items()},
+    )
+
+
+def load_state(path: str, dtype=None):
+    """Load a SimState; returns (state, step)."""
+    import jax.numpy as jnp
+
+    with np.load(path) as d:
+        step = int(d["step"])
+        kw = {}
+        for k in SimState._fields:
+            a = d[k]
+            kw[k] = jnp.asarray(a if dtype is None else a.astype(dtype))
+        return SimState(**kw), step

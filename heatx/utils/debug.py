@@ -1,0 +1,35 @@
+"""NaN/Inf guards for simulation state.
+
+The reference guards with runtime ``assert!`` on NaN temperatures
+(model.rs:416-419, surface.rs:704-707) and an iteration bomb.  In a compiled
+JAX program asserts do not exist; heatx instead offers explicit host-side
+checks to call between (batches of) marches — cheap, explicit, and they name
+the offending channel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from heatx.engine.state import SimState
+
+
+def check_state_finite(state: SimState) -> dict:
+    """Count of non-finite entries per state channel (host-side)."""
+    out = {}
+    for name, arr in state._asdict().items():
+        a = np.asarray(arr)
+        bad = int(np.size(a) - np.isfinite(a).sum())
+        if bad:
+            out[name] = bad
+    return out
+
+
+def assert_state_finite(state: SimState, context: str = ""):
+    """Raise with channel names if any state entry is NaN/Inf
+    (the JAX-side equivalent of the reference's NaN asserts)."""
+    bad = check_state_finite(state)
+    if bad:
+        raise FloatingPointError(
+            f"non-finite simulation state{' at ' + context if context else ''}: {bad}"
+        )

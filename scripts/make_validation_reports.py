@@ -1,0 +1,141 @@
+"""Generate the public validation HTML reports.
+
+heatx equivalent of the reference's published accuracy reports
+(docs/validation/walls.html and convection_coefficients.html; README.md:12-14
+links them as the "Is it accurate?" answer).  Runs the closed-form analytical
+suite, the 14 EnergyPlus replay cases, and the TARP convection replays, and
+renders docs/validation/*.html with inline SVG charts.
+
+Usage:  JAX_PLATFORMS=cpu python scripts/make_validation_reports.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ.get("HEATX_JAX_CACHE", "/tmp/heatx-jax-cache")
+)
+
+import numpy as np  # noqa: E402
+
+from heatx.io.eplus import read_eplusout  # noqa: E402
+from heatx.physics import convection as conv  # noqa: E402
+from heatx.validate.replay import WALL_CASES, run_case  # noqa: E402
+from heatx.validate.series import SeriesValidation, Validator  # noqa: E402
+
+FIXTURES = os.environ.get("HEAT_REF_FIXTURES", "/root/reference/tests")
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "docs", "validation")
+
+
+def walls_report():
+    v = Validator(
+        "heatx — Wall Heat Transfer Validation Report",
+        os.path.join(OUT_DIR, "walls.html"),
+    )
+
+    # Closed-form analytical cases (validate_wall_heat_transfer.rs:752-790)
+    from test_analytical import march_case  # noqa: E402
+
+    analytical = [
+        ("No-mass wall, walls only (closed form)", dict(n=60, steps=1000)),
+        ("No-mass wall + window (closed form)", dict(n=6, steps=80, window=True)),
+        ("No-mass wall + luminaire (closed form)", dict(n=20, steps=800, lighting_power=100.0)),
+        ("No-mass wall + heater (closed form)", dict(n=20, steps=800, heating_power=100.0)),
+        (
+            "No-mass wall + heater + infiltration (closed form)",
+            dict(n=20, steps=22, heating_power=10.0, infiltration_rate=0.1),
+        ),
+    ]
+    for title, kw in analytical:
+        expected, found = march_case(**kw)
+        v.push(
+            SeriesValidation(
+                title=title,
+                expected=np.asarray(expected),
+                found=np.asarray(found),
+                expected_legend="Theoretical solution",
+                y_label="Zone Temperature",
+                y_units="C",
+            )
+        )
+        print(f"  {title}: done")
+
+    # EnergyPlus replay (the serious suite) — same per-case thresholds as the
+    # test suite (mixed walls with solar on a no-mass face are the hardest
+    # regime; see tests/test_eplus_replay.py).
+    from test_eplus_replay import THRESHOLDS
+
+    for name in sorted(WALL_CASES):
+        expected, found = run_case(WALL_CASES[name], FIXTURES)
+        rmse_frac, bias_frac = THRESHOLDS[name]
+        v.push(
+            SeriesValidation(
+                title=f"EnergyPlus replay: {name}",
+                expected=expected,
+                found=found,
+                expected_legend="EnergyPlus 9.6",
+                y_label="Zone Temperature",
+                y_units="C",
+                max_rmse_frac=rmse_frac,
+                max_bias_frac=bias_frac,
+            )
+        )
+        print(f"  eplus {name}: done")
+    v.validate(raise_on_fail=False)
+    print(f"wrote {v.target_file}")
+
+
+def convection_report():
+    v = Validator(
+        "heatx — Convection Coefficients Validation Report",
+        os.path.join(OUT_DIR, "convection_coefficients.html"),
+    )
+    AREA, PERIMETER = 60.0, 46.0
+    cases = [
+        ("Vertical wall", "massive_full", np.array([0.0, -1.0, 0.0])),
+        ("Tilted wall", "tilted", np.array([0.0, -1.0, 1.0]) / np.sqrt(2.0)),
+        ("Horizontal wall", "horizontal", np.array([0.0, 0.0, 1.0])),
+    ]
+    for label, dirname, normal in cases:
+        run = read_eplusout(f"{FIXTURES}/{dirname}/eplusout.csv")
+        cos_tilt = normal[2]
+        found_in = np.asarray(
+            conv.tarp_natural_convection_coefficient(
+                run.zone_air_temp, run.inside_surface_temp, cos_tilt
+            )
+        )
+        windward = np.asarray(
+            conv.is_windward(np.radians(run.site_wind_direction), cos_tilt, normal[0], normal[1])
+        )
+        found_out = np.asarray(
+            conv.tarp_convection_coefficient(
+                run.outdoor_temp, run.outside_surface_temp, -cos_tilt,
+                run.surface_wind_speed, AREA, PERIMETER, windward,
+            )
+        )
+        v.push(SeriesValidation(
+            title=f"{label} — natural (interior) h",
+            expected=run.hs_inside, found=found_in,
+            expected_legend="EnergyPlus (TARP)", y_label="h", y_units="W/m2K",
+        ))
+        v.push(SeriesValidation(
+            title=f"{label} — forced (exterior) h",
+            expected=run.hs_outside, found=found_out,
+            expected_legend="EnergyPlus (TARP)", y_label="h", y_units="W/m2K",
+            max_rmse_frac=0.10,
+        ))
+        print(f"  {label}: done")
+    v.validate(raise_on_fail=False)
+    print(f"wrote {v.target_file}")
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT_DIR, exist_ok=True)
+    walls_report()
+    convection_report()
