@@ -114,7 +114,7 @@ def main():
     ap.add_argument(
         "--nomass-iters",
         type=int,
-        default=2,
+        default=1,
         help="fixed no-mass iterations per sub-step (0 = reference-exact "
         "while_loop); 1-2 match the EnergyPlus replay within its thresholds",
     )

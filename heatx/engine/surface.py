@@ -266,6 +266,65 @@ def segment_u(sb: SurfaceBatch, T, back_air):
     return jnp.where(sb.seg_is_cavity, u_cav, sb.seg_u)
 
 
+def assemble_K(sb: SurfaceBatch, U, env_f: FaceEnv, env_b: FaceEnv, statics=None):
+    """The tridiagonal K of discretization.rs:596-700 for ALL nodes.
+
+    Constant within a sub-step whenever U is (no gas cavities): the boundary
+    h coefficients are frozen per sub-step, so callers hoist this out of the
+    no-mass iteration and share it with the massive march.
+    All masking via where-selects (bool*float arithmetic needs i1->f32 vector
+    casts that the Mosaic backend miscompiles).
+    """
+    st = statics if statics is not None else compute_statics(sb)
+    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
+    zero = jnp.zeros_like(U)
+
+    def sel(mask, v):
+        return jnp.where(mask, v, zero)
+
+    diag = -(
+        sel(st.left_exists, U_left)
+        + sel(st.right_exists, U)
+        + sel(st.is_first, env_f.h + zero)
+        + sel(st.is_last, env_b.h + zero)
+    )
+    lower = sel(st.couple_left, U_left)
+    upper = sel(st.couple_right, U)
+    return lower, diag, upper
+
+
+def assemble_q(
+    sb: SurfaceBatch,
+    T,
+    U,
+    env_f: FaceEnv,
+    env_b: FaceEnv,
+    rad_hs_f,
+    rad_hs_b,
+    solar_q,
+    statics=None,
+):
+    """The forcing q of discretization.rs:596-700: solar + boundary
+    convection/linearized-radiation + frozen-Dirichlet couplings across chunk
+    boundaries.  Depends on the current working temperatures."""
+    st = statics if statics is not None else compute_statics(sb)
+    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
+    T_left = jnp.concatenate([jnp.zeros_like(T[:1]), T[:-1]], axis=0)
+    T_right = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
+    zero = jnp.zeros_like(U)
+
+    def sel(mask, v):
+        return jnp.where(mask, v, zero)
+
+    return (
+        solar_q
+        + sel(st.is_first, env_f.air * env_f.h + rad_hs_f * (env_f.rad - T))
+        + sel(st.is_last, env_b.air * env_b.h + rad_hs_b * (env_b.rad - T))
+        + sel(st.dirichlet_left, U_left * T_left)
+        + sel(st.dirichlet_right, U * T_right)
+    )
+
+
 def assemble_k_q(
     sb: SurfaceBatch,
     T,
@@ -284,44 +343,8 @@ def assemble_k_q(
     chunk of interest are filtered by the caller.
     """
     st = statics if statics is not None else compute_statics(sb)
-    left_exists = st.left_exists
-    right_exists = st.right_exists
-    is_first = st.is_first
-    is_last = st.is_last
-    couple_left = st.couple_left
-    couple_right = st.couple_right
-
-    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
-
-    T_left = jnp.concatenate([jnp.zeros_like(T[:1]), T[:-1]], axis=0)
-    T_right = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
-
-    h_f = env_f.h
-    h_b = env_b.h
-
-    # All masking via where-selects: bool*float arithmetic needs i1->f32
-    # vector casts that the Mosaic backend miscompiles.
-    zero = jnp.zeros_like(U)
-
-    def sel(mask, v):
-        return jnp.where(mask, v, zero)
-
-    diag = -(
-        sel(left_exists, U_left)
-        + sel(right_exists, U)
-        + sel(is_first, h_f + zero)
-        + sel(is_last, h_b + zero)
-    )
-    lower = sel(couple_left, U_left)
-    upper = sel(couple_right, U)
-
-    q = (
-        solar_q
-        + sel(is_first, env_f.air * h_f + rad_hs_f * (env_f.rad - T))
-        + sel(is_last, env_b.air * h_b + rad_hs_b * (env_b.rad - T))
-        + sel(st.dirichlet_left, U_left * T_left)
-        + sel(st.dirichlet_right, U * T_right)
-    )
+    lower, diag, upper = assemble_K(sb, U, env_f, env_b, st)
+    q = assemble_q(sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, st)
     return lower, diag, upper, q
 
 
@@ -336,6 +359,7 @@ def march_nomass(
     config: SimConfig,
     solver=None,
     statics: SurfaceStatics = None,
+    K=None,
 ):
     """Iterative steady-state solve of all no-mass chunks (surface.rs:790-898).
 
@@ -361,17 +385,34 @@ def march_nomass(
     if solver is None:
         solver = tridiag.solve_pcr if config.kernel_mode else tridiag.solve
 
-    def one_iteration(T):
-        U = segment_u(sb, T, env_b.air)
-        lower, diag, upper, q = assemble_k_q(
-            sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics=st
-        )
-        # no-mass rows solve K x = -q; all other rows are identity x = T
-        lower = jnp.where(sel, lower, 0.0)
-        upper = jnp.where(sel, upper, 0.0)
-        diag = jnp.where(sel, diag, 1.0)
-        rhs = jnp.where(sel, -q, T)
-        return solver(lower, diag, upper, rhs)
+    if K is not None and not sb.has_cavity:
+        # K is frozen for the sub-step (static U, frozen h): filter the
+        # identity rows once; only q re-evaluates per iteration.
+        nl = jnp.where(sel, K[0], 0.0)
+        nd = jnp.where(sel, K[1], 1.0)
+        nu = jnp.where(sel, K[2], 0.0)
+        U0 = sb.seg_u
+
+        def one_iteration(T):
+            q = assemble_q(
+                sb, T, U0, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, st
+            )
+            rhs = jnp.where(sel, -q, T)
+            return solver(nl, nd, nu, rhs)
+
+    else:
+
+        def one_iteration(T):
+            U = segment_u(sb, T, env_b.air)
+            lower, diag, upper, q = assemble_k_q(
+                sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics=st
+            )
+            # no-mass rows solve K x = -q; all other rows are identity x = T
+            lower = jnp.where(sel, lower, 0.0)
+            upper = jnp.where(sel, upper, 0.0)
+            diag = jnp.where(sel, diag, 1.0)
+            rhs = jnp.where(sel, -q, T)
+            return solver(lower, diag, upper, rhs)
 
     # Loop-carried chunk state is all-float ([C, S] f32: active flag as 0/1,
     # iteration count as float) — Mosaic miscompiles bool/int loop carries.
@@ -449,6 +490,7 @@ def march_massive(
     solar_q,
     dt,
     statics: SurfaceStatics = None,
+    K=None,
 ):
     """RK4 march of all massive chunks (surface.rs:720-787 march_mass,
     rearrange_k at :168-187, rk4 at :228-308).
@@ -460,10 +502,16 @@ def march_massive(
     temperatures in every stage, exactly like the reference's Dirichlet terms.
     """
     sel = sb.massive
-    U = segment_u(sb, T, env_b.air)
-    lower, diag, upper, q = assemble_k_q(
-        sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics=statics
-    )
+    if K is not None and not sb.has_cavity:
+        lower, diag, upper = K
+        q = assemble_q(
+            sb, T, sb.seg_u, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics
+        )
+    else:
+        U = segment_u(sb, T, env_b.air)
+        lower, diag, upper, q = assemble_k_q(
+            sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics=statics
+        )
     scale = jnp.where(sel, dt / jnp.where(sel, sb.mass, 1.0), 0.0)
     lower = lower * scale
     diag = diag * scale
@@ -533,14 +581,22 @@ def march_surfaces(
     sol_b = jnp.where(jnp.isnan(sol_back), 0.0, sol_back)
     solar_q = sb.front_alphas * sol_f + sb.back_alphas * sol_b
 
+    # With no gas cavities, U is static and h is frozen per sub-step, so the
+    # tridiagonal K is sub-step-constant: assemble once, share between the
+    # no-mass iterations and the massive RK4 march.
+    K = None
+    if not sb.has_cavity:
+        K = assemble_K(sb, sb.seg_u, env_f, env_b, statics)
+
     T = node_T
     if sb.has_nomass and not skip_nomass:
         T = march_nomass(
             sb, T, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, config,
-            solver=solver, statics=statics,
+            solver=solver, statics=statics, K=K,
         )
     if has_massive:
         T = march_massive(
-            sb, T, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, dt, statics=statics
+            sb, T, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, dt,
+            statics=statics, K=K,
         )
     return T
