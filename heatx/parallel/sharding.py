@@ -144,7 +144,12 @@ def make_sharded_run(
     bld_sh = building_shardings(building, mesh, axis)
     building = jax.device_put(building, bld_sh)
     st = state_shardings(mesh, axis)
-    inp = inputs_shardings(mesh, axis)
+    # Scanned inputs carry a leading time axis: prefix every per-step spec
+    # with an unsharded dimension.
+    def prefix(sharding):
+        return NamedSharding(mesh, P(None, *sharding.spec))
+
+    inp = jax.tree_util.tree_map(prefix, inputs_shardings(mesh, axis))
     jitted = jax.jit(
         partial(step_mod.run, collect_zone_T=collect_zone_T),
         in_shardings=(bld_sh, st, inp),

@@ -1,0 +1,84 @@
+"""EPW reader, .spl parser, and glazing-node-distribution tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from heatx.build.layout import compile_building
+from heatx.model.spl import load_spl, parse_spl
+from heatx.weather.epw import interpolate_to_steps, read_epw
+import heatx
+
+EPW = "/root/reference/tests/epw/CHL_Santiago.855740_IWEC.epw"
+
+
+@pytest.mark.skipif(not os.path.isfile(EPW), reason="EPW fixture unavailable")
+def test_read_epw():
+    w = read_epw(EPW)
+    assert w.n_hours == 8760
+    assert "Santiago" in w.location or "SANTIAGO" in w.location.upper()
+    assert -10 < w.dry_bulb.min() and w.dry_bulb.max() < 45
+    assert (w.wind_speed >= 0).all()
+    assert (0 <= w.wind_direction_deg).all() and (w.wind_direction_deg <= 360).all()
+    assert w.global_horizontal.max() > 500  # sunny climate
+    assert (w.global_horizontal >= 0).all()
+
+
+def test_interpolate_to_steps():
+    v = np.array([0.0, 10.0, 20.0])
+    out = interpolate_to_steps(v, 2)
+    np.testing.assert_allclose(out, [0, 5, 10, 15, 20, 10])  # wraps at the end
+
+
+def test_parse_spl_roundtrip(ref_fixtures):
+    m = load_spl(f"{ref_fixtures}/tilted/back.spl")
+    assert "Concrete" in m.substances
+    assert m.spaces[0].volume == 600.0
+    s = m.surfaces[0]
+    assert s.back_boundary.kind == "space"
+    area, perim, normal, height = s.resolved_geometry()
+    assert abs(area - 60.0) < 1e-6
+    assert abs(perim - 46.0) < 1e-6
+    # 45-degree tilt, facing south-ish
+    assert abs(normal[2] - np.sqrt(0.5)) < 1e-6
+
+    # generic value parsing
+    objs = parse_spl('Thing { a: 1.5, b: "x", c: [1, 2, 3], d: { e: "y" } }')
+    assert objs == [("Thing", {"a": 1.5, "b": "x", "c": [1.0, 2.0, 3.0], "d": {"e": "y"}})]
+
+
+def test_double_glazing_alpha_distribution():
+    """Multi-layer glazing systems distribute per-layer absorbed fractions
+    over each pane's nodes (surface.rs:465-537; heatx extends the reference,
+    which panics on alternating systems, glazing.rs:470)."""
+    from heatx.model.building import (
+        Boundary, BuildingModel, Construction, GasSubstance, Material,
+        SpaceDef, Substance, SurfaceDef,
+    )
+
+    m = BuildingModel()
+    m.add_substance(Substance("glass", thermal_conductivity=1.0, density=2500.0,
+                              specific_heat_capacity=840.0, solar_transmittance=0.7,
+                              front_solar_absorbtance=0.1, back_solar_absorbtance=0.1))
+    m.add_substance(GasSubstance("argon", "argon"))
+    m.add_material(Material("pane", "glass", 0.006))
+    m.add_material(Material("gap", "argon", 0.012))
+    m.add_construction(Construction("igu", ["pane", "gap", "pane"]))
+    m.add_space(SpaceDef("z", 50.0))
+    m.add_surface(SurfaceDef("w", "igu", Boundary.outdoor(), Boundary.space_("z"),
+                             area=2.0, perimeter=6.0, normal=(0.0, -1.0, 0.0), height=1.5))
+    b = compile_building(m, n=4, config=heatx.SimConfig(dtype=np.float64))
+    sb = b.surfaces
+    assert sb.has_cavity
+    fa = np.asarray(sb.front_alphas)[:, 0]
+    nn = int(sb.n_nodes[0])
+    # nodes: pane(2 nodes) gas(1 segment) pane(2 nodes) -> 4 nodes
+    assert nn == 4
+    # both transparent panes receive absorption, spread over their 2 nodes
+    assert fa[0] > 0 and fa[1] > 0 and fa[2] > 0 and fa[3] > 0
+    np.testing.assert_allclose(fa[0], fa[1], rtol=1e-12)
+    # front pane absorbs more of the front-incident radiation than the back
+    assert fa[0] > fa[2]
+    # total absorbed fraction below 1
+    assert fa.sum() < 1.0

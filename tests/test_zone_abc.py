@@ -44,6 +44,72 @@ def test_calculate_zones_abc():
     np.testing.assert_allclose(float(bb[0]), area * hi, rtol=1e-12)
 
 
+def test_ventilation_terms():
+    """Ventilation contributes rho*V*cp terms exactly like infiltration
+    (model.rs:536-544), through its own state channels."""
+    opts = SingleZoneOptions(
+        zone_volume=40.0,
+        construction=[TestMat.polyurethane(0.02)],
+        emissivity=0.0,
+    )
+    model = single_zone_building(opts)
+    tm = heatx.ThermalModel(model, n=1, config=heatx.SimConfig(dtype=np.float64))
+    b = tm.building
+    state = tm.initial_state()
+
+    v_vent, t_vent = 0.25, 28.0
+    inputs = tm.inputs(
+        vent_vol=np.array([v_vent]),
+        vent_temp=np.array([t_vent]),
+        vent_mask=np.array([True]),
+    )
+    ts_front = state.node_T[0]
+    ts_back = surf_mod._last_node(b.surfaces, state.node_T)
+    a, bb, _ = zone_mod.zone_abc(
+        b, state.zone_T, state.h_front, state.h_back, ts_front, ts_back, inputs
+    )
+    # subtract the surface coupling part (computed with mask off)
+    a0, bb0, _ = zone_mod.zone_abc(
+        b, state.zone_T, state.h_front, state.h_back, ts_front, ts_back, tm.inputs()
+    )
+    t_k = t_vent + 273.15
+    term = float(gas.density(gas.AIR, t_k)) * v_vent * float(gas.heat_capacity(gas.AIR, t_k))
+    np.testing.assert_allclose(float(a[0] - a0[0]), term * t_vent, rtol=1e-12)
+    np.testing.assert_allclose(float(bb[0] - bb0[0]), term, rtol=1e-12)
+
+
+def test_ideal_heater_cooler_pairs():
+    """IdealHeaterCooler delivers its power to each target space (implemented
+    in heatx; todo!() in the reference, heating_cooling.rs:66-90)."""
+    from heatx.model.building import IdealHeaterCooler
+
+    opts = SingleZoneOptions(
+        zone_volume=40.0, construction=[TestMat.polyurethane(0.02)], emissivity=0.0
+    )
+    model = single_zone_building(opts)
+    from heatx.model.building import SpaceDef
+
+    model.add_space(SpaceDef("second", 30.0))
+    model.add_hvac(IdealHeaterCooler("ihc", ["Space", "second"]))
+    tm = heatx.ThermalModel(model, n=1, config=heatx.SimConfig(dtype=np.float64))
+    b = tm.building
+    assert b.n_hvacs == 1
+    np.testing.assert_array_equal(np.asarray(b.hvac_pair_unit), [0, 0])
+
+    state = tm.initial_state()
+    inputs = tm.inputs(hvac_power=np.array([-750.0]))  # cooling
+    ts_front = state.node_T[0]
+    ts_back = surf_mod._last_node(b.surfaces, state.node_T)
+    a, _, _ = zone_mod.zone_abc(
+        b, state.zone_T, state.h_front, state.h_back, ts_front, ts_back, inputs
+    )
+    a0, _, _ = zone_mod.zone_abc(
+        b, state.zone_T, state.h_front, state.h_back, ts_front, ts_back, tm.inputs()
+    )
+    diff = np.asarray(a) - np.asarray(a0)
+    np.testing.assert_allclose(diff, [-750.0, -750.0], rtol=1e-12)
+
+
 def test_future_temperature_hold_when_decoupled():
     """|B| ~ 0 -> zone holds temperature (model.rs:662-670)."""
     zone_T = np.array([25.0])
