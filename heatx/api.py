@@ -90,3 +90,151 @@ class ThermalModel:
                 self._device(), collect_zone_T=collect_zone_T, donate=False
             )
         return self._run(state, inputs_seq)
+
+    def fast_runner(self, block_size: int = 1024) -> "FastRunner":
+        """The fused Pallas hour-kernel path (~7x the XLA path on a TPU).
+        Requires ``config.nomass_fixed_iters`` when the building has no-mass
+        layers (validated against the EnergyPlus replay suite at 1-2)."""
+        return FastRunner(self, block_size=block_size)
+
+
+class FastRunner:
+    """High-level wrapper over the fused Pallas hour kernel: takes/returns
+    ordinary :class:`SimState` objects and per-hour StepInputs, handling the
+    zone-closed block permutation internally."""
+
+    def __init__(self, tm: ThermalModel, block_size: int = 1024, interpret=None):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heatx.ops import pallas_step
+
+        self._tm = tm
+        building = tm._device()
+        self._bb = pallas_step.block_building(building, block_size=block_size)
+        if interpret is None:
+            # Pallas TPU kernels only run compiled on TPU; fall back to the
+            # interpreter elsewhere (tests, CPU experimentation).
+            interpret = jax.default_backend() != "tpu" and not str(
+                jax.devices()[0]
+            ).startswith("TPU")
+        self._hour_march, self._params = pallas_step.make_hour_march(
+            self._bb, interpret=interpret
+        )
+        self._jit = jax.jit(self._hour_march)
+        self._dtype = building.config.dtype
+        self._jnp = jnp
+        self._np = np
+
+    @property
+    def layout(self):
+        return self._bb.layout
+
+    def to_blocked(self, state: SimState):
+        """SimState -> (T_blocked, zT_blocked)."""
+        lay = self._bb.layout
+        np = self._np
+        T = self._jnp.asarray(
+            lay.surfaces_to_blocked(np.asarray(state.node_T)), self._dtype
+        )
+        zT = self._jnp.asarray(
+            lay.zones_to_blocked(np.asarray(state.zone_T)), self._dtype
+        )
+        return T, zT
+
+    def from_blocked(self, T, zT, hq=None) -> SimState:
+        """(T_blocked, zT_blocked[, hq]) -> SimState."""
+        lay = self._bb.layout
+        np = self._np
+        b = self._tm.building
+        S = b.n_surfaces
+        node_T = lay.surfaces_from_blocked(np.asarray(T), S)
+        zone_T = lay.zones_from_blocked(np.asarray(zT), b.n_zones)
+        if hq is not None:
+            hf, hb, qf, qb = (lay.surfaces_from_blocked(np.asarray(x), S) for x in hq)
+        else:
+            hf = hb = qf = qb = np.zeros(S)
+        j = self._jnp
+        return SimState(
+            node_T=j.asarray(node_T, self._dtype),
+            zone_T=j.asarray(zone_T, self._dtype),
+            h_front=j.asarray(hf, self._dtype),
+            h_back=j.asarray(hb, self._dtype),
+            q_front=j.asarray(qf, self._dtype),
+            q_back=j.asarray(qb, self._dtype),
+        )
+
+    def hour_inputs(self, inputs: StepInputs):
+        """Per-hour StepInputs -> the kernel's hour-input tuple (weather
+        broadcast over sub-steps; per-surface arrays permuted into blocks;
+        zone gains pre-summed)."""
+        import numpy as np
+
+        j = self._jnp
+        b = self._tm.building
+        bb = self._bb
+        lay = bb.layout
+        sub = b.dt_subdivisions
+        dt = self._dtype
+
+        def per_sub(v):
+            a = j.asarray(v, dt)
+            return j.broadcast_to(a, (sub,)) if a.ndim == 0 else a
+
+        def blocked_s(v):
+            return j.asarray(lay.surfaces_to_blocked(np.asarray(v)), dt)
+
+        # Per-zone A/B gain terms (hvac + luminaire + infiltration/ventilation)
+        from heatx.constants import KELVIN
+        from heatx.physics import gas as gas_mod
+
+        a_gain = np.zeros(b.n_zones)
+        if b.hvac_pair_unit.size:
+            np.add.at(
+                a_gain,
+                np.asarray(b.hvac_pair_space),
+                np.asarray(inputs.hvac_power)[np.asarray(b.hvac_pair_unit)],
+            )
+        if b.lum_space.size:
+            np.add.at(a_gain, np.asarray(b.lum_space), np.asarray(inputs.lum_power))
+        b_gain = np.zeros(b.n_zones)
+        for vol, temp, mask in [
+            (inputs.inf_vol, inputs.inf_temp, inputs.inf_mask),
+            (inputs.vent_vol, inputs.vent_temp, inputs.vent_mask),
+        ]:
+            vol = np.asarray(vol)
+            temp = np.asarray(temp)
+            mask = np.asarray(mask)
+            t_k = temp + KELVIN
+            term = np.where(
+                mask,
+                np.asarray(gas_mod.density(gas_mod.AIR, t_k))
+                * vol
+                * np.asarray(gas_mod.heat_capacity(gas_mod.AIR, t_k)),
+                0.0,
+            )
+            a_gain = a_gain + term * temp
+            b_gain = b_gain + term
+
+        return (
+            per_sub(inputs.t_out),
+            per_sub(inputs.wind_speed),
+            per_sub(inputs.wind_direction),
+            blocked_s(inputs.sol_front),
+            blocked_s(inputs.sol_back),
+            blocked_s(inputs.ir_front),
+            blocked_s(inputs.ir_back),
+            j.asarray(lay.zones_to_blocked(a_gain), dt),
+            j.asarray(lay.zones_to_blocked(b_gain), dt),
+        )
+
+    def march_blocked(self, T, zT, hour_inputs):
+        """One hour on blocked state (the zero-copy hot path)."""
+        return self._jit(self._params, T, zT, hour_inputs)
+
+    def march(self, state: SimState, inputs: StepInputs) -> SimState:
+        """One main-step/hour: SimState in, SimState out (convenient, but
+        converts through the host — use march_blocked for long runs)."""
+        T, zT = self.to_blocked(state)
+        T, zT, hq = self.march_blocked(T, zT, self.hour_inputs(inputs))
+        return self.from_blocked(T, zT, hq)

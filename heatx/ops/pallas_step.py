@@ -78,11 +78,6 @@ class BlockedBuilding:
 
 def block_building(building: CompiledBuilding, block_size: int = 1024) -> BlockedBuilding:
     """Permute + pad a compiled building into zone-closed blocks."""
-    if building.surfaces.has_cavity:
-        raise NotImplementedError(
-            "the fused hour kernel does not evaluate gas cavities yet; "
-            "use the XLA path for glazing systems with gas gaps"
-        )
     if building.config.nomass_fixed_iters is None and building.surfaces.has_nomass:
         raise ValueError(
             "the fused hour kernel requires config.nomass_fixed_iters "
@@ -357,6 +352,24 @@ def make_hour_march(bb: BlockedBuilding, substeps: int = None, interpret: bool =
         front_alphas=sbb.front_alphas,
         back_alphas=sbb.back_alphas,
     )
+    if sbb.has_cavity:
+        # Gas-cavity parameters: the ISO 15099 U-value re-evaluates on every
+        # iteration in-kernel (pure elementwise math, Mosaic-lowerable).
+        node_arrays.update(
+            cav_k0=np.asarray(sbb.cav_gas.k0),
+            cav_k1=np.asarray(sbb.cav_gas.k1),
+            cav_mu0=np.asarray(sbb.cav_gas.mu0),
+            cav_mu1=np.asarray(sbb.cav_gas.mu1),
+            cav_cp0=np.asarray(sbb.cav_gas.cp0),
+            cav_cp1=np.asarray(sbb.cav_gas.cp1),
+            cav_mass=np.asarray(sbb.cav_gas.molar_mass),
+            cav_thickness=sbb.cav_thickness,
+            cav_height=sbb.cav_height,
+            cav_angle=sbb.cav_angle,
+            cav_ein=sbb.cav_ein,
+            cav_eout=sbb.cav_eout,
+            seg_is_cavity=sbb.seg_is_cavity,
+        )
     # Per-surface vectors ride as [1, SP] row blocks: a grid combined with
     # 1-D blocked operands has no working Mosaic lowering.
     row = lambda a: np.ascontiguousarray(np.asarray(a)[None, :])  # noqa: E731
@@ -411,8 +424,31 @@ def make_hour_march(bb: BlockedBuilding, substeps: int = None, interpret: bool =
             from heatx.ops import tridiag as _td
             solver = _td.solve  # fully unrolled: fastest, compiles fine
 
-        gp = gas.GasProps(*([jnp.zeros((N, SB), dtype)] * 7))
-        zeros_n = jnp.zeros((N, SB), dtype)
+        if sbb.has_cavity:
+            gp = gas.GasProps(
+                r["cav_k0"][...], r["cav_k1"][...], r["cav_mu0"][...],
+                r["cav_mu1"][...], r["cav_cp0"][...], r["cav_cp1"][...],
+                r["cav_mass"][...],
+            )
+            cav = dict(
+                seg_is_cavity=r["seg_is_cavity"][...],
+                cav_thickness=r["cav_thickness"][...],
+                cav_height=r["cav_height"][...],
+                cav_angle=r["cav_angle"][...],
+                cav_ein=r["cav_ein"][...],
+                cav_eout=r["cav_eout"][...],
+            )
+        else:
+            gp = gas.GasProps(*([jnp.zeros((N, SB), dtype)] * 7))
+            zeros_n = jnp.zeros((N, SB), dtype)
+            cav = dict(
+                seg_is_cavity=jnp.zeros((N, SB), bool),
+                cav_thickness=zeros_n,
+                cav_height=zeros_n,
+                cav_angle=zeros_n,
+                cav_ein=zeros_n,
+                cav_eout=zeros_n,
+            )
         sb_vals = replace(
             sbb,
             node_mask=r["node_mask"][...],
@@ -420,13 +456,8 @@ def make_hour_march(bb: BlockedBuilding, substeps: int = None, interpret: bool =
             mass=r["mass"][...],
             massive=r["massive"][...],
             seg_u=r["seg_u"][...],
-            seg_is_cavity=jnp.zeros((N, SB), bool),
             cav_gas=gp,
-            cav_thickness=zeros_n,
-            cav_height=zeros_n,
-            cav_angle=zeros_n,
-            cav_ein=zeros_n,
-            cav_eout=zeros_n,
+            **cav,
             same_chunk=r["same_chunk"][...],
             nomass_chunk_id=r["nomass_chunk_id"][...],
             nomass_chunk_count=r["chunk_count"][...],

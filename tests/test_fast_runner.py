@@ -1,0 +1,59 @@
+"""High-level FastRunner (Pallas hour kernel) vs ThermalModel.march."""
+
+import numpy as np
+import pytest
+
+import heatx
+from heatx.model.building import (
+    Boundary, BuildingModel, Construction, ElectricHeater, Material,
+    SpaceDef, Substance, SurfaceDef,
+)
+
+
+def model():
+    m = BuildingModel()
+    m.add_substance(
+        Substance("conc", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0,
+                  front_thermal_absorbtance=0.9, back_thermal_absorbtance=0.9,
+                  front_solar_absorbtance=0.7, back_solar_absorbtance=0.7)
+    )
+    m.add_material(Material("c15", "conc", 0.15))
+    m.add_construction(Construction("wall", ["c15"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(3):
+        m.add_space(SpaceDef(f"z{z}", 120.0))
+        for k in range(2):
+            m.add_surface(
+                SurfaceDef(f"s{z}{k}", "wall", Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+        m.add_hvac(ElectricHeater(f"h{z}", f"z{z}"))
+    return m
+
+
+def test_fast_runner_matches_march():
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2)
+    tm = heatx.ThermalModel(model(), n=4, config=cfg)
+    fr = tm.fast_runner(block_size=8)  # auto-interprets on CPU
+
+    st = tm.initial_state()
+    inputs = tm.inputs(
+        t_out=2.0,
+        wind_speed=3.0,
+        sol_front=np.full(6, 120.0),
+        ir_front=np.full(6, 340.0),
+        hvac_power=np.array([600.0, 0.0, 300.0]),
+    )
+    ref = tm.march(st, inputs)
+    fast = fr.march(st, inputs)
+    np.testing.assert_allclose(
+        np.asarray(fast.zone_T), np.asarray(ref.zone_T), atol=5e-8
+    )
+    mask = np.asarray(tm.building.surfaces.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(fast.node_T) * mask, np.asarray(ref.node_T) * mask, atol=5e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.h_front), np.asarray(ref.h_front), atol=5e-8
+    )

@@ -64,6 +64,68 @@ def city_model(n_zones=5, per_zone=4):
     return m
 
 
+@pytest.mark.slow
+def test_hour_kernel_cavity_matches_xla():
+    """Gas-cavity (double-glazing) constructions through the kernel: cavity
+    U-values re-evaluate per iteration in-kernel and must match the XLA path."""
+    from heatx.model.building import GasSubstance
+
+    m = city_model(3, 3)
+    m.add_substance(
+        Substance("glass", thermal_conductivity=1.0, density=2500.0,
+                  specific_heat_capacity=840.0, solar_transmittance=0.7,
+                  front_solar_absorbtance=0.1, back_solar_absorbtance=0.1,
+                  front_thermal_absorbtance=0.84, back_thermal_absorbtance=0.84)
+    )
+    m.add_substance(GasSubstance("argon", "argon"))
+    m.add_material(Material("pane", "glass", 0.006))
+    m.add_material(Material("gap", "argon", 0.012))
+    m.add_construction(Construction("igu", ["pane", "gap", "pane"]))
+    verts = np.array([[0, 0, 1], [2, 0, 1], [2, 0, 2], [0, 0, 2]], float)
+    for z in range(3):
+        m.add_fenestration(
+            SurfaceDef(f"win{z}", "igu", Boundary.outdoor(),
+                       Boundary.space_(f"z{z}"), vertices=verts)
+        )
+
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2)
+    building = compile_building(m, n=4, config=cfg).astype(np.float64)
+    assert building.surfaces.has_cavity
+    bb = pallas_step.block_building(building, block_size=16)
+    sub = building.dt_subdivisions
+    S = building.n_surfaces
+
+    state = state_mod.initial_state(building)
+    inputs = state_mod.default_inputs(
+        building, t_out=-2.0, wind_speed=2.0,
+        sol_front=np.full(S, 200.0), ir_front=np.full(S, 320.0),
+    )
+    ref = step_mod.march(building, state, inputs)
+
+    hour_march, params = pallas_step.make_hour_march(bb, interpret=True)
+    lay = bb.layout
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(state.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(state.zone_T)))
+    az = jnp.zeros((bb.n_blocks, bb.zones_per_block))
+    hour_inputs = (
+        jnp.full((sub,), -2.0), jnp.full((sub,), 2.0), jnp.zeros((sub,)),
+        jnp.asarray(lay.surfaces_to_blocked(np.full(S, 200.0))),
+        jnp.asarray(lay.surfaces_to_blocked(np.zeros(S))),
+        jnp.asarray(lay.surfaces_to_blocked(np.full(S, 320.0))),
+        jnp.asarray(lay.surfaces_to_blocked(np.zeros(S))),
+        az, az,
+    )
+    T1, zT1, _ = hour_march(params, T0, zT0, hour_inputs)
+    zone_T = lay.zones_from_blocked(np.asarray(zT1), building.n_zones)
+    node_T = lay.surfaces_from_blocked(np.asarray(T1), S)
+    np.testing.assert_allclose(zone_T, np.asarray(ref.zone_T), atol=5e-8)
+    np.testing.assert_allclose(
+        node_T * np.asarray(building.surfaces.node_mask),
+        np.asarray(ref.node_T) * np.asarray(building.surfaces.node_mask),
+        atol=5e-8,
+    )
+
+
 def test_blocking_structure():
     model = city_model(5, 4)
     b = compile_building(
