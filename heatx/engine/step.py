@@ -123,15 +123,14 @@ def march(building: CompiledBuilding, state: SimState, inputs: StepInputs) -> Si
     return state
 
 
-_march_jit = None
-
-
-def make_march_fn(building: CompiledBuilding, donate: bool = True):
+def make_march_fn(building: CompiledBuilding, donate: bool = False):
     """jit-compiled ``(state, inputs) -> state`` main-step function.
 
     The building is passed to the jitted function as a traced pytree argument
     (not a baked constant), so compilation cost is independent of building
-    size and one executable serves all same-shaped buildings.
+    size and one executable serves all same-shaped buildings.  Donation
+    defaults off: on some remote-TPU runtimes donated buffers serialize
+    execution.
     """
     jitted = jax.jit(march, donate_argnums=(1,) if donate else ())
 
@@ -164,7 +163,7 @@ def run(
     return jax.lax.scan(body, state, inputs_seq)
 
 
-def make_run_fn(building: CompiledBuilding, collect_zone_T: bool = True, donate: bool = True):
+def make_run_fn(building: CompiledBuilding, collect_zone_T: bool = True, donate: bool = False):
     jitted = jax.jit(
         partial(run, collect_zone_T=collect_zone_T),
         donate_argnums=(1,) if donate else (),
