@@ -37,6 +37,7 @@ class ThermalModel:
         self.building: CompiledBuilding = compile_building(model, n=n, config=config)
         self._march = None
         self._run = None
+        self._march_exp = None
         self._device_building = None
 
     def _device(self) -> CompiledBuilding:
@@ -90,6 +91,21 @@ class ThermalModel:
                 self._device(), collect_zone_T=collect_zone_T, donate=False
             )
         return self._run(state, inputs_seq)
+
+    def march_exp(
+        self, state: SimState, inputs: StepInputs, substeps: int = 12
+    ) -> SimState:
+        """One main timestep in exponential-integrator fast mode: convection
+        coefficients freeze for the step (EnergyPlus-style), massive nodes
+        advance by the exact matrix exponential of the frozen system, and the
+        step takes ``substeps`` sub-steps instead of the stability-dictated
+        ``dt_subdivisions`` (often ~10x fewer).  See
+        :mod:`heatx.engine.exponential` for accuracy semantics."""
+        if self._march_exp is None:
+            from heatx.engine.exponential import exp_march
+
+            self._march_exp = jax.jit(exp_march, static_argnames=("substeps",))
+        return self._march_exp(self._device(), state, inputs, substeps=substeps)
 
     def fast_runner(self, block_size: int = 1024) -> "FastRunner":
         """The fused Pallas hour-kernel path (~7x the XLA path on a TPU).
