@@ -38,6 +38,7 @@ class ThermalModel:
         self._march = None
         self._run = None
         self._march_exp = None
+        self._march_imp = None
         self._device_building = None
 
     def _device(self) -> CompiledBuilding:
@@ -106,6 +107,22 @@ class ThermalModel:
 
             self._march_exp = jax.jit(exp_march, static_argnames=("substeps",))
         return self._march_exp(self._device(), state, inputs, substeps=substeps)
+
+    def march_imp(
+        self, state: SimState, inputs: StepInputs, substeps: int = 12
+    ) -> SimState:
+        """One main timestep in TR-BDF2 implicit fast mode: like
+        :meth:`march_exp` (coefficients frozen per step, ~10x fewer
+        sub-steps) but integrated with the L-stable TR-BDF2 scheme, which
+        maps better onto TPU than the matrix exponential (tridiagonal solves
+        instead of batched dense algebra).  This is the scheme behind the
+        fused fast-mode Pallas kernel (heatx.ops.pallas_step mode="trbdf2").
+        See :mod:`heatx.engine.implicit`."""
+        if self._march_imp is None:
+            from heatx.engine.implicit import imp_march
+
+            self._march_imp = jax.jit(imp_march, static_argnames=("substeps",))
+        return self._march_imp(self._device(), state, inputs, substeps=substeps)
 
     def fast_runner(self, block_size: int = 1024) -> "FastRunner":
         """The fused Pallas hour-kernel path (~7x the XLA path on a TPU).

@@ -1,35 +1,47 @@
-"""Exponential-integrator fast mode.
+"""Exponential-integrator fast mode: exact DAE reduction + matrix exponential.
 
 The reference's stability heuristic (discretization.rs:410-544) subdivides
 every hour into ~120 RK4 sub-steps whenever a construction contains a thin
-layer, because explicit RK4 must respect the stiffest node's time constant.
-The sub-step ODE is *linear* with frozen coefficients
+layer, because explicit RK4 must respect the stiffest node's time constant,
+and iterates a relaxed fixed point for the massless nodes
+(surface.rs:790-898).  Both costs disappear when the per-surface node system
+is treated as what it is — a linear differential-algebraic system with
+frozen coefficients:
 
-    dT = A T + q            (A = dt/C * K, the exact system RK4 integrates)
+    C_m dT_m/dt = K_mm T_m + K_mn T_n + q_m      (massive nodes)
+    0           = K_nm T_m + K_nn T_n + q_n      (no-mass nodes, algebraic)
 
-so it has an exact one-step solution
+Eliminating the algebraic block (Schur complement) gives a plain linear ODE
 
-    T(t+dt) = E T + P q,    E = exp(A),  P = phi1(A) = A^{-1}(E - I)
+    C_m dT_m/dt = (K_mm - K_mn K_nn^-1 K_nm) T_m + (q_m - K_mn K_nn^-1 q_n)
 
-with no stability limit at all.  Fast mode exploits this:
+whose one-step solution is exact for any step size:
 
-* convection coefficients (and therefore A) freeze per *main step* instead of
-  per sub-step — the same practice EnergyPlus itself uses per timestep;
-* E and P are computed once per main step by batched scaling-and-squaring
-  (dense [S, N, N] matmuls on the MXU — N is tiny);
-* the hour advances in a handful of sub-steps (enough to resolve the
-  zone-air dynamics, default 12/hour) instead of ~120: per sub-step the
-  massive nodes advance exactly via two batched mat-vecs, the no-mass solve
-  and the analytical zone update run as usual.
+    T_m(t+dt) = E T_m + P q_eff,   E = exp(A dt),  P = phi1(A dt)
 
-Zero rows of A (no-mass / invalid nodes) make E the identity and P zero
-there, which reproduces the reference's "frozen Dirichlet neighbor"
-semantics exactly.
+with T_n recovered algebraically.  Fast mode exploits this:
 
-This mode intentionally trades step-for-step parity with the reference's RK4
-for speed; it is validated against the same EnergyPlus replay suite (see
-tests/test_exponential.py) and is opt-in via ``FastExpRunner`` / bench
-``--exp-mode``.
+* convection coefficients, linearized radiation coefficients, and cavity
+  U-values freeze per *main step* — the same practice EnergyPlus uses per
+  timestep (the parity path refreshes them every ~30 s sub-step);
+* E, P and the Schur operators are computed once per main step by batched
+  dense [S, N, N] algebra (scaling-and-squaring exponential + one batched
+  inverse) — N is tiny, the surface batch rides the MXU;
+* unlike the parity path (and the reference), chunks are NOT decoupled with
+  frozen-Dirichlet exchanges and the no-mass nodes need NO fixed-point
+  iterations: the reduction solves the fully-coupled system exactly.  A
+  naive per-sub-step explicit exchange between the no-mass solve and an
+  exponential massive step is *unstable* for thin-skin walls at large
+  sub-steps (the partitioned iteration's spectral radius exceeds 1) — the
+  Schur reduction is what makes big steps safe;
+* the hour advances in a handful of sub-steps (default 12 — enough to
+  resolve the zone-air dynamics, which remain explicitly coupled exactly
+  like EnergyPlus's zone/surface split) instead of ~120.
+
+This mode trades the reference's step-for-step semantics (per-sub-step h,
+per-sub-step chunk Dirichlet freezing) for speed; it is validated against
+the reference-parity path in tests/test_exponential.py and is opt-in via
+``ThermalModel.march_exp`` / bench ``--exp-path``.
 """
 
 from __future__ import annotations
@@ -46,14 +58,15 @@ from heatx.engine.state import SimState, StepInputs
 
 
 def _tridiag_to_dense(lower, diag, upper):
-    """[N, S] tridiagonals -> [S, N, N] dense (N is tiny)."""
+    """[N, S] tridiagonals -> [S, N, N] dense (N is tiny).
+
+    Row i: lower[i]*x[i-1] + diag[i]*x[i] + upper[i]*x[i+1]
+    (tridiag.matvec convention), so lower[i] lands at A[i, i-1] — row-wise
+    scaling of the shifted identities."""
     N = diag.shape[0]
     d = jnp.moveaxis(diag, 0, -1)  # [S, N]
     l = jnp.moveaxis(lower, 0, -1)
     u = jnp.moveaxis(upper, 0, -1)
-    # Row i: lower[i]*x[i-1] + diag[i]*x[i] + upper[i]*x[i+1]
-    # (tridiag.matvec convention), so lower[i] lands at A[i, i-1] — row-wise
-    # scaling of the shifted identities.
     A = (
         d[..., :, None] * jnp.eye(N, dtype=diag.dtype)
         + l[..., :, None] * jnp.eye(N, k=-1, dtype=diag.dtype)
@@ -95,9 +108,50 @@ def expm_phi1(A, order: int = 8, squarings: int = 6):
     return E, P
 
 
+def _full_system_K(sb, U, env_f, env_b, rad_hs_f, rad_hs_b, st):
+    """The fully-coupled tridiagonal K of one surface's whole node chain —
+    assemble_K (surface.rs/discretization.rs:596-700 semantics) but with two
+    differences that make the system a closed linear ODE/DAE:
+
+    * adjacent nodes couple whenever both exist, across chunk boundaries
+      (the parity path decouples chunks and exchanges frozen-Dirichlet
+      sources per sub-step — see SurfaceStatics.couple_*);
+    * the linearized radiation term rad_hs*(T_rad - T_s) moves its -T_s part
+      onto the boundary diagonals (the parity path keeps it frozen in q).
+    """
+    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
+    zero = jnp.zeros_like(U)
+
+    def sel(mask, v):
+        return jnp.where(mask, v, zero)
+
+    diag = -(
+        sel(st.left_exists, U_left)
+        + sel(st.right_exists, U)
+        + sel(st.is_first, env_f.h + rad_hs_f)
+        + sel(st.is_last, env_b.h + rad_hs_b)
+    )
+    lower = sel(st.left_exists, U_left)
+    upper = sel(st.right_exists, U)
+    return lower, diag, upper
+
+
+def _substep_forcing(env_f, env_b, rad_hs_f, rad_hs_b, solar_q, st):
+    """Forcing q of the full system: solar + boundary convection/radiation
+    sources.  Linear in the boundary air/radiant temperatures and entirely
+    independent of the node temperatures (their coefficients live in K)."""
+    zero = jnp.zeros_like(solar_q)
+    q = solar_q
+    q = q + jnp.where(st.is_first, env_f.air * env_f.h + rad_hs_f * env_f.rad, zero)
+    q = q + jnp.where(st.is_last, env_b.air * env_b.h + rad_hs_b * env_b.rad, zero)
+    return q
+
+
 class ExpOperators(NamedTuple):
-    E: jnp.ndarray  # [S, N, N] exp(A)
-    P: jnp.ndarray  # [S, N, N] phi1(A)
+    E: jnp.ndarray  # [S, N, N] exp(A_schur * dt)         (massive rows)
+    PMq: jnp.ndarray  # [S, N, N] phi1 @ diag(dt/C) @ Mq  (forcing -> massive)
+    M2: jnp.ndarray  # [S, N, N] K_nn^-1 K_nm             (massive -> algebraic)
+    M3: jnp.ndarray  # [S, N, N] K_nn^-1 on the algebraic block
     env_f: surf_mod.FaceEnv
     env_b: surf_mod.FaceEnv
     rad_hs_f: jnp.ndarray
@@ -114,11 +168,13 @@ def build_operators(
     inputs: StepInputs,
     dt_sub,
 ):
-    """Per-main-step precompute: freeze h from the current state, assemble the
-    dt-scaled massive system, and compute its exponential propagators."""
+    """Per-main-step precompute: freeze h / rad_hs / cavity U from the current
+    state, Schur-eliminate the algebraic (no-mass) nodes, and compute the
+    exponential propagators of the reduced massive system."""
     sb = building.surfaces
     cfg = building.config
     statics = surf_mod.compute_statics(sb)
+    dtype = state.node_T.dtype
 
     t_front, t_back = surf_mod.boundary_temperatures(sb, state.zone_T, t_out0)
     env_f, env_b = surf_mod.border_conditions(
@@ -129,16 +185,43 @@ def build_operators(
     rad_hs_b = surf_mod.linearized_rad_coefficient(sb.eps_back, env_b)
 
     U = surf_mod.segment_u(sb, state.node_T, env_b.air)
-    lower, diag, upper = surf_mod.assemble_K(sb, U, env_f, env_b, statics)
-    sel = sb.massive
-    scale = jnp.where(sel, dt_sub / jnp.where(sel, sb.mass, 1.0), 0.0)
-    A = _tridiag_to_dense(lower * scale, diag * scale, upper * scale)
-    # zero rows for non-massive nodes -> E=I, P has 1 on those diagonals from
-    # the series (term k=0); zero P's frozen rows so q does not move them.
-    E, P = expm_phi1(A)
-    sel_s = jnp.moveaxis(sel, 0, -1)  # [S, N]
-    P = jnp.where(sel_s[..., None], P, 0.0)
-    return ExpOperators(E, P, env_f, env_b, rad_hs_f, rad_hs_b, statics)
+    lower, diag, upper = _full_system_K(
+        sb, U, env_f, env_b, rad_hs_f, rad_hs_b, statics
+    )
+    Kd = _tridiag_to_dense(lower, diag, upper)  # [S, N, N]
+
+    m = jnp.moveaxis(sb.massive, 0, -1).astype(dtype)  # [S, N] massive
+    alg = jnp.moveaxis(sb.node_mask & ~sb.massive, 0, -1).astype(dtype)
+    eyeN = jnp.eye(Kd.shape[-1], dtype=dtype)
+
+    # K_nn padded to identity outside the algebraic block, so one batched
+    # inverse serves every surface regardless of where its no-mass nodes sit.
+    Knn = alg[:, :, None] * Kd * alg[:, None, :] + (1.0 - alg)[:, :, None] * eyeN
+    inv_nn = jnp.linalg.inv(Knn)
+    K_mn = m[:, :, None] * Kd * alg[:, None, :]
+    K_nm = alg[:, :, None] * Kd * m[:, None, :]
+
+    mm = jnp.einsum("snm,smk->snk", K_mn, inv_nn, preferred_element_type=dtype)
+    A_red = m[:, :, None] * Kd * m[:, None, :] - jnp.einsum(
+        "snm,smk->snk", mm, K_nm, preferred_element_type=dtype
+    )
+    # Mq maps the raw forcing q to the reduced forcing (q_m - K_mn K_nn^-1 q_n)
+    Mq = m[:, :, None] * eyeN - mm * alg[:, None, :]
+
+    mass = jnp.moveaxis(sb.mass, 0, -1)  # [S, N]
+    scale = jnp.where(m > 0, dt_sub / jnp.where(m > 0, mass, 1.0), 0.0)
+    E, P = expm_phi1(scale[:, :, None] * A_red)
+    # phi1's identity rows on frozen nodes must not inject forcing there.
+    PMq = jnp.einsum(
+        "snm,smk->snk", P, scale[:, :, None] * Mq, preferred_element_type=dtype
+    )
+    PMq = m[:, :, None] * PMq
+
+    M2 = jnp.einsum("snm,smk->snk", inv_nn, K_nm, preferred_element_type=dtype)
+    M2 = alg[:, :, None] * M2
+    M3 = alg[:, :, None] * inv_nn * alg[:, None, :]
+
+    return ExpOperators(E, PMq, M2, M3, env_f, env_b, rad_hs_f, rad_hs_b, statics)
 
 
 def exp_substep(
@@ -149,44 +232,48 @@ def exp_substep(
     inputs: StepInputs,
     dt_sub,
 ):
-    """One fast sub-step: no-mass algebraic solve, exact massive propagation,
-    analytical zone update.  h (and the propagators) stay frozen."""
+    """One fast sub-step: build the forcing from current air temperatures,
+    propagate the massive nodes exactly, recover the algebraic nodes, update
+    the zones analytically.  h / rad_hs / U (and the operators) stay frozen."""
     sb = building.surfaces
-    cfg = building.config
-    statics = ops.statics
+    st = ops.statics
 
     t_front, t_back = surf_mod.boundary_temperatures(sb, state.zone_T, t_out)
-    # Frozen h, current air temperatures (the reference also mixes frozen
-    # surface-derived h with current air temps within a sub-step).
+    # Frozen h / rad, current air temperatures (the parity path also mixes
+    # frozen surface-derived coefficients with current air temps within a
+    # sub-step).
     env_f = ops.env_f._replace(air=t_front)
     env_b = ops.env_b._replace(air=t_back)
 
-    sol_f = jnp.where(jnp.isnan(inputs.sol_front) | (inputs.sol_front < 0.0), 0.0, inputs.sol_front)
+    # Solar clamping quirks of surface.rs:916-923 (see march_surfaces).
+    sol_f = jnp.where(
+        jnp.isnan(inputs.sol_front) | (inputs.sol_front < 0.0), 0.0, inputs.sol_front
+    )
     sol_b = jnp.where(jnp.isnan(inputs.sol_back), 0.0, inputs.sol_back)
     solar_q = sb.front_alphas * sol_f + sb.back_alphas * sol_b
 
-    T = state.node_T
-    if sb.has_nomass:
-        T = surf_mod.march_nomass(
-            sb, T, env_f, env_b, ops.rad_hs_f, ops.rad_hs_b, solar_q, cfg,
-            statics=statics,
-        )
+    q = _substep_forcing(env_f, env_b, ops.rad_hs_f, ops.rad_hs_b, solar_q, st)
+    qs = jnp.moveaxis(q, 0, -1)  # [S, N]
+    Ts = jnp.moveaxis(state.node_T, 0, -1)
 
-    if sb.has_massive:
-        U = sb.seg_u if not sb.has_cavity else surf_mod.segment_u(sb, T, env_b.air)
-        q = surf_mod.assemble_q(
-            sb, T, U, env_f, env_b, ops.rad_hs_f, ops.rad_hs_b, solar_q, statics
-        )
-        sel = sb.massive
-        qs = jnp.where(sel, dt_sub / jnp.where(sel, sb.mass, 1.0), 0.0) * q
-        Ts = jnp.moveaxis(T, 0, -1)  # [S, N]
-        qss = jnp.moveaxis(qs, 0, -1)
-        T_new = jnp.einsum("snm,sm->sn", ops.E, Ts, preferred_element_type=T.dtype)
-        T_new = T_new + jnp.einsum("snm,sm->sn", ops.P, qss, preferred_element_type=T.dtype)
-        T = jnp.where(sel, jnp.moveaxis(T_new, -1, 0), T)
+    dtype = Ts.dtype
+    T_m = jnp.einsum("snm,sm->sn", ops.E, Ts, preferred_element_type=dtype)
+    T_m = T_m + jnp.einsum("snm,sm->sn", ops.PMq, qs, preferred_element_type=dtype)
+    massive = sb.massive
+    T = jnp.where(massive, jnp.moveaxis(T_m, -1, 0), state.node_T)
+
+    # Algebraic recovery: T_n = -K_nn^-1 (K_nm T_m + q_n), exact (the parity
+    # path approximates this with the reference's relaxed fixed point).
+    Ts2 = jnp.moveaxis(T, 0, -1)
+    T_n = -(
+        jnp.einsum("snm,sm->sn", ops.M2, Ts2, preferred_element_type=dtype)
+        + jnp.einsum("snm,sm->sn", ops.M3, qs, preferred_element_type=dtype)
+    )
+    alg = sb.node_mask & ~massive
+    T = jnp.where(alg, jnp.moveaxis(T_n, -1, 0), T)
 
     ts_front = T[0]
-    ts_back = surf_mod._last_node(sb, T, statics)
+    ts_back = surf_mod._last_node(sb, T, st)
     q_front = (ts_front - t_front) * env_f.h
     q_back = (ts_back - t_back) * env_b.h
 
@@ -211,7 +298,7 @@ def exp_march(
     inputs: StepInputs,
     substeps: int,
 ):
-    """One main step in fast mode: freeze h + propagators, then run
+    """One main step in fast mode: freeze coefficients + propagators, then run
     ``substeps`` exact sub-steps (scanned)."""
     if substeps < 1:
         raise ValueError(f"substeps must be >= 1, got {substeps}")

@@ -1,0 +1,136 @@
+"""TR-BDF2 fast-mode Pallas kernel: equivalence with the XLA implicit path,
+multi-hour marching, and the parity kernel's multi-hour regression."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import heatx
+from heatx.build.layout import compile_building
+from heatx.engine import implicit as imp_mod
+from heatx.engine import state as state_mod
+from heatx.engine import step as step_mod
+from heatx.model.building import Boundary, SurfaceDef
+from heatx.ops import pallas_step
+from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+
+
+def _city(n_zones=6):
+    import bench as B
+
+    return B.build_city_model(n_zones, 10)
+
+
+def _compiled(model, **cfg_kw):
+    cfg = heatx.SimConfig(dtype=jnp.float64, **cfg_kw)
+    return compile_building(model, n=1, config=cfg)
+
+
+def _gains(building):
+    a = np.zeros(building.n_zones)
+    np.add.at(a, np.asarray(building.hvac_pair_space), 500.0)
+    np.add.at(a, np.asarray(building.lum_space), 150.0)
+    return a
+
+
+WEATHER = dict(
+    t_out=np.array([2.0, 5.0, 8.0, 3.0]),
+    ws=np.array([3.0, 4.0, 2.0, 5.0]),
+    wd=np.array([0.7, 0.1, 2.0, 1.5]),
+    ir=np.array([320.0, 300.0, 340.0, 310.0]),
+)
+
+
+def _march_xla(building, hours, solf, march):
+    base = state_mod.default_inputs(building)._replace(
+        hvac_power=jnp.full((building.n_hvacs,), 500.0, jnp.float64),
+        lum_power=jnp.full((building.n_luminaires,), 150.0, jnp.float64),
+    )
+    bd = building.astype(jnp.float64)
+    S = building.n_surfaces
+    st = state_mod.initial_state(building)
+    for h in range(hours):
+        inp = base._replace(
+            t_out=jnp.asarray(WEATHER["t_out"][h]),
+            wind_speed=jnp.asarray(WEATHER["ws"][h]),
+            wind_direction=jnp.asarray(WEATHER["wd"][h]),
+            sol_front=jnp.asarray(solf[h]),
+            ir_front=jnp.full((S,), WEATHER["ir"][h]),
+        )
+        st = march(bd, st, inp)
+    return st
+
+
+def _kernel_run(building, hours, substeps, solf, mode):
+    bb = pallas_step.block_building(building, block_size=16)
+    hm, params = pallas_step.make_hour_march(
+        bb, substeps=substeps, interpret=True, mode=mode, hours=hours
+    )
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    st = state_mod.initial_state(building)
+    T = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)))
+    zT = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)))
+    sol_b = np.stack([lay.surfaces_to_blocked(solf[h]) for h in range(hours)])
+    ag = np.stack([lay.zones_to_blocked(_gains(building))] * hours)
+    hi = (
+        jnp.repeat(jnp.asarray(WEATHER["t_out"][:hours]), substeps),
+        jnp.repeat(jnp.asarray(WEATHER["ws"][:hours]), substeps),
+        jnp.repeat(jnp.asarray(WEATHER["wd"][:hours]), substeps),
+        jnp.asarray(sol_b),
+        jnp.zeros((hours, SP)),
+        jnp.repeat(jnp.asarray(WEATHER["ir"][:hours])[:, None], SP, 1),
+        jnp.zeros((hours, SP)),
+        jnp.asarray(ag),
+        jnp.zeros((hours, bb.n_blocks, bb.zones_per_block)),
+    )
+    T, zT, _ = hm(params, T, zT, hi)
+    return (
+        np.asarray(lay.zones_from_blocked(np.asarray(zT), building.n_zones)),
+        np.asarray(lay.surfaces_from_blocked(np.asarray(T), building.n_surfaces)),
+    )
+
+
+def test_trbdf2_kernel_matches_xla_imp_march():
+    """4 hours, varying weather: the multi-hour trbdf2 kernel must reproduce
+    the XLA implicit path bit-for-bit (same arithmetic, f64)."""
+    building = _compiled(_city(), nomass_fixed_iters=1)
+    S = building.n_surfaces
+    rng = np.random.default_rng(0)
+    solf = rng.uniform(0.2, 1.0, (4, S)) * 300.0
+
+    march = jax.jit(imp_mod.imp_march, static_argnames=("substeps",))
+    stx = _march_xla(building, 4, solf, lambda b, s, i: march(b, s, i, substeps=12))
+    zK, TK = _kernel_run(building, 4, 12, solf, "trbdf2")
+    np.testing.assert_allclose(np.asarray(stx.zone_T), zK, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(stx.node_T), TK, atol=1e-12)
+
+
+def test_parity_kernel_multi_hour_matches_xla():
+    """The hours>1 generalization must not change the parity kernel's
+    arithmetic: 2 kernel-marched hours == 2 sequential XLA main steps."""
+    building = _compiled(_city(4), nomass_fixed_iters=2)
+    S = building.n_surfaces
+    rng = np.random.default_rng(1)
+    solf = rng.uniform(0.2, 1.0, (2, S)) * 250.0
+
+    march = jax.jit(step_mod.march)
+    stx = _march_xla(building, 2, solf, march)
+    zK, TK = _kernel_run(building, 2, building.dt_subdivisions, solf, "parity")
+    np.testing.assert_allclose(np.asarray(stx.zone_T), zK, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(stx.node_T), TK, atol=1e-10)
+
+
+def test_trbdf2_kernel_accepts_while_loop_config():
+    """trbdf2 mode has no no-mass fixed point, so it must not require
+    nomass_fixed_iters (the parity kernel does)."""
+    building = _compiled(_city(2))  # nomass_fixed_iters=None
+    assert building.config.nomass_fixed_iters is None
+    bb = pallas_step.block_building(building, block_size=16)
+    pallas_step.make_hour_march(bb, interpret=True, mode="trbdf2")
+    try:
+        pallas_step.make_hour_march(bb, interpret=True, mode="parity")
+    except ValueError as e:
+        assert "nomass_fixed_iters" in str(e)
+    else:
+        raise AssertionError("parity kernel should demand nomass_fixed_iters")
