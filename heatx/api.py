@@ -124,11 +124,18 @@ class ThermalModel:
             self._march_imp = jax.jit(imp_march, static_argnames=("substeps",))
         return self._march_imp(self._device(), state, inputs, substeps=substeps)
 
-    def fast_runner(self, block_size: int = 1024) -> "FastRunner":
-        """The fused Pallas hour-kernel path (~7x the XLA path on a TPU).
-        Requires ``config.nomass_fixed_iters`` when the building has no-mass
-        layers (validated against the EnergyPlus replay suite at 1-2)."""
-        return FastRunner(self, block_size=block_size)
+    def fast_runner(
+        self, block_size: int = 1024, mode: str = "parity", substeps: int = None
+    ) -> "FastRunner":
+        """The fused Pallas hour-kernel path.
+
+        mode="parity" (default) runs reference-parity sub-step physics
+        (requires ``config.nomass_fixed_iters`` when the building has no-mass
+        layers; validated against the EnergyPlus replay suite at 1-2).
+        mode="trbdf2" runs the TR-BDF2 fast mode (h frozen per hour,
+        ``substeps`` sub-steps instead of the stability-dictated ~120 —
+        another ~8x on a TPU; see heatx.engine.implicit)."""
+        return FastRunner(self, block_size=block_size, mode=mode, substeps=substeps)
 
 
 class FastRunner:
@@ -136,7 +143,14 @@ class FastRunner:
     ordinary :class:`SimState` objects and per-hour StepInputs, handling the
     zone-closed block permutation internally."""
 
-    def __init__(self, tm: ThermalModel, block_size: int = 1024, interpret=None):
+    def __init__(
+        self,
+        tm: ThermalModel,
+        block_size: int = 1024,
+        interpret=None,
+        mode: str = "parity",
+        substeps: int = None,
+    ):
         import jax.numpy as jnp
         import numpy as np
 
@@ -151,8 +165,13 @@ class FastRunner:
             interpret = jax.default_backend() != "tpu" and not str(
                 jax.devices()[0]
             ).startswith("TPU")
+        self._substeps = (
+            (substeps or building.dt_subdivisions)
+            if mode == "parity"
+            else (substeps or 12)
+        )
         self._hour_march, self._params = pallas_step.make_hour_march(
-            self._bb, interpret=interpret
+            self._bb, substeps=substeps, interpret=interpret, mode=mode
         )
         self._jit = jax.jit(self._hour_march)
         self._dtype = building.config.dtype
@@ -207,7 +226,7 @@ class FastRunner:
         b = self._tm.building
         bb = self._bb
         lay = bb.layout
-        sub = b.dt_subdivisions
+        sub = self._substeps
         dt = self._dtype
 
         def per_sub(v):

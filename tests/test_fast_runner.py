@@ -57,3 +57,32 @@ def test_fast_runner_matches_march():
     np.testing.assert_allclose(
         np.asarray(fast.h_front), np.asarray(ref.h_front), atol=5e-8
     )
+
+
+def test_fast_runner_trbdf2_matches_march_imp():
+    """mode="trbdf2" through the high-level runner == ThermalModel.march_imp
+    (the XLA implicit fast path), same arithmetic in f64."""
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(model(), n=1, config=cfg)
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=6)
+
+    st = tm.initial_state()
+    inputs = tm.inputs(
+        t_out=-3.0,
+        wind_speed=4.0,
+        sol_front=np.full(6, 90.0),
+        ir_front=np.full(6, 320.0),
+        hvac_power=np.array([600.0, 0.0, 300.0]),
+    )
+    ref = st
+    fast = st
+    for _ in range(3):
+        ref = tm.march_imp(ref, inputs, substeps=6)
+        fast = fr.march(fast, inputs)
+    np.testing.assert_allclose(
+        np.asarray(fast.zone_T), np.asarray(ref.zone_T), atol=1e-10
+    )
+    mask = np.asarray(tm.building.surfaces.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(fast.node_T) * mask, np.asarray(ref.node_T) * mask, atol=1e-10
+    )
