@@ -21,17 +21,16 @@ def build_city_model(n_zones: int, surfaces_per_zone: int):
     """A synthetic city-block building: per zone, massive concrete walls, one
     mixed (insulated) wall, and a glazed window — exercising the massive RK4
     path, the no-mass fixed point, and glazing optics together."""
-    from heatx.model.building import Boundary, SurfaceDef
-    from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
     from heatx.model.building import (
+        Boundary,
         BuildingModel,
         Construction,
-        GasSubstance,
-        Luminaire,
         ElectricHeater,
+        Luminaire,
         Material,
         SpaceDef,
         Substance,
+        SurfaceDef,
     )
 
     m = BuildingModel()

@@ -15,7 +15,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from heatx.build.layout import CompiledBuilding
 from heatx.engine import surface as surf_mod

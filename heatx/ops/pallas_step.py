@@ -24,9 +24,7 @@ arithmetic as the XLA path.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, replace
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
