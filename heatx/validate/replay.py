@@ -37,13 +37,20 @@ def replay_wall_run(
     emissivity: float,
     surface_area: float,
     warmup: int = 5000,
+    march_fn=None,
 ):
     """March the compiled model through the fixture's boundary conditions.
 
     Returns (expected, found) zone-temperature series with the first
     ``warmup`` steps skipped, exactly like the reference
     (validate_wall_heat_transfer.rs:662-709).
+
+    ``march_fn(building, state, inputs) -> state`` overrides the main-step
+    integrator (default: the reference-parity ``step_mod.march``); used to
+    validate the fast modes against the same EnergyPlus evidence.
     """
+    if march_fn is None:
+        march_fn = step_mod.march
     building = tm.building
     dtype = building.config.dtype
     S = building.n_surfaces
@@ -77,7 +84,7 @@ def replay_wall_run(
             sol_front=jnp.broadcast_to(sol, (S,)),
             ir_front=ir,
         )
-        new = step_mod.march(building, carry, inputs)
+        new = march_fn(building, carry, inputs)
         # Record the zone temperature *before* this march, like the reference.
         return new, carry.zone_T[0]
 
@@ -144,7 +151,9 @@ def build_case_model(case: WallCase, fixtures_root: str):
     return load_spl(f"{fixtures_root}/{case.name}/{case.spl_file}.spl")
 
 
-def run_case(case: WallCase, fixtures_root: str, n: int = 20, dtype=np.float64):
+def run_case(
+    case: WallCase, fixtures_root: str, n: int = 20, dtype=np.float64, march_fn=None
+):
     """Compile + replay one fixture case; returns (expected, found)."""
     model = build_case_model(case, fixtures_root)
     tm = heatx.ThermalModel(model, n=n, config=heatx.SimConfig(dtype=dtype))
@@ -152,4 +161,6 @@ def run_case(case: WallCase, fixtures_root: str, n: int = 20, dtype=np.float64):
     # radiation indoors" (validate_wall_heat_transfer.rs:629-630)
     tm.building.surfaces.eps_back[:] = 0.0
     run = read_eplusout(f"{fixtures_root}/{case.name}/eplusout.csv")
-    return replay_wall_run(tm, run, case.emissivity, case.surface_area)
+    return replay_wall_run(
+        tm, run, case.emissivity, case.surface_area, march_fn=march_fn
+    )
