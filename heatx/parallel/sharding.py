@@ -103,23 +103,44 @@ def _check_divisible(building: CompiledBuilding, mesh: Mesh):
         )
 
 
+def _march_for_mode(mode: str, substeps: int):
+    """Main-step integrator (building, state, inputs) -> state for a mode:
+    "parity" (reference sub-step physics), "trbdf2" / "exp" (the fast modes,
+    h frozen per main step, ``substeps`` sub-steps)."""
+    if mode == "parity":
+        return step_mod.march
+    if mode == "trbdf2":
+        from heatx.engine.implicit import imp_march
+
+        return partial(imp_march, substeps=substeps)
+    if mode == "exp":
+        from heatx.engine.exponential import exp_march
+
+        return partial(exp_march, substeps=substeps)
+    raise ValueError(f"unknown march mode {mode!r}")
+
+
 def make_sharded_march(
     building: CompiledBuilding,
     mesh: Mesh,
     axis: str = SURFACE_AXIS,
     donate: bool = False,
+    mode: str = "parity",
+    substeps: int = 12,
 ):
     """jit-compiled main-step function with surface-axis sharding.
 
     The building's surface count must divide the mesh size evenly (pad with
-    ``compile_building(..., pad_surfaces_to=...)`` otherwise).
+    ``compile_building(..., pad_surfaces_to=...)`` otherwise).  The fast
+    modes shard identically to the parity path: everything is per-surface
+    except the zone reduction (an ICI all-reduce GSPMD inserts itself).
     """
     _check_divisible(building, mesh)
     building = building.astype(building.config.dtype)
     bld_sh = building_shardings(building, mesh, axis)
     building = jax.device_put(building, bld_sh)
     jitted = jax.jit(
-        step_mod.march,
+        _march_for_mode(mode, substeps),
         in_shardings=(bld_sh, state_shardings(mesh, axis), inputs_shardings(mesh, axis)),
         out_shardings=state_shardings(mesh, axis),
         donate_argnums=(1,) if donate else (),

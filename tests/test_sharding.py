@@ -105,3 +105,49 @@ def test_unpadded_rejected():
         pytest.skip("needs 8 devices")
     with pytest.raises(ValueError, match="not divisible"):
         sh.make_sharded_march(building, mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fast_mode_matches_single_device():
+    """The TR-BDF2 fast mode shards like the parity path: identical numbers
+    on the 8-device mesh vs one device."""
+    from heatx.engine.implicit import imp_march
+
+    model = multi_surface_model(8)
+    building = compile_building(model, n=1, config=heatx.SimConfig(dtype=np.float64))
+    mesh = sh.make_mesh()
+    march = sh.make_sharded_march(building, mesh, mode="trbdf2", substeps=6)
+
+    state = sh.shard_state(state_mod.initial_state(building), mesh)
+    inputs = sh.shard_inputs(
+        state_mod.default_inputs(
+            building,
+            t_out=np.float64(-2.0),
+            wind_speed=np.float64(4.0),
+            sol_front=np.full(8, 150.0),
+            ir_front=np.full(8, 330.0),
+        ),
+        mesh,
+    )
+    for _ in range(3):
+        state = march(state, inputs)
+
+    ref = state_mod.initial_state(building)
+    ref_inputs = state_mod.default_inputs(
+        building,
+        t_out=np.float64(-2.0),
+        wind_speed=np.float64(4.0),
+        sol_front=np.full(8, 150.0),
+        ir_front=np.full(8, 330.0),
+    )
+    single = jax.jit(imp_march, static_argnames=("substeps",))
+    bd = building.astype(np.float64)
+    for _ in range(3):
+        ref = single(bd, ref, ref_inputs, substeps=6)
+
+    np.testing.assert_allclose(
+        np.asarray(state.zone_T), np.asarray(ref.zone_T), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.node_T), np.asarray(ref.node_T), atol=1e-12
+    )
