@@ -87,6 +87,29 @@ def walls_report():
             )
         )
         print(f"  eplus {name}: done")
+
+    # The TR-BDF2 fast mode (the bench default) against the same evidence:
+    # coefficients frozen per 3-minute fixture step, 2 L-stable sub-steps.
+    from heatx.engine.implicit import imp_march
+    from test_eplus_replay import FAST_THRESHOLDS
+
+    fast = lambda b, s, i: imp_march(b, s, i, substeps=2)  # noqa: E731
+    for name in sorted(WALL_CASES):
+        expected, found = run_case(WALL_CASES[name], FIXTURES, march_fn=fast)
+        rmse_frac, bias_frac = FAST_THRESHOLDS[name]
+        v.push(
+            SeriesValidation(
+                title=f"EnergyPlus replay (TR-BDF2 fast mode): {name}",
+                expected=expected,
+                found=found,
+                expected_legend="EnergyPlus 9.6",
+                y_label="Zone Temperature",
+                y_units="C",
+                max_rmse_frac=rmse_frac,
+                max_bias_frac=bias_frac,
+            )
+        )
+        print(f"  eplus fast {name}: done")
     v.validate(raise_on_fail=False)
     print(f"wrote {v.target_file}")
 
