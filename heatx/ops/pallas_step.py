@@ -380,6 +380,11 @@ def _hour_body_imp(
     C = jnp.where(sb_vals.massive, sb_vals.mass, jnp.zeros_like(sb_vals.mass))
     M1 = imp_mod._stage_matrix(sb_vals, K, C, imp_mod.GAMMA * dt_sub / 2.0)
     M2 = imp_mod._stage_matrix(sb_vals, K, C, imp_mod.BETA * dt_sub)
+    # The stage matrices are frozen for the hour: pre-factor them so each
+    # sub-step's two Thomas solves are division-free fused sweeps (Mosaic
+    # does not hoist the pivot chain out of the fori_loop).
+    cs1, inv1 = tridiag.factor(*M1)
+    cs2, inv2 = tridiag.factor(*M2)
 
     sol_f = jnp.where(jnp.isnan(sol_front) | (sol_front < 0.0), 0.0, sol_front)
     sol_b = jnp.where(jnp.isnan(sol_back), 0.0, sol_back)
@@ -399,11 +404,11 @@ def _hour_body_imp(
         half = imp_mod.GAMMA * dt_sub / 2.0
         rhs1 = C * T + half * KT0 + imp_mod.GAMMA * dt_sub * q
         rhs1 = jnp.where(sb_vals.node_mask, rhs1, T)
-        T1 = solver(*M1, rhs1)
+        T1 = tridiag.solve_factored(M1[0], cs1, inv1, rhs1)
 
         rhs2 = imp_mod.C1 * C * T1 - imp_mod.C2 * C * T + imp_mod.BETA * dt_sub * q
         rhs2 = jnp.where(sb_vals.node_mask, rhs2, T)
-        T_new = solver(*M2, rhs2)
+        T_new = tridiag.solve_factored(M2[0], cs2, inv2, rhs2)
 
         ts_front = T_new[0]
         ts_back = surf_mod._last_node(sb_vals, T_new, statics)

@@ -140,3 +140,52 @@ def solve(lower, diag, upper, rhs):
     for i in range(n - 2, -1, -1):
         xs[i] = ds[i] - cs[i] * xs[i + 1]
     return jnp.stack(xs, axis=0)
+
+
+def factor(lower, diag, upper):
+    """Pre-factor a tridiagonal system for repeated solves.
+
+    The Thomas forward sweep splits into a matrix-only part (the modified
+    upper coefficients and pivot reciprocals) and an rhs part.  When the same
+    system is solved many times — the TR-BDF2 fast mode solves its two frozen
+    stage matrices every sub-step for a whole hour — factoring once removes
+    all N divisions from the hot loop (divides are the expensive op on the
+    TPU VPU, and Mosaic does not hoist loop-invariant chains out of
+    ``fori_loop`` the way XLA hoists out of ``scan``).
+
+    Returns (cs, invs) with cs[i] = u'_i and invs[i] = 1/pivot_i; use with
+    :func:`solve_factored`.
+    """
+    n = diag.shape[0]
+    l = [lower[i] for i in range(n)]
+    d = [diag[i] for i in range(n)]
+    u = [upper[i] for i in range(n)]
+    cs = [None] * n
+    invs = [None] * n
+    invs[0] = 1.0 / d[0]
+    cs[0] = u[0] * invs[0]
+    for i in range(1, n):
+        invs[i] = 1.0 / (d[i] - l[i] * cs[i - 1])
+        cs[i] = u[i] * invs[i]
+    return jnp.stack(cs, axis=0), jnp.stack(invs, axis=0)
+
+
+def solve_factored(lower, cs, invs, rhs):
+    """Solve with a pre-factored system (see :func:`factor`): one fused
+    multiply-add per row in each sweep, no divisions."""
+    n = rhs.shape[0]
+    l = [lower[i] for i in range(n)]
+    c = [cs[i] for i in range(n)]
+    v = [invs[i] for i in range(n)]
+    b = [rhs[i] for i in range(n)]
+
+    ds = [None] * n
+    ds[0] = b[0] * v[0]
+    for i in range(1, n):
+        ds[i] = (b[i] - l[i] * ds[i - 1]) * v[i]
+
+    xs = [None] * n
+    xs[n - 1] = ds[n - 1]
+    for i in range(n - 2, -1, -1):
+        xs[i] = ds[i] - c[i] * xs[i + 1]
+    return jnp.stack(xs, axis=0)
