@@ -256,7 +256,7 @@ def main():
                     jnp.broadcast_to(d_i[:, None], (H, SP)), zeros_hsp,
                     ag_day, az_day,
                 )
-                T, zT, _ = hm(params, T, zT, hi)
+                T, zT, _, _ = hm(params, T, zT, hi)
                 return (T, zT), None
 
             (T, zT), _ = jax.lax.scan(body, (T, zT), xs)
@@ -386,7 +386,7 @@ def main():
                 jnp.broadcast_to(q_ir, (SP,)), zeros_sp,
                 a_gain_b, az,
             )
-            T, zT, _ = hour_march(params, T, zT, hour_inputs)
+            T, zT, _, _ = hour_march(params, T, zT, hour_inputs)
             return T, zT, h + 1
 
         hour_p_jit = jax.jit(hour_p)

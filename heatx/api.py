@@ -288,5 +288,5 @@ class FastRunner:
         """One main-step/hour: SimState in, SimState out (convenient, but
         converts through the host — use march_blocked for long runs)."""
         T, zT = self.to_blocked(state)
-        T, zT, hq = self.march_blocked(T, zT, self.hour_inputs(inputs))
+        T, zT, hq, _ = self.march_blocked(T, zT, self.hour_inputs(inputs))
         return self.from_blocked(T, zT, hq)

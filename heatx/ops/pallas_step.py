@@ -565,8 +565,9 @@ def make_hour_march(
                      "a_extra", "b_extra", "T0", "zT0"]:
             r[name] = refs[i]
             i += 1
-        t_out_ref, zt_out_ref, hf_ref, hb_ref, qf_ref, qb_ref = refs[i : i + 6]
-        l_s, d_s, u_s, bx_s, c_s = refs[i + 6 : i + 11]
+        (t_out_ref, zt_out_ref, hf_ref, hb_ref, qf_ref, qb_ref,
+         zt_hist_ref) = refs[i : i + 7]
+        l_s, d_s, u_s, bx_s, c_s = refs[i + 7 : i + 12]
         import os as _os
         if _os.environ.get("HEATX_KERNEL_LOOP", "0") == "1":
             # Scratch-ref Thomas: loop-form fallback (small Mosaic MLIR) in
@@ -678,21 +679,27 @@ def make_hour_march(
 
         if hours == 1:
             T, zT, (hf, hb, qf, qb) = one_hour(0, r["T0"][...], r["zT0"][...])
+            zt_hist = zT
         else:
             SBv = r["T0"].shape[-1]
             zero_row = jnp.zeros((SBv,), dtype)
+            ZBv = r["zT0"].shape[0]
+            hist0 = jnp.zeros((ZBv, hours), dtype)
 
             def hour_loop(h, carry):
-                T, zT, _ = carry
+                T, zT, _, hist = carry
                 T, zT, hq = one_hour(h, T, zT)
-                return (T, zT, hq)
+                # Post-hour zone temps, accumulated via a one-hot column
+                # (stores with a dynamic lane offset do not lower in Mosaic).
+                hist = hist + zT * jnp.where(hour_iota == h, 1.0, 0.0)
+                return (T, zT, hq, hist)
 
-            T, zT, (hf, hb, qf, qb) = jax.lax.fori_loop(
+            T, zT, (hf, hb, qf, qb), zt_hist = jax.lax.fori_loop(
                 0,
                 hours,
                 hour_loop,
                 (r["T0"][...], r["zT0"][...],
-                 (zero_row, zero_row, zero_row, zero_row)),
+                 (zero_row, zero_row, zero_row, zero_row), hist0),
             )
         t_out_ref[...] = T
         zt_out_ref[...] = zT
@@ -700,6 +707,7 @@ def make_hour_march(
         hb_ref[0, :] = hb
         qf_ref[0, :] = qf
         qb_ref[0, :] = qb
+        zt_hist_ref[...] = zt_hist
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -746,6 +754,7 @@ def make_hour_march(
         row_spec(),
         row_spec(),
         row_spec(),
+        pl.BlockSpec((ZB, hours), lambda b: (b, 0), memory_space=pltpu.VMEM),
     )
     out_shape = (
         jax.ShapeDtypeStruct((N, SP), dtype),
@@ -754,6 +763,7 @@ def make_hour_march(
         jax.ShapeDtypeStruct((1, SP), dtype),
         jax.ShapeDtypeStruct((1, SP), dtype),
         jax.ShapeDtypeStruct((1, SP), dtype),
+        jax.ShapeDtypeStruct((NB * ZB, hours), dtype),
     )
 
     # Building operands are returned to the caller and passed per call, so a
@@ -782,7 +792,7 @@ def make_hour_march(
 
     def hour_march(params, T, zT_blocked, hour_inputs):
         (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra) = hour_inputs
-        T_new, zT_new, hf, hb, qf, qb = call(
+        T_new, zT_new, hf, hb, qf, qb, zt_hist = call(
             t_o.reshape(hours * substeps).astype(dtype),
             wnd.reshape(hours * substeps).astype(dtype),
             wdr.reshape(hours * substeps).astype(dtype),
@@ -796,10 +806,14 @@ def make_hour_march(
             T,
             zT_blocked.reshape(NB * ZB, 1),
         )
+        # [hours, NB, ZB]: zone temperature after each marched hour (the
+        # reference's observable output channel, zone.rs:45-49)
+        zt_hist = jnp.moveaxis(zt_hist.reshape(NB, ZB, hours), -1, 0)
         return (
             T_new,
             zT_new.reshape(NB, ZB),
             (hf.reshape(SP), hb.reshape(SP), qf.reshape(SP), qb.reshape(SP)),
+            zt_hist,
         )
 
     return hour_march, params

@@ -115,7 +115,7 @@ def test_hour_kernel_cavity_matches_xla():
         jnp.asarray(lay.surfaces_to_blocked(np.zeros(S))),
         az, az,
     )
-    T1, zT1, _ = hour_march(params, T0, zT0, hour_inputs)
+    T1, zT1, _, _ = hour_march(params, T0, zT0, hour_inputs)
     zone_T = lay.zones_from_blocked(np.asarray(zT1), building.n_zones)
     node_T = lay.surfaces_from_blocked(np.asarray(T1), S)
     np.testing.assert_allclose(zone_T, np.asarray(ref.zone_T), atol=5e-8)
@@ -210,7 +210,7 @@ def test_hour_kernel_matches_xla_path():
         a_extra,
         b_extra,
     )
-    T1, zT1, (hf, hb, qf, qb) = hour_march(params, T0, zT0, hour_inputs)
+    T1, zT1, (hf, hb, qf, qb), _ = hour_march(params, T0, zT0, hour_inputs)
 
     node_T = lay.surfaces_from_blocked(np.asarray(T1), S)
     zone_T = lay.zones_from_blocked(np.asarray(zT1), building.n_zones)

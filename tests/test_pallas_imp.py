@@ -84,10 +84,17 @@ def _kernel_run(building, hours, substeps, solf, mode):
         jnp.asarray(ag),
         jnp.zeros((hours, bb.n_blocks, bb.zones_per_block)),
     )
-    T, zT, _ = hm(params, T, zT, hi)
+    T, zT, _, zt_hist = hm(params, T, zT, hi)
+    hist = np.stack(
+        [
+            np.asarray(lay.zones_from_blocked(np.asarray(zt_hist[h]), building.n_zones))
+            for h in range(hours)
+        ]
+    )
     return (
         np.asarray(lay.zones_from_blocked(np.asarray(zT), building.n_zones)),
         np.asarray(lay.surfaces_from_blocked(np.asarray(T), building.n_surfaces)),
+        hist,
     )
 
 
@@ -101,7 +108,7 @@ def test_trbdf2_kernel_matches_xla_imp_march():
 
     march = jax.jit(imp_mod.imp_march, static_argnames=("substeps",))
     stx = _march_xla(building, 4, solf, lambda b, s, i: march(b, s, i, substeps=12))
-    zK, TK = _kernel_run(building, 4, 12, solf, "trbdf2")
+    zK, TK, _ = _kernel_run(building, 4, 12, solf, "trbdf2")
     np.testing.assert_allclose(np.asarray(stx.zone_T), zK, atol=1e-12)
     np.testing.assert_allclose(np.asarray(stx.node_T), TK, atol=1e-12)
 
@@ -116,7 +123,7 @@ def test_parity_kernel_multi_hour_matches_xla():
 
     march = jax.jit(step_mod.march)
     stx = _march_xla(building, 2, solf, march)
-    zK, TK = _kernel_run(building, 2, building.dt_subdivisions, solf, "parity")
+    zK, TK, _ = _kernel_run(building, 2, building.dt_subdivisions, solf, "parity")
     np.testing.assert_allclose(np.asarray(stx.zone_T), zK, atol=1e-10)
     np.testing.assert_allclose(np.asarray(stx.node_T), TK, atol=1e-10)
 
@@ -134,3 +141,37 @@ def test_trbdf2_kernel_accepts_while_loop_config():
         assert "nomass_fixed_iters" in str(e)
     else:
         raise AssertionError("parity kernel should demand nomass_fixed_iters")
+
+
+def test_trbdf2_kernel_zone_history():
+    """The multi-hour kernel's zone-history output carries the post-hour zone
+    temperatures — one entry per marched hour, matching a sequential XLA run
+    sampled after every hour."""
+    building = _compiled(_city(3), nomass_fixed_iters=1)
+    S = building.n_surfaces
+    rng = np.random.default_rng(2)
+    solf = rng.uniform(0.2, 1.0, (4, S)) * 200.0
+
+    march = jax.jit(imp_mod.imp_march, static_argnames=("substeps",))
+    base = state_mod.default_inputs(building)._replace(
+        hvac_power=jnp.full((building.n_hvacs,), 500.0, jnp.float64),
+        lum_power=jnp.full((building.n_luminaires,), 150.0, jnp.float64),
+    )
+    bd = building.astype(jnp.float64)
+    st = state_mod.initial_state(building)
+    expected = []
+    for h in range(4):
+        inp = base._replace(
+            t_out=jnp.asarray(WEATHER["t_out"][h]),
+            wind_speed=jnp.asarray(WEATHER["ws"][h]),
+            wind_direction=jnp.asarray(WEATHER["wd"][h]),
+            sol_front=jnp.asarray(solf[h]),
+            ir_front=jnp.full((S,), WEATHER["ir"][h]),
+        )
+        st = march(bd, st, inp, substeps=6)
+        expected.append(np.asarray(st.zone_T))
+
+    _, _, hist = _kernel_run(building, 4, 6, solf, "trbdf2")
+    np.testing.assert_allclose(hist, np.stack(expected), atol=1e-12)
+    # the last history entry is the final state
+    np.testing.assert_allclose(hist[-1], expected[-1], atol=0)
