@@ -125,7 +125,11 @@ class ThermalModel:
         return self._march_imp(self._device(), state, inputs, substeps=substeps)
 
     def fast_runner(
-        self, block_size: int = 1024, mode: str = "parity", substeps: int = None
+        self,
+        block_size: int = 1024,
+        mode: str = "parity",
+        substeps: int = None,
+        hours: int = 1,
     ) -> "FastRunner":
         """The fused Pallas hour-kernel path.
 
@@ -135,7 +139,9 @@ class ThermalModel:
         mode="trbdf2" runs the TR-BDF2 fast mode (h frozen per hour,
         ``substeps`` sub-steps instead of the stability-dictated ~120 —
         another ~8x on a TPU; see heatx.engine.implicit)."""
-        return FastRunner(self, block_size=block_size, mode=mode, substeps=substeps)
+        return FastRunner(
+            self, block_size=block_size, mode=mode, substeps=substeps, hours=hours
+        )
 
 
 class FastRunner:
@@ -150,6 +156,7 @@ class FastRunner:
         interpret=None,
         mode: str = "parity",
         substeps: int = None,
+        hours: int = 1,
     ):
         import jax.numpy as jnp
         import numpy as np
@@ -170,10 +177,13 @@ class FastRunner:
             if mode == "parity"
             else (substeps or 12)
         )
+        self._hours = hours
         self._hour_march, self._params = pallas_step.make_hour_march(
-            self._bb, substeps=substeps, interpret=interpret, mode=mode
+            self._bb, substeps=substeps, interpret=interpret, mode=mode,
+            hours=hours,
         )
         self._jit = jax.jit(self._hour_march)
+        self._run_jit = None
         self._dtype = building.config.dtype
         self._jnp = jnp
         self._np = np
@@ -279,6 +289,151 @@ class FastRunner:
             j.asarray(lay.zones_to_blocked(a_gain), dt),
             j.asarray(lay.zones_to_blocked(b_gain), dt),
         )
+
+    def _gains_seq(self, inputs_seq, T_steps):
+        """Per-hour zone A/B gain terms for a [T, ...] input sequence
+        (vectorized version of the per-hour math in :meth:`hour_inputs`)."""
+        import numpy as np
+
+        from heatx.constants import KELVIN
+        from heatx.physics import gas as gas_mod
+
+        b = self._tm.building
+        Z = b.n_zones
+
+        def seq2(v, tail):
+            a = np.asarray(v, np.float64)
+            if a.ndim == len(tail):
+                a = np.broadcast_to(a, (T_steps,) + tail)
+            return np.broadcast_to(a, (T_steps,) + tail)
+
+        a_gain = np.zeros((T_steps, Z))
+        if b.hvac_pair_unit.size:
+            hv = seq2(inputs_seq.hvac_power, (b.n_hvacs,))
+            np.add.at(
+                a_gain,
+                (slice(None), np.asarray(b.hvac_pair_space)),
+                hv[:, np.asarray(b.hvac_pair_unit)],
+            )
+        if b.lum_space.size:
+            lum = seq2(inputs_seq.lum_power, (b.n_luminaires,))
+            np.add.at(a_gain, (slice(None), np.asarray(b.lum_space)), lum)
+        b_gain = np.zeros((T_steps, Z))
+        for vol, temp, mask in [
+            (inputs_seq.inf_vol, inputs_seq.inf_temp, inputs_seq.inf_mask),
+            (inputs_seq.vent_vol, inputs_seq.vent_temp, inputs_seq.vent_mask),
+        ]:
+            vol = seq2(vol, (Z,))
+            temp = seq2(temp, (Z,))
+            mask = seq2(mask, (Z,))
+            t_k = temp + KELVIN
+            term = np.where(
+                mask > 0,
+                np.asarray(gas_mod.density(gas_mod.AIR, t_k))
+                * vol
+                * np.asarray(gas_mod.heat_capacity(gas_mod.AIR, t_k)),
+                0.0,
+            )
+            a_gain = a_gain + term * temp
+            b_gain = b_gain + term
+        return a_gain, b_gain
+
+    def run(self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True):
+        """March a whole [T, ...] input sequence through the fused kernel:
+        the fast-path equivalent of :meth:`ThermalModel.run`.
+
+        ``inputs_seq`` leaves carry a leading [T] hour axis (weather may be
+        [T] scalars-per-hour; per-surface irradiance [T, S], [S] or scalar;
+        gains [T, n] or [n]).  T must divide evenly into the runner's
+        ``hours`` chunk (pad the sequence or construct the runner with
+        ``hours=1``).  The chunks scan on device in one compiled call.
+        Returns ``(final SimState, zone_T [T, Z] | None)``.
+        """
+        import numpy as np
+
+        j = self._jnp
+        b = self._tm.building
+        bb = self._bb
+        lay = bb.layout
+        H = self._hours
+        sub = self._substeps
+        SP = lay.padded_surfaces
+        NB, ZB = bb.n_blocks, bb.zones_per_block
+        dt = self._dtype
+
+        t_out = np.asarray(inputs_seq.t_out, np.float64)
+        T_steps = t_out.shape[0]
+        if T_steps % H != 0:
+            raise ValueError(
+                f"sequence length {T_steps} not divisible by the runner's "
+                f"hours={H} chunk; pad the sequence or use hours=1"
+            )
+        D = T_steps // H
+
+        def weather(v):
+            a = np.broadcast_to(np.asarray(v, np.float64), (T_steps,))
+            return j.asarray(
+                np.repeat(a, sub).reshape(D, H * sub), dt
+            )
+
+        def surf_seq(v):
+            a = np.asarray(v, np.float64)
+            if a.ndim == 1 and a.shape[0] == T_steps:
+                a = a[:, None]
+            a = np.broadcast_to(a, (T_steps, b.n_surfaces))
+            return j.asarray(
+                lay.surfaces_to_blocked(a).reshape(D, H, SP), dt
+            )
+
+        a_gain, b_gain = self._gains_seq(inputs_seq, T_steps)
+
+        def zone_seq(a):
+            zt = lay.zone_table  # [NB, ZB]
+            out = np.zeros((T_steps, NB, ZB))
+            valid = zt >= 0
+            out[:, valid] = a[:, zt[valid]]
+            return j.asarray(out.reshape(D, H, NB, ZB), dt)
+
+        xs = (
+            weather(inputs_seq.t_out),
+            weather(inputs_seq.wind_speed),
+            weather(inputs_seq.wind_direction),
+            surf_seq(inputs_seq.sol_front),
+            surf_seq(inputs_seq.sol_back),
+            surf_seq(inputs_seq.ir_front),
+            surf_seq(inputs_seq.ir_back),
+            zone_seq(a_gain),
+            zone_seq(b_gain),
+        )
+
+        if self._run_jit is None:
+            hour_march = self._hour_march
+
+            def scan_run(params, T, zT, xs, collect):
+                def body(carry, chunk):
+                    T, zT, _ = carry
+                    T, zT, hq, hist = hour_march(params, T, zT, chunk)
+                    return (T, zT, hq), (hist if collect else None)
+
+                hq0 = tuple(j.zeros((SP,), dt) for _ in range(4))
+                (T, zT, hq), hist = jax.lax.scan(body, (T, zT, hq0), xs)
+                return T, zT, hq, hist
+
+            self._run_jit = jax.jit(scan_run, static_argnames=("collect",))
+
+        Tb, zTb = self.to_blocked(state)
+        Tb, zTb, hq, hist = self._run_jit(
+            self._params, Tb, zTb, xs, collect_zone_T
+        )
+        final = self.from_blocked(Tb, zTb, hq)
+        if not collect_zone_T:
+            return final, None
+        hist = np.asarray(hist).reshape(T_steps, NB, ZB)
+        zt = lay.zone_table
+        valid = zt >= 0
+        zone_T = np.zeros((T_steps, b.n_zones), dtype=hist.dtype)
+        zone_T[:, zt[valid]] = hist[:, valid]
+        return final, j.asarray(zone_T, dt)
 
     def march_blocked(self, T, zT, hour_inputs):
         """One hour on blocked state (the zero-copy hot path)."""

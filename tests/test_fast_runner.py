@@ -86,3 +86,55 @@ def test_fast_runner_trbdf2_matches_march_imp():
     np.testing.assert_allclose(
         np.asarray(fast.node_T) * mask, np.asarray(ref.node_T) * mask, atol=1e-10
     )
+
+
+def test_fast_runner_run_sequence_trbdf2():
+    """FastRunner.run over a [T] input sequence (hours=4 day-chunks) ==
+    hour-by-hour march_imp, including the collected zone history."""
+    import jax.numpy as jnp
+
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(model(), n=1, config=cfg)
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=6)
+    fr8 = heatx.api.FastRunner(tm, block_size=8, mode="trbdf2", substeps=6, hours=4)
+
+    T = 8
+    rng = np.random.default_rng(5)
+    t_out = rng.uniform(-5, 10, T)
+    wind = rng.uniform(0.5, 6, T)
+    sol = rng.uniform(0, 300, (T, 6))
+    hvac = rng.uniform(0, 800, (T, 3))
+    inputs_seq = tm.inputs(
+        t_out=t_out, wind_speed=wind, sol_front=sol,
+        ir_front=np.full((T, 6), 330.0), hvac_power=hvac,
+    )
+
+    final, zone_hist = fr8.run(tm.initial_state(), inputs_seq)
+
+    st = tm.initial_state()
+    expected = []
+    for h in range(T):
+        inp = tm.inputs(
+            t_out=t_out[h], wind_speed=wind[h], sol_front=sol[h],
+            ir_front=np.full(6, 330.0), hvac_power=hvac[h],
+        )
+        st = tm.march_imp(st, inp, substeps=6)
+        expected.append(np.asarray(st.zone_T))
+
+    np.testing.assert_allclose(np.asarray(zone_hist), np.stack(expected), atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(final.zone_T), expected[-1], atol=1e-10
+    )
+    mask = np.asarray(tm.building.surfaces.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(final.node_T) * mask, np.asarray(st.node_T) * mask, atol=1e-10
+    )
+
+    # indivisible sequence -> clear error
+    bad = tm.inputs(t_out=np.zeros(6))
+    try:
+        fr8.run(tm.initial_state(), bad)
+    except ValueError as e:
+        assert "divisible" in str(e)
+    else:
+        raise AssertionError("expected divisibility error")
