@@ -113,3 +113,25 @@ def test_sharded_run_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(out_state.zone_T), np.asarray(ref_state.zone_T), atol=1e-12
     )
+
+
+def test_fast_mode_partition_coupling():
+    """TR-BDF2 fast mode on a partitioned two-zone building: heat must flow
+    hot -> partition -> cold exactly like the parity path (tolerance covers
+    the per-step coefficient freeze)."""
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(two_zone_model(), n=1, config=cfg)
+    inputs = tm.inputs(
+        t_out=np.float64(0.0),
+        wind_speed=np.float64(3.0),
+        hvac_power=np.array([800.0]),
+    )
+    stp = tm.initial_state()
+    stf = tm.initial_state()
+    for _ in range(48):
+        stp = tm.march(stp, inputs)
+        stf = tm.march_imp(stf, inputs, substeps=8)
+    zp = np.asarray(stp.zone_T)
+    zf = np.asarray(stf.zone_T)
+    assert zf[0] > zf[1] > 0.0  # heated zone warmer, cold zone above outdoor
+    np.testing.assert_allclose(zf, zp, atol=0.3)

@@ -101,3 +101,26 @@ def test_trombe_kernel_matches_xla():
     np.testing.assert_allclose(
         np.asarray(fast.node_T) * mask, np.asarray(ref.node_T) * mask, atol=5e-7
     )
+
+
+def test_trombe_fast_mode_tracks_parity():
+    """TR-BDF2 fast mode on the trombe wall: the gas-cavity U freezes per
+    main step (vs per sub-step on the parity path) — the marched state must
+    stay physical and track parity closely."""
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(trombe_model(), n=4, config=cfg)
+    inputs = tm.inputs(
+        t_out=np.float64(5.0),
+        wind_speed=np.float64(2.0),
+        sol_front=np.full(tm.building.n_surfaces, 400.0),
+    )
+    stp = tm.initial_state()
+    stf = tm.initial_state()
+    for _ in range(8 * 4):  # 8 hours of 15-minute main steps
+        stp = tm.march(stp, inputs)
+        stf = tm.march_imp(stf, inputs, substeps=4)
+    zp, zf = float(stp.zone_T[0]), float(stf.zone_T[0])
+    assert np.all(np.isfinite(np.asarray(stf.node_T)))
+    assert abs(zp - zf) < 0.3, (zp, zf)
+    # solar is collecting in both
+    assert zf > 22.0 and zp > 22.0
