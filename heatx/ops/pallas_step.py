@@ -342,7 +342,10 @@ def _hour_body_imp(
     heatx.engine.implicit): coefficients freeze once per hour, each sub-step
     is one tridiagonal mat-vec + two Thomas solves + the analytical zone
     update.  ~10x fewer sub-steps than the parity body at the same in-VMEM
-    cost structure."""
+    cost structure.
+
+    ``solver`` is accepted for call-site compatibility with the parity body;
+    the stage solves use the per-hour pre-factored division-free sweeps."""
     from heatx.engine import implicit as imp_mod
     from heatx.engine.exponential import _full_system_K, _substep_forcing
     from heatx.ops import tridiag
