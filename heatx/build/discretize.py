@@ -138,7 +138,6 @@ def discretize_construction(
     """
     # Native fast path
     props = []
-    all_resolved = True
     for mat_name in construction.materials:
         material = model.get_material(mat_name)
         substance = model.get_substance(material.substance)
@@ -147,7 +146,7 @@ def discretize_construction(
         else:
             k, rho, cp = _normal_props(substance)
             props.append((k, rho, cp, material.thickness, 0))
-    if all_resolved and props:
+    if props:
         from heatx import native
         import numpy as np
 

@@ -175,10 +175,14 @@ def cavity_convection(gas: GasProps, height, thickness, gamma, t_front_c, t_back
     heated from the front (t_front > t_back), like the reference.
     """
     gamma = jnp.where(t_front_c > t_back_c, PI - gamma, gamma)
-    a_gi = height / thickness
+    # Padded layouts carry zero-thickness cavity lanes whose h is masked out
+    # downstream; guard the divides so they don't emit inf (and the
+    # RuntimeWarning noise that comes with it on the CPU eager path).
+    safe_thickness = jnp.where(thickness > 0.0, thickness, 1.0)
+    a_gi = height / safe_thickness
     ra = rayleigh(gas, t_front_c, t_back_c, thickness)
     nu = nusselt(ra, gamma, a_gi)
     temp = (t_front_c + t_back_c) / 2.0 + KELVIN
     lam = thermal_conductivity(gas, temp)
     # Eq. 39 of ISO15099/2003
-    return nu * lam / thickness
+    return nu * lam / safe_thickness
