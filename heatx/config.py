@@ -51,6 +51,13 @@ class SimConfig:
     # XLA-preferred ones.  Not a user knob.
     kernel_mode: bool = False
 
+    # Flush RK4 stage values below ~1e-25 to zero: near equilibrium the stage
+    # values decay into the subnormal range, where the XLA substep path's
+    # fused vector loops drop onto a ~20x slow path.  The Pallas kernel path
+    # disables this (TPU hardware flushes subnormals in-kernel; the selects
+    # are pure overhead there).
+    flush_tiny: bool = True
+
     # Reproduce the reference's back-side AmbientTemperature boundary reusing
     # *front* surface values (surface.rs:672-686) — an apparent upstream bug,
     # kept by default for fixture parity. Set False for the physically

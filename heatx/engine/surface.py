@@ -451,6 +451,14 @@ def march_nomass(
         new_count = count + new_active_f
         return T_new, new_old_err, new_count, new_active_f, it + 1
 
+    if config.nomass_fixed_iters == 1:
+        # One relaxed iteration is the whole loop: the convergence machinery
+        # (error accumulators, escalating tolerance, increase-break) cannot
+        # influence a single update — old_err starts at +big so the update is
+        # always applied to every active chunk, i.e. every valid no-mass node.
+        T_sol = one_iteration(T0)
+        return jnp.where(sel, 0.5 * (T0 + T_sol), T0)
+
     active0 = jnp.where(chunk_n > 0, 1.0, 0.0).astype(T0.dtype)
     carry0 = (
         T0,
@@ -491,6 +499,7 @@ def march_massive(
     dt,
     statics: SurfaceStatics = None,
     K=None,
+    flush_tiny: bool = True,
 ):
     """RK4 march of all massive chunks (surface.rs:720-787 march_mass,
     rearrange_k at :168-187, rk4 at :228-308).
@@ -518,27 +527,29 @@ def march_massive(
     upper = upper * scale
     q = q * scale
 
-    T_new = rk4_apply(lower, diag, upper, q, T)
+    T_new = rk4_apply(lower, diag, upper, q, T, flush_tiny=flush_tiny)
     return jnp.where(sel, T_new, T)
 
 
 def _ftz(x, threshold=1e-25):
     """Flush tiny magnitudes to zero.  As a wall approaches equilibrium the
-    RK4 stage values decay into the subnormal range, where this TPU runtime's
-    vector unit drops onto a ~20x slow path; flushing below `threshold`
-    (still ~13 orders below any meaningful temperature increment) keeps the
-    fusions on the fast path with no effect on results."""
+    RK4 stage values decay into the subnormal range, where the XLA substep
+    path's fused vector loops drop onto a ~20x slow path; flushing below
+    `threshold` (still ~13 orders below any meaningful temperature increment)
+    keeps the fusions on the fast path with no effect on results.  Inside the
+    Pallas kernel the hardware flushes subnormals, so callers skip this."""
     return jnp.where(jnp.abs(x) < threshold, 0.0, x)
 
 
-def rk4_apply(lower, diag, upper, q, T):
+def rk4_apply(lower, diag, upper, q, T, flush_tiny: bool = True):
     """Classic RK4 update for dT = K'T + q' with K', q' pre-scaled by dt/C
     (surface.rs:228-308 rk4; the rearrange_k scaling is the caller's job)."""
     mv = partial(tridiag.matvec, lower, diag, upper)
-    k1 = _ftz(mv(T) + q)
-    k2 = _ftz(mv(T + 0.5 * k1) + q)
-    k3 = _ftz(mv(T + 0.5 * k2) + q)
-    k4 = _ftz(mv(T + k3) + q)
+    ftz = _ftz if flush_tiny else (lambda x: x)
+    k1 = ftz(mv(T) + q)
+    k2 = ftz(mv(T + 0.5 * k1) + q)
+    k3 = ftz(mv(T + 0.5 * k2) + q)
+    k4 = ftz(mv(T + k3) + q)
     return T + k1 / 6.0 + k2 / 3.0 + k3 / 3.0 + k4 / 6.0
 
 
@@ -597,6 +608,6 @@ def march_surfaces(
     if has_massive:
         T = march_massive(
             sb, T, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, dt,
-            statics=statics, K=K,
+            statics=statics, K=K, flush_tiny=config.flush_tiny,
         )
     return T

@@ -225,8 +225,9 @@ def _hour_body(
     membership via one-hot matmuls.
     """
     # Loop-form solvers: an unrolled Thomas chain inflates Mosaic compile
-    # time past the compile service's limits.
-    cfg = bb.config.replace(kernel_mode=True)
+    # time past the compile service's limits.  flush_tiny off: the TPU
+    # flushes subnormals in hardware inside the kernel.
+    cfg = bb.config.replace(kernel_mode=True, flush_tiny=False)
     f32 = T0.dtype
 
     # Hoist the loop-invariant network masks out of the sub-step loop
@@ -572,13 +573,16 @@ def make_hour_march(
          zt_hist_ref) = refs[i : i + 7]
         l_s, d_s, u_s, bx_s, c_s = refs[i + 7 : i + 12]
         import os as _os
+        from heatx.ops import tridiag as _td
+        _solver_kind = _os.environ.get("HEATX_KERNEL_SOLVER", "thomas")
         if _os.environ.get("HEATX_KERNEL_LOOP", "0") == "1":
             # Scratch-ref Thomas: loop-form fallback (small Mosaic MLIR) in
             # case a bigger kernel ever overwhelms the Mosaic compiler.
             solver = _make_ref_thomas(l_s, d_s, u_s, bx_s, c_s, N)
+        elif _solver_kind == "pcr":
+            solver = _td.solve_pcr  # parallel cyclic reduction: no row chain
         else:
-            from heatx.ops import tridiag as _td
-            solver = _td.solve  # fully unrolled: fastest, compiles fine
+            solver = _td.solve  # fully unrolled Thomas
 
         if sbb.has_cavity:
             gp = gas.GasProps(
