@@ -130,6 +130,7 @@ class ThermalModel:
         mode: str = "parity",
         substeps: int = None,
         hours: int = 1,
+        interpret: bool = None,
     ) -> "FastRunner":
         """The fused Pallas hour-kernel path.
 
@@ -140,7 +141,8 @@ class ThermalModel:
         ``substeps`` sub-steps instead of the stability-dictated ~120 —
         another ~8x on a TPU; see heatx.engine.implicit)."""
         return FastRunner(
-            self, block_size=block_size, mode=mode, substeps=substeps, hours=hours
+            self, block_size=block_size, mode=mode, substeps=substeps,
+            hours=hours, interpret=interpret,
         )
 
 
@@ -244,7 +246,8 @@ class FastRunner:
             return j.broadcast_to(a, (sub,)) if a.ndim == 0 else a
 
         def blocked_s(v):
-            return j.asarray(lay.surfaces_to_blocked(np.asarray(v)), dt)
+            a = np.broadcast_to(np.asarray(v), (b.n_surfaces,))
+            return j.asarray(lay.surfaces_to_blocked(a), dt)
 
         # Per-zone A/B gain terms (hvac + luminaire + infiltration/ventilation)
         from heatx.constants import KELVIN

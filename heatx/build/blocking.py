@@ -75,6 +75,13 @@ class BlockedLayout:
     surf_valid: np.ndarray  # [n_blocks*SB] bool
     zone_valid: np.ndarray  # [n_blocks, ZB] bool
 
+    # Node-height split (see build_blocks): surfaces with n_nodes <= split[0]
+    # occupy lanes [0, split[1]) of every block, taller ones lanes
+    # [split[1], SB).  The Pallas kernel then marches the short lanes as a
+    # [split[0], ...] sub-batch — most buildings are dominated by few-node
+    # surfaces, so this cuts the padded node work ~3x.  None = no split.
+    split: tuple = None
+
     @property
     def padded_surfaces(self) -> int:
         return self.n_blocks * self.block_size
@@ -115,14 +122,58 @@ class BlockedLayout:
         return out
 
 
+def _r8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _pack_components(comps, cap_s: int, cap_t: int, zones_cap):
+    """Greedy first-fit decreasing packing of components under per-part lane
+    capacities; each component is (shorts, talls, zones).  Returns the block
+    list or None if some component cannot fit at all."""
+    for shorts, talls, zs in comps:
+        if len(shorts) > cap_s or len(talls) > cap_t:
+            return None
+    order = sorted(comps, key=lambda c: len(c[0]) + len(c[1]), reverse=True)
+    blocks: List[List] = []  # each: [shorts, talls, zones]
+    for shorts, talls, zs in order:
+        placed = False
+        for blk in blocks:
+            if (
+                len(blk[0]) + len(shorts) <= cap_s
+                and len(blk[1]) + len(talls) <= cap_t
+                and (zones_cap is None or len(blk[2]) + len(zs) <= zones_cap)
+            ):
+                blk[0].extend(shorts)
+                blk[1].extend(talls)
+                blk[2].extend(zs)
+                placed = True
+                break
+        if not placed:
+            blocks.append([list(shorts), list(talls), list(zs)])
+    return blocks
+
+
 def build_blocks(
-    building: CompiledBuilding, block_size: int = 1024, zones_per_block: int = None
+    building: CompiledBuilding,
+    block_size: int = 1024,
+    zones_per_block: int = None,
+    node_split="auto",
+    lane_quantum: int = 128,
 ) -> BlockedLayout:
     """Pack zone-components into surface blocks of ``block_size``.
 
     Greedy first-fit by descending component size.  Raises if a single
     component exceeds the block size (use a bigger block or the unblocked
     XLA path).
+
+    ``node_split`` controls the node-height split (see BlockedLayout.split):
+
+    * ``"auto"`` — pick the node-count cut and short-lane width that minimize
+      total padded node work, if that beats the unsplit layout by >10%.
+      Candidate lane widths are multiples of ``lane_quantum`` (128 = the
+      Mosaic lane-tiling requirement for blocked operands).
+    * ``None`` — never split.
+    * ``(cut, short_width)`` — force this split (tests).
     """
     S = building.n_surfaces
     Z = building.n_zones
@@ -131,6 +182,8 @@ def build_blocks(
     backs = np.asarray(sb.back_code)
     fspace = np.asarray(sb.front_space)
     bspace = np.asarray(sb.back_space)
+    n_nodes = np.asarray(sb.n_nodes)
+    N = sb.max_nodes
 
     comp_of_zone = _union_find_components(building)
 
@@ -152,38 +205,63 @@ def build_blocks(
         comp_zones.setdefault(int(comp_of_zone[z]), []).append(z)
 
     # Components as (surfaces, zones); solo surfaces are zero-zone components.
-    comps = []
+    raw_comps = []
     for c, zs in comp_zones.items():
-        comps.append((comp_surfaces.get(c, []), zs))
+        raw_comps.append((comp_surfaces.get(c, []), zs))
     # zones with no surfaces still occupy a slot so their temperature is carried
     for s in solo:
-        comps.append(([s], []))
+        raw_comps.append(([s], []))
 
-    for surfs, zs in comps:
+    for surfs, zs in raw_comps:
         if len(surfs) > block_size:
             raise ValueError(
                 f"a zone-connected component has {len(surfs)} surfaces "
                 f"> block_size {block_size}; increase the block size"
             )
 
-    # Greedy first-fit decreasing packing.
-    comps.sort(key=lambda c: len(c[0]), reverse=True)
-    blocks: List[List] = []  # each: [surfs, zones]
-    for surfs, zs in comps:
-        placed = False
-        for blk in blocks:
-            if len(blk[0]) + len(surfs) <= block_size and (
-                zones_per_block is None or len(blk[1]) + len(zs) <= zones_per_block
-            ):
-                blk[0].extend(surfs)
-                blk[1].extend(zs)
-                placed = True
-                break
-        if not placed:
-            blocks.append([list(surfs), list(zs)])
+    def comps_for_cut(cut):
+        out = []
+        for surfs, zs in raw_comps:
+            shorts = [s for s in surfs if n_nodes[s] <= cut]
+            talls = [s for s in surfs if n_nodes[s] > cut]
+            out.append((shorts, talls, zs))
+        return out
+
+    # ---- choose the split -------------------------------------------------
+    # Unsplit baseline: every lane pays r8(N) node rows.
+    base_blocks = _pack_components(comps_for_cut(N), block_size, 0, zones_per_block)
+    base_work = len(base_blocks) * _r8(N) * block_size
+    split = None
+    blocks = base_blocks
+
+    if node_split is not None and N > 8 and S > 0:
+        if node_split == "auto":
+            cut_cands = list(range(8, _r8(N), 8))
+            sw_cands = [
+                q for q in range(lane_quantum, block_size, lane_quantum)
+            ]
+        else:
+            cut_cands = [int(node_split[0])]
+            sw_cands = [int(node_split[1])]
+        best = (base_work, None, base_blocks)
+        for cut in cut_cands:
+            if not np.any(n_nodes <= cut) or not np.any(n_nodes > cut):
+                continue
+            comps = comps_for_cut(cut)
+            for sw in sw_cands:
+                packed = _pack_components(
+                    comps, sw, block_size - sw, zones_per_block
+                )
+                if packed is None:
+                    continue
+                work = len(packed) * (_r8(cut) * sw + _r8(N) * (block_size - sw))
+                if work < best[0]:
+                    best = (work, (cut, sw), packed)
+        if node_split != "auto" or best[0] < 0.9 * base_work:
+            _, split, blocks = best
 
     n_blocks = len(blocks)
-    zb = max((len(b[1]) for b in blocks), default=1)
+    zb = max((len(b[2]) for b in blocks), default=1)
     zb = max(zb, 1)
     if zones_per_block is not None:
         zb = zones_per_block
@@ -192,8 +270,12 @@ def build_blocks(
 
     surf_perm = np.full(n_blocks * block_size, -1, dtype=np.int64)
     zone_table = np.full((n_blocks, zb), -1, dtype=np.int64)
-    for bi, (surfs, zs) in enumerate(blocks):
-        surf_perm[bi * block_size : bi * block_size + len(surfs)] = surfs
+    tall_lo = split[1] if split is not None else 0
+    for bi, (shorts, talls, zs) in enumerate(blocks):
+        surf_perm[bi * block_size : bi * block_size + len(shorts)] = shorts
+        surf_perm[
+            bi * block_size + tall_lo : bi * block_size + tall_lo + len(talls)
+        ] = talls
         zone_table[bi, : len(zs)] = zs
 
     # Local zone index of each face -> one-hot matrices.
@@ -232,4 +314,5 @@ def build_blocks(
         back_oh=back_oh,
         surf_valid=surf_perm >= 0,
         zone_valid=zone_table >= 0,
+        split=split,
     )

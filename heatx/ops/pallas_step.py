@@ -2,8 +2,8 @@
 
 The XLA substep path re-reads the compiled building and the state from HBM on
 every stability sub-step (~120 per hour for insulated constructions), which
-caps throughput at memory bandwidth.  This kernel marches ONE HOUR of
-sub-steps per invocation with everything resident in VMEM:
+caps throughput at memory bandwidth.  This kernel marches ONE HOUR (or a day,
+``hours=24``) of sub-steps per invocation with everything resident in VMEM:
 
 * the surface batch is partitioned into zone-closed blocks
   (heatx.build.blocking) — one Pallas grid cell per block;
@@ -12,7 +12,13 @@ sub-steps per invocation with everything resident in VMEM:
 * zone coupling (the only cross-surface dependency) happens in-kernel through
   small one-hot matmuls on the MXU: ``t_zone = oh @ zT`` to read boundary
   temperatures and ``a_z = (hA T) @ oh`` for the energy-balance reduction;
-* per-sub-step weather rides in SMEM; per-hour gains/irradiance in VMEM.
+* per-sub-step weather rides in SMEM; per-hour gains/irradiance in VMEM;
+* within each block, surfaces are *node-height split* (blocking.py): lanes
+  holding few-node surfaces (windows, single-layer walls — usually the vast
+  majority) are marched as a short ``[cut, W]`` sub-batch while only the tall
+  lanes pay the full ``[N, W]`` node rows.  The kernel is VPU-throughput
+  bound, so this cuts wall-clock nearly in proportion to the padded-row
+  savings (~3x on typical building stock).
 
 The kernel body *reuses the engine's physics* (march_surfaces and friends are
 pure jnp on node-major arrays, deliberately kept <= 2-D and free of
@@ -25,6 +31,7 @@ arithmetic as the XLA path.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
+from types import SimpleNamespace
 
 import jax
 import jax.numpy as jnp
@@ -74,9 +81,15 @@ class BlockedBuilding:
         return self.surfaces.max_nodes
 
 
-def block_building(building: CompiledBuilding, block_size: int = 1024) -> BlockedBuilding:
-    """Permute + pad a compiled building into zone-closed blocks."""
-    layout = build_blocks(building, block_size=block_size)
+def block_building(
+    building: CompiledBuilding, block_size: int = 1024, node_split="auto"
+) -> BlockedBuilding:
+    """Permute + pad a compiled building into zone-closed blocks.
+
+    ``node_split`` (see heatx.build.blocking.build_blocks): "auto" places
+    few-node surfaces in dedicated lanes of each block so the kernel can
+    march them as a short sub-batch — typically ~3x less padded node work."""
+    layout = build_blocks(building, block_size=block_size, node_split=node_split)
     sb = building.surfaces
 
     def perm_nodes(a, fill=0.0):
@@ -197,256 +210,259 @@ def _expm1_neg(x):
     return jnp.where(small, series, jnp.exp(-jnp.where(small, 1.0, x)) - 1.0)
 
 
+def _boundary_temps(sb_vals, p, zT, t_out, f32):
+    """Boundary air temperatures of one sub-batch.
+
+    Zone reads are vector-matrix gathers ``zT_row @ ohT`` — the transposed
+    form matters: Mosaic lowers M=1 matmuls efficiently, while the
+    matrix-vector form ``oh @ zT_col`` (result width 1) measured ~10x slower
+    and dominated the whole kernel.  Faces that bound no zone anywhere in the
+    sub-batch (static: their one-hot is all zero) skip the gather entirely.
+    """
+    if p.front_any:
+        t_zone_f = jnp.dot(zT[None, :], p.front_ohT, preferred_element_type=f32)[0]
+    else:
+        t_zone_f = jnp.zeros_like(sb_vals.front_temp)
+    if p.back_any:
+        t_zone_b = jnp.dot(zT[None, :], p.back_ohT, preferred_element_type=f32)[0]
+    else:
+        t_zone_b = jnp.zeros_like(sb_vals.back_temp)
+    t_front = jnp.where(
+        sb_vals.front_code == B_OUTDOOR,
+        t_out,
+        jnp.where(sb_vals.front_code == B_SPACE, t_zone_f, sb_vals.front_temp),
+    )
+    t_back = jnp.where(
+        sb_vals.back_code == B_OUTDOOR,
+        t_out,
+        jnp.where(sb_vals.back_code == B_SPACE, t_zone_b, sb_vals.back_temp),
+    )
+    return t_front, t_back
+
+
+def _zone_update(zT, a_z, b_z, zone_volume, dt):
+    """Analytical zone temperature update (model.rs:650-674), [ZB] in/out."""
+    t_k = zT + KELVIN
+    c_z = zone_volume * gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
+    safe_b = jnp.where(jnp.abs(b_z) > 1e-9, b_z, 1.0)
+    ratio = a_z / safe_b
+    zT_new = zT - (ratio - zT) * _expm1_neg(safe_b * dt / c_z)
+    return jnp.where(jnp.abs(b_z) > 1e-9, zT_new, zT)
+
+
+def _zone_dots(a_extra, b_extra, parts_env, f32):
+    """Per-zone A/B accumulation over all sub-batches: segment-sum of
+    h*A*T_face / h*A via one-hot matmuls (model.rs:489-597).  All-zero
+    one-hots (faces that never bound a zone) are skipped statically."""
+    a_z = a_extra
+    b_z = b_extra
+    for (p, hf, hb, ts_f, ts_b) in parts_env:
+        if p.front_any:
+            ha_f = hf * p.sb.area
+            a_z = a_z + jnp.dot(
+                (ha_f * ts_f)[None, :], p.front_oh, preferred_element_type=f32
+            )[0]
+            b_z = b_z + jnp.dot(ha_f[None, :], p.front_oh, preferred_element_type=f32)[0]
+        if p.back_any:
+            ha_b = hb * p.sb.area
+            a_z = a_z + jnp.dot(
+                (ha_b * ts_b)[None, :], p.back_oh, preferred_element_type=f32
+            )[0]
+            b_z = b_z + jnp.dot(ha_b[None, :], p.back_oh, preferred_element_type=f32)[0]
+    return a_z, b_z
+
+
 def _hour_body(
-    bb: BlockedBuilding,
-    sb_vals: SurfaceBatch,
-    front_oh,  # [SB, ZB]
-    back_oh,
-    zone_volume,  # [ZB, 1]
+    cfg: SimConfig,
+    parts,  # list of SimpleNamespace(sb, front_oh[T], back_oh[T], sol/ir, *_any)
+    zone_volume,  # [ZB]
     a_extra,  # [ZB] per-hour zone gains (hvac+lum+infiltration A-terms)
     b_extra,  # [ZB]
-    sol_front,
-    sol_back,
-    ir_front,
-    ir_back,
     t_out_arr,  # [>= off+substeps] (SMEM refs read by the caller closure)
     wind_arr,
     wdir_arr,
-    T0,
-    zT0,  # [ZB, 1]
+    T0s,  # tuple of [rows_p, W_p]
+    zT0,  # [ZB]
     substeps: int,
     dt: float,
     solver=None,
     off=0,  # weather offset (multi-hour kernels pass hour*substeps)
 ):
-    """One hour of sub-steps for one block; pure jnp (runs inside the kernel).
+    """One hour of reference-parity sub-steps for one block; pure jnp.
 
-    Mirrors engine.step.substep + engine.zone per sub-step, with zone
-    membership via one-hot matmuls.
+    Mirrors engine.step.substep + engine.zone per sub-step, marching every
+    node-height sub-batch and accumulating their zone couplings together.
     """
-    # Loop-form solvers: an unrolled Thomas chain inflates Mosaic compile
-    # time past the compile service's limits.  flush_tiny off: the TPU
-    # flushes subnormals in hardware inside the kernel.
-    cfg = bb.config.replace(kernel_mode=True, flush_tiny=False)
-    f32 = T0.dtype
-
+    f32 = T0s[0].dtype
     # Hoist the loop-invariant network masks out of the sub-step loop
     # (Mosaic does not hoist out of fori_loop the way XLA hoists out of scan).
-    statics = surf_mod.compute_statics(sb_vals)
+    statics = [surf_mod.compute_statics(p.sb) for p in parts]
 
     def substep(carry, t_out, wind_speed, wind_direction):
-        T, zT = carry
-        # boundary temperatures: zone reads via oh @ zT
-        t_zone_f = jnp.dot(front_oh, zT, preferred_element_type=f32)[:, 0]
-        t_zone_b = jnp.dot(back_oh, zT, preferred_element_type=f32)[:, 0]
-        t_front = jnp.where(
-            sb_vals.front_code == B_OUTDOOR,
-            t_out,
-            jnp.where(sb_vals.front_code == B_SPACE, t_zone_f, sb_vals.front_temp),
-        )
-        t_back = jnp.where(
-            sb_vals.back_code == B_OUTDOOR,
-            t_out,
-            jnp.where(sb_vals.back_code == B_SPACE, t_zone_b, sb_vals.back_temp),
-        )
+        Ts, zT = carry
+        new_Ts = []
+        hqs = []
+        envs = []
+        for p, st, T in zip(parts, statics, Ts):
+            t_front, t_back = _boundary_temps(p.sb, p, zT, t_out, f32)
+            T_new = surf_mod.march_surfaces(
+                p.sb, T, t_front, t_back, wind_direction, wind_speed,
+                p.sol_front, p.sol_back, p.ir_front, p.ir_back, dt, cfg,
+                has_massive=p.sb.has_massive, solver=solver, statics=st,
+            )
+            env_f, env_b = surf_mod.border_conditions(
+                p.sb, T_new, t_front, t_back, wind_direction, wind_speed,
+                p.ir_front, p.ir_back, cfg, statics=st,
+            )
+            ts_front = T_new[0]
+            ts_back = surf_mod._last_node(p.sb, T_new, st)
+            q_front = (ts_front - t_front) * env_f.h
+            q_back = (ts_back - t_back) * env_b.h
+            new_Ts.append(T_new)
+            hqs.append((env_f.h, env_b.h, q_front, q_back))
+            envs.append((p, env_f.h, env_b.h, ts_front, ts_back))
 
-        T_new = surf_mod.march_surfaces(
-            sb_vals,
-            T,
-            t_front,
-            t_back,
-            wind_direction,
-            wind_speed,
-            sol_front,
-            sol_back,
-            ir_front,
-            ir_back,
-            dt,
-            cfg,
-            has_massive=sb_vals.has_massive,
-            solver=solver,
-            statics=statics,
-        )
-
-        env_f, env_b = surf_mod.border_conditions(
-            sb_vals, T_new, t_front, t_back, wind_direction, wind_speed,
-            ir_front, ir_back, cfg, statics=statics,
-        )
-        ts_front = T_new[0]
-        ts_back = surf_mod._last_node(sb_vals, T_new, statics)
-        q_front = (ts_front - t_front) * env_f.h
-        q_back = (ts_back - t_back) * env_b.h
-
-        # zone ABC via one-hot matmuls (model.rs:489-597)
-        ha_f = env_f.h * sb_vals.area
-        ha_b = env_b.h * sb_vals.area
-        a_z = (
-            a_extra
-            + jnp.dot((ha_f * ts_front)[None, :], front_oh, preferred_element_type=f32)[0]
-            + jnp.dot((ha_b * ts_back)[None, :], back_oh, preferred_element_type=f32)[0]
-        )
-        b_z = (
-            b_extra
-            + jnp.dot(ha_f[None, :], front_oh, preferred_element_type=f32)[0]
-            + jnp.dot(ha_b[None, :], back_oh, preferred_element_type=f32)[0]
-        )
-        zT_flat = zT[:, 0]
-        t_k = zT_flat + KELVIN
-        c_z = zone_volume[:, 0] * gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
-        safe_b = jnp.where(jnp.abs(b_z) > 1e-9, b_z, 1.0)
-        ratio = a_z / safe_b
-        zT_new = zT_flat - (ratio - zT_flat) * _expm1_neg(safe_b * dt / c_z)
-        zT_new = jnp.where(jnp.abs(b_z) > 1e-9, zT_new, zT_flat)
-        return (T_new, zT_new[:, None]), (env_f.h, env_b.h, q_front, q_back)
+        a_z, b_z = _zone_dots(a_extra, b_extra, envs, f32)
+        zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt)
+        return (tuple(new_Ts), zT_new), tuple(hqs)
 
     def loop_body(i, carry):
-        (T, zT), _ = carry
+        (Ts, zT), _ = carry
         t_out = t_out_arr[off + i]
         ws = wind_arr[off + i]
         wd = wdir_arr[off + i]
-        return substep((T, zT), t_out, ws, wd)
+        return substep((Ts, zT), t_out, ws, wd)
 
-    # run substeps; keep last h/q for observability
-    hq0 = (
-        jnp.zeros_like(sol_front),
-        jnp.zeros_like(sol_front),
-        jnp.zeros_like(sol_front),
-        jnp.zeros_like(sol_front),
+    hq0 = tuple(
+        tuple(jnp.zeros_like(p.sol_front) for _ in range(4)) for p in parts
     )
-    (T, zT), hq = jax.lax.fori_loop(0, substeps, loop_body, ((T0, zT0), hq0))
-    return T, zT, hq
+    (Ts, zT), hqs = jax.lax.fori_loop(0, substeps, loop_body, ((T0s, zT0), hq0))
+    return Ts, zT, hqs
 
 
 def _hour_body_imp(
-    bb: BlockedBuilding,
-    sb_vals: SurfaceBatch,
-    front_oh,  # [SB, ZB]
-    back_oh,
-    zone_volume,  # [ZB, 1]
-    a_extra,  # [ZB] per-hour zone gains (hvac+lum+infiltration A-terms)
-    b_extra,  # [ZB]
-    sol_front,
-    sol_back,
-    ir_front,
-    ir_back,
-    t_out_arr,  # [>= off+substeps] SMEM
+    cfg: SimConfig,
+    parts,
+    zone_volume,
+    a_extra,
+    b_extra,
+    t_out_arr,
     wind_arr,
     wdir_arr,
-    T0,
-    zT0,  # [ZB, 1]
+    T0s,
+    zT0,
     substeps: int,
     dt_sub: float,
-    solver=None,
-    off=0,  # weather offset (multi-hour kernels pass hour*substeps)
+    solver=None,  # accepted for call-site compatibility; stages pre-factor
+    off=0,
 ):
     """One hour of TR-BDF2 fast-mode sub-steps for one block (see
     heatx.engine.implicit): coefficients freeze once per hour, each sub-step
     is one tridiagonal mat-vec + two Thomas solves + the analytical zone
     update.  ~10x fewer sub-steps than the parity body at the same in-VMEM
-    cost structure.
-
-    ``solver`` is accepted for call-site compatibility with the parity body;
-    the stage solves use the per-hour pre-factored division-free sweeps."""
+    cost structure."""
     from heatx.engine import implicit as imp_mod
     from heatx.engine.exponential import _full_system_K, _substep_forcing
     from heatx.ops import tridiag
 
-    cfg = bb.config.replace(kernel_mode=True)
-    f32 = T0.dtype
-    statics = surf_mod.compute_statics(sb_vals)
-
-    def boundary_temps(zT, t_out):
-        t_zone_f = jnp.dot(front_oh, zT, preferred_element_type=f32)[:, 0]
-        t_zone_b = jnp.dot(back_oh, zT, preferred_element_type=f32)[:, 0]
-        t_front = jnp.where(
-            sb_vals.front_code == B_OUTDOOR,
-            t_out,
-            jnp.where(sb_vals.front_code == B_SPACE, t_zone_f, sb_vals.front_temp),
-        )
-        t_back = jnp.where(
-            sb_vals.back_code == B_OUTDOOR,
-            t_out,
-            jnp.where(sb_vals.back_code == B_SPACE, t_zone_b, sb_vals.back_temp),
-        )
-        return t_front, t_back
+    f32 = T0s[0].dtype
+    statics = [surf_mod.compute_statics(p.sb) for p in parts]
 
     # -- per-hour frozen operators (implicit.build_operators, in-kernel) -----
     t_out0, ws0, wd0 = t_out_arr[off], wind_arr[off], wdir_arr[off]
-    t_front0, t_back0 = boundary_temps(zT0, t_out0)
-    env_f0, env_b0 = surf_mod.border_conditions(
-        sb_vals, T0, t_front0, t_back0, wd0, ws0, ir_front, ir_back, cfg,
-        statics=statics,
-    )
-    rad_hs_f = surf_mod.linearized_rad_coefficient(sb_vals.eps_front, env_f0)
-    rad_hs_b = surf_mod.linearized_rad_coefficient(sb_vals.eps_back, env_b0)
-    U = surf_mod.segment_u(sb_vals, T0, env_b0.air)
-    K = _full_system_K(sb_vals, U, env_f0, env_b0, rad_hs_f, rad_hs_b, statics)
-    C = jnp.where(sb_vals.massive, sb_vals.mass, jnp.zeros_like(sb_vals.mass))
-    M1 = imp_mod._stage_matrix(sb_vals, K, C, imp_mod.GAMMA * dt_sub / 2.0)
-    M2 = imp_mod._stage_matrix(sb_vals, K, C, imp_mod.BETA * dt_sub)
-    # The stage matrices are frozen for the hour: pre-factor them so each
-    # sub-step's two Thomas solves are division-free fused sweeps (Mosaic
-    # does not hoist the pivot chain out of the fori_loop).
-    cs1, inv1 = tridiag.factor(*M1)
-    cs2, inv2 = tridiag.factor(*M2)
-
-    sol_f = jnp.where(jnp.isnan(sol_front) | (sol_front < 0.0), 0.0, sol_front)
-    sol_b = jnp.where(jnp.isnan(sol_back), 0.0, sol_back)
-    solar_q = sb_vals.front_alphas * sol_f + sb_vals.back_alphas * sol_b
-
-    lower, diag, upper = K
-    hf, hb = env_f0.h, env_b0.h
+    frozen = []
+    for p, st, T0 in zip(parts, statics, T0s):
+        t_front0, t_back0 = _boundary_temps(p.sb, p, zT0, t_out0, f32)
+        env_f0, env_b0 = surf_mod.border_conditions(
+            p.sb, T0, t_front0, t_back0, wd0, ws0, p.ir_front, p.ir_back, cfg,
+            statics=st,
+        )
+        rad_hs_f = surf_mod.linearized_rad_coefficient(p.sb.eps_front, env_f0)
+        rad_hs_b = surf_mod.linearized_rad_coefficient(p.sb.eps_back, env_b0)
+        U = surf_mod.segment_u(p.sb, T0, env_b0.air)
+        K = _full_system_K(p.sb, U, env_f0, env_b0, rad_hs_f, rad_hs_b, st)
+        C = jnp.where(p.sb.massive, p.sb.mass, jnp.zeros_like(p.sb.mass))
+        M1 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.GAMMA * dt_sub / 2.0)
+        M2 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.BETA * dt_sub)
+        # The stage matrices are frozen for the hour: pre-factor them so each
+        # sub-step's two Thomas solves are division-free fused sweeps (Mosaic
+        # does not hoist the pivot chain out of the fori_loop).
+        cs1, inv1 = tridiag.factor(*M1)
+        cs2, inv2 = tridiag.factor(*M2)
+        sol_f = jnp.where(
+            jnp.isnan(p.sol_front) | (p.sol_front < 0.0), 0.0, p.sol_front
+        )
+        sol_b = jnp.where(jnp.isnan(p.sol_back), 0.0, p.sol_back)
+        solar_q = p.sb.front_alphas * sol_f + p.sb.back_alphas * sol_b
+        frozen.append(
+            SimpleNamespace(
+                env_f0=env_f0, env_b0=env_b0, rad_hs_f=rad_hs_f,
+                rad_hs_b=rad_hs_b, K=K, C=C, M1=M1, M2=M2,
+                cs1=cs1, inv1=inv1, cs2=cs2, inv2=inv2, solar_q=solar_q,
+            )
+        )
 
     def substep(carry, t_out):
-        T, zT = carry
-        t_front, t_back = boundary_temps(zT, t_out)
-        env_f = env_f0._replace(air=t_front)
-        env_b = env_b0._replace(air=t_back)
-        q = _substep_forcing(env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics)
+        Ts, zT = carry
+        new_Ts = []
+        hqs = []
+        envs = []
+        for p, st, fz, T in zip(parts, statics, frozen, Ts):
+            t_front, t_back = _boundary_temps(p.sb, p, zT, t_out, f32)
+            env_f = fz.env_f0._replace(air=t_front)
+            env_b = fz.env_b0._replace(air=t_back)
+            q = _substep_forcing(env_f, env_b, fz.rad_hs_f, fz.rad_hs_b, fz.solar_q, st)
 
-        KT0 = tridiag.matvec(lower, diag, upper, T)
-        half = imp_mod.GAMMA * dt_sub / 2.0
-        rhs1 = C * T + half * KT0 + imp_mod.GAMMA * dt_sub * q
-        rhs1 = jnp.where(sb_vals.node_mask, rhs1, T)
-        T1 = tridiag.solve_factored(M1[0], cs1, inv1, rhs1)
+            lower, diag, upper = fz.K
+            KT0 = tridiag.matvec(lower, diag, upper, T)
+            half = imp_mod.GAMMA * dt_sub / 2.0
+            rhs1 = fz.C * T + half * KT0 + imp_mod.GAMMA * dt_sub * q
+            rhs1 = jnp.where(p.sb.node_mask, rhs1, T)
+            T1 = tridiag.solve_factored(fz.M1[0], fz.cs1, fz.inv1, rhs1)
 
-        rhs2 = imp_mod.C1 * C * T1 - imp_mod.C2 * C * T + imp_mod.BETA * dt_sub * q
-        rhs2 = jnp.where(sb_vals.node_mask, rhs2, T)
-        T_new = tridiag.solve_factored(M2[0], cs2, inv2, rhs2)
+            rhs2 = imp_mod.C1 * fz.C * T1 - imp_mod.C2 * fz.C * T + imp_mod.BETA * dt_sub * q
+            rhs2 = jnp.where(p.sb.node_mask, rhs2, T)
+            T_new = tridiag.solve_factored(fz.M2[0], fz.cs2, fz.inv2, rhs2)
 
-        ts_front = T_new[0]
-        ts_back = surf_mod._last_node(sb_vals, T_new, statics)
-        q_front = (ts_front - t_front) * hf
-        q_back = (ts_back - t_back) * hb
+            ts_front = T_new[0]
+            ts_back = surf_mod._last_node(p.sb, T_new, st)
+            q_front = (ts_front - t_front) * fz.env_f0.h
+            q_back = (ts_back - t_back) * fz.env_b0.h
+            new_Ts.append(T_new)
+            hqs.append((fz.env_f0.h, fz.env_b0.h, q_front, q_back))
+            envs.append((p, fz.env_f0.h, fz.env_b0.h, ts_front, ts_back))
 
-        ha_f = hf * sb_vals.area
-        ha_b = hb * sb_vals.area
-        a_z = (
-            a_extra
-            + jnp.dot((ha_f * ts_front)[None, :], front_oh, preferred_element_type=f32)[0]
-            + jnp.dot((ha_b * ts_back)[None, :], back_oh, preferred_element_type=f32)[0]
-        )
-        b_z = (
-            b_extra
-            + jnp.dot(ha_f[None, :], front_oh, preferred_element_type=f32)[0]
-            + jnp.dot(ha_b[None, :], back_oh, preferred_element_type=f32)[0]
-        )
-        zT_flat = zT[:, 0]
-        t_k = zT_flat + KELVIN
-        c_z = zone_volume[:, 0] * gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
-        safe_b = jnp.where(jnp.abs(b_z) > 1e-9, b_z, 1.0)
-        ratio = a_z / safe_b
-        zT_new = zT_flat - (ratio - zT_flat) * _expm1_neg(safe_b * dt_sub / c_z)
-        zT_new = jnp.where(jnp.abs(b_z) > 1e-9, zT_new, zT_flat)
-        return (T_new, zT_new[:, None]), (q_front, q_back)
+        a_z, b_z = _zone_dots(a_extra, b_extra, envs, f32)
+        zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt_sub)
+        return (tuple(new_Ts), zT_new), tuple(hqs)
 
     def loop_body(i, carry):
-        (T, zT), _ = carry
-        return substep((T, zT), t_out_arr[off + i])
+        (Ts, zT), _ = carry
+        return substep((Ts, zT), t_out_arr[off + i])
 
-    hq0 = (jnp.zeros_like(sol_front), jnp.zeros_like(sol_front))
-    (T, zT), (qf, qb) = jax.lax.fori_loop(0, substeps, loop_body, ((T0, zT0), hq0))
-    return T, zT, (hf, hb, qf, qb)
+    hq0 = tuple(
+        tuple(jnp.zeros_like(p.sol_front) for _ in range(4)) for p in parts
+    )
+    (Ts, zT), hqs = jax.lax.fori_loop(0, substeps, loop_body, ((T0s, zT0), hq0))
+    return Ts, zT, hqs
+
+
+# Node-array field names passed per part (cavity fields appended when the
+# part has any gas cavity).
+_NODE_NAMES = [
+    "node_mask", "mass", "massive", "seg_u", "same_chunk", "nomass_chunk_id",
+    "front_alphas", "back_alphas",
+]
+_CAV_NAMES = [
+    "cav_k0", "cav_k1", "cav_mu0", "cav_mu1", "cav_cp0", "cav_cp1",
+    "cav_mass", "cav_thickness", "cav_height", "cav_angle", "cav_ein",
+    "cav_eout", "seg_is_cavity",
+]
+_SURF_NAMES = [
+    "area", "perimeter", "cos_tilt", "wind_mod", "eps_front", "eps_back",
+    "rf", "front_code", "front_temp", "back_code", "back_temp",
+    "fixed_h_front", "fixed_h_back", "normal_x", "normal_y",
+]
 
 
 def make_hour_march(
@@ -473,6 +489,11 @@ def make_hour_march(
     one pallas_call costs a fixed ~0.7 ms/block in launch + HBM streaming of
     the building arrays regardless of sub-step count, so amortizing it over a
     day (hours=24) is what makes the fast mode fast.
+
+    When the blocked layout carries a node-height split, the kernel marches
+    each block as two sub-batches (short lanes at their own node height) —
+    the interface stays full-width [N, SP]; slicing/reassembly happens in the
+    jitted wrapper outside the kernel.
     """
     if mode not in ("parity", "trbdf2"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
@@ -495,188 +516,303 @@ def make_hour_march(
     SP = NB * SB
 
     sbb = bb.surfaces.astype(dtype)
+    split = bb.layout.split
+    if split is None:
+        parts_meta = [(N, 0, SB)]
+    else:
+        cut, sw = int(split[0]), int(split[1])
+        parts_meta = [(cut, 0, sw), (N, sw, SB - sw)]
+    n_parts = len(parts_meta)
 
-    # Static (per-kernel) data refs: node arrays, per-surface scalars, oh
-    # matrices, zone volume.  Dynamic per-hour inputs + state complete them.
-    node_arrays = dict(
-        node_mask=sbb.node_mask,
-        mass=sbb.mass,
-        massive=sbb.massive,
-        seg_u=sbb.seg_u,
-        same_chunk=sbb.same_chunk,
-        nomass_chunk_id=sbb.nomass_chunk_id,
-        front_alphas=sbb.front_alphas,
-        back_alphas=sbb.back_alphas,
-    )
-    if sbb.has_cavity:
-        # Gas-cavity parameters: the ISO 15099 U-value re-evaluates on every
-        # iteration in-kernel (pure elementwise math, Mosaic-lowerable).
-        node_arrays.update(
-            cav_k0=np.asarray(sbb.cav_gas.k0),
-            cav_k1=np.asarray(sbb.cav_gas.k1),
-            cav_mu0=np.asarray(sbb.cav_gas.mu0),
-            cav_mu1=np.asarray(sbb.cav_gas.mu1),
-            cav_cp0=np.asarray(sbb.cav_gas.cp0),
-            cav_cp1=np.asarray(sbb.cav_gas.cp1),
-            cav_mass=np.asarray(sbb.cav_gas.molar_mass),
-            cav_thickness=sbb.cav_thickness,
-            cav_height=sbb.cav_height,
-            cav_angle=sbb.cav_angle,
-            cav_ein=sbb.cav_ein,
-            cav_eout=sbb.cav_eout,
-            seg_is_cavity=sbb.seg_is_cavity,
+    # ---- host-side lane/row slicing into parts ------------------------------
+    def slice_node(a, rows, lo, w):  # [k, SP] -> [min(k, rows), NB*w]
+        a = np.asarray(a)
+        v = a.reshape(a.shape[0], NB, SB)[:rows, :, lo : lo + w]
+        return np.ascontiguousarray(v.reshape(v.shape[0], NB * w))
+
+    def slice_vec(a, lo, w):  # [SP] -> [NB*w]
+        a = np.asarray(a)
+        return np.ascontiguousarray(a.reshape(NB, SB)[:, lo : lo + w].reshape(NB * w))
+
+    def slice_oh(a, lo, w):  # [SP, ZB] -> [NB*w, ZB]
+        a = np.asarray(a)
+        v = a.reshape(NB, SB, a.shape[-1])[:, lo : lo + w]
+        return np.ascontiguousarray(v.reshape(NB * w, a.shape[-1]))
+
+    part_sbs = []
+    part_node_arrays = []
+    part_surf_arrays = []
+    part_oh = []
+    for rows, lo, w in parts_meta:
+        n_ = lambda a: slice_node(a, rows, lo, w)  # noqa: E731
+        s_ = lambda a: slice_vec(a, lo, w)  # noqa: E731
+        mask = n_(sbb.node_mask)
+        massive = n_(sbb.massive)
+        seg_cav = n_(sbb.seg_is_cavity)
+        gasf = gas.GasProps(*[n_(f) for f in sbb.cav_gas])
+        psb = replace(
+            sbb,
+            node_mask=mask,
+            n_nodes=None,  # unused on the kernel path (mask-based last node)
+            mass=n_(sbb.mass),
+            massive=massive,
+            seg_u=n_(sbb.seg_u),
+            seg_is_cavity=seg_cav,
+            cav_gas=gasf,
+            cav_thickness=n_(sbb.cav_thickness),
+            cav_height=n_(sbb.cav_height),
+            cav_angle=n_(sbb.cav_angle),
+            cav_ein=n_(sbb.cav_ein),
+            cav_eout=n_(sbb.cav_eout),
+            same_chunk=n_(sbb.same_chunk),
+            nomass_chunk_id=n_(sbb.nomass_chunk_id),
+            nomass_chunk_count=slice_node(sbb.nomass_chunk_count, 10**9, lo, w),
+            has_nomass=bool(np.any(mask & ~massive)),
+            has_massive=bool(np.any(massive)),
+            has_cavity=bool(np.any(seg_cav)),
+            front_alphas=n_(sbb.front_alphas),
+            back_alphas=n_(sbb.back_alphas),
+            area=s_(sbb.area),
+            perimeter=s_(sbb.perimeter),
+            normal=(s_(sbb.normal[:, 0]), s_(sbb.normal[:, 1])),
+            cos_tilt=s_(sbb.cos_tilt),
+            wind_mod=s_(sbb.wind_mod),
+            eps_front=s_(sbb.eps_front),
+            eps_back=s_(sbb.eps_back),
+            rf=s_(sbb.rf),
+            front_code=s_(sbb.front_code),
+            front_space=None,
+            front_temp=s_(sbb.front_temp),
+            back_code=s_(sbb.back_code),
+            back_space=None,
+            back_temp=s_(sbb.back_temp),
+            fixed_h_front=s_(sbb.fixed_h_front),
+            fixed_h_back=s_(sbb.fixed_h_back),
+            is_fenestration=None,
         )
-    # Per-surface vectors ride as [1, SP] row blocks: a grid combined with
-    # 1-D blocked operands has no working Mosaic lowering.
-    row = lambda a: np.ascontiguousarray(np.asarray(a)[None, :])  # noqa: E731
-    surf_arrays = dict(
-        area=row(sbb.area),
-        perimeter=row(sbb.perimeter),
-        cos_tilt=row(sbb.cos_tilt),
-        wind_mod=row(sbb.wind_mod),
-        eps_front=row(sbb.eps_front),
-        eps_back=row(sbb.eps_back),
-        rf=row(sbb.rf),
-        front_code=row(sbb.front_code),
-        front_temp=row(sbb.front_temp),
-        back_code=row(sbb.back_code),
-        back_temp=row(sbb.back_temp),
-        fixed_h_front=row(sbb.fixed_h_front),
-        fixed_h_back=row(sbb.fixed_h_back),
-        normal_x=row(sbb.normal[:, 0]),
-        normal_y=row(sbb.normal[:, 1]),
-        chunk_count=np.ascontiguousarray(sbb.nomass_chunk_count),  # [C, SP]
-    )
-    C = surf_arrays["chunk_count"].shape[0]
+        part_sbs.append(psb)
+        node_arrays = {name: getattr(psb, name) for name in _NODE_NAMES}
+        if psb.has_cavity:
+            # Gas-cavity parameters: the ISO 15099 U-value re-evaluates on
+            # every iteration in-kernel (pure elementwise, Mosaic-lowerable).
+            node_arrays.update(
+                cav_k0=np.asarray(psb.cav_gas.k0),
+                cav_k1=np.asarray(psb.cav_gas.k1),
+                cav_mu0=np.asarray(psb.cav_gas.mu0),
+                cav_mu1=np.asarray(psb.cav_gas.mu1),
+                cav_cp0=np.asarray(psb.cav_gas.cp0),
+                cav_cp1=np.asarray(psb.cav_gas.cp1),
+                cav_mass=np.asarray(psb.cav_gas.molar_mass),
+                cav_thickness=psb.cav_thickness,
+                cav_height=psb.cav_height,
+                cav_angle=psb.cav_angle,
+                cav_ein=psb.cav_ein,
+                cav_eout=psb.cav_eout,
+                seg_is_cavity=psb.seg_is_cavity,
+            )
+        part_node_arrays.append(node_arrays)
+        # Per-surface vectors ride as [1, W] row blocks: a grid combined with
+        # 1-D blocked operands has no working Mosaic lowering.
+        row = lambda a: np.ascontiguousarray(np.asarray(a)[None, :])  # noqa: E731
+        surf_arrays = dict(
+            area=row(psb.area),
+            perimeter=row(psb.perimeter),
+            cos_tilt=row(psb.cos_tilt),
+            wind_mod=row(psb.wind_mod),
+            eps_front=row(psb.eps_front),
+            eps_back=row(psb.eps_back),
+            rf=row(psb.rf),
+            front_code=row(psb.front_code),
+            front_temp=row(psb.front_temp),
+            back_code=row(psb.back_code),
+            back_temp=row(psb.back_temp),
+            fixed_h_front=row(psb.fixed_h_front),
+            fixed_h_back=row(psb.fixed_h_back),
+            normal_x=row(psb.normal[0]),
+            normal_y=row(psb.normal[1]),
+            chunk_count=np.ascontiguousarray(psb.nomass_chunk_count),  # [C, W*NB]
+        )
+        part_surf_arrays.append(surf_arrays)
+        # Zone one-hots, both orientations: [W, ZB] for the reduce dots and
+        # [ZB, W] for the temperature gathers (M=1 matmuls both ways — the
+        # matrix-vector form has a ~10x slower Mosaic lowering).  A face that
+        # never bounds a zone in this part contributes nothing: skip its
+        # arrays (and, statically, its dots) entirely.
+        oh_f = slice_oh(bb.front_oh, lo, w)
+        oh_b = slice_oh(bb.back_oh, lo, w)
 
-    node_names = list(node_arrays)
-    surf_names = list(surf_arrays)
+        def _t(oh):
+            return np.ascontiguousarray(
+                oh.reshape(NB, w, oh.shape[-1]).transpose(0, 2, 1).reshape(-1, w)
+            )
+
+        aux = {}
+        if bool(oh_f.any()):
+            aux["front_oh"] = oh_f
+            aux["front_ohT"] = _t(oh_f)
+        if bool(oh_b.any()):
+            aux["back_oh"] = oh_b
+            aux["back_ohT"] = _t(oh_b)
+        part_oh.append(aux)
+
+    part_node_names = [list(d) for d in part_node_arrays]
+    part_surf_names = [list(d) for d in part_surf_arrays]
+    part_aux_names = [list(d) for d in part_oh]
 
     def kernel(*refs):
         i = 0
-        r = {}
+        r_shared = {}
         for name in ["t_out", "wind", "wdir"]:
-            r[name] = refs[i]
+            r_shared[name] = refs[i]
             i += 1
-        for name in node_names:
-            r[name] = refs[i]
+        r_parts = []
+        for pi in range(n_parts):
+            rp = {}
+            for name in part_node_names[pi]:
+                rp[name] = refs[i]
+                i += 1
+            for name in part_surf_names[pi]:
+                rp[name] = refs[i]
+                i += 1
+            for name in part_aux_names[pi]:
+                rp[name] = refs[i]
+                i += 1
+            r_parts.append(rp)
+        r_shared["zone_volume"] = refs[i]
+        i += 1
+        for pi in range(n_parts):
+            for name in ["sol_front", "sol_back", "ir_front", "ir_back"]:
+                r_parts[pi][name] = refs[i]
+                i += 1
+        r_shared["a_extra"] = refs[i]
+        r_shared["b_extra"] = refs[i + 1]
+        i += 2
+        for pi in range(n_parts):
+            r_parts[pi]["T0"] = refs[i]
             i += 1
-        for name in surf_names:
-            r[name] = refs[i]
-            i += 1
-        for name in ["front_oh", "back_oh", "zone_volume",
-                     "sol_front", "sol_back", "ir_front", "ir_back",
-                     "a_extra", "b_extra", "T0", "zT0"]:
-            r[name] = refs[i]
-            i += 1
-        (t_out_ref, zt_out_ref, hf_ref, hb_ref, qf_ref, qb_ref,
-         zt_hist_ref) = refs[i : i + 7]
-        l_s, d_s, u_s, bx_s, c_s = refs[i + 7 : i + 12]
+        r_shared["zT0"] = refs[i]
+        i += 1
+        t_out_refs = [refs[i + pi] for pi in range(n_parts)]
+        i += n_parts
+        zt_out_ref = refs[i]
+        i += 1
+        hq_refs = []
+        for pi in range(n_parts):
+            hq_refs.append(refs[i : i + 4])
+            i += 4
+        zt_hist_ref = refs[i]
+        i += 1
+        scratch = refs[i:]
+
         import os as _os
         from heatx.ops import tridiag as _td
+
         _solver_kind = _os.environ.get("HEATX_KERNEL_SOLVER", "thomas")
-        if _os.environ.get("HEATX_KERNEL_LOOP", "0") == "1":
+        if _os.environ.get("HEATX_KERNEL_LOOP", "0") == "1" and n_parts == 1:
             # Scratch-ref Thomas: loop-form fallback (small Mosaic MLIR) in
             # case a bigger kernel ever overwhelms the Mosaic compiler.
-            solver = _make_ref_thomas(l_s, d_s, u_s, bx_s, c_s, N)
+            solver = _make_ref_thomas(*scratch, N)
         elif _solver_kind == "pcr":
             solver = _td.solve_pcr  # parallel cyclic reduction: no row chain
         else:
             solver = _td.solve  # fully unrolled Thomas
 
-        if sbb.has_cavity:
-            gp = gas.GasProps(
-                r["cav_k0"][...], r["cav_k1"][...], r["cav_mu0"][...],
-                r["cav_mu1"][...], r["cav_cp0"][...], r["cav_cp1"][...],
-                r["cav_mass"][...],
+        # Per-part static SurfaceBatch values rebuilt from refs.
+        part_vals = []
+        for pi, (rows, lo, w) in enumerate(parts_meta):
+            rp = r_parts[pi]
+            psb = part_sbs[pi]
+            if psb.has_cavity:
+                gp = gas.GasProps(
+                    rp["cav_k0"][...], rp["cav_k1"][...], rp["cav_mu0"][...],
+                    rp["cav_mu1"][...], rp["cav_cp0"][...], rp["cav_cp1"][...],
+                    rp["cav_mass"][...],
+                )
+                cav = dict(
+                    seg_is_cavity=rp["seg_is_cavity"][...],
+                    cav_thickness=rp["cav_thickness"][...],
+                    cav_height=rp["cav_height"][...],
+                    cav_angle=rp["cav_angle"][...],
+                    cav_ein=rp["cav_ein"][...],
+                    cav_eout=rp["cav_eout"][...],
+                )
+            else:
+                gp = gas.GasProps(*([jnp.zeros((rows, w), dtype)] * 7))
+                zeros_n = jnp.zeros((rows, w), dtype)
+                cav = dict(
+                    seg_is_cavity=jnp.zeros((rows, w), bool),
+                    cav_thickness=zeros_n,
+                    cav_height=zeros_n,
+                    cav_angle=zeros_n,
+                    cav_ein=zeros_n,
+                    cav_eout=zeros_n,
+                )
+            sb_vals = replace(
+                psb,
+                node_mask=rp["node_mask"][...],
+                mass=rp["mass"][...],
+                massive=rp["massive"][...],
+                seg_u=rp["seg_u"][...],
+                cav_gas=gp,
+                **cav,
+                same_chunk=rp["same_chunk"][...],
+                nomass_chunk_id=rp["nomass_chunk_id"][...],
+                nomass_chunk_count=rp["chunk_count"][...],
+                front_alphas=rp["front_alphas"][...],
+                back_alphas=rp["back_alphas"][...],
+                area=rp["area"][0],
+                perimeter=rp["perimeter"][0],
+                # border_conditions accepts the normal as an (nx, ny) tuple on
+                # the kernel path (no [W, 2] relayout in VMEM).
+                normal=(rp["normal_x"][0], rp["normal_y"][0]),
+                cos_tilt=rp["cos_tilt"][0],
+                wind_mod=rp["wind_mod"][0],
+                eps_front=rp["eps_front"][0],
+                eps_back=rp["eps_back"][0],
+                rf=rp["rf"][0],
+                front_code=rp["front_code"][0],
+                front_temp=rp["front_temp"][0],
+                back_code=rp["back_code"][0],
+                back_temp=rp["back_temp"][0],
+                fixed_h_front=rp["fixed_h_front"][0],
+                fixed_h_back=rp["fixed_h_back"][0],
             )
-            cav = dict(
-                seg_is_cavity=r["seg_is_cavity"][...],
-                cav_thickness=r["cav_thickness"][...],
-                cav_height=r["cav_height"][...],
-                cav_angle=r["cav_angle"][...],
-                cav_ein=r["cav_ein"][...],
-                cav_eout=r["cav_eout"][...],
-            )
-        else:
-            gp = gas.GasProps(*([jnp.zeros((N, SB), dtype)] * 7))
-            zeros_n = jnp.zeros((N, SB), dtype)
-            cav = dict(
-                seg_is_cavity=jnp.zeros((N, SB), bool),
-                cav_thickness=zeros_n,
-                cav_height=zeros_n,
-                cav_angle=zeros_n,
-                cav_ein=zeros_n,
-                cav_eout=zeros_n,
-            )
-        sb_vals = replace(
-            sbb,
-            node_mask=r["node_mask"][...],
-            n_nodes=None,  # unused on the kernel path (mask-based last node)
-            mass=r["mass"][...],
-            massive=r["massive"][...],
-            seg_u=r["seg_u"][...],
-            cav_gas=gp,
-            **cav,
-            same_chunk=r["same_chunk"][...],
-            nomass_chunk_id=r["nomass_chunk_id"][...],
-            nomass_chunk_count=r["chunk_count"][...],
-            front_alphas=r["front_alphas"][...],
-            back_alphas=r["back_alphas"][...],
-            area=r["area"][0],
-            perimeter=r["perimeter"][0],
-            normal=None,
-            cos_tilt=r["cos_tilt"][0],
-            wind_mod=r["wind_mod"][0],
-            eps_front=r["eps_front"][0],
-            eps_back=r["eps_back"][0],
-            rf=r["rf"][0],
-            front_code=r["front_code"][0],
-            front_space=None,
-            front_temp=r["front_temp"][0],
-            back_code=r["back_code"][0],
-            back_space=None,
-            back_temp=r["back_temp"][0],
-            fixed_h_front=r["fixed_h_front"][0],
-            fixed_h_back=r["fixed_h_back"][0],
-            is_fenestration=None,
-        )
-        # border_conditions accepts the normal as an (nx, ny) tuple on the
-        # kernel path (no [SB, 2] relayout in VMEM).
-        sb_vals = replace(
-            sb_vals, normal=(r["normal_x"][0], r["normal_y"][0])
-        )
+            part_vals.append((sb_vals, rp))
 
+        # flush_tiny off: the TPU flushes subnormals in hardware in-kernel.
+        cfg = bb.config.replace(kernel_mode=True, flush_tiny=False)
         body = _hour_body if mode == "parity" else _hour_body_imp
 
-        # Gains sit [ZB, hours] with hours on lanes; a dynamic lane slice is
-        # not Mosaic-lowerable ("index in dimension 1 must be a multiple of
-        # 128"), so hour h is selected by a one-hot masked lane-reduce.
-        a_all = r["a_extra"][...]
-        b_all = r["b_extra"][...]
-        hour_iota = jax.lax.broadcasted_iota(jnp.int32, (1, hours), 1)
-
-        def gain_col(vals, h):
-            return jnp.where(hour_iota == h, vals, 0.0).sum(axis=1)
-
-        def one_hour(h, T, zT):
+        def one_hour(h, Ts, zT):
             hs = pl.ds(h, 1)
+            parts = []
+            for pi, (sb_vals, rp) in enumerate(part_vals):
+                names = part_aux_names[pi]
+                parts.append(
+                    SimpleNamespace(
+                        sb=sb_vals,
+                        front_any="front_oh" in names,
+                        back_any="back_oh" in names,
+                        front_oh=rp["front_oh"][...] if "front_oh" in names else None,
+                        back_oh=rp["back_oh"][...] if "back_oh" in names else None,
+                        front_ohT=rp["front_ohT"][...] if "front_ohT" in names else None,
+                        back_ohT=rp["back_ohT"][...] if "back_ohT" in names else None,
+                        sol_front=rp["sol_front"][hs, :][0],
+                        sol_back=rp["sol_back"][hs, :][0],
+                        ir_front=rp["ir_front"][hs, :][0],
+                        ir_back=rp["ir_back"][hs, :][0],
+                    )
+                )
             return body(
-                bb,
-                sb_vals,
-                r["front_oh"][...],
-                r["back_oh"][...],
-                r["zone_volume"][...],
-                gain_col(a_all, h),
-                gain_col(b_all, h),
-                r["sol_front"][hs, :][0],
-                r["sol_back"][hs, :][0],
-                r["ir_front"][hs, :][0],
-                r["ir_back"][hs, :][0],
-                r["t_out"],
-                r["wind"],
-                r["wdir"],
-                T,
+                cfg,
+                parts,
+                r_shared["zone_volume"][...][0],
+                r_shared["a_extra"][pl.ds(h, 1), :][0],
+                r_shared["b_extra"][pl.ds(h, 1), :][0],
+                r_shared["t_out"],
+                r_shared["wind"],
+                r_shared["wdir"],
+                Ts,
                 zT,
                 substeps,
                 dt,
@@ -684,143 +820,193 @@ def make_hour_march(
                 off=h * substeps,
             )
 
+        T0s = tuple(rp["T0"][...] for _, rp in part_vals)
+        zT0 = r_shared["zT0"][...][0]  # [ZB] row
+        HR8 = zt_hist_ref.shape[0]  # hours padded to the 8-row sublane tile
+        hour_row_iota = jax.lax.broadcasted_iota(jnp.int32, (HR8, 1), 0)
         if hours == 1:
-            T, zT, (hf, hb, qf, qb) = one_hour(0, r["T0"][...], r["zT0"][...])
-            zt_hist = zT
+            Ts, zT, hqs = one_hour(0, T0s, zT0)
+            zt_hist = zT[None, :] * jnp.where(hour_row_iota == 0, 1.0, 0.0)
         else:
-            SBv = r["T0"].shape[-1]
-            zero_row = jnp.zeros((SBv,), dtype)
-            ZBv = r["zT0"].shape[0]
-            hist0 = jnp.zeros((ZBv, hours), dtype)
+            hq0 = tuple(
+                tuple(jnp.zeros((parts_meta[pi][2],), dtype) for _ in range(4))
+                for pi in range(n_parts)
+            )
+            hist0 = jnp.zeros((HR8, zT0.shape[0]), dtype)
 
             def hour_loop(h, carry):
-                T, zT, _, hist = carry
-                T, zT, hq = one_hour(h, T, zT)
-                # Post-hour zone temps, accumulated via a one-hot column
-                # (stores with a dynamic lane offset do not lower in Mosaic).
-                hist = hist + zT * jnp.where(hour_iota == h, 1.0, 0.0)
-                return (T, zT, hq, hist)
+                Ts, zT, _, hist = carry
+                Ts, zT, hqs = one_hour(h, Ts, zT)
+                # Post-hour zone temps, accumulated via a one-hot row
+                # (stores with a dynamic sublane offset also lower, but the
+                # masked add keeps the loop body store-free).
+                hist = hist + zT[None, :] * jnp.where(hour_row_iota == h, 1.0, 0.0)
+                return (Ts, zT, hqs, hist)
 
-            T, zT, (hf, hb, qf, qb), zt_hist = jax.lax.fori_loop(
-                0,
-                hours,
-                hour_loop,
-                (r["T0"][...], r["zT0"][...],
-                 (zero_row, zero_row, zero_row, zero_row), hist0),
+            Ts, zT, hqs, zt_hist = jax.lax.fori_loop(
+                0, hours, hour_loop, (T0s, zT0, hq0, hist0)
             )
-        t_out_ref[...] = T
-        zt_out_ref[...] = zT
-        hf_ref[0, :] = hf
-        hb_ref[0, :] = hb
-        qf_ref[0, :] = qf
-        qb_ref[0, :] = qb
+        for pi in range(n_parts):
+            t_out_refs[pi][...] = Ts[pi]
+            for k in range(4):
+                hq_refs[pi][k][0, :] = hqs[pi][k]
+        zt_out_ref[0:1, :] = zT[None, :]
         zt_hist_ref[...] = zt_hist
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    def nodes_spec(rows=N):
-        return pl.BlockSpec((rows, SB), lambda b: (0, b), memory_space=pltpu.VMEM)
+    def vspec(rows, w):
+        return pl.BlockSpec((rows, w), lambda b: (0, b), memory_space=pltpu.VMEM)
 
-    def row_spec():
-        # [1, SP] row vectors (grid + 1-D blocks have no Mosaic lowering)
-        return nodes_spec(rows=1)
+    def oh_spec(w):
+        return pl.BlockSpec((w, ZB), lambda b: (b, 0), memory_space=pltpu.VMEM)
 
-    def oh_spec():
-        return pl.BlockSpec((SB, ZB), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    def ohT_spec(w):
+        return pl.BlockSpec((ZB, w), lambda b: (b, 0), memory_space=pltpu.VMEM)
 
-    def zone_spec():
-        return pl.BlockSpec((ZB, 1), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    def zone_spec(rows=8):
+        # Zone data rides lane-major [NB*rows, ZB]: ZB is the full lane dim
+        # of the array (allowed by Mosaic) and rows are padded to the 8-row
+        # sublane tile; row 0 carries the data for single-row operands.
+        return pl.BlockSpec((rows, ZB), lambda b: (b, 0), memory_space=pltpu.VMEM)
 
-    def gains_spec():
-        # [NB*ZB, hours]: every hour's gains for THIS block's zones (hours on
-        # lanes: the lane dim of a block must be 128-divisible or the full
-        # array dim, and ZB is neither)
-        return pl.BlockSpec((ZB, hours), lambda b: (b, 0), memory_space=pltpu.VMEM)
+    HR8 = ((hours + 7) // 8) * 8
+
+    def _pad_zone_rows(a, rows):
+        # [NB, k, ZB] -> [NB*rows, ZB] with k rows of data, rest zero
+        a = np.asarray(a)
+        out = np.zeros((NB, rows, ZB), a.dtype)
+        out[:, : a.shape[1]] = a
+        return out.reshape(NB * rows, ZB)
 
     in_specs = [smem, smem, smem]
-    in_specs += [nodes_spec() for _ in node_names]
-    for name in surf_names:
-        in_specs.append(nodes_spec(rows=surf_arrays[name].shape[0]))
-    in_specs += [
-        oh_spec(),  # front_oh
-        oh_spec(),  # back_oh
-        zone_spec(),  # zone_volume
-        nodes_spec(rows=hours),  # sol_front
-        nodes_spec(rows=hours),  # sol_back
-        nodes_spec(rows=hours),  # ir_front
-        nodes_spec(rows=hours),  # ir_back
-        gains_spec(),  # a_extra
-        gains_spec(),  # b_extra
-        nodes_spec(),  # T0
-        zone_spec(),  # zT0
-    ]
-    out_specs = (
-        nodes_spec(),
-        zone_spec(),
-        row_spec(),
-        row_spec(),
-        row_spec(),
-        row_spec(),
-        pl.BlockSpec((ZB, hours), lambda b: (b, 0), memory_space=pltpu.VMEM),
+    params = []
+    for pi, (rows, lo, w) in enumerate(parts_meta):
+        for name in part_node_names[pi]:
+            a = part_node_arrays[pi][name]
+            in_specs.append(vspec(a.shape[0], w))
+            params.append(jnp.asarray(a))
+        for name in part_surf_names[pi]:
+            a = part_surf_arrays[pi][name]
+            in_specs.append(vspec(a.shape[0], w))
+            params.append(jnp.asarray(a))
+        for name in part_aux_names[pi]:
+            in_specs.append(ohT_spec(w) if name.endswith("ohT") else oh_spec(w))
+            params.append(jnp.asarray(part_oh[pi][name], dtype))
+    in_specs.append(zone_spec())  # zone_volume
+    params.append(
+        jnp.asarray(
+            _pad_zone_rows(bb.zone_volume.reshape(NB, 1, ZB), 8), dtype
+        )
     )
-    out_shape = (
-        jax.ShapeDtypeStruct((N, SP), dtype),
-        jax.ShapeDtypeStruct((NB * ZB, 1), dtype),
-        jax.ShapeDtypeStruct((1, SP), dtype),
-        jax.ShapeDtypeStruct((1, SP), dtype),
-        jax.ShapeDtypeStruct((1, SP), dtype),
-        jax.ShapeDtypeStruct((1, SP), dtype),
-        jax.ShapeDtypeStruct((NB * ZB, hours), dtype),
+    for rows, lo, w in parts_meta:
+        in_specs += [vspec(hours, w)] * 4  # sol_f, sol_b, ir_f, ir_b
+    in_specs += [zone_spec(HR8), zone_spec(HR8)]  # a_extra, b_extra
+    for rows, lo, w in parts_meta:
+        in_specs.append(vspec(rows, w))  # T0
+    in_specs.append(zone_spec())  # zT0
+
+    out_specs = []
+    out_shape = []
+    for rows, lo, w in parts_meta:
+        out_specs.append(vspec(rows, w))
+        out_shape.append(jax.ShapeDtypeStruct((rows, NB * w), dtype))
+    out_specs.append(zone_spec())
+    out_shape.append(jax.ShapeDtypeStruct((NB * 8, ZB), dtype))
+    for rows, lo, w in parts_meta:
+        out_specs += [vspec(1, w)] * 4
+        out_shape += [jax.ShapeDtypeStruct((1, NB * w), dtype)] * 4
+    out_specs.append(zone_spec(HR8))
+    out_shape.append(jax.ShapeDtypeStruct((NB * HR8, ZB), dtype))
+
+    # Scratch only serves the single-part loop-Thomas fallback.
+    scratch_shapes = (
+        [pltpu.VMEM((N, SB), dtype) for _ in range(5)] if n_parts == 1 else []
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(NB,),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
     )
 
     # Building operands are returned to the caller and passed per call, so a
     # jit around hour_march keeps them as parameters, not baked constants.
-    params = tuple(
-        [jnp.asarray(node_arrays[n]) for n in node_names]
-        + [jnp.asarray(surf_arrays[n]) for n in surf_names]
-        + [
-            jnp.asarray(bb.front_oh, dtype),
-            jnp.asarray(bb.back_oh, dtype),
-            jnp.asarray(bb.zone_volume.reshape(NB * ZB, 1), dtype),
-        ]
-    )
+    params = tuple(params)
 
-    grid = (NB,)
-
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        out_shape=out_shape,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((N, SB), dtype) for _ in range(5)],
-        interpret=interpret,
-    )
+    def _lane_split(a, rows, lo, w):
+        """[k, SP] -> [min(k, rows), NB*w] on device (outside the kernel)."""
+        k = a.shape[0]
+        v = a.reshape(k, NB, SB)[: min(k, rows), :, lo : lo + w]
+        return v.reshape(v.shape[0], NB * w)
 
     def hour_march(params, T, zT_blocked, hour_inputs):
         (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra) = hour_inputs
-        T_new, zT_new, hf, hb, qf, qb, zt_hist = call(
+        sol_f = sol_f.reshape(hours, SP)
+        sol_b = sol_b.reshape(hours, SP)
+        ir_f = ir_f.reshape(hours, SP)
+        ir_b = ir_b.reshape(hours, SP)
+        operands = [
             t_o.reshape(hours * substeps).astype(dtype),
             wnd.reshape(hours * substeps).astype(dtype),
             wdr.reshape(hours * substeps).astype(dtype),
-            *params,
-            sol_f.reshape(hours, SP),
-            sol_b.reshape(hours, SP),
-            ir_f.reshape(hours, SP),
-            ir_b.reshape(hours, SP),
-            a_extra.reshape(hours, NB * ZB).T,
-            b_extra.reshape(hours, NB * ZB).T,
-            T,
-            zT_blocked.reshape(NB * ZB, 1),
-        )
+        ]
+        operands += list(params)
+        for rows, lo, w in parts_meta:
+            for a in (sol_f, sol_b, ir_f, ir_b):
+                operands.append(_lane_split(a, hours, lo, w))
+        def gains_rows(a):
+            # [hours, NB, ZB] -> [NB*HR8, ZB] (hour rows grouped per block,
+            # padded to the 8-row sublane tile)
+            a = jnp.moveaxis(a.reshape(hours, NB, ZB), 0, 1)
+            pad = jnp.zeros((NB, HR8 - hours, ZB), a.dtype)
+            return jnp.concatenate([a, pad], axis=1).reshape(NB * HR8, ZB)
+
+        def zone_rows(a):
+            # [NB, ZB] -> [NB*8, ZB], data in row 0 of each block
+            a = a.reshape(NB, 1, ZB)
+            pad = jnp.zeros((NB, 7, ZB), a.dtype)
+            return jnp.concatenate([a, pad], axis=1).reshape(NB * 8, ZB)
+
+        operands += [gains_rows(a_extra), gains_rows(b_extra)]
+        for rows, lo, w in parts_meta:
+            operands.append(_lane_split(T, rows, lo, w))
+        operands.append(zone_rows(zT_blocked.reshape(NB, ZB).astype(dtype)))
+
+        outs = call(*operands)
+        oi = 0
+        T_parts = outs[oi : oi + n_parts]
+        oi += n_parts
+        zT_new = outs[oi]
+        oi += 1
+        hq_parts = []
+        for pi in range(n_parts):
+            hq_parts.append(outs[oi : oi + 4])
+            oi += 4
+        zt_hist = outs[oi]
+
+        # Reassemble the full-width layout from the parts.
+        T_new = jnp.zeros((N, NB, SB), dtype)
+        hq_full = [jnp.zeros((NB, SB), dtype) for _ in range(4)]
+        for pi, (rows, lo, w) in enumerate(parts_meta):
+            T_new = T_new.at[:rows, :, lo : lo + w].set(
+                T_parts[pi].reshape(rows, NB, w)
+            )
+            for k in range(4):
+                hq_full[k] = hq_full[k].at[:, lo : lo + w].set(
+                    hq_parts[pi][k].reshape(NB, w)
+                )
+        T_new = T_new.reshape(N, SP)
+        hq = tuple(x.reshape(SP) for x in hq_full)
+
         # [hours, NB, ZB]: zone temperature after each marched hour (the
         # reference's observable output channel, zone.rs:45-49)
-        zt_hist = jnp.moveaxis(zt_hist.reshape(NB, ZB, hours), -1, 0)
-        return (
-            T_new,
-            zT_new.reshape(NB, ZB),
-            (hf.reshape(SP), hb.reshape(SP), qf.reshape(SP), qb.reshape(SP)),
-            zt_hist,
-        )
+        zt_hist = jnp.moveaxis(zt_hist.reshape(NB, HR8, ZB)[:, :hours], 1, 0)
+        zT_new = zT_new.reshape(NB, 8, ZB)[:, 0]
+        return T_new, zT_new, hq, zt_hist
 
     return hour_march, params

@@ -1,0 +1,92 @@
+"""Node-height split of the blocked layout (heatx.build.blocking).
+
+The Pallas hour kernel is VPU-throughput bound, so blocks are lane-split by
+node count: few-node surfaces march as a short sub-batch.  The split is pure
+layout — results must match the unsplit kernel to float tolerance (the only
+reordering is the zone reduction, summed per sub-batch).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import heatx
+from heatx.build.blocking import build_blocks
+from heatx.build.layout import compile_building
+from heatx.engine import state as state_mod
+from heatx.ops import pallas_step
+
+from test_pallas_hour import city_model
+
+
+def _run(building, st, bb, mode, substeps, hours=2):
+    hm, params = pallas_step.make_hour_march(
+        bb, interpret=True, mode=mode, substeps=substeps, hours=hours
+    )
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    sub = substeps or building.dt_subdivisions
+    S = building.n_surfaces
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)))
+    hi = (
+        jnp.full((hours * sub,), 5.0),
+        jnp.full((hours * sub,), 3.0),
+        jnp.full((hours * sub,), 1.0),
+        jnp.tile(jnp.asarray(lay.surfaces_to_blocked(np.full(S, 200.0)))[None], (hours, 1)),
+        jnp.zeros((hours, SP)),
+        jnp.tile(jnp.asarray(lay.surfaces_to_blocked(np.full(S, 320.0)))[None], (hours, 1)),
+        jnp.zeros((hours, SP)),
+        jnp.zeros((hours, bb.n_blocks, bb.zones_per_block)),
+        jnp.zeros((hours, bb.n_blocks, bb.zones_per_block)),
+    )
+    T, zT, hq, _ = hm(params, T0, zT0, hi)
+    return (
+        lay.surfaces_from_blocked(np.asarray(T), S),
+        lay.zones_from_blocked(np.asarray(zT), building.n_zones),
+        [lay.surfaces_from_blocked(np.asarray(x), S) for x in hq],
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode,substeps", [("parity", None), ("trbdf2", 6)])
+def test_split_kernel_matches_unsplit(mode, substeps):
+    m = city_model(5, 4)
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2)
+    building = compile_building(m, n=4, config=cfg).astype(np.float64)
+    st = state_mod.initial_state(building)
+
+    bb_ref = pallas_step.block_building(building, block_size=32, node_split=None)
+    bb_split = pallas_step.block_building(building, block_size=32, node_split=(8, 16))
+    assert bb_split.layout.split == (8, 16)
+
+    a = _run(building, st, bb_ref, mode, substeps)
+    b = _run(building, st, bb_split, mode, substeps)
+    assert np.max(np.abs(a[0] - b[0])) < 1e-9  # node temperatures
+    assert np.max(np.abs(a[1] - b[1])) < 1e-9  # zone temperatures
+    for k in range(4):
+        assert np.max(np.abs(a[2][k] - b[2][k])) < 1e-9  # h / q channels
+
+
+def test_auto_split_selection():
+    """Auto mode splits when the padded-row savings are real, never strands a
+    component, and keeps every zone's surfaces in one block."""
+    m = city_model(40, 4)
+    building = compile_building(m, n=4, config=heatx.SimConfig(dtype=np.float64))
+    lay = build_blocks(building, block_size=192, node_split="auto", lane_quantum=64)
+    assert lay.split is not None
+    cut, sw = lay.split
+    n_nodes = np.asarray(building.surfaces.n_nodes)
+    perm = lay.surf_perm
+    SB = lay.block_size
+    for b in range(lay.n_blocks):
+        blk = perm[b * SB : (b + 1) * SB]
+        shorts = blk[:sw]
+        talls = blk[sw:]
+        assert all(n_nodes[s] <= cut for s in shorts if s >= 0)
+        assert all(n_nodes[s] > cut for s in talls if s >= 0)
+
+    # small blocks (quantum > block) never split
+    lay2 = build_blocks(building, block_size=16, node_split="auto")
+    assert lay2.split is None
