@@ -1,0 +1,146 @@
+"""End-to-end validation of the HEADLINE fast-mode regime.
+
+bench.py's default row runs the TR-BDF2 day kernel with coefficients frozen
+per hour, 8 sub-steps/hour, and hourly EPW weather linearly interpolated to
+sub-steps.  This test replays exactly that regime (via the XLA imp_march
+path, which tests/test_pallas_imp.py shows is the same arithmetic as the
+kernel) against the reference-parity integrator (118 stability sub-steps,
+exact no-mass while_loop) over three weeks of real EPW weather on the bench
+city model.
+
+Measured (f64, CHL_Santiago IWEC, 504 h, 48 h warm-up skip):
+zone-T range 17.5 K, RMSE 0.33 K (1.9% of range), bias +0.07 K,
+max |err| 0.70 K — the same error class as the EnergyPlus replay suite
+itself (tests/test_eplus_replay.py, ~2% of range).  Thresholds carry ~1.5x
+headroom.  Reference evidence standard: validate_wall_heat_transfer.rs:615-711.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import heatx
+from heatx.build.layout import compile_building
+from heatx.engine import state as state_mod, step as step_mod
+from heatx.engine.implicit import imp_march
+from heatx.weather.epw import read_epw, interpolate_to_steps
+
+from bench import build_city_model
+
+HOURS = 504
+WARMUP = 48
+SUBF = 8  # bench --exp-substeps default
+
+
+def _interp(v, k):
+    return interpolate_to_steps(np.asarray(v, float), k)[: HOURS * k].reshape(HOURS, k)
+
+
+@pytest.fixture(scope="module")
+def regime_runs(ref_fixtures_module):
+    w = read_epw(f"{ref_fixtures_module}/epw/CHL_Santiago.855740_IWEC.epw")
+    dry, wind = w.dry_bulb[:HOURS], w.wind_speed[:HOURS]
+    wdir = w.wind_direction_rad[:HOURS]
+    ghi, ir = w.global_horizontal[:HOURS], w.horizontal_ir[:HOURS]
+
+    model = build_city_model(4, 10)
+    cfg = heatx.SimConfig(dtype=np.float64)
+    b = compile_building(model, n=1, config=cfg).astype(np.float64)
+    S, Z = b.n_surfaces, b.n_zones
+    sub = b.dt_subdivisions
+    rng = np.random.default_rng(0)
+    sol_factor = rng.uniform(0.2, 1.0, S)
+
+    st0 = state_mod.initial_state(b)
+    base = state_mod.default_inputs(b)
+    base = base._replace(
+        hvac_power=jnp.full((b.n_hvacs,), 500.0, np.float64),
+        lum_power=jnp.full((b.n_luminaires,), 150.0, np.float64),
+    )
+
+    # Reference-parity: stability-dictated sub-steps, exact no-mass loop,
+    # per-sub-step interpolated weather (model.rs:371-374).
+    seq = base._replace(
+        t_out=jnp.asarray(_interp(dry, sub)),
+        wind_speed=jnp.asarray(_interp(wind, sub)),
+        wind_direction=jnp.asarray(_interp(wdir, sub)),
+        sol_front=jnp.asarray(ghi[:, None] * sol_factor[None, :]),
+        ir_front=jnp.asarray(np.broadcast_to(ir[:, None], (HOURS, S))),
+        sol_back=jnp.zeros((HOURS, S)),
+        ir_back=jnp.zeros((HOURS, S)),
+        hvac_power=jnp.broadcast_to(base.hvac_power, (HOURS, b.n_hvacs)),
+        lum_power=jnp.broadcast_to(base.lum_power, (HOURS, b.n_luminaires)),
+        inf_vol=jnp.zeros((HOURS, Z)),
+        inf_temp=jnp.zeros((HOURS, Z)),
+        inf_mask=jnp.zeros((HOURS, Z)),
+        vent_vol=jnp.zeros((HOURS, Z)),
+        vent_temp=jnp.zeros((HOURS, Z)),
+        vent_mask=jnp.zeros((HOURS, Z)),
+    )
+    run = jax.jit(step_mod.run, static_argnames=("collect_zone_T",))
+    _, zhist_par = run(b, st0, seq, collect_zone_T=True)
+
+    # Fast mode at the bench settings (hourly freeze, SUBF sub-steps,
+    # interpolated t_out) and with hour-constant t_out for the drift check.
+    def fast_hist(t_out_seq):
+        def hour(state, x):
+            t_sub, ws, wd, g, qir = x
+            inputs = base._replace(
+                t_out=t_sub, wind_speed=ws, wind_direction=wd,
+                sol_front=g * jnp.asarray(sol_factor),
+                ir_front=jnp.broadcast_to(qir, (S,)),
+            )
+            s = imp_march(b, state, inputs, SUBF)
+            return s, s.zone_T
+
+        xs = (t_out_seq, jnp.asarray(wind), jnp.asarray(wdir),
+              jnp.asarray(ghi), jnp.asarray(ir))
+        _, hist = jax.jit(lambda s, xs: jax.lax.scan(hour, s, xs))(st0, xs)
+        return np.asarray(hist)
+
+    zhist_fast = fast_hist(jnp.asarray(_interp(dry, SUBF)))
+    zhist_const = fast_hist(
+        jnp.asarray(np.broadcast_to(dry[:, None], (HOURS, SUBF)))
+    )
+    return np.asarray(zhist_par), zhist_fast, zhist_const
+
+
+@pytest.fixture(scope="module")
+def ref_fixtures_module():
+    import os
+
+    root = os.environ.get("HEAT_REF_FIXTURES", "/root/reference/tests")
+    if not os.path.isdir(root):
+        pytest.skip(f"reference fixtures not available at {root}")
+    return root
+
+
+@pytest.mark.slow
+def test_headline_regime_tracks_parity(regime_runs):
+    zhist_par, zhist_fast, _ = regime_runs
+    d = zhist_fast[WARMUP:] - zhist_par[WARMUP:]
+    rng_T = zhist_par[WARMUP:].max() - zhist_par[WARMUP:].min()
+    rmse = float(np.sqrt((d ** 2).mean()))
+    bias = float(d.mean())
+    mx = float(np.abs(d).max())
+    assert rmse < 0.5, f"RMSE {rmse:.3f} K"
+    assert rmse / rng_T < 0.03, f"RMSE {rmse / rng_T * 100:.2f}% of range"
+    assert abs(bias) < 0.2, f"bias {bias:+.3f} K"
+    assert mx < 1.2, f"max err {mx:.3f} K"
+
+
+@pytest.mark.slow
+def test_interpolated_weather_beats_hourly_steps(regime_runs):
+    """Per-sub-step weather wiring (model.rs:371-374): interpolating the
+    hourly series to sub-steps must move results measurably and toward the
+    parity run (which also interpolates)."""
+    zhist_par, zhist_fast, zhist_const = regime_runs
+    err_interp = np.sqrt(((zhist_fast[WARMUP:] - zhist_par[WARMUP:]) ** 2).mean())
+    err_const = np.sqrt(((zhist_const[WARMUP:] - zhist_par[WARMUP:]) ** 2).mean())
+    drift = np.abs(zhist_fast[WARMUP:] - zhist_const[WARMUP:]).max()
+    assert drift > 0.0, "interpolation had no effect — wiring broken"
+    assert err_interp <= err_const * 1.05, (
+        f"interpolated {err_interp:.4f} K vs hour-constant {err_const:.4f} K"
+    )
