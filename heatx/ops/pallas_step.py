@@ -471,6 +471,7 @@ def make_hour_march(
     interpret: bool = False,
     mode: str = "parity",
     hours: int = 1,
+    grid_blocks: int = None,
 ):
     """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
 
@@ -494,6 +495,13 @@ def make_hour_march(
     each block as two sub-batches (short lanes at their own node height) —
     the interface stays full-width [N, SP]; slicing/reassembly happens in the
     jitted wrapper outside the kernel.
+
+    ``grid_blocks`` (default: all blocks) sizes the *per-call* grid — used by
+    the sharded path, which builds the call for n_blocks/n_devices blocks and
+    runs it per device under ``shard_map`` (blocks are zone-closed, so the
+    kernel shards embarrassingly over the block axis).  The returned function
+    carries ``param_axes`` ("lane" / "row" per params entry) describing which
+    axis of each static operand is the block axis.
     """
     if mode not in ("parity", "trbdf2"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
@@ -512,8 +520,12 @@ def make_hour_march(
     N = bb.max_nodes
     SB = bb.block_size
     ZB = bb.zones_per_block
-    NB = bb.n_blocks
+    NB = bb.n_blocks  # global block count (shapes of the static params)
     SP = NB * SB
+    NBl = grid_blocks or NB  # per-call grid (local block count when sharded)
+    SPl = NBl * SB
+    if NB % NBl != 0:
+        raise ValueError(f"grid_blocks {NBl} must divide n_blocks {NB}")
 
     sbb = bb.surfaces.astype(dtype)
     split = bb.layout.split
@@ -881,24 +893,29 @@ def make_hour_march(
 
     in_specs = [smem, smem, smem]
     params = []
+    param_axes = []  # block axis of each params entry: "lane" or "row"
     for pi, (rows, lo, w) in enumerate(parts_meta):
         for name in part_node_names[pi]:
             a = part_node_arrays[pi][name]
             in_specs.append(vspec(a.shape[0], w))
             params.append(jnp.asarray(a))
+            param_axes.append("lane")
         for name in part_surf_names[pi]:
             a = part_surf_arrays[pi][name]
             in_specs.append(vspec(a.shape[0], w))
             params.append(jnp.asarray(a))
+            param_axes.append("lane")
         for name in part_aux_names[pi]:
             in_specs.append(ohT_spec(w) if name.endswith("ohT") else oh_spec(w))
             params.append(jnp.asarray(part_oh[pi][name], dtype))
+            param_axes.append("row")
     in_specs.append(zone_spec())  # zone_volume
     params.append(
         jnp.asarray(
             _pad_zone_rows(bb.zone_volume.reshape(NB, 1, ZB), 8), dtype
         )
     )
+    param_axes.append("row")
     for rows, lo, w in parts_meta:
         in_specs += [vspec(hours, w)] * 4  # sol_f, sol_b, ir_f, ir_b
     in_specs += [zone_spec(HR8), zone_spec(HR8)]  # a_extra, b_extra
@@ -910,14 +927,14 @@ def make_hour_march(
     out_shape = []
     for rows, lo, w in parts_meta:
         out_specs.append(vspec(rows, w))
-        out_shape.append(jax.ShapeDtypeStruct((rows, NB * w), dtype))
+        out_shape.append(jax.ShapeDtypeStruct((rows, NBl * w), dtype))
     out_specs.append(zone_spec())
-    out_shape.append(jax.ShapeDtypeStruct((NB * 8, ZB), dtype))
+    out_shape.append(jax.ShapeDtypeStruct((NBl * 8, ZB), dtype))
     for rows, lo, w in parts_meta:
         out_specs += [vspec(1, w)] * 4
-        out_shape += [jax.ShapeDtypeStruct((1, NB * w), dtype)] * 4
+        out_shape += [jax.ShapeDtypeStruct((1, NBl * w), dtype)] * 4
     out_specs.append(zone_spec(HR8))
-    out_shape.append(jax.ShapeDtypeStruct((NB * HR8, ZB), dtype))
+    out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
 
     # Scratch only serves the single-part loop-Thomas fallback.
     scratch_shapes = (
@@ -926,7 +943,7 @@ def make_hour_march(
 
     call = pl.pallas_call(
         kernel,
-        grid=(NB,),
+        grid=(NBl,),
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -941,15 +958,15 @@ def make_hour_march(
     def _lane_split(a, rows, lo, w):
         """[k, SP] -> [min(k, rows), NB*w] on device (outside the kernel)."""
         k = a.shape[0]
-        v = a.reshape(k, NB, SB)[: min(k, rows), :, lo : lo + w]
-        return v.reshape(v.shape[0], NB * w)
+        v = a.reshape(k, NBl, SB)[: min(k, rows), :, lo : lo + w]
+        return v.reshape(v.shape[0], NBl * w)
 
     def hour_march(params, T, zT_blocked, hour_inputs):
         (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra) = hour_inputs
-        sol_f = sol_f.reshape(hours, SP)
-        sol_b = sol_b.reshape(hours, SP)
-        ir_f = ir_f.reshape(hours, SP)
-        ir_b = ir_b.reshape(hours, SP)
+        sol_f = sol_f.reshape(hours, SPl)
+        sol_b = sol_b.reshape(hours, SPl)
+        ir_f = ir_f.reshape(hours, SPl)
+        ir_b = ir_b.reshape(hours, SPl)
         operands = [
             t_o.reshape(hours * substeps).astype(dtype),
             wnd.reshape(hours * substeps).astype(dtype),
@@ -962,20 +979,20 @@ def make_hour_march(
         def gains_rows(a):
             # [hours, NB, ZB] -> [NB*HR8, ZB] (hour rows grouped per block,
             # padded to the 8-row sublane tile)
-            a = jnp.moveaxis(a.reshape(hours, NB, ZB), 0, 1)
-            pad = jnp.zeros((NB, HR8 - hours, ZB), a.dtype)
-            return jnp.concatenate([a, pad], axis=1).reshape(NB * HR8, ZB)
+            a = jnp.moveaxis(a.reshape(hours, NBl, ZB), 0, 1)
+            pad = jnp.zeros((NBl, HR8 - hours, ZB), a.dtype)
+            return jnp.concatenate([a, pad], axis=1).reshape(NBl * HR8, ZB)
 
         def zone_rows(a):
             # [NB, ZB] -> [NB*8, ZB], data in row 0 of each block
-            a = a.reshape(NB, 1, ZB)
-            pad = jnp.zeros((NB, 7, ZB), a.dtype)
-            return jnp.concatenate([a, pad], axis=1).reshape(NB * 8, ZB)
+            a = a.reshape(NBl, 1, ZB)
+            pad = jnp.zeros((NBl, 7, ZB), a.dtype)
+            return jnp.concatenate([a, pad], axis=1).reshape(NBl * 8, ZB)
 
         operands += [gains_rows(a_extra), gains_rows(b_extra)]
         for rows, lo, w in parts_meta:
             operands.append(_lane_split(T, rows, lo, w))
-        operands.append(zone_rows(zT_blocked.reshape(NB, ZB).astype(dtype)))
+        operands.append(zone_rows(zT_blocked.reshape(NBl, ZB).astype(dtype)))
 
         outs = call(*operands)
         oi = 0
@@ -990,23 +1007,24 @@ def make_hour_march(
         zt_hist = outs[oi]
 
         # Reassemble the full-width layout from the parts.
-        T_new = jnp.zeros((N, NB, SB), dtype)
-        hq_full = [jnp.zeros((NB, SB), dtype) for _ in range(4)]
+        T_new = jnp.zeros((N, NBl, SB), dtype)
+        hq_full = [jnp.zeros((NBl, SB), dtype) for _ in range(4)]
         for pi, (rows, lo, w) in enumerate(parts_meta):
             T_new = T_new.at[:rows, :, lo : lo + w].set(
-                T_parts[pi].reshape(rows, NB, w)
+                T_parts[pi].reshape(rows, NBl, w)
             )
             for k in range(4):
                 hq_full[k] = hq_full[k].at[:, lo : lo + w].set(
-                    hq_parts[pi][k].reshape(NB, w)
+                    hq_parts[pi][k].reshape(NBl, w)
                 )
-        T_new = T_new.reshape(N, SP)
-        hq = tuple(x.reshape(SP) for x in hq_full)
+        T_new = T_new.reshape(N, SPl)
+        hq = tuple(x.reshape(SPl) for x in hq_full)
 
         # [hours, NB, ZB]: zone temperature after each marched hour (the
         # reference's observable output channel, zone.rs:45-49)
-        zt_hist = jnp.moveaxis(zt_hist.reshape(NB, HR8, ZB)[:, :hours], 1, 0)
-        zT_new = zT_new.reshape(NB, 8, ZB)[:, 0]
+        zt_hist = jnp.moveaxis(zt_hist.reshape(NBl, HR8, ZB)[:, :hours], 1, 0)
+        zT_new = zT_new.reshape(NBl, 8, ZB)[:, 0]
         return T_new, zT_new, hq, zt_hist
 
+    hour_march.param_axes = tuple(param_axes)
     return hour_march, params

@@ -30,6 +30,24 @@ from heatx.engine.state import SimState, StepInputs
 SURFACE_AXIS = "surf"
 
 
+def _put_tree(tree, shardings):
+    """device_put a pytree onto (possibly multi-process) shardings.
+
+    In a multi-process runtime ``jax.device_put`` insists that host values be
+    bit-identical across processes — which NaN-sentinel arrays (fixed_h
+    overrides) can never satisfy (NaN != NaN).  Build global arrays from
+    per-process local slices instead; single-process keeps the plain path.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree, shardings)
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = SURFACE_AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices."""
     devices = list(devices) if devices is not None else jax.devices()
@@ -66,11 +84,11 @@ def inputs_shardings(mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
 
 
 def shard_state(state: SimState, mesh: Mesh, axis: str = SURFACE_AXIS) -> SimState:
-    return jax.device_put(state, state_shardings(mesh, axis))
+    return _put_tree(state, state_shardings(mesh, axis))
 
 
 def shard_inputs(inputs: StepInputs, mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
-    return jax.device_put(inputs, inputs_shardings(mesh, axis))
+    return _put_tree(inputs, inputs_shardings(mesh, axis))
 
 
 def building_shardings(
@@ -138,7 +156,7 @@ def make_sharded_march(
     _check_divisible(building, mesh)
     building = building.astype(building.config.dtype)
     bld_sh = building_shardings(building, mesh, axis)
-    building = jax.device_put(building, bld_sh)
+    building = _put_tree(building, bld_sh)
     jitted = jax.jit(
         _march_for_mode(mode, substeps),
         in_shardings=(bld_sh, state_shardings(mesh, axis), inputs_shardings(mesh, axis)),
@@ -152,6 +170,146 @@ def make_sharded_march(
     return fn
 
 
+def make_sharded_hour_march(
+    bb,
+    mesh: Mesh,
+    axis: str = SURFACE_AXIS,
+    substeps: int = None,
+    mode: str = "trbdf2",
+    hours: int = 1,
+    interpret: bool = False,
+):
+    """Shard the fused Pallas hour/day kernel over the device mesh.
+
+    Blocks are zone-closed (heatx.build.blocking), so the kernel shards
+    embarrassingly over the block axis: each device runs the same pallas_call
+    with a grid of ``n_blocks / n_devices`` blocks on its shard of the
+    blocked arrays; no collectives are needed (the zone energy balance is
+    block-local by construction).
+
+    Returns ``(hour_march, params)`` with the same calling convention as
+    :func:`heatx.ops.pallas_step.make_hour_march`, except the hour-input
+    shapes must be canonical: weather ``[hours*substeps]``, per-surface
+    irradiance ``[hours, SP]``, gains ``[hours, n_blocks, ZB]``.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from heatx.ops import pallas_step
+
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    NB = bb.n_blocks
+    if NB % ndev != 0:
+        raise ValueError(
+            f"{NB} blocks not divisible by {ndev} devices; choose a block "
+            "size giving a multiple (or pad the building)"
+        )
+    hm, params = pallas_step.make_hour_march(
+        bb,
+        substeps=substeps,
+        mode=mode,
+        hours=hours,
+        interpret=interpret,
+        grid_blocks=NB // ndev,
+    )
+    pspec = tuple(
+        P(None, axis) if ax == "lane" else P(axis, None) for ax in hm.param_axes
+    )
+    r = P()
+    lane2 = P(None, axis)
+    hi_spec = (
+        r, r, r,  # t_out, wind, wdir: replicated [hours*substeps]
+        lane2, lane2, lane2, lane2,  # sol/ir [hours, SP]
+        P(None, axis, None), P(None, axis, None),  # gains [hours, NB, ZB]
+    )
+    in_specs = (pspec, lane2, P(axis, None), hi_spec)
+    out_specs = (
+        lane2,  # T  [N, SP]
+        P(axis, None),  # zT [NB, ZB]
+        (P(axis), P(axis), P(axis), P(axis)),  # h/q [SP]
+        P(None, axis, None),  # zone history [hours, NB, ZB]
+    )
+    fn = shard_map(
+        hm, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
+    )
+    params = tuple(
+        jax.device_put(p, NamedSharding(mesh, s)) for p, s in zip(params, pspec)
+    )
+    return fn, params
+
+
+def make_sharded_fast_run(n_blocks: int, mesh: Mesh, hours: int = 2):
+    """Self-contained sharded-Pallas smoke runner (used by the driver's
+    multi-chip dry run): builds a tiny building that blocks into exactly
+    ``n_blocks`` zone-closed blocks, shards the TR-BDF2 day kernel over the
+    mesh (one block per device), and returns a nullary callable producing
+    the per-hour zone-temperature history."""
+    import jax.numpy as jnp
+
+    import heatx
+    from heatx.build.layout import compile_building
+    from heatx.engine import state as state_mod
+    from heatx.model.building import (
+        Boundary,
+        BuildingModel,
+        Construction,
+        Material,
+        SpaceDef,
+        Substance,
+        SurfaceDef,
+    )
+    from heatx.ops import pallas_step
+
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(n_blocks):
+        m.add_space(SpaceDef(f"z{z}", 100.0))
+        for si in range(3):
+            m.add_surface(
+                SurfaceDef(f"s{z}_{si}", "wall", Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+    building = compile_building(m, n=1, config=heatx.SimConfig(dtype=np.float32))
+    building = building.astype(np.float32)
+    # 3-surface components + block_size 4 => one zone-component per block.
+    bb = pallas_step.block_building(building, block_size=4)
+    assert bb.n_blocks == n_blocks, (bb.n_blocks, n_blocks)
+
+    sub = 4
+    hm, params = make_sharded_hour_march(
+        bb, mesh, substeps=sub, mode="trbdf2", hours=hours, interpret=True
+    )
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    NB, ZB = bb.n_blocks, bb.zones_per_block
+    st = state_mod.initial_state(building)
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)), np.float32)
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)), np.float32)
+    hi = (
+        jnp.full((hours * sub,), 5.0, np.float32),
+        jnp.full((hours * sub,), 3.0, np.float32),
+        jnp.zeros((hours * sub,), np.float32),
+        jnp.full((hours, SP), 150.0, np.float32),
+        jnp.zeros((hours, SP), np.float32),
+        jnp.full((hours, SP), 320.0, np.float32),
+        jnp.zeros((hours, SP), np.float32),
+        jnp.zeros((hours, NB, ZB), np.float32),
+        jnp.zeros((hours, NB, ZB), np.float32),
+    )
+    jitted = jax.jit(hm)
+
+    def run():
+        _, _, _, hist = jitted(params, T0, zT0, hi)
+        return hist
+
+    return run
+
+
 def make_sharded_run(
     building: CompiledBuilding,
     mesh: Mesh,
@@ -163,7 +321,7 @@ def make_sharded_run(
     _check_divisible(building, mesh)
     building = building.astype(building.config.dtype)
     bld_sh = building_shardings(building, mesh, axis)
-    building = jax.device_put(building, bld_sh)
+    building = _put_tree(building, bld_sh)
     st = state_shardings(mesh, axis)
     # Scanned inputs carry a leading time axis: prefix every per-step spec
     # with an unsharded dimension.

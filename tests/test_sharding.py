@@ -151,3 +151,74 @@ def test_sharded_fast_mode_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(state.node_T), np.asarray(ref.node_T), atol=1e-12
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_pallas_kernel_matches_unsharded():
+    """The fused Pallas day kernel sharded over 8 devices (one block each,
+    via shard_map) must reproduce the unsharded kernel bit-for-bit: blocks
+    are zone-closed, so sharding only moves work."""
+    import jax.numpy as jnp
+
+    from test_pallas_hour import city_model
+    from heatx.ops import pallas_step
+    from heatx.model.building import BuildingModel, Construction, Material, SpaceDef, Substance
+
+    # 8 independent zones x 3 surfaces; block_size 4 -> one component/block.
+    src = city_model(1, 2)  # donor for substances/materials/constructions
+    m = BuildingModel()
+    for s in src.substances.values():
+        m.add_substance(s)
+    for mat in src.materials.values():
+        m.add_material(mat)
+    for c in src.constructions.values():
+        m.add_construction(c)
+    verts = np.array([[0, 0, 0], [6, 0, 0], [6, 0, 3], [0, 0, 3]], float)
+    for z in range(8):
+        m.add_space(SpaceDef(f"z{z}", 150.0))
+        for si, kind in enumerate(["massive", "massive", "mixed"]):
+            m.add_surface(
+                SurfaceDef(f"s{z}_{si}", kind, Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2)
+    building = compile_building(m, n=1, config=cfg).astype(np.float64)
+    bb = pallas_step.block_building(building, block_size=4)
+    assert bb.n_blocks == 8
+
+    hours, sub = 2, 4
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    NB, ZB = bb.n_blocks, bb.zones_per_block
+    st = state_mod.initial_state(building)
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)))
+    S = building.n_surfaces
+    hi = (
+        jnp.full((hours * sub,), 5.0),
+        jnp.full((hours * sub,), 3.0),
+        jnp.full((hours * sub,), 1.0),
+        jnp.tile(jnp.asarray(lay.surfaces_to_blocked(np.full(S, 200.0)))[None], (hours, 1)),
+        jnp.zeros((hours, SP)),
+        jnp.tile(jnp.asarray(lay.surfaces_to_blocked(np.full(S, 320.0)))[None], (hours, 1)),
+        jnp.zeros((hours, SP)),
+        jnp.zeros((hours, NB, ZB)),
+        jnp.zeros((hours, NB, ZB)),
+    )
+
+    hm0, p0 = pallas_step.make_hour_march(
+        bb, substeps=sub, mode="trbdf2", hours=hours, interpret=True
+    )
+    T_a, zT_a, hq_a, hist_a = hm0(p0, T0, zT0, hi)
+
+    mesh = sh.make_mesh(jax.devices()[:8])
+    hm1, p1 = sh.make_sharded_hour_march(
+        bb, mesh, substeps=sub, mode="trbdf2", hours=hours, interpret=True
+    )
+    T_b, zT_b, hq_b, hist_b = jax.jit(hm1)(p1, T0, zT0, hi)
+
+    assert np.array_equal(np.asarray(T_a), np.asarray(T_b))
+    assert np.array_equal(np.asarray(zT_a), np.asarray(zT_b))
+    assert np.array_equal(np.asarray(hist_a), np.asarray(hist_b))
+    for a, b in zip(hq_a, hq_b):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
