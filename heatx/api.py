@@ -93,6 +93,18 @@ class ThermalModel:
             )
         return self._run(state, inputs_seq)
 
+    def run_checked(
+        self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True
+    ) -> Tuple[SimState, Optional[jax.Array]]:
+        """Like :meth:`run`, with an in-graph finiteness guard after every
+        main step (the reference's NaN asserts, model.rs:416-419): raises on
+        the first non-finite state, reporting the step and zone."""
+        if getattr(self, "_run_checked", None) is None:
+            self._run_checked = step_mod.make_checked_run_fn(
+                self._device(), collect_zone_T=collect_zone_T
+            )
+        return self._run_checked(state, inputs_seq)
+
     def march_exp(
         self, state: SimState, inputs: StepInputs, substeps: int = 12
     ) -> SimState:
@@ -341,9 +353,20 @@ class FastRunner:
             b_gain = b_gain + term
         return a_gain, b_gain
 
-    def run(self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True):
+    def run(
+        self,
+        state: SimState,
+        inputs_seq: StepInputs,
+        collect_zone_T: bool = True,
+        assert_finite: bool = False,
+    ):
         """March a whole [T, ...] input sequence through the fused kernel:
         the fast-path equivalent of :meth:`ThermalModel.run`.
+
+        ``assert_finite`` checks the collected per-hour zone history and
+        raises with the first non-finite hour/zone (the kernel itself cannot
+        host checkify; this is the fused-path analogue of the reference's
+        per-step NaN asserts, model.rs:416-419).
 
         ``inputs_seq`` leaves carry a leading [T] hour axis (weather may be
         [T] scalars-per-hour; per-surface irradiance [T, S], [S] or scalar;
@@ -429,13 +452,37 @@ class FastRunner:
             self._params, Tb, zTb, xs, collect_zone_T
         )
         final = self.from_blocked(Tb, zTb, hq)
+
+        def check_final_nodes():
+            mask = np.asarray(self._tm.building.surfaces.node_mask)
+            nt = np.asarray(final.node_T)
+            ok = np.isfinite(np.where(mask, nt, 0.0))
+            if not np.all(ok):
+                node, surf = (int(x) for x in np.argwhere(~ok)[0])
+                raise FloatingPointError(
+                    f"non-finite node temperature (surface {surf}, node {node}) "
+                    "after the run"
+                )
+
         if not collect_zone_T:
+            if assert_finite:
+                if not np.all(np.isfinite(np.asarray(zTb))):
+                    raise FloatingPointError("non-finite final zone temperatures")
+                check_final_nodes()
             return final, None
         hist = np.asarray(hist).reshape(T_steps, NB, ZB)
         zt = lay.zone_table
         valid = zt >= 0
         zone_T = np.zeros((T_steps, b.n_zones), dtype=hist.dtype)
         zone_T[:, zt[valid]] = hist[:, valid]
+        if assert_finite:
+            if not np.all(np.isfinite(zone_T)):
+                bad = np.argwhere(~np.isfinite(zone_T))
+                hour, zone = int(bad[0][0]), int(bad[0][1])
+                raise FloatingPointError(
+                    f"non-finite zone temperature first at hour {hour}, zone {zone}"
+                )
+            check_final_nodes()
         return final, j.asarray(zone_T, dt)
 
     def march_blocked(self, T, zT, hour_inputs):
