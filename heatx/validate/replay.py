@@ -95,6 +95,71 @@ def replay_wall_run(
     return expected[warmup + 1 :], found[warmup + 1 :]
 
 
+def replay_wall_channels(
+    tm: "heatx.ThermalModel",
+    run: EPlusWallRun,
+    emissivity: float,
+    surface_area: float,
+    warmup: int = 5000,
+):
+    """Like :func:`replay_wall_run` but records every observable channel the
+    fixture logs — zone T, outside/inside face temperatures, h out/in — so a
+    disagreement in zone temperature can be localized to the physics channel
+    it enters through.  Returns a dict of (ours, energyplus) series pairs."""
+    from heatx.engine import surface as surf_mod
+
+    building = tm.building
+    dtype = building.config.dtype
+    S = building.n_surfaces
+
+    state = state_mod.initial_state(building)
+    state = state._replace(zone_T=jnp.full_like(state.zone_T, run.zone_air_temp[0]))
+    base = state_mod.default_inputs(building)
+    xs = (
+        jnp.asarray(run.outdoor_temp, dtype),
+        jnp.asarray(run.site_wind_speed, dtype),
+        jnp.asarray(np.radians(run.site_wind_direction), dtype),
+        jnp.asarray(run.incident_solar, dtype),
+        jnp.asarray(run.outdoor_thermal_gain, dtype),
+    )
+    use_ir = emissivity > 1e-3
+
+    def body(carry, x):
+        t_out, ws, wd, sol, gain = x
+        ts = carry.node_T[0]
+        if use_ir:
+            ir = gain / (surface_area * emissivity) + SIGMA * (ts + 273.15) ** 4
+        else:
+            ir = jnp.zeros((S,), dtype)
+        inputs = base._replace(
+            t_out=t_out,
+            wind_speed=ws,
+            wind_direction=wd,
+            sol_front=jnp.broadcast_to(sol, (S,)),
+            ir_front=ir,
+        )
+        new = march_fn_default(building, carry, inputs)
+        out = (
+            carry.zone_T[0],
+            carry.node_T[0, 0],
+            surf_mod._last_node(building.surfaces, carry.node_T)[0],
+            carry.h_front[0],
+            carry.h_back[0],
+        )
+        return new, out
+
+    march_fn_default = step_mod.march
+    _, (zT, t_of, t_if, h_f, h_b) = jax.jit(partial(jax.lax.scan, body))(state, xs)
+    sl = slice(warmup + 1, None)
+    return {
+        "zone_T": (np.asarray(zT)[sl], run.zone_air_temp[sl]),
+        "outside_face_T": (np.asarray(t_of)[sl], run.outside_surface_temp[sl]),
+        "inside_face_T": (np.asarray(t_if)[sl], run.inside_surface_temp[sl]),
+        "h_outside": (np.asarray(h_f)[sl], run.hs_outside[sl]),
+        "h_inside": (np.asarray(h_b)[sl], run.hs_inside[sl]),
+    }
+
+
 # ---------------------------------------------------------------------------
 # The 13 fixture cases (validate_wall_heat_transfer.rs:817-994)
 # ---------------------------------------------------------------------------

@@ -4,10 +4,38 @@ Mirrors tests/validate_wall_heat_transfer.rs:817-994 + tilted + horizontal:
 replay each fixture's boundary conditions through the compiled wall+zone
 solver and compare zone temperatures after the 5000-step warm-up.
 
-Measured heatx agreement (float64, matching the reference scheme): 12/14
-cases under 2% of range; the mixed walls with solar on a no-mass face are the
-hardest at 3-6% — the same regime the reference struggles with (its no-mass
-relaxation tolerance is 0.01 C/node).  Thresholds encode that envelope.
+Measured heatx agreement (float64, matching the reference scheme), as
+ABSOLUTE zone-temperature error — the fractional thresholds below divide by
+each case's zone-T range, which varies 2-26 K across cases:
+
+| case                      | rmse K | bias K | range K | % of range |
+|---------------------------|--------|--------|---------|------------|
+| massive_full              | 0.062  | -0.004 |  9.3    | 0.7        |
+| massive_no_ir_no_solar    | ~0.02  |  ~0    |  8.9    | <1         |
+| massive_no_ir_yes_solar   | 0.065  | -0.012 |  9.2    | 0.7        |
+| massive_yes_ir_no_solar   | ~0.03  |  ~0    |  9.0    | <1         |
+| mixed_full                | 0.042  | -0.037 |  2.3    | 1.8        |
+| mixed_no_ir_no_solar      | 0.018  | +0.012 |  2.2    | 0.8        |
+| mixed_no_ir_yes_solar     | 0.168  | -0.131 |  3.0    | 5.7        |
+| mixed_yes_ir_no_solar     | 0.066  | +0.047 |  2.1    | 3.2        |
+| nomass_no_ir_yes_solar    | 0.223  | +0.008 | 25.7    | 0.9        |
+| (remaining cases)         | <0.1   | small  | 8-26    | <2         |
+
+The headline outlier, mixed_no_ir_yes_solar, is a near-constant -0.13 K
+bias (present at night as much as under peak sun) in the case with the
+SMALLEST range: an insulated wall whose mean conducted flux is ~0.1 W/m2
+and whose inside film coefficient idles near the TARP floor (E+ logs mean
+h_in = 0.74 W/m2K).  Channel-level replay (test_eplus_channels.py) shows
+outside-face temperature, h_out, and h_in each match the EnergyPlus logs to
+~1% with no systematic shift — the bias enters in the degenerate inside-film
+equilibrium, where a ~0.1 W/m2 mean-flux difference moves the free-floating
+zone by ~0.13 K.  In absolute terms the case is *more* accurate than the
+passing nomass_no_ir_yes_solar (0.17 K vs 0.22 K rmse).
+
+The reference's own error levels cannot be measured in this environment
+(its Rust toolchain and `validate` crate are unavailable and there is no
+network egress); heatx's parity path — every physics component of which is
+pinned to the reference's published unit-test values — stands in for it.
 """
 
 import numpy as np
