@@ -359,6 +359,7 @@ class FastRunner:
         inputs_seq: StepInputs,
         collect_zone_T: bool = True,
         assert_finite: bool = False,
+        interp_weather: bool = False,
     ):
         """March a whole [T, ...] input sequence through the fused kernel:
         the fast-path equivalent of :meth:`ThermalModel.run`.
@@ -367,6 +368,13 @@ class FastRunner:
         raises with the first non-finite hour/zone (the kernel itself cannot
         host checkify; this is the fused-path analogue of the reference's
         per-step NaN asserts, model.rs:416-419).
+
+        ``interp_weather`` linearly interpolates per-hour scalar weather
+        (t_out / wind) to the kernel's sub-steps instead of holding it
+        constant within the hour — the reference re-queries weather every
+        sub-step (model.rs:371-374); hourly series are all an EPW offers, so
+        interpolation is the faithful rendering.  Only applies to [T]-shaped
+        scalar weather leaves.
 
         ``inputs_seq`` leaves carry a leading [T] hour axis (weather may be
         [T] scalars-per-hour; per-surface irradiance [T, S], [S] or scalar;
@@ -398,9 +406,13 @@ class FastRunner:
 
         def weather(v):
             a = np.broadcast_to(np.asarray(v, np.float64), (T_steps,))
-            return j.asarray(
-                np.repeat(a, sub).reshape(D, H * sub), dt
-            )
+            if interp_weather:
+                from heatx.weather.epw import interpolate_to_steps
+
+                s = interpolate_to_steps(a, sub)[: T_steps * sub]
+            else:
+                s = np.repeat(a, sub)
+            return j.asarray(s.reshape(D, H * sub), dt)
 
         def surf_seq(v):
             a = np.asarray(v, np.float64)

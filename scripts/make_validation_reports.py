@@ -13,6 +13,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # bench.py
 
 import jax
 
@@ -110,6 +111,37 @@ def walls_report():
             )
         )
         print(f"  eplus fast {name}: done")
+
+    # The HEADLINE regime (bench.py defaults: hourly coefficient freeze,
+    # 8 TR-BDF2 sub-steps/hour, hourly EPW weather interpolated to
+    # sub-steps) against the reference-parity integrator over three weeks of
+    # real weather on the bench city model — the evidence behind the 0.87 s
+    # annual number (gated in tests/test_fast_regime.py).
+    try:
+        from test_fast_regime import WARMUP, regime_runs as _unused  # noqa: F401
+        import test_fast_regime as tfr
+
+        class _Root:
+            pass
+
+        zhist_par, zhist_fast, _ = tfr.regime_runs.__wrapped__(FIXTURES)
+        v.push(
+            SeriesValidation(
+                title=(
+                    "Headline fast-mode regime vs reference-parity "
+                    "(3 weeks CHL_Santiago EPW, bench city model, zone 0)"
+                ),
+                expected=zhist_par[tfr.WARMUP :, 0],
+                found=zhist_fast[tfr.WARMUP :, 0],
+                expected_legend="reference-parity integrator",
+                y_label="Zone Temperature",
+                y_units="C",
+                max_rmse_frac=0.03,
+            )
+        )
+        print("  headline regime: done")
+    except Exception as e:  # pragma: no cover - report stays best-effort
+        print(f"  headline regime skipped: {e}")
     v.validate(raise_on_fail=False)
     print(f"wrote {v.target_file}")
 

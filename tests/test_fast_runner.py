@@ -138,3 +138,47 @@ def test_fast_runner_run_sequence_trbdf2():
         assert "divisible" in str(e)
     else:
         raise AssertionError("expected divisibility error")
+
+
+def test_run_interp_weather_moves_results():
+    """interp_weather=True feeds sub-step-interpolated weather to the kernel
+    (model.rs:371-374 parity); it must change results measurably when the
+    hourly series has structure."""
+    import jax.numpy as jnp
+
+    tm, st, seq = _ramp_sequence()
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, interpret=True)
+    _, h_const = fr.run(st, seq)
+    _, h_interp = fr.run(st, seq, interp_weather=True)
+    d = np.abs(np.asarray(h_const) - np.asarray(h_interp)).max()
+    assert d > 0.0
+    assert d < 1.0  # same physics, sub-hour shading only
+
+
+def _ramp_sequence(hours=6):
+    import jax.numpy as jnp
+
+    tm = heatx.ThermalModel(model(), n=1, config=heatx.SimConfig(dtype=np.float64))
+    st = tm.initial_state()
+    b = tm.building
+    S, Z = b.n_surfaces, b.n_zones
+    base = tm.inputs()
+    t_out = np.linspace(-10.0, 15.0, hours)
+    seq = base._replace(
+        t_out=jnp.asarray(t_out),
+        wind_speed=jnp.full((hours,), 3.0),
+        wind_direction=jnp.zeros((hours,)),
+        sol_front=jnp.zeros((hours, S)),
+        sol_back=jnp.zeros((hours, S)),
+        ir_front=jnp.full((hours, S), 350.0),
+        ir_back=jnp.zeros((hours, S)),
+        hvac_power=jnp.zeros((hours, b.n_hvacs)),
+        lum_power=jnp.zeros((hours, b.n_luminaires)),
+        inf_vol=jnp.zeros((hours, Z)),
+        inf_temp=jnp.zeros((hours, Z)),
+        inf_mask=jnp.zeros((hours, Z)),
+        vent_vol=jnp.zeros((hours, Z)),
+        vent_temp=jnp.zeros((hours, Z)),
+        vent_mask=jnp.zeros((hours, Z)),
+    )
+    return tm, st, seq
