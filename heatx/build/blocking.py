@@ -52,6 +52,12 @@ def _union_find_components(building: CompiledBuilding):
     for s in range(S):
         if fronts[s] == B_SPACE and backs[s] == B_SPACE:
             union(int(fspace[s]), int(bspace[s]))
+    # Inter-zone mixing couples zones exactly like a shared partition does:
+    # mixed zones must land in the same block for the in-kernel update.
+    for src, dst in zip(
+        np.asarray(building.mix_src), np.asarray(building.mix_dst)
+    ):
+        union(int(src), int(dst))
 
     comp_of_zone = np.array([find(z) for z in range(Z)], dtype=np.int64)
     return comp_of_zone

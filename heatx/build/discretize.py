@@ -86,18 +86,39 @@ class Discretization:
         nomass_nodes = [i for i, s in enumerate(self.segments) if s.mass < 1e-5]
         return runs(mass_nodes), runs(nomass_nodes)
 
-    def r_value(self) -> float:
-        """Total solid R (discretization.rs:305-319).  The reference panics on
-        cavities (``todo!()``); heatx raises a clear error instead."""
+    def r_value(self, t_front: float = 15.0, t_back: float = 5.0) -> float:
+        """Total construction R (discretization.rs:305-319).
+
+        A gas cavity's U is temperature-dependent; the reference leaves this
+        case ``todo!()`` (discretization.rs:310).  heatx evaluates it at the
+        given face temperatures (default: the 10 K / 283 K mean of EN 673's
+        standard U-value conditions) — a documented extension."""
+        import numpy as np
+
+        from heatx.physics.cavity import cavity_u_value
+
         r = 0.0
         for seg in self.segments:
             if seg.kind == "solid":
                 r += 1.0 / seg.u
             elif seg.kind == "cavity":
-                raise NotImplementedError(
-                    "r_value of a construction with a gas cavity is temperature-"
-                    "dependent (reference leaves this todo!(), discretization.rs:310)"
+                cav = seg.cavity
+                gp = type(cav.gas)(*[np.asarray(v) for v in cav.gas])
+                u = float(
+                    np.asarray(
+                        cavity_u_value(
+                            gp,
+                            np.asarray(cav.thickness),
+                            np.asarray(cav.height),
+                            np.asarray(cav.angle),
+                            np.asarray(cav.ein),
+                            np.asarray(cav.eout),
+                            np.asarray(float(t_front)),
+                            np.asarray(float(t_back)),
+                        )
+                    )
                 )
+                r += 1.0 / u
         if r <= 0.0:
             raise ValueError("found zero r-value")
         return r

@@ -250,6 +250,14 @@ class CompiledBuilding:
     config: SimConfig = field(default_factory=lambda: DEFAULT_CONFIG)
     discretizations: List[disc_mod.Discretization] = field(default_factory=list)
 
+    # Inter-zone air mixing (heatx extension; model.rs:546 leaves it
+    # unimplemented): vol_rate[m] m3/s of zone mix_src[m]'s air into zone
+    # mix_dst[m].  The default mix_vol input channel carries these rates;
+    # schedules override it per step on the XLA paths.
+    mix_src: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    mix_dst: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    mix_vol: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+
     @property
     def n_surfaces(self) -> int:
         return self.surfaces.n_surfaces
@@ -266,6 +274,7 @@ class CompiledBuilding:
             self,
             surfaces=self.surfaces.astype(dtype),
             zone_volume=self.zone_volume.astype(dtype),
+            mix_vol=self.mix_vol.astype(dtype),
         )
 
     def set_fixed_h(self, front=None, back=None):
@@ -310,7 +319,10 @@ def _sb_unflatten(aux, children):
 
 jax.tree_util.register_pytree_node(SurfaceBatch, _sb_flatten, _sb_unflatten)
 
-_CB_CHILDREN = ("surfaces", "zone_volume", "lum_space", "hvac_pair_space", "hvac_pair_unit")
+_CB_CHILDREN = (
+    "surfaces", "zone_volume", "lum_space", "hvac_pair_space", "hvac_pair_unit",
+    "mix_src", "mix_dst", "mix_vol",
+)
 _CB_STATIC = (
     "n_zones",
     "dt",
@@ -340,18 +352,21 @@ def _cb_unflatten(aux, children):
 jax.tree_util.register_pytree_node(CompiledBuilding, _cb_flatten, _cb_unflatten)
 
 
-def _boundary_arrays(b: Boundary, model: BuildingModel) -> Tuple[int, int, float]:
+def _boundary_arrays(b: Boundary, model: BuildingModel):
+    """(code, space_index, fixed_temp, is_ground) for one face.
+
+    Ground (a heatx extension; the reference leaves it unimplemented,
+    model.rs:92) lowers to a fixed-temperature boundary whose convective
+    film is replaced by the soil contact coefficient — the caller pins
+    fixed_h on that face to ``config.ground_contact_h``."""
     if b.kind == "outdoor":
-        return B_OUTDOOR, 0, 0.0
+        return B_OUTDOOR, 0, 0.0, False
     if b.kind == "space":
-        return B_SPACE, model.space_index(b.space), 0.0
+        return B_SPACE, model.space_index(b.space), 0.0, False
     if b.kind == "ambient":
-        return B_AMBIENT, 0, float(b.temperature)
+        return B_AMBIENT, 0, float(b.temperature), False
     if b.kind == "ground":
-        raise NotImplementedError(
-            "Boundary::Ground is unimplemented in the reference (model.rs:92); "
-            "heatx rejects it at compile time"
-        )
+        return B_AMBIENT, 0, float(b.temperature), True
     raise ValueError(f"unknown boundary kind '{b.kind}'")
 
 
@@ -464,6 +479,10 @@ def compile_building(
     back_space = np.zeros(S, dtype=np.int32)
     back_temp = zeros(S)
     is_fen = np.zeros(S, dtype=bool)
+    # Ground faces replace the convective film with the soil contact
+    # coefficient, carried through the fixed-h override channel.
+    ground_h_front = np.full(S, np.nan, dtype=f64)
+    ground_h_back = np.full(S, np.nan, dtype=f64)
 
     for si, ((sdef, fen), d, (area, perimeter, normal, height, cos_tilt)) in enumerate(
         zip(surf_defs, discs, geo)
@@ -513,12 +532,16 @@ def compile_building(
         normal_a[si] = normal
         cos_tilt_a[si] = cos_tilt
         wind_mod_a[si] = wind_speed_modifier(height, model.site_details)
-        front_code[si], front_space[si], front_temp[si] = _boundary_arrays(
+        front_code[si], front_space[si], front_temp[si], f_gnd = _boundary_arrays(
             sdef.front_boundary, model
         )
-        back_code[si], back_space[si], back_temp[si] = _boundary_arrays(
+        back_code[si], back_space[si], back_temp[si], b_gnd = _boundary_arrays(
             sdef.back_boundary, model
         )
+        if f_gnd:
+            ground_h_front[si] = config.ground_contact_h
+        if b_gnd:
+            ground_h_back[si] = config.ground_contact_h
         is_fen[si] = fen
 
     massive = node_mask & (mass >= 1e-5)
@@ -603,8 +626,8 @@ def compile_building(
         back_code=back_code,
         back_space=back_space,
         back_temp=back_temp,
-        fixed_h_front=np.full(S, np.nan, dtype=f64),
-        fixed_h_back=np.full(S, np.nan, dtype=f64),
+        fixed_h_front=ground_h_front,
+        fixed_h_back=ground_h_back,
         is_fenestration=is_fen,
     )
 
@@ -631,6 +654,15 @@ def compile_building(
         else:
             raise ValueError(f"unknown HVAC type {type(hvac)}")
 
+    # Inter-zone mixing pairs (heatx extension; model.rs:546).
+    mix_src = np.array(
+        [model.space_index(f) for f, _, _ in model.mixings], dtype=np.int32
+    )
+    mix_dst = np.array(
+        [model.space_index(t) for _, t, _ in model.mixings], dtype=np.int32
+    )
+    mix_vol = np.array([v for _, _, v in model.mixings], dtype=f64)
+
     return CompiledBuilding(
         surfaces=batch,
         n_zones=Z,
@@ -646,4 +678,7 @@ def compile_building(
         n_real_surfaces=len(model.surfaces),
         config=config,
         discretizations=discs,
+        mix_src=mix_src,
+        mix_dst=mix_dst,
+        mix_vol=mix_vol,
     )

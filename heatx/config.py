@@ -68,6 +68,16 @@ class SimConfig:
     # sharding annotations).
     surface_axis: Optional[str] = None
 
+    # Contact coefficient for Boundary.ground faces (W/m2K): the face
+    # couples conductively to soil at the boundary's temperature instead of
+    # through a convective film.  The default 20 = 1/MAX_RS is the largest
+    # film conductance the discretization's explicit-RK4 stability search
+    # covers (discretization.rs:21); raising it toward Dirichlet demands the
+    # L-stable TR-BDF2 fast mode (march_imp / kernel mode="trbdf2").
+    # (Ground boundaries are a heatx extension — unimplemented in the
+    # reference, model.rs:92.)
+    ground_contact_h: float = 20.0
+
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
 

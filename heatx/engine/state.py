@@ -57,6 +57,7 @@ class StepInputs(NamedTuple):
     vent_vol: jnp.ndarray  # [Z]
     vent_temp: jnp.ndarray  # [Z]
     vent_mask: jnp.ndarray  # [Z] bool
+    mix_vol: jnp.ndarray = None  # [M] inter-zone mixing flows, m3/s (heatx extension)
 
 
 def initial_state(building, dtype=None) -> SimState:
@@ -100,6 +101,7 @@ def default_inputs(building, dtype=None, **overrides) -> StepInputs:
         vent_vol=jnp.zeros((Z,), dtype=dtype),
         vent_temp=jnp.zeros((Z,), dtype=dtype),
         vent_mask=jnp.zeros((Z,), dtype=bool),
+        mix_vol=jnp.asarray(building.mix_vol, dtype=dtype),
     )
     for k, v in overrides.items():
         base = base._replace(**{k: jnp.asarray(v, dtype=bool if k.endswith("mask") else dtype)})

@@ -139,6 +139,19 @@ def make_march_fn(building: CompiledBuilding, donate: bool = False):
     return fn
 
 
+def _with_time_axis_mix(inputs_seq: StepInputs) -> StepInputs:
+    """Broadcast a static [M] mixing-rate leaf over the scanned time axis
+    (constant rates are the common case; schedules pass [T, M] directly)."""
+    mv = inputs_seq.mix_vol
+    if mv is None:
+        return inputs_seq
+    mv = jnp.asarray(mv)
+    if mv.ndim == 1:
+        T = jnp.asarray(inputs_seq.t_out).shape[0]
+        mv = jnp.broadcast_to(mv, (T,) + mv.shape)
+    return inputs_seq._replace(mix_vol=mv)
+
+
 def run(
     building: CompiledBuilding,
     state: SimState,
@@ -159,7 +172,7 @@ def run(
         out = new_state.zone_T if collect_zone_T else None
         return new_state, out
 
-    return jax.lax.scan(body, state, inputs_seq)
+    return jax.lax.scan(body, state, _with_time_axis_mix(inputs_seq))
 
 
 def make_run_fn(building: CompiledBuilding, collect_zone_T: bool = True, donate: bool = False):
@@ -208,7 +221,7 @@ def make_checked_run_fn(building: CompiledBuilding, collect_zone_T: bool = True)
 
     def run_fn(state, inputs_seq):
         (state, _), hist = jax.lax.scan(
-            body, (state, jnp.asarray(0, jnp.int32)), inputs_seq
+            body, (state, jnp.asarray(0, jnp.int32)), _with_time_axis_mix(inputs_seq)
         )
         return state, hist
 

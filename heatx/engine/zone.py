@@ -67,6 +67,19 @@ def zone_abc(
     a, b = air_exchange(a, b, inputs.inf_vol, inputs.inf_temp, inputs.inf_mask)
     a, b = air_exchange(a, b, inputs.vent_vol, inputs.vent_temp, inputs.vent_mask)
 
+    # Inter-zone air mixing (heatx extension; the reference leaves it
+    # unimplemented, model.rs:546, 592-593): ventilation whose inlet
+    # temperature is the source zone's current air temperature.
+    if building.mix_src.size:
+        vol = inputs.mix_vol if inputs.mix_vol is not None else jnp.asarray(
+            building.mix_vol, dtype
+        )
+        t_src = zone_T[building.mix_src]
+        t_k = t_src + KELVIN
+        term = gas.density(gas.AIR, t_k) * vol * gas.heat_capacity(gas.AIR, t_k)
+        a = a + jax.ops.segment_sum(term * t_src, building.mix_dst, num_segments=Z)
+        b = b + jax.ops.segment_sum(term, building.mix_dst, num_segments=Z)
+
     # Surface convective coupling Sum h*A*T / Sum h*A into the adjacent zones
     # (model.rs:556-590).  Faces not bounding a space scatter into a dump slot.
     def face(a, b, code, space, h, t_s):

@@ -84,7 +84,13 @@ class Boundary:
 
     kind: 'outdoor' | 'space' | 'ambient' | 'ground'
     The reference leaves 'ground' unimplemented (model.rs:92, surface.rs:642);
-    heatx rejects it explicitly at compile time.
+    heatx implements it as a documented extension: the face is in conductive
+    contact with soil at ``temperature`` — compiled as a fixed-temperature
+    boundary with the contact coefficient ``SimConfig.ground_contact_h``
+    instead of a convective film.  Seasonal ground temperatures are updates
+    to the compiled ``surfaces.front_temp``/``back_temp`` arrays (cheap
+    pytree-leaf swaps between calls); soil mass belongs in the construction
+    as soil layers.
     """
 
     kind: str = "outdoor"
@@ -104,8 +110,8 @@ class Boundary:
         return Boundary("ambient", temperature=temperature)
 
     @staticmethod
-    def ground() -> "Boundary":
-        return Boundary("ground")
+    def ground(temperature: float = 10.0) -> "Boundary":
+        return Boundary("ground", temperature=temperature)
 
 
 # ---------------------------------------------------------------------------
@@ -250,6 +256,11 @@ class BuildingModel:
     hvacs: List[HVAC] = field(default_factory=list)
     luminaires: List[Luminaire] = field(default_factory=list)
     site_details: Optional[SiteDetails] = None
+    # Inter-zone air mixing (from_space, to_space, m3/s).  The reference
+    # comments this out as unimplemented (model.rs:546, 592-593); heatx
+    # implements it as ventilation whose source temperature is the other
+    # zone's air: A_to += rho*cp(T_from)*vol*T_from, B_to += rho*cp*vol.
+    mixings: List[tuple] = field(default_factory=list)
 
     # -- construction helpers ------------------------------------------------
 
@@ -284,6 +295,18 @@ class BuildingModel:
     def add_luminaire(self, l: Luminaire) -> Luminaire:
         self.luminaires.append(l)
         return l
+
+    def add_mixing(
+        self, from_space: str, to_space: str, vol_rate: float, bidirectional: bool = True
+    ):
+        """Inter-zone air mixing: ``vol_rate`` m3/s of air carried from
+        ``from_space`` into ``to_space`` (and, by default, back — balanced
+        exchange through an opening).  Unimplemented in the reference
+        (model.rs:546); see BuildingModel.mixings."""
+        self.mixings.append((from_space, to_space, float(vol_rate)))
+        if bidirectional:
+            self.mixings.append((to_space, from_space, float(vol_rate)))
+        return self
 
     # -- lookups -------------------------------------------------------------
 

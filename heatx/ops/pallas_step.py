@@ -59,6 +59,10 @@ class BlockedBuilding:
     back_oh: np.ndarray  # [SP, ZB]
     zone_volume: np.ndarray  # [n_blocks, ZB] (1.0 in padded slots)
     zone_valid: np.ndarray  # [n_blocks, ZB]
+    # Block-local inter-zone mixing matrix [NB*ZB, ZB] with
+    # mix_wt[b*ZB + from_local, to_local] = vol m3/s, or None.  Mixed zones
+    # always share a block (blocking joins them), so this is block-diagonal.
+    mix_wt: np.ndarray = None
 
     @property
     def config(self) -> SimConfig:
@@ -144,6 +148,27 @@ def block_building(
     zone_volume = layout.zones_to_blocked(np.asarray(building.zone_volume), fill=1.0)
     zone_volume = np.where(layout.zone_valid, zone_volume, 1.0)
 
+    mix_wt = None
+    if building.mix_src.size:
+        ZB = layout.zones_per_block
+        zone_local = {}
+        zone_block = {}
+        for bi in range(layout.n_blocks):
+            for j, z in enumerate(layout.zone_table[bi]):
+                if z >= 0:
+                    zone_local[int(z)] = j
+                    zone_block[int(z)] = bi
+        W = np.zeros((layout.n_blocks, ZB, ZB))
+        for s, d, v in zip(
+            np.asarray(building.mix_src),
+            np.asarray(building.mix_dst),
+            np.asarray(building.mix_vol),
+        ):
+            bi = zone_block[int(s)]
+            assert zone_block[int(d)] == bi, "mixed zones must share a block"
+            W[bi, zone_local[int(s)], zone_local[int(d)]] += float(v)
+        mix_wt = W.reshape(layout.n_blocks * ZB, ZB)
+
     return BlockedBuilding(
         base=building,
         layout=layout,
@@ -152,6 +177,7 @@ def block_building(
         back_oh=layout.back_oh,
         zone_volume=zone_volume,
         zone_valid=layout.zone_valid,
+        mix_wt=mix_wt,
     )
 
 
@@ -287,6 +313,7 @@ def _hour_body(
     dt: float,
     solver=None,
     off=0,  # weather offset (multi-hour kernels pass hour*substeps)
+    mix_wt=None,  # [ZB, ZB] block-local inter-zone mixing matrix
 ):
     """One hour of reference-parity sub-steps for one block; pure jnp.
 
@@ -323,6 +350,13 @@ def _hour_body(
             envs.append((p, env_f.h, env_b.h, ts_front, ts_back))
 
         a_z, b_z = _zone_dots(a_extra, b_extra, envs, f32)
+        if mix_wt is not None:
+            # Inter-zone mixing (heatx extension, model.rs:546): ventilation
+            # sourced from the other zone's air, as an M=1 vector-matrix dot.
+            t_k = zT + KELVIN
+            s0 = gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
+            a_z = a_z + jnp.dot((s0 * zT)[None, :], mix_wt, preferred_element_type=f32)[0]
+            b_z = b_z + jnp.dot(s0[None, :], mix_wt, preferred_element_type=f32)[0]
         zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt)
         return (tuple(new_Ts), zT_new), tuple(hqs)
 
@@ -355,6 +389,7 @@ def _hour_body_imp(
     dt_sub: float,
     solver=None,  # accepted for call-site compatibility; stages pre-factor
     off=0,
+    mix_wt=None,  # [ZB, ZB] block-local inter-zone mixing matrix
 ):
     """One hour of TR-BDF2 fast-mode sub-steps for one block (see
     heatx.engine.implicit): coefficients freeze once per hour, each sub-step
@@ -433,6 +468,13 @@ def _hour_body_imp(
             envs.append((p, fz.env_f0.h, fz.env_b0.h, ts_front, ts_back))
 
         a_z, b_z = _zone_dots(a_extra, b_extra, envs, f32)
+        if mix_wt is not None:
+            # Inter-zone mixing (heatx extension, model.rs:546): ventilation
+            # sourced from the other zone's air, as an M=1 vector-matrix dot.
+            t_k = zT + KELVIN
+            s0 = gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
+            a_z = a_z + jnp.dot((s0 * zT)[None, :], mix_wt, preferred_element_type=f32)[0]
+            b_z = b_z + jnp.dot(s0[None, :], mix_wt, preferred_element_type=f32)[0]
         zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt_sub)
         return (tuple(new_Ts), zT_new), tuple(hqs)
 
@@ -692,6 +734,9 @@ def make_hour_march(
             r_parts.append(rp)
         r_shared["zone_volume"] = refs[i]
         i += 1
+        if bb.mix_wt is not None:
+            r_shared["mix_wt"] = refs[i]
+            i += 1
         for pi in range(n_parts):
             for name in ["sol_front", "sol_back", "ir_front", "ir_back"]:
                 r_parts[pi][name] = refs[i]
@@ -830,6 +875,9 @@ def make_hour_march(
                 dt,
                 solver=solver,
                 off=h * substeps,
+                mix_wt=(
+                    r_shared["mix_wt"][...] if "mix_wt" in r_shared else None
+                ),
             )
 
         T0s = tuple(rp["T0"][...] for _, rp in part_vals)
@@ -916,6 +964,10 @@ def make_hour_march(
         )
     )
     param_axes.append("row")
+    if bb.mix_wt is not None:
+        in_specs.append(zone_spec(ZB))  # block-local mixing matrix
+        params.append(jnp.asarray(bb.mix_wt, dtype))
+        param_axes.append("row")
     for rows, lo, w in parts_meta:
         in_specs += [vspec(hours, w)] * 4  # sol_f, sol_b, ir_f, ir_b
     in_specs += [zone_spec(HR8), zone_spec(HR8)]  # a_extra, b_extra

@@ -80,6 +80,7 @@ def inputs_shardings(mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
         vent_vol=r,
         vent_temp=r,
         vent_mask=r,
+        mix_vol=r,
     )
 
 

@@ -192,5 +192,8 @@ def test_r_value():
 
     m2, c2 = gas_sandwich_model()
     d2 = dz.build_segments(c2, m2, 1, [1, 1, 1], 1.0, 0.0)
-    with pytest.raises(NotImplementedError):
-        d2.r_value()
+    # Gas-cavity r-value: the reference panics (todo!(), discretization.rs:310);
+    # heatx evaluates the ISO 15099 cavity U at given face temperatures.
+    r2 = d2.r_value()
+    assert r2 > 0.025  # two solid panes alone
+    assert d2.r_value(t_front=40.0, t_back=30.0) < r2  # hotter cavity -> lower R
