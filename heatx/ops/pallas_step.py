@@ -402,6 +402,10 @@ def _hour_body_imp(
 
     f32 = T0s[0].dtype
     statics = [surf_mod.compute_statics(p.sb) for p in parts]
+    # Stage solves: PCR when the kernel's solver choice is PCR (no pivot
+    # chain; measured faster than the pre-factored sequential sweeps),
+    # otherwise the division-free factored sweeps.
+    use_pcr = solver is tridiag.solve_pcr
 
     # -- per-hour frozen operators (implicit.build_operators, in-kernel) -----
     t_out0, ws0, wd0 = t_out_arr[off], wind_arr[off], wdir_arr[off]
@@ -453,11 +457,17 @@ def _hour_body_imp(
             half = imp_mod.GAMMA * dt_sub / 2.0
             rhs1 = fz.C * T + half * KT0 + imp_mod.GAMMA * dt_sub * q
             rhs1 = jnp.where(p.sb.node_mask, rhs1, T)
-            T1 = tridiag.solve_factored(fz.M1[0], fz.cs1, fz.inv1, rhs1)
+            if use_pcr:
+                T1 = tridiag.solve_pcr(*fz.M1, rhs1)
+            else:
+                T1 = tridiag.solve_factored(fz.M1[0], fz.cs1, fz.inv1, rhs1)
 
             rhs2 = imp_mod.C1 * fz.C * T1 - imp_mod.C2 * fz.C * T + imp_mod.BETA * dt_sub * q
             rhs2 = jnp.where(p.sb.node_mask, rhs2, T)
-            T_new = tridiag.solve_factored(fz.M2[0], fz.cs2, fz.inv2, rhs2)
+            if use_pcr:
+                T_new = tridiag.solve_pcr(*fz.M2, rhs2)
+            else:
+                T_new = tridiag.solve_factored(fz.M2[0], fz.cs2, fz.inv2, rhs2)
 
             ts_front = T_new[0]
             ts_back = surf_mod._last_node(p.sb, T_new, st)
@@ -764,13 +774,17 @@ def make_hour_march(
         import os as _os
         from heatx.ops import tridiag as _td
 
-        _solver_kind = _os.environ.get("HEATX_KERNEL_SOLVER", "thomas")
+        _solver_kind = _os.environ.get("HEATX_KERNEL_SOLVER", "pcr")
         if _os.environ.get("HEATX_KERNEL_LOOP", "0") == "1" and n_parts == 1:
             # Scratch-ref Thomas: loop-form fallback (small Mosaic MLIR) in
             # case a bigger kernel ever overwhelms the Mosaic compiler.
             solver = _make_ref_thomas(*scratch, N)
         elif _solver_kind == "pcr":
-            solver = _td.solve_pcr  # parallel cyclic reduction: no row chain
+            # Parallel cyclic reduction: log2(N) full-width sweeps, no
+            # sequential row chain.  After the node-split + zone-gather fixes
+            # the solve dominates the parity kernel, and PCR measures ~20%
+            # faster end-to-end than the unrolled Thomas (PERF.md).
+            solver = _td.solve_pcr
         else:
             solver = _td.solve  # fully unrolled Thomas
 
