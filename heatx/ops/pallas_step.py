@@ -279,22 +279,28 @@ def _zone_update(zT, a_z, b_z, zone_volume, dt):
 def _zone_dots(a_extra, b_extra, parts_env, f32):
     """Per-zone A/B accumulation over all sub-batches: segment-sum of
     h*A*T_face / h*A via one-hot matmuls (model.rs:489-597).  All-zero
-    one-hots (faces that never bound a zone) are skipped statically."""
+    one-hots (faces that never bound a zone) are skipped statically; the A
+    and B rows share one M=2 matmul per face (half the MXU passes of two
+    M=1 dots)."""
     a_z = a_extra
     b_z = b_extra
     for (p, hf, hb, ts_f, ts_b) in parts_env:
         if p.front_any:
             ha_f = hf * p.sb.area
-            a_z = a_z + jnp.dot(
-                (ha_f * ts_f)[None, :], p.front_oh, preferred_element_type=f32
-            )[0]
-            b_z = b_z + jnp.dot(ha_f[None, :], p.front_oh, preferred_element_type=f32)[0]
+            ab = jnp.dot(
+                jnp.stack([ha_f * ts_f, ha_f], axis=0), p.front_oh,
+                preferred_element_type=f32,
+            )
+            a_z = a_z + ab[0]
+            b_z = b_z + ab[1]
         if p.back_any:
             ha_b = hb * p.sb.area
-            a_z = a_z + jnp.dot(
-                (ha_b * ts_b)[None, :], p.back_oh, preferred_element_type=f32
-            )[0]
-            b_z = b_z + jnp.dot(ha_b[None, :], p.back_oh, preferred_element_type=f32)[0]
+            ab = jnp.dot(
+                jnp.stack([ha_b * ts_b, ha_b], axis=0), p.back_oh,
+                preferred_element_type=f32,
+            )
+            a_z = a_z + ab[0]
+            b_z = b_z + ab[1]
     return a_z, b_z
 
 
@@ -423,11 +429,19 @@ def _hour_body_imp(
         C = jnp.where(p.sb.massive, p.sb.mass, jnp.zeros_like(p.sb.mass))
         M1 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.GAMMA * dt_sub / 2.0)
         M2 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.BETA * dt_sub)
-        # The stage matrices are frozen for the hour: pre-factor them so each
-        # sub-step's two Thomas solves are division-free fused sweeps (Mosaic
-        # does not hoist the pivot chain out of the fori_loop).
-        cs1, inv1 = tridiag.factor(*M1)
-        cs2, inv2 = tridiag.factor(*M2)
+        # The stage matrices are frozen for the hour: pre-factor them so the
+        # per-sub-step solves carry no elimination work (Mosaic does not
+        # hoist loop-invariant chains out of the fori_loop).  PCR keeps the
+        # log2(N) parallel sweeps (no sequential row chain); Thomas keeps
+        # the division-free sequential sweeps.
+        if use_pcr:
+            lv1, invb1 = tridiag.pcr_factor(*M1)
+            lv2, invb2 = tridiag.pcr_factor(*M2)
+            cs1 = inv1 = cs2 = inv2 = None
+        else:
+            cs1, inv1 = tridiag.factor(*M1)
+            cs2, inv2 = tridiag.factor(*M2)
+            lv1 = invb1 = lv2 = invb2 = None
         sol_f = jnp.where(
             jnp.isnan(p.sol_front) | (p.sol_front < 0.0), 0.0, p.sol_front
         )
@@ -437,7 +451,8 @@ def _hour_body_imp(
             SimpleNamespace(
                 env_f0=env_f0, env_b0=env_b0, rad_hs_f=rad_hs_f,
                 rad_hs_b=rad_hs_b, K=K, C=C, M1=M1, M2=M2,
-                cs1=cs1, inv1=inv1, cs2=cs2, inv2=inv2, solar_q=solar_q,
+                cs1=cs1, inv1=inv1, cs2=cs2, inv2=inv2,
+                lv1=lv1, invb1=invb1, lv2=lv2, invb2=invb2, solar_q=solar_q,
             )
         )
 
@@ -458,14 +473,14 @@ def _hour_body_imp(
             rhs1 = fz.C * T + half * KT0 + imp_mod.GAMMA * dt_sub * q
             rhs1 = jnp.where(p.sb.node_mask, rhs1, T)
             if use_pcr:
-                T1 = tridiag.solve_pcr(*fz.M1, rhs1)
+                T1 = tridiag.pcr_apply(fz.lv1, fz.invb1, rhs1)
             else:
                 T1 = tridiag.solve_factored(fz.M1[0], fz.cs1, fz.inv1, rhs1)
 
             rhs2 = imp_mod.C1 * fz.C * T1 - imp_mod.C2 * fz.C * T + imp_mod.BETA * dt_sub * q
             rhs2 = jnp.where(p.sb.node_mask, rhs2, T)
             if use_pcr:
-                T_new = tridiag.solve_pcr(*fz.M2, rhs2)
+                T_new = tridiag.pcr_apply(fz.lv2, fz.invb2, rhs2)
             else:
                 T_new = tridiag.solve_factored(fz.M2[0], fz.cs2, fz.inv2, rhs2)
 

@@ -115,6 +115,66 @@ def solve_pcr(lower, diag, upper, rhs):
     return r / b
 
 
+def pcr_factor(lower, diag, upper):
+    """Pre-factor a tridiagonal system for repeated PCR solves.
+
+    The elimination coefficients of :func:`solve_pcr` depend only on the
+    matrix; when the same system is solved every sub-step for a whole hour
+    (the TR-BDF2 stage matrices) they can be computed once, leaving each
+    solve as ceil(log2 N) fused multiply-add sweeps over the rhs plus one
+    multiply by the reciprocal diagonal — about half the full PCR and with
+    no divisions in the hot loop.
+
+    Returns ``(levels, inv_b)`` with levels = [(alpha_d, gamma_d), ...];
+    use with :func:`pcr_apply`.
+    """
+    n = diag.shape[0]
+    a, b, c = lower, diag, upper
+
+    def shift_up(x, d, fill):
+        pad = jnp.full_like(x[:1], fill)
+        return jnp.concatenate(
+            [jnp.broadcast_to(pad, (d,) + x.shape[1:]), x[:-d]], axis=0
+        )
+
+    def shift_dn(x, d, fill):
+        pad = jnp.full_like(x[:1], fill)
+        return jnp.concatenate(
+            [x[d:], jnp.broadcast_to(pad, (d,) + x.shape[1:])], axis=0
+        )
+
+    levels = []
+    d = 1
+    while d < n:
+        b_up = shift_up(b, d, 1.0)
+        b_dn = shift_dn(b, d, 1.0)
+        alpha = -a / b_up
+        gamma = -c / b_dn
+        b = b + alpha * shift_up(c, d, 0.0) + gamma * shift_dn(a, d, 0.0)
+        a = alpha * shift_up(a, d, 0.0)
+        c = gamma * shift_dn(c, d, 0.0)
+        levels.append((alpha, gamma))
+        d *= 2
+    return tuple(levels), 1.0 / b
+
+
+def pcr_apply(levels, inv_b, rhs):
+    """Solve with a PCR pre-factorization (see :func:`pcr_factor`)."""
+    r = rhs
+    d = 1
+    for alpha, gamma in levels:
+        zero = jnp.zeros_like(r[:1])
+        up = jnp.concatenate(
+            [jnp.broadcast_to(zero, (d,) + r.shape[1:]), r[:-d]], axis=0
+        )
+        dn = jnp.concatenate(
+            [r[d:], jnp.broadcast_to(zero, (d,) + r.shape[1:])], axis=0
+        )
+        r = r + alpha * up + gamma * dn
+        d *= 2
+    return r * inv_b
+
+
 def solve(lower, diag, upper, rhs):
     """Thomas algorithm over axis 0, batched over the trailing axes."""
     n = rhs.shape[0]
