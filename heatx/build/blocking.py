@@ -81,11 +81,12 @@ class BlockedLayout:
     surf_valid: np.ndarray  # [n_blocks*SB] bool
     zone_valid: np.ndarray  # [n_blocks, ZB] bool
 
-    # Node-height split (see build_blocks): surfaces with n_nodes <= split[0]
-    # occupy lanes [0, split[1]) of every block, taller ones lanes
-    # [split[1], SB).  The Pallas kernel then marches the short lanes as a
-    # [split[0], ...] sub-batch — most buildings are dominated by few-node
-    # surfaces, so this cuts the padded node work ~3x.  None = no split.
+    # Lane partition of each block (see build_blocks): a tuple of
+    # (node_rows, lane_width) parts laid out consecutively; block_size is
+    # their sum.  Parts group surfaces by node height AND by whether the
+    # no-mass solve touches them, so the Pallas kernel marches each group as
+    # a sub-batch of exactly its height and statically skips the solve on
+    # solve-free lanes.  None = single full-height part.
     split: tuple = None
 
     @property
@@ -132,30 +133,33 @@ def _r8(x: int) -> int:
     return ((x + 7) // 8) * 8
 
 
-def _pack_components(comps, cap_s: int, cap_t: int, zones_cap):
+def _rq(x: int, q: int) -> int:
+    return ((x + q - 1) // q) * q
+
+
+def _pack_components(comps, caps, zones_cap):
     """Greedy first-fit decreasing packing of components under per-part lane
-    capacities; each component is (shorts, talls, zones).  Returns the block
-    list or None if some component cannot fit at all."""
-    for shorts, talls, zs in comps:
-        if len(shorts) > cap_s or len(talls) > cap_t:
+    capacities; each component is ([surfs_per_part...], zones).  Returns the
+    block list or None if some component cannot fit at all."""
+    P = len(caps)
+    for parts, zs in comps:
+        if any(len(parts[p]) > caps[p] for p in range(P)):
             return None
-    order = sorted(comps, key=lambda c: len(c[0]) + len(c[1]), reverse=True)
-    blocks: List[List] = []  # each: [shorts, talls, zones]
-    for shorts, talls, zs in order:
+    order = sorted(comps, key=lambda c: sum(len(x) for x in c[0]), reverse=True)
+    blocks: List[List] = []  # each: [parts_lists, zones]
+    for parts, zs in order:
         placed = False
         for blk in blocks:
-            if (
-                len(blk[0]) + len(shorts) <= cap_s
-                and len(blk[1]) + len(talls) <= cap_t
-                and (zones_cap is None or len(blk[2]) + len(zs) <= zones_cap)
-            ):
-                blk[0].extend(shorts)
-                blk[1].extend(talls)
-                blk[2].extend(zs)
+            if all(
+                len(blk[0][p]) + len(parts[p]) <= caps[p] for p in range(P)
+            ) and (zones_cap is None or len(blk[1]) + len(zs) <= zones_cap):
+                for p in range(P):
+                    blk[0][p].extend(parts[p])
+                blk[1].extend(zs)
                 placed = True
                 break
         if not placed:
-            blocks.append([list(shorts), list(talls), list(zs)])
+            blocks.append([[list(x) for x in parts], list(zs)])
     return blocks
 
 
@@ -225,64 +229,124 @@ def build_blocks(
                 f"> block_size {block_size}; increase the block size"
             )
 
-    def comps_for_cut(cut):
+    # Whether the no-mass steady-state solve touches a surface: solve-free
+    # lanes can be segregated into their own part, whose kernel sub-batch
+    # statically skips march_nomass (the per-part has_nomass flag).
+    needs_solve = np.any(
+        np.asarray(sb.node_mask) & ~np.asarray(sb.massive), axis=0
+    )
+
+    def comps_for_buckets(buckets):
+        """buckets: list of (max_rows, solve_filter) — each surface joins the
+        FIRST bucket with n_nodes <= max_rows and matching solve filter."""
         out = []
         for surfs, zs in raw_comps:
-            shorts = [s for s in surfs if n_nodes[s] <= cut]
-            talls = [s for s in surfs if n_nodes[s] > cut]
-            out.append((shorts, talls, zs))
+            parts = [[] for _ in buckets]
+            for s in surfs:
+                for p, (mr, sf) in enumerate(buckets):
+                    if n_nodes[s] <= mr and (sf is None or bool(needs_solve[s]) == sf):
+                        parts[p].append(s)
+                        break
+                else:
+                    raise AssertionError("bucket list must be exhaustive")
+            out.append((parts, zs))
         return out
+
+    def bucket_counts(comps, P):
+        tot = [0] * P
+        for parts, _ in comps:
+            for p in range(P):
+                tot[p] += len(parts[p])
+        return tot
+
+    def eval_candidate(buckets, widths):
+        """Pack + score one configuration.  Cost model: padded node rows per
+        lane, solve-carrying parts weighted 1.35x (the no-mass solve +
+        per-iteration q assembly measured ~comparable to the rest of the
+        sub-step physics on those rows)."""
+        comps = comps_for_buckets(buckets)
+        packed = _pack_components(comps, widths, zones_per_block)
+        if packed is None:
+            return None
+        # actual rows of each part (<= the bucket bound)
+        rows = []
+        for p, (mr, sf) in enumerate(buckets):
+            mx = 1
+            for parts, _ in comps:
+                for s in parts[p]:
+                    mx = max(mx, int(n_nodes[s]))
+            rows.append(mx)
+        solve_w = [
+            1.35 if (sf is None or sf) else 1.0 for (mr, sf) in buckets
+        ]
+        work = len(packed) * sum(
+            _r8(r) * w * sw for r, w, sw in zip(rows, widths, solve_w)
+        )
+        return work, tuple(zip(rows, widths)), packed
 
     # ---- choose the split -------------------------------------------------
     # Unsplit baseline: every lane pays r8(N) node rows.
-    base_blocks = _pack_components(comps_for_cut(N), block_size, 0, zones_per_block)
-    base_work = len(base_blocks) * _r8(N) * block_size
+    base = eval_candidate([(N, None)], [block_size])
+    base_work, _, base_blocks = base
     split = None
     blocks = base_blocks
 
     if node_split is not None and N > 8 and S > 0:
-        if node_split == "auto":
-            cut_cands = list(range(8, _r8(N), 8))
-            sw_cands = [
-                q for q in range(lane_quantum, block_size, lane_quantum)
-            ]
-        else:
-            cut_cands = [int(node_split[0])]
-            sw_cands = [int(node_split[1])]
         best = (base_work, None, base_blocks)
-        for cut in cut_cands:
-            if not np.any(n_nodes <= cut) or not np.any(n_nodes > cut):
-                continue
-            comps = comps_for_cut(cut)
-            for sw in sw_cands:
-                packed = _pack_components(
-                    comps, sw, block_size - sw, zones_per_block
-                )
-                if packed is None:
-                    continue
-                work = len(packed) * (_r8(cut) * sw + _r8(N) * (block_size - sw))
-                if work < best[0]:
-                    best = (work, (cut, sw), packed)
+        if node_split == "auto":
+            cut_cands = [c for c in range(8, _r8(N), 8)
+                         if np.any(n_nodes <= c) and np.any(n_nodes > c)]
+            nb_min = max(1, (S + block_size - 1) // block_size)
+            for cut in cut_cands:
+                short = n_nodes <= cut
+                cand_buckets = [[(cut, None), (N, None)]]
+                if np.any(short & needs_solve) and np.any(short & ~needs_solve):
+                    # Segregate solve-free short lanes into their own part.
+                    cand_buckets.append([(cut, False), (cut, True), (N, None)])
+                for buckets in cand_buckets:
+                    comps = comps_for_buckets(buckets)
+                    tot = bucket_counts(comps, len(buckets))
+                    if any(t == 0 for t in tot):
+                        continue
+                    for nb_target in range(nb_min, nb_min + 4):
+                        widths = [
+                            _rq(max(1, -(-t // nb_target)), lane_quantum)
+                            for t in tot
+                        ]
+                        got = eval_candidate(buckets, widths)
+                        if got is not None and got[0] < best[0]:
+                            best = got
+        else:
+            cut, sw = int(node_split[0]), int(node_split[1])
+            got = eval_candidate(
+                [(cut, None), (N, None)], [sw, block_size - sw]
+            )
+            if got is not None:
+                best = got
         if node_split != "auto" or best[0] < 0.9 * base_work:
             _, split, blocks = best
 
     n_blocks = len(blocks)
-    zb = max((len(b[2]) for b in blocks), default=1)
+    zb = max((len(b[1]) for b in blocks), default=1)
     zb = max(zb, 1)
     if zones_per_block is not None:
         zb = zones_per_block
     # Round ZB up to a multiple of 8 (f32 sublane tile).
     zb = ((zb + 7) // 8) * 8
 
-    surf_perm = np.full(n_blocks * block_size, -1, dtype=np.int64)
+    part_meta = split if split is not None else ((N, block_size),)
+    widths = [w for _, w in part_meta]
+    SBtot = sum(widths)
+    offsets = np.cumsum([0] + widths[:-1])
+
+    surf_perm = np.full(n_blocks * SBtot, -1, dtype=np.int64)
     zone_table = np.full((n_blocks, zb), -1, dtype=np.int64)
-    tall_lo = split[1] if split is not None else 0
-    for bi, (shorts, talls, zs) in enumerate(blocks):
-        surf_perm[bi * block_size : bi * block_size + len(shorts)] = shorts
-        surf_perm[
-            bi * block_size + tall_lo : bi * block_size + tall_lo + len(talls)
-        ] = talls
+    for bi, (parts, zs) in enumerate(blocks):
+        for p, lanes in enumerate(parts):
+            lo = bi * SBtot + int(offsets[p])
+            surf_perm[lo : lo + len(lanes)] = lanes
         zone_table[bi, : len(zs)] = zs
+    block_size = SBtot
 
     # Local zone index of each face -> one-hot matrices.
     zone_local = np.full(Z, -1, dtype=np.int64)

@@ -599,8 +599,12 @@ def make_hour_march(
     if split is None:
         parts_meta = [(N, 0, SB)]
     else:
-        cut, sw = int(split[0]), int(split[1])
-        parts_meta = [(cut, 0, sw), (N, sw, SB - sw)]
+        parts_meta = []
+        lo = 0
+        for rows, w in split:
+            parts_meta.append((int(rows), lo, int(w)))
+            lo += int(w)
+        assert lo == SB, (split, SB)
     n_parts = len(parts_meta)
 
     # ---- host-side lane/row slicing into parts ------------------------------

@@ -59,7 +59,8 @@ def test_split_kernel_matches_unsplit(mode, substeps):
 
     bb_ref = pallas_step.block_building(building, block_size=32, node_split=None)
     bb_split = pallas_step.block_building(building, block_size=32, node_split=(8, 16))
-    assert bb_split.layout.split == (8, 16)
+    assert len(bb_split.layout.split) == 2
+    assert bb_split.layout.split[0][1] == 16  # short part width
 
     a = _run(building, st, bb_ref, mode, substeps)
     b = _run(building, st, bb_split, mode, substeps)
@@ -76,16 +77,18 @@ def test_auto_split_selection():
     building = compile_building(m, n=4, config=heatx.SimConfig(dtype=np.float64))
     lay = build_blocks(building, block_size=192, node_split="auto", lane_quantum=64)
     assert lay.split is not None
-    cut, sw = lay.split
     n_nodes = np.asarray(building.surfaces.n_nodes)
     perm = lay.surf_perm
     SB = lay.block_size
+    assert SB == sum(w for _, w in lay.split)
     for b in range(lay.n_blocks):
         blk = perm[b * SB : (b + 1) * SB]
-        shorts = blk[:sw]
-        talls = blk[sw:]
-        assert all(n_nodes[s] <= cut for s in shorts if s >= 0)
-        assert all(n_nodes[s] > cut for s in talls if s >= 0)
+        lo = 0
+        for rows, w in lay.split:
+            for s in blk[lo : lo + w]:
+                if s >= 0:
+                    assert n_nodes[s] <= rows
+            lo += w
 
     # small blocks (quantum > block) never split
     lay2 = build_blocks(building, block_size=16, node_split="auto")
