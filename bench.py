@@ -128,7 +128,13 @@ def main():
         help="reference-parity numerics in the fused Pallas day kernel "
         "(~120 sub-steps/hour, --kernel-hours hours per invocation)",
     )
-    ap.add_argument("--block-size", type=int, default=1024)
+    ap.add_argument(
+        "--block-size",
+        type=int,
+        default=2048,
+        help="surfaces per zone-closed kernel block (2048 measures ~5-10%% "
+        "faster than 1024 at 10k-surface scale; 3072+ exceeds VMEM)",
+    )
     ap.add_argument(
         "--kernel-hours",
         type=int,
