@@ -133,7 +133,9 @@ def main():
         type=int,
         default=2048,
         help="surfaces per zone-closed kernel block (2048 measures ~5-10%% "
-        "faster than 1024 at 10k-surface scale; 3072+ exceeds VMEM)",
+        "faster than 1024 at 10k-surface scale; 3072+ exceeds VMEM and "
+        "100k-surface models need 1024 — a Mosaic compile crash at 2048 "
+        "resurfaces at that scale)",
     )
     ap.add_argument(
         "--kernel-hours",
