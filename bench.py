@@ -252,81 +252,104 @@ def main():
         days = (args.hours + H - 1) // H
         span = days * H
 
-        bb = pallas_step.block_building(building, block_size=args.block_size)
-        hm, params = pallas_step.make_hour_march(
-            bb, substeps=(None if mode == "parity" else SUBF), mode=mode, hours=H
-        )
-        lay = bb.layout
-        SP = lay.padded_surfaces
-        sol_factor_b = jnp.asarray(
-            lay.surfaces_to_blocked(np.asarray(sol_factor)), dtype
-        )
-        a_gain = np.zeros(building.n_zones)
-        np.add.at(a_gain, np.asarray(building.hvac_pair_space), 500.0)
-        np.add.at(a_gain, np.asarray(building.lum_space), 150.0)
-        a_gain_b = jnp.asarray(lay.zones_to_blocked(a_gain), dtype)
-        ag_day = jnp.broadcast_to(a_gain_b[None], (H,) + a_gain_b.shape)
-        az_day = jnp.zeros((H, bb.n_blocks, bb.zones_per_block), dtype)
-        zeros_hsp = jnp.zeros((H, SP), dtype)
-        T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(state0.node_T)), dtype)
-        zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(state0.zone_T)), dtype)
+        def build_runner(block_size):
+            bb = pallas_step.block_building(building, block_size=block_size)
+            hm, params = pallas_step.make_hour_march(
+                bb, substeps=(None if mode == "parity" else SUBF), mode=mode, hours=H
+            )
+            lay = bb.layout
+            SP = lay.padded_surfaces
+            sol_factor_b = jnp.asarray(
+                lay.surfaces_to_blocked(np.asarray(sol_factor)), dtype
+            )
+            a_gain = np.zeros(building.n_zones)
+            np.add.at(a_gain, np.asarray(building.hvac_pair_space), 500.0)
+            np.add.at(a_gain, np.asarray(building.lum_space), 150.0)
+            a_gain_b = jnp.asarray(lay.zones_to_blocked(a_gain), dtype)
+            ag_day = jnp.broadcast_to(a_gain_b[None], (H,) + a_gain_b.shape)
+            az_day = jnp.zeros((H, bb.n_blocks, bb.zones_per_block), dtype)
+            zeros_hsp = jnp.zeros((H, SP), dtype)
+            T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(state0.node_T)), dtype)
+            zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(state0.zone_T)), dtype)
 
-        def pad_hours(v):
-            v = np.asarray(v, np.float64)
-            return np.concatenate([v, np.repeat(v[-1:], span - len(v))])
+            def pad_hours(v):
+                v = np.asarray(v, np.float64)
+                return np.concatenate([v, np.repeat(v[-1:], span - len(v))])
 
-        def per_substep(v):
-            # weather per sub-step (model.rs:371-374): the kernel takes a
-            # [H*SUBF] series per day chunk; interpolate the hourly EPW
-            # series unless pinned to hour-constant.
-            if args.no_interp_weather:
-                s = np.repeat(pad_hours(v), SUBF)
-            else:
-                s = interpolate_to_steps(pad_hours(v), SUBF)
-            return jnp.asarray(s.reshape(days, H * SUBF), dtype)
+            def per_substep(v):
+                # weather per sub-step (model.rs:371-374): the kernel takes a
+                # [H*SUBF] series per day chunk; interpolate the hourly EPW
+                # series unless pinned to hour-constant.
+                if args.no_interp_weather:
+                    s = np.repeat(pad_hours(v), SUBF)
+                else:
+                    s = interpolate_to_steps(pad_hours(v), SUBF)
+                return jnp.asarray(s.reshape(days, H * SUBF), dtype)
 
-        def per_hour(v):
-            return jnp.asarray(pad_hours(v).reshape(days, H), dtype)
+            def per_hour(v):
+                return jnp.asarray(pad_hours(v).reshape(days, H), dtype)
 
-        W = tuple(per_substep(v) for v in (dry, wind, wdir)) + tuple(
-            per_hour(v) for v in (ghi, ir)
-        )
+            W = tuple(per_substep(v) for v in (dry, wind, wdir)) + tuple(
+                per_hour(v) for v in (ghi, ir)
+            )
 
-        def run_days(params, T, zT, xs):
-            def body(carry, day):
-                T, zT = carry
-                d_t, d_w, d_d, d_g, d_i = day
-                hi = (
-                    d_t, d_w, d_d,
-                    d_g[:, None] * sol_factor_b[None, :], zeros_hsp,
-                    jnp.broadcast_to(d_i[:, None], (H, SP)), zeros_hsp,
-                    ag_day, az_day,
-                )
-                T, zT, _, _ = hm(params, T, zT, hi)
-                return (T, zT), None
+            def run_days(params, T, zT, xs):
+                def body(carry, day):
+                    T, zT = carry
+                    d_t, d_w, d_d, d_g, d_i = day
+                    hi = (
+                        d_t, d_w, d_d,
+                        d_g[:, None] * sol_factor_b[None, :], zeros_hsp,
+                        jnp.broadcast_to(d_i[:, None], (H, SP)), zeros_hsp,
+                        ag_day, az_day,
+                    )
+                    T, zT, _, _ = hm(params, T, zT, hi)
+                    return (T, zT), None
 
-            (T, zT), _ = jax.lax.scan(body, (T, zT), xs)
-            return T, zT
+                (T, zT), _ = jax.lax.scan(body, (T, zT), xs)
+                return T, zT
 
-        f = jax.jit(run_days)
+            f = jax.jit(run_days)
 
-        # Host loop over bounded dispatch chunks: one dispatch per ~37 days.
-        # A single XLA call spanning minutes (the annual parity kernel) trips
-        # the remote runtime's watchdog and kills the worker; chunked
-        # dispatches queue asynchronously so there is no pipeline bubble.
-        chunk = min(args.dispatch_days, days)
+            # Host loop over bounded dispatch chunks: one dispatch per ~37 days.
+            # A single XLA call spanning minutes (the annual parity kernel) trips
+            # the remote runtime's watchdog and kills the worker; chunked
+            # dispatches queue asynchronously so there is no pipeline bubble.
+            chunk = min(args.dispatch_days, days)
 
-        def run_all(T, zT):
-            for i in range(0, days, chunk):
-                xs = tuple(w[i : i + chunk] for w in W)
-                T, zT = f(params, T, zT, xs)
-            return T, zT
+            def run_all(T, zT):
+                for i in range(0, days, chunk):
+                    xs = tuple(w[i : i + chunk] for w in W)
+                    T, zT = f(params, T, zT, xs)
+                return T, zT
+
+            return run_all, T0, zT0
+
+        try:
+            run_all, T0, zT0 = build_runner(args.block_size)
+        except Exception as e:
+            if args.block_size <= 1024:
+                raise
+            print(f"# block {args.block_size} setup failed ({e}); retrying at 1024",
+                  file=sys.stderr)
+            run_all, T0, zT0 = build_runner(1024)
 
         t0 = time.time()
         # Warm up with the full chunk schedule: every dispatch shape (the
         # fixed chunk and any remainder) must be compiled before timing.
-        T1, zT1 = run_all(T0, zT0)
-        zone0 = float(zT1[0, 0])  # force: block_until_ready unreliable here
+        # Large grids can trip a Mosaic compiler crash at block 2048
+        # (PERF.md); fall back to 1024 rather than dying mid-bench.
+        try:
+            T1, zT1 = run_all(T0, zT0)
+            zone0 = float(zT1[0, 0])  # force: block_until_ready unreliable here
+        except jax.errors.JaxRuntimeError as e:
+            if args.block_size <= 1024:
+                raise
+            print(f"# block {args.block_size} failed to compile; retrying at 1024",
+                  file=sys.stderr)
+            run_all, T0, zT0 = build_runner(1024)
+            T1, zT1 = run_all(T0, zT0)
+            zone0 = float(zT1[0, 0])
         print(f"# {mode}-kernel compile+{days}-day warmup: {time.time() - t0:.1f}s",
               file=sys.stderr)
         t0 = time.time()
