@@ -193,7 +193,10 @@ def make_sharded_hour_march(
     shapes must be canonical: weather ``[hours*substeps]``, per-surface
     irradiance ``[hours, SP]``, gains ``[hours, n_blocks, ZB]``.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     from heatx.ops import pallas_step
 
