@@ -194,7 +194,12 @@ def make_sharded_hour_march(
     irradiance ``[hours, SP]``, gains ``[hours, n_blocks, ZB]``.
     """
     try:
-        from jax import shard_map  # jax >= 0.8
+        from jax import shard_map as _shard_map  # jax >= 0.8
+
+        def shard_map(f, **kw):  # check_rep was renamed check_vma
+            kw["check_vma"] = kw.pop("check_rep")
+            return _shard_map(f, **kw)
+
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
 
