@@ -96,15 +96,15 @@ def expm_phi1(A, order: int = 8, squarings: int = 6):
     term = eye + jnp.zeros_like(A)
     for k in range(1, order + 1):
         term = jnp.einsum(
-            "snm,smk->snk", term, B, preferred_element_type=dtype
+            "snm,smk->snk", term, B, preferred_element_type=dtype, precision="highest"
         ) / k
         E = E + term
         P = P + term / (k + 1.0)
 
     for _ in range(squarings):
-        EP = jnp.einsum("snm,smk->snk", E, P, preferred_element_type=dtype)
+        EP = jnp.einsum("snm,smk->snk", E, P, preferred_element_type=dtype, precision="highest")
         P = (EP + P) / 2.0
-        E = jnp.einsum("snm,smk->snk", E, E, preferred_element_type=dtype)
+        E = jnp.einsum("snm,smk->snk", E, E, preferred_element_type=dtype, precision="highest")
     return E, P
 
 
@@ -197,13 +197,18 @@ def build_operators(
     # K_nn padded to identity outside the algebraic block, so one batched
     # inverse serves every surface regardless of where its no-mass nodes sit.
     Knn = alg[:, :, None] * Kd * alg[:, None, :] + (1.0 - alg)[:, :, None] * eyeN
-    inv_nn = jnp.linalg.inv(Knn)
+    # The batched inverse (and every einsum in this module) must run at full
+    # f32 matmul precision: the TPU's default reduced-precision passes make
+    # the scaling-and-squaring expm diverge (observed: zone temps blowing up
+    # within hours at f32 while the same program is fine on CPU).
+    with jax.default_matmul_precision("highest"):
+        inv_nn = jnp.linalg.inv(Knn)
     K_mn = m[:, :, None] * Kd * alg[:, None, :]
     K_nm = alg[:, :, None] * Kd * m[:, None, :]
 
-    mm = jnp.einsum("snm,smk->snk", K_mn, inv_nn, preferred_element_type=dtype)
+    mm = jnp.einsum("snm,smk->snk", K_mn, inv_nn, preferred_element_type=dtype, precision="highest")
     A_red = m[:, :, None] * Kd * m[:, None, :] - jnp.einsum(
-        "snm,smk->snk", mm, K_nm, preferred_element_type=dtype
+        "snm,smk->snk", mm, K_nm, preferred_element_type=dtype, precision="highest"
     )
     # Mq maps the raw forcing q to the reduced forcing (q_m - K_mn K_nn^-1 q_n)
     Mq = m[:, :, None] * eyeN - mm * alg[:, None, :]
@@ -213,11 +218,11 @@ def build_operators(
     E, P = expm_phi1(scale[:, :, None] * A_red)
     # phi1's identity rows on frozen nodes must not inject forcing there.
     PMq = jnp.einsum(
-        "snm,smk->snk", P, scale[:, :, None] * Mq, preferred_element_type=dtype
+        "snm,smk->snk", P, scale[:, :, None] * Mq, preferred_element_type=dtype, precision="highest"
     )
     PMq = m[:, :, None] * PMq
 
-    M2 = jnp.einsum("snm,smk->snk", inv_nn, K_nm, preferred_element_type=dtype)
+    M2 = jnp.einsum("snm,smk->snk", inv_nn, K_nm, preferred_element_type=dtype, precision="highest")
     M2 = alg[:, :, None] * M2
     M3 = alg[:, :, None] * inv_nn * alg[:, None, :]
 
@@ -257,8 +262,8 @@ def exp_substep(
     Ts = jnp.moveaxis(state.node_T, 0, -1)
 
     dtype = Ts.dtype
-    T_m = jnp.einsum("snm,sm->sn", ops.E, Ts, preferred_element_type=dtype)
-    T_m = T_m + jnp.einsum("snm,sm->sn", ops.PMq, qs, preferred_element_type=dtype)
+    T_m = jnp.einsum("snm,sm->sn", ops.E, Ts, preferred_element_type=dtype, precision="highest")
+    T_m = T_m + jnp.einsum("snm,sm->sn", ops.PMq, qs, preferred_element_type=dtype, precision="highest")
     massive = sb.massive
     T = jnp.where(massive, jnp.moveaxis(T_m, -1, 0), state.node_T)
 
@@ -266,8 +271,8 @@ def exp_substep(
     # path approximates this with the reference's relaxed fixed point).
     Ts2 = jnp.moveaxis(T, 0, -1)
     T_n = -(
-        jnp.einsum("snm,sm->sn", ops.M2, Ts2, preferred_element_type=dtype)
-        + jnp.einsum("snm,sm->sn", ops.M3, qs, preferred_element_type=dtype)
+        jnp.einsum("snm,sm->sn", ops.M2, Ts2, preferred_element_type=dtype, precision="highest")
+        + jnp.einsum("snm,sm->sn", ops.M3, qs, preferred_element_type=dtype, precision="highest")
     )
     alg = sb.node_mask & ~massive
     T = jnp.where(alg, jnp.moveaxis(T_n, -1, 0), T)
