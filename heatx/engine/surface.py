@@ -143,6 +143,15 @@ def _last_node(sb: SurfaceBatch, T, statics: SurfaceStatics = None):
     return jnp.sum(jnp.where(is_last, T, 0.0), axis=0)
 
 
+def radiant_out_temperatures(ir_front, ir_back, dtype):
+    """Outdoor radiant temperatures from incident IR:
+    (ir/sigma)^0.25 - 273.15 (surface.rs:611-702)."""
+    eps_t = jnp.asarray(1e-30, dtype)
+    rad_out_front = (jnp.maximum(ir_front, eps_t) / SIGMA) ** 0.25 - KELVIN
+    rad_out_back = (jnp.maximum(ir_back, eps_t) / SIGMA) ** 0.25 - KELVIN
+    return rad_out_front, rad_out_back
+
+
 def border_conditions(
     sb: SurfaceBatch,
     T,
@@ -154,6 +163,7 @@ def border_conditions(
     ir_back,
     config: SimConfig,
     statics: SurfaceStatics = None,
+    rad_out=None,
 ):
     """Front/back ConvectionParams + h for every surface
     (surface.rs:596-717 calc_border_conditions).
@@ -188,9 +198,15 @@ def border_conditions(
     b_out = sb.back_code == B_OUTDOOR
     b_amb = sb.back_code == B_AMBIENT
 
-    eps_t = jnp.asarray(1e-30, T.dtype)
-    rad_out_front = (jnp.maximum(ir_front, eps_t) / SIGMA) ** 0.25 - KELVIN
-    rad_out_back = (jnp.maximum(ir_back, eps_t) / SIGMA) ** 0.25 - KELVIN
+    if rad_out is not None:
+        # Hoisted by the caller: the incident IR is constant within the main
+        # step, so the (ir/sigma)^0.25 radiant temperatures are loop-invariant
+        # (the Pallas hour kernel computes them once per hour).
+        rad_out_front, rad_out_back = rad_out
+    else:
+        rad_out_front, rad_out_back = radiant_out_temperatures(
+            ir_front, ir_back, T.dtype
+        )
 
     # ---- front face -------------------------------------------------------
     front_air = t_front
@@ -570,6 +586,7 @@ def march_surfaces(
     skip_nomass: bool = False,
     solver=None,
     statics: SurfaceStatics = None,
+    rad_out=None,
 ):
     """One sub-step of every surface (surface.rs:902-1001 march):
     solar distribution -> no-mass chunks -> massive chunks.
@@ -580,7 +597,7 @@ def march_surfaces(
     """
     env_f, env_b = border_conditions(
         sb, node_T, t_front, t_back, wind_direction, wind_speed, ir_front,
-        ir_back, config, statics=statics,
+        ir_back, config, statics=statics, rad_out=rad_out,
     )
     rad_hs_f = linearized_rad_coefficient(sb.eps_front, env_f)
     rad_hs_b = linearized_rad_coefficient(sb.eps_back, env_b)

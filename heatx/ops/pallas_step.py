@@ -327,25 +327,32 @@ def _hour_body(
     node-height sub-batch and accumulating their zone couplings together.
     """
     f32 = T0s[0].dtype
-    # Hoist the loop-invariant network masks out of the sub-step loop
-    # (Mosaic does not hoist out of fori_loop the way XLA hoists out of scan).
+    # Hoist the loop-invariant network masks and the per-hour radiant
+    # temperatures out of the sub-step loop (Mosaic does not hoist out of
+    # fori_loop the way XLA hoists out of scan; the (ir/sigma)^0.25 pows are
+    # hour-constant and were otherwise paid twice per sub-step).
     statics = [surf_mod.compute_statics(p.sb) for p in parts]
+    rad_outs = [
+        surf_mod.radiant_out_temperatures(p.ir_front, p.ir_back, f32)
+        for p in parts
+    ]
 
     def substep(carry, t_out, wind_speed, wind_direction):
         Ts, zT = carry
         new_Ts = []
         hqs = []
         envs = []
-        for p, st, T in zip(parts, statics, Ts):
+        for p, st, ro, T in zip(parts, statics, rad_outs, Ts):
             t_front, t_back = _boundary_temps(p.sb, p, zT, t_out, f32)
             T_new = surf_mod.march_surfaces(
                 p.sb, T, t_front, t_back, wind_direction, wind_speed,
                 p.sol_front, p.sol_back, p.ir_front, p.ir_back, dt, cfg,
                 has_massive=p.sb.has_massive, solver=solver, statics=st,
+                rad_out=ro,
             )
             env_f, env_b = surf_mod.border_conditions(
                 p.sb, T_new, t_front, t_back, wind_direction, wind_speed,
-                p.ir_front, p.ir_back, cfg, statics=st,
+                p.ir_front, p.ir_back, cfg, statics=st, rad_out=ro,
             )
             ts_front = T_new[0]
             ts_back = surf_mod._last_node(p.sb, T_new, st)
