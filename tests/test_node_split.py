@@ -93,3 +93,41 @@ def test_auto_split_selection():
     # small blocks (quantum > block) never split
     lay2 = build_blocks(building, block_size=16, node_split="auto")
     assert lay2.split is None
+
+
+def test_forced_split_infeasible_falls_back():
+    """A forced split whose capacities can't hold some component must fall
+    back to the unsplit layout rather than mis-pack."""
+    m = city_model(2, 4)  # component of 2 zones + partition: 9 surfaces
+    building = compile_building(m, n=4, config=heatx.SimConfig(dtype=np.float64))
+    # short width 1 cannot hold the component's short surfaces
+    lay = build_blocks(building, block_size=16, node_split=(8, 1))
+    assert lay.split is None
+    # every surface present exactly once
+    perm = lay.surf_perm
+    placed = sorted(s for s in perm if s >= 0)
+    assert placed == list(range(building.n_surfaces))
+
+
+def test_partition_covers_every_surface_once():
+    """The k-part packing never duplicates or drops a surface, and zone
+    tables stay consistent with the one-hot matrices."""
+    m = city_model(7, 5)
+    building = compile_building(m, n=2, config=heatx.SimConfig(dtype=np.float64))
+    lay = build_blocks(building, block_size=64, node_split="auto", lane_quantum=8)
+    perm = lay.surf_perm
+    placed = sorted(s for s in perm if s >= 0)
+    assert placed == list(range(building.n_surfaces))
+    zt = lay.zone_table
+    zs = sorted(z for z in zt.ravel() if z >= 0)
+    assert zs == list(range(building.n_zones))
+    # each space-facing surface has exactly one 1 in its one-hot row
+    fronts = np.asarray(building.surfaces.front_code)
+    backs = np.asarray(building.surfaces.back_code)
+    from heatx.build.layout import B_SPACE
+    for sp in range(lay.padded_surfaces):
+        s = perm[sp]
+        if s < 0:
+            continue
+        assert lay.front_oh[sp].sum() == (1.0 if fronts[s] == B_SPACE else 0.0)
+        assert lay.back_oh[sp].sum() == (1.0 if backs[s] == B_SPACE else 0.0)
