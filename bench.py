@@ -152,6 +152,13 @@ def main():
         "single-call run time under the remote runtime's watchdog)",
     )
     ap.add_argument(
+        "--trace-dir",
+        default=None,
+        help="capture an XLA profiler trace of the timed region into this "
+        "directory (view with xprof/TensorBoard); best-effort — some remote "
+        "runtimes cannot profile",
+    )
+    ap.add_argument(
         "--no-interp-weather",
         action="store_true",
         help="hold weather constant within each hour instead of linearly "
@@ -353,8 +360,21 @@ def main():
         print(f"# {mode}-kernel compile+{days}-day warmup: {time.time() - t0:.1f}s",
               file=sys.stderr)
         t0 = time.time()
-        T1, zT1 = run_all(T1, zT1)
-        zone0 = float(zT1[0, 0])
+        if args.trace_dir:
+            try:
+                from heatx.utils.profiling import profile_trace
+
+                with profile_trace(args.trace_dir):
+                    T1, zT1 = run_all(T1, zT1)
+                    zone0 = float(zT1[0, 0])
+            except Exception as e:  # remote runtimes may not support xprof
+                print(f"# profiler trace failed ({e}); timing without it",
+                      file=sys.stderr)
+                T1, zT1 = run_all(T1, zT1)
+                zone0 = float(zT1[0, 0])
+        else:
+            T1, zT1 = run_all(T1, zT1)
+            zone0 = float(zT1[0, 0])
         wall = time.time() - t0
         node_updates = n_nodes_total * span * SUBF
         rate = node_updates / wall
