@@ -36,7 +36,8 @@ class ThermalModel:
     ):
         self.building: CompiledBuilding = compile_building(model, n=n, config=config)
         self._march = None
-        self._run = None
+        self._run = {}  # keyed by collect_zone_T
+        self._run_checked = {}
         self._march_exp = None
         self._march_imp = None
         self._device_building = None
@@ -87,11 +88,11 @@ class ThermalModel:
         self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True
     ) -> Tuple[SimState, Optional[jax.Array]]:
         """March a whole [T, ...] input sequence in one compiled scan."""
-        if self._run is None:
-            self._run = step_mod.make_run_fn(
+        if collect_zone_T not in self._run:
+            self._run[collect_zone_T] = step_mod.make_run_fn(
                 self._device(), collect_zone_T=collect_zone_T, donate=False
             )
-        return self._run(state, inputs_seq)
+        return self._run[collect_zone_T](state, inputs_seq)
 
     def run_checked(
         self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True
@@ -99,11 +100,11 @@ class ThermalModel:
         """Like :meth:`run`, with an in-graph finiteness guard after every
         main step (the reference's NaN asserts, model.rs:416-419): raises on
         the first non-finite state, reporting the step and zone."""
-        if getattr(self, "_run_checked", None) is None:
-            self._run_checked = step_mod.make_checked_run_fn(
+        if collect_zone_T not in self._run_checked:
+            self._run_checked[collect_zone_T] = step_mod.make_checked_run_fn(
                 self._device(), collect_zone_T=collect_zone_T
             )
-        return self._run_checked(state, inputs_seq)
+        return self._run_checked[collect_zone_T](state, inputs_seq)
 
     def march_exp(
         self, state: SimState, inputs: StepInputs, substeps: int = 12

@@ -42,6 +42,12 @@ from heatx.physics.gas import GasProps
 B_OUTDOOR = 0
 B_SPACE = 1
 B_AMBIENT = 2
+# Ground reads its fixed soil temperature like ambient but is exempt from the
+# replicate_ambient_back_bug quirk (surface.rs:672-686 reuses *front* values
+# for ambient back faces; soil faces must radiate against the soil, not the
+# front environment — a back-side ground face would otherwise silently run
+# its radiative exchange against the indoor zone).
+B_GROUND = 3
 
 _ROUGHNESS_RF = 1.67  # reference always uses roughness_index=1 (surface.rs:619)
 
@@ -366,7 +372,7 @@ def _boundary_arrays(b: Boundary, model: BuildingModel):
     if b.kind == "ambient":
         return B_AMBIENT, 0, float(b.temperature), False
     if b.kind == "ground":
-        return B_AMBIENT, 0, float(b.temperature), True
+        return B_GROUND, 0, float(b.temperature), True
     raise ValueError(f"unknown boundary kind '{b.kind}'")
 
 

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from heatx.config import SimConfig
 from heatx.constants import KELVIN, SIGMA
-from heatx.build.layout import B_AMBIENT, B_OUTDOOR, B_SPACE, SurfaceBatch
+from heatx.build.layout import B_AMBIENT, B_GROUND, B_OUTDOOR, B_SPACE, SurfaceBatch
 from heatx.ops import tridiag
 from heatx.physics.cavity import cavity_u_value
 from heatx.physics.convection import (
@@ -79,7 +79,7 @@ def boundary_temperatures(sb: SurfaceBatch, zone_T, t_out):
     def side(code, space, temp):
         t = jnp.where(code == B_OUTDOOR, t_out, 0.0)
         t = jnp.where(code == B_SPACE, zone_padded[space], t)
-        t = jnp.where(code == B_AMBIENT, temp, t)
+        t = jnp.where((code == B_AMBIENT) | (code == B_GROUND), temp, t)
         return t
 
     t_front = side(sb.front_code, sb.front_space, sb.front_temp)
@@ -183,6 +183,8 @@ def border_conditions(
     When ``config.replicate_ambient_back_bug`` (default), a back-side Ambient
     boundary reuses the *front* surface temperature and the *front* boundary
     temperature as radiant temperature, exactly like surface.rs:672-686.
+    Ground faces (B_GROUND, a heatx extension) are exempt: they read the soil
+    temperature for both air and radiant exchange on whichever side they sit.
     """
     front_surf = T[0]
     back_surf = _last_node(sb, T, statics)

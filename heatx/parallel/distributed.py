@@ -40,7 +40,7 @@ def initialize(
     """
     import jax
 
-    if getattr(jax._src.distributed.global_state, "client", None) is not None:
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
         return  # already initialized
     coordinator_address = coordinator_address or os.environ.get("HEATX_COORDINATOR")
     if num_processes is None and "HEATX_NUM_PROCESSES" in os.environ:

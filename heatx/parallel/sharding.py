@@ -194,10 +194,18 @@ def make_sharded_hour_march(
     irradiance ``[hours, SP]``, gains ``[hours, n_blocks, ZB]``.
     """
     try:
+        import inspect
+
         from jax import shard_map as _shard_map  # jax >= 0.8
 
-        def shard_map(f, **kw):  # check_rep was renamed check_vma
-            kw["check_vma"] = kw.pop("check_rep")
+        # check_rep was renamed check_vma somewhere in the 0.8 line; inspect
+        # the public signature rather than assuming (intermediate versions
+        # export jax.shard_map but still take check_rep).
+        _params = inspect.signature(_shard_map).parameters
+
+        def shard_map(f, **kw):
+            if "check_rep" in kw and "check_rep" not in _params:
+                kw["check_vma"] = kw.pop("check_rep")
             return _shard_map(f, **kw)
 
     except ImportError:  # pragma: no cover - older jax

@@ -118,13 +118,9 @@ def walls_report():
     # real weather on the bench city model — the evidence behind the 0.87 s
     # annual number (gated in tests/test_fast_regime.py).
     try:
-        from test_fast_regime import WARMUP, regime_runs as _unused  # noqa: F401
         import test_fast_regime as tfr
 
-        class _Root:
-            pass
-
-        zhist_par, zhist_fast, _ = tfr.regime_runs.__wrapped__(FIXTURES)
+        zhist_par, zhist_fast, _ = tfr.compute_regime_runs(FIXTURES)
         v.push(
             SeriesValidation(
                 title=(

@@ -126,6 +126,46 @@ def test_ground_boundary():
     assert abs(float(st.node_T[0, 0]) - 12.0) < 0.05
 
 
+def _ground_slab_model(ground_on_back: bool):
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("slab", "concrete", 0.15))
+    m.add_construction(Construction("floor", ["slab"]))
+    m.add_space(SpaceDef("room", 100.0))
+    m.add_hvac(ElectricHeater("h0", "room"))
+    gnd = Boundary.ground(temperature=12.0)
+    room = Boundary.space_("room")
+    front, back = (room, gnd) if ground_on_back else (gnd, room)
+    m.add_surface(
+        SurfaceDef("slab0", "floor", front, back,
+                   vertices=np.array([[0, 0, 0], [5, 0, 0], [5, 5, 0], [0, 5, 0]], float))
+    )
+    return m
+
+
+def test_ground_back_boundary_symmetric():
+    """Ground as the BACK boundary must behave exactly like the mirrored
+    front-ground model: the soil face radiates/convects against the soil, not
+    against the front environment (the replicate_ambient_back_bug quirk,
+    surface.rs:672-686, must not leak onto ground faces)."""
+    cfg = heatx.SimConfig(dtype=np.float64)
+    finals = []
+    for ground_on_back in (False, True):
+        tm = heatx.ThermalModel(_ground_slab_model(ground_on_back), n=1, config=cfg)
+        side = tm.building.surfaces
+        fixed = side.fixed_h_back if ground_on_back else side.fixed_h_front
+        assert np.allclose(fixed, 20.0)
+        st = tm.initial_state()
+        inp = tm.inputs(hvac_power=np.array([1500.0]))
+        for _ in range(24 * 8):
+            st = tm.march(st, inp)
+        finals.append(float(st.zone_T[0]))
+    assert abs(finals[0] - finals[1]) < 0.05, finals
+
+
 def test_cavity_r_value():
     """r_value of a double-glazing construction evaluates the ISO 15099
     cavity U at the given temperatures (reference: todo!() panic)."""

@@ -38,9 +38,12 @@ def _interp(v, k):
     return interpolate_to_steps(np.asarray(v, float), k)[: HOURS * k].reshape(HOURS, k)
 
 
-@pytest.fixture(scope="module")
-def regime_runs(ref_fixtures_module):
-    w = read_epw(f"{ref_fixtures_module}/epw/CHL_Santiago.855740_IWEC.epw")
+def compute_regime_runs(fixtures_root):
+    """Parity / fast / hour-constant-weather zone histories over 3 weeks of
+    real EPW weather on the bench city model.  Plain function so the
+    validation-report script (scripts/make_validation_reports.py) can call it
+    without going through pytest fixture internals."""
+    w = read_epw(f"{fixtures_root}/epw/CHL_Santiago.855740_IWEC.epw")
     dry, wind = w.dry_bulb[:HOURS], w.wind_speed[:HOURS]
     wdir = w.wind_direction_rad[:HOURS]
     ghi, ir = w.global_horizontal[:HOURS], w.horizontal_ir[:HOURS]
@@ -105,6 +108,11 @@ def regime_runs(ref_fixtures_module):
         jnp.asarray(np.broadcast_to(dry[:, None], (HOURS, SUBF)))
     )
     return np.asarray(zhist_par), zhist_fast, zhist_const
+
+
+@pytest.fixture(scope="module")
+def regime_runs(ref_fixtures_module):
+    return compute_regime_runs(ref_fixtures_module)
 
 
 @pytest.fixture(scope="module")
