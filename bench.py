@@ -115,7 +115,15 @@ def main():
         type=int,
         default=1,
         help="fixed no-mass iterations per sub-step (0 = reference-exact "
-        "while_loop); 1-2 match the EnergyPlus replay within its thresholds",
+        "while_loop); the default 1 passes the full 14-case EnergyPlus "
+        "replay suite at the same thresholds as the exact loop "
+        "(tests/test_eplus_replay.py, fixed1 variant)",
+    )
+    ap.add_argument(
+        "--skip-parity",
+        action="store_true",
+        help="emit only the headline TR-BDF2 row (skip the parity-kernel "
+        "run normally included as parity_* fields in the JSON line)",
     )
     ap.add_argument(
         "--xla-path",
@@ -240,26 +248,26 @@ def main():
     )
 
     if not (args.exp_path or args.imp_path or args.xla_path):
-        # Fused Pallas day-kernel paths.  Default: TR-BDF2 fast mode
-        # (heatx/engine/implicit.py + heatx/ops/pallas_step.py mode="trbdf2"):
-        # coefficients freeze per hour (EnergyPlus-style), each hour takes
-        # --exp-substeps L-stable sub-steps instead of the stability-dictated
-        # ~120.  --parity-kernel runs reference-exact sub-step physics in the
-        # same day kernel.  Either way one Pallas invocation marches
-        # --kernel-hours hours per block so the fixed per-call launch + HBM
-        # streaming cost amortizes.  Accuracy of the fast regime is measured
-        # against the parity path in tests/test_fast_regime.py; parity-vs-
-        # reference in tests/test_eplus_replay.py.
+        # Fused Pallas day-kernel paths.  Default: the TR-BDF2 fast mode
+        # (heatx/engine/implicit.py + heatx/ops/pallas_step.py mode="trbdf2")
+        # as the headline row, PLUS a reference-parity day-kernel run
+        # (reference sub-step physics at the stability-dictated ~120
+        # sub-steps/hour, no-mass solve at --nomass-iters fixed relaxed
+        # iterations — the regime gated by tests/test_eplus_replay.py) emitted
+        # as parity_* fields in the same JSON line.  --parity-kernel makes
+        # parity the headline instead.  Either way one Pallas invocation
+        # marches --kernel-hours hours per block so the fixed per-call launch
+        # + HBM streaming cost amortizes.  Accuracy of the fast regime is
+        # measured against the parity path in tests/test_fast_regime.py;
+        # parity-vs-reference in tests/test_eplus_replay.py.
         from heatx.ops import pallas_step
         from heatx.weather.epw import interpolate_to_steps
 
-        mode = "parity" if args.parity_kernel else "trbdf2"
-        SUBF = subs if mode == "parity" else args.exp_substeps
         H = args.kernel_hours
         days = (args.hours + H - 1) // H
         span = days * H
 
-        def build_runner(block_size):
+        def build_runner(block_size, mode, SUBF):
             bb = pallas_step.block_building(building, block_size=block_size)
             hm, params = pallas_step.make_hour_march(
                 bb, substeps=(None if mode == "parity" else SUBF), mode=mode, hours=H
@@ -332,72 +340,94 @@ def main():
 
             return run_all, T0, zT0
 
-        try:
-            run_all, T0, zT0 = build_runner(args.block_size)
-        except Exception as e:
-            if args.block_size <= 1024:
-                raise
-            print(f"# block {args.block_size} setup failed ({e}); retrying at 1024",
-                  file=sys.stderr)
-            run_all, T0, zT0 = build_runner(1024)
-
-        t0 = time.time()
-        # Warm up with the full chunk schedule: every dispatch shape (the
-        # fixed chunk and any remainder) must be compiled before timing.
-        # Large grids can trip a Mosaic compiler crash at block 2048
-        # (PERF.md); fall back to 1024 rather than dying mid-bench.
-        try:
-            T1, zT1 = run_all(T0, zT0)
-            zone0 = float(zT1[0, 0])  # force: block_until_ready unreliable here
-        except jax.errors.JaxRuntimeError as e:
-            if args.block_size <= 1024:
-                raise
-            print(f"# block {args.block_size} failed to compile; retrying at 1024",
-                  file=sys.stderr)
-            run_all, T0, zT0 = build_runner(1024)
-            T1, zT1 = run_all(T0, zT0)
-            zone0 = float(zT1[0, 0])
-        print(f"# {mode}-kernel compile+{days}-day warmup: {time.time() - t0:.1f}s",
-              file=sys.stderr)
-        t0 = time.time()
-        if args.trace_dir:
+        def run_kernel_bench(mode, trace_dir=None):
+            """Build, warm up, and time one kernel mode; returns a dict of
+            (wall, rate, substeps, zone0)."""
+            SUBF = subs if mode == "parity" else args.exp_substeps
             try:
-                from heatx.utils.profiling import profile_trace
+                run_all, T0, zT0 = build_runner(args.block_size, mode, SUBF)
+            except Exception as e:
+                if args.block_size <= 1024:
+                    raise
+                print(f"# block {args.block_size} setup failed ({e}); retrying at 1024",
+                      file=sys.stderr)
+                run_all, T0, zT0 = build_runner(1024, mode, SUBF)
 
-                with profile_trace(args.trace_dir):
+            t0 = time.time()
+            # Warm up with the full chunk schedule: every dispatch shape (the
+            # fixed chunk and any remainder) must be compiled before timing.
+            # Large grids can trip a Mosaic compiler crash at block 2048
+            # (PERF.md); fall back to 1024 rather than dying mid-bench.
+            try:
+                T1, zT1 = run_all(T0, zT0)
+                zone0 = float(zT1[0, 0])  # force: block_until_ready unreliable here
+            except jax.errors.JaxRuntimeError:
+                if args.block_size <= 1024:
+                    raise
+                print(f"# block {args.block_size} failed to compile; retrying at 1024",
+                      file=sys.stderr)
+                run_all, T0, zT0 = build_runner(1024, mode, SUBF)
+                T1, zT1 = run_all(T0, zT0)
+                zone0 = float(zT1[0, 0])
+            print(f"# {mode}-kernel compile+{days}-day warmup: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            t0 = time.time()
+            if trace_dir:
+                try:
+                    from heatx.utils.profiling import profile_trace
+
+                    with profile_trace(trace_dir):
+                        T1, zT1 = run_all(T1, zT1)
+                        zone0 = float(zT1[0, 0])
+                except Exception as e:  # remote runtimes may not support xprof
+                    print(f"# profiler trace failed ({e}); timing without it",
+                          file=sys.stderr)
                     T1, zT1 = run_all(T1, zT1)
                     zone0 = float(zT1[0, 0])
-            except Exception as e:  # remote runtimes may not support xprof
-                print(f"# profiler trace failed ({e}); timing without it",
-                      file=sys.stderr)
+            else:
                 T1, zT1 = run_all(T1, zT1)
                 zone0 = float(zT1[0, 0])
-        else:
-            T1, zT1 = run_all(T1, zT1)
-            zone0 = float(zT1[0, 0])
-        wall = time.time() - t0
-        node_updates = n_nodes_total * span * SUBF
-        rate = node_updates / wall
-        print(
-            f"# {mode} kernel {span}h x {SUBF} substeps, {node_updates:.3e} "
-            f"node-updates in {wall:.2f}s -> {rate:.3e} "
-            f"node-updates/s; zone_T[0] final {zone0:.2f}C",
-            file=sys.stderr,
-        )
-        assert np.isfinite(zone0), "simulation diverged"
-        print(
-            json.dumps(
-                {
-                    "metric": f"annual_{span}h_{S}surface_sim_wall_clock",
-                    "value": round(wall, 3),
-                    "unit": "s",
-                    "vs_baseline": round(10.0 / wall, 3),
-                    "node_updates_per_sec_per_chip": round(rate, 1),
-                    "mode": mode,
-                    "substeps_per_hour": SUBF,
-                }
+            wall = time.time() - t0
+            node_updates = n_nodes_total * span * SUBF
+            rate = node_updates / wall
+            print(
+                f"# {mode} kernel {span}h x {SUBF} substeps, {node_updates:.3e} "
+                f"node-updates in {wall:.2f}s -> {rate:.3e} "
+                f"node-updates/s; zone_T[0] final {zone0:.2f}C",
+                file=sys.stderr,
             )
-        )
+            assert np.isfinite(zone0), f"{mode} simulation diverged"
+            return dict(wall=wall, rate=rate, substeps=SUBF, zone0=zone0)
+
+        headline_mode = "parity" if args.parity_kernel else "trbdf2"
+        res = run_kernel_bench(headline_mode, trace_dir=args.trace_dir)
+        row = {
+            "metric": f"annual_{span}h_{S}surface_sim_wall_clock",
+            "value": round(res["wall"], 3),
+            "unit": "s",
+            "vs_baseline": round(10.0 / res["wall"], 3),
+            "node_updates_per_sec_per_chip": round(res["rate"], 1),
+            "mode": headline_mode,
+            "substeps_per_hour": res["substeps"],
+        }
+        if not args.parity_kernel and not args.skip_parity:
+            # Reference-parity numerics in the same scored artifact: the
+            # regime (nomass_fixed_iters=args.nomass_iters, ~120 stability
+            # sub-steps/hour) is the one tests/test_eplus_replay.py gates
+            # against all 14 EnergyPlus fixtures.
+            try:
+                pres = run_kernel_bench("parity")
+                row.update(
+                    parity_wall_clock_s=round(pres["wall"], 3),
+                    parity_node_updates_per_sec_per_chip=round(pres["rate"], 1),
+                    parity_substeps_per_hour=pres["substeps"],
+                    parity_nomass_fixed_iters=args.nomass_iters,
+                    parity_vs_baseline=round(10.0 / pres["wall"], 3),
+                )
+            except Exception as e:  # headline row survives a parity failure
+                print(f"# parity kernel row failed: {e}", file=sys.stderr)
+                row.update(parity_error=str(e)[:200])
+        print(json.dumps(row))
         return
 
     if args.exp_path or args.imp_path:

@@ -144,6 +144,7 @@ class ThermalModel:
         substeps: int = None,
         hours: int = 1,
         interpret: bool = None,
+        collect_fluxes: bool = False,
     ) -> "FastRunner":
         """The fused Pallas hour-kernel path.
 
@@ -155,7 +156,7 @@ class ThermalModel:
         another ~8x on a TPU; see heatx.engine.implicit)."""
         return FastRunner(
             self, block_size=block_size, mode=mode, substeps=substeps,
-            hours=hours, interpret=interpret,
+            hours=hours, interpret=interpret, collect_fluxes=collect_fluxes,
         )
 
 
@@ -172,6 +173,7 @@ class FastRunner:
         mode: str = "parity",
         substeps: int = None,
         hours: int = 1,
+        collect_fluxes: bool = False,
     ):
         import jax.numpy as jnp
         import numpy as np
@@ -193,9 +195,14 @@ class FastRunner:
             else (substeps or 12)
         )
         self._hours = hours
+        self._collect_hq = collect_fluxes
+        # The per-hour finite count is always collected: one masked reduce
+        # per hour is noise next to the sub-step work, and it is what lets
+        # run(assert_finite=True) fail fast with hour resolution (the
+        # reference asserts every sub-step, model.rs:416-419).
         self._hour_march, self._params = pallas_step.make_hour_march(
             self._bb, substeps=substeps, interpret=interpret, mode=mode,
-            hours=hours,
+            hours=hours, collect_bad=True, collect_hq=collect_fluxes,
         )
         self._jit = jax.jit(self._hour_march)
         self._run_jit = None
@@ -359,16 +366,34 @@ class FastRunner:
         state: SimState,
         inputs_seq: StepInputs,
         collect_zone_T: bool = True,
-        assert_finite: bool = False,
+        assert_finite: bool = True,
         interp_weather: bool = False,
+        dispatch_days: int = None,
+        collect_fluxes: bool = False,
     ):
         """March a whole [T, ...] input sequence through the fused kernel:
         the fast-path equivalent of :meth:`ThermalModel.run`.
 
-        ``assert_finite`` checks the collected per-hour zone history and
-        raises with the first non-finite hour/zone (the kernel itself cannot
-        host checkify; this is the fused-path analogue of the reference's
-        per-step NaN asserts, model.rs:416-419).
+        ``assert_finite`` (default on) reads the kernel's in-kernel per-hour
+        non-finite state count — one masked reduce over every node and zone
+        temperature at each hour boundary (the fused-path analogue of the
+        reference's per-sub-step NaN asserts, model.rs:416-419) — and raises
+        :class:`FloatingPointError` naming the first bad hour and block.
+        Combined with ``dispatch_days`` the check runs per dispatch chunk,
+        so a divergent annual run fails within days of the blow-up instead
+        of marching 8760 h of garbage.
+
+        ``dispatch_days`` splits the sequence into chunks of that many
+        kernel invocations per device dispatch (None = one dispatch for the
+        whole sequence).  Chunking also bounds single-call run time under
+        remote-runtime watchdogs; dispatches queue asynchronously, so there
+        is no pipeline bubble beyond the per-chunk finiteness sync.
+
+        ``collect_fluxes`` returns the per-hour h/q history — the
+        reference's observable per-surface state channels
+        (surface_trait.rs:223-354) — as a dict of [T, S] arrays
+        (``h_front``, ``h_back``, ``q_front``, ``q_back``).  Requires the
+        runner to be constructed with ``collect_fluxes=True``.
 
         ``interp_weather`` linearly interpolates per-hour scalar weather
         (t_out / wind) to the kernel's sub-steps instead of holding it
@@ -381,10 +406,17 @@ class FastRunner:
         [T] scalars-per-hour; per-surface irradiance [T, S], [S] or scalar;
         gains [T, n] or [n]).  T must divide evenly into the runner's
         ``hours`` chunk (pad the sequence or construct the runner with
-        ``hours=1``).  The chunks scan on device in one compiled call.
-        Returns ``(final SimState, zone_T [T, Z] | None)``.
+        ``hours=1``).
+        Returns ``(final SimState, zone_T [T, Z] | None)`` or, with
+        ``collect_fluxes``, ``(final, zone_T, fluxes_dict)``.
         """
         import numpy as np
+
+        if collect_fluxes and not self._collect_hq:
+            raise ValueError(
+                "construct the runner with collect_fluxes=True to collect "
+                "the h/q history"
+            )
 
         j = self._jnp
         b = self._tm.building
@@ -447,64 +479,83 @@ class FastRunner:
 
         if self._run_jit is None:
             hour_march = self._hour_march
+            collect_hq = self._collect_hq
 
             def scan_run(params, T, zT, xs, collect):
                 def body(carry, chunk):
                     T, zT, _ = carry
-                    T, zT, hq, hist = hour_march(params, T, zT, chunk)
-                    return (T, zT, hq), (hist if collect else None)
+                    outs = hour_march(params, T, zT, chunk)
+                    T, zT, hq, hist = outs[:4]
+                    k = 4
+                    hqh = None
+                    if collect_hq:
+                        hqh = outs[k]
+                        k += 1
+                    bad = outs[k]
+                    return (T, zT, hq), (hist if collect else None, hqh, bad)
 
                 hq0 = tuple(j.zeros((SP,), dt) for _ in range(4))
-                (T, zT, hq), hist = jax.lax.scan(body, (T, zT, hq0), xs)
-                return T, zT, hq, hist
+                (T, zT, hq), ys = jax.lax.scan(body, (T, zT, hq0), xs)
+                return T, zT, hq, ys
 
             self._run_jit = jax.jit(scan_run, static_argnames=("collect",))
 
         Tb, zTb = self.to_blocked(state)
-        Tb, zTb, hq, hist = self._run_jit(
-            self._params, Tb, zTb, xs, collect_zone_T
-        )
+        chunk_D = D if dispatch_days is None else max(1, int(dispatch_days))
+        hists, hqhs = [], []
+        hq = None
+        for d0 in range(0, D, chunk_D):
+            xs_c = tuple(x[d0 : d0 + chunk_D] for x in xs)
+            Tb, zTb, hq, (hist_c, hqh_c, bad_c) = self._run_jit(
+                self._params, Tb, zTb, xs_c, collect_zone_T
+            )
+            if assert_finite:
+                bad_np = np.asarray(bad_c)  # [chunk, hours, NB] — host sync
+                if bad_np.sum() > 0:
+                    ci, hi, bi = (int(x) for x in np.argwhere(bad_np > 0)[0])
+                    hour = (d0 + ci) * H + hi
+                    raise FloatingPointError(
+                        f"non-finite state first detected at hour {hour} "
+                        f"(day {hour // 24}, block {bi}): "
+                        f"{int(bad_np[ci, hi, bi])} bad values"
+                    )
+            if collect_zone_T:
+                hists.append(hist_c)
+            if collect_fluxes:
+                hqhs.append(hqh_c)
         final = self.from_blocked(Tb, zTb, hq)
 
-        def check_final_nodes():
-            mask = np.asarray(self._tm.building.surfaces.node_mask)
-            nt = np.asarray(final.node_T)
-            ok = np.isfinite(np.where(mask, nt, 0.0))
-            if not np.all(ok):
-                node, surf = (int(x) for x in np.argwhere(~ok)[0])
-                raise FloatingPointError(
-                    f"non-finite node temperature (surface {surf}, node {node}) "
-                    "after the run"
-                )
-
-        if not collect_zone_T:
-            if assert_finite:
-                if not np.all(np.isfinite(np.asarray(zTb))):
-                    raise FloatingPointError("non-finite final zone temperatures")
-                check_final_nodes()
-            return final, None
-        hist = np.asarray(hist).reshape(T_steps, NB, ZB)
-        zt = lay.zone_table
-        valid = zt >= 0
-        zone_T = np.zeros((T_steps, b.n_zones), dtype=hist.dtype)
-        zone_T[:, zt[valid]] = hist[:, valid]
-        if assert_finite:
-            if not np.all(np.isfinite(zone_T)):
-                bad = np.argwhere(~np.isfinite(zone_T))
-                hour, zone = int(bad[0][0]), int(bad[0][1])
-                raise FloatingPointError(
-                    f"non-finite zone temperature first at hour {hour}, zone {zone}"
-                )
-            check_final_nodes()
-        return final, j.asarray(zone_T, dt)
+        zone_T = None
+        if collect_zone_T:
+            hist = np.concatenate([np.asarray(h) for h in hists], axis=0)
+            hist = hist.reshape(T_steps, NB, ZB)
+            zt = lay.zone_table
+            valid = zt >= 0
+            zone_T = np.zeros((T_steps, b.n_zones), dtype=hist.dtype)
+            zone_T[:, zt[valid]] = hist[:, valid]
+            zone_T = j.asarray(zone_T, dt)
+        if collect_fluxes:
+            S = b.n_surfaces
+            chans = []
+            for k in range(4):
+                a = np.concatenate(
+                    [np.asarray(h[k]) for h in hqhs], axis=0
+                ).reshape(T_steps, SP)
+                chans.append(lay.surfaces_from_blocked(a, S))
+            fluxes = dict(zip(("h_front", "h_back", "q_front", "q_back"), chans))
+            return final, zone_T, fluxes
+        return final, zone_T
 
     def march_blocked(self, T, zT, hour_inputs):
-        """One hour on blocked state (the zero-copy hot path)."""
+        """One hour on blocked state (the zero-copy hot path).  Returns
+        ``(T, zT, hq, zt_hist[, hq_hist], bad)`` — the trailing entries
+        follow the runner's collect flags (bad is always present)."""
         return self._jit(self._params, T, zT, hour_inputs)
 
     def march(self, state: SimState, inputs: StepInputs) -> SimState:
         """One main-step/hour: SimState in, SimState out (convenient, but
         converts through the host — use march_blocked for long runs)."""
         T, zT = self.to_blocked(state)
-        T, zT, hq, _ = self.march_blocked(T, zT, self.hour_inputs(inputs))
+        outs = self.march_blocked(T, zT, self.hour_inputs(inputs))
+        T, zT, hq = outs[0], outs[1], outs[2]
         return self.from_blocked(T, zT, hq)

@@ -546,6 +546,8 @@ def make_hour_march(
     mode: str = "parity",
     hours: int = 1,
     grid_blocks: int = None,
+    collect_bad: bool = False,
+    collect_hq: bool = False,
 ):
     """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
 
@@ -576,6 +578,16 @@ def make_hour_march(
     kernel shards embarrassingly over the block axis).  The returned function
     carries ``param_axes`` ("lane" / "row" per params entry) describing which
     axis of each static operand is the block axis.
+
+    ``collect_bad`` appends a per-hour non-finite count ``[hours, NBl]`` to
+    the outputs (one masked reduce over node temps + zone temps at each hour
+    boundary) — the fused-path analogue of the reference's per-sub-step NaN
+    asserts (model.rs:416-419), giving the caller fail-fast with hour/block
+    resolution without leaving the kernel.  ``collect_hq`` appends the
+    per-hour h/q history ``4 x [hours, SPl]`` (post-hour front/back
+    convection coefficient and convective flux — the reference's observable
+    state channels, surface_trait.rs:223-354), accumulated with the same
+    one-hot-row trick as the zone history.
     """
     if mode not in ("parity", "trbdf2"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
@@ -795,6 +807,15 @@ def make_hour_march(
             i += 4
         zt_hist_ref = refs[i]
         i += 1
+        hq_hist_refs = []
+        if collect_hq:
+            for pi in range(n_parts):
+                hq_hist_refs.append(refs[i : i + 4])
+                i += 4
+        bad_ref = None
+        if collect_bad:
+            bad_ref = refs[i]
+            i += 1
         scratch = refs[i:]
 
         import os as _os
@@ -924,9 +945,52 @@ def make_hour_march(
         zT0 = r_shared["zT0"][...][0]  # [ZB] row
         HR8 = zt_hist_ref.shape[0]  # hours padded to the 8-row sublane tile
         hour_row_iota = jax.lax.broadcasted_iota(jnp.int32, (HR8, 1), 0)
+
+        def row_mask(h):
+            return jnp.where(hour_row_iota == h, 1.0, 0.0)
+
+        def bad_count(Ts, zT):
+            # Non-finite values in the current state, one scalar.  Nested
+            # wheres (no bool arithmetic — the i1->f32 vector casts
+            # miscompile under Mosaic).
+            bad = jnp.sum(jnp.where(jnp.isfinite(zT), 0.0, 1.0))
+            for (sb_vals, _), T in zip(part_vals, Ts):
+                bad = bad + jnp.sum(
+                    jnp.where(
+                        sb_vals.node_mask,
+                        jnp.where(jnp.isfinite(T), 0.0, 1.0),
+                        0.0,
+                    )
+                )
+            return bad
+
+        hq_hists0 = (
+            [
+                tuple(jnp.zeros((HR8, parts_meta[pi][2]), dtype) for _ in range(4))
+                for pi in range(n_parts)
+            ]
+            if collect_hq
+            else None
+        )
+        bad_hist0 = (
+            jnp.zeros((HR8, zT0.shape[0]), dtype) if collect_bad else None
+        )
+
+        def post_hour(h, hqs, zT, Ts, hq_hists, bad_hist):
+            rm = row_mask(h)
+            if collect_hq:
+                hq_hists = [
+                    tuple(acc + hqs[pi][k][None, :] * rm for k, acc in enumerate(part_acc))
+                    for pi, part_acc in enumerate(hq_hists)
+                ]
+            if collect_bad:
+                bad_hist = bad_hist + bad_count(Ts, zT) * rm
+            return hq_hists, bad_hist
+
         if hours == 1:
             Ts, zT, hqs = one_hour(0, T0s, zT0)
-            zt_hist = zT[None, :] * jnp.where(hour_row_iota == 0, 1.0, 0.0)
+            zt_hist = zT[None, :] * row_mask(0)
+            hq_hists, bad_hist = post_hour(0, hqs, zT, Ts, hq_hists0, bad_hist0)
         else:
             hq0 = tuple(
                 tuple(jnp.zeros((parts_meta[pi][2],), dtype) for _ in range(4))
@@ -935,16 +999,17 @@ def make_hour_march(
             hist0 = jnp.zeros((HR8, zT0.shape[0]), dtype)
 
             def hour_loop(h, carry):
-                Ts, zT, _, hist = carry
+                Ts, zT, _, hist, hq_hists, bad_hist = carry
                 Ts, zT, hqs = one_hour(h, Ts, zT)
                 # Post-hour zone temps, accumulated via a one-hot row
                 # (stores with a dynamic sublane offset also lower, but the
                 # masked add keeps the loop body store-free).
-                hist = hist + zT[None, :] * jnp.where(hour_row_iota == h, 1.0, 0.0)
-                return (Ts, zT, hqs, hist)
+                hist = hist + zT[None, :] * row_mask(h)
+                hq_hists, bad_hist = post_hour(h, hqs, zT, Ts, hq_hists, bad_hist)
+                return (Ts, zT, hqs, hist, hq_hists, bad_hist)
 
-            Ts, zT, hqs, zt_hist = jax.lax.fori_loop(
-                0, hours, hour_loop, (T0s, zT0, hq0, hist0)
+            Ts, zT, hqs, zt_hist, hq_hists, bad_hist = jax.lax.fori_loop(
+                0, hours, hour_loop, (T0s, zT0, hq0, hist0, hq_hists0, bad_hist0)
             )
         for pi in range(n_parts):
             t_out_refs[pi][...] = Ts[pi]
@@ -952,6 +1017,12 @@ def make_hour_march(
                 hq_refs[pi][k][0, :] = hqs[pi][k]
         zt_out_ref[0:1, :] = zT[None, :]
         zt_hist_ref[...] = zt_hist
+        if collect_hq:
+            for pi in range(n_parts):
+                for k in range(4):
+                    hq_hist_refs[pi][k][...] = hq_hists[pi][k]
+        if collect_bad:
+            bad_ref[...] = jnp.broadcast_to(bad_hist, (HR8, zT0.shape[0]))
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -1027,6 +1098,13 @@ def make_hour_march(
         out_shape += [jax.ShapeDtypeStruct((1, NBl * w), dtype)] * 4
     out_specs.append(zone_spec(HR8))
     out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
+    if collect_hq:
+        for rows, lo, w in parts_meta:
+            out_specs += [vspec(HR8, w)] * 4
+            out_shape += [jax.ShapeDtypeStruct((HR8, NBl * w), dtype)] * 4
+    if collect_bad:
+        out_specs.append(zone_spec(HR8))
+        out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
 
     # Scratch only serves the single-part loop-Thomas fallback.
     scratch_shapes = (
@@ -1097,10 +1175,22 @@ def make_hour_march(
             hq_parts.append(outs[oi : oi + 4])
             oi += 4
         zt_hist = outs[oi]
+        oi += 1
+        hqh_parts = []
+        if collect_hq:
+            for pi in range(n_parts):
+                hqh_parts.append(outs[oi : oi + 4])
+                oi += 4
+        bad_out = outs[oi] if collect_bad else None
 
         # Reassemble the full-width layout from the parts.
         T_new = jnp.zeros((N, NBl, SB), dtype)
         hq_full = [jnp.zeros((NBl, SB), dtype) for _ in range(4)]
+        hqh_full = (
+            [jnp.zeros((hours, NBl, SB), dtype) for _ in range(4)]
+            if collect_hq
+            else None
+        )
         for pi, (rows, lo, w) in enumerate(parts_meta):
             T_new = T_new.at[:rows, :, lo : lo + w].set(
                 T_parts[pi].reshape(rows, NBl, w)
@@ -1109,6 +1199,10 @@ def make_hour_march(
                 hq_full[k] = hq_full[k].at[:, lo : lo + w].set(
                     hq_parts[pi][k].reshape(NBl, w)
                 )
+                if collect_hq:
+                    hqh_full[k] = hqh_full[k].at[:, :, lo : lo + w].set(
+                        hqh_parts[pi][k].reshape(HR8, NBl, w)[:hours]
+                    )
         T_new = T_new.reshape(N, SPl)
         hq = tuple(x.reshape(SPl) for x in hq_full)
 
@@ -1116,7 +1210,18 @@ def make_hour_march(
         # reference's observable output channel, zone.rs:45-49)
         zt_hist = jnp.moveaxis(zt_hist.reshape(NBl, HR8, ZB)[:, :hours], 1, 0)
         zT_new = zT_new.reshape(NBl, 8, ZB)[:, 0]
-        return T_new, zT_new, hq, zt_hist
+        ret = (T_new, zT_new, hq, zt_hist)
+        if collect_hq:
+            # [hours, SPl] per channel: h_front, h_back, q_front, q_back
+            ret = ret + (tuple(x.reshape(hours, SPl) for x in hqh_full),)
+        if collect_bad:
+            # [hours, NBl]: non-finite state count after each marched hour
+            # (the value is lane-broadcast in the kernel; read lane 0)
+            bad = bad_out.reshape(NBl, HR8, ZB)[:, :hours, 0]
+            ret = ret + (jnp.moveaxis(bad, 1, 0),)
+        return ret
 
     hour_march.param_axes = tuple(param_axes)
+    hour_march.collect_bad = collect_bad
+    hour_march.collect_hq = collect_hq
     return hour_march, params

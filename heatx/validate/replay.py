@@ -14,7 +14,7 @@ front-node temperature from the scan carry.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from functools import partial
 from typing import Dict, List, Optional
 
@@ -38,6 +38,9 @@ def replay_wall_run(
     surface_area: float,
     warmup: int = 5000,
     march_fn=None,
+    pin_h_inside: bool = False,
+    pin_h_outside: bool = False,
+    passes: int = 1,
 ):
     """March the compiled model through the fixture's boundary conditions.
 
@@ -48,6 +51,21 @@ def replay_wall_run(
     ``march_fn(building, state, inputs) -> state`` overrides the main-step
     integrator (default: the reference-parity ``step_mod.march``); used to
     validate the fast modes against the same EnergyPlus evidence.
+
+    ``pin_h_inside`` / ``pin_h_outside`` drive the inside (back) / outside
+    (front) film coefficient from the fixture's logged per-step h series
+    instead of heatx's own TARP evaluation — the diagnostic experiment that
+    separates film-coefficient disagreement from solver error (the per-step
+    analogue of the reference's debug-only fixed-h override,
+    surface.rs:374-381).  The fixed-h channels are pytree leaves of the
+    compiled building, so the per-step values ride as scan inputs.
+
+    ``passes`` replays the fixture series that many times back-to-back and
+    scores the LAST pass: ``passes=2`` hands the solver a converged initial
+    state, removing the cold-start transient of the reference protocol
+    (nodes initialized to 22 C vs EnergyPlus's 25 warm-up days — decisive
+    for the insulated mixed wall, whose ~6.6-day time constant outlives the
+    5000-step warm-up skip; see tests/test_eplus_replay.py).
     """
     if march_fn is None:
         march_fn = step_mod.march
@@ -61,17 +79,24 @@ def replay_wall_run(
     )
     base = state_mod.default_inputs(building)
 
+    nan_s = np.full(run.n_steps, np.nan)
+
+    def tile(v):
+        return np.tile(np.asarray(v), passes)
+
     xs = (
-        jnp.asarray(run.outdoor_temp, dtype),
-        jnp.asarray(run.site_wind_speed, dtype),
-        jnp.asarray(np.radians(run.site_wind_direction), dtype),
-        jnp.asarray(run.incident_solar, dtype),
-        jnp.asarray(run.outdoor_thermal_gain, dtype),
+        jnp.asarray(tile(run.outdoor_temp), dtype),
+        jnp.asarray(tile(run.site_wind_speed), dtype),
+        jnp.asarray(np.radians(tile(run.site_wind_direction)), dtype),
+        jnp.asarray(tile(run.incident_solar), dtype),
+        jnp.asarray(tile(run.outdoor_thermal_gain), dtype),
+        jnp.asarray(tile(run.hs_inside if pin_h_inside else nan_s), dtype),
+        jnp.asarray(tile(run.hs_outside if pin_h_outside else nan_s), dtype),
     )
     use_ir = emissivity > 1e-3
 
     def body(carry, x):
-        t_out, ws, wd, sol, gain = x
+        t_out, ws, wd, sol, gain, h_in, h_out = x
         ts = carry.node_T[0]
         if use_ir:
             ir = gain / (surface_area * emissivity) + SIGMA * (ts + 273.15) ** 4
@@ -84,12 +109,20 @@ def replay_wall_run(
             sol_front=jnp.broadcast_to(sol, (S,)),
             ir_front=ir,
         )
-        new = march_fn(building, carry, inputs)
+        bld = building
+        if pin_h_inside or pin_h_outside:
+            sb = bld.surfaces
+            if pin_h_inside:  # inside film = the back (space-facing) face
+                sb = dc_replace(sb, fixed_h_back=jnp.broadcast_to(h_in, (S,)))
+            if pin_h_outside:
+                sb = dc_replace(sb, fixed_h_front=jnp.broadcast_to(h_out, (S,)))
+            bld = dc_replace(bld, surfaces=sb, discretizations=[])
+        new = march_fn(bld, carry, inputs)
         # Record the zone temperature *before* this march, like the reference.
         return new, carry.zone_T[0]
 
     _, found = jax.jit(partial(jax.lax.scan, body))(state, xs)
-    found = np.asarray(found)
+    found = np.asarray(found)[-run.n_steps :]  # score the last pass
     expected = run.zone_air_temp
     # i > warmup (strict), matching validate_wall_heat_transfer.rs:669
     return expected[warmup + 1 :], found[warmup + 1 :]
@@ -217,15 +250,34 @@ def build_case_model(case: WallCase, fixtures_root: str):
 
 
 def run_case(
-    case: WallCase, fixtures_root: str, n: int = 20, dtype=np.float64, march_fn=None
+    case: WallCase,
+    fixtures_root: str,
+    n: int = 20,
+    dtype=np.float64,
+    march_fn=None,
+    nomass_fixed_iters: Optional[int] = None,
+    pin_h_inside: bool = False,
+    pin_h_outside: bool = False,
+    passes: int = 1,
 ):
-    """Compile + replay one fixture case; returns (expected, found)."""
+    """Compile + replay one fixture case; returns (expected, found).
+
+    ``nomass_fixed_iters`` selects the no-mass solve regime: None runs the
+    reference-exact adaptive while_loop; an integer runs that many fixed
+    relaxed iterations — the regime the fused parity kernel executes
+    (heatx.ops.pallas_step requires a static iteration count), so the bench
+    configuration is gated against the same fixtures as the exact loop."""
     model = build_case_model(case, fixtures_root)
-    tm = heatx.ThermalModel(model, n=n, config=heatx.SimConfig(dtype=dtype))
+    tm = heatx.ThermalModel(
+        model,
+        n=n,
+        config=heatx.SimConfig(dtype=dtype, nomass_fixed_iters=nomass_fixed_iters),
+    )
     # "in models like these — a single surface — EnergyPlus assumes zero IR
     # radiation indoors" (validate_wall_heat_transfer.rs:629-630)
     tm.building.surfaces.eps_back[:] = 0.0
     run = read_eplusout(f"{fixtures_root}/{case.name}/eplusout.csv")
     return replay_wall_run(
-        tm, run, case.emissivity, case.surface_area, march_fn=march_fn
+        tm, run, case.emissivity, case.surface_area, march_fn=march_fn,
+        pin_h_inside=pin_h_inside, pin_h_outside=pin_h_outside, passes=passes,
     )

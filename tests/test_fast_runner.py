@@ -155,6 +155,72 @@ def test_run_interp_weather_moves_results():
     assert d < 1.0  # same physics, sub-hour shading only
 
 
+def test_run_nan_injection_fails_fast_with_hour_index():
+    """In-kernel finiteness (model.rs:416-419 analogue): a NaN introduced by
+    the hour-2 weather must raise FloatingPointError naming that hour, from
+    the per-dispatch-chunk check — BEFORE the remaining chunks run."""
+    tm, st, seq = _ramp_sequence(hours=6)
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, interpret=True)
+    t_out = np.asarray(seq.t_out).copy()
+    t_out[2] = np.nan
+    bad_seq = seq._replace(t_out=t_out)
+    with pytest.raises(FloatingPointError) as ei:
+        # hours=1 chunks, 1 invocation per dispatch -> the failure must
+        # surface when the hour-2 chunk is checked.
+        fr.run(st, bad_seq, dispatch_days=1)
+    assert "hour 2" in str(ei.value), str(ei.value)
+    # A clean run under the same checking passes.
+    fr.run(st, seq, dispatch_days=1)
+
+
+def test_run_collect_fluxes_matches_xla_channels():
+    """collect_fluxes returns the reference's observable per-surface state
+    channels (surface_trait.rs:223-354) per hour; they must equal the XLA
+    path's post-march h/q at every hour."""
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2)
+    tm = heatx.ThermalModel(model(), n=1, config=cfg)
+    fr = tm.fast_runner(block_size=8, collect_fluxes=True)
+
+    T = 4
+    rng = np.random.default_rng(7)
+    t_out = rng.uniform(-5, 10, T)
+    sol = rng.uniform(0, 300, (T, 6))
+    seq = tm.inputs(
+        t_out=t_out, wind_speed=np.full(T, 3.0), sol_front=sol,
+        ir_front=np.full((T, 6), 330.0),
+        hvac_power=rng.uniform(0, 500, (T, 3)),
+    )
+    final, zone_hist, fluxes = fr.run(
+        tm.initial_state(), seq, collect_fluxes=True
+    )
+    assert set(fluxes) == {"h_front", "h_back", "q_front", "q_back"}
+
+    st = tm.initial_state()
+    for h in range(T):
+        inp = tm.inputs(
+            t_out=t_out[h], wind_speed=3.0, sol_front=sol[h],
+            ir_front=np.full(6, 330.0),
+            hvac_power=np.asarray(seq.hvac_power)[h],
+        )
+        st = tm.march(st, inp)
+        np.testing.assert_allclose(
+            fluxes["h_front"][h], np.asarray(st.h_front), atol=5e-9,
+            err_msg=f"h_front hour {h}",
+        )
+        np.testing.assert_allclose(
+            fluxes["h_back"][h], np.asarray(st.h_back), atol=5e-9
+        )
+        np.testing.assert_allclose(
+            fluxes["q_front"][h], np.asarray(st.q_front), atol=5e-8
+        )
+        np.testing.assert_allclose(
+            fluxes["q_back"][h], np.asarray(st.q_back), atol=5e-8
+        )
+    np.testing.assert_allclose(
+        np.asarray(final.h_front), fluxes["h_front"][-1], atol=1e-12
+    )
+
+
 def _ramp_sequence(hours=6):
     import jax.numpy as jnp
 
