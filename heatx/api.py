@@ -313,9 +313,11 @@ class FastRunner:
             j.asarray(lay.zones_to_blocked(b_gain), dt),
         )
 
-    def _gains_seq(self, inputs_seq, T_steps):
-        """Per-hour zone A/B gain terms for a [T, ...] input sequence
-        (vectorized version of the per-hour math in :meth:`hour_inputs`)."""
+    def _gains_dev(self, inputs_seq, T_steps):
+        """Per-hour zone A/B gain terms for a [T, ...] input sequence —
+        DEVICE-side (jitted; the host-numpy version was O(T x Z) per call,
+        which dominated wall-clock for annual runs at scale)."""
+        import jax.numpy as jnp
         import numpy as np
 
         from heatx.constants import KELVIN
@@ -323,43 +325,51 @@ class FastRunner:
 
         b = self._tm.building
         Z = b.n_zones
+        dt = self._dtype
 
-        def seq2(v, tail):
-            a = np.asarray(v, np.float64)
-            if a.ndim == len(tail):
-                a = np.broadcast_to(a, (T_steps,) + tail)
-            return np.broadcast_to(a, (T_steps,) + tail)
+        def seq2(v, n):
+            a = jnp.asarray(v, dt)
+            if a.ndim < 2:
+                a = jnp.broadcast_to(a, (T_steps, n))
+            return a
 
-        a_gain = np.zeros((T_steps, Z))
-        if b.hvac_pair_unit.size:
-            hv = seq2(inputs_seq.hvac_power, (b.n_hvacs,))
-            np.add.at(
-                a_gain,
-                (slice(None), np.asarray(b.hvac_pair_space)),
-                hv[:, np.asarray(b.hvac_pair_unit)],
-            )
-        if b.lum_space.size:
-            lum = seq2(inputs_seq.lum_power, (b.n_luminaires,))
-            np.add.at(a_gain, (slice(None), np.asarray(b.lum_space)), lum)
-        b_gain = np.zeros((T_steps, Z))
-        for vol, temp, mask in [
-            (inputs_seq.inf_vol, inputs_seq.inf_temp, inputs_seq.inf_mask),
-            (inputs_seq.vent_vol, inputs_seq.vent_temp, inputs_seq.vent_mask),
-        ]:
-            vol = seq2(vol, (Z,))
-            temp = seq2(temp, (Z,))
-            mask = seq2(mask, (Z,))
-            t_k = temp + KELVIN
-            term = np.where(
-                mask > 0,
-                np.asarray(gas_mod.density(gas_mod.AIR, t_k))
-                * vol
-                * np.asarray(gas_mod.heat_capacity(gas_mod.AIR, t_k)),
-                0.0,
-            )
-            a_gain = a_gain + term * temp
-            b_gain = b_gain + term
-        return a_gain, b_gain
+        @jax.jit
+        def gains(hvac, lum, inf_vol, inf_temp, inf_mask, vent_vol, vent_temp, vent_mask):
+            a_gain = jnp.zeros((T_steps, Z), dt)
+            if b.hvac_pair_unit.size:
+                hv = seq2(hvac, b.n_hvacs)
+                a_gain = a_gain.at[:, np.asarray(b.hvac_pair_space)].add(
+                    hv[:, np.asarray(b.hvac_pair_unit)]
+                )
+            if b.lum_space.size:
+                a_gain = a_gain.at[:, np.asarray(b.lum_space)].add(
+                    seq2(lum, b.n_luminaires)
+                )
+            b_gain = jnp.zeros((T_steps, Z), dt)
+            for vol, temp, mask in [
+                (inf_vol, inf_temp, inf_mask),
+                (vent_vol, vent_temp, vent_mask),
+            ]:
+                vol = seq2(vol, Z)
+                temp = seq2(temp, Z)
+                mask = seq2(mask, Z)
+                t_k = temp + KELVIN
+                term = jnp.where(
+                    mask > 0,
+                    gas_mod.density(gas_mod.AIR, t_k)
+                    * vol
+                    * gas_mod.heat_capacity(gas_mod.AIR, t_k),
+                    0.0,
+                )
+                a_gain = a_gain + term * temp
+                b_gain = b_gain + term
+            return a_gain, b_gain
+
+        return gains(
+            inputs_seq.hvac_power, inputs_seq.lum_power,
+            inputs_seq.inf_vol, inputs_seq.inf_temp, inputs_seq.inf_mask,
+            inputs_seq.vent_vol, inputs_seq.vent_temp, inputs_seq.vent_mask,
+        )
 
     def run(
         self,
@@ -438,6 +448,7 @@ class FastRunner:
         D = T_steps // H
 
         def weather(v):
+            # [T] scalar series only — O(T*sub) host work, negligible.
             a = np.broadcast_to(np.asarray(v, np.float64), (T_steps,))
             if interp_weather:
                 from heatx.weather.epw import interpolate_to_steps
@@ -447,34 +458,55 @@ class FastRunner:
                 s = np.repeat(a, sub)
             return j.asarray(s.reshape(D, H * sub), dt)
 
-        def surf_seq(v):
-            a = np.asarray(v, np.float64)
-            if a.ndim == 1 and a.shape[0] == T_steps:
-                a = a[:, None]
-            a = np.broadcast_to(a, (T_steps, b.n_surfaces))
-            return j.asarray(
-                lay.surfaces_to_blocked(a).reshape(D, H, SP), dt
-            )
+        # Per-surface irradiance and zone gains prep runs ON DEVICE (jitted
+        # gathers): the host-numpy permutation was O(T x S) per call and
+        # would dominate wall-clock for annual runs at 10k+ surfaces.  Raw
+        # arrays transfer in their natural shape ([S] stays [S]).
+        if getattr(self, "_prep_jit", None) is None:
+            perm = np.asarray(lay.surf_perm)
+            perm_c = j.asarray(np.maximum(perm, 0))
+            perm_ok = j.asarray(perm >= 0)
+            zt = np.asarray(lay.zone_table)
+            zt_c = j.asarray(np.maximum(zt, 0))
+            zt_ok = j.asarray(zt >= 0)
+            S_real = b.n_surfaces
 
-        a_gain, b_gain = self._gains_seq(inputs_seq, T_steps)
+            def prep(surf_raw, gains_raw, T_steps):
+                def surf_xs(v):
+                    v = j.asarray(v, dt)
+                    if v.ndim == 1 and v.shape[0] == T_steps and T_steps != S_real:
+                        v = v[:, None]
+                    elif v.ndim == 0 or (v.ndim == 1 and v.shape[0] == S_real):
+                        v = j.broadcast_to(v, (1, S_real) if v.ndim else (1, 1))
+                    v = j.broadcast_to(v, (T_steps, S_real))
+                    blocked = j.where(perm_ok[None, :], v[:, perm_c], 0.0)
+                    return blocked.reshape(T_steps // H, H, SP)
 
-        def zone_seq(a):
-            zt = lay.zone_table  # [NB, ZB]
-            out = np.zeros((T_steps, NB, ZB))
-            valid = zt >= 0
-            out[:, valid] = a[:, zt[valid]]
-            return j.asarray(out.reshape(D, H, NB, ZB), dt)
+                def zone_xs(a):
+                    out = j.where(zt_ok[None], a[:, zt_c], 0.0)
+                    return out.reshape(T_steps // H, H, NB, ZB)
 
+                a_gain, b_gain = gains_raw
+                return tuple(surf_xs(v) for v in surf_raw) + (
+                    zone_xs(a_gain), zone_xs(b_gain),
+                )
+
+            self._prep_jit = jax.jit(prep, static_argnames=("T_steps",))
+
+        a_gain, b_gain = self._gains_dev(inputs_seq, T_steps)
         xs = (
             weather(inputs_seq.t_out),
             weather(inputs_seq.wind_speed),
             weather(inputs_seq.wind_direction),
-            surf_seq(inputs_seq.sol_front),
-            surf_seq(inputs_seq.sol_back),
-            surf_seq(inputs_seq.ir_front),
-            surf_seq(inputs_seq.ir_back),
-            zone_seq(a_gain),
-            zone_seq(b_gain),
+        ) + self._prep_jit(
+            (
+                inputs_seq.sol_front,
+                inputs_seq.sol_back,
+                inputs_seq.ir_front,
+                inputs_seq.ir_back,
+            ),
+            (a_gain, b_gain),
+            T_steps=T_steps,
         )
 
         if self._run_jit is None:

@@ -182,6 +182,11 @@ class SurfaceBatch:
     has_nomass: bool  # whether any surface has no-mass nodes (static)
     has_massive: bool  # whether any surface has massive nodes (static)
     has_cavity: bool  # whether any cavity exists (static)
+    # Longest no-mass run (static): <= 2 lets the steady-state solve use the
+    # closed-form pair solver (ops/tridiag.solve_runs2) instead of a padded
+    # full-system sweep — true for ordinary constructions, whose insulation
+    # skins / panes discretize to 1-2 no-mass nodes (discretization.rs:467-501).
+    max_nomass_run: int
     front_alphas: np.ndarray  # [N, S]
     back_alphas: np.ndarray  # [N, S]
 
@@ -300,7 +305,7 @@ class CompiledBuilding:
 # 10k-surface layout as HLO literals makes compilation explode.
 # ---------------------------------------------------------------------------
 
-_SB_STATIC = ("has_nomass", "has_massive", "has_cavity")
+_SB_STATIC = ("has_nomass", "has_massive", "has_cavity", "max_nomass_run")
 _SB_FIELDS = None  # resolved lazily from dataclass fields
 
 
@@ -616,6 +621,7 @@ def compile_building(
         has_nomass=bool(nomass.any()),
         has_massive=bool(massive.any()),
         has_cavity=bool(seg_is_cavity.any()),
+        max_nomass_run=int(nomass_chunk_count.max()) if nomass.any() else 0,
         front_alphas=tr(front_alphas),
         back_alphas=tr(back_alphas),
         area=area_a,

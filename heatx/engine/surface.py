@@ -102,6 +102,8 @@ class SurfaceStatics(NamedTuple):
     dirichlet_right: jnp.ndarray  # [N, S]
     nomass_sel: jnp.ndarray  # [N, S] valid no-mass node
     chunk_masks: tuple  # C x [N, S] per-chunk node masks
+    pair_head: jnp.ndarray  # [N, S] no-mass node coupled to node i+1
+    pair_tail: jnp.ndarray  # [N, S] its partner
 
 
 def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
@@ -115,6 +117,10 @@ def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
     sel = valid & ~sb.massive
     C = sb.nomass_chunk_count.shape[0]
     chunk_masks = tuple((sb.nomass_chunk_id == c) & sel for c in range(C))
+    # 2-node no-mass runs (couple_right stays within a chunk, and chunks are
+    # homogeneous in massiveness, so `& sel` restricts to no-mass pairs).
+    pair_head = couple_right & sel
+    pair_tail = _shift_prev(pair_head)
     return SurfaceStatics(
         left_exists=left_exists,
         right_exists=right_exists,
@@ -126,6 +132,8 @@ def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
         dirichlet_right=right_exists & ~couple_right,
         nomass_sel=sel,
         chunk_masks=chunk_masks,
+        pair_head=pair_head,
+        pair_tail=pair_tail,
     )
 
 
@@ -152,6 +160,35 @@ def radiant_out_temperatures(ir_front, ir_back, dtype):
     return rad_out_front, rad_out_back
 
 
+def forced_context(sb: SurfaceBatch, wind_direction, wind_speed):
+    """Per-substep forced-convection terms, shared by BOTH border-condition
+    evaluations of a sub-step (the in-march one and the post-march one use
+    the same weather and air temperatures; only the surface temperature
+    differs).  Returns (forced_front, forced_back), each [S].
+
+    Uses sqrt(P*wind_mod/A) * sqrt(v) == sqrt(P*(v*wind_mod)/A) (exact for
+    nonnegative factors up to 1 ulp) so the static per-surface factor hoists
+    and the per-substep cost is one scalar sqrt + two full-width multiplies.
+    """
+    if isinstance(sb.normal, tuple):
+        normal_x, normal_y = sb.normal[0], sb.normal[1]  # kernel path
+    else:
+        normal_x, normal_y = sb.normal[:, 0], sb.normal[:, 1]
+    windward = is_windward(wind_direction, sb.cos_tilt, normal_x, normal_y)
+    wf = jnp.where(windward, 1.0, 0.5)
+    # Keep the sqrt over the full product with the reference's association
+    # (convection.rs:151-168); pre-factored variants (hoisted P*wind_mod/A,
+    # scalar sqrt(v)) produced wrong lane-0 values under the sharded
+    # interpret-mode kernel — see PERF.md "interpret-mode fusion sensitivity".
+    base = 2.537 * wf * sb.rf * jnp.sqrt(
+        sb.perimeter * (wind_speed * sb.wind_mod) / sb.area
+    )
+    zero = jnp.zeros_like(base)
+    forced_front = jnp.where(sb.front_code == B_OUTDOOR, base, zero)
+    forced_back = jnp.where(sb.back_code == B_OUTDOOR, base, zero)
+    return forced_front, forced_back
+
+
 def border_conditions(
     sb: SurfaceBatch,
     T,
@@ -164,6 +201,7 @@ def border_conditions(
     config: SimConfig,
     statics: SurfaceStatics = None,
     rad_out=None,
+    forced=None,
 ):
     """Front/back ConvectionParams + h for every surface
     (surface.rs:596-717 calc_border_conditions).
@@ -189,13 +227,6 @@ def border_conditions(
     front_surf = T[0]
     back_surf = _last_node(sb, T, statics)
 
-    if isinstance(sb.normal, tuple):
-        normal_x, normal_y = sb.normal[0], sb.normal[1]  # kernel path
-    else:
-        normal_x, normal_y = sb.normal[:, 0], sb.normal[:, 1]
-    windward = is_windward(wind_direction, sb.cos_tilt, normal_x, normal_y)
-    speed_out = wind_speed * sb.wind_mod
-
     f_out = sb.front_code == B_OUTDOOR
     b_out = sb.back_code == B_OUTDOOR
     b_amb = sb.back_code == B_AMBIENT
@@ -214,7 +245,6 @@ def border_conditions(
     front_air = t_front
     front_rad = jnp.where(f_out, rad_out_front, t_front)
     front_cos = jnp.where(f_out, -sb.cos_tilt, sb.cos_tilt)
-    front_speed = jnp.where(f_out, speed_out, 0.0)
 
     # ---- back face --------------------------------------------------------
     back_air = t_back
@@ -227,21 +257,22 @@ def border_conditions(
     back_rad = jnp.where(b_out, rad_out_back, jnp.where(b_amb, amb_rad, t_back))
     back_surf_eff = jnp.where(b_amb, amb_surf, back_surf)
     back_cos = sb.cos_tilt
-    back_speed = jnp.where(b_out, speed_out, 0.0)
 
-    # h = natural + forced; forced vanishes where air speed is 0, so a single
+    # h = natural + forced; forced vanishes on windless faces, so a single
     # fused expression covers all boundary kinds (convection.rs:151-168).
-    wf = jnp.where(windward, 1.0, 0.5)
+    # The forced terms depend only on weather + geometry — shared between the
+    # two evaluations of a sub-step via the ``forced`` argument.
+    if forced is None:
+        forced = forced_context(sb, wind_direction, wind_speed)
+    forced_front, forced_back = forced
 
-    def total_h(air, surf, cos_eff, speed):
-        natural = tarp_natural_convection_coefficient(
+    def natural(air, surf, cos_eff):
+        return tarp_natural_convection_coefficient(
             air, surf, cos_eff, mosaic_compat=config.kernel_mode
         )
-        forced = 2.537 * wf * sb.rf * jnp.sqrt(sb.perimeter * speed / sb.area)
-        return natural + forced
 
-    h_front = total_h(front_air, front_surf, front_cos, front_speed)
-    h_back = total_h(back_air, back_surf_eff, back_cos, back_speed)
+    h_front = natural(front_air, front_surf, front_cos) + forced_front
+    h_back = natural(back_air, back_surf_eff, back_cos) + forced_back
 
     # Debug/test override (surface.rs:374-381, 708-714).
     h_front = jnp.where(jnp.isnan(sb.fixed_h_front), h_front, sb.fixed_h_front)
@@ -400,8 +431,25 @@ def march_nomass(
 
     big = jnp.asarray(99999.0, T0.dtype)
 
+    # Ordinary constructions discretize their no-mass layers to 1-2 node
+    # runs (discretization.rs:467-501): the padded steady-state system then
+    # decouples into scalar divisions and 2x2 solves, replaced statically by
+    # the closed-form pair solver (tridiag.solve_runs2) — the full-system
+    # sweep was ~45% of the parity hour kernel (PERF.md).
+    # HEATX_NOMASS_PAIRS=0 disables (ablation only).
+    import os
+
+    use_pairs = (
+        0 < getattr(sb, "max_nomass_run", 10**9) <= 2
+        and os.environ.get("HEATX_NOMASS_PAIRS", "1") != "0"
+    )
+
     if solver is None:
         solver = tridiag.solve_pcr if config.kernel_mode else tridiag.solve
+    if use_pairs:
+        solver = partial(
+            tridiag.solve_runs2, pair_head=st.pair_head, pair_tail=st.pair_tail
+        )
 
     if K is not None and not sb.has_cavity:
         # K is frozen for the sub-step (static U, frozen h): filter the
@@ -589,6 +637,7 @@ def march_surfaces(
     solver=None,
     statics: SurfaceStatics = None,
     rad_out=None,
+    envs=None,
 ):
     """One sub-step of every surface (surface.rs:902-1001 march):
     solar distribution -> no-mass chunks -> massive chunks.
@@ -596,11 +645,18 @@ def march_surfaces(
     Returns the new node temperatures.  The final convection coefficients /
     heat flows (iterate_surfaces, model.rs:140-169) are computed by the caller
     from the returned temperatures.
+
+    ``envs`` passes precomputed (env_f, env_b) border conditions for the
+    CURRENT state (the Pallas hour body builds them with a shared forced-
+    convection context); default computes them here.
     """
-    env_f, env_b = border_conditions(
-        sb, node_T, t_front, t_back, wind_direction, wind_speed, ir_front,
-        ir_back, config, statics=statics, rad_out=rad_out,
-    )
+    if envs is not None:
+        env_f, env_b = envs
+    else:
+        env_f, env_b = border_conditions(
+            sb, node_T, t_front, t_back, wind_direction, wind_speed, ir_front,
+            ir_back, config, statics=statics, rad_out=rad_out,
+        )
     rad_hs_f = linearized_rad_coefficient(sb.eps_front, env_f)
     rad_hs_b = linearized_rad_coefficient(sb.eps_back, env_b)
 

@@ -336,7 +336,6 @@ def _hour_body(
         surf_mod.radiant_out_temperatures(p.ir_front, p.ir_back, f32)
         for p in parts
     ]
-
     def substep(carry, t_out, wind_speed, wind_direction):
         Ts, zT = carry
         new_Ts = []
@@ -344,15 +343,25 @@ def _hour_body(
         envs = []
         for p, st, ro, T in zip(parts, statics, rad_outs, Ts):
             t_front, t_back = _boundary_temps(p.sb, p, zT, t_out, f32)
+            # Forced h + windward test depend only on this sub-step's weather:
+            # computed once, shared by the in-march and post-march TARP
+            # evaluations (they differ only in the surface temperature).
+            forced = surf_mod.forced_context(p.sb, wind_direction, wind_speed)
+            env_m = surf_mod.border_conditions(
+                p.sb, T, t_front, t_back, wind_direction, wind_speed,
+                p.ir_front, p.ir_back, cfg, statics=st, rad_out=ro,
+                forced=forced,
+            )
             T_new = surf_mod.march_surfaces(
                 p.sb, T, t_front, t_back, wind_direction, wind_speed,
                 p.sol_front, p.sol_back, p.ir_front, p.ir_back, dt, cfg,
                 has_massive=p.sb.has_massive, solver=solver, statics=st,
-                rad_out=ro,
+                rad_out=ro, envs=env_m,
             )
             env_f, env_b = surf_mod.border_conditions(
                 p.sb, T_new, t_front, t_back, wind_direction, wind_speed,
                 p.ir_front, p.ir_back, cfg, statics=st, rad_out=ro,
+                forced=forced,
             )
             ts_front = T_new[0]
             ts_back = surf_mod._last_node(p.sb, T_new, st)
@@ -669,6 +678,9 @@ def make_hour_march(
             same_chunk=n_(sbb.same_chunk),
             nomass_chunk_id=n_(sbb.nomass_chunk_id),
             nomass_chunk_count=slice_node(sbb.nomass_chunk_count, 10**9, lo, w),
+            max_nomass_run=int(
+                slice_node(sbb.nomass_chunk_count, 10**9, lo, w).max(initial=0)
+            ),
             has_nomass=bool(np.any(mask & ~massive)),
             has_massive=bool(np.any(massive)),
             has_cavity=bool(np.any(seg_cav)),
@@ -821,7 +833,16 @@ def make_hour_march(
         import os as _os
         from heatx.ops import tridiag as _td
 
-        _solver_kind = _os.environ.get("HEATX_KERNEL_SOLVER", "pcr")
+        # Default solver: PCR when compiled (fastest on hardware, PERF.md),
+        # pre-factored Thomas under interpret mode — the multi-device
+        # interpret path (8 virtual CPU devices under shard_map) produces
+        # NONDETERMINISTIC results with the PCR stage solves (reproduced
+        # 5/5 runs PCR vs 0/5 Thomas; root cause in the interpret machinery,
+        # not the math — both solvers agree to fp noise when it does run
+        # correctly).  HEATX_KERNEL_SOLVER overrides either way.
+        _solver_kind = _os.environ.get(
+            "HEATX_KERNEL_SOLVER", "thomas" if interpret else "pcr"
+        )
         if _os.environ.get("HEATX_KERNEL_LOOP", "0") == "1" and n_parts == 1:
             # Scratch-ref Thomas: loop-form fallback (small Mosaic MLIR) in
             # case a bigger kernel ever overwhelms the Mosaic compiler.
@@ -1014,8 +1035,12 @@ def make_hour_march(
         for pi in range(n_parts):
             t_out_refs[pi][...] = Ts[pi]
             for k in range(4):
-                hq_refs[pi][k][0, :] = hqs[pi][k]
-        zt_out_ref[0:1, :] = zT[None, :]
+                hq_refs[pi][k][...] = hqs[pi][k][None, :]
+        # Write ALL 8 sublane rows (the caller reads row 0): a partially
+        # written output block leaves uninitialized memory, which under the
+        # multi-device interpret path corrupts OTHER outputs
+        # nondeterministically (minimized repro in PERF.md).
+        zt_out_ref[...] = jnp.broadcast_to(zT[None, :], zt_out_ref.shape)
         zt_hist_ref[...] = zt_hist
         if collect_hq:
             for pi in range(n_parts):
@@ -1106,9 +1131,14 @@ def make_hour_march(
         out_specs.append(zone_spec(HR8))
         out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
 
-    # Scratch only serves the single-part loop-Thomas fallback.
+    # Scratch only serves the single-part loop-Thomas fallback; skip the
+    # allocation when unused — uninitialized interpret-mode buffers corrupt
+    # other outputs under multi-device shard_map (PERF.md repro).
+    use_loop_thomas = (
+        __import__("os").environ.get("HEATX_KERNEL_LOOP", "0") == "1" and n_parts == 1
+    )
     scratch_shapes = (
-        [pltpu.VMEM((N, SB), dtype) for _ in range(5)] if n_parts == 1 else []
+        [pltpu.VMEM((N, SB), dtype) for _ in range(5)] if use_loop_thomas else []
     )
 
     call = pl.pallas_call(

@@ -39,6 +39,44 @@ def matvec(lower, diag, upper, x):
     return y
 
 
+def solve_runs2(lower, diag, upper, rhs, pair_head, pair_tail):
+    """Closed-form solve when off-diagonal couplings occur ONLY inside
+    disjoint 2-node runs (``pair_head[i]`` marks row i coupled to i+1,
+    ``pair_tail`` its partner; all other rows are decoupled: x = rhs/diag).
+
+    This is the shape of the reference's no-mass systems for ordinary
+    building constructions: insulation skins and window panes discretize to
+    1-2 no-mass nodes per chunk (discretization.rs:467-501), so the
+    steady-state solve (surface.rs:834) degenerates to a scalar division or
+    a 2x2 Cramer solve per chunk.  One full-width division instead of the
+    padded system's log2(N) PCR sweeps — the solve was ~45% of the parity
+    hour kernel (PERF.md).
+
+    Callers must guarantee the run-length precondition statically
+    (``SurfaceBatch.max_nomass_run <= 2``).
+    """
+    zero_row = jnp.zeros_like(rhs[:1])
+
+    def up(x):  # x[i+1], 0 at the end
+        return jnp.concatenate([x[1:], zero_row], axis=0)
+
+    def down(x):  # x[i-1], 0 at the start
+        return jnp.concatenate([zero_row, x[:-1]], axis=0)
+
+    d_n, r_n, l_n = up(diag), up(rhs), up(lower)
+    d_p, r_p, u_p = down(diag), down(rhs), down(upper)
+    # 2x2 Cramer: [d_i u_i; l_{i+1} d_{i+1}] x = [r_i; r_{i+1}]
+    det_head = diag * d_n - upper * l_n
+    det_tail = d_p * diag - u_p * lower
+    num = jnp.where(
+        pair_head,
+        rhs * d_n - upper * r_n,
+        jnp.where(pair_tail, d_p * rhs - lower * r_p, rhs),
+    )
+    den = jnp.where(pair_head, det_head, jnp.where(pair_tail, det_tail, diag))
+    return num / den
+
+
 def solve_scan(lower, diag, upper, rhs):
     """Thomas algorithm as two ``lax.scan`` sweeps over axis 0.
 

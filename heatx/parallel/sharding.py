@@ -48,6 +48,16 @@ def _put_tree(tree, shardings):
     return jax.tree_util.tree_map(put, tree, shardings)
 
 
+def _put_spec_tree(tree, mesh: Mesh, spec_tree):
+    """_put_tree against a PartitionSpec pytree (same structure as tree)."""
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return _put_tree(tree, shardings)
+
+
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = SURFACE_AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices."""
     devices = list(devices) if devices is not None else jax.devices()
@@ -248,9 +258,10 @@ def make_sharded_hour_march(
     fn = shard_map(
         hm, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
     )
-    params = tuple(
-        jax.device_put(p, NamedSharding(mesh, s)) for p, s in zip(params, pspec)
-    )
+    # _put_tree: multi-process-safe (params carry NaN fixed-h sentinels that
+    # plain cross-process device_put rejects).
+    params = tuple(_put_spec_tree(list(params), mesh, list(pspec)))
+    fn.in_specs = in_specs
     return fn, params
 
 
@@ -305,19 +316,25 @@ def make_sharded_fast_run(n_blocks: int, mesh: Mesh, hours: int = 2):
     SP = lay.padded_surfaces
     NB, ZB = bb.n_blocks, bb.zones_per_block
     st = state_mod.initial_state(building)
-    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)), np.float32)
-    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)), np.float32)
+    T0 = lay.surfaces_to_blocked(np.asarray(st.node_T)).astype(np.float32)
+    zT0 = lay.zones_to_blocked(np.asarray(st.zone_T)).astype(np.float32)
     hi = (
-        jnp.full((hours * sub,), 5.0, np.float32),
-        jnp.full((hours * sub,), 3.0, np.float32),
-        jnp.zeros((hours * sub,), np.float32),
-        jnp.full((hours, SP), 150.0, np.float32),
-        jnp.zeros((hours, SP), np.float32),
-        jnp.full((hours, SP), 320.0, np.float32),
-        jnp.zeros((hours, SP), np.float32),
-        jnp.zeros((hours, NB, ZB), np.float32),
-        jnp.zeros((hours, NB, ZB), np.float32),
+        np.full((hours * sub,), 5.0, np.float32),
+        np.full((hours * sub,), 3.0, np.float32),
+        np.zeros((hours * sub,), np.float32),
+        np.full((hours, SP), 150.0, np.float32),
+        np.zeros((hours, SP), np.float32),
+        np.full((hours, SP), 320.0, np.float32),
+        np.zeros((hours, SP), np.float32),
+        np.zeros((hours, NB, ZB), np.float32),
+        np.zeros((hours, NB, ZB), np.float32),
     )
+    # Shard the state/inputs onto the mesh explicitly (required once the mesh
+    # spans processes; a no-op data movement on one process).
+    _, t_spec, z_spec, hi_spec = hm.in_specs
+    T0 = _put_spec_tree(T0, mesh, t_spec)
+    zT0 = _put_spec_tree(zT0, mesh, z_spec)
+    hi = tuple(_put_spec_tree(list(hi), mesh, list(hi_spec)))
     jitted = jax.jit(hm)
 
     def run():

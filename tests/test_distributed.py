@@ -43,13 +43,27 @@ assert len(jax.devices()) == 4
 
 model = multi_surface_model(8)
 building = compile_building(model, n=4, config=heatx.SimConfig(dtype=np.float64))
-march = sh.make_sharded_march(building, mesh, mode="parity")
-st = sh.shard_state(state_mod.initial_state(building), mesh)
-inp = sh.shard_inputs(state_mod.default_inputs(building, t_out=-2.0, wind_speed=3.0), mesh)
-for _ in range(3):
-    st = march(st, inp)
-zone = np.asarray(jax.device_get(st.zone_T))
-print("ZONE_T", repr(zone.tolist()), flush=True)
+
+# Both XLA production integrators over the 2-process mesh: the reference-
+# parity march and the TR-BDF2 fast mode (SURVEY.md section 2.2 ICI+DCN).
+for mode in ("parity", "trbdf2"):
+    march = sh.make_sharded_march(building, mesh, mode=mode, substeps=6)
+    st = sh.shard_state(state_mod.initial_state(building), mesh)
+    inp = sh.shard_inputs(state_mod.default_inputs(building, t_out=-2.0, wind_speed=3.0), mesh)
+    for _ in range(3):
+        st = march(st, inp)
+    zone = np.asarray(jax.device_get(st.zone_T))
+    print("ZONE_T", mode, repr(zone.tolist()), flush=True)
+
+# The sharded Pallas day kernel (interpret mode on CPU), one block per
+# device across both processes.  The zone history output is block-sharded;
+# each process prints its addressable shards with their global indices.
+run = sh.make_sharded_fast_run(4, mesh, hours=2)
+hist = run()
+for s in hist.addressable_shards:
+    blk = s.index[1]
+    print("KERNEL_SHARD", blk.start, blk.stop,
+          repr(np.asarray(s.data).tolist()), flush=True)
 """
 
 
@@ -91,29 +105,54 @@ def test_two_process_dcn_march(tmp_path):
         outs.append(out)
         assert p.returncode == 0, out[-3000:]
 
-    zones = []
+    zones = {}  # mode -> [per-process zone arrays]
+    shards = {}  # global block start -> shard data (merged across processes)
     for out in outs:
-        line = [ln for ln in out.splitlines() if ln.startswith("ZONE_T")][0]
-        zones.append(np.asarray(eval(line.split(" ", 1)[1])))
+        for ln in out.splitlines():
+            if ln.startswith("ZONE_T"):
+                _, mode, rest = ln.split(" ", 2)
+                zones.setdefault(mode, []).append(np.asarray(eval(rest)))
+            elif ln.startswith("KERNEL_SHARD"):
+                _, start, stop, rest = ln.split(" ", 3)
+                data = np.asarray(eval(rest))
+                prev = shards.get(int(start))
+                if prev is not None:
+                    assert np.array_equal(prev, data)
+                shards[int(start)] = data
 
-    # Both processes observe the same global result...
-    assert np.array_equal(zones[0], zones[1])
+    # Both processes observe the same global result per mode...
+    for mode, zs in zones.items():
+        assert len(zs) == 2 and np.array_equal(zs[0], zs[1]), mode
 
-    # ...and it matches the single-process march bit-for-bit.
+    # ...and each matches the corresponding single-process run bit-for-bit.
     import jax
 
     import heatx
     from heatx.build.layout import compile_building
     from heatx.engine import state as state_mod, step as step_mod
+    from heatx.engine.implicit import imp_march
+    from heatx.parallel import sharding as sh
     from test_sharding import multi_surface_model
 
     model = multi_surface_model(8)
     building = compile_building(
         model, n=4, config=heatx.SimConfig(dtype=np.float64)
     ).astype(np.float64)
-    st = state_mod.initial_state(building)
-    inp = state_mod.default_inputs(building, t_out=-2.0, wind_speed=3.0)
-    march = jax.jit(step_mod.march)
-    for _ in range(3):
-        st = march(building, st, inp)
-    assert np.array_equal(np.asarray(st.zone_T), zones[0])
+    for mode, march_fn in (
+        ("parity", step_mod.march),
+        ("trbdf2", lambda b, s, i: imp_march(b, s, i, substeps=6)),
+    ):
+        st = state_mod.initial_state(building)
+        inp = state_mod.default_inputs(building, t_out=-2.0, wind_speed=3.0)
+        march = jax.jit(march_fn)
+        for _ in range(3):
+            st = march(building, st, inp)
+        assert np.array_equal(np.asarray(st.zone_T), zones[mode][0]), mode
+
+    # The sharded Pallas kernel: merged 2-process shards == the same kernel
+    # over a single-process 4-device mesh.
+    mesh1 = sh.make_mesh(jax.devices()[:4])
+    hist1 = np.asarray(sh.make_sharded_fast_run(4, mesh1, hours=2)())
+    assert sorted(shards) == [0, 1, 2, 3], sorted(shards)
+    merged = np.concatenate([shards[k] for k in sorted(shards)], axis=1)
+    assert np.array_equal(merged, hist1), (merged, hist1)
