@@ -495,6 +495,7 @@ def compile_building(
     ground_h_front = np.full(S, np.nan, dtype=f64)
     ground_h_back = np.full(S, np.nan, dtype=f64)
 
+    alpha_cache: Dict[tuple, tuple] = {}
     for si, ((sdef, fen), d, (area, perimeter, normal, height, cos_tilt)) in enumerate(
         zip(surf_defs, discs, geo)
     ):
@@ -535,8 +536,19 @@ def compile_building(
             else DEFAULT_EMISSIVITY
         )
 
-        front_alphas[si, :nn] = node_alphas(construction, model, d, nn, back=False)
-        back_alphas[si, :nn] = node_alphas(construction, model, d, nn, back=True)
+        # Alphas depend only on (construction, discretization) — shared by
+        # every surface using them (the per-surface call was a top build cost
+        # at 100k surfaces).
+        akey = (construction.name, id(d))
+        al = alpha_cache.get(akey)
+        if al is None:
+            al = (
+                node_alphas(construction, model, d, nn, back=False),
+                node_alphas(construction, model, d, nn, back=True),
+            )
+            alpha_cache[akey] = al
+        front_alphas[si, :nn] = al[0]
+        back_alphas[si, :nn] = al[1]
 
         area_a[si] = area
         perim_a[si] = perimeter

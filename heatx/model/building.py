@@ -18,6 +18,10 @@ import numpy as np
 
 from heatx.model import geometry
 
+# Polygon math cached per distinct vertex loop (generated city models reuse
+# a handful of loops across 10k-100k surfaces); bounded, cleared on overflow.
+_GEOMETRY_CACHE: dict = {}
+
 # ---------------------------------------------------------------------------
 # Substances / materials / constructions
 # ---------------------------------------------------------------------------
@@ -141,6 +145,20 @@ class SurfaceDef:
         """area, perimeter, normal, centroid-height."""
         if self.vertices is not None:
             v = np.asarray(self.vertices, dtype=np.float64)
+            # Generated city models reuse one vertex loop across thousands of
+            # surfaces; cache the polygon math per distinct loop (it was the
+            # dominant cost of a 100k-surface build).
+            use_cache = (
+                self.area is None
+                and self.perimeter is None
+                and self.normal is None
+                and self.height is None
+            )
+            key = v.tobytes() if use_cache else None
+            if use_cache:
+                cached = _GEOMETRY_CACHE.get(key)
+                if cached is not None:
+                    return cached
             area = self.area if self.area is not None else geometry.polygon_area(v)
             perim = (
                 self.perimeter
@@ -157,7 +175,12 @@ class SurfaceDef:
                 if self.height is not None
                 else float(geometry.polygon_centroid(v)[2])
             )
-            return float(area), float(perim), normal, float(height)
+            out = float(area), float(perim), normal, float(height)
+            if use_cache:
+                if len(_GEOMETRY_CACHE) > 4096:
+                    _GEOMETRY_CACHE.clear()
+                _GEOMETRY_CACHE[key] = out
+            return out
         if self.area is None or self.perimeter is None or self.normal is None:
             raise ValueError(
                 f"surface '{self.name}': provide either vertices or "
@@ -332,7 +355,13 @@ class BuildingModel:
             raise KeyError(f"unknown construction '{name}'") from None
 
     def space_index(self, name: str) -> int:
-        for i, s in enumerate(self.spaces):
-            if s.name == name:
-                return i
-        raise KeyError(f"unknown space '{name}'")
+        # Dict lookup, rebuilt when spaces were added since (the linear scan
+        # made 100k-surface boundary resolution O(S*Z)).
+        idx = self.__dict__.get("_space_index_cache")
+        if idx is None or len(idx) != len(self.spaces):
+            idx = {s.name: i for i, s in enumerate(self.spaces)}
+            self.__dict__["_space_index_cache"] = idx
+        try:
+            return idx[name]
+        except KeyError:
+            raise KeyError(f"unknown space '{name}'") from None

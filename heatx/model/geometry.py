@@ -2,44 +2,68 @@
 
 Host-side replacement for the slice of the reference's external ``geometry3d``
 crate that the heat module consumes (normal / area / perimeter / centroid of a
-surface polygon, see model.rs:248-256).  Pure numpy float64; runs once at
-model build.
+surface polygon, see model.rs:248-256).  Pure-Python float arithmetic over
+the (tiny, typically 4-vertex) loops: per-vertex numpy calls cost ~10x more
+than the math itself and dominated 100k-surface model builds.  Runs once at
+model build; results are cached per vertex array in
+``SurfaceDef.resolved_geometry``.
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+
+def _loop(vertices) -> list:
+    v = np.asarray(vertices, dtype=np.float64)
+    if v.ndim != 2 or v.shape[1] != 3:
+        raise ValueError(f"expected (n, 3) vertex array, got {v.shape}")
+    return v.tolist()
 
 
 def polygon_normal(vertices: np.ndarray) -> np.ndarray:
     """Unit normal of a planar polygon via Newell's method."""
-    v = np.asarray(vertices, dtype=np.float64)
-    n = np.zeros(3)
-    for i in range(len(v)):
-        a = v[i]
-        b = v[(i + 1) % len(v)]
-        n[0] += (a[1] - b[1]) * (a[2] + b[2])
-        n[1] += (a[2] - b[2]) * (a[0] + b[0])
-        n[2] += (a[0] - b[0]) * (a[1] + b[1])
-    norm = np.linalg.norm(n)
+    v = _loop(vertices)
+    nx = ny = nz = 0.0
+    n = len(v)
+    for i in range(n):
+        ax, ay, az = v[i]
+        bx, by, bz = v[(i + 1) % n]
+        nx += (ay - by) * (az + bz)
+        ny += (az - bz) * (ax + bx)
+        nz += (ax - bx) * (ay + by)
+    norm = math.sqrt(nx * nx + ny * ny + nz * nz)
     if norm < 1e-12:
         raise ValueError("degenerate polygon (zero normal)")
-    return n / norm
+    return np.array([nx / norm, ny / norm, nz / norm])
 
 
 def polygon_area(vertices: np.ndarray) -> float:
     """Area of a planar polygon (outer loop only)."""
-    v = np.asarray(vertices, dtype=np.float64)
-    normal = polygon_normal(v)
-    total = np.zeros(3)
-    for i in range(len(v)):
-        total += np.cross(v[i], v[(i + 1) % len(v)])
-    return float(abs(np.dot(total, normal)) / 2.0)
+    v = _loop(vertices)
+    normal = polygon_normal(vertices)
+    tx = ty = tz = 0.0
+    n = len(v)
+    for i in range(n):
+        ax, ay, az = v[i]
+        bx, by, bz = v[(i + 1) % n]
+        tx += ay * bz - az * by
+        ty += az * bx - ax * bz
+        tz += ax * by - ay * bx
+    return abs(tx * normal[0] + ty * normal[1] + tz * normal[2]) / 2.0
 
 
 def polygon_perimeter(vertices: np.ndarray) -> float:
-    v = np.asarray(vertices, dtype=np.float64)
-    return float(sum(np.linalg.norm(v[(i + 1) % len(v)] - v[i]) for i in range(len(v))))
+    v = _loop(vertices)
+    n = len(v)
+    total = 0.0
+    for i in range(n):
+        ax, ay, az = v[i]
+        bx, by, bz = v[(i + 1) % n]
+        total += math.sqrt((bx - ax) ** 2 + (by - ay) ** 2 + (bz - az) ** 2)
+    return total
 
 
 def polygon_centroid(vertices: np.ndarray) -> np.ndarray:
