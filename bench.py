@@ -140,10 +140,11 @@ def main():
         "--block-size",
         type=int,
         default=2048,
-        help="surfaces per zone-closed kernel block (2048 measures ~5-10%% "
-        "faster than 1024 at 10k-surface scale; 3072+ exceeds VMEM and "
-        "100k-surface models need 1024 — a Mosaic compile crash at 2048 "
-        "resurfaces at that scale)",
+        help="surfaces per zone-closed kernel block; the bench probes "
+        "downward from this (halving to 512) and records the selected "
+        "size in the JSON line (2048 measures ~5-10%% faster than 1024 at "
+        "10k-surface scale; very large grids x 2048-lane blocks exceed "
+        "compiler capacity and probe down to 1024 — PERF.md)",
     )
     ap.add_argument(
         "--kernel-hours",
@@ -342,35 +343,46 @@ def main():
 
         def run_kernel_bench(mode, trace_dir=None):
             """Build, warm up, and time one kernel mode; returns a dict of
-            (wall, rate, substeps, zone0)."""
+            (wall, rate, substeps, zone0, block_size)."""
             SUBF = subs if mode == "parity" else args.exp_substeps
-            try:
-                run_all, T0, zT0 = build_runner(args.block_size, mode, SUBF)
-            except Exception as e:
-                if args.block_size <= 1024:
-                    raise
-                print(f"# block {args.block_size} setup failed ({e}); retrying at 1024",
-                      file=sys.stderr)
-                run_all, T0, zT0 = build_runner(1024, mode, SUBF)
-
+            # Probe block sizes largest-first: build + full-schedule warmup
+            # IS the probe (every dispatch shape must compile before timing
+            # anyway).  Mosaic rejects some (model, block) combinations —
+            # block 2048 at 100k surfaces scatters a kernel that 1024
+            # handles (PERF.md carries the captured error + repro) — so the
+            # chosen size is a first-class tuning decision recorded in the
+            # JSON line, not a silent degradation.
+            candidates = [args.block_size]
+            bs = args.block_size
+            while bs > 512:
+                bs //= 2
+                candidates.append(bs)
             t0 = time.time()
-            # Warm up with the full chunk schedule: every dispatch shape (the
-            # fixed chunk and any remainder) must be compiled before timing.
-            # Large grids can trip a Mosaic compiler crash at block 2048
-            # (PERF.md); fall back to 1024 rather than dying mid-bench.
-            try:
-                T1, zT1 = run_all(T0, zT0)
-                zone0 = float(zT1[0, 0])  # force: block_until_ready unreliable here
-            except jax.errors.JaxRuntimeError:
-                if args.block_size <= 1024:
-                    raise
-                print(f"# block {args.block_size} failed to compile; retrying at 1024",
-                      file=sys.stderr)
-                run_all, T0, zT0 = build_runner(1024, mode, SUBF)
-                T1, zT1 = run_all(T0, zT0)
-                zone0 = float(zT1[0, 0])
-            print(f"# {mode}-kernel compile+{days}-day warmup: {time.time() - t0:.1f}s",
-                  file=sys.stderr)
+            last_err = None
+            for bs in candidates:
+                try:
+                    run_all, T0, zT0 = build_runner(bs, mode, SUBF)
+                    # Warm up with the full chunk schedule: every dispatch
+                    # shape (the fixed chunk and any remainder) must be
+                    # compiled before timing.
+                    T1, zT1 = run_all(T0, zT0)
+                    zone0 = float(zT1[0, 0])  # force: block_until_ready unreliable
+                    block_size = bs
+                    break
+                except Exception as e:  # noqa: PERF203 - probe loop
+                    last_err = e
+                    print(
+                        f"# block-size probe: {bs} rejected "
+                        f"({type(e).__name__}: {str(e)[:160]})",
+                        file=sys.stderr,
+                    )
+            else:
+                raise last_err
+            print(
+                f"# {mode}-kernel block {block_size}, compile+{days}-day "
+                f"warmup: {time.time() - t0:.1f}s",
+                file=sys.stderr,
+            )
             t0 = time.time()
             if trace_dir:
                 try:
@@ -397,7 +409,10 @@ def main():
                 file=sys.stderr,
             )
             assert np.isfinite(zone0), f"{mode} simulation diverged"
-            return dict(wall=wall, rate=rate, substeps=SUBF, zone0=zone0)
+            return dict(
+                wall=wall, rate=rate, substeps=SUBF, zone0=zone0,
+                block_size=block_size,
+            )
 
         headline_mode = "parity" if args.parity_kernel else "trbdf2"
         res = run_kernel_bench(headline_mode, trace_dir=args.trace_dir)
@@ -409,6 +424,7 @@ def main():
             "node_updates_per_sec_per_chip": round(res["rate"], 1),
             "mode": headline_mode,
             "substeps_per_hour": res["substeps"],
+            "block_size": res["block_size"],
         }
         if not args.parity_kernel and not args.skip_parity:
             # Reference-parity numerics in the same scored artifact: the

@@ -331,8 +331,14 @@ def build_blocks(
     zb = max(zb, 1)
     if zones_per_block is not None:
         zb = zones_per_block
-    # Round ZB up to a multiple of 8 (f32 sublane tile).
+    # Round ZB up to a multiple of 8 (f32 sublane tile).  Past one vector
+    # register, round to a full-lane multiple: rank-1 [ZB] vectors with
+    # 128 < ZB not divisible by 128 CHECK-crash Mosaic's VectorLayoutInferer
+    # in the zone-update op mix (the block-2048 / 100k-surface crash;
+    # minimized repro in PERF.md).  The padded zone lanes are masked slots.
     zb = ((zb + 7) // 8) * 8
+    if zb > 128:
+        zb = ((zb + 127) // 128) * 128
 
     part_meta = split if split is not None else ((N, block_size),)
     widths = [w for _, w in part_meta]

@@ -239,18 +239,21 @@ def _expm1_neg(x):
 def _boundary_temps(sb_vals, p, zT, t_out, f32):
     """Boundary air temperatures of one sub-batch.
 
-    Zone reads are vector-matrix gathers ``zT_row @ ohT`` — the transposed
-    form matters: Mosaic lowers M=1 matmuls efficiently, while the
-    matrix-vector form ``oh @ zT_col`` (result width 1) measured ~10x slower
-    and dominated the whole kernel.  Faces that bound no zone anywhere in the
-    sub-batch (static: their one-hot is all zero) skip the gather entirely.
+    ``zT`` is a 2-D ``[1, ZB]`` row (zone vectors stay rank-2 throughout the
+    kernel: rank-1 vectors beyond one vector register CHECK-crash Mosaic's
+    VectorLayoutInferer, see PERF.md).  Zone reads are vector-matrix gathers
+    ``zT_row @ ohT`` — the transposed form matters: Mosaic lowers M=1
+    matmuls efficiently, while the matrix-vector form ``oh @ zT_col``
+    (result width 1) measured ~10x slower and dominated the whole kernel.
+    Faces that bound no zone anywhere in the sub-batch (static: their
+    one-hot is all zero) skip the gather entirely.
     """
     if p.front_any:
-        t_zone_f = jnp.dot(zT[None, :], p.front_ohT, preferred_element_type=f32)[0]
+        t_zone_f = jnp.dot(zT, p.front_ohT, preferred_element_type=f32)[0]
     else:
         t_zone_f = jnp.zeros_like(sb_vals.front_temp)
     if p.back_any:
-        t_zone_b = jnp.dot(zT[None, :], p.back_ohT, preferred_element_type=f32)[0]
+        t_zone_b = jnp.dot(zT, p.back_ohT, preferred_element_type=f32)[0]
     else:
         t_zone_b = jnp.zeros_like(sb_vals.back_temp)
     t_front = jnp.where(
@@ -267,13 +270,26 @@ def _boundary_temps(sb_vals, p, zT, t_out, f32):
 
 
 def _zone_update(zT, a_z, b_z, zone_volume, dt):
-    """Analytical zone temperature update (model.rs:650-674), [ZB] in/out."""
+    """Analytical zone temperature update (model.rs:650-674), [1, ZB] rows
+    in/out (zone vectors stay rank-2 in-kernel, see _boundary_temps)."""
     t_k = zT + KELVIN
     c_z = zone_volume * gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
     safe_b = jnp.where(jnp.abs(b_z) > 1e-9, b_z, 1.0)
     ratio = a_z / safe_b
     zT_new = zT - (ratio - zT) * _expm1_neg(safe_b * dt / c_z)
     return jnp.where(jnp.abs(b_z) > 1e-9, zT_new, zT)
+
+
+def _row01(ab):
+    """Rows 0 and 1 of a [2, Z] array as two [1, Z] rows, via masked
+    reduces.  Plain row indexing (``ab[1]``) produces rank-1 multi-vreg
+    vectors, which CHECK-crash Mosaic's VectorLayoutInferer for Z > 128
+    (layout.h:320 ``arr.size() >= layout_rank``) — the block-2048 /
+    100k-surface crash, minimized in PERF.md."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (2, 1), 0)
+    r0 = jnp.sum(jnp.where(rows == 0, ab, 0.0), axis=0, keepdims=True)
+    r1 = jnp.sum(jnp.where(rows == 1, ab, 0.0), axis=0, keepdims=True)
+    return r0, r1
 
 
 def _zone_dots(a_extra, b_extra, parts_env, f32):
@@ -291,16 +307,18 @@ def _zone_dots(a_extra, b_extra, parts_env, f32):
                 jnp.stack([ha_f * ts_f, ha_f], axis=0), p.front_oh,
                 preferred_element_type=f32,
             )
-            a_z = a_z + ab[0]
-            b_z = b_z + ab[1]
+            r0, r1 = _row01(ab)
+            a_z = a_z + r0
+            b_z = b_z + r1
         if p.back_any:
             ha_b = hb * p.sb.area
             ab = jnp.dot(
                 jnp.stack([ha_b * ts_b, ha_b], axis=0), p.back_oh,
                 preferred_element_type=f32,
             )
-            a_z = a_z + ab[0]
-            b_z = b_z + ab[1]
+            r0, r1 = _row01(ab)
+            a_z = a_z + r0
+            b_z = b_z + r1
     return a_z, b_z
 
 
@@ -377,8 +395,8 @@ def _hour_body(
             # sourced from the other zone's air, as an M=1 vector-matrix dot.
             t_k = zT + KELVIN
             s0 = gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
-            a_z = a_z + jnp.dot((s0 * zT)[None, :], mix_wt, preferred_element_type=f32)[0]
-            b_z = b_z + jnp.dot(s0[None, :], mix_wt, preferred_element_type=f32)[0]
+            a_z = a_z + jnp.dot(s0 * zT, mix_wt, preferred_element_type=f32)
+            b_z = b_z + jnp.dot(s0, mix_wt, preferred_element_type=f32)
         zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt)
         return (tuple(new_Ts), zT_new), tuple(hqs)
 
@@ -514,8 +532,8 @@ def _hour_body_imp(
             # sourced from the other zone's air, as an M=1 vector-matrix dot.
             t_k = zT + KELVIN
             s0 = gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
-            a_z = a_z + jnp.dot((s0 * zT)[None, :], mix_wt, preferred_element_type=f32)[0]
-            b_z = b_z + jnp.dot(s0[None, :], mix_wt, preferred_element_type=f32)[0]
+            a_z = a_z + jnp.dot(s0 * zT, mix_wt, preferred_element_type=f32)
+            b_z = b_z + jnp.dot(s0, mix_wt, preferred_element_type=f32)
         zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt_sub)
         return (tuple(new_Ts), zT_new), tuple(hqs)
 
@@ -945,9 +963,9 @@ def make_hour_march(
             return body(
                 cfg,
                 parts,
-                r_shared["zone_volume"][...][0],
-                r_shared["a_extra"][pl.ds(h, 1), :][0],
-                r_shared["b_extra"][pl.ds(h, 1), :][0],
+                r_shared["zone_volume"][...][0:1],
+                r_shared["a_extra"][pl.ds(h, 1), :],
+                r_shared["b_extra"][pl.ds(h, 1), :],
                 r_shared["t_out"],
                 r_shared["wind"],
                 r_shared["wdir"],
@@ -963,7 +981,7 @@ def make_hour_march(
             )
 
         T0s = tuple(rp["T0"][...] for _, rp in part_vals)
-        zT0 = r_shared["zT0"][...][0]  # [ZB] row
+        zT0 = r_shared["zT0"][...][0:1]  # [1, ZB] row (rank-2, see _boundary_temps)
         HR8 = zt_hist_ref.shape[0]  # hours padded to the 8-row sublane tile
         hour_row_iota = jax.lax.broadcasted_iota(jnp.int32, (HR8, 1), 0)
 
@@ -994,7 +1012,7 @@ def make_hour_march(
             else None
         )
         bad_hist0 = (
-            jnp.zeros((HR8, zT0.shape[0]), dtype) if collect_bad else None
+            jnp.zeros((HR8, zT0.shape[-1]), dtype) if collect_bad else None
         )
 
         def post_hour(h, hqs, zT, Ts, hq_hists, bad_hist):
@@ -1010,14 +1028,14 @@ def make_hour_march(
 
         if hours == 1:
             Ts, zT, hqs = one_hour(0, T0s, zT0)
-            zt_hist = zT[None, :] * row_mask(0)
+            zt_hist = zT * row_mask(0)
             hq_hists, bad_hist = post_hour(0, hqs, zT, Ts, hq_hists0, bad_hist0)
         else:
             hq0 = tuple(
                 tuple(jnp.zeros((parts_meta[pi][2],), dtype) for _ in range(4))
                 for pi in range(n_parts)
             )
-            hist0 = jnp.zeros((HR8, zT0.shape[0]), dtype)
+            hist0 = jnp.zeros((HR8, zT0.shape[-1]), dtype)
 
             def hour_loop(h, carry):
                 Ts, zT, _, hist, hq_hists, bad_hist = carry
@@ -1025,7 +1043,7 @@ def make_hour_march(
                 # Post-hour zone temps, accumulated via a one-hot row
                 # (stores with a dynamic sublane offset also lower, but the
                 # masked add keeps the loop body store-free).
-                hist = hist + zT[None, :] * row_mask(h)
+                hist = hist + zT * row_mask(h)
                 hq_hists, bad_hist = post_hour(h, hqs, zT, Ts, hq_hists, bad_hist)
                 return (Ts, zT, hqs, hist, hq_hists, bad_hist)
 
@@ -1040,14 +1058,14 @@ def make_hour_march(
         # written output block leaves uninitialized memory, which under the
         # multi-device interpret path corrupts OTHER outputs
         # nondeterministically (minimized repro in PERF.md).
-        zt_out_ref[...] = jnp.broadcast_to(zT[None, :], zt_out_ref.shape)
+        zt_out_ref[...] = jnp.broadcast_to(zT, zt_out_ref.shape)
         zt_hist_ref[...] = zt_hist
         if collect_hq:
             for pi in range(n_parts):
                 for k in range(4):
                     hq_hist_refs[pi][k][...] = hq_hists[pi][k]
         if collect_bad:
-            bad_ref[...] = jnp.broadcast_to(bad_hist, (HR8, zT0.shape[0]))
+            bad_ref[...] = jnp.broadcast_to(bad_hist, (HR8, zT0.shape[-1]))
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
