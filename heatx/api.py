@@ -214,39 +214,66 @@ class FastRunner:
     def layout(self):
         return self._bb.layout
 
+    def _converters(self):
+        """Jitted device-side blocked<->SimState layout converters.
+
+        The permutations run as device gathers: the numpy versions pulled
+        every output through the host, and on a remote-TPU runtime the
+        12 transfer round-trips cost more than an entire annual kernel run.
+        """
+        if getattr(self, "_conv", None) is None:
+            import numpy as np
+
+            j = self._jnp
+            lay = self._bb.layout
+            b = self._tm.building
+            S, Z = b.n_surfaces, b.n_zones
+            perm = np.asarray(lay.surf_perm)  # [SP] -> surface id or -1
+            perm_c = j.asarray(np.maximum(perm, 0))
+            perm_ok = j.asarray(perm >= 0)
+            inv = np.zeros(S, np.int64)  # surface id -> blocked lane
+            inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
+            inv_d = j.asarray(inv)
+            zt = np.asarray(lay.zone_table)  # [NB, ZB] -> zone id or -1
+            zt_flat = zt.reshape(-1)
+            zinv = np.zeros(Z, np.int64)
+            zinv[zt_flat[zt_flat >= 0]] = np.nonzero(zt_flat >= 0)[0]
+            zinv_d = j.asarray(zinv)
+            zt_c = j.asarray(np.maximum(zt, 0))
+            zt_ok = j.asarray(zt >= 0)
+            dt = self._dtype
+            NB, ZB = self._bb.n_blocks, self._bb.zones_per_block
+
+            @jax.jit
+            def to_blocked(node_T, zone_T):
+                T = j.where(perm_ok[None, :], node_T.astype(dt)[:, perm_c], 0.0)
+                zT = j.where(zt_ok, zone_T.astype(dt)[zt_c], 0.0)
+                return T, zT
+
+            @jax.jit
+            def from_blocked(T, zT, hq):
+                node_T = T[:, inv_d]
+                zone_T = zT.reshape(NB * ZB)[zinv_d]
+                hf, hb, qf, qb = (x[inv_d] for x in hq)
+                return SimState(
+                    node_T=node_T, zone_T=zone_T, h_front=hf, h_back=hb,
+                    q_front=qf, q_back=qb,
+                )
+
+            self._conv = (to_blocked, from_blocked)
+            self._zinv_d = zinv_d
+        return self._conv
+
     def to_blocked(self, state: SimState):
-        """SimState -> (T_blocked, zT_blocked)."""
-        lay = self._bb.layout
-        np = self._np
-        T = self._jnp.asarray(
-            lay.surfaces_to_blocked(np.asarray(state.node_T)), self._dtype
-        )
-        zT = self._jnp.asarray(
-            lay.zones_to_blocked(np.asarray(state.zone_T)), self._dtype
-        )
-        return T, zT
+        """SimState -> (T_blocked, zT_blocked) (device-side gathers)."""
+        return self._converters()[0](state.node_T, state.zone_T)
 
     def from_blocked(self, T, zT, hq=None) -> SimState:
-        """(T_blocked, zT_blocked[, hq]) -> SimState."""
-        lay = self._bb.layout
-        np = self._np
-        b = self._tm.building
-        S = b.n_surfaces
-        node_T = lay.surfaces_from_blocked(np.asarray(T), S)
-        zone_T = lay.zones_from_blocked(np.asarray(zT), b.n_zones)
-        if hq is not None:
-            hf, hb, qf, qb = (lay.surfaces_from_blocked(np.asarray(x), S) for x in hq)
-        else:
-            hf = hb = qf = qb = np.zeros(S)
-        j = self._jnp
-        return SimState(
-            node_T=j.asarray(node_T, self._dtype),
-            zone_T=j.asarray(zone_T, self._dtype),
-            h_front=j.asarray(hf, self._dtype),
-            h_back=j.asarray(hb, self._dtype),
-            q_front=j.asarray(qf, self._dtype),
-            q_back=j.asarray(qb, self._dtype),
-        )
+        """(T_blocked, zT_blocked[, hq]) -> SimState (device-side)."""
+        if hq is None:
+            z = self._jnp.zeros((self._bb.layout.padded_surfaces,), self._dtype)
+            hq = (z, z, z, z)
+        return self._converters()[1](T, zT, tuple(hq))
 
     def hour_inputs(self, inputs: StepInputs):
         """Per-hour StepInputs -> the kernel's hour-input tuple (weather
@@ -536,36 +563,43 @@ class FastRunner:
         chunk_D = D if dispatch_days is None else max(1, int(dispatch_days))
         hists, hqhs = [], []
         hq = None
+
+        def check_bad(d0, bad_c):
+            bad_np = np.asarray(bad_c)  # [chunk, hours, NB] — host sync
+            if bad_np.sum() > 0:
+                ci, hi, bi = (int(x) for x in np.argwhere(bad_np > 0)[0])
+                hour = (d0 + ci) * H + hi
+                raise FloatingPointError(
+                    f"non-finite state first detected at hour {hour} "
+                    f"(day {hour // 24}, block {bi}): "
+                    f"{int(bad_np[ci, hi, bi])} bad values"
+                )
+
+        pending = None  # one-chunk lag: check chunk i after dispatching i+1,
+        # so the finiteness fetch overlaps the next chunk's execution instead
+        # of serializing the dispatch pipeline.
         for d0 in range(0, D, chunk_D):
             xs_c = tuple(x[d0 : d0 + chunk_D] for x in xs)
             Tb, zTb, hq, (hist_c, hqh_c, bad_c) = self._run_jit(
                 self._params, Tb, zTb, xs_c, collect_zone_T
             )
             if assert_finite:
-                bad_np = np.asarray(bad_c)  # [chunk, hours, NB] — host sync
-                if bad_np.sum() > 0:
-                    ci, hi, bi = (int(x) for x in np.argwhere(bad_np > 0)[0])
-                    hour = (d0 + ci) * H + hi
-                    raise FloatingPointError(
-                        f"non-finite state first detected at hour {hour} "
-                        f"(day {hour // 24}, block {bi}): "
-                        f"{int(bad_np[ci, hi, bi])} bad values"
-                    )
+                if pending is not None:
+                    check_bad(*pending)
+                pending = (d0, bad_c)
             if collect_zone_T:
                 hists.append(hist_c)
             if collect_fluxes:
                 hqhs.append(hqh_c)
+        if pending is not None:
+            check_bad(*pending)
         final = self.from_blocked(Tb, zTb, hq)
 
         zone_T = None
         if collect_zone_T:
-            hist = np.concatenate([np.asarray(h) for h in hists], axis=0)
-            hist = hist.reshape(T_steps, NB, ZB)
-            zt = lay.zone_table
-            valid = zt >= 0
-            zone_T = np.zeros((T_steps, b.n_zones), dtype=hist.dtype)
-            zone_T[:, zt[valid]] = hist[:, valid]
-            zone_T = j.asarray(zone_T, dt)
+            self._converters()  # ensure _zinv_d
+            hist = j.concatenate(hists, axis=0).reshape(T_steps, NB * ZB)
+            zone_T = hist[:, self._zinv_d]  # device gather, stays on device
         if collect_fluxes:
             S = b.n_surfaces
             chans = []
