@@ -30,13 +30,15 @@ def matvec(lower, diag, upper, x):
     """y[i] = lower[i]*x[i-1] + diag[i]*x[i] + upper[i]*x[i+1] over axis 0.
 
     Expressed with pad-style concatenates (not ``.at`` updates) so it lowers
-    both through XLA and through Mosaic inside the Pallas hour kernel.
+    both through XLA and through Mosaic inside the Pallas hour kernel; the
+    neighbor values are shifted BEFORE multiplying so every multiply runs on
+    full (tile-aligned) rows.  Rows 0 / N-1 read a zero neighbor, so
+    ``lower[0]``/``upper[N-1]`` never contribute.
     """
     zero_row = jnp.zeros_like(x[:1])
-    y = diag * x
-    y = y + jnp.concatenate([zero_row, lower[1:] * x[:-1]], axis=0)
-    y = y + jnp.concatenate([upper[:-1] * x[1:], zero_row], axis=0)
-    return y
+    x_dn = jnp.concatenate([zero_row, x[:-1]], axis=0)  # x[i-1]
+    x_up = jnp.concatenate([x[1:], zero_row], axis=0)  # x[i+1]
+    return diag * x + lower * x_dn + upper * x_up
 
 
 def solve_runs2(lower, diag, upper, rhs, pair_head, pair_tail):
