@@ -189,6 +189,8 @@ def make_sharded_hour_march(
     mode: str = "trbdf2",
     hours: int = 1,
     interpret: bool = False,
+    collect_bad: bool = False,
+    collect_hq: bool = False,
 ):
     """Shard the fused Pallas hour/day kernel over the device mesh.
 
@@ -237,6 +239,8 @@ def make_sharded_hour_march(
         hours=hours,
         interpret=interpret,
         grid_blocks=NB // ndev,
+        collect_bad=collect_bad,
+        collect_hq=collect_hq,
     )
     pspec = tuple(
         P(None, axis) if ax == "lane" else P(axis, None) for ax in hm.param_axes
@@ -255,6 +259,10 @@ def make_sharded_hour_march(
         (P(axis), P(axis), P(axis), P(axis)),  # h/q [SP]
         P(None, axis, None),  # zone history [hours, NB, ZB]
     )
+    if collect_hq:
+        out_specs = out_specs + ((lane2, lane2, lane2, lane2),)  # [hours, SP]
+    if collect_bad:
+        out_specs = out_specs + (P(None, axis),)  # [hours, NB]
     fn = shard_map(
         hm, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
     )

@@ -222,3 +222,25 @@ def test_sharded_pallas_kernel_matches_unsharded():
     assert np.array_equal(np.asarray(hist_a), np.asarray(hist_b))
     for a, b in zip(hq_a, hq_b):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    # Determinism regression: the multi-device interpret path once returned
+    # DIFFERENT results on identical repeated calls (partially-written
+    # output blocks + a PCR-specific interpret race, both fixed/mitigated in
+    # round 3 — PERF.md).  Repeat the sharded call and demand bit-equality.
+    for _ in range(3):
+        T_c, zT_c, _, hist_c = jax.jit(hm1)(p1, T0, zT0, hi)
+        assert np.array_equal(np.asarray(T_b), np.asarray(T_c))
+        assert np.array_equal(np.asarray(hist_b), np.asarray(hist_c))
+
+    # Collect flags through the sharded wrapper: the per-hour finite count
+    # must be all-zero and the h/q history's final hour must equal the final
+    # h/q outputs.
+    hm2, p2 = sh.make_sharded_hour_march(
+        bb, mesh, substeps=sub, mode="trbdf2", hours=hours, interpret=True,
+        collect_bad=True, collect_hq=True,
+    )
+    T_d, zT_d, hq_d, hist_d, hqh_d, bad_d = jax.jit(hm2)(p2, T0, zT0, hi)
+    assert np.array_equal(np.asarray(T_d), np.asarray(T_a))
+    assert np.asarray(bad_d).sum() == 0
+    for a, h in zip(hq_d, hqh_d):
+        assert np.array_equal(np.asarray(h)[-1], np.asarray(a))
