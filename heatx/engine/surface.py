@@ -41,6 +41,7 @@ from heatx.ops import tridiag
 from heatx.physics.cavity import cavity_u_value
 from heatx.physics.convection import (
     is_windward,
+    tarp_natural_coeffs,
     tarp_natural_convection_coefficient,
 )
 
@@ -104,6 +105,7 @@ class SurfaceStatics(NamedTuple):
     chunk_masks: tuple  # C x [N, S] per-chunk node masks
     pair_head: jnp.ndarray  # [N, S] no-mass node coupled to node i+1
     pair_tail: jnp.ndarray  # [N, S] its partner
+    nat_coeffs: tuple  # ([S], [S]) hoisted TARP branch coefficients
 
 
 def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
@@ -121,6 +123,7 @@ def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
     # homogeneous in massiveness, so `& sel` restricts to no-mass pairs).
     pair_head = couple_right & sel
     pair_tail = _shift_prev(pair_head)
+    nat_coeffs = tarp_natural_coeffs(sb.cos_tilt)
     return SurfaceStatics(
         left_exists=left_exists,
         right_exists=right_exists,
@@ -134,6 +137,7 @@ def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
         chunk_masks=chunk_masks,
         pair_head=pair_head,
         pair_tail=pair_tail,
+        nat_coeffs=nat_coeffs,
     )
 
 
@@ -165,10 +169,6 @@ def forced_context(sb: SurfaceBatch, wind_direction, wind_speed):
     evaluations of a sub-step (the in-march one and the post-march one use
     the same weather and air temperatures; only the surface temperature
     differs).  Returns (forced_front, forced_back), each [S].
-
-    Uses sqrt(P*wind_mod/A) * sqrt(v) == sqrt(P*(v*wind_mod)/A) (exact for
-    nonnegative factors up to 1 ulp) so the static per-surface factor hoists
-    and the per-substep cost is one scalar sqrt + two full-width multiplies.
     """
     if isinstance(sb.normal, tuple):
         normal_x, normal_y = sb.normal[0], sb.normal[1]  # kernel path
@@ -266,9 +266,12 @@ def border_conditions(
         forced = forced_context(sb, wind_direction, wind_speed)
     forced_front, forced_back = forced
 
+    nat_coeffs = statics.nat_coeffs if statics is not None else None
+
     def natural(air, surf, cos_eff):
         return tarp_natural_convection_coefficient(
-            air, surf, cos_eff, mosaic_compat=config.kernel_mode
+            air, surf, cos_eff, mosaic_compat=config.kernel_mode,
+            coeffs=nat_coeffs,
         )
 
     h_front = natural(front_air, front_surf, front_cos) + forced_front

@@ -17,8 +17,19 @@ from heatx.constants import MIN_H
 ROUGHNESS_COEFFICIENTS = (2.17, 1.67, 1.52, 1.13, 1.11, 1.0)
 
 
+def tarp_natural_coeffs(cos_surface_tilt):
+    """Static per-face TARP branch coefficients (9.482/(7.238-|cos|),
+    1.81/(1.382+|cos|)) — they depend only on geometry, so hoisting them
+    replaces two full-width divisions per natural-h evaluation with
+    multiplies (the Pallas hour body computes them once per hour; |cos| is
+    tilt-flip invariant, so one pair serves both faces)."""
+    abs_cos = jnp.abs(cos_surface_tilt)
+    return 9.482 / (7.238 - abs_cos), 1.81 / (1.382 + abs_cos)
+
+
 def tarp_natural_convection_coefficient(
-    air_temperature, surface_temperature, cos_surface_tilt, mosaic_compat=False
+    air_temperature, surface_temperature, cos_surface_tilt, mosaic_compat=False,
+    coeffs=None,
 ):
     """Natural (indoor) TARP h (convection.rs:87-110).
 
@@ -28,7 +39,8 @@ def tarp_natural_convection_coefficient(
     * same sign (enhanced/buoyant):  ``h = 9.482 |dT|^(1/3) / (7.238 - |cos|)``
     * opposite sign (stable):        ``h = 1.81 |dT|^(1/3) / (1.382 + |cos|)``
 
-    floored at ``MIN_H`` (convection.rs:22,105-109).
+    floored at ``MIN_H`` (convection.rs:22,105-109).  ``coeffs`` passes
+    precomputed :func:`tarp_natural_coeffs` (hoisted loop-invariants).
     """
     delta_t = air_temperature - surface_temperature
     abs_dt = jnp.abs(delta_t)
@@ -45,8 +57,13 @@ def tarp_natural_convection_coefficient(
         cbrt = jnp.cbrt(abs_dt)
 
     h_zero = 1.31 * cbrt
-    h_same = 9.482 * cbrt / (7.238 - abs_cos)
-    h_opposite = 1.81 * cbrt / (1.382 + abs_cos)
+    if coeffs is not None:
+        c_same, c_opp = coeffs
+        h_same = c_same * cbrt
+        h_opposite = c_opp * cbrt
+    else:
+        h_same = 9.482 * cbrt / (7.238 - abs_cos)
+        h_opposite = 1.81 * cbrt / (1.382 + abs_cos)
 
     near_zero = (abs_dt < 1e-3) | (abs_cos < 1e-3)
     same_sign = delta_t * cos_surface_tilt > 0.0
