@@ -106,9 +106,29 @@ class SurfaceStatics(NamedTuple):
     pair_head: jnp.ndarray  # [N, S] no-mass node coupled to node i+1
     pair_tail: jnp.ndarray  # [N, S] its partner
     nat_coeffs: tuple  # ([S], [S]) hoisted TARP branch coefficients
+    # Sub-step-invariant pieces of the K/q assembly, available when U is
+    # static (no gas cavities).  The tridiagonal couplings and the Dirichlet
+    # source coefficients depend only on U + masks, and the RK4 row scale
+    # dt/C only on the (static) masses — the reference recomputes them per
+    # chunk march (discretization.rs:596-700, surface.rs:168-187), XLA
+    # hoists them out of scan automatically, but Mosaic does NOT hoist out
+    # of the Pallas hour kernel's fori_loop, so they are materialized here
+    # once per hour.  All None when the surface batch has cavities or the
+    # caller never passes dt.
+    k_lower: jnp.ndarray = None  # [N, S] static K sub-diagonal
+    k_upper: jnp.ndarray = None  # [N, S] static K super-diagonal
+    k_diag_static: jnp.ndarray = None  # [N, S] -(U couplings) part of diag
+    q_dl: jnp.ndarray = None  # [N, S] Dirichlet-left source coefficient
+    q_dr: jnp.ndarray = None  # [N, S] Dirichlet-right source coefficient
+    nm_lower: jnp.ndarray = None  # [N, S] k_lower filtered to no-mass rows
+    nm_upper: jnp.ndarray = None  # [N, S]
+    mass_scale: jnp.ndarray = None  # [N, S] dt/C on massive rows, else 0
+    k_lower_scaled: jnp.ndarray = None  # [N, S] k_lower * mass_scale
+    k_upper_scaled: jnp.ndarray = None  # [N, S]
+    mass_scale_dt: float = None  # the dt the scale was built for (guard)
 
 
-def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
+def compute_statics(sb: SurfaceBatch, dt=None) -> SurfaceStatics:
     valid = sb.node_mask
     left_exists = _shift_prev(valid) & valid
     right_exists = _shift_next(valid) & valid
@@ -124,7 +144,44 @@ def compute_statics(sb: SurfaceBatch) -> SurfaceStatics:
     pair_head = couple_right & sel
     pair_tail = _shift_prev(pair_head)
     nat_coeffs = tarp_natural_coeffs(sb.cos_tilt)
+
+    hoisted = {}
+    if not sb.has_cavity:
+        # Static-U hoists (bit-identical to the inline forms in assemble_K /
+        # assemble_q / march_nomass: the same products and selects, just
+        # evaluated once).
+        U = sb.seg_u
+        zero = jnp.zeros_like(U)
+        U_left = jnp.concatenate([zero[:1], U[:-1]], axis=0)
+        k_lower = jnp.where(couple_left, U_left, zero)
+        k_upper = jnp.where(couple_right, U, zero)
+        hoisted.update(
+            k_lower=k_lower,
+            k_upper=k_upper,
+            k_diag_static=-(
+                jnp.where(left_exists, U_left, zero)
+                + jnp.where(right_exists, U, zero)
+            ),
+            q_dl=jnp.where(left_exists & ~couple_left, U_left, zero),
+            q_dr=jnp.where(right_exists & ~couple_right, U, zero),
+            nm_lower=jnp.where(sel, k_lower, 0.0),
+            nm_upper=jnp.where(sel, k_upper, 0.0),
+        )
+        if dt is not None:
+            # rearrange_k's dt/C row scale (surface.rs:168-187): masses are
+            # static, so the scale — and its product with the static K
+            # couplings — is too.
+            mass_scale = jnp.where(
+                sb.massive, dt / jnp.where(sb.massive, sb.mass, 1.0), 0.0
+            )
+            hoisted.update(
+                mass_scale=mass_scale,
+                k_lower_scaled=k_lower * mass_scale,
+                k_upper_scaled=k_upper * mass_scale,
+                mass_scale_dt=float(dt),
+            )
     return SurfaceStatics(
+        **hoisted,
         left_exists=left_exists,
         right_exists=right_exists,
         is_first=is_first,
@@ -328,12 +385,22 @@ def assemble_K(sb: SurfaceBatch, U, env_f: FaceEnv, env_b: FaceEnv, statics=None
     casts that the Mosaic backend miscompiles).
     """
     st = statics if statics is not None else compute_statics(sb)
-    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
     zero = jnp.zeros_like(U)
 
     def sel(mask, v):
         return jnp.where(mask, v, zero)
 
+    if st.k_lower is not None and not sb.has_cavity:
+        # Static-U fast path: couplings hoisted (bit-identical — negation
+        # and subtraction commute with the original left-to-right sum).
+        diag = (
+            st.k_diag_static
+            - sel(st.is_first, env_f.h + zero)
+            - sel(st.is_last, env_b.h + zero)
+        )
+        return st.k_lower, diag, st.k_upper
+
+    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
     diag = -(
         sel(st.left_exists, U_left)
         + sel(st.right_exists, U)
@@ -360,7 +427,6 @@ def assemble_q(
     convection/linearized-radiation + frozen-Dirichlet couplings across chunk
     boundaries.  Depends on the current working temperatures."""
     st = statics if statics is not None else compute_statics(sb)
-    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
     T_left = jnp.concatenate([jnp.zeros_like(T[:1]), T[:-1]], axis=0)
     T_right = jnp.concatenate([T[1:], jnp.zeros_like(T[:1])], axis=0)
     zero = jnp.zeros_like(U)
@@ -368,6 +434,19 @@ def assemble_q(
     def sel(mask, v):
         return jnp.where(mask, v, zero)
 
+    if st.q_dl is not None and not sb.has_cavity:
+        # Static-U fast path: the Dirichlet source coefficients are hoisted
+        # masked-U arrays (zero off the Dirichlet rows, where T_left/T_right
+        # are finite, so coeff*T is bit-identical to the masked product).
+        return (
+            solar_q
+            + sel(st.is_first, env_f.air * env_f.h + rad_hs_f * (env_f.rad - T))
+            + sel(st.is_last, env_b.air * env_b.h + rad_hs_b * (env_b.rad - T))
+            + st.q_dl * T_left
+            + st.q_dr * T_right
+        )
+
+    U_left = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
     return (
         solar_q
         + sel(st.is_first, env_f.air * env_f.h + rad_hs_f * (env_f.rad - T))
@@ -456,10 +535,14 @@ def march_nomass(
 
     if K is not None and not sb.has_cavity:
         # K is frozen for the sub-step (static U, frozen h): filter the
-        # identity rows once; only q re-evaluates per iteration.
-        nl = jnp.where(sel, K[0], 0.0)
+        # identity rows once; only q re-evaluates per iteration.  The
+        # off-diagonals are fully static — hoisted in SurfaceStatics.
+        if st.nm_lower is not None:
+            nl, nu = st.nm_lower, st.nm_upper
+        else:
+            nl = jnp.where(sel, K[0], 0.0)
+            nu = jnp.where(sel, K[2], 0.0)
         nd = jnp.where(sel, K[1], 1.0)
-        nu = jnp.where(sel, K[2], 0.0)
         U0 = sb.seg_u
 
         def one_iteration(T):
@@ -590,10 +673,22 @@ def march_massive(
         lower, diag, upper, q = assemble_k_q(
             sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, statics=statics
         )
-    scale = jnp.where(sel, dt / jnp.where(sel, sb.mass, 1.0), 0.0)
-    lower = lower * scale
+    if (
+        statics is not None
+        and statics.mass_scale is not None
+        and isinstance(dt, (int, float))
+        and float(dt) == statics.mass_scale_dt
+    ):
+        # Hoisted rearrange_k scale (and its static products with the K
+        # couplings) — bit-identical to the inline forms below.
+        scale = statics.mass_scale
+        lower = statics.k_lower_scaled
+        upper = statics.k_upper_scaled
+    else:
+        scale = jnp.where(sel, dt / jnp.where(sel, sb.mass, 1.0), 0.0)
+        lower = lower * scale
+        upper = upper * scale
     diag = diag * scale
-    upper = upper * scale
     q = q * scale
 
     T_new = rk4_apply(lower, diag, upper, q, T, flush_tiny=flush_tiny)
@@ -627,6 +722,16 @@ def rk4_apply(lower, diag, upper, q, T, flush_tiny: bool = True):
     return T + k1 / 6.0 + k2 / 3.0 + k3 / 3.0 + k4 / 6.0
 
 
+def absorbed_solar_q(sb: SurfaceBatch, sol_front, sol_back):
+    """Per-node absorbed solar forcing, with the reference's clamping quirks
+    (surface.rs:916-931): the front irradiance is zeroed when NaN or
+    negative; the back one only when NaN (the reference's second check tests
+    the already-clamped front value — dead code)."""
+    sol_f = jnp.where(jnp.isnan(sol_front) | (sol_front < 0.0), 0.0, sol_front)
+    sol_b = jnp.where(jnp.isnan(sol_back), 0.0, sol_back)
+    return sb.front_alphas * sol_f + sb.back_alphas * sol_b
+
+
 def march_surfaces(
     sb: SurfaceBatch,
     node_T,
@@ -646,6 +751,7 @@ def march_surfaces(
     statics: SurfaceStatics = None,
     rad_out=None,
     envs=None,
+    solar_q=None,
 ):
     """One sub-step of every surface (surface.rs:902-1001 march):
     solar distribution -> no-mass chunks -> massive chunks.
@@ -656,7 +762,10 @@ def march_surfaces(
 
     ``envs`` passes precomputed (env_f, env_b) border conditions for the
     CURRENT state (the Pallas hour body builds them with a shared forced-
-    convection context); default computes them here.
+    convection context); default computes them here.  ``solar_q`` passes the
+    precomputed per-node absorbed solar forcing — it is constant within the
+    main step (irradiance changes hourly), so the Pallas hour body hoists it
+    out of the sub-step loop; default computes it here (surface.rs:916-931).
     """
     if envs is not None:
         env_f, env_b = envs
@@ -668,12 +777,8 @@ def march_surfaces(
     rad_hs_f = linearized_rad_coefficient(sb.eps_front, env_f)
     rad_hs_b = linearized_rad_coefficient(sb.eps_back, env_b)
 
-    # Solar clamping quirks of surface.rs:916-923: the front irradiance is
-    # zeroed when NaN or negative; the back one only when NaN (the reference's
-    # second check tests the already-clamped front value — dead code).
-    sol_f = jnp.where(jnp.isnan(sol_front) | (sol_front < 0.0), 0.0, sol_front)
-    sol_b = jnp.where(jnp.isnan(sol_back), 0.0, sol_back)
-    solar_q = sb.front_alphas * sol_f + sb.back_alphas * sol_b
+    if solar_q is None:
+        solar_q = absorbed_solar_q(sb, sol_front, sol_back)
 
     # With no gas cavities, U is static and h is frozen per sub-step, so the
     # tridiagonal K is sub-step-constant: assemble once, share between the

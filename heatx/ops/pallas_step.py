@@ -345,21 +345,26 @@ def _hour_body(
     node-height sub-batch and accumulating their zone couplings together.
     """
     f32 = T0s[0].dtype
-    # Hoist the loop-invariant network masks and the per-hour radiant
-    # temperatures out of the sub-step loop (Mosaic does not hoist out of
-    # fori_loop the way XLA hoists out of scan; the (ir/sigma)^0.25 pows are
-    # hour-constant and were otherwise paid twice per sub-step).
-    statics = [surf_mod.compute_statics(p.sb) for p in parts]
+    # Hoist the loop-invariant network masks, the static K/q pieces and RK4
+    # row scales (compute_statics(dt=...)), the per-hour radiant
+    # temperatures, and the absorbed-solar forcing out of the sub-step loop
+    # (Mosaic does not hoist out of fori_loop the way XLA hoists out of
+    # scan; the (ir/sigma)^0.25 pows and the solar clamp+distribute were
+    # otherwise paid on every sub-step).
+    statics = [surf_mod.compute_statics(p.sb, dt=dt) for p in parts]
     rad_outs = [
         surf_mod.radiant_out_temperatures(p.ir_front, p.ir_back, f32)
         for p in parts
+    ]
+    solar_qs = [
+        surf_mod.absorbed_solar_q(p.sb, p.sol_front, p.sol_back) for p in parts
     ]
     def substep(carry, t_out, wind_speed, wind_direction):
         Ts, zT = carry
         new_Ts = []
         hqs = []
         envs = []
-        for p, st, ro, T in zip(parts, statics, rad_outs, Ts):
+        for p, st, ro, sq, T in zip(parts, statics, rad_outs, solar_qs, Ts):
             t_front, t_back = _boundary_temps(p.sb, p, zT, t_out, f32)
             # Forced h + windward test depend only on this sub-step's weather:
             # computed once, shared by the in-march and post-march TARP
@@ -374,7 +379,7 @@ def _hour_body(
                 p.sb, T, t_front, t_back, wind_direction, wind_speed,
                 p.sol_front, p.sol_back, p.ir_front, p.ir_back, dt, cfg,
                 has_massive=p.sb.has_massive, solver=solver, statics=st,
-                rad_out=ro, envs=env_m,
+                rad_out=ro, envs=env_m, solar_q=sq,
             )
             env_f, env_b = surf_mod.border_conditions(
                 p.sb, T_new, t_front, t_back, wind_direction, wind_speed,

@@ -56,17 +56,21 @@ def tarp_natural_convection_coefficient(
         # pow form takes data-dependent slow paths near |dT| ~ 0).
         cbrt = jnp.cbrt(abs_dt)
 
-    h_zero = 1.31 * cbrt
-    if coeffs is not None:
-        c_same, c_opp = coeffs
-        h_same = c_same * cbrt
-        h_opposite = c_opp * cbrt
-    else:
-        h_same = 9.482 * cbrt / (7.238 - abs_cos)
-        h_opposite = 1.81 * cbrt / (1.382 + abs_cos)
-
     near_zero = (abs_dt < 1e-3) | (abs_cos < 1e-3)
     same_sign = delta_t * cos_surface_tilt > 0.0
+    if coeffs is not None:
+        # Select the branch coefficient first, multiply once: bit-identical
+        # to selecting among per-branch products (each lane sees the same
+        # single rounding c * cbrt) but 2 fewer full-width multiplies.
+        c_same, c_opp = coeffs
+        coef = jnp.where(
+            near_zero, 1.31, jnp.where(same_sign, c_same, c_opp)
+        )
+        return jnp.maximum(coef * cbrt, MIN_H)
+
+    h_zero = 1.31 * cbrt
+    h_same = 9.482 * cbrt / (7.238 - abs_cos)
+    h_opposite = 1.81 * cbrt / (1.382 + abs_cos)
     h = jnp.where(near_zero, h_zero, jnp.where(same_sign, h_same, h_opposite))
     return jnp.maximum(h, MIN_H)
 
