@@ -53,8 +53,13 @@ def tarp_natural_convection_coefficient(
         cbrt = jnp.maximum(abs_dt, 1e-30) ** (1.0 / 3.0)
     else:
         # XLA path: the dedicated cbrt lowering is fast for all inputs (the
-        # pow form takes data-dependent slow paths near |dT| ~ 0).
-        cbrt = jnp.cbrt(abs_dt)
+        # pow form takes data-dependent slow paths near |dT| ~ 0).  The
+        # double-where keeps reverse-mode AD finite at |dT| = 0 exactly
+        # (cbrt' -> inf there, and a face sitting at its air temperature is
+        # routine — e.g. any equilibrium start), pinning the subgradient to
+        # 0 without changing the value (cbrt(0) = 0).
+        nz = abs_dt > 0.0
+        cbrt = jnp.where(nz, jnp.cbrt(jnp.where(nz, abs_dt, 1.0)), 0.0)
 
     near_zero = (abs_dt < 1e-3) | (abs_cos < 1e-3)
     same_sign = delta_t * cos_surface_tilt > 0.0

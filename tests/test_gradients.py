@@ -1,0 +1,211 @@
+"""Differentiable simulation: gradients through the marching engine.
+
+A capability the Rust reference cannot offer: because the compiled building
+is a *traced pytree argument* of pure jitted step functions
+(build/layout.py pytree registration), ``jax.grad`` flows end-to-end
+through the thermal network — boundary resolution, the no-mass fixed point
+(in its statically-unrolled ``nomass_fixed_iters`` regime), the massive RK4
+march, and the analytical zone update (model.rs:359-427 equivalents).
+This enables gradient-based model calibration (recover U-values from
+measured zone temperatures) and optimal control (heating schedules), both
+checked here against central finite differences in float64.
+
+The reference-exact adaptive no-mass loop is a ``lax.while_loop`` and is
+not reverse-differentiable; calibration workflows use the replay-gated
+``nomass_fixed_iters`` regime (see PERF.md) or massive-only constructions.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import heatx
+from heatx.engine import state as state_mod, step as step_mod
+from heatx.model.building import (
+    Boundary, BuildingModel, Construction, ElectricHeater, Material,
+    SpaceDef, Substance, SurfaceDef,
+)
+
+F64 = heatx.SimConfig(dtype=np.float64)
+VERTS = np.array([[0, 0, 0], [5, 0, 0], [5, 0, 3], [0, 0, 3]], float)
+
+
+def heated_concrete_model():
+    """Single heated zone behind one massive (concrete-only) wall: every op
+    in the march is smooth and statically loop-free."""
+    m = BuildingModel()
+    m.add_substance(
+        Substance("conc", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c15", "conc", 0.15))
+    m.add_construction(Construction("wall", ["c15"]))
+    m.add_space(SpaceDef("room", 120.0))
+    m.add_surface(SurfaceDef("ext", "wall", Boundary.outdoor(),
+                             Boundary.space_("room"), vertices=VERTS))
+    m.add_hvac(ElectricHeater("h", "room"))
+    return m
+
+
+def insulated_model():
+    """Concrete + insulation skin: discretizes to massive AND no-mass nodes,
+    exercising the fixed-iteration no-mass solve under grad."""
+    m = BuildingModel()
+    m.add_substance(
+        Substance("conc", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_substance(
+        Substance("poly", thermal_conductivity=0.0252, density=17.5,
+                  specific_heat_capacity=2400.0)
+    )
+    m.add_material(Material("c10", "conc", 0.1))
+    m.add_material(Material("p5", "poly", 0.05))
+    m.add_construction(Construction("wall", ["p5", "c10"]))
+    m.add_space(SpaceDef("room", 120.0))
+    m.add_surface(SurfaceDef("ext", "wall", Boundary.outdoor(),
+                             Boundary.space_("room"), vertices=VERTS))
+    m.add_hvac(ElectricHeater("h", "room"))
+    return m
+
+
+def _run_loss(building, state, inputs_seq):
+    """Scalar objective: mean zone temperature over the run history."""
+    _, hist = step_mod.run(building, state, inputs_seq, collect_zone_T=True)
+    return jnp.mean(hist)
+
+
+def _inputs_seq(tm, T, power):
+    """[T]-step input sequence with constant weather and heater power."""
+    one = tm.inputs(t_out=0.0, wind_speed=3.0, wind_direction=45.0,
+                    hvac_power=jnp.atleast_1d(power))
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), one)
+
+
+def _central_fd(f, x, eps):
+    return (f(x + eps) - f(x - eps)) / (2.0 * eps)
+
+
+def test_grad_wrt_heater_power_matches_fd():
+    tm = heatx.ThermalModel(heated_concrete_model(), n=1, config=F64)
+    building = tm._device()
+    st = tm.initial_state()
+
+    def loss(power):
+        return _run_loss(building, st, _inputs_seq(tm, 6, power))
+
+    g = jax.grad(loss)(1500.0)
+    fd = _central_fd(loss, 1500.0, 1e-2)
+    assert np.isfinite(g)
+    # more heat -> warmer zone, and d(meanT)/dP is tiny but strictly positive
+    assert g > 0.0
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+
+
+def test_grad_wrt_weather_series():
+    """Reverse-mode through the whole scan gives one gradient per step of
+    the outdoor-temperature series in a single backward pass."""
+    tm = heatx.ThermalModel(heated_concrete_model(), n=1, config=F64)
+    building = tm._device()
+    st = tm.initial_state()
+    seq = _inputs_seq(tm, 8, 1000.0)
+
+    def loss(t_out_series):
+        return _run_loss(building, st, seq._replace(t_out=t_out_series))
+
+    t0 = jnp.full((8,), 2.0)
+    g = jax.grad(loss)(t0)
+    assert g.shape == (8,)
+    assert np.all(np.isfinite(g))
+    # warmer outdoors always warms the zone; later steps influence the
+    # truncated mean-T objective less than... no — EARLIER steps influence
+    # more history entries, so the gradient decays toward the end.
+    assert np.all(np.asarray(g) > 0.0)
+    assert float(g[0]) > float(g[-1])
+    fd = _central_fd(lambda v: loss(t0.at[3].set(v)), 2.0, 1e-4)
+    np.testing.assert_allclose(float(g[3]), fd, rtol=1e-6)
+
+
+@pytest.mark.parametrize("fixed_iters", [1, 3])
+def test_grad_wrt_conductance_matches_fd(fixed_iters):
+    """d(loss)/d(scale on seg_u) through massive + no-mass physics."""
+    cfg = F64.replace(nomass_fixed_iters=fixed_iters)
+    tm = heatx.ThermalModel(insulated_model(), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    seq = _inputs_seq(tm, 6, 1200.0)
+    sb0 = building.surfaces
+
+    def loss(scale):
+        sb = dataclasses.replace(sb0, seg_u=sb0.seg_u * scale)
+        return _run_loss(dataclasses.replace(building, surfaces=sb), st, seq)
+
+    g = jax.grad(loss)(1.0)
+    fd = _central_fd(loss, 1.0, 1e-5)
+    assert np.isfinite(g)
+    # higher conductance -> heated room loses more heat -> cooler
+    assert g < 0.0
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_calibration_recovers_conductance():
+    """End-to-end calibration: recover an insulation U-value scale factor
+    from a 'measured' zone-temperature trajectory by gradient descent —
+    the workflow the differentiable design exists for."""
+    cfg = F64.replace(nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(insulated_model(), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    seq = _inputs_seq(tm, 12, 1200.0)
+    sb0 = building.surfaces
+
+    def trajectory(scale):
+        sb = dataclasses.replace(sb0, seg_u=sb0.seg_u * scale)
+        _, hist = step_mod.run(
+            dataclasses.replace(building, surfaces=sb), st, seq,
+            collect_zone_T=True,
+        )
+        return hist
+
+    target = trajectory(1.0)
+
+    import optax
+
+    opt = optax.adam(5e-2)
+
+    @jax.jit
+    def descend(scale, opt_state):
+        def loss(s):
+            d = trajectory(s) - target
+            return jnp.mean(d * d)
+        val, g = jax.value_and_grad(loss)(scale)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(scale, updates), opt_state, val
+
+    scale = jnp.asarray(1.4)
+    opt_state = opt.init(scale)
+    loss0 = None
+    for _ in range(80):
+        scale, opt_state, val = descend(scale, opt_state)
+        loss0 = float(val) if loss0 is None else loss0
+    assert float(val) < 1e-3 * loss0
+    assert abs(float(scale) - 1.0) < 0.02, scale
+
+
+def test_adaptive_loop_not_differentiable_is_documented():
+    """The reference-exact adaptive no-mass while_loop is (by JAX semantics)
+    not reverse-differentiable — the error is loud, not silent garbage."""
+    tm = heatx.ThermalModel(insulated_model(), n=1, config=F64)
+    building = tm._device()
+    st = tm.initial_state()
+    seq = _inputs_seq(tm, 2, 1200.0)
+
+    def loss(power):
+        return _run_loss(building, st,
+                         seq._replace(hvac_power=jnp.full((2, 1), power)))
+
+    with pytest.raises(ValueError, match="while_loop|Reverse-mode"):
+        jax.grad(loss)(1000.0)
