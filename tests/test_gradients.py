@@ -195,6 +195,46 @@ def test_calibration_recovers_conductance():
     assert abs(float(scale) - 1.0) < 0.02, scale
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_gradient_matches_single_device():
+    """Gradients compose with GSPMD surface-axis sharding: jit(grad(loss))
+    over a sharded building/state produces the single-device gradient (the
+    backward pass's zone-reduction transpose becomes sharded broadcasts and
+    all-reduces, inserted by the compiler — nothing hand-written)."""
+    from jax.sharding import Mesh
+    from heatx.build.layout import compile_building
+    from heatx.parallel import sharding as sh
+
+    cfg = F64.replace(nomass_fixed_iters=1)
+    m = insulated_model()
+    # widen to 8 surfaces so the axis shards evenly over 8 devices
+    for i in range(7):
+        m.add_surface(SurfaceDef(f"w{i}", "wall", Boundary.outdoor(),
+                                 Boundary.space_("room"), vertices=VERTS))
+    building = compile_building(m, n=1, config=cfg).astype(np.float64)
+    st = state_mod.initial_state(building)
+    one = state_mod.default_inputs(
+        building, t_out=0.0, wind_speed=3.0, wind_direction=45.0,
+        hvac_power=np.array([1200.0]),
+    )
+    seq = jax.tree.map(lambda x: jnp.broadcast_to(jnp.asarray(x),
+                                                  (6,) + jnp.shape(x)), one)
+
+    def loss(scale, building):
+        sb = building.surfaces
+        sb = dataclasses.replace(sb, seg_u=sb.seg_u * scale)
+        return _run_loss(dataclasses.replace(building, surfaces=sb), st, seq)
+
+    g_single = jax.jit(jax.grad(loss))(1.0, building)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("surfaces",))
+    bld_sharded = sh._put_tree(
+        building, sh.building_shardings(building, mesh, "surfaces")
+    )
+    g_sharded = jax.jit(jax.grad(loss))(1.0, bld_sharded)
+    np.testing.assert_allclose(float(g_sharded), float(g_single), rtol=1e-12)
+
+
 def test_adaptive_loop_not_differentiable_is_documented():
     """The reference-exact adaptive no-mass while_loop is (by JAX semantics)
     not reverse-differentiable — the error is loud, not silent garbage."""
