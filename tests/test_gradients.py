@@ -195,6 +195,38 @@ def test_calibration_recovers_conductance():
     assert abs(float(scale) - 1.0) < 0.02, scale
 
 
+@pytest.mark.parametrize("mode", ["imp", "exp"])
+def test_grad_through_fast_modes_matches_fd(mode):
+    """The fast integrators differentiate too: TR-BDF2 (pre-factored stage
+    solves) and the exponential integrator (expm/phi1 dense algebra) are
+    both built from smooth linear-algebra ops, so calibration can run at
+    fast-mode speed rather than parity speed."""
+    from heatx.engine import exponential as exp_mod
+    from heatx.engine import implicit as imp_mod
+
+    march = imp_mod.imp_march if mode == "imp" else exp_mod.exp_march
+    cfg = F64.replace(nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(insulated_model(), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    one = tm.inputs(t_out=0.0, wind_speed=3.0, wind_direction=45.0,
+                    hvac_power=jnp.asarray([1200.0]))
+    sb0 = building.surfaces
+
+    def loss(scale):
+        sb = dataclasses.replace(sb0, seg_u=sb0.seg_u * scale)
+        b = dataclasses.replace(building, surfaces=sb)
+        s = st
+        for _ in range(3):
+            s = march(b, s, one, substeps=8)
+        return jnp.mean(s.zone_T)
+
+    g = jax.grad(loss)(1.0)
+    fd = _central_fd(loss, 1.0, 1e-5)
+    assert np.isfinite(g) and g < 0.0
+    np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_gradient_matches_single_device():
     """Gradients compose with GSPMD surface-axis sharding: jit(grad(loss))
