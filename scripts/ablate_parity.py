@@ -131,6 +131,13 @@ def apply_ablation(name: str):
         tridiag.solve_runs2 = (
             lambda lower, diag, upper, rhs, pair_head, pair_tail: rhs / diag
         )
+    elif name == "solves":
+        # (trbdf2) the two pre-factored stage solves -> identity.
+        tridiag.pcr_apply = lambda lv, invb, rhs: rhs
+        tridiag.solve_factored = lambda lower, cs, inv, rhs: rhs
+    elif name == "matvec":
+        # (trbdf2) the K mat-vec in the stage-1 rhs -> diagonal only.
+        tridiag.matvec = lambda lower, diag, upper, x: diag * x
     else:
         raise SystemExit(f"unknown ablation {name!r}")
 
@@ -138,7 +145,11 @@ def apply_ablation(name: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ablate", default="none",
-                    help="none|rk4|tarp|cbrt|nomass|q|pairs")
+                    help="none|rk4|tarp|cbrt|nomass|q|pairs (parity mode) / "
+                         "none|solves|matvec|tarp (trbdf2 mode)")
+    ap.add_argument("--mode", default="parity", choices=["parity", "trbdf2"])
+    ap.add_argument("--substeps", type=int, default=8,
+                    help="sub-steps/hour in trbdf2 mode")
     ap.add_argument("--zones", type=int, default=1000)
     ap.add_argument("--surfaces-per-zone", type=int, default=10)
     ap.add_argument("--days", type=int, default=30)
@@ -168,14 +179,17 @@ def main():
     cfg = heatx.SimConfig(dtype=dtype, nomass_fixed_iters=1)
     building = compile_building(model, n=1, config=cfg)
     n_nodes_total = int(np.sum(building.surfaces.n_nodes))
-    subs = building.dt_subdivisions
+    subs = (building.dt_subdivisions if args.mode == "parity"
+            else args.substeps)
     H = 24
     span = args.days * H
     dry, wind, wdir, ghi, ir = bench_mod.load_weather(span)
 
     bb = pallas_step.block_building(building, block_size=args.block_size)
-    hm, params = pallas_step.make_hour_march(bb, substeps=None, mode="parity",
-                                             hours=H)
+    hm, params = pallas_step.make_hour_march(
+        bb, substeps=(None if args.mode == "parity" else args.substeps),
+        mode=args.mode, hours=H,
+    )
     lay = bb.layout
     SP = lay.padded_surfaces
     rng = np.random.default_rng(0)
