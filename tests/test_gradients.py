@@ -267,6 +267,42 @@ def test_sharded_gradient_matches_single_device():
     np.testing.assert_allclose(float(g_sharded), float(g_single), rtol=1e-12)
 
 
+def test_chunked_adjoint_matches_monolithic_grad():
+    """engine.adjoint.chunked_value_and_grad (bounded per-chunk dispatches
+    for horizons whose single-dispatch reverse sweep would trip the remote
+    watchdog) reproduces the monolithic jax.grad exactly."""
+    from heatx.engine.adjoint import chunked_value_and_grad
+
+    cfg = F64.replace(nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(insulated_model(), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    seq = _inputs_seq(tm, 12, 1200.0)
+    sb0 = building.surfaces
+
+    def with_scale(scale):
+        sb = dataclasses.replace(sb0, seg_u=sb0.seg_u * scale)
+        return dataclasses.replace(building, surfaces=sb)
+
+    def chunk_fn(scale, state, xs):
+        state, hist = step_mod.run(with_scale(scale), state, xs,
+                                   collect_zone_T=True)
+        return state, jnp.sum(hist)
+
+    xs_chunks = jax.tree.map(lambda x: x.reshape((3, 4) + x.shape[1:]), seq)
+    val_c, g_c = chunked_value_and_grad(chunk_fn, jnp.asarray(1.0), st,
+                                        xs_chunks)
+
+    def monolithic(scale):
+        _, hist = step_mod.run(with_scale(scale), st, seq,
+                               collect_zone_T=True)
+        return jnp.sum(hist)
+
+    val_m, g_m = jax.value_and_grad(monolithic)(jnp.asarray(1.0))
+    np.testing.assert_allclose(float(val_c), float(val_m), rtol=1e-14)
+    np.testing.assert_allclose(float(g_c), float(g_m), rtol=1e-12)
+
+
 def test_adaptive_loop_not_differentiable_is_documented():
     """The reference-exact adaptive no-mass while_loop is (by JAX semantics)
     not reverse-differentiable — the error is loud, not silent garbage."""
