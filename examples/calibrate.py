@@ -79,8 +79,8 @@ def main():
     # makes the absorptance parameter strongly identified from zone T.
     seq = seq._replace(
         t_out=jnp.asarray(t_out),
-        sol_front=jnp.asarray(sol)[:, None] * jnp.ones((1, 1)),
-        sol_back=0.3 * jnp.asarray(sol)[:, None] * jnp.ones((1, 1)),
+        sol_front=jnp.asarray(sol)[:, None],  # [T, S] with S=1 here
+        sol_back=0.3 * jnp.asarray(sol)[:, None],
     )
 
     sb0 = building.surfaces

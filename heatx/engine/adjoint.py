@@ -32,6 +32,7 @@ from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def chunked_value_and_grad(
@@ -57,6 +58,14 @@ def chunked_value_and_grad(
     if not leaves:
         raise ValueError("xs_chunks has no leaves")
     n_chunks = leaves[0].shape[0]
+    if n_chunks == 0:
+        raise ValueError("xs_chunks has an empty leading chunk axis")
+    bad = [l.shape for l in leaves if l.shape[0] != n_chunks]
+    if bad:
+        raise ValueError(
+            f"xs_chunks leaves disagree on the leading chunk axis: "
+            f"{n_chunks} vs {bad[0][0]}"
+        )
 
     fwd = jax.jit(chunk_fn)
 
@@ -80,9 +89,24 @@ def chunked_value_and_grad(
     # (The objective must flow only through the loss contributions; a loss
     # on the final state itself would need its cotangent seeded here.)
     one = jnp.ones_like(total)
-    grad = jax.tree.map(jnp.zeros_like, params)
-    state_cot = jax.tree.map(jnp.zeros_like, state0)
+
+    def zero_cotangent(x):
+        # jax.vjp expects float0 cotangents for non-inexact (int/bool)
+        # leaves — a zeros_like int32 would raise on the first backward
+        # chunk if the state pytree ever grows such a leaf.
+        x = jnp.asarray(x)
+        if jnp.issubdtype(x.dtype, jnp.inexact):
+            return jnp.zeros_like(x)
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    grad = jax.tree.map(zero_cotangent, params)
+    state_cot = jax.tree.map(zero_cotangent, state0)
+    def accumulate(a, b):
+        if getattr(a, "dtype", None) == jax.dtypes.float0:
+            return a  # non-differentiable leaf: stays a float0 zero
+        return jnp.add(a, b)
+
     for i in reversed(range(n_chunks)):
         gp, state_cot = bwd(params, states[i], chunk(i), state_cot, one)
-        grad = jax.tree.map(jnp.add, grad, gp)
+        grad = jax.tree.map(accumulate, grad, gp)
     return total, grad

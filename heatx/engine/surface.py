@@ -167,10 +167,12 @@ def compute_statics(sb: SurfaceBatch, dt=None) -> SurfaceStatics:
             nm_lower=jnp.where(sel, k_lower, 0.0),
             nm_upper=jnp.where(sel, k_upper, 0.0),
         )
-        if dt is not None:
+        if dt is not None and isinstance(dt, (int, float)):
             # rearrange_k's dt/C row scale (surface.rs:168-187): masses are
             # static, so the scale — and its product with the static K
-            # couplings — is too.
+            # couplings — is too.  A traced dt (not a Python number) skips
+            # the hoist gracefully instead of crashing on float(dt);
+            # march_massive falls back to the inline scale.
             mass_scale = jnp.where(
                 sb.massive, dt / jnp.where(sb.massive, sb.mass, 1.0), 0.0
             )
@@ -390,9 +392,11 @@ def assemble_K(sb: SurfaceBatch, U, env_f: FaceEnv, env_b: FaceEnv, statics=None
     def sel(mask, v):
         return jnp.where(mask, v, zero)
 
-    if st.k_lower is not None and not sb.has_cavity:
+    if st.k_lower is not None and not sb.has_cavity and U is sb.seg_u:
         # Static-U fast path: couplings hoisted (bit-identical — negation
         # and subtraction commute with the original left-to-right sum).
+        # Guarded on U *being* the static seg_u so a caller passing a
+        # perturbed U (tests, sensitivity studies) gets the general path.
         diag = (
             st.k_diag_static
             - sel(st.is_first, env_f.h + zero)
@@ -434,10 +438,11 @@ def assemble_q(
     def sel(mask, v):
         return jnp.where(mask, v, zero)
 
-    if st.q_dl is not None and not sb.has_cavity:
+    if st.q_dl is not None and not sb.has_cavity and U is sb.seg_u:
         # Static-U fast path: the Dirichlet source coefficients are hoisted
         # masked-U arrays (zero off the Dirichlet rows, where T_left/T_right
         # are finite, so coeff*T is bit-identical to the masked product).
+        # Same U-identity guard as assemble_K.
         return (
             solar_q
             + sel(st.is_first, env_f.air * env_f.h + rad_hs_f * (env_f.rad - T))
@@ -537,7 +542,9 @@ def march_nomass(
         # K is frozen for the sub-step (static U, frozen h): filter the
         # identity rows once; only q re-evaluates per iteration.  The
         # off-diagonals are fully static — hoisted in SurfaceStatics.
-        if st.nm_lower is not None:
+        if st.nm_lower is not None and K[0] is st.k_lower:
+            # (identity guard: a caller-modified K must not be shadowed by
+            # the hoisted off-diagonals)
             nl, nu = st.nm_lower, st.nm_upper
         else:
             nl = jnp.where(sel, K[0], 0.0)
@@ -678,9 +685,13 @@ def march_massive(
         and statics.mass_scale is not None
         and isinstance(dt, (int, float))
         and float(dt) == statics.mass_scale_dt
+        and lower is statics.k_lower
+        and upper is statics.k_upper
     ):
         # Hoisted rearrange_k scale (and its static products with the K
-        # couplings) — bit-identical to the inline forms below.
+        # couplings) — bit-identical to the inline forms below.  The
+        # identity guards ensure a caller-supplied modified K is never
+        # shadowed by the hoisted products.
         scale = statics.mass_scale
         lower = statics.k_lower_scaled
         upper = statics.k_upper_scaled

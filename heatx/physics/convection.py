@@ -61,6 +61,18 @@ def tarp_natural_convection_coefficient(
         nz = abs_dt > 0.0
         cbrt = jnp.where(nz, jnp.cbrt(jnp.where(nz, abs_dt, 1.0)), 0.0)
 
+    return tarp_natural_from_cbrt(
+        delta_t, abs_dt, abs_cos, cos_surface_tilt, cbrt, coeffs
+    )
+
+
+def tarp_natural_from_cbrt(
+    delta_t, abs_dt, abs_cos, cos_surface_tilt, cbrt, coeffs=None
+):
+    """The TARP three-branch select + MIN_H floor, given |dT|^(1/3) (and the
+    absolute values, to avoid re-deriving them in-kernel) already computed.
+    Single home for the branch logic — the ablation harness substitutes
+    experimental cbrt evaluations through this entry point."""
     near_zero = (abs_dt < 1e-3) | (abs_cos < 1e-3)
     same_sign = delta_t * cos_surface_tilt > 0.0
     if coeffs is not None:

@@ -26,18 +26,45 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def apply_ablation(name: str):
+ABLATIONS = {
+    "parity": ("none", "rk4", "tarp", "cbrt", "cbrt_fast", "nomass", "q",
+               "pairs"),
+    "trbdf2": ("none", "solves", "matvec", "tarp"),
+}
+
+
+def apply_ablation(name: str, mode: str):
     import jax.numpy as jnp
 
     from heatx.engine import surface as surf_mod
     from heatx.ops import tridiag
     from heatx.physics import convection
 
+    if name not in ABLATIONS[mode]:
+        raise SystemExit(
+            f"ablation {name!r} is not meaningful in mode {mode!r} "
+            f"(allowed: {', '.join(ABLATIONS[mode])}) — a mismatched patch "
+            "would silently misattribute kernel time"
+        )
+
     def patch_tarp(fn):
         # surface.py binds the function by name at import time — patch both
         # the convection module attribute and the bound name in surface.
         convection.tarp_natural_convection_coefficient = fn
         surf_mod.tarp_natural_convection_coefficient = fn
+
+    def tarp_with_cbrt(cbrt_fn):
+        # Swap only the cube-root evaluation; the branch select + MIN_H
+        # floor stay the real implementation (convection.tarp_natural_from_cbrt).
+        def h(air_t, surf_t, cos_tilt, mosaic_compat=False, coeffs=None):
+            delta_t = air_t - surf_t
+            abs_dt = jnp.abs(delta_t)
+            abs_cos = jnp.abs(cos_tilt)
+            return convection.tarp_natural_from_cbrt(
+                delta_t, abs_dt, abs_cos, cos_tilt, cbrt_fn(abs_dt), coeffs
+            )
+
+        patch_tarp(h)
 
     if name == "none":
         return
@@ -46,8 +73,6 @@ def apply_ablation(name: str):
         surf_mod.rk4_apply = lambda lower, diag, upper, q, T, flush_tiny=True: T
     elif name == "tarp":
         # Natural h -> constant (both the in-march and post-march evals).
-        orig = convection.tarp_natural_convection_coefficient
-
         def const_h(air_t, surf_t, cos_tilt, mosaic_compat=False, coeffs=None):
             return jnp.full_like(air_t + surf_t, 3.0)
 
@@ -55,39 +80,13 @@ def apply_ablation(name: str):
     elif name == "cbrt":
         # Keep the TARP branch selects/multiplies, remove only the cube
         # root itself (-> identity): isolates the transcendental's cost.
-        orig = convection.tarp_natural_convection_coefficient
-
-        def linear_h(air_t, surf_t, cos_tilt, mosaic_compat=False, coeffs=None):
-            import jax.numpy as jnp
-
-            delta_t = air_t - surf_t
-            abs_dt = jnp.abs(delta_t)
-            abs_cos = jnp.abs(cos_tilt)
-            cbrt = abs_dt  # ablated: no pow/cbrt
-            near_zero = (abs_dt < 1e-3) | (abs_cos < 1e-3)
-            same_sign = delta_t * cos_tilt > 0.0
-            if coeffs is not None:
-                c_same, c_opp = coeffs
-                coef = jnp.where(near_zero, 1.31,
-                                 jnp.where(same_sign, c_same, c_opp))
-                return jnp.maximum(coef * cbrt, convection.MIN_H)
-            h = jnp.where(near_zero, 1.31 * cbrt,
-                          jnp.where(same_sign,
-                                    9.482 * cbrt / (7.238 - abs_cos),
-                                    1.81 * cbrt / (1.382 + abs_cos)))
-            return jnp.maximum(h, convection.MIN_H)
-
-        patch_tarp(linear_h)
+        tarp_with_cbrt(lambda abs_dt: abs_dt)
     elif name == "cbrt_fast":
         # Candidate replacement (not an ablation): cube root via a sqrt-chain
         # initial guess x^(21/64) refined by two Newton steps — only
         # hardware-cheap ops (sqrt, mul, div) instead of the pow's exp/log.
-        def fast_h(air_t, surf_t, cos_tilt, mosaic_compat=False, coeffs=None):
-            import jax.numpy as jnp
-
-            delta_t = air_t - surf_t
-            abs_dt = jnp.abs(delta_t)
-            abs_cos = jnp.abs(cos_tilt)
+        # Measured 38% SLOWER than Mosaic's pow lowering (PERF.md).
+        def sqrt_chain_cbrt(abs_dt):
             x = jnp.maximum(abs_dt, 1e-30)
             s2 = jnp.sqrt(jnp.sqrt(x))        # x^(1/4)
             s4 = jnp.sqrt(jnp.sqrt(s2))       # x^(1/16)
@@ -95,32 +94,16 @@ def apply_ablation(name: str):
             y = s2 * s4 * s6                  # x^(21/64) ~ x^0.328
             y = (2.0 / 3.0) * y + (1.0 / 3.0) * x / (y * y)
             y = (2.0 / 3.0) * y + (1.0 / 3.0) * x / (y * y)
-            cbrt = y
-            near_zero = (abs_dt < 1e-3) | (abs_cos < 1e-3)
-            same_sign = delta_t * cos_tilt > 0.0
-            if coeffs is not None:
-                c_same, c_opp = coeffs
-                coef = jnp.where(near_zero, 1.31,
-                                 jnp.where(same_sign, c_same, c_opp))
-                return jnp.maximum(coef * cbrt, convection.MIN_H)
-            h = jnp.where(near_zero, 1.31 * cbrt,
-                          jnp.where(same_sign,
-                                    9.482 * cbrt / (7.238 - abs_cos),
-                                    1.81 * cbrt / (1.382 + abs_cos)))
-            return jnp.maximum(h, convection.MIN_H)
+            return y
 
-        patch_tarp(fast_h)
+        tarp_with_cbrt(sqrt_chain_cbrt)
     elif name == "nomass":
-        orig_march = surf_mod.march_nomass
-
         def skip(sb, T0, env_f, env_b, rad_hs_f, rad_hs_b, solar_q, config,
                  K=None, solver=None, statics=None):
             return T0
 
         surf_mod.march_nomass = skip
     elif name == "q":
-        orig_q = surf_mod.assemble_q
-
         def solar_only(sb, T, U, env_f, env_b, rad_hs_f, rad_hs_b, solar_q,
                        statics=None):
             return solar_q + 0.0 * T
@@ -138,15 +121,15 @@ def apply_ablation(name: str):
     elif name == "matvec":
         # (trbdf2) the K mat-vec in the stage-1 rhs -> diagonal only.
         tridiag.matvec = lambda lower, diag, upper, x: diag * x
-    else:
-        raise SystemExit(f"unknown ablation {name!r}")
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ablate", default="none",
-                    help="none|rk4|tarp|cbrt|nomass|q|pairs (parity mode) / "
-                         "none|solves|matvec|tarp (trbdf2 mode)")
+    ap.add_argument(
+        "--ablate", default="none",
+        help="parity: none|rk4|tarp|cbrt|cbrt_fast|nomass|q|pairs; "
+             "trbdf2: none|solves|matvec|tarp",
+    )
     ap.add_argument("--mode", default="parity", choices=["parity", "trbdf2"])
     ap.add_argument("--substeps", type=int, default=8,
                     help="sub-steps/hour in trbdf2 mode")
@@ -169,7 +152,7 @@ def main():
     from heatx.build.layout import compile_building
     from heatx.engine import state as state_mod
 
-    apply_ablation(args.ablate)
+    apply_ablation(args.ablate, args.mode)
 
     from heatx.ops import pallas_step
     from heatx.weather.epw import interpolate_to_steps
@@ -239,7 +222,7 @@ def main():
 
     t0 = time.time()
     T1, zT1 = run_days(params, T0, zT0, W)
-    warm_zone = float(zT1[0, 0])  # force (block_until_ready unreliable here)
+    float(zT1[0, 0])  # force completion (block_until_ready unreliable here)
     compile_s = time.time() - t0
 
     t0 = time.time()

@@ -120,9 +120,9 @@ def test_grad_wrt_weather_series():
     g = jax.grad(loss)(t0)
     assert g.shape == (8,)
     assert np.all(np.isfinite(g))
-    # warmer outdoors always warms the zone; later steps influence the
-    # truncated mean-T objective less than... no — EARLIER steps influence
-    # more history entries, so the gradient decays toward the end.
+    # warmer outdoors always warms the zone, and earlier steps influence
+    # more of the mean-T history than later ones, so the gradient is
+    # positive everywhere and decays toward the end of the series.
     assert np.all(np.asarray(g) > 0.0)
     assert float(g[0]) > float(g[-1])
     fd = _central_fd(lambda v: loss(t0.at[3].set(v)), 2.0, 1e-4)
