@@ -33,6 +33,8 @@ from __future__ import annotations
 from dataclasses import dataclass, replace
 from types import SimpleNamespace
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -625,10 +627,13 @@ def make_hour_march(
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
     if mode == "parity":
         if bb.config.nomass_fixed_iters is None and bb.surfaces.has_nomass:
-            raise ValueError(
-                "the parity hour kernel requires config.nomass_fixed_iters "
-                "(a data-dependent while_loop does not fit the fused pipeline)"
-            )
+            if os.environ.get("HEATX_KERNEL_WHILE", "0") != "1":
+                raise ValueError(
+                    "the parity hour kernel requires config.nomass_fixed_iters"
+                    " (data-dependent while_loop in the fused pipeline is"
+                    " experimental: set HEATX_KERNEL_WHILE=1 to try the exact"
+                    " adaptive loop in-kernel)"
+                )
         substeps = substeps or bb.base.dt_subdivisions
         dt = bb.base.dt
     else:

@@ -133,6 +133,9 @@ def main():
     ap.add_argument("--mode", default="parity", choices=["parity", "trbdf2"])
     ap.add_argument("--substeps", type=int, default=8,
                     help="sub-steps/hour in trbdf2 mode")
+    ap.add_argument("--nomass-iters", type=int, default=1,
+                    help="fixed no-mass iterations (0 = exact adaptive "
+                         "while_loop, parity mode only)")
     ap.add_argument("--zones", type=int, default=1000)
     ap.add_argument("--surfaces-per-zone", type=int, default=10)
     ap.add_argument("--days", type=int, default=30)
@@ -159,7 +162,10 @@ def main():
 
     dtype = jnp.float32
     model = bench_mod.build_city_model(args.zones, args.surfaces_per_zone)
-    cfg = heatx.SimConfig(dtype=dtype, nomass_fixed_iters=1)
+    cfg = heatx.SimConfig(
+        dtype=dtype,
+        nomass_fixed_iters=args.nomass_iters if args.nomass_iters > 0 else None,
+    )
     building = compile_building(model, n=1, config=cfg)
     n_nodes_total = int(np.sum(building.surfaces.n_nodes))
     subs = (building.dt_subdivisions if args.mode == "parity"

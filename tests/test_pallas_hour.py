@@ -126,6 +126,53 @@ def test_hour_kernel_cavity_matches_xla():
     )
 
 
+@pytest.mark.slow
+def test_hour_kernel_exact_adaptive_loop_matches_xla(monkeypatch):
+    """The reference-exact adaptive no-mass while_loop running INSIDE the
+    fused hour kernel (experimental opt-in HEATX_KERNEL_WHILE=1) matches
+    the XLA path's exact loop — numerics, not just the fixed-iteration
+    regime.  On hardware this measures ~122 s annual-equivalent at bench
+    scale vs ~650 s for the same exact numerics on the XLA path (PERF.md)."""
+    monkeypatch.setenv("HEATX_KERNEL_WHILE", "1")
+    m = city_model(3, 3)
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=None)
+    building = compile_building(m, n=4, config=cfg).astype(np.float64)
+    assert building.surfaces.has_nomass
+    bb = pallas_step.block_building(building, block_size=16)
+    sub = building.dt_subdivisions
+    S = building.n_surfaces
+
+    state = state_mod.initial_state(building)
+    inputs = state_mod.default_inputs(
+        building, t_out=-2.0, wind_speed=2.0,
+        sol_front=np.full(S, 200.0), ir_front=np.full(S, 320.0),
+    )
+    ref = step_mod.march(building, state, inputs)
+
+    hour_march, params = pallas_step.make_hour_march(bb, interpret=True)
+    lay = bb.layout
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(state.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(state.zone_T)))
+    az = jnp.zeros((bb.n_blocks, bb.zones_per_block))
+    hour_inputs = (
+        jnp.full((sub,), -2.0), jnp.full((sub,), 2.0), jnp.zeros((sub,)),
+        jnp.asarray(lay.surfaces_to_blocked(np.full(S, 200.0))),
+        jnp.asarray(lay.surfaces_to_blocked(np.zeros(S))),
+        jnp.asarray(lay.surfaces_to_blocked(np.full(S, 320.0))),
+        jnp.asarray(lay.surfaces_to_blocked(np.zeros(S))),
+        az, az,
+    )
+    T1, zT1, _, _ = hour_march(params, T0, zT0, hour_inputs)
+    zone_T = lay.zones_from_blocked(np.asarray(zT1), building.n_zones)
+    node_T = lay.surfaces_from_blocked(np.asarray(T1), S)
+    np.testing.assert_allclose(zone_T, np.asarray(ref.zone_T), atol=5e-8)
+    np.testing.assert_allclose(
+        node_T * np.asarray(building.surfaces.node_mask),
+        np.asarray(ref.node_T) * np.asarray(building.surfaces.node_mask),
+        atol=5e-8,
+    )
+
+
 def test_blocking_structure():
     model = city_model(5, 4)
     b = compile_building(
