@@ -15,9 +15,9 @@ time is a ``lax.scan``; scale-out shards the surface axis over a device mesh
 with a ``segment_sum`` + ``psum`` zone reduction.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
-from heatx import config, constants  # noqa: F401
+from heatx import config, constants, ensemble  # noqa: F401
 from heatx.api import ThermalModel  # noqa: F401
 from heatx.config import DEFAULT_CONFIG, SimConfig  # noqa: F401
 from heatx.engine.state import SimState, StepInputs  # noqa: F401
