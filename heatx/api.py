@@ -85,14 +85,24 @@ class ThermalModel:
         return self._march(state, inputs)
 
     def run(
-        self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True
+        self,
+        state: SimState,
+        inputs_seq: StepInputs,
+        collect_zone_T: bool = True,
+        collect_loads: bool = False,
     ) -> Tuple[SimState, Optional[jax.Array]]:
-        """March a whole [T, ...] input sequence in one compiled scan."""
-        if collect_zone_T not in self._run:
-            self._run[collect_zone_T] = step_mod.make_run_fn(
-                self._device(), collect_zone_T=collect_zone_T, donate=False
+        """March a whole [T, ...] input sequence in one compiled scan.
+
+        With ``collect_loads`` (setpoint-driven HVAC only) the history
+        output is ``(zone_T_hist, ideal_load_hist)`` — the per-main-step
+        mean heating(+)/cooling(-) demand in W per zone."""
+        key = (collect_zone_T, collect_loads)
+        if key not in self._run:
+            self._run[key] = step_mod.make_run_fn(
+                self._device(), collect_zone_T=collect_zone_T, donate=False,
+                collect_loads=collect_loads,
             )
-        return self._run[collect_zone_T](state, inputs_seq)
+        return self._run[key](state, inputs_seq)
 
     def run_checked(
         self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True

@@ -269,6 +269,17 @@ class CompiledBuilding:
     mix_dst: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
     mix_vol: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
 
+    # Setpoint-driven ideal loads (heatx extension; the reference's
+    # IdealHeaterCooler is todo!(), heating_cooling.rs:66-90).  Dense [Z]
+    # arrays: sentinel setpoints (+-1e9) and zero capacity on uncontrolled
+    # zones make the control a no-op there.  has_ideal_hvac is static so
+    # uncontrolled buildings trace zero extra ops.
+    ctl_heat_sp: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    ctl_cool_sp: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    ctl_max_heat: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    ctl_max_cool: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    has_ideal_hvac: bool = False
+
     @property
     def n_surfaces(self) -> int:
         return self.surfaces.n_surfaces
@@ -286,6 +297,10 @@ class CompiledBuilding:
             surfaces=self.surfaces.astype(dtype),
             zone_volume=self.zone_volume.astype(dtype),
             mix_vol=self.mix_vol.astype(dtype),
+            ctl_heat_sp=self.ctl_heat_sp.astype(dtype),
+            ctl_cool_sp=self.ctl_cool_sp.astype(dtype),
+            ctl_max_heat=self.ctl_max_heat.astype(dtype),
+            ctl_max_cool=self.ctl_max_cool.astype(dtype),
         )
 
     def set_fixed_h(self, front=None, back=None):
@@ -333,6 +348,7 @@ jax.tree_util.register_pytree_node(SurfaceBatch, _sb_flatten, _sb_unflatten)
 _CB_CHILDREN = (
     "surfaces", "zone_volume", "lum_space", "hvac_pair_space", "hvac_pair_unit",
     "mix_src", "mix_dst", "mix_vol",
+    "ctl_heat_sp", "ctl_cool_sp", "ctl_max_heat", "ctl_max_cool",
 )
 _CB_STATIC = (
     "n_zones",
@@ -343,6 +359,7 @@ _CB_STATIC = (
     "n_luminaires",
     "n_real_surfaces",
     "config",
+    "has_ideal_hvac",
 )
 
 
@@ -664,17 +681,45 @@ def compile_building(
         [model.space_index(l.target_space) for l in model.luminaires], dtype=np.int32
     )
 
-    # HVAC pairs
+    # HVAC pairs (scheduled units) + ideal-loads thermostats (setpoint units)
     pair_space: List[int] = []
     pair_unit: List[int] = []
+    ctl_heat_sp = np.full(Z, -1e9, dtype=f64)
+    ctl_cool_sp = np.full(Z, 1e9, dtype=f64)
+    ctl_max_heat = np.zeros(Z, dtype=f64)
+    ctl_max_cool = np.zeros(Z, dtype=f64)
+    has_ideal = False
+    ctl_owner: Dict[int, str] = {}
     for hi, hvac in enumerate(model.hvacs):
         if isinstance(hvac, ElectricHeater):
             pair_space.append(model.space_index(hvac.target_space))
             pair_unit.append(hi)
         elif isinstance(hvac, IdealHeaterCooler):
-            for sp in hvac.target_spaces:
-                pair_space.append(model.space_index(sp))
-                pair_unit.append(hi)
+            if hvac.heat_setpoint is not None or hvac.cool_setpoint is not None:
+                hs = -1e9 if hvac.heat_setpoint is None else float(hvac.heat_setpoint)
+                cs = 1e9 if hvac.cool_setpoint is None else float(hvac.cool_setpoint)
+                if hs >= cs:
+                    raise ValueError(
+                        f"IdealHeaterCooler {hvac.name!r}: heat_setpoint {hs} "
+                        f"must be below cool_setpoint {cs}"
+                    )
+                for sp in hvac.target_spaces:
+                    zi = model.space_index(sp)
+                    if zi in ctl_owner:
+                        raise ValueError(
+                            f"space {sp!r} is controlled by both "
+                            f"{ctl_owner[zi]!r} and {hvac.name!r}"
+                        )
+                    ctl_owner[zi] = hvac.name
+                    ctl_heat_sp[zi] = hs
+                    ctl_cool_sp[zi] = cs
+                    ctl_max_heat[zi] = float(hvac.max_heating)
+                    ctl_max_cool[zi] = float(hvac.max_cooling)
+                    has_ideal = True
+            else:
+                for sp in hvac.target_spaces:
+                    pair_space.append(model.space_index(sp))
+                    pair_unit.append(hi)
         else:
             raise ValueError(f"unknown HVAC type {type(hvac)}")
 
@@ -705,4 +750,9 @@ def compile_building(
         mix_src=mix_src,
         mix_dst=mix_dst,
         mix_vol=mix_vol,
+        ctl_heat_sp=ctl_heat_sp,
+        ctl_cool_sp=ctl_cool_sp,
+        ctl_max_heat=ctl_max_heat,
+        ctl_max_cool=ctl_max_cool,
+        has_ideal_hvac=has_ideal,
     )

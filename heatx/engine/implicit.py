@@ -174,7 +174,7 @@ def imp_substep(
     a, b, c = zone_mod.zone_abc(
         building, state.zone_T, env_f.h, env_b.h, ts_front, ts_back, inputs
     )
-    zone_T = zone_mod.future_zone_temperatures(state.zone_T, a, b, c, dt_sub)
+    zone_T, ideal_load = zone_mod.zone_update(building, state.zone_T, a, b, c, dt_sub)
 
     return SimState(
         node_T=T,
@@ -183,6 +183,7 @@ def imp_substep(
         h_back=env_b.h,
         q_front=q_front,
         q_back=q_back,
+        ideal_load=ideal_load,
     )
 
 
@@ -212,8 +213,13 @@ def imp_march(
         t_out if t_out.shape[0] == substeps else jnp.broadcast_to(t_out0, (substeps,))
     )
 
-    def body(carry, x):
-        return imp_substep(building, ops, carry, x, inputs, dt_sub), None
+    collect_load = building.has_ideal_hvac
 
-    state, _ = jax.lax.scan(body, state, t_out_seq)
+    def body(carry, x):
+        new = imp_substep(building, ops, carry, x, inputs, dt_sub)
+        return new, (new.ideal_load if collect_load else None)
+
+    state, loads = jax.lax.scan(body, state, t_out_seq)
+    if collect_load:
+        state = state._replace(ideal_load=jnp.mean(loads, axis=0))
     return state

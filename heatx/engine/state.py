@@ -29,6 +29,11 @@ class SimState(NamedTuple):
     h_back: jnp.ndarray  # [S]
     q_front: jnp.ndarray  # [S] front convective heat flow, W/m2
     q_back: jnp.ndarray  # [S]
+    # [Z] ideal-loads power (W, heating +, cooling -) when the building has
+    # setpoint-driven HVAC (heatx extension; see zone.zone_update):
+    # instantaneous per sub-step, mean over the main step after a march.
+    # None on uncontrolled buildings (absent from the pytree).
+    ideal_load: jnp.ndarray = None
 
 
 class StepInputs(NamedTuple):
@@ -75,6 +80,9 @@ def initial_state(building, dtype=None) -> SimState:
         h_back=jnp.full((S,), INITIAL_CONVECTION_COEFFICIENT, dtype=dtype),
         q_front=jnp.zeros((S,), dtype=dtype),
         q_back=jnp.zeros((S,), dtype=dtype),
+        ideal_load=(
+            jnp.zeros((Z,), dtype=dtype) if building.has_ideal_hvac else None
+        ),
     )
 
 

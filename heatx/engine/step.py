@@ -82,7 +82,7 @@ def substep(
     a, b, c = zone_mod.zone_abc(
         building, state.zone_T, env_f.h, env_b.h, ts_front, ts_back, inputs
     )
-    zone_T = zone_mod.future_zone_temperatures(state.zone_T, a, b, c, dt)
+    zone_T, ideal_load = zone_mod.zone_update(building, state.zone_T, a, b, c, dt)
 
     return SimState(
         node_T=node_T,
@@ -91,6 +91,7 @@ def substep(
         h_back=env_b.h,
         q_front=q_front,
         q_back=q_back,
+        ideal_load=ideal_load,
     )
 
 
@@ -114,11 +115,18 @@ def march(building: CompiledBuilding, state: SimState, inputs: StepInputs) -> Si
     ws = _per_substep_weather(building, inputs.wind_speed)
     wd = _per_substep_weather(building, inputs.wind_direction)
 
+    collect_load = building.has_ideal_hvac
+
     def body(carry, xs):
         t_o, w_s, w_d = xs
-        return substep(building, carry, t_o, w_s, w_d, inputs), None
+        new = substep(building, carry, t_o, w_s, w_d, inputs)
+        return new, (new.ideal_load if collect_load else None)
 
-    state, _ = jax.lax.scan(body, state, (t_out, ws, wd))
+    state, loads = jax.lax.scan(body, state, (t_out, ws, wd))
+    if collect_load:
+        # Report the MEAN ideal power over the main step (energy-consistent;
+        # the carry otherwise holds only the last sub-step's instantaneous W).
+        state = state._replace(ideal_load=jnp.mean(loads, axis=0))
     return state
 
 
@@ -157,6 +165,7 @@ def run(
     state: SimState,
     inputs_seq: StepInputs,
     collect_zone_T: bool = True,
+    collect_loads: bool = False,
 ) -> Tuple[SimState, Optional[jnp.ndarray]]:
     """March over a whole sequence of main steps in one XLA call.
 
@@ -164,20 +173,35 @@ def run(
     axis [T_steps, ...] (weather leaves may be [T_steps] scalars-per-step or
     [T_steps, dt_subdivisions]).  Returns the final state and, optionally,
     the [T_steps, Z] zone-temperature history (the reference's observable
-    output channel, zone.rs:45-49).
+    output channel, zone.rs:45-49).  With ``collect_loads`` (buildings with
+    setpoint-driven HVAC only) the history output becomes the tuple
+    ``(zone_T_hist, ideal_load_hist)`` with the [T_steps, Z] per-main-step
+    mean ideal powers — the heating/cooling demand series.
     """
+    if collect_loads and not building.has_ideal_hvac:
+        raise ValueError(
+            "collect_loads requires setpoint-driven HVAC "
+            "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
+        )
 
     def body(carry, step_inputs):
         new_state = march(building, carry, step_inputs)
         out = new_state.zone_T if collect_zone_T else None
+        if collect_loads:
+            out = (out, new_state.ideal_load)
         return new_state, out
 
     return jax.lax.scan(body, state, _with_time_axis_mix(inputs_seq))
 
 
-def make_run_fn(building: CompiledBuilding, collect_zone_T: bool = True, donate: bool = False):
+def make_run_fn(
+    building: CompiledBuilding,
+    collect_zone_T: bool = True,
+    donate: bool = False,
+    collect_loads: bool = False,
+):
     jitted = jax.jit(
-        partial(run, collect_zone_T=collect_zone_T),
+        partial(run, collect_zone_T=collect_zone_T, collect_loads=collect_loads),
         donate_argnums=(1,) if donate else (),
     )
 

@@ -111,6 +111,63 @@ def future_zone_temperatures(zone_T, a, b, c, dt):
     return jnp.where(jnp.abs(b) > 1e-9, t_new, zone_T)
 
 
+def zone_update(building: CompiledBuilding, zone_T, a, b, c, dt):
+    """Analytical zone update, plus setpoint-driven ideal-loads control when
+    the building has thermostatic units (heatx extension; the reference's
+    IdealHeaterCooler is ``todo!()``, heating_cooling.rs:66-90).
+
+    Returns ``(zone_T_new, ideal_load)`` with ``ideal_load`` the [Z] power
+    (W, heating positive / cooling negative) injected this sub-step, or
+    ``None`` for uncontrolled buildings (zero traced overhead).
+
+    Control law (the EnergyPlus ideal-loads pattern, applied to the exact
+    exponential solution model.rs:650-674): predict the free-float
+    temperature; if it crosses a setpoint, solve the closed form for the
+    exact power that lands T(t+dt) ON the setpoint —
+
+        T1 = A/B + (T0 - A/B) e^{-B dt/C}   =>
+        P  = B (T0 (1+em) - T_set) / em - A,   em = expm1(-B dt/C)
+
+    (B ~ 0: P = C (T_set - T0)/dt - A) — then clamp to the unit's capacity.
+    At the capacity limit the zone lands wherever ``A + P`` puts it, between
+    the free-float value and the setpoint (exactly an ElectricHeater at max
+    power).  Inside the deadband the load is zero and the update is
+    bit-identical to the uncontrolled one."""
+    if not building.has_ideal_hvac:
+        return future_zone_temperatures(zone_T, a, b, c, dt), None
+
+    dtype = zone_T.dtype
+    t_free = future_zone_temperatures(zone_T, a, b, c, dt)
+
+    smallb = jnp.abs(b) <= 1e-9
+    safe_b = jnp.where(smallb, 1.0, b)
+    em = jnp.expm1(-safe_b * dt / c)
+
+    def a_required(t_set):
+        a_gen = safe_b * (zone_T * (1.0 + em) - t_set) / em
+        a_lin = c * (t_set - zone_T) / dt
+        return jnp.where(smallb, a_lin, a_gen)
+
+    heat_sp = jnp.asarray(building.ctl_heat_sp, dtype)
+    cool_sp = jnp.asarray(building.ctl_cool_sp, dtype)
+    max_heat = jnp.asarray(building.ctl_max_heat, dtype)
+    max_cool = jnp.asarray(building.ctl_max_cool, dtype)
+
+    load = jnp.where(
+        t_free < heat_sp,
+        jnp.clip(a_required(heat_sp) - a, 0.0, max_heat),
+        jnp.where(
+            t_free > cool_sp,
+            jnp.clip(a_required(cool_sp) - a, -max_cool, 0.0),
+            jnp.zeros_like(a),
+        ),
+    )
+    zone_T_new = jnp.where(
+        load == 0.0, t_free, future_zone_temperatures(zone_T, a + load, b, c, dt)
+    )
+    return zone_T_new, load
+
+
 def mean_future_zone_temperatures(zone_T, a, b, c, dt):
     """Average temperature over the next dt (model.rs:617-644; dead code in
     the reference but part of its public math, exposed for parity)."""

@@ -20,7 +20,7 @@ def save_state(path: str, state: SimState, step: int = 0):
     np.savez(
         path,
         step=np.int64(step),
-        **{k: np.asarray(v) for k, v in state._asdict().items()},
+        **{k: np.asarray(v) for k, v in state._asdict().items() if v is not None},
     )
 
 
@@ -32,6 +32,9 @@ def load_state(path: str, dtype=None):
         step = int(d["step"])
         kw = {}
         for k in SimState._fields:
+            if k not in d:
+                kw[k] = None  # optional channel (e.g. ideal_load) absent
+                continue
             a = d[k]
             kw[k] = jnp.asarray(a if dtype is None else a.astype(dtype))
         return SimState(**kw), step

@@ -212,11 +212,27 @@ class ElectricHeater:
 @dataclass
 class IdealHeaterCooler:
     """heating_cooling.rs:29-38.  ``todo!()`` in the reference; implemented
-    here (documented deviation): delivers its heating/cooling consumption to
-    each target space."""
+    here (documented deviation) in two modes:
+
+    * **scheduled** (default, no setpoints): delivers its heating/cooling
+      consumption — read from the ``hvac_power`` input channel, like the
+      reference reads power from the state vector — to each target space.
+    * **setpoint-driven ideal loads** (``heat_setpoint``/``cool_setpoint``
+      given): a thermostat.  Each sub-step the zone update computes the
+      exact power that lands the analytical zone solution on the setpoint
+      (zero inside the deadband), clamps it to ``max_heating`` /
+      ``max_cooling`` (W, both positive; capacity applies per target
+      space), applies it, and records it in ``SimState.ideal_load`` — the
+      EnergyPlus "ideal loads air system" pattern, which is how
+      heating/cooling *demand* is computed.  Setpoint units do not consume
+      the ``hvac_power`` channel."""
 
     name: str
     target_spaces: List[str] = field(default_factory=list)
+    heat_setpoint: Optional[float] = None
+    cool_setpoint: Optional[float] = None
+    max_heating: float = float("inf")
+    max_cooling: float = float("inf")
 
 
 HVAC = Union[ElectricHeater, IdealHeaterCooler]

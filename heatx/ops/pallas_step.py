@@ -95,6 +95,12 @@ def block_building(
     ``node_split`` (see heatx.build.blocking.build_blocks): "auto" places
     few-node surfaces in dedicated lanes of each block so the kernel can
     march them as a short sub-batch — typically ~3x less padded node work."""
+    if building.has_ideal_hvac:
+        raise NotImplementedError(
+            "setpoint-driven ideal loads are not supported on the fused "
+            "kernel path yet; use ThermalModel.march/run (parity) or "
+            "march_imp/march_exp (fast modes) for thermostatic buildings"
+        )
     layout = build_blocks(building, block_size=block_size, node_split=node_split)
     sb = building.surfaces
 

@@ -64,11 +64,14 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = SURFACE_AXIS)
     return Mesh(np.array(devices), (axis_name,))
 
 
-def state_shardings(mesh: Mesh, axis: str = SURFACE_AXIS) -> SimState:
+def state_shardings(mesh: Mesh, axis: str = SURFACE_AXIS, has_loads: bool = True) -> SimState:
     s = NamedSharding(mesh, P(axis))
     ns = NamedSharding(mesh, P(None, axis))  # node-major [N, S]
     r = NamedSharding(mesh, P())
-    return SimState(node_T=ns, zone_T=r, h_front=s, h_back=s, q_front=s, q_back=s)
+    return SimState(
+        node_T=ns, zone_T=r, h_front=s, h_back=s, q_front=s, q_back=s,
+        ideal_load=(r if has_loads else None),
+    )
 
 
 def inputs_shardings(mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
@@ -95,7 +98,9 @@ def inputs_shardings(mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
 
 
 def shard_state(state: SimState, mesh: Mesh, axis: str = SURFACE_AXIS) -> SimState:
-    return _put_tree(state, state_shardings(mesh, axis))
+    return _put_tree(
+        state, state_shardings(mesh, axis, has_loads=state.ideal_load is not None)
+    )
 
 
 def shard_inputs(inputs: StepInputs, mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
@@ -168,10 +173,11 @@ def make_sharded_march(
     building = building.astype(building.config.dtype)
     bld_sh = building_shardings(building, mesh, axis)
     building = _put_tree(building, bld_sh)
+    st_sh = state_shardings(mesh, axis, has_loads=building.has_ideal_hvac)
     jitted = jax.jit(
         _march_for_mode(mode, substeps),
-        in_shardings=(bld_sh, state_shardings(mesh, axis), inputs_shardings(mesh, axis)),
-        out_shardings=state_shardings(mesh, axis),
+        in_shardings=(bld_sh, st_sh, inputs_shardings(mesh, axis)),
+        out_shardings=st_sh,
         donate_argnums=(1,) if donate else (),
     )
 

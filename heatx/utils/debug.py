@@ -18,6 +18,8 @@ def check_state_finite(state: SimState) -> dict:
     """Count of non-finite entries per state channel (host-side)."""
     out = {}
     for name, arr in state._asdict().items():
+        if arr is None:  # optional channel (e.g. ideal_load) absent
+            continue
         a = np.asarray(arr)
         bad = int(np.size(a) - np.isfinite(a).sum())
         if bad:

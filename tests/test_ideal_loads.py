@@ -1,0 +1,218 @@
+"""Setpoint-driven ideal-loads HVAC (thermostat control).
+
+The reference stubs IdealHeaterCooler with ``todo!()``
+(heating_cooling.rs:66-90); heatx implements the EnergyPlus
+ideal-loads-air-system pattern on the analytical zone update
+(heatx/engine/zone.py::zone_update).  Contracts tested:
+
+* the controller lands the zone EXACTLY on the setpoint when capacity
+  allows (the closed-form inversion of model.rs:650-674's update);
+* at the capacity limit the trajectory is bit-identical to an
+  ElectricHeater delivering max power;
+* inside the deadband the update is bit-identical to the uncontrolled
+  building;
+* the load history is energy-consistent and differentiable.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import heatx
+from heatx.build.layout import compile_building
+from heatx.engine import state as state_mod
+from heatx.engine import step as step_mod
+from heatx.model.building import ElectricHeater, IdealHeaterCooler
+from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+
+
+def _model(hvac=None, heating_power=0.0):
+    opts = SingleZoneOptions(
+        construction=[TestMat.polyurethane(0.02), TestMat.concrete(0.1)],
+        heating_power=heating_power,
+        infiltration_rate=0.01,
+    )
+    m = single_zone_building(opts)
+    if hvac is not None:
+        m.add_hvac(hvac)
+    return m
+
+
+def _compile(m):
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    return compile_building(m, n=1, config=cfg).astype(jnp.float64)
+
+
+def _seq(b, T, t_out=-5.0, sol=0.0):
+    one = state_mod.default_inputs(
+        b,
+        t_out=t_out,
+        wind_speed=3.0,
+        sol_front=np.full(b.n_surfaces, sol),
+        inf_vol=np.full(b.n_zones, 0.01),
+        inf_temp=np.full(b.n_zones, t_out),
+        inf_mask=np.ones(b.n_zones, bool),
+    )
+    return jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), one)
+
+
+def test_heating_pins_setpoint_and_reports_load():
+    b = _compile(_model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=20.0, cool_setpoint=27.0)))
+    assert b.has_ideal_hvac
+    st = state_mod.initial_state(b)
+    assert st.ideal_load is not None and st.ideal_load.shape == (1,)
+    T = 48
+    state, (zt, loads) = step_mod.run(b, st, _seq(b, T), collect_loads=True)
+    zt, loads = np.asarray(zt), np.asarray(loads)
+    assert zt.shape == loads.shape == (T, 1)
+    # After the initial free cool-down from 22 C, the thermostat holds the
+    # zone exactly at the heating setpoint.
+    assert np.all(np.abs(zt[24:] - 20.0) < 1e-9), zt[24:, 0]
+    assert np.all(loads[24:] > 0.0)
+    # Steady load balances the envelope: re-running with an ElectricHeater at
+    # the steady load reproduces the same steady temperature.
+    steady = float(loads[-1, 0])
+    b2 = _compile(_model(heating_power=1.0))
+    st2 = state_mod.initial_state(b2)
+    seq2 = _seq(b2, T)._replace(
+        hvac_power=jnp.full((T, b2.n_hvacs), steady, jnp.float64))
+    _, zt2 = step_mod.run(b2, st2, seq2)
+    assert abs(float(np.asarray(zt2)[-1, 0]) - 20.0) < 0.05
+
+
+def test_capacity_limit_equals_electric_heater():
+    cap = 40.0
+    b_ctl = _compile(_model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=35.0, max_heating=cap)))
+    b_el = _compile(_model(heating_power=1.0))
+    T = 24
+    st = state_mod.initial_state(b_ctl)
+    _, (zt_ctl, loads) = step_mod.run(b_ctl, st, _seq(b_ctl, T), collect_loads=True)
+    # The 35 C setpoint is unreachable at 40 W: the controller saturates...
+    assert np.all(np.asarray(loads) == cap)
+    # ...and the trajectory is bit-identical to an ElectricHeater at 40 W.
+    seq = _seq(b_el, T)._replace(
+        hvac_power=jnp.full((T, b_el.n_hvacs), cap, jnp.float64))
+    _, zt_el = step_mod.run(b_el, state_mod.initial_state(b_el), seq)
+    np.testing.assert_array_equal(np.asarray(zt_ctl), np.asarray(zt_el))
+
+
+def test_deadband_is_bit_identical_to_uncontrolled():
+    b_ctl = _compile(_model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=-40.0, cool_setpoint=90.0)))
+    b_free = _compile(_model())
+    T = 24
+    _, (zt_ctl, loads) = step_mod.run(
+        b_ctl, state_mod.initial_state(b_ctl), _seq(b_ctl, T), collect_loads=True
+    )
+    _, zt_free = step_mod.run(b_free, state_mod.initial_state(b_free), _seq(b_free, T))
+    assert np.all(np.asarray(loads) == 0.0)
+    np.testing.assert_array_equal(np.asarray(zt_ctl), np.asarray(zt_free))
+
+
+def test_cooling_pins_setpoint():
+    b = _compile(_model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=15.0, cool_setpoint=24.0)))
+    T = 48
+    state, (zt, loads) = step_mod.run(
+        b, state_mod.initial_state(b), _seq(b, T, t_out=32.0, sol=500.0),
+        collect_loads=True,
+    )
+    zt, loads = np.asarray(zt), np.asarray(loads)
+    assert np.all(np.abs(zt[24:] - 24.0) < 1e-9)
+    assert np.all(loads[24:] < 0.0)
+
+
+@pytest.mark.parametrize("mode", ["trbdf2", "exponential"])
+def test_fast_modes_track_parity(mode):
+    b = _compile(_model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=20.0, cool_setpoint=27.0)))
+    if mode == "trbdf2":
+        from heatx.engine.implicit import imp_march as march_fn
+    else:
+        from heatx.engine.exponential import exp_march as march_fn
+    T = 36
+    seq = _seq(b, T)
+    _, (zt_p, loads_p) = step_mod.run(
+        b, state_mod.initial_state(b), seq, collect_loads=True
+    )
+    st = state_mod.initial_state(b)
+    zts, lds = [], []
+    march = jax.jit(lambda s, x: march_fn(b, s, jax.tree.map(lambda v: v, x), 8))
+    for t in range(T):
+        st = march(st, jax.tree.map(lambda v: v[t], seq))
+        zts.append(float(st.zone_T[0]))
+        lds.append(float(st.ideal_load[0]))
+    # Same setpoint pinning; loads agree to the frozen-h approximation.
+    assert abs(zts[-1] - float(np.asarray(zt_p)[-1, 0])) < 0.05
+    assert abs(lds[-1] - float(np.asarray(loads_p)[-1, 0])) < 2.0
+
+
+def test_annual_demand_gradient():
+    """Annual heating demand is differentiable w.r.t. the envelope: more
+    insulation (smaller U) means less demand."""
+    b = _compile(_model(IdealHeaterCooler("ideal", ["Space"], heat_setpoint=20.0)))
+    T = 24
+    seq = _seq(b, T)
+    st = state_mod.initial_state(b)
+    sb0 = b.surfaces
+
+    def demand(u_scale):
+        bb = dataclasses.replace(
+            b, surfaces=dataclasses.replace(sb0, seg_u=sb0.seg_u * u_scale)
+        )
+        _, (_, loads) = step_mod.run(bb, st, seq, collect_loads=True)
+        return jnp.sum(loads[12:])  # W-hours over the settled window
+
+    g = jax.grad(demand)(jnp.asarray(1.0, jnp.float64))
+    assert np.isfinite(float(g))
+    assert float(g) > 0.0  # more conductance -> more heating demand
+    # FD cross-check
+    eps = 1e-4
+    fd = (float(demand(1.0 + eps)) - float(demand(1.0 - eps))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=1e-5)
+
+
+def test_build_validation():
+    with pytest.raises(ValueError, match="below cool_setpoint"):
+        _compile(_model(IdealHeaterCooler(
+            "x", ["Space"], heat_setpoint=25.0, cool_setpoint=20.0)))
+    m = _model(IdealHeaterCooler("a", ["Space"], heat_setpoint=20.0))
+    m.add_hvac(IdealHeaterCooler("b", ["Space"], cool_setpoint=26.0))
+    with pytest.raises(ValueError, match="controlled by both"):
+        _compile(m)
+    with pytest.raises(ValueError, match="collect_loads"):
+        b = _compile(_model())
+        step_mod.run(b, state_mod.initial_state(b), _seq(b, 2), collect_loads=True)
+
+
+def test_kernel_path_rejects_thermostats():
+    from heatx.ops import pallas_step
+
+    b = _compile(_model(IdealHeaterCooler("ideal", ["Space"], heat_setpoint=20.0)))
+    with pytest.raises(NotImplementedError, match="fused kernel"):
+        pallas_step.block_building(b, block_size=8)
+
+
+def test_checkpoint_roundtrip_with_loads(tmp_path):
+    from heatx.io.checkpoint import load_state, save_state
+
+    b = _compile(_model(IdealHeaterCooler("ideal", ["Space"], heat_setpoint=20.0)))
+    st = state_mod.initial_state(b)
+    st2, _ = step_mod.run(b, st, _seq(b, 3))[0], None
+    p = str(tmp_path / "st.npz")
+    save_state(p, st2, step=3)
+    loaded, step = load_state(p)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(loaded.ideal_load),
+                                  np.asarray(st2.ideal_load))
+    # Uncontrolled states round-trip with the channel absent.
+    b0 = _compile(_model())
+    st0 = state_mod.initial_state(b0)
+    save_state(p, st0)
+    loaded0, _ = load_state(p)
+    assert loaded0.ideal_load is None
