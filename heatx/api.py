@@ -417,6 +417,7 @@ class FastRunner:
         interp_weather: bool = False,
         dispatch_days: int = None,
         collect_fluxes: bool = False,
+        collect_loads: bool = False,
     ):
         """March a whole [T, ...] input sequence through the fused kernel:
         the fast-path equivalent of :meth:`ThermalModel.run`.
@@ -454,8 +455,13 @@ class FastRunner:
         gains [T, n] or [n]).  T must divide evenly into the runner's
         ``hours`` chunk (pad the sequence or construct the runner with
         ``hours=1``).
-        Returns ``(final SimState, zone_T [T, Z] | None)`` or, with
-        ``collect_fluxes``, ``(final, zone_T, fluxes_dict)``.
+        ``collect_loads`` (setpoint-driven HVAC only) appends the [T, Z]
+        per-hour mean ideal-load powers (the heating/cooling demand series,
+        computed in-kernel; see heatx.engine.zone.zone_update).
+
+        Returns ``(final SimState, zone_T [T, Z] | None)``, with
+        ``collect_fluxes`` appending the fluxes dict and ``collect_loads``
+        appending the loads array (in that order).
         """
         import numpy as np
 
@@ -549,6 +555,7 @@ class FastRunner:
         if self._run_jit is None:
             hour_march = self._hour_march
             collect_hq = self._collect_hq
+            has_loads = getattr(self._hour_march, "collect_loads", False)
 
             def scan_run(params, T, zT, xs, collect):
                 def body(carry, chunk):
@@ -561,7 +568,9 @@ class FastRunner:
                         hqh = outs[k]
                         k += 1
                     bad = outs[k]
-                    return (T, zT, hq), (hist if collect else None, hqh, bad)
+                    k += 1
+                    ld = outs[k] if has_loads else None
+                    return (T, zT, hq), (hist if collect else None, hqh, bad, ld)
 
                 hq0 = tuple(j.zeros((SP,), dt) for _ in range(4))
                 (T, zT, hq), ys = jax.lax.scan(body, (T, zT, hq0), xs)
@@ -569,9 +578,15 @@ class FastRunner:
 
             self._run_jit = jax.jit(scan_run, static_argnames=("collect",))
 
+        has_loads = getattr(self._hour_march, "collect_loads", False)
+        if collect_loads and not has_loads:
+            raise ValueError(
+                "collect_loads requires setpoint-driven HVAC "
+                "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
+            )
         Tb, zTb = self.to_blocked(state)
         chunk_D = D if dispatch_days is None else max(1, int(dispatch_days))
-        hists, hqhs = [], []
+        hists, hqhs, lds = [], [], []
         hq = None
 
         def check_bad(d0, bad_c):
@@ -590,7 +605,7 @@ class FastRunner:
         # of serializing the dispatch pipeline.
         for d0 in range(0, D, chunk_D):
             xs_c = tuple(x[d0 : d0 + chunk_D] for x in xs)
-            Tb, zTb, hq, (hist_c, hqh_c, bad_c) = self._run_jit(
+            Tb, zTb, hq, (hist_c, hqh_c, bad_c, ld_c) = self._run_jit(
                 self._params, Tb, zTb, xs_c, collect_zone_T
             )
             if assert_finite:
@@ -601,15 +616,27 @@ class FastRunner:
                 hists.append(hist_c)
             if collect_fluxes:
                 hqhs.append(hqh_c)
+            if has_loads:
+                lds.append(ld_c)
         if pending is not None:
             check_bad(*pending)
         final = self.from_blocked(Tb, zTb, hq)
+        if has_loads:
+            self._converters()  # ensure _zinv_d
+            # Final state carries the last marched hour's mean ideal power.
+            last = lds[-1][-1, -1].reshape(NB * ZB)[self._zinv_d]
+            final = final._replace(ideal_load=last)
 
         zone_T = None
         if collect_zone_T:
             self._converters()  # ensure _zinv_d
             hist = j.concatenate(hists, axis=0).reshape(T_steps, NB * ZB)
             zone_T = hist[:, self._zinv_d]  # device gather, stays on device
+        loads = None
+        if collect_loads:
+            self._converters()
+            ld = j.concatenate(lds, axis=0).reshape(T_steps, NB * ZB)
+            loads = ld[:, self._zinv_d]  # [T, Z] mean ideal power per hour
         if collect_fluxes:
             S = b.n_surfaces
             chans = []
@@ -619,7 +646,11 @@ class FastRunner:
                 ).reshape(T_steps, SP)
                 chans.append(lay.surfaces_from_blocked(a, S))
             fluxes = dict(zip(("h_front", "h_back", "q_front", "q_back"), chans))
+            if collect_loads:
+                return final, zone_T, fluxes, loads
             return final, zone_T, fluxes
+        if collect_loads:
+            return final, zone_T, loads
         return final, zone_T
 
     def march_blocked(self, T, zT, hour_inputs):
@@ -634,4 +665,10 @@ class FastRunner:
         T, zT = self.to_blocked(state)
         outs = self.march_blocked(T, zT, self.hour_inputs(inputs))
         T, zT, hq = outs[0], outs[1], outs[2]
-        return self.from_blocked(T, zT, hq)
+        st = self.from_blocked(T, zT, hq)
+        if getattr(self._hour_march, "collect_loads", False):
+            self._converters()  # ensure _zinv_d
+            NB, ZB = self._bb.n_blocks, self._bb.zones_per_block
+            ld = outs[-1][-1].reshape(NB * ZB)[self._zinv_d]
+            st = st._replace(ideal_load=ld)
+        return st

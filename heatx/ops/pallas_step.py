@@ -65,6 +65,10 @@ class BlockedBuilding:
     # mix_wt[b*ZB + from_local, to_local] = vol m3/s, or None.  Mixed zones
     # always share a block (blocking joins them), so this is block-diagonal.
     mix_wt: np.ndarray = None
+    # Setpoint-driven ideal-loads control (heatx extension; zone.zone_update):
+    # (heat_sp, cool_sp, max_heat, max_cool) as [n_blocks, ZB] arrays, or
+    # None when the building has no thermostatic units.
+    ctl: tuple = None
 
     @property
     def config(self) -> SimConfig:
@@ -95,12 +99,6 @@ def block_building(
     ``node_split`` (see heatx.build.blocking.build_blocks): "auto" places
     few-node surfaces in dedicated lanes of each block so the kernel can
     march them as a short sub-batch — typically ~3x less padded node work."""
-    if building.has_ideal_hvac:
-        raise NotImplementedError(
-            "setpoint-driven ideal loads are not supported on the fused "
-            "kernel path yet; use ThermalModel.march/run (parity) or "
-            "march_imp/march_exp (fast modes) for thermostatic buildings"
-        )
     layout = build_blocks(building, block_size=block_size, node_split=node_split)
     sb = building.surfaces
 
@@ -177,6 +175,21 @@ def block_building(
             W[bi, zone_local[int(s)], zone_local[int(d)]] += float(v)
         mix_wt = W.reshape(layout.n_blocks * ZB, ZB)
 
+    ctl = None
+    if building.has_ideal_hvac:
+        # Thermostat parameters per blocked zone; padded slots get the
+        # "never act" sentinels (zone.zone_update semantics in-kernel).
+        def zb(v, fill):
+            out = layout.zones_to_blocked(np.asarray(v), fill=fill)
+            return np.where(layout.zone_valid, out, fill)
+
+        ctl = (
+            zb(building.ctl_heat_sp, -1e9),
+            zb(building.ctl_cool_sp, 1e9),
+            zb(building.ctl_max_heat, 0.0),
+            zb(building.ctl_max_cool, 0.0),
+        )
+
     return BlockedBuilding(
         base=building,
         layout=layout,
@@ -186,6 +199,7 @@ def block_building(
         zone_volume=zone_volume,
         zone_valid=layout.zone_valid,
         mix_wt=mix_wt,
+        ctl=ctl,
     )
 
 
@@ -288,6 +302,44 @@ def _zone_update(zT, a_z, b_z, zone_volume, dt):
     return jnp.where(jnp.abs(b_z) > 1e-9, zT_new, zT)
 
 
+def _zone_update_ctl(zT, a_z, b_z, zone_volume, dt, ctl):
+    """Zone update with setpoint-driven ideal-loads control — the in-kernel
+    mirror of heatx.engine.zone.zone_update.  All [1, ZB] rows; returns
+    ``(zT_new, load)`` with the injected power (W, heating +, cooling -).
+
+    Pure elementwise select/clip arithmetic on zone rows, so the control
+    costs a handful of vector ops per sub-step on top of the plain update.
+    """
+    heat_sp, cool_sp, max_heat, max_cool = ctl
+    t_k = zT + KELVIN
+    c_z = zone_volume * gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
+    smallb = jnp.abs(b_z) <= 1e-9
+    safe_b = jnp.where(smallb, 1.0, b_z)
+    em = _expm1_neg(safe_b * dt / c_z)
+    t_free = zT - (a_z / safe_b - zT) * em
+    t_free = jnp.where(smallb, zT, t_free)
+
+    def a_required(t_set):
+        a_gen = safe_b * (zT * (1.0 + em) - t_set) / em
+        a_lin = c_z * (t_set - zT) / dt
+        return jnp.where(smallb, a_lin, a_gen)
+
+    zero = jnp.zeros_like(a_z)
+    load = jnp.where(
+        t_free < heat_sp,
+        jnp.clip(a_required(heat_sp) - a_z, zero, max_heat),
+        jnp.where(
+            t_free > cool_sp,
+            jnp.clip(a_required(cool_sp) - a_z, -max_cool, zero),
+            zero,
+        ),
+    )
+    a_ctl = a_z + load
+    t_ctl = zT - (a_ctl / safe_b - zT) * em
+    t_ctl = jnp.where(smallb, zT, t_ctl)
+    return jnp.where(load == 0.0, t_free, t_ctl), load
+
+
 def _row01(ab):
     """Rows 0 and 1 of a [2, Z] array as two [1, Z] rows, via masked
     reduces.  Plain row indexing (``ab[1]``) produces rank-1 multi-vreg
@@ -346,6 +398,7 @@ def _hour_body(
     solver=None,
     off=0,  # weather offset (multi-hour kernels pass hour*substeps)
     mix_wt=None,  # [ZB, ZB] block-local inter-zone mixing matrix
+    ctl=None,  # (heat_sp, cool_sp, max_heat, max_cool) [1, ZB] rows, or None
 ):
     """One hour of reference-parity sub-steps for one block; pure jnp.
 
@@ -410,21 +463,42 @@ def _hour_body(
             s0 = gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
             a_z = a_z + jnp.dot(s0 * zT, mix_wt, preferred_element_type=f32)
             b_z = b_z + jnp.dot(s0, mix_wt, preferred_element_type=f32)
-        zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt)
-        return (tuple(new_Ts), zT_new), tuple(hqs)
-
-    def loop_body(i, carry):
-        (Ts, zT), _ = carry
-        t_out = t_out_arr[off + i]
-        ws = wind_arr[off + i]
-        wd = wdir_arr[off + i]
-        return substep((Ts, zT), t_out, ws, wd)
+        if ctl is None:
+            zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt)
+            load = None
+        else:
+            zT_new, load = _zone_update_ctl(zT, a_z, b_z, zone_volume, dt, ctl)
+        return (tuple(new_Ts), zT_new), tuple(hqs), load
 
     hq0 = tuple(
         tuple(jnp.zeros_like(p.sol_front) for _ in range(4)) for p in parts
     )
-    (Ts, zT), hqs = jax.lax.fori_loop(0, substeps, loop_body, ((T0s, zT0), hq0))
-    return Ts, zT, hqs
+    if ctl is None:
+
+        def loop_body(i, carry):
+            (Ts, zT), _ = carry
+            st, hqs, _ = substep(
+                (Ts, zT), t_out_arr[off + i], wind_arr[off + i], wdir_arr[off + i]
+            )
+            return st, hqs
+
+        (Ts, zT), hqs = jax.lax.fori_loop(
+            0, substeps, loop_body, ((T0s, zT0), hq0)
+        )
+        return Ts, zT, hqs, None
+
+    def loop_body(i, carry):
+        (Ts, zT), _, lsum = carry
+        st, hqs, load = substep(
+            (Ts, zT), t_out_arr[off + i], wind_arr[off + i], wdir_arr[off + i]
+        )
+        return st, hqs, lsum + load
+
+    (Ts, zT), hqs, lsum = jax.lax.fori_loop(
+        0, substeps, loop_body, ((T0s, zT0), hq0, jnp.zeros_like(zT0))
+    )
+    # Mean ideal power over the hour's sub-steps (energy-consistent).
+    return Ts, zT, hqs, lsum / substeps
 
 
 def _hour_body_imp(
@@ -443,6 +517,7 @@ def _hour_body_imp(
     solver=None,  # accepted for call-site compatibility; stages pre-factor
     off=0,
     mix_wt=None,  # [ZB, ZB] block-local inter-zone mixing matrix
+    ctl=None,  # (heat_sp, cool_sp, max_heat, max_cool) [1, ZB] rows, or None
 ):
     """One hour of TR-BDF2 fast-mode sub-steps for one block (see
     heatx.engine.implicit): coefficients freeze once per hour, each sub-step
@@ -547,18 +622,37 @@ def _hour_body_imp(
             s0 = gas.density(gas.AIR, t_k) * gas.heat_capacity(gas.AIR, t_k)
             a_z = a_z + jnp.dot(s0 * zT, mix_wt, preferred_element_type=f32)
             b_z = b_z + jnp.dot(s0, mix_wt, preferred_element_type=f32)
-        zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt_sub)
-        return (tuple(new_Ts), zT_new), tuple(hqs)
-
-    def loop_body(i, carry):
-        (Ts, zT), _ = carry
-        return substep((Ts, zT), t_out_arr[off + i])
+        if ctl is None:
+            zT_new = _zone_update(zT, a_z, b_z, zone_volume, dt_sub)
+            load = None
+        else:
+            zT_new, load = _zone_update_ctl(zT, a_z, b_z, zone_volume, dt_sub, ctl)
+        return (tuple(new_Ts), zT_new), tuple(hqs), load
 
     hq0 = tuple(
         tuple(jnp.zeros_like(p.sol_front) for _ in range(4)) for p in parts
     )
-    (Ts, zT), hqs = jax.lax.fori_loop(0, substeps, loop_body, ((T0s, zT0), hq0))
-    return Ts, zT, hqs
+    if ctl is None:
+
+        def loop_body(i, carry):
+            (Ts, zT), _ = carry
+            st, hqs, _ = substep((Ts, zT), t_out_arr[off + i])
+            return st, hqs
+
+        (Ts, zT), hqs = jax.lax.fori_loop(
+            0, substeps, loop_body, ((T0s, zT0), hq0)
+        )
+        return Ts, zT, hqs, None
+
+    def loop_body(i, carry):
+        (Ts, zT), _, lsum = carry
+        st, hqs, load = substep((Ts, zT), t_out_arr[off + i])
+        return st, hqs, lsum + load
+
+    (Ts, zT), hqs, lsum = jax.lax.fori_loop(
+        0, substeps, loop_body, ((T0s, zT0), hq0, jnp.zeros_like(zT0))
+    )
+    return Ts, zT, hqs, lsum / substeps
 
 
 # Node-array field names passed per part (cavity fields appended when the
@@ -831,6 +925,10 @@ def make_hour_march(
         if bb.mix_wt is not None:
             r_shared["mix_wt"] = refs[i]
             i += 1
+        if bb.ctl is not None:
+            for nm in ("ctl_heat", "ctl_cool", "ctl_mxh", "ctl_mxc"):
+                r_shared[nm] = refs[i]
+                i += 1
         for pi in range(n_parts):
             for name in ["sol_front", "sol_back", "ir_front", "ir_back"]:
                 r_parts[pi][name] = refs[i]
@@ -861,6 +959,10 @@ def make_hour_march(
         bad_ref = None
         if collect_bad:
             bad_ref = refs[i]
+            i += 1
+        ld_hist_ref = None
+        if bb.ctl is not None:
+            ld_hist_ref = refs[i]
             i += 1
         scratch = refs[i:]
 
@@ -994,6 +1096,14 @@ def make_hour_march(
                 mix_wt=(
                     r_shared["mix_wt"][...] if "mix_wt" in r_shared else None
                 ),
+                ctl=(
+                    tuple(
+                        r_shared[nm][...][0:1]
+                        for nm in ("ctl_heat", "ctl_cool", "ctl_mxh", "ctl_mxc")
+                    )
+                    if bb.ctl is not None
+                    else None
+                ),
             )
 
         T0s = tuple(rp["T0"][...] for _, rp in part_vals)
@@ -1042,9 +1152,12 @@ def make_hour_march(
                 bad_hist = bad_hist + bad_count(Ts, zT) * rm
             return hq_hists, bad_hist
 
+        ideal = bb.ctl is not None
+        ld_hist0 = jnp.zeros((HR8, zT0.shape[-1]), dtype) if ideal else None
         if hours == 1:
-            Ts, zT, hqs = one_hour(0, T0s, zT0)
+            Ts, zT, hqs, ld = one_hour(0, T0s, zT0)
             zt_hist = zT * row_mask(0)
+            ld_hist = ld * row_mask(0) if ideal else None
             hq_hists, bad_hist = post_hour(0, hqs, zT, Ts, hq_hists0, bad_hist0)
         else:
             hq0 = tuple(
@@ -1054,17 +1167,20 @@ def make_hour_march(
             hist0 = jnp.zeros((HR8, zT0.shape[-1]), dtype)
 
             def hour_loop(h, carry):
-                Ts, zT, _, hist, hq_hists, bad_hist = carry
-                Ts, zT, hqs = one_hour(h, Ts, zT)
+                Ts, zT, _, hist, hq_hists, bad_hist, ld_hist = carry
+                Ts, zT, hqs, ld = one_hour(h, Ts, zT)
                 # Post-hour zone temps, accumulated via a one-hot row
                 # (stores with a dynamic sublane offset also lower, but the
                 # masked add keeps the loop body store-free).
                 hist = hist + zT * row_mask(h)
+                if ideal:
+                    ld_hist = ld_hist + ld * row_mask(h)
                 hq_hists, bad_hist = post_hour(h, hqs, zT, Ts, hq_hists, bad_hist)
-                return (Ts, zT, hqs, hist, hq_hists, bad_hist)
+                return (Ts, zT, hqs, hist, hq_hists, bad_hist, ld_hist)
 
-            Ts, zT, hqs, zt_hist, hq_hists, bad_hist = jax.lax.fori_loop(
-                0, hours, hour_loop, (T0s, zT0, hq0, hist0, hq_hists0, bad_hist0)
+            Ts, zT, hqs, zt_hist, hq_hists, bad_hist, ld_hist = jax.lax.fori_loop(
+                0, hours, hour_loop,
+                (T0s, zT0, hq0, hist0, hq_hists0, bad_hist0, ld_hist0),
             )
         for pi in range(n_parts):
             t_out_refs[pi][...] = Ts[pi]
@@ -1082,6 +1198,8 @@ def make_hour_march(
                     hq_hist_refs[pi][k][...] = hq_hists[pi][k]
         if collect_bad:
             bad_ref[...] = jnp.broadcast_to(bad_hist, (HR8, zT0.shape[-1]))
+        if ideal:
+            ld_hist_ref[...] = ld_hist
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -1138,6 +1256,13 @@ def make_hour_march(
         in_specs.append(zone_spec(ZB))  # block-local mixing matrix
         params.append(jnp.asarray(bb.mix_wt, dtype))
         param_axes.append("row")
+    if bb.ctl is not None:
+        for arr in bb.ctl:  # thermostat heat_sp / cool_sp / max_heat / max_cool
+            in_specs.append(zone_spec())
+            params.append(
+                jnp.asarray(_pad_zone_rows(np.asarray(arr).reshape(NB, 1, ZB), 8), dtype)
+            )
+            param_axes.append("row")
     for rows, lo, w in parts_meta:
         in_specs += [vspec(hours, w)] * 4  # sol_f, sol_b, ir_f, ir_b
     in_specs += [zone_spec(HR8), zone_spec(HR8)]  # a_extra, b_extra
@@ -1162,6 +1287,9 @@ def make_hour_march(
             out_specs += [vspec(HR8, w)] * 4
             out_shape += [jax.ShapeDtypeStruct((HR8, NBl * w), dtype)] * 4
     if collect_bad:
+        out_specs.append(zone_spec(HR8))
+        out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
+    if bb.ctl is not None:  # per-hour mean ideal-load history
         out_specs.append(zone_spec(HR8))
         out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
 
@@ -1246,6 +1374,8 @@ def make_hour_march(
                 hqh_parts.append(outs[oi : oi + 4])
                 oi += 4
         bad_out = outs[oi] if collect_bad else None
+        oi += 1 if collect_bad else 0
+        ld_out = outs[oi] if bb.ctl is not None else None
 
         # Reassemble the full-width layout from the parts.
         T_new = jnp.zeros((N, NBl, SB), dtype)
@@ -1283,9 +1413,14 @@ def make_hour_march(
             # (the value is lane-broadcast in the kernel; read lane 0)
             bad = bad_out.reshape(NBl, HR8, ZB)[:, :hours, 0]
             ret = ret + (jnp.moveaxis(bad, 1, 0),)
+        if bb.ctl is not None:
+            # [hours, NBl, ZB]: per-hour mean ideal-load power (W, heating +)
+            ld = jnp.moveaxis(ld_out.reshape(NBl, HR8, ZB)[:, :hours], 1, 0)
+            ret = ret + (ld,)
         return ret
 
     hour_march.param_axes = tuple(param_axes)
     hour_march.collect_bad = collect_bad
     hour_march.collect_hq = collect_hq
+    hour_march.collect_loads = bb.ctl is not None
     return hour_march, params

@@ -190,12 +190,51 @@ def test_build_validation():
         step_mod.run(b, state_mod.initial_state(b), _seq(b, 2), collect_loads=True)
 
 
-def test_kernel_path_rejects_thermostats():
+def test_kernel_matches_xla_fast_mode():
+    """The fused kernel's in-kernel thermostat (FastRunner path) matches the
+    XLA TR-BDF2 march: same setpoint pinning, same loads, same final state."""
+    from heatx.engine.implicit import imp_march
+
+    m = _model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=20.0, cool_setpoint=27.0))
+    tm = heatx.ThermalModel(
+        m, n=1, config=heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    )
+    b = tm._device()
+    T = 8
+    seq = _seq(b, T)
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, hours=2)
+    st0 = tm.initial_state()
+    final, zt_k, loads_k = fr.run(st0, seq, collect_loads=True)
+    zt_k, loads_k = np.asarray(zt_k), np.asarray(loads_k)
+    assert zt_k.shape == loads_k.shape == (T, 1)
+
+    st = tm.initial_state()
+    zts, lds = [], []
+    for t in range(T):
+        st = imp_march(b, st, jax.tree.map(lambda v: v[t], seq), 4)
+        zts.append(float(st.zone_T[0]))
+        lds.append(float(st.ideal_load[0]))
+    np.testing.assert_allclose(zt_k[:, 0], zts, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(loads_k[:, 0], lds, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(
+        float(final.ideal_load[0]), lds[-1], rtol=1e-6, atol=1e-4
+    )
+    # march() (single hour) also reports the load channel.
+    fr1 = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, hours=1)
+    st1 = fr1.march(st0, jax.tree.map(lambda v: v[0], seq))
+    assert st1.ideal_load is not None and np.isfinite(float(st1.ideal_load[0]))
+
+
+def test_sharded_kernel_rejects_thermostats():
     from heatx.ops import pallas_step
+    from heatx.parallel import sharding as sh
 
     b = _compile(_model(IdealHeaterCooler("ideal", ["Space"], heat_setpoint=20.0)))
-    with pytest.raises(NotImplementedError, match="fused kernel"):
-        pallas_step.block_building(b, block_size=8)
+    bb = pallas_step.block_building(b, block_size=8)
+    mesh = sh.make_mesh(jax.devices("cpu")[:1])
+    with pytest.raises(NotImplementedError, match="sharded"):
+        sh.make_sharded_hour_march(bb, mesh)
 
 
 def test_checkpoint_roundtrip_with_loads(tmp_path):
