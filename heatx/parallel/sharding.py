@@ -200,9 +200,6 @@ def make_sharded_hour_march(
 ):
     """Shard the fused Pallas hour/day kernel over the device mesh.
 
-    Setpoint-driven ideal loads are not wired through the sharded specs yet;
-    thermostatic buildings shard via make_sharded_march (XLA paths).
-
     Blocks are zone-closed (heatx.build.blocking), so the kernel shards
     embarrassingly over the block axis: each device runs the same pallas_call
     with a grid of ``n_blocks / n_devices`` blocks on its shard of the
@@ -214,11 +211,6 @@ def make_sharded_hour_march(
     shapes must be canonical: weather ``[hours*substeps]``, per-surface
     irradiance ``[hours, SP]``, gains ``[hours, n_blocks, ZB]``.
     """
-    if getattr(bb, "ctl", None) is not None:
-        raise NotImplementedError(
-            "ideal-loads control is not wired through the sharded kernel "
-            "specs yet; use make_sharded_march for thermostatic buildings"
-        )
     try:
         import inspect
 
@@ -277,6 +269,8 @@ def make_sharded_hour_march(
         out_specs = out_specs + ((lane2, lane2, lane2, lane2),)  # [hours, SP]
     if collect_bad:
         out_specs = out_specs + (P(None, axis),)  # [hours, NB]
+    if getattr(hm, "collect_loads", False):
+        out_specs = out_specs + (P(None, axis, None),)  # loads [hours, NB, ZB]
     fn = shard_map(
         hm, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
     )

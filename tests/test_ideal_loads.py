@@ -226,15 +226,77 @@ def test_kernel_matches_xla_fast_mode():
     assert st1.ideal_load is not None and np.isfinite(float(st1.ideal_load[0]))
 
 
-def test_sharded_kernel_rejects_thermostats():
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_kernel_with_thermostats_matches_unsharded():
+    """The in-kernel thermostat shards with the blocks (zone-closed, so the
+    control is block-local): sharded == unsharded bit-for-bit, including the
+    demand history."""
+    from heatx.build.layout import compile_building as cb
+    from heatx.model.building import (
+        Boundary, BuildingModel, Construction, Material, SpaceDef, Substance,
+        SurfaceDef,
+    )
     from heatx.ops import pallas_step
     from heatx.parallel import sharding as sh
 
-    b = _compile(_model(IdealHeaterCooler("ideal", ["Space"], heat_setpoint=20.0)))
-    bb = pallas_step.block_building(b, block_size=8)
-    mesh = sh.make_mesh(jax.devices("cpu")[:1])
-    with pytest.raises(NotImplementedError, match="sharded"):
-        sh.make_sharded_hour_march(bb, mesh)
+    m = BuildingModel()
+    m.add_substance(Substance(
+        "concrete", thermal_conductivity=0.816, density=1700.0,
+        specific_heat_capacity=800.0))
+    m.add_material(Material("c20", "concrete", 0.2))
+    m.add_construction(Construction("massive", ["c20"]))
+    verts = np.array([[0, 0, 0], [6, 0, 0], [6, 0, 3], [0, 0, 3]], float)
+    for z in range(8):
+        m.add_space(SpaceDef(f"z{z}", 150.0))
+        for si in range(3):
+            m.add_surface(SurfaceDef(
+                f"s{z}_{si}", "massive", Boundary.outdoor(),
+                Boundary.space_(f"z{z}"), vertices=verts))
+        # Setpoints above the 22 C initial state so heating engages within
+        # the short 2 h window (massive zones cool only ~0.1 K/2 h).
+        m.add_hvac(IdealHeaterCooler(
+            f"t{z}", [f"z{z}"], heat_setpoint=23.0 + 0.25 * z, cool_setpoint=29.0))
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2)
+    building = cb(m, n=1, config=cfg).astype(np.float64)
+    bb = pallas_step.block_building(building, block_size=4)
+    assert bb.n_blocks == 8 and bb.ctl is not None
+
+    from heatx.engine import state as state_mod
+
+    hours, sub = 2, 4
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    NB, ZB = bb.n_blocks, bb.zones_per_block
+    st = state_mod.initial_state(building)
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)))
+    hi = (
+        jnp.full((hours * sub,), -3.0),
+        jnp.full((hours * sub,), 3.0),
+        jnp.full((hours * sub,), 1.0),
+        jnp.zeros((hours, SP)),
+        jnp.zeros((hours, SP)),
+        jnp.tile(jnp.asarray(
+            lay.surfaces_to_blocked(np.full(building.n_surfaces, 320.0)))[None],
+            (hours, 1)),
+        jnp.zeros((hours, SP)),
+        jnp.zeros((hours, NB, ZB)),
+        jnp.zeros((hours, NB, ZB)),
+    )
+    hm0, p0 = pallas_step.make_hour_march(
+        bb, substeps=sub, mode="trbdf2", hours=hours, interpret=True)
+    assert hm0.collect_loads
+    T_a, zT_a, hq_a, hist_a, ld_a = hm0(p0, T0, zT0, hi)
+    assert np.asarray(ld_a).shape == (hours, NB, ZB)
+    assert np.asarray(ld_a).max() > 0  # setpoints above 22 C: heating engages
+
+    mesh = sh.make_mesh(jax.devices()[:8])
+    hm1, p1 = sh.make_sharded_hour_march(
+        bb, mesh, substeps=sub, mode="trbdf2", hours=hours, interpret=True)
+    T_b, zT_b, hq_b, hist_b, ld_b = jax.jit(hm1)(p1, T0, zT0, hi)
+    np.testing.assert_array_equal(np.asarray(zT_a), np.asarray(zT_b))
+    np.testing.assert_array_equal(np.asarray(hist_a), np.asarray(hist_b))
+    np.testing.assert_array_equal(np.asarray(ld_a), np.asarray(ld_b))
 
 
 def test_checkpoint_roundtrip_with_loads(tmp_path):
