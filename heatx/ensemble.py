@@ -101,11 +101,15 @@ def ensemble_initial_state(building_e: CompiledBuilding, n_members: int) -> SimS
     )
 
 
-def _seq_run(mode: str, substeps: int, collect_zone_T: bool):
-    """A (building, state, inputs_seq) -> (state, zone_T_hist) runner for one
-    member, for each production integrator."""
+def _seq_run(mode: str, substeps: int, collect_zone_T: bool, collect_loads: bool = False):
+    """A (building, state, inputs_seq) -> (state, history) runner for one
+    member, for each production integrator.  With ``collect_loads`` the
+    history is ``(zone_T_hist, ideal_load_hist)`` (setpoint-driven HVAC
+    only, like step.run)."""
     if mode == "parity":
-        return partial(step_mod.run, collect_zone_T=collect_zone_T)
+        return partial(
+            step_mod.run, collect_zone_T=collect_zone_T, collect_loads=collect_loads
+        )
 
     if mode == "trbdf2":
         from heatx.engine.implicit import imp_march as march_fn
@@ -115,9 +119,18 @@ def _seq_run(mode: str, substeps: int, collect_zone_T: bool):
         raise ValueError(f"unknown mode {mode!r} (parity | trbdf2 | exponential)")
 
     def run(building, state, inputs_seq):
+        if collect_loads and not building.has_ideal_hvac:
+            raise ValueError(
+                "collect_loads requires setpoint-driven HVAC "
+                "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
+            )
+
         def body(carry, step_inputs):
             new_state = march_fn(building, carry, step_inputs, substeps)
-            return new_state, (new_state.zone_T if collect_zone_T else None)
+            out = new_state.zone_T if collect_zone_T else None
+            if collect_loads:
+                out = (out, new_state.ideal_load)
+            return new_state, out
 
         return jax.lax.scan(body, state, step_mod._with_time_axis_mix(inputs_seq))
 
@@ -130,6 +143,7 @@ def make_run(
     collect_zone_T: bool = True,
     inputs_axes=None,
     jit: bool = True,
+    collect_loads: bool = False,
 ):
     """Build a jitted ensemble runner ``fn(building_e, state_e, inputs_seq)``.
 
@@ -138,9 +152,10 @@ def make_run(
     ``inputs_seq`` is shared across members by default (``inputs_axes=None``)
     or per-member with ``inputs_axes=0`` (leaves then shaped [E, T, ...]).
     Returns ``(final_state_e, zone_T_hist_e)`` with ``zone_T_hist_e`` shaped
-    [E, T, Z].
+    [E, T, Z]; ``collect_loads`` makes the history
+    ``(zone_T_hist_e, ideal_load_hist_e)`` (setpoint-driven HVAC only).
     """
-    run1 = _seq_run(mode, substeps, collect_zone_T)
+    run1 = _seq_run(mode, substeps, collect_zone_T, collect_loads)
     fn = jax.vmap(run1, in_axes=(0, 0, inputs_axes))
     return jax.jit(fn) if jit else fn
 
@@ -170,6 +185,7 @@ def run_param_ensemble(
     substeps: int = 8,
     collect_zone_T: bool = True,
     inputs_axes=None,
+    collect_loads: bool = False,
 ):
     """Sweep a batched parameter pytree over ONE compiled building.
 
@@ -181,7 +197,7 @@ def run_param_ensemble(
     touch it.  Fully differentiable: wrap in ``jax.grad`` for population
     calibration.
     """
-    run1 = _seq_run(mode, substeps, collect_zone_T)
+    run1 = _seq_run(mode, substeps, collect_zone_T, collect_loads)
 
     def member(params):
         return run1(apply_fn(building, params), state, inputs_seq)

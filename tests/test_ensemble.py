@@ -134,6 +134,41 @@ def test_sharded_ensemble_matches_unsharded(stacked):
                                np.asarray(ref_state.zone_T), rtol=0, atol=1e-12)
 
 
+def test_ensemble_demand_sweep():
+    """Thermostats compose with the ensemble axis: sweeping the heating
+    setpoint over one compiled building returns a per-member demand history,
+    monotone in the setpoint."""
+    import dataclasses
+
+    from heatx.model.building import IdealHeaterCooler
+
+    m = _model()
+    m.add_hvac(IdealHeaterCooler("t", ["Space"], heat_setpoint=20.0))
+    b = _compile(m)
+    st = state_mod.initial_state(b)
+    seq = _inputs_seq(b, T=6)._replace(
+        t_out=jnp.full((6,), -5.0, jnp.float64),
+        hvac_power=jnp.zeros((6, b.n_hvacs), jnp.float64),
+    )
+
+    def apply_fn(bld, sp):
+        return dataclasses.replace(bld, ctl_heat_sp=jnp.full_like(bld.ctl_heat_sp, sp))
+
+    setpoints = jnp.asarray([23.0, 24.0, 25.0], jnp.float64)
+    _, (zt, loads) = ensemble.run_param_ensemble(
+        b, apply_fn, setpoints, st, seq, mode="trbdf2", substeps=2,
+        collect_loads=True,
+    )
+    loads = np.asarray(loads)  # [E, T, Z]
+    assert loads.shape == (3, 6, 1)
+    totals = loads.sum(axis=(1, 2))
+    assert totals[0] < totals[1] < totals[2]  # higher setpoint, more demand
+    # Each member pinned at its own setpoint by the end.
+    zt = np.asarray(zt)
+    for i, sp in enumerate([23.0, 24.0, 25.0]):
+        assert abs(zt[i, -1, 0] - sp) < 1e-6, (i, zt[i, -1, 0])
+
+
 def test_stack_rejects_mismatched_layouts():
     b1 = _compile(_model())
     # A different construction discretizes to a different node layout.
