@@ -17,10 +17,15 @@ import time
 import numpy as np
 
 
-def build_city_model(n_zones: int, surfaces_per_zone: int):
+def build_city_model(n_zones: int, surfaces_per_zone: int, orientations: bool = False):
     """A synthetic city-block building: per zone, massive concrete walls, one
     mixed (insulated) wall, and a glazed window — exercising the massive RK4
-    path, the no-mass fixed point, and glazing optics together."""
+    path, the no-mass fixed point, and glazing optics together.
+
+    ``orientations=True`` rotates successive surfaces through the four
+    compass facades (used with heatx.weather.solar for orientation-resolved
+    irradiance; the default keeps every facade south-facing, matching the
+    scored bench workload)."""
     from heatx.model.building import (
         Boundary,
         BuildingModel,
@@ -59,7 +64,12 @@ def build_city_model(n_zones: int, surfaces_per_zone: int):
     m.add_construction(Construction("mixed", ["p2", "c20", "p2"]))
     m.add_construction(Construction("window", ["g6"]))
 
-    verts = np.array([[0, 0, 0], [6, 0, 0], [6, 0, 3], [0, 0, 3]], float)
+    base = np.array([[0, 0, 0], [6, 0, 0], [6, 0, 3], [0, 0, 3]], float)
+    rots = [base]
+    if orientations:
+        for _ in range(3):  # rotate 90 deg about z: (x, y) -> (-y, x)
+            prev = rots[-1]
+            rots.append(np.stack([-prev[:, 1], prev[:, 0], prev[:, 2]], axis=1))
     kinds = ["massive"] * (surfaces_per_zone - 2) + ["mixed", "window"]
     for z in range(n_zones):
         zone = f"z{z}"
@@ -68,7 +78,7 @@ def build_city_model(n_zones: int, surfaces_per_zone: int):
             m.add_surface(
                 SurfaceDef(
                     f"s{z}_{si}", kind, Boundary.outdoor(), Boundary.space_(zone),
-                    vertices=verts,
+                    vertices=rots[(z + si) % len(rots)],
                 )
             )
         m.add_hvac(ElectricHeater(f"h{z}", zone))

@@ -40,9 +40,10 @@ def main():
     from bench import build_city_model, load_weather
     from heatx.model.building import IdealHeaterCooler
 
-    # The bench city model, with a thermostat per zone instead of scheduled
-    # heater power (the ElectricHeaters stay but receive 0 W).
-    model = build_city_model(args.zones, 10)
+    # The bench city model with real compass orientations, and a thermostat
+    # per zone instead of scheduled heater power (the ElectricHeaters stay
+    # but receive 0 W).
+    model = build_city_model(args.zones, 10, orientations=True)
     for z in range(args.zones):
         model.add_hvac(IdealHeaterCooler(
             f"tstat{z}", [f"z{z}"], heat_setpoint=20.0, cool_setpoint=26.0,
@@ -57,16 +58,27 @@ def main():
           file=sys.stderr)
 
     dry, wind, wdir, ghi, ir = load_weather(args.hours)
-    rng = np.random.default_rng(0)
-    sol_factor = rng.uniform(0.2, 1.0, S)
     T = args.hours
+    # Orientation-resolved incident solar (heatx.weather.solar: sun position
+    # + isotropic-sky transposition from the EPW's DNI/DHI/GHI).
+    epw_path = os.environ.get(
+        "HEATX_EPW", "/root/reference/tests/epw/CHL_Santiago.855740_IWEC.epw"
+    )
+    if os.path.isfile(epw_path):
+        from heatx.weather.epw import read_epw
+        from heatx.weather.solar import surface_irradiance
+
+        sol = surface_irradiance(read_epw(epw_path), b, hours=T)
+    else:
+        rng = np.random.default_rng(0)
+        sol = ghi[:, None] * rng.uniform(0.2, 1.0, S)[None, :]
     one = tm.inputs(lum_power=np.full(b.n_luminaires, 150.0))
     seq = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), one)
     seq = seq._replace(
         t_out=jnp.asarray(dry, jnp.float32),
         wind_speed=jnp.asarray(wind, jnp.float32),
         wind_direction=jnp.asarray(wdir, jnp.float32),
-        sol_front=jnp.asarray(ghi[:, None] * sol_factor[None, :], jnp.float32),
+        sol_front=jnp.asarray(sol, jnp.float32),
         ir_front=jnp.asarray(np.broadcast_to(ir[:, None], (T, S)), jnp.float32),
     )
 

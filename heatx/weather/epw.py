@@ -34,6 +34,9 @@ class EPWData:
     diffuse_horizontal: np.ndarray  # W/m2
     horizontal_ir: np.ndarray  # W/m2
     location: str = ""
+    latitude_deg: float = 0.0  # north positive (EPW LOCATION header)
+    longitude_deg: float = 0.0  # east positive
+    tz_hours: float = 0.0  # UTC offset of the records' local standard time
 
     @property
     def n_hours(self) -> int:
@@ -49,6 +52,13 @@ def read_epw(path: str) -> EPWData:
     with open(path, "r", errors="replace") as f:
         lines = f.readlines()
     location = lines[0].strip() if lines else ""
+    lat = lon = tz = 0.0
+    loc_parts = location.split(",")
+    if len(loc_parts) >= 9 and loc_parts[0].upper() == "LOCATION":
+        try:
+            lat, lon, tz = (float(loc_parts[k]) for k in (6, 7, 8))
+        except ValueError:
+            pass
     rows = []
     for line in lines[8:]:
         parts = line.strip().split(",")
@@ -75,6 +85,9 @@ def read_epw(path: str) -> EPWData:
         diffuse_horizontal=data[:, 5],
         horizontal_ir=data[:, 6],
         location=location,
+        latitude_deg=lat,
+        longitude_deg=lon,
+        tz_hours=tz,
     )
 
 

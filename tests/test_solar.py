@@ -1,0 +1,101 @@
+"""Solar position + plane-of-array irradiance (heatx extension; the
+reference takes per-surface irradiance as an input, surface.rs:916-931)."""
+
+import numpy as np
+import pytest
+
+from heatx.weather import solar
+
+DEG = np.pi / 180.0
+
+
+def test_declination_extremes():
+    # June 21 (n=172) ~ +23.45 deg, Dec 21 (n=355) ~ -23.45 deg (Cooper).
+    assert abs(solar.declination(172) / DEG - 23.45) < 0.1
+    assert abs(solar.declination(355) / DEG + 23.45) < 0.2
+    # Equinoxes ~ 0 (within ~1 deg for the Cooper formula).
+    assert abs(solar.declination(81) / DEG) < 1.0
+
+
+def test_noon_altitude_and_azimuth():
+    # Equator, equinox, solar noon: sun overhead (altitude ~ 90 deg).
+    alt, _ = solar.solar_position(0.0, 0.0, 0.0, 81, 12.0)
+    assert alt / DEG > 87.0
+    # 40N, equinox, noon: altitude ~ 50 deg, azimuth ~ south (180 deg).
+    alt, az = solar.solar_position(40.0, 0.0, 0.0, 81, 12.0)
+    assert abs(alt / DEG - 50.0) < 1.5
+    assert abs(az / DEG - 180.0) < 5.0
+    # 40S: sun to the north at noon.
+    alt_s, az_s = solar.solar_position(-40.0, 0.0, 0.0, 81, 12.0)
+    assert abs(alt_s / DEG - 50.0) < 1.5
+    assert (az_s / DEG < 10.0) or (az_s / DEG > 350.0)
+    # Morning sun in the east, afternoon in the west (40N).
+    _, az_am = solar.solar_position(40.0, 0.0, 0.0, 81, 8.0)
+    _, az_pm = solar.solar_position(40.0, 0.0, 0.0, 81, 16.0)
+    assert 45.0 < az_am / DEG < 135.0
+    assert 225.0 < az_pm / DEG < 315.0
+    # Night: negative altitude.
+    alt_n, _ = solar.solar_position(40.0, 0.0, 0.0, 81, 0.5)
+    assert alt_n < 0.0
+
+
+def test_longitude_and_tz_shift_solar_noon():
+    # 7.5 deg east of the zone meridian => solar noon ~30 min earlier.
+    alt0, _ = solar.solar_position(40.0, 7.5, 0.0, 81, 11.5)
+    alt1, _ = solar.solar_position(40.0, 7.5, 0.0, 81, 12.5)
+    assert alt0 > alt1  # 11:30 local is nearer solar noon than 12:30
+
+
+def test_poa_horizontal_consistency():
+    # Horizontal surface: POA = DNI*sin(alt) + DHI (isotropic sky view = 1,
+    # no ground term).
+    alt, az = 35.0 * DEG, 200.0 * DEG
+    poa = solar.poa_irradiance(800.0, 100.0, 550.0, alt, az, 0.0, 0.0, 1.0)
+    assert abs(poa - (800.0 * np.sin(alt) + 100.0)) < 1e-9
+
+
+def test_poa_orientation():
+    # 40N noon: a south-facing vertical wall sees the direct beam, a
+    # north-facing one only diffuse + ground.
+    alt, az = solar.solar_position(40.0, 0.0, 0.0, 81, 12.0)
+    south = solar.poa_irradiance(800.0, 100.0, 550.0, alt, az, 0.0, -1.0, 0.0)
+    north = solar.poa_irradiance(800.0, 100.0, 550.0, alt, az, 0.0, 1.0, 0.0)
+    assert south > north + 300.0
+    assert abs(north - (100.0 / 2.0 + 550.0 * 0.2 / 2.0)) < 1e-9
+    # At night the direct term vanishes even if DNI were nonzero.
+    dark = solar.poa_irradiance(800.0, 0.0, 0.0, -5 * DEG, az, 0.0, -1.0, 0.0)
+    assert dark == 0.0
+
+
+def test_epw_location_and_surface_irradiance(ref_fixtures):
+    import heatx
+    from heatx.build.layout import compile_building
+    from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+    from heatx.weather.epw import read_epw
+
+    epw = read_epw(f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw")
+    assert abs(epw.latitude_deg + 33.38) < 1e-6
+    assert abs(epw.longitude_deg + 70.78) < 1e-6
+    assert abs(epw.tz_hours + 4.0) < 1e-6
+
+    opts = SingleZoneOptions(construction=[TestMat.concrete(0.1)])
+    b = compile_building(single_zone_building(opts), n=1,
+                         config=heatx.SimConfig(dtype=np.float64))
+    sol = solar.surface_irradiance(epw, b, hours=48)
+    assert sol.shape == (48, b.n_surfaces)
+    assert np.isfinite(sol).all() and (sol >= 0).all()
+    # Night hours (no GHI) get zero; some daytime hour gets > 50 W/m2.
+    night = epw.global_horizontal[:48] == 0.0
+    assert np.all(sol[night] <= epw.diffuse_horizontal[:48][night][:, None] + 1e-9)
+    assert sol.max() > 50.0
+    # Santiago (33S): the south-facing test wall (normal (0,-1,0)) should
+    # receive LESS annual beam than a mirrored north-facing wall would.
+    # Build the comparison directly from poa on both orientations.
+    h = np.arange(24 * 365, dtype=np.float64)
+    alt, az = solar.solar_position(
+        epw.latitude_deg, epw.longitude_deg, epw.tz_hours,
+        (h // 24) % 365 + 1, h % 24 + 0.5)
+    dni = np.tile(epw.direct_normal, 2)[: len(h)]
+    south_total = solar.poa_irradiance(dni, 0.0, 0.0, alt, az, 0.0, -1.0, 0.0).sum()
+    north_total = solar.poa_irradiance(dni, 0.0, 0.0, alt, az, 0.0, 1.0, 0.0).sum()
+    assert north_total > 1.5 * south_total
