@@ -299,6 +299,40 @@ def test_sharded_kernel_with_thermostats_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(ld_a), np.asarray(ld_b))
 
 
+def test_fuzz_control_invariants():
+    """Random setpoints/capacities/weather: the controller never exceeds its
+    capacity, and whenever it acts without saturating the zone lands exactly
+    on the setpoint (parity integrator, 12 h each)."""
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        heat_sp = float(rng.uniform(16.0, 24.0))
+        cool_sp = heat_sp + float(rng.uniform(0.5, 6.0))
+        max_h = float(rng.choice([25.0, 150.0, np.inf]))
+        max_c = float(rng.choice([25.0, 150.0, np.inf]))
+        b = _compile(_model(IdealHeaterCooler(
+            "i", ["Space"], heat_setpoint=heat_sp, cool_setpoint=cool_sp,
+            max_heating=max_h, max_cooling=max_c)))
+        T = 12
+        seq = _seq(b, T, t_out=float(rng.uniform(-15.0, 35.0)),
+                   sol=float(rng.uniform(0.0, 600.0)))
+        _, (zt, loads) = step_mod.run(
+            b, state_mod.initial_state(b), seq, collect_loads=True)
+        zt = np.asarray(zt)[:, 0]
+        loads = np.asarray(loads)[:, 0]
+        assert np.all(loads <= max_h + 1e-9), (trial, loads.max())
+        assert np.all(loads >= -max_c - 1e-9), (trial, loads.min())
+        # Unsaturated active control pins the setpoint.  loads is the MEAN
+        # over the main step's sub-steps, so "unsaturated" must hold with
+        # margin (a mean strictly below capacity can still contain saturated
+        # sub-steps during the approach transient).
+        heating = (loads > 1e-9) & (loads < max_h * 0.99)
+        cooling = (loads < -1e-9) & (loads > -max_c * 0.99)
+        # Skip the first hours (approach transient from 22 C).
+        assert np.all(np.abs(zt[3:][heating[3:]] - heat_sp) < 1e-6), trial
+        assert np.all(np.abs(zt[3:][cooling[3:]] - cool_sp) < 1e-6), trial
+        assert np.all(np.isfinite(zt)) and np.all(np.isfinite(loads))
+
+
 def test_checkpoint_roundtrip_with_loads(tmp_path):
     from heatx.io.checkpoint import load_state, save_state
 
