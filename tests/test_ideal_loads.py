@@ -227,6 +227,31 @@ def test_kernel_matches_xla_fast_mode():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_parity_kernel_matches_xla_parity():
+    """The PARITY hour kernel's in-kernel thermostat matches the XLA parity
+    march (same reference sub-step physics + the same control law)."""
+    m = _model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=23.0, cool_setpoint=28.0))
+    tm = heatx.ThermalModel(
+        m, n=1, config=heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    )
+    b = tm._device()
+    T = 4
+    seq = _seq(b, T)
+    fr = tm.fast_runner(block_size=8, mode="parity", hours=2)
+    final_k, zt_k, loads_k = fr.run(tm.initial_state(), seq, collect_loads=True)
+    final_x, (zt_x, loads_x) = step_mod.run(
+        b, tm.initial_state(), seq, collect_loads=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(zt_k), np.asarray(zt_x), rtol=0, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(loads_k), np.asarray(loads_x), rtol=1e-6, atol=1e-4
+    )
+    assert float(np.asarray(loads_x).max()) > 0.0
+
+
 def test_sharded_kernel_with_thermostats_matches_unsharded():
     """The in-kernel thermostat shards with the blocks (zone-closed, so the
     control is block-local): sharded == unsharded bit-for-bit, including the
