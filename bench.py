@@ -113,6 +113,69 @@ def load_weather(hours: int):
     )
 
 
+def run_demand_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
+    """Annual heating/cooling demand with a thermostat per zone, computed
+    inside the fused day kernel (the EnergyPlus ideal-loads pattern;
+    heating_cooling.rs:66-90 is todo!() in the reference).  Returns the
+    demand_* fields for the bench JSON line."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    import heatx
+    from heatx.model.building import IdealHeaterCooler
+
+    model = build_city_model(args.zones, args.surfaces_per_zone)
+    for z in range(args.zones):
+        model.add_hvac(IdealHeaterCooler(
+            f"tstat{z}", [f"z{z}"], heat_setpoint=20.0, cool_setpoint=26.0))
+    tm = heatx.ThermalModel(
+        model, n=1,
+        config=heatx.SimConfig(dtype=dtype, nomass_fixed_iters=args.nomass_iters or 1),
+    )
+    b = tm.building
+    S = b.n_surfaces
+    T = args.hours
+    rng = np.random.default_rng(0)
+    sf = rng.uniform(0.2, 1.0, S)
+    one = tm.inputs(lum_power=np.full(b.n_luminaires, 150.0))
+    seq = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), one)
+    seq = seq._replace(
+        t_out=jnp.asarray(dry, dtype),
+        wind_speed=jnp.asarray(wind, dtype),
+        wind_direction=jnp.asarray(wdir, dtype),
+        sol_front=jnp.asarray(ghi[:, None] * sf[None, :], dtype),
+        ir_front=jnp.asarray(np.broadcast_to(ir[:, None], (T, S)), dtype),
+    )
+    fr = tm.fast_runner(
+        block_size=block_size, mode="trbdf2", substeps=args.exp_substeps,
+        hours=args.kernel_hours,
+    )
+    st = tm.initial_state()
+    kw = dict(dispatch_days=args.dispatch_days, collect_loads=True)
+    t0 = time.time()
+    _, _, loads = fr.run(st, seq, **kw)
+    heat0 = float(jnp.sum(jnp.clip(loads, min=0)))
+    print(f"# demand compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    final, zt, loads = fr.run(st, seq, **kw)
+    heat = float(jnp.sum(jnp.clip(loads, min=0))) / 1000.0 / b.n_zones
+    cool = float(-jnp.sum(jnp.clip(loads, max=0))) / 1000.0 / b.n_zones
+    wall = time.time() - t0
+    assert np.isfinite(heat) and np.isfinite(cool) and heat > 0
+    print(
+        f"# demand kernel {T}h x {b.n_zones} thermostats: {wall:.2f}s; "
+        f"heating {heat:.0f} kWh/zone, cooling {cool:.0f} kWh/zone",
+        file=sys.stderr,
+    )
+    return dict(
+        demand_wall_clock_s=round(wall, 3),
+        demand_heating_kwh_per_zone=round(heat, 1),
+        demand_cooling_kwh_per_zone=round(cool, 1),
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--zones", type=int, default=1000)
@@ -134,6 +197,12 @@ def main():
         action="store_true",
         help="emit only the headline TR-BDF2 row (skip the parity-kernel "
         "run normally included as parity_* fields in the JSON line)",
+    )
+    ap.add_argument(
+        "--skip-demand",
+        action="store_true",
+        help="skip the annual ideal-loads demand run (thermostats in-kernel) "
+        "normally included as demand_* fields in the JSON line",
     )
     ap.add_argument(
         "--xla-path",
@@ -453,6 +522,18 @@ def main():
             except Exception as e:  # headline row survives a parity failure
                 print(f"# parity kernel row failed: {e}", file=sys.stderr)
                 row.update(parity_error=str(e)[:200])
+        if not args.parity_kernel and not args.skip_demand:
+            # Annual ideal-loads demand (thermostats in-kernel,
+            # heatx.engine.zone.zone_update semantics): the production load-
+            # calculation workload, through the high-level FastRunner API.
+            try:
+                dres = run_demand_bench(
+                    args, dtype, row["block_size"], dry, wind, wdir, ghi, ir
+                )
+                row.update(dres)
+            except Exception as e:  # headline row survives a demand failure
+                print(f"# demand row failed: {e}", file=sys.stderr)
+                row.update(demand_error=str(e)[:200])
         print(json.dumps(row))
         return
 
