@@ -156,7 +156,7 @@ def run_demand_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
     kw = dict(dispatch_days=args.dispatch_days, collect_loads=True)
     t0 = time.time()
     _, _, loads = fr.run(st, seq, **kw)
-    heat0 = float(jnp.sum(jnp.clip(loads, min=0)))
+    jax.block_until_ready(loads)  # warm-up sync
     print(f"# demand compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
     t0 = time.time()
     final, zt, loads = fr.run(st, seq, **kw)

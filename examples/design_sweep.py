@@ -4,7 +4,7 @@ The compiled building is a pytree of arrays, so a parameter grid vmaps into
 ONE batched device program (`heatx.ensemble`): here a 7x7 grid of
 (insulation conductance, solar absorptance) variants of a single-zone
 building marches a week of EPW weather simultaneously, and the best passive
-design (closest to a 21 C comfort target on a fixed 400 W heating budget) is read off
+design (closest to a 21 C comfort target on a fixed 300 W heating budget) is read off
 the batch.  49 simulations cost roughly one wall-clock simulation — on the
 reference's serial CPU design the same sweep is 49 sequential runs.
 
@@ -129,31 +129,31 @@ def main():
                 "alpha_scale": aa.ravel().astype(jnp.float32)}
     E = params_e["u_scale"].shape[0]
 
-    sb0 = building.surfaces
-
     def apply_fn(b, p):
         sb = dataclasses.replace(
-            sb0,
-            seg_u=sb0.seg_u * p["u_scale"],
-            front_alphas=sb0.front_alphas * p["alpha_scale"],
+            b.surfaces,
+            seg_u=b.surfaces.seg_u * p["u_scale"],
+            front_alphas=b.surfaces.front_alphas * p["alpha_scale"],
         )
         return dataclasses.replace(b, surfaces=sb)
 
-    sweep = jax.jit(lambda pe: ensemble.run_param_ensemble(
-        building, apply_fn, pe, st, seq, mode="trbdf2", substeps=4))
+    # Building/state/inputs ride as traced jit ARGUMENTS (repo convention:
+    # pytrees are never closure constants — baked arrays bloat the HLO).
+    sweep = jax.jit(lambda bld, s0, sq, pe: ensemble.run_param_ensemble(
+        bld, apply_fn, pe, s0, sq, mode="trbdf2", substeps=4))
 
     t0 = time.time()
-    _, hist = sweep(params_e)  # [E, T, Z]
+    _, hist = sweep(building, st, seq, params_e)  # [E, T, Z]
     np.asarray(hist[0, 0])  # force
     print(f"compile+run {E} variants x {T} h: {time.time() - t0:.1f}s")
     t0 = time.time()
-    _, hist = sweep(params_e)
+    _, hist = sweep(building, st, seq, params_e)
     zt = np.asarray(hist)[:, 24:, 0]  # skip 1-day warm-up
     wall = time.time() - t0
     print(f"steady-state sweep: {E} one-week simulations in {wall:.2f}s "
           f"({wall / E * 1e3:.1f} ms per variant)")
 
-    # Comfort objective at a fixed 400 W heating budget: squared deviation
+    # Comfort objective at the fixed 300 W heating budget: squared deviation
     # from 21 C — insulation and solar gain have to do the rest.
     score = ((zt - 21.0) ** 2).mean(axis=1)
     best = int(np.argmin(score))

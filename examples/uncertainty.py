@@ -103,27 +103,26 @@ def main():
     seq_e = seq._replace(inf_vol=inf_e)
     axes = StepInputs(*([None] * len(StepInputs._fields)))._replace(inf_vol=0)
 
-    sb0 = b.surfaces
-
     def apply_fn(bld, p):
         sb = dataclasses.replace(
-            sb0,
-            seg_u=sb0.seg_u * p["u"],
-            front_alphas=sb0.front_alphas * p["a"],
+            bld.surfaces,
+            seg_u=bld.surfaces.seg_u * p["u"],
+            front_alphas=bld.surfaces.front_alphas * p["a"],
         )
         return dataclasses.replace(bld, surfaces=sb)
 
-    mc = jax.jit(lambda pe, se: ensemble.run_param_ensemble(
-        b, apply_fn, pe, st, se, mode="trbdf2", substeps=4,
+    # Building/state ride as traced jit arguments, never closure constants.
+    mc = jax.jit(lambda bld, s0, pe, se: ensemble.run_param_ensemble(
+        bld, apply_fn, pe, s0, se, mode="trbdf2", substeps=4,
         collect_loads=True, inputs_axes=axes))
 
     params_e = {"u": u_scale, "a": a_scale}
     t0 = time.time()
-    _, (zt, loads) = mc(params_e, seq_e)
+    _, (zt, loads) = mc(b, st, params_e, seq_e)
     np.asarray(zt[0, 0])
     print(f"compile+run {E} Monte-Carlo members x {T} h: {time.time() - t0:.1f}s")
     t0 = time.time()
-    _, (zt, loads) = mc(params_e, seq_e)
+    _, (zt, loads) = mc(b, st, params_e, seq_e)
     weekly = np.asarray(jnp.clip(loads, min=0).sum(axis=(1, 2))) / 1000.0  # kWh
     print(f"sampled {E} buildings in {time.time() - t0:.2f}s")
 

@@ -632,7 +632,13 @@ class FastRunner:
             if collect_fluxes:
                 hqhs.append(hqh_c)
             if has_loads:
-                lds.append(ld_c)
+                if collect_loads:
+                    lds.append(ld_c)
+                else:
+                    # Only the last hour seeds final.ideal_load; retaining
+                    # every chunk would hold the whole [T, NB, ZB] history
+                    # on device for nothing.
+                    lds = [ld_c]
         if pending is not None:
             check_bad(*pending)
         final = self.from_blocked(Tb, zTb, hq)

@@ -162,6 +162,11 @@ def zone_update(building: CompiledBuilding, zone_T, a, b, c, dt):
             jnp.zeros_like(a),
         ),
     )
+    # |B| ~ 0 zones HOLD their temperature (the reference's degenerate-ODE
+    # rule, model.rs:662-670, which ignores all gains) — reporting a load
+    # there would book energy with no thermal effect, so control stands
+    # down too.
+    load = jnp.where(smallb, 0.0, load)
     zone_T_new = jnp.where(
         load == 0.0, t_free, future_zone_temperatures(zone_T, a + load, b, c, dt)
     )

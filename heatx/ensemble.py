@@ -222,7 +222,7 @@ def shard_ensemble(tree, mesh, axis_name: Optional[str] = None):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     axis_name = axis_name or mesh.axis_names[0]
-    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n_dev = int(mesh.shape[axis_name])  # only this axis partitions the E dim
 
     def put(x):
         x = jnp.asarray(x)

@@ -24,8 +24,14 @@ def save_state(path: str, state: SimState, step: int = 0):
     )
 
 
-def load_state(path: str, dtype=None):
-    """Load a SimState; returns (state, step)."""
+def load_state(path: str, dtype=None, building=None):
+    """Load a SimState; returns (state, step).
+
+    Pass ``building`` to reconcile optional channels with the model the
+    state will march: a checkpoint without ``ideal_load`` loaded into a
+    thermostatic building gets a zero-initialized channel, and one WITH the
+    channel loaded into an uncontrolled building drops it — otherwise the
+    scan carry structure would mismatch on the first march."""
     import jax.numpy as jnp
 
     with np.load(path) as d:
@@ -37,4 +43,10 @@ def load_state(path: str, dtype=None):
                 continue
             a = d[k]
             kw[k] = jnp.asarray(a if dtype is None else a.astype(dtype))
+        if building is not None:
+            if building.has_ideal_hvac and kw.get("ideal_load") is None:
+                dt = dtype or building.config.dtype
+                kw["ideal_load"] = jnp.zeros((building.n_zones,), dt)
+            elif not building.has_ideal_hvac:
+                kw["ideal_load"] = None
         return SimState(**kw), step

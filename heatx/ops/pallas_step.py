@@ -334,6 +334,9 @@ def _zone_update_ctl(zT, a_z, b_z, zone_volume, dt, ctl):
             zero,
         ),
     )
+    # |B| ~ 0 zones hold their temperature (model.rs:662-670 degenerate
+    # rule); control stands down with them — see zone.zone_update.
+    load = jnp.where(smallb, zero, load)
     a_ctl = a_z + load
     t_ctl = zT - (a_ctl / safe_b - zT) * em
     t_ctl = jnp.where(smallb, zT, t_ctl)

@@ -376,3 +376,15 @@ def test_checkpoint_roundtrip_with_loads(tmp_path):
     save_state(p, st0)
     loaded0, _ = load_state(p)
     assert loaded0.ideal_load is None
+    # building= reconciles the optional channel across model changes: an old
+    # (channel-less) checkpoint resumes on a thermostatic building with a
+    # zeroed channel, and a controlled checkpoint resumes on an uncontrolled
+    # building with the channel dropped — both march without a carry-
+    # structure mismatch.
+    up, _ = load_state(p, building=b)
+    assert up.ideal_load is not None and float(jnp.sum(up.ideal_load)) == 0.0
+    step_mod.march(b, up, state_mod.default_inputs(b, t_out=0.0))
+    save_state(p, st2, step=3)
+    down, _ = load_state(p, building=b0)
+    assert down.ideal_load is None
+    step_mod.march(b0, down, state_mod.default_inputs(b0, t_out=0.0))
