@@ -324,6 +324,50 @@ def test_sharded_kernel_with_thermostats_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(ld_a), np.asarray(ld_b))
 
 
+def test_steady_load_matches_closed_form():
+    """Analytical-tier validation (the reference's theoretical() suite
+    pattern, validate_wall_heat_transfer.rs:36-86): single no-mass zone with
+    pinned h and zero emissivity has exact B = U*A + rho*inf*cp, so the
+    steady thermostat load must equal B*(T_set - T_out) exactly."""
+    from heatx.physics import gas
+    from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+
+    inf_rate = 0.01
+    opts = SingleZoneOptions(
+        zone_volume=40.0, surface_height=2.0, surface_width=2.0,
+        construction=[TestMat.polyurethane(0.02)], emissivity=0.0,
+        infiltration_rate=inf_rate,
+    )
+    m = single_zone_building(opts)
+    m.add_hvac(IdealHeaterCooler("t", ["Space"], heat_setpoint=20.0))
+    tm = heatx.ThermalModel(m, n=1, config=heatx.SimConfig(dtype=jnp.float64))
+    tm.building.set_fixed_h(10.0, 10.0)
+    b = tm._device()
+
+    t_out = 0.0
+    r = tm.building.discretizations[0].r_value() + 0.1 + 0.1
+    # Infiltration rho*cp is evaluated at the INLET air temperature
+    # (model.rs:524-544 uses the incoming stream's properties).
+    rho = float(gas.density(gas.AIR, t_out + 273.15))
+    cp = float(gas.heat_capacity(gas.AIR, t_out + 273.15))
+    B = 4.0 / r + inf_rate * rho * cp  # U*A + infiltration coupling
+    expected = B * (20.0 - t_out)
+
+    Z = b.n_zones
+    T = 24
+    one = state_mod.default_inputs(
+        b, t_out=t_out, inf_vol=np.full(Z, inf_rate),
+        inf_temp=np.full(Z, t_out), inf_mask=np.ones(Z, bool),
+    )
+    seq = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), one)
+    _, (zt, loads) = step_mod.run(
+        b, state_mod.initial_state(b), seq, collect_loads=True
+    )
+    assert abs(float(np.asarray(zt)[-1, 0]) - 20.0) < 1e-9
+    got = float(np.asarray(loads)[-1, 0])
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
 def test_fuzz_control_invariants():
     """Random setpoints/capacities/weather: the controller never exceeds its
     capacity, and whenever it acts without saturating the zone lands exactly
