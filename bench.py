@@ -139,14 +139,19 @@ def run_demand_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
     T = args.hours
     rng = np.random.default_rng(0)
     sf = rng.uniform(0.2, 1.0, S)
-    one = tm.inputs(lum_power=np.full(b.n_luminaires, 150.0))
-    seq = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), one)
-    seq = seq._replace(
+    # NO leaf-wise broadcast to [T, ...]: FastRunner accepts channels
+    # without a time axis and broadcasts them lazily per dispatch chunk.
+    # Materializing every channel annually at 100k surfaces (sol_back /
+    # ir_back alone are 3.5 GB each) exhausts HBM.  Only sol_front is
+    # genuinely per-surface-per-hour; IR rides as a [T] per-hour scalar.
+    seq = tm.inputs(lum_power=np.full(b.n_luminaires, 150.0))._replace(
         t_out=jnp.asarray(dry, dtype),
         wind_speed=jnp.asarray(wind, dtype),
         wind_direction=jnp.asarray(wdir, dtype),
-        sol_front=jnp.asarray(ghi[:, None] * sf[None, :], dtype),
-        ir_front=jnp.asarray(np.broadcast_to(ir[:, None], (T, S)), dtype),
+        sol_front=jnp.asarray(
+            np.asarray(ghi[:, None] * sf[None, :], np.float32), dtype
+        ),
+        ir_front=jnp.asarray(ir, dtype),
     )
     fr = tm.fast_runner(
         block_size=block_size, mode="trbdf2", substeps=args.exp_substeps,

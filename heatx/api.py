@@ -552,20 +552,41 @@ class FastRunner:
             self._prep_jit = jax.jit(prep, static_argnames=("T_steps",))
 
         a_gain, b_gain = self._gains_dev(inputs_seq, T_steps)
-        xs = (
+        w_xs = (
             weather(inputs_seq.t_out),
             weather(inputs_seq.wind_speed),
             weather(inputs_seq.wind_direction),
-        ) + self._prep_jit(
-            (
-                inputs_seq.sol_front,
-                inputs_seq.sol_back,
-                inputs_seq.ir_front,
-                inputs_seq.ir_back,
-            ),
-            (a_gain, b_gain),
-            T_steps=T_steps,
         )
+        # Per-surface channels are blocked PER DISPATCH CHUNK, not for the
+        # whole horizon: four blocked [T, SP] buffers for an annual 100k-
+        # surface run are ~14 GB and exhaust HBM (the raw inputs + one
+        # chunk's blocked copies fit fine).  Channels without a leading
+        # time axis pass through and broadcast inside the jitted prep.
+        surf_raw = (
+            inputs_seq.sol_front,
+            inputs_seq.sol_back,
+            inputs_seq.ir_front,
+            inputs_seq.ir_back,
+        )
+        S_real = b.n_surfaces
+
+        def time_leading(v):
+            sh = j.asarray(v).shape
+            if len(sh) == 2 and sh[0] == T_steps:
+                return True
+            return len(sh) == 1 and sh[0] == T_steps and T_steps != S_real
+
+        surf_is_ts = tuple(time_leading(v) for v in surf_raw)
+        surf_raw = tuple(j.asarray(v, dt) for v in surf_raw)
+
+        def chunk_xs(d0, n_days):
+            sl = slice(d0 * H, (d0 + n_days) * H)
+            raw_c = tuple(
+                v[sl] if ts else v for v, ts in zip(surf_raw, surf_is_ts)
+            )
+            return tuple(w[d0 : d0 + n_days] for w in w_xs) + self._prep_jit(
+                raw_c, (a_gain[sl], b_gain[sl]), T_steps=n_days * H
+            )
 
         if self._run_jit is None:
             hour_march = self._hour_march
@@ -619,7 +640,7 @@ class FastRunner:
         # so the finiteness fetch overlaps the next chunk's execution instead
         # of serializing the dispatch pipeline.
         for d0 in range(0, D, chunk_D):
-            xs_c = tuple(x[d0 : d0 + chunk_D] for x in xs)
+            xs_c = chunk_xs(d0, min(chunk_D, D - d0))
             Tb, zTb, hq, (hist_c, hqh_c, bad_c, ld_c) = self._run_jit(
                 self._params, Tb, zTb, xs_c, collect_zone_T
             )
