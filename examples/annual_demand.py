@@ -68,18 +68,21 @@ def main():
         from heatx.weather.epw import read_epw
         from heatx.weather.solar import surface_irradiance
 
-        sol = surface_irradiance(read_epw(epw_path), b, hours=T)
+        sol = np.asarray(surface_irradiance(read_epw(epw_path), b, hours=T),
+                         np.float32)
     else:
         rng = np.random.default_rng(0)
-        sol = ghi[:, None] * rng.uniform(0.2, 1.0, S)[None, :]
-    one = tm.inputs(lum_power=np.full(b.n_luminaires, 150.0))
-    seq = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), one)
-    seq = seq._replace(
+        sol = np.asarray(ghi[:, None] * rng.uniform(0.2, 1.0, S)[None, :],
+                         np.float32)
+    # Channels without a time axis pass through natively — FastRunner
+    # broadcasts them lazily per dispatch chunk (broadcasting every leaf to
+    # [T, ...] eagerly costs GBs of HBM at 100k-surface scale).
+    seq = tm.inputs(lum_power=np.full(b.n_luminaires, 150.0))._replace(
         t_out=jnp.asarray(dry, jnp.float32),
         wind_speed=jnp.asarray(wind, jnp.float32),
         wind_direction=jnp.asarray(wdir, jnp.float32),
         sol_front=jnp.asarray(sol, jnp.float32),
-        ir_front=jnp.asarray(np.broadcast_to(ir[:, None], (T, S)), jnp.float32),
+        ir_front=jnp.asarray(ir, jnp.float32),  # [T] per-hour scalar
     )
 
     fr = tm.fast_runner(block_size=args.block_size, mode="trbdf2", substeps=8,
