@@ -496,6 +496,12 @@ class FastRunner:
         NB, ZB = bb.n_blocks, bb.zones_per_block
         dt = self._dtype
 
+        if inputs_seq.heat_sp is not None or inputs_seq.cool_sp is not None:
+            raise NotImplementedError(
+                "setpoint schedules (StepInputs.heat_sp/cool_sp) run on the "
+                "XLA integrators; the fused kernel holds the compiled "
+                "setpoints for the whole run"
+            )
         t_out = np.asarray(inputs_seq.t_out, np.float64)
         T_steps = t_out.shape[0]
         if T_steps % H != 0:

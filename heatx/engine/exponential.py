@@ -285,7 +285,7 @@ def exp_substep(
     a, b, c = zone_mod.zone_abc(
         building, state.zone_T, env_f.h, env_b.h, ts_front, ts_back, inputs
     )
-    zone_T, ideal_load = zone_mod.zone_update(building, state.zone_T, a, b, c, dt_sub)
+    zone_T, ideal_load = zone_mod.zone_update(building, state.zone_T, a, b, c, dt_sub, heat_sp=inputs.heat_sp, cool_sp=inputs.cool_sp)
 
     return SimState(
         node_T=T,

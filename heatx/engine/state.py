@@ -63,6 +63,12 @@ class StepInputs(NamedTuple):
     vent_temp: jnp.ndarray  # [Z]
     vent_mask: jnp.ndarray  # [Z] bool
     mix_vol: jnp.ndarray = None  # [M] inter-zone mixing flows, m3/s (heatx extension)
+    # Optional thermostat setpoint schedules ([Z] per main step; heatx
+    # extension): override the building's compiled ctl_heat_sp/ctl_cool_sp
+    # for this step (night setback etc.).  None = use the compiled values.
+    # XLA integrators only; the fused kernel holds setpoints per run.
+    heat_sp: jnp.ndarray = None
+    cool_sp: jnp.ndarray = None
 
 
 def initial_state(building, dtype=None) -> SimState:

@@ -82,7 +82,7 @@ def substep(
     a, b, c = zone_mod.zone_abc(
         building, state.zone_T, env_f.h, env_b.h, ts_front, ts_back, inputs
     )
-    zone_T, ideal_load = zone_mod.zone_update(building, state.zone_T, a, b, c, dt)
+    zone_T, ideal_load = zone_mod.zone_update(building, state.zone_T, a, b, c, dt, heat_sp=inputs.heat_sp, cool_sp=inputs.cool_sp)
 
     return SimState(
         node_T=node_T,
@@ -148,16 +148,21 @@ def make_march_fn(building: CompiledBuilding, donate: bool = False):
 
 
 def _with_time_axis_mix(inputs_seq: StepInputs) -> StepInputs:
-    """Broadcast a static [M] mixing-rate leaf over the scanned time axis
-    (constant rates are the common case; schedules pass [T, M] directly)."""
-    mv = inputs_seq.mix_vol
-    if mv is None:
-        return inputs_seq
-    mv = jnp.asarray(mv)
-    if mv.ndim == 1:
-        T = jnp.asarray(inputs_seq.t_out).shape[0]
-        mv = jnp.broadcast_to(mv, (T,) + mv.shape)
-    return inputs_seq._replace(mix_vol=mv)
+    """Broadcast static optional leaves (mixing rates, setpoint schedules)
+    over the scanned time axis: a [M]/[Z] constant becomes [T, ...]
+    (schedules pass [T, ...] directly; None leaves stay absent)."""
+    T = jnp.asarray(inputs_seq.t_out).shape[0]
+    upd = {}
+    for name in ("mix_vol", "heat_sp", "cool_sp"):
+        v = getattr(inputs_seq, name)
+        if v is None:
+            continue
+        v = jnp.asarray(v)
+        if v.ndim <= 1:
+            upd[name] = jnp.broadcast_to(v, (T,) + v.shape)
+        else:
+            upd[name] = v
+    return inputs_seq._replace(**upd) if upd else inputs_seq
 
 
 def run(

@@ -111,7 +111,8 @@ def future_zone_temperatures(zone_T, a, b, c, dt):
     return jnp.where(jnp.abs(b) > 1e-9, t_new, zone_T)
 
 
-def zone_update(building: CompiledBuilding, zone_T, a, b, c, dt):
+def zone_update(building: CompiledBuilding, zone_T, a, b, c, dt,
+                heat_sp=None, cool_sp=None):
     """Analytical zone update, plus setpoint-driven ideal-loads control when
     the building has thermostatic units (heatx extension; the reference's
     IdealHeaterCooler is ``todo!()``, heating_cooling.rs:66-90).
@@ -148,8 +149,15 @@ def zone_update(building: CompiledBuilding, zone_T, a, b, c, dt):
         a_lin = c * (t_set - zone_T) / dt
         return jnp.where(smallb, a_lin, a_gen)
 
-    heat_sp = jnp.asarray(building.ctl_heat_sp, dtype)
-    cool_sp = jnp.asarray(building.ctl_cool_sp, dtype)
+    # Scheduled setpoints (StepInputs.heat_sp/cool_sp) override the compiled
+    # per-zone values; uncontrolled zones keep their sentinels either way
+    # (a schedule on a zone with zero capacity still does nothing).
+    heat_sp = jnp.asarray(
+        building.ctl_heat_sp if heat_sp is None else heat_sp, dtype
+    )
+    cool_sp = jnp.asarray(
+        building.ctl_cool_sp if cool_sp is None else cool_sp, dtype
+    )
     max_heat = jnp.asarray(building.ctl_max_heat, dtype)
     max_cool = jnp.asarray(building.ctl_max_cool, dtype)
 

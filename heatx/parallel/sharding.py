@@ -74,10 +74,14 @@ def state_shardings(mesh: Mesh, axis: str = SURFACE_AXIS, has_loads: bool = True
     )
 
 
-def inputs_shardings(mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
+def inputs_shardings(
+    mesh: Mesh, axis: str = SURFACE_AXIS, with_sp: bool = False
+) -> StepInputs:
     s = NamedSharding(mesh, P(axis))
     r = NamedSharding(mesh, P())
     return StepInputs(
+        heat_sp=(r if with_sp else None),
+        cool_sp=(r if with_sp else None),
         t_out=r,
         wind_speed=r,
         wind_direction=r,
@@ -104,7 +108,15 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = SURFACE_AXIS) -> SimSta
 
 
 def shard_inputs(inputs: StepInputs, mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
-    return _put_tree(inputs, inputs_shardings(mesh, axis))
+    sp = inputs.heat_sp is not None or inputs.cool_sp is not None
+    sh = inputs_shardings(mesh, axis, with_sp=sp)
+    if sp:
+        # Only replicate the setpoint leaves that are actually present.
+        sh = sh._replace(
+            heat_sp=sh.heat_sp if inputs.heat_sp is not None else None,
+            cool_sp=sh.cool_sp if inputs.cool_sp is not None else None,
+        )
+    return _put_tree(inputs, sh)
 
 
 def building_shardings(
@@ -168,6 +180,8 @@ def make_sharded_march(
     ``compile_building(..., pad_surfaces_to=...)`` otherwise).  The fast
     modes shard identically to the parity path: everything is per-surface
     except the zone reduction (an ICI all-reduce GSPMD inserts itself).
+    Setpoint SCHEDULES (StepInputs.heat_sp/cool_sp) are not wired through
+    the sharded input specs; compiled per-zone setpoints work as usual.
     """
     _check_divisible(building, mesh)
     building = building.astype(building.config.dtype)

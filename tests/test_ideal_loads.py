@@ -324,6 +324,55 @@ def test_sharded_kernel_with_thermostats_matches_unsharded():
     np.testing.assert_array_equal(np.asarray(ld_a), np.asarray(ld_b))
 
 
+def test_setpoint_schedules():
+    """Time-varying setpoints (StepInputs.heat_sp/cool_sp): a night-setback
+    schedule pins each hour at that hour's setpoint; a [Z] constant schedule
+    equals the compiled setpoints bit-for-bit."""
+    b = _compile(_model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=21.0, cool_setpoint=28.0)))
+    T = 48
+    seq = _seq(b, T)
+    # Constant schedule == compiled setpoints: identical trajectories.
+    seq_const = seq._replace(
+        heat_sp=jnp.full((b.n_zones,), 21.0, jnp.float64),
+        cool_sp=jnp.full((b.n_zones,), 28.0, jnp.float64),
+    )
+    _, (zt0, ld0) = step_mod.run(b, state_mod.initial_state(b), seq,
+                                 collect_loads=True)
+    _, (zt1, ld1) = step_mod.run(b, state_mod.initial_state(b), seq_const,
+                                 collect_loads=True)
+    np.testing.assert_array_equal(np.asarray(zt0), np.asarray(zt1))
+    np.testing.assert_array_equal(np.asarray(ld0), np.asarray(ld1))
+
+    # Night setback: 17 C from 22:00-06:00, 22 C otherwise.
+    hours = np.arange(T) % 24
+    sp = np.where((hours >= 22) | (hours < 6), 17.0, 22.0)
+    seq_sched = seq._replace(heat_sp=jnp.asarray(sp, jnp.float64)[:, None])
+    _, (zt, ld) = step_mod.run(b, state_mod.initial_state(b), seq_sched,
+                               collect_loads=True)
+    zt = np.asarray(zt)[:, 0]
+    # After the first day, daytime hours pin at 22, deep-night hours sit at
+    # or above 17 (the zone may not cool to 17 within the setback window).
+    day = (hours >= 8) & (hours < 22) & (np.arange(T) >= 24)
+    night = (hours >= 23) | (hours < 6)
+    night &= np.arange(T) >= 24
+    assert np.all(np.abs(zt[day] - 22.0) < 1e-6), zt[day]
+    assert np.all(zt[night] >= 17.0 - 1e-9)
+    assert zt[night].min() < 21.0  # the setback actually lets it drift down
+    # Scheduled setback uses less energy than holding 22 C around the clock.
+    seq_hold = seq._replace(heat_sp=jnp.full((T, b.n_zones), 22.0, jnp.float64))
+    _, (_, ld_hold) = step_mod.run(b, state_mod.initial_state(b), seq_hold,
+                                   collect_loads=True)
+    assert float(np.asarray(ld).sum()) < float(np.asarray(ld_hold).sum())
+
+    # The fast mode takes the same schedule per main step.
+    from heatx.engine.implicit import imp_march
+
+    st = state_mod.initial_state(b)
+    st = imp_march(b, st, jax.tree.map(lambda v: v[30], seq_sched), 4)
+    assert np.isfinite(float(st.ideal_load[0]))
+
+
 def test_steady_load_matches_closed_form():
     """Analytical-tier validation (the reference's theoretical() suite
     pattern, validate_wall_heat_transfer.rs:36-86): single no-mass zone with
