@@ -156,6 +156,7 @@ class ThermalModel:
         hours: int = 1,
         interpret: bool = None,
         collect_fluxes: bool = False,
+        scheduled_setpoints: bool = False,
     ) -> "FastRunner":
         """The fused Pallas hour-kernel path.
 
@@ -168,6 +169,7 @@ class ThermalModel:
         return FastRunner(
             self, block_size=block_size, mode=mode, substeps=substeps,
             hours=hours, interpret=interpret, collect_fluxes=collect_fluxes,
+            scheduled_setpoints=scheduled_setpoints,
         )
 
 
@@ -185,6 +187,7 @@ class FastRunner:
         substeps: int = None,
         hours: int = 1,
         collect_fluxes: bool = False,
+        scheduled_setpoints: bool = False,
     ):
         import jax.numpy as jnp
         import numpy as np
@@ -214,7 +217,9 @@ class FastRunner:
         self._hour_march, self._params = pallas_step.make_hour_march(
             self._bb, substeps=substeps, interpret=interpret, mode=mode,
             hours=hours, collect_bad=True, collect_hq=collect_fluxes,
+            scheduled_setpoints=scheduled_setpoints,
         )
+        self._scheduled_sp = scheduled_setpoints
         self._jit = jax.jit(self._hour_march)
         self._run_jit = None
         self._dtype = building.config.dtype
@@ -496,11 +501,13 @@ class FastRunner:
         NB, ZB = bb.n_blocks, bb.zones_per_block
         dt = self._dtype
 
-        if inputs_seq.heat_sp is not None or inputs_seq.cool_sp is not None:
-            raise NotImplementedError(
-                "setpoint schedules (StepInputs.heat_sp/cool_sp) run on the "
-                "XLA integrators; the fused kernel holds the compiled "
-                "setpoints for the whole run"
+        has_sched = (
+            inputs_seq.heat_sp is not None or inputs_seq.cool_sp is not None
+        )
+        if has_sched and not self._scheduled_sp:
+            raise ValueError(
+                "construct the runner with scheduled_setpoints=True to pass "
+                "StepInputs.heat_sp/cool_sp schedules through the kernel"
             )
         t_out = np.asarray(inputs_seq.t_out, np.float64)
         T_steps = t_out.shape[0]
@@ -585,14 +592,50 @@ class FastRunner:
         surf_is_ts = tuple(time_leading(v) for v in surf_raw)
         surf_raw = tuple(j.asarray(v, dt) for v in surf_raw)
 
+        sp_full = None
+        if self._scheduled_sp:
+            # [T, Z] setpoint schedules (broadcast [Z]/scalar constants;
+            # absent sides fall back to the compiled values).
+            Z = b.n_zones
+            lay_zt = np.asarray(lay.zone_table)
+            if getattr(self, "_sp_jit", None) is None:
+                zt_c = j.asarray(np.maximum(lay_zt, 0))
+                zt_ok = j.asarray(lay_zt >= 0)
+
+                @partial(jax.jit, static_argnames=("T_steps",))
+                def sp_block(a, fill, T_steps):
+                    a = j.broadcast_to(j.asarray(a, dt), (T_steps, Z))
+                    out = j.where(zt_ok[None], a[:, zt_c], fill)
+                    return out.reshape(T_steps // H, H, NB, ZB)
+
+                self._sp_jit = sp_block
+
+            def sp_series(v, compiled, fill):
+                if v is None:
+                    return j.broadcast_to(
+                        j.asarray(compiled, dt), (T_steps, Z)
+                    )
+                v = j.asarray(v, dt)
+                return j.broadcast_to(v, (T_steps, Z) if v.ndim < 2 else v.shape)
+
+            heat_full = sp_series(inputs_seq.heat_sp, b.ctl_heat_sp, -1e9)
+            cool_full = sp_series(inputs_seq.cool_sp, b.ctl_cool_sp, 1e9)
+            sp_full = (heat_full, cool_full)
+
         def chunk_xs(d0, n_days):
             sl = slice(d0 * H, (d0 + n_days) * H)
             raw_c = tuple(
                 v[sl] if ts else v for v, ts in zip(surf_raw, surf_is_ts)
             )
-            return tuple(w[d0 : d0 + n_days] for w in w_xs) + self._prep_jit(
+            xs_c = tuple(w[d0 : d0 + n_days] for w in w_xs) + self._prep_jit(
                 raw_c, (a_gain[sl], b_gain[sl]), T_steps=n_days * H
             )
+            if sp_full is not None:
+                xs_c = xs_c + (
+                    self._sp_jit(sp_full[0][sl], -1e9, T_steps=n_days * H),
+                    self._sp_jit(sp_full[1][sl], 1e9, T_steps=n_days * H),
+                )
+            return xs_c
 
         if self._run_jit is None:
             hour_march = self._hour_march

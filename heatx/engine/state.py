@@ -66,7 +66,8 @@ class StepInputs(NamedTuple):
     # Optional thermostat setpoint schedules ([Z] per main step; heatx
     # extension): override the building's compiled ctl_heat_sp/ctl_cool_sp
     # for this step (night setback etc.).  None = use the compiled values.
-    # XLA integrators only; the fused kernel holds setpoints per run.
+    # All XLA integrators; the fused kernel takes [T, Z] schedules via
+    # FastRunner(scheduled_setpoints=True).
     heat_sp: jnp.ndarray = None
     cool_sp: jnp.ndarray = None
 

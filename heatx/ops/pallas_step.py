@@ -685,6 +685,7 @@ def make_hour_march(
     grid_blocks: int = None,
     collect_bad: bool = False,
     collect_hq: bool = False,
+    scheduled_setpoints: bool = False,
 ):
     """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
 
@@ -728,6 +729,11 @@ def make_hour_march(
     """
     if mode not in ("parity", "trbdf2"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
+    if scheduled_setpoints and bb.ctl is None:
+        raise ValueError(
+            "scheduled_setpoints requires setpoint-driven HVAC "
+            "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
+        )
     if mode == "parity":
         if bb.config.nomass_fixed_iters is None and bb.surfaces.has_nomass:
             if os.environ.get("HEATX_KERNEL_WHILE", "0") != "1":
@@ -939,6 +945,11 @@ def make_hour_march(
         r_shared["a_extra"] = refs[i]
         r_shared["b_extra"] = refs[i + 1]
         i += 2
+        if scheduled_setpoints:
+            # Per-hour setpoint schedules override the compiled ctl rows.
+            r_shared["sp_heat"] = refs[i]
+            r_shared["sp_cool"] = refs[i + 1]
+            i += 2
         for pi in range(n_parts):
             r_parts[pi]["T0"] = refs[i]
             i += 1
@@ -1100,9 +1111,20 @@ def make_hour_march(
                     r_shared["mix_wt"][...] if "mix_wt" in r_shared else None
                 ),
                 ctl=(
-                    tuple(
-                        r_shared[nm][...][0:1]
-                        for nm in ("ctl_heat", "ctl_cool", "ctl_mxh", "ctl_mxc")
+                    (
+                        (
+                            r_shared["sp_heat"][pl.ds(h, 1), :],
+                            r_shared["sp_cool"][pl.ds(h, 1), :],
+                        )
+                        if scheduled_setpoints
+                        else (
+                            r_shared["ctl_heat"][...][0:1],
+                            r_shared["ctl_cool"][...][0:1],
+                        )
+                    )
+                    + (
+                        r_shared["ctl_mxh"][...][0:1],
+                        r_shared["ctl_mxc"][...][0:1],
                     )
                     if bb.ctl is not None
                     else None
@@ -1269,6 +1291,8 @@ def make_hour_march(
     for rows, lo, w in parts_meta:
         in_specs += [vspec(hours, w)] * 4  # sol_f, sol_b, ir_f, ir_b
     in_specs += [zone_spec(HR8), zone_spec(HR8)]  # a_extra, b_extra
+    if scheduled_setpoints:
+        in_specs += [zone_spec(HR8), zone_spec(HR8)]  # heat_sp, cool_sp series
     for rows, lo, w in parts_meta:
         in_specs.append(vspec(rows, w))  # T0
     in_specs.append(zone_spec())  # zT0
@@ -1327,7 +1351,19 @@ def make_hour_march(
         return v.reshape(v.shape[0], NBl * w)
 
     def hour_march(params, T, zT_blocked, hour_inputs):
-        (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra) = hour_inputs
+        if scheduled_setpoints and len(hour_inputs) == 11:
+            (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra,
+             sp_heat, sp_cool) = hour_inputs
+        else:
+            (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra) = hour_inputs
+            if scheduled_setpoints:
+                # Default: the compiled per-zone setpoints, hour-constant.
+                sp_heat = jnp.broadcast_to(
+                    jnp.asarray(bb.ctl[0], dtype)[None], (hours, NBl, ZB)
+                )
+                sp_cool = jnp.broadcast_to(
+                    jnp.asarray(bb.ctl[1], dtype)[None], (hours, NBl, ZB)
+                )
         sol_f = sol_f.reshape(hours, SPl)
         sol_b = sol_b.reshape(hours, SPl)
         ir_f = ir_f.reshape(hours, SPl)
@@ -1355,6 +1391,11 @@ def make_hour_march(
             return jnp.concatenate([a, pad], axis=1).reshape(NBl * 8, ZB)
 
         operands += [gains_rows(a_extra), gains_rows(b_extra)]
+        if scheduled_setpoints:
+            operands += [
+                gains_rows(sp_heat.astype(dtype)),
+                gains_rows(sp_cool.astype(dtype)),
+            ]
         for rows, lo, w in parts_meta:
             operands.append(_lane_split(T, rows, lo, w))
         operands.append(zone_rows(zT_blocked.reshape(NBl, ZB).astype(dtype)))
@@ -1426,4 +1467,5 @@ def make_hour_march(
     hour_march.collect_bad = collect_bad
     hour_march.collect_hq = collect_hq
     hour_march.collect_loads = bb.ctl is not None
+    hour_march.scheduled_setpoints = scheduled_setpoints
     return hour_march, params

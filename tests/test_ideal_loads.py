@@ -373,6 +373,51 @@ def test_setpoint_schedules():
     assert np.isfinite(float(st.ideal_load[0]))
 
 
+def test_kernel_setpoint_schedules_match_xla():
+    """The fused kernel takes per-hour setpoint schedules too
+    (FastRunner(scheduled_setpoints=True)): night setback through the
+    kernel matches the XLA TR-BDF2 march with the same schedule."""
+    from heatx.engine.implicit import imp_march
+
+    m = _model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=21.0, cool_setpoint=29.0))
+    tm = heatx.ThermalModel(
+        m, n=1, config=heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    )
+    b = tm._device()
+    T = 8
+    sp = np.where(np.arange(T) % 8 < 4, 24.0, 18.0)  # alternating setback
+    seq = _seq(b, T)._replace(heat_sp=jnp.asarray(sp, jnp.float64)[:, None])
+
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, hours=2,
+                        scheduled_setpoints=True)
+    _, zt_k, ld_k = fr.run(tm.initial_state(), seq, collect_loads=True)
+
+    st = tm.initial_state()
+    zts, lds = [], []
+    for t in range(T):
+        st = imp_march(b, st, jax.tree.map(lambda v: v[t], seq), 4)
+        zts.append(float(st.zone_T[0]))
+        lds.append(float(st.ideal_load[0]))
+    np.testing.assert_allclose(np.asarray(zt_k)[:, 0], zts, rtol=0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ld_k)[:, 0], lds, rtol=1e-6, atol=1e-4)
+    # The schedule actually switches regimes (pins 24 then floats/pins 18).
+    assert abs(zts[3] - 24.0) < 1e-6
+    # Without the flag, schedules are rejected with a clear error.
+    fr0 = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, hours=2)
+    with pytest.raises(ValueError, match="scheduled_setpoints"):
+        fr0.run(tm.initial_state(), seq)
+    # With the flag but no schedule, compiled setpoints apply (defaults).
+    _, zt_d, ld_d = fr.run(
+        tm.initial_state(), seq._replace(heat_sp=None), collect_loads=True
+    )
+    _, zt_c, ld_c = tm.fast_runner(
+        block_size=8, mode="trbdf2", substeps=4, hours=2
+    ).run(tm.initial_state(), seq._replace(heat_sp=None), collect_loads=True)
+    np.testing.assert_allclose(np.asarray(zt_d), np.asarray(zt_c),
+                               rtol=0, atol=1e-9)
+
+
 def test_steady_load_matches_closed_form():
     """Analytical-tier validation (the reference's theoretical() suite
     pattern, validate_wall_heat_transfer.rs:36-86): single no-mass zone with
