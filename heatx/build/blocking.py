@@ -140,26 +140,48 @@ def _rq(x: int, q: int) -> int:
 def _pack_components(comps, caps, zones_cap):
     """Greedy first-fit decreasing packing of components under per-part lane
     capacities; each component is ([surfs_per_part...], zones).  Returns the
-    block list or None if some component cannot fit at all."""
+    block list or None if some component cannot fit at all.
+
+    The first-fit scan is vectorized over blocks (remaining-capacity
+    arrays + argmax of the fit mask): the naive per-block Python loop is
+    O(components x blocks x parts) in the interpreter and dominated the
+    whole 1M-surface model build (hours).  Placement order and choice are
+    IDENTICAL to the naive loop (argmax returns the first fitting block),
+    so layouts are bit-for-bit unchanged.
+    """
     P = len(caps)
     for parts, zs in comps:
         if any(len(parts[p]) > caps[p] for p in range(P)):
             return None
     order = sorted(comps, key=lambda c: sum(len(x) for x in c[0]), reverse=True)
+    C = len(order)
     blocks: List[List] = []  # each: [parts_lists, zones]
+    rem = np.empty((C, P), np.int64)  # remaining lane capacity per block/part
+    rem_z = np.empty((C,), np.int64)  # remaining zone slots per block
+    zcap = np.iinfo(np.int64).max if zones_cap is None else int(zones_cap)
+    nb = 0
     for parts, zs in order:
-        placed = False
-        for blk in blocks:
-            if all(
-                len(blk[0][p]) + len(parts[p]) <= caps[p] for p in range(P)
-            ) and (zones_cap is None or len(blk[1]) + len(zs) <= zones_cap):
-                for p in range(P):
-                    blk[0][p].extend(parts[p])
-                blk[1].extend(zs)
-                placed = True
-                break
-        if not placed:
+        need = [len(x) for x in parts]
+        nz = len(zs)
+        j = -1
+        if nb:
+            ok = rem_z[:nb] >= nz
+            for p in range(P):
+                ok &= rem[:nb, p] >= need[p]
+            if ok.any():
+                j = int(np.argmax(ok))  # FIRST fitting block
+        if j >= 0:
+            blk = blocks[j]
+            for p in range(P):
+                blk[0][p].extend(parts[p])
+            blk[1].extend(zs)
+            rem[j] -= need
+            rem_z[j] -= nz
+        else:
             blocks.append([[list(x) for x in parts], list(zs)])
+            rem[nb] = np.asarray(caps) - need
+            rem_z[nb] = zcap - nz
+            nb += 1
     return blocks
 
 
@@ -238,17 +260,27 @@ def build_blocks(
 
     def comps_for_buckets(buckets):
         """buckets: list of (max_rows, solve_filter) — each surface joins the
-        FIRST bucket with n_nodes <= max_rows and matching solve filter."""
+        FIRST bucket with n_nodes <= max_rows and matching solve filter.
+        Vectorized (the per-surface Python loop ran 25+ times per build and
+        scaled poorly past 100k surfaces)."""
+        P = len(buckets)
+        bucket_of = np.full(S, -1, np.int64)
+        for p in range(P - 1, -1, -1):  # reverse so the FIRST match wins
+            mr, sf = buckets[p]
+            cond = n_nodes <= mr
+            if sf is not None:
+                cond = cond & (needs_solve == sf)
+            bucket_of[cond] = p
+        if (bucket_of < 0).any():
+            raise AssertionError("bucket list must be exhaustive")
         out = []
         for surfs, zs in raw_comps:
-            parts = [[] for _ in buckets]
-            for s in surfs:
-                for p, (mr, sf) in enumerate(buckets):
-                    if n_nodes[s] <= mr and (sf is None or bool(needs_solve[s]) == sf):
-                        parts[p].append(s)
-                        break
-                else:
-                    raise AssertionError("bucket list must be exhaustive")
+            if surfs:
+                sa = np.asarray(surfs, np.int64)
+                bo = bucket_of[sa]
+                parts = [sa[bo == p].tolist() for p in range(P)]
+            else:
+                parts = [[] for _ in range(P)]
             out.append((parts, zs))
         return out
 
