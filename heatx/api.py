@@ -344,7 +344,7 @@ class FastRunner:
             a_gain = a_gain + term * temp
             b_gain = b_gain + term
 
-        return (
+        out = (
             per_sub(inputs.t_out),
             per_sub(inputs.wind_speed),
             per_sub(inputs.wind_direction),
@@ -355,6 +355,32 @@ class FastRunner:
             j.asarray(lay.zones_to_blocked(a_gain), dt),
             j.asarray(lay.zones_to_blocked(b_gain), dt),
         )
+        has_sp = inputs.heat_sp is not None or inputs.cool_sp is not None
+        if has_sp and not self._scheduled_sp:
+            raise ValueError(
+                "construct the runner with scheduled_setpoints=True to pass "
+                "StepInputs.heat_sp/cool_sp through the kernel"
+            )
+        if self._scheduled_sp:
+            # Per-call constant setpoints ([Z] or scalar; hour-resolved
+            # schedules go through FastRunner.run), held for this chunk.
+            NBb, ZBb = bb.n_blocks, bb.zones_per_block
+
+            def sp_rows(v, compiled):
+                a = np.broadcast_to(
+                    np.asarray(compiled if v is None else v, np.float64),
+                    (b.n_zones,),
+                )
+                row = lay.zones_to_blocked(a)
+                return j.broadcast_to(
+                    j.asarray(row, dt)[None], (self._hours, NBb, ZBb)
+                )
+
+            out = out + (
+                sp_rows(inputs.heat_sp, b.ctl_heat_sp),
+                sp_rows(inputs.cool_sp, b.ctl_cool_sp),
+            )
+        return out
 
     def _gains_dev(self, inputs_seq, T_steps):
         """Per-hour zone A/B gain terms for a [T, ...] input sequence —
@@ -542,13 +568,21 @@ class FastRunner:
             zt_ok = j.asarray(zt >= 0)
             S_real = b.n_surfaces
 
-            def prep(surf_raw, gains_raw, T_steps):
-                def surf_xs(v):
+            def prep(surf_raw, gains_raw, T_steps, is_ts):
+                # ``is_ts`` is the per-channel time-leading classification,
+                # decided ONCE over the FULL horizon (never re-derived from
+                # the chunk length: a [T] series sliced to a chunk whose
+                # length equals n_surfaces would otherwise be silently
+                # reinterpreted as a per-surface map).
+                def surf_xs(v, ts):
                     v = j.asarray(v, dt)
-                    if v.ndim == 1 and v.shape[0] == T_steps and T_steps != S_real:
-                        v = v[:, None]
-                    elif v.ndim == 0 or (v.ndim == 1 and v.shape[0] == S_real):
-                        v = j.broadcast_to(v, (1, S_real) if v.ndim else (1, 1))
+                    if ts and v.ndim == 1:
+                        v = v[:, None]  # [chunkT] hourly scalar series
+                    elif not ts:
+                        if v.ndim == 0:
+                            v = j.broadcast_to(v, (1, 1))
+                        else:  # [S] static per-surface map
+                            v = j.broadcast_to(v, (1, S_real))
                     v = j.broadcast_to(v, (T_steps, S_real))
                     blocked = j.where(perm_ok[None, :], v[:, perm_c], 0.0)
                     return blocked.reshape(T_steps // H, H, SP)
@@ -558,11 +592,11 @@ class FastRunner:
                     return out.reshape(T_steps // H, H, NB, ZB)
 
                 a_gain, b_gain = gains_raw
-                return tuple(surf_xs(v) for v in surf_raw) + (
-                    zone_xs(a_gain), zone_xs(b_gain),
-                )
+                return tuple(
+                    surf_xs(v, ts) for v, ts in zip(surf_raw, is_ts)
+                ) + (zone_xs(a_gain), zone_xs(b_gain))
 
-            self._prep_jit = jax.jit(prep, static_argnames=("T_steps",))
+            self._prep_jit = jax.jit(prep, static_argnames=("T_steps", "is_ts"))
 
         a_gain, b_gain = self._gains_dev(inputs_seq, T_steps)
         w_xs = (
@@ -584,7 +618,7 @@ class FastRunner:
         S_real = b.n_surfaces
 
         def time_leading(v):
-            sh = j.asarray(v).shape
+            sh = np.shape(v)  # shape only — no device transfer
             if len(sh) == 2 and sh[0] == T_steps:
                 return True
             return len(sh) == 1 and sh[0] == T_steps and T_steps != S_real
@@ -594,8 +628,12 @@ class FastRunner:
 
         sp_full = None
         if self._scheduled_sp:
-            # [T, Z] setpoint schedules (broadcast [Z]/scalar constants;
-            # absent sides fall back to the compiled values).
+            # Setpoint schedules: constants stay in their compact [Z] form
+            # (broadcast per dispatch chunk inside the jitted blocker — no
+            # full-horizon [T, Z] buffer); time series normalize to [T, Z]
+            # or [T, 1].  Same time-vs-zone reading as the XLA paths
+            # (step._with_time_axis_mix): a 1-D length-T array is a
+            # per-step scalar schedule.
             Z = b.n_zones
             lay_zt = np.asarray(lay.zone_table)
             if getattr(self, "_sp_jit", None) is None:
@@ -603,24 +641,36 @@ class FastRunner:
                 zt_ok = j.asarray(lay_zt >= 0)
 
                 @partial(jax.jit, static_argnames=("T_steps",))
-                def sp_block(a, fill, T_steps):
+                def sp_block(a, T_steps):
+                    # a: [chunkT, Z], [chunkT, 1] (scalar series) or [Z]
                     a = j.broadcast_to(j.asarray(a, dt), (T_steps, Z))
-                    out = j.where(zt_ok[None], a[:, zt_c], fill)
+                    out = j.where(zt_ok[None], a[:, zt_c], 0.0)
                     return out.reshape(T_steps // H, H, NB, ZB)
 
                 self._sp_jit = sp_block
 
-            def sp_series(v, compiled, fill):
+            def sp_series(v, compiled):
+                """-> ("ts", [T, Z|1]) or ("const", [Z])."""
                 if v is None:
-                    return j.broadcast_to(
-                        j.asarray(compiled, dt), (T_steps, Z)
-                    )
-                v = j.asarray(v, dt)
-                return j.broadcast_to(v, (T_steps, Z) if v.ndim < 2 else v.shape)
+                    return ("const", j.asarray(compiled, dt))
+                sh = np.shape(v)
+                if len(sh) == 1 and sh[0] == T_steps:
+                    return ("ts", j.asarray(v, dt)[:, None])
+                if len(sh) <= 1:  # scalar or [Z] constant
+                    return ("const", j.broadcast_to(j.asarray(v, dt), (Z,)))
+                if sh[0] == T_steps:
+                    return ("ts", j.asarray(v, dt))
+                if sh[0] == 1:  # [1, Z] constant with explicit time axis
+                    return ("const", j.asarray(v, dt)[0])
+                raise ValueError(
+                    f"setpoint schedule shape {sh} not understood: pass "
+                    f"scalar, [Z], [T], [1, Z], or [T, Z] (T={T_steps}, Z={Z})"
+                )
 
-            heat_full = sp_series(inputs_seq.heat_sp, b.ctl_heat_sp, -1e9)
-            cool_full = sp_series(inputs_seq.cool_sp, b.ctl_cool_sp, 1e9)
-            sp_full = (heat_full, cool_full)
+            sp_full = (
+                sp_series(inputs_seq.heat_sp, b.ctl_heat_sp),
+                sp_series(inputs_seq.cool_sp, b.ctl_cool_sp),
+            )
 
         def chunk_xs(d0, n_days):
             sl = slice(d0 * H, (d0 + n_days) * H)
@@ -628,12 +678,15 @@ class FastRunner:
                 v[sl] if ts else v for v, ts in zip(surf_raw, surf_is_ts)
             )
             xs_c = tuple(w[d0 : d0 + n_days] for w in w_xs) + self._prep_jit(
-                raw_c, (a_gain[sl], b_gain[sl]), T_steps=n_days * H
+                raw_c, (a_gain[sl], b_gain[sl]), T_steps=n_days * H,
+                is_ts=surf_is_ts,
             )
             if sp_full is not None:
-                xs_c = xs_c + (
-                    self._sp_jit(sp_full[0][sl], -1e9, T_steps=n_days * H),
-                    self._sp_jit(sp_full[1][sl], 1e9, T_steps=n_days * H),
+                xs_c = xs_c + tuple(
+                    self._sp_jit(
+                        arr[sl] if kind == "ts" else arr, T_steps=n_days * H
+                    )
+                    for kind, arr in sp_full
                 )
             return xs_c
 

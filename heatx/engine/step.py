@@ -149,16 +149,31 @@ def make_march_fn(building: CompiledBuilding, donate: bool = False):
 
 def _with_time_axis_mix(inputs_seq: StepInputs) -> StepInputs:
     """Broadcast static optional leaves (mixing rates, setpoint schedules)
-    over the scanned time axis: a [M]/[Z] constant becomes [T, ...]
-    (schedules pass [T, ...] directly; None leaves stay absent)."""
+    over the scanned time axis; None leaves stay absent.
+
+    * ``mix_vol``: a [M] constant becomes [T, M] (schedules pass [T, M]).
+    * ``heat_sp``/``cool_sp``: a scalar or [Z] constant becomes [T, ...];
+      a 1-D array of length T is a per-step SCALAR schedule (one setpoint
+      for all zones each step) and becomes [T, 1] — the natural single-zone
+      setback form.  When T happens to equal n_zones the time-series
+      reading wins; pass [T, Z] (or [1, Z]) to be explicit.
+    """
     T = jnp.asarray(inputs_seq.t_out).shape[0]
     upd = {}
-    for name in ("mix_vol", "heat_sp", "cool_sp"):
+    mv = inputs_seq.mix_vol
+    if mv is not None:
+        mv = jnp.asarray(mv)
+        upd["mix_vol"] = (
+            jnp.broadcast_to(mv, (T,) + mv.shape) if mv.ndim == 1 else mv
+        )
+    for name in ("heat_sp", "cool_sp"):
         v = getattr(inputs_seq, name)
         if v is None:
             continue
         v = jnp.asarray(v)
-        if v.ndim <= 1:
+        if v.ndim == 1 and v.shape[0] == T:
+            upd[name] = v[:, None]  # [T] per-step scalar schedule
+        elif v.ndim <= 1:
             upd[name] = jnp.broadcast_to(v, (T,) + v.shape)
         else:
             upd[name] = v

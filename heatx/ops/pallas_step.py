@@ -1281,6 +1281,7 @@ def make_hour_march(
         in_specs.append(zone_spec(ZB))  # block-local mixing matrix
         params.append(jnp.asarray(bb.mix_wt, dtype))
         param_axes.append("row")
+    ctl_param_base = len(params)  # index of the ctl heat_sp row in params
     if bb.ctl is not None:
         for arr in bb.ctl:  # thermostat heat_sp / cool_sp / max_heat / max_cool
             in_specs.append(zone_spec())
@@ -1357,13 +1358,17 @@ def make_hour_march(
         else:
             (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra) = hour_inputs
             if scheduled_setpoints:
-                # Default: the compiled per-zone setpoints, hour-constant.
-                sp_heat = jnp.broadcast_to(
-                    jnp.asarray(bb.ctl[0], dtype)[None], (hours, NBl, ZB)
-                )
-                sp_cool = jnp.broadcast_to(
-                    jnp.asarray(bb.ctl[1], dtype)[None], (hours, NBl, ZB)
-                )
+                # Default: the compiled per-zone setpoints, hour-constant —
+                # read from the PARAMS argument (never the closure: params
+                # may be updated/sharded by the caller; repo convention).
+                def ctl_rows(k):
+                    p = params[ctl_param_base + k]
+                    return jnp.broadcast_to(
+                        p.reshape(-1, 8, ZB)[None, :, 0], (hours, NBl, ZB)
+                    )
+
+                sp_heat = ctl_rows(0)
+                sp_cool = ctl_rows(1)
         sol_f = sol_f.reshape(hours, SPl)
         sol_b = sol_b.reshape(hours, SPl)
         ir_f = ir_f.reshape(hours, SPl)

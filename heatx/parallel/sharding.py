@@ -173,6 +173,7 @@ def make_sharded_march(
     donate: bool = False,
     mode: str = "parity",
     substeps: int = 12,
+    scheduled_setpoints: bool = False,
 ):
     """jit-compiled main-step function with surface-axis sharding.
 
@@ -180,8 +181,9 @@ def make_sharded_march(
     ``compile_building(..., pad_surfaces_to=...)`` otherwise).  The fast
     modes shard identically to the parity path: everything is per-surface
     except the zone reduction (an ICI all-reduce GSPMD inserts itself).
-    Setpoint SCHEDULES (StepInputs.heat_sp/cool_sp) are not wired through
-    the sharded input specs; compiled per-zone setpoints work as usual.
+    Pass ``scheduled_setpoints=True`` when the inputs will carry
+    StepInputs.heat_sp/cool_sp schedules (the input specs then include the
+    replicated setpoint leaves; inputs must then ALWAYS carry both).
     """
     _check_divisible(building, mesh)
     building = building.astype(building.config.dtype)
@@ -190,7 +192,10 @@ def make_sharded_march(
     st_sh = state_shardings(mesh, axis, has_loads=building.has_ideal_hvac)
     jitted = jax.jit(
         _march_for_mode(mode, substeps),
-        in_shardings=(bld_sh, st_sh, inputs_shardings(mesh, axis)),
+        in_shardings=(
+            bld_sh, st_sh,
+            inputs_shardings(mesh, axis, with_sp=scheduled_setpoints),
+        ),
         out_shardings=st_sh,
         donate_argnums=(1,) if donate else (),
     )

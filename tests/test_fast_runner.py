@@ -248,3 +248,31 @@ def _ramp_sequence(hours=6):
         vent_mask=jnp.zeros((hours, Z)),
     )
     return tm, st, seq
+
+
+def test_hourly_scalar_series_not_confused_with_surface_map():
+    """Regression: a [T] per-hour scalar channel must keep its time-series
+    reading in EVERY dispatch chunk, even when a chunk's hour count equals
+    the surface count (the per-chunk prep once re-derived the heuristic
+    from the chunk length and silently scattered the series across
+    surfaces)."""
+    import jax
+    import jax.numpy as jnp
+
+    tm = heatx.ThermalModel(model(), n=1, config=heatx.SimConfig(dtype=np.float64))
+    b = tm.building
+    S = b.n_surfaces  # 6 == the chunk hour count below
+    T = 12
+    ir = np.linspace(100.0, 500.0, T)
+    base = tm.inputs(t_out=5.0, wind_speed=3.0)
+    seq = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), base)
+    seq_scalar = seq._replace(ir_front=jnp.asarray(ir))          # [T] series
+    seq_full = seq._replace(                                      # explicit [T, S]
+        ir_front=jnp.asarray(np.broadcast_to(ir[:, None], (T, S)))
+    )
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, hours=1)
+    st = tm.initial_state()
+    # dispatch chunks of 6 hours == 6 surfaces: the ambiguous case.
+    _, zt_a = fr.run(st, seq_scalar, dispatch_days=6)
+    _, zt_b = fr.run(st, seq_full, dispatch_days=6)
+    np.testing.assert_array_equal(np.asarray(zt_a), np.asarray(zt_b))

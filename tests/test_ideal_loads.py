@@ -373,6 +373,80 @@ def test_setpoint_schedules():
     assert np.isfinite(float(st.ideal_load[0]))
 
 
+def test_schedule_shape_forms():
+    """[T] per-step scalar schedules, [Z] constants, and [1, Z] constants
+    all normalize consistently (regression: a 1-D [T] schedule was once
+    broadcast to (T, T))."""
+    b = _compile(_model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=21.0, cool_setpoint=29.0)))
+    T = 10
+    seq = _seq(b, T)
+    sp = np.where(np.arange(T) % 2 == 0, 24.0, 23.0)
+    # [T] scalar series == explicit [T, Z]
+    _, (zt_a, _) = step_mod.run(
+        b, state_mod.initial_state(b),
+        seq._replace(heat_sp=jnp.asarray(sp)), collect_loads=True)
+    _, (zt_b, _) = step_mod.run(
+        b, state_mod.initial_state(b),
+        seq._replace(heat_sp=jnp.asarray(sp)[:, None]), collect_loads=True)
+    np.testing.assert_array_equal(np.asarray(zt_a), np.asarray(zt_b))
+    # FastRunner: [T] series, [Z] constant, [1, Z] constant all run and the
+    # constants equal the compiled values.
+    tm = heatx.ThermalModel(_model(IdealHeaterCooler(
+        "i2", ["Space"], heat_setpoint=23.0, cool_setpoint=29.0)),
+        n=1, config=heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1))
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, hours=2,
+                        scheduled_setpoints=True)
+    bb = tm._device()
+    seq2 = _seq(bb, T=8)
+    st = tm.initial_state()
+    _, zt0, _ = fr.run(st, seq2, collect_loads=True)
+    for form in (jnp.full((bb.n_zones,), 23.0, jnp.float64),
+                 jnp.full((1, bb.n_zones), 23.0, jnp.float64)):
+        _, zt1, _ = fr.run(st, seq2._replace(heat_sp=form), collect_loads=True)
+        np.testing.assert_allclose(np.asarray(zt1), np.asarray(zt0),
+                                   rtol=0, atol=1e-12)
+    sp8 = jnp.full((8,), 23.0, jnp.float64)  # [T] scalar series, same value
+    _, zt2, _ = fr.run(st, seq2._replace(heat_sp=sp8), collect_loads=True)
+    np.testing.assert_allclose(np.asarray(zt2), np.asarray(zt0),
+                               rtol=0, atol=1e-12)
+    # march() on a scheduled runner honors per-call constant setpoints.
+    fr1 = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, hours=1,
+                         scheduled_setpoints=True)
+    one = jax.tree.map(lambda v: v[0], seq2)
+    st_hot = fr1.march(st, one._replace(heat_sp=jnp.asarray(25.0, jnp.float64)))
+    st_def = fr1.march(st, one)
+    assert float(st_hot.zone_T[0]) > float(st_def.zone_T[0])
+
+
+def test_sharded_march_with_schedules():
+    """make_sharded_march(scheduled_setpoints=True) marches with per-zone
+    setpoint overrides, matching the single-device march."""
+    from heatx.build.layout import compile_building as cb
+    from heatx.engine.implicit import imp_march
+    from heatx.parallel import sharding as sh
+
+    m = _model(IdealHeaterCooler(
+        "ideal", ["Space"], heat_setpoint=21.0, cool_setpoint=29.0))
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    b = cb(m, n=1, config=cfg, pad_surfaces_to=8).astype(jnp.float64)
+    mesh = sh.make_mesh(jax.devices("cpu")[:8])
+    march = sh.make_sharded_march(
+        b, mesh, mode="trbdf2", substeps=4, scheduled_setpoints=True
+    )
+    st = state_mod.initial_state(b)
+    inp = state_mod.default_inputs(b, t_out=-5.0, wind_speed=3.0)._replace(
+        heat_sp=jnp.full((b.n_zones,), 24.0, jnp.float64),
+        cool_sp=jnp.full((b.n_zones,), 29.0, jnp.float64),
+    )
+    out = march(sh.shard_state(st, mesh), sh.shard_inputs(inp, mesh))
+    ref = imp_march(b, st, inp, 4)
+    np.testing.assert_allclose(np.asarray(out.zone_T), np.asarray(ref.zone_T),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.ideal_load),
+                               np.asarray(ref.ideal_load), rtol=0, atol=1e-9)
+
+
 def test_kernel_setpoint_schedules_match_xla():
     """The fused kernel takes per-hour setpoint schedules too
     (FastRunner(scheduled_setpoints=True)): night setback through the
