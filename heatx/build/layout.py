@@ -18,6 +18,7 @@ the simulation dtype right before the arrays go to the device.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field, fields, replace
 from typing import Dict, List, Optional, Tuple
 
@@ -450,7 +451,9 @@ def compile_building(
         construction = model.get_construction(sdef.construction)
         area, perimeter, normal, height = sdef.resolved_geometry()
         cos_tilt = float(normal[2])
-        angle = float(np.arccos(np.clip(cos_tilt, -1.0, 1.0)))
+        # math.acos, not np.arccos: scalar numpy calls cost ~us each and this
+        # loop runs once per surface (seconds at 1M surfaces).
+        angle = math.acos(min(1.0, max(-1.0, cos_tilt)))
         # The reference hard-codes the cavity-correlation height to 1 m with a
         # debug note (model.rs:250-252); replicated here.
         cavity_height = 1.0
