@@ -21,6 +21,13 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# Float64 + reverse-mode through the 120-iteration optimizer is a CPU-parity
+# workload: on a remote TPU the x64 backward-scan compile takes tens of
+# minutes (f64 is emulated), while CPU compiles and converges in minutes.
+# (optimal_control.py demonstrates TPU-speed gradients in f32.)
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
