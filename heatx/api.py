@@ -77,6 +77,50 @@ class ThermalModel:
     def inputs(self, dtype=None, **overrides) -> StepInputs:
         return default_inputs(self.building, dtype=dtype, **overrides)
 
+    def inputs_sequence(self, T: int, dtype=None, **overrides) -> StepInputs:
+        """A [T, ...] StepInputs sequence for :meth:`run`/:meth:`run_checked`.
+
+        Each channel may be given static (its :meth:`inputs` shape — held
+        constant and broadcast over the ``T`` main steps) or per-step (a
+        leading axis of length ``T``, e.g. an hourly weather series).  The
+        weather scalars (``t_out``/``wind_speed``/``wind_direction``) may
+        additionally carry a trailing ``[dt_subdivisions]`` axis for
+        sub-step-interpolated values ([T, sub] per-step, [sub] static).  A
+        1-D weather array of length T is read as a per-step series.
+        ``mix_vol``/``heat_sp``/``cool_sp`` keep their documented
+        static-or-scheduled forms (the scan lifts them itself).
+        """
+        import jax.numpy as jnp
+
+        base = default_inputs(self.building, dtype=dtype)
+        weather = ("t_out", "wind_speed", "wind_direction")
+        upd = {}
+        for name in StepInputs._fields:
+            if name in ("mix_vol", "heat_sp", "cool_sp"):
+                if name in overrides:
+                    upd[name] = jnp.asarray(overrides[name])
+                continue
+            b0 = getattr(base, name)
+            if name not in overrides:
+                upd[name] = jnp.broadcast_to(b0[None], (T,) + b0.shape)
+                continue
+            v = jnp.asarray(overrides[name], dtype=b0.dtype)
+            if v.ndim >= 1 and v.shape[0] == T:
+                # Per-step series; the remainder must be a valid static form.
+                if name in weather and v.ndim <= 2:
+                    upd[name] = v
+                else:
+                    upd[name] = jnp.broadcast_to(
+                        v.reshape((T,) + v.shape[1:]), (T,) + b0.shape
+                    )
+            elif name in weather and v.ndim == 1:
+                # [sub] static per-sub-step values.
+                upd[name] = jnp.broadcast_to(v[None], (T,) + v.shape)
+            else:
+                v = jnp.broadcast_to(v, b0.shape)
+                upd[name] = jnp.broadcast_to(v[None], (T,) + b0.shape)
+        return base._replace(**upd)
+
     # -- marching ------------------------------------------------------------
 
     def march(self, state: SimState, inputs: StepInputs) -> SimState:

@@ -1,0 +1,266 @@
+"""Command-line driver: simulate a ``.spl`` building under an EPW weather file.
+
+The reference ships as a library only — it plugs into SIMPLE's orchestrator
+through the ``SimulationModel`` trait (model.rs:182-428) and has no
+executable.  heatx additionally ships this standalone driver so a model +
+weather pair can be inspected and simulated without writing Python:
+
+    python -m heatx info model.spl
+    python -m heatx simulate model.spl weather.epw -o zones.csv --hours 168
+
+``simulate`` writes the hourly zone-temperature history as CSV (the
+reference's observable output channel, zone.rs:45-49) and prints a per-zone
+summary.  Solar irradiance on outdoor faces is computed from the EPW's
+DNI/DHI/GHI via :mod:`heatx.weather.solar` (the reference takes per-surface
+irradiance as an external input); incident infrared uses the EPW's horizontal
+IR column.  Engines: the batched XLA scan (works everywhere, ``--engine
+xla``) or the fused Pallas day kernel (``--engine kernel``; picked
+automatically on TPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+
+
+def _configure_jax(args):
+    import jax
+
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "f64", False):
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/heatx-jax-cache")
+
+
+def _build(args):
+    import jax.numpy as jnp
+
+    from heatx import SimConfig, ThermalModel
+    from heatx.model.spl import load_spl
+
+    model = load_spl(args.model)
+    kw = {"dtype": jnp.float64 if args.f64 else jnp.float32}
+    if getattr(args, "nomass_iters", None):
+        kw["nomass_fixed_iters"] = args.nomass_iters
+    tm = ThermalModel(model, n=args.n, config=SimConfig(**kw))
+    return model, tm
+
+
+def cmd_info(args) -> int:
+    _configure_jax(args)
+    import numpy as np
+
+    model, tm = _build(args)
+    b = tm.building
+    sb = b.surfaces
+    print(f"model: {args.model}")
+    print(
+        f"  {b.n_surfaces} surfaces ({int(np.sum(sb.is_fenestration))} "
+        f"fenestrations), {b.n_zones} zones, {b.n_hvacs} HVACs, "
+        f"{b.n_luminaires} luminaires"
+    )
+    print(
+        f"  main step: {3600.0 / args.n:.0f} s; sub-steps per main step: "
+        f"{b.dt_subdivisions} (dt = {3600.0 / (args.n * b.dt_subdivisions):.1f} s)"
+    )
+    names = [s.name for s in model.surfaces] + [f.name for f in model.fenestrations]
+    massive_nodes = np.sum(np.asarray(sb.massive), axis=0)
+    nomass_nodes = np.sum(np.asarray(sb.node_mask), axis=0) - massive_nodes
+    print(f"  {'surface':<28} {'area m2':>8} {'nodes':>6} {'massive':>8} {'no-mass':>8}")
+    for i, name in enumerate(names):
+        print(
+            f"  {name:<28} {float(sb.area[i]):>8.2f} {int(sb.n_nodes[i]):>6}"
+            f" {int(massive_nodes[i]):>8} {int(nomass_nodes[i]):>8}"
+        )
+    for z, sp in enumerate(model.spaces):
+        print(f"  zone {z}: {sp.name} ({sp.volume:.1f} m3)")
+    return 0
+
+
+def _weather_series(epw, T):
+    """Tile/truncate the EPW's hourly columns to T hours."""
+    import numpy as np
+
+    reps = -(-T // epw.n_hours)
+
+    def tile(v):
+        return np.tile(np.asarray(v, np.float64), reps)[:T]
+
+    return (
+        tile(epw.dry_bulb),
+        tile(epw.wind_speed),
+        tile(np.radians(epw.wind_direction_deg)),
+        tile(epw.horizontal_ir),
+    )
+
+
+def cmd_simulate(args) -> int:
+    _configure_jax(args)
+    import jax
+    import numpy as np
+
+    from heatx.build.layout import B_OUTDOOR
+    from heatx.weather.epw import read_epw
+    from heatx.weather.solar import surface_irradiance
+
+    model, tm = _build(args)
+    b = tm.building
+    sb = b.surfaces
+    epw = read_epw(args.epw)
+    T = args.hours or epw.n_hours
+    dry, wind, wdir, ir = _weather_series(epw, T)
+
+    out_front = np.asarray(sb.front_code) == B_OUTDOOR
+    out_back = np.asarray(sb.back_code) == B_OUTDOOR
+    if args.solar:
+        sol_f = surface_irradiance(epw, b, hours=T, albedo=args.albedo) * out_front
+        sol_b = (
+            surface_irradiance(epw, b, hours=T, albedo=args.albedo, side="back")
+            * out_back
+        )
+    else:
+        S = b.n_surfaces
+        sol_f = np.zeros((T, S))
+        sol_b = np.zeros((T, S))
+    ir_f = ir[:, None] * out_front
+    ir_b = ir[:, None] * out_back
+
+    engine = args.engine
+    if engine == "auto":
+        engine = "kernel" if jax.default_backend() == "tpu" else "xla"
+    print(
+        f"# {b.n_surfaces} surfaces / {b.n_zones} zones, {T} h, "
+        f"engine={engine} mode={args.mode}",
+        file=sys.stderr,
+    )
+
+    st = tm.initial_state()
+    t0 = time.time()
+    if engine == "kernel":
+        hours = 24 if T % 24 == 0 else 1
+        fr = tm.fast_runner(
+            block_size=args.block_size, mode=args.mode, hours=hours,
+            substeps=None if args.mode == "parity" else args.substeps,
+        )
+        seq = tm.inputs()._replace(
+            t_out=np.asarray(dry, np.float32),
+            wind_speed=np.asarray(wind, np.float32),
+            wind_direction=np.asarray(wdir, np.float32),
+            sol_front=np.asarray(sol_f, np.float32),
+            sol_back=np.asarray(sol_b, np.float32),
+            ir_front=np.asarray(ir_f, np.float32),
+            ir_back=np.asarray(ir_b, np.float32),
+        )
+        final, zt = fr.run(st, seq)
+    elif args.mode == "parity":
+        seq = tm.inputs_sequence(
+            T, t_out=dry, wind_speed=wind, wind_direction=wdir,
+            sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
+        )
+        run = tm.run_checked if args.checked else tm.run
+        final, zt = run(st, seq)
+    else:
+        # Fast modes have no whole-run XLA scan wrapper; loop the jitted
+        # per-step march on the host (fine at CLI scale).
+        seq = tm.inputs_sequence(
+            T, t_out=dry, wind_speed=wind, wind_direction=wdir,
+            sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
+        )
+        march = tm.march_imp if args.mode == "trbdf2" else tm.march_exp
+        hist = []
+        state = st
+        for t in range(T):
+            # Static leaves (mix_vol etc.) carry no time axis; slice only
+            # the [T, ...] ones.
+            step = jax.tree.map(
+                lambda x: x[t] if x.ndim and x.shape[0] == T else x, seq
+            )
+            state = march(state, step, substeps=args.substeps)
+            hist.append(state.zone_T)
+        final, zt = state, np.stack([np.asarray(z) for z in hist])
+    zt = np.asarray(zt)
+    wall = time.time() - t0
+    print(f"# simulated {T} h in {wall:.2f} s", file=sys.stderr)
+
+    if not np.isfinite(zt).all():
+        bad = int(np.argmax(~np.isfinite(zt).all(axis=1)))
+        print(f"error: non-finite zone temperature at hour {bad}", file=sys.stderr)
+        return 1
+
+    znames = [sp.name for sp in model.spaces]
+    if args.out:
+        with open(args.out, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["hour"] + znames)
+            for t in range(T):
+                w.writerow([t] + [f"{v:.4f}" for v in zt[t]])
+        print(f"# wrote {args.out}", file=sys.stderr)
+    for z, name in enumerate(znames):
+        col = zt[:, z]
+        print(
+            f"{name}: min {col.min():.2f} C  mean {col.mean():.2f} C  "
+            f"max {col.max():.2f} C"
+        )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m heatx",
+        description="TPU-native building thermal simulation",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("model", help=".spl building description")
+        p.add_argument("--n", type=int, default=1, help="main steps per hour")
+        p.add_argument("--f64", action="store_true", help="double precision")
+        p.add_argument(
+            "--platform", default=None,
+            help="pin the JAX platform (cpu/tpu); default: auto",
+        )
+
+    p = sub.add_parser("info", help="compile a model and print its discretization")
+    common(p)
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("simulate", help="march a model under an EPW weather file")
+    common(p)
+    p.add_argument("epw", help="EPW weather file")
+    p.add_argument("-o", "--out", default=None, help="hourly zone-T CSV path")
+    p.add_argument("--hours", type=int, default=None, help="default: EPW length")
+    p.add_argument(
+        "--mode", choices=("parity", "trbdf2", "exp"), default="parity",
+        help="integrator: reference-parity sub-steps or a fast mode",
+    )
+    p.add_argument(
+        "--engine", choices=("auto", "xla", "kernel"), default="auto",
+        help="XLA scan or fused Pallas day kernel (auto: kernel on TPU)",
+    )
+    p.add_argument("--substeps", type=int, default=8, help="fast-mode sub-steps/h")
+    p.add_argument("--block-size", type=int, default=1024)
+    p.add_argument("--no-solar", dest="solar", action="store_false",
+                   help="skip the computed plane-of-array solar inputs")
+    p.add_argument("--albedo", type=float, default=0.2)
+    p.add_argument("--checked", action="store_true",
+                   help="in-graph per-step finiteness guard (XLA parity engine)")
+    p.add_argument(
+        "--nomass-iters", type=int, default=None,
+        help="fix the no-mass solve at N relaxed iterations "
+        "(required for the parity kernel engine; replay-validated at 1-2)",
+    )
+    p.set_defaults(fn=cmd_simulate)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

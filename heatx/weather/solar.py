@@ -104,10 +104,11 @@ def poa_irradiance(
     return direct + sky + ground
 
 
-def surface_irradiance(epw, building, albedo=0.2, hours=None):
+def surface_irradiance(epw, building, albedo=0.2, hours=None, side="front"):
     """Per-surface incident solar from an EPW: the [T, S] ``sol_front``
     input for a compiled building (front faces are the outdoor side in
-    heatx's layout convention).
+    heatx's layout convention).  ``side="back"`` evaluates the opposite
+    faces (negated normals) for models whose outdoor boundary is the back.
 
     EPW records are hour-ending local standard time; sun position is
     evaluated at the middle of each hour.  ``hours`` tiles/truncates the
@@ -129,9 +130,10 @@ def surface_irradiance(epw, building, albedo=0.2, hours=None):
     alt, az = solar_position(
         epw.latitude_deg, epw.longitude_deg, epw.tz_hours, day, local_hour
     )
-    nx = np.asarray(sb.normal[:, 0], np.float64)
-    ny = np.asarray(sb.normal[:, 1], np.float64)
-    ct = np.asarray(sb.cos_tilt, np.float64)
+    sign = 1.0 if side == "front" else -1.0
+    nx = sign * np.asarray(sb.normal[:, 0], np.float64)
+    ny = sign * np.asarray(sb.normal[:, 1], np.float64)
+    ct = sign * np.asarray(sb.cos_tilt, np.float64)
     return poa_irradiance(
         dni[:, None], dhi[:, None], ghi[:, None],
         alt[:, None], az[:, None], nx[None, :], ny[None, :], ct[None, :],

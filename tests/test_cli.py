@@ -1,0 +1,110 @@
+"""CLI driver tests (``python -m heatx``): info + simulate on a reference
+``.spl`` model, plus the ``ThermalModel.inputs_sequence`` helper the CLI is
+built on.  The reference has no executable (it is a library plugged into
+SIMPLE's orchestrator, model.rs:182-428); the CLI is a heatx extension."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from heatx.cli import main
+
+EPW = "/root/reference/tests/epw/CHL_Santiago.855740_IWEC.epw"
+
+
+@pytest.fixture
+def spl(ref_fixtures):
+    p = f"{ref_fixtures}/tilted/back.spl"
+    if not os.path.isfile(p) or not os.path.isfile(EPW):
+        pytest.skip("reference fixtures unavailable")
+    return p
+
+
+def _read(path):
+    with open(path) as f:
+        rows = list(csv.reader(f))
+    return rows[0], np.array([[float(v) for v in r[1:]] for r in rows[1:]])
+
+
+def test_cli_info(spl, capsys):
+    assert main(["info", spl]) == 0
+    out = capsys.readouterr().out
+    assert "1 surfaces" in out
+    assert "Interior Space" in out
+    assert "sub-steps per main step" in out
+
+
+def test_cli_simulate_writes_csv(spl, tmp_path):
+    out = tmp_path / "z.csv"
+    assert main(["simulate", spl, EPW, "--hours", "6", "-o", str(out)]) == 0
+    header, temps = _read(out)
+    assert header == ["hour", "Interior Space"]
+    assert temps.shape == (6, 1)
+    assert np.isfinite(temps).all()
+    assert (temps > -30).all() and (temps < 60).all()
+
+
+def test_cli_engines_and_modes_agree(spl, tmp_path):
+    """XLA parity, the fused kernel (interpret on CPU), and the TR-BDF2
+    host loop all march the same building to nearby temperatures."""
+    runs = {
+        "xla": ["--engine", "xla"],
+        # The tilted wall is all-massive, so the fixed-iteration no-mass
+        # regime is inert and the kernel matches the XLA parity march.
+        "kernel": ["--engine", "kernel", "--nomass-iters", "1"],
+        "trbdf2": ["--engine", "xla", "--mode", "trbdf2"],
+    }
+    temps = {}
+    for name, extra in runs.items():
+        p = tmp_path / f"{name}.csv"
+        # --f64 matches the suite's x64-enabled process (a standalone f32
+        # CLI process runs with x64 off; mixing the two breaks the kernel).
+        args = ["simulate", spl, EPW, "--hours", "6", "--f64", "-o", str(p)]
+        assert main(args + extra) == 0
+        temps[name] = _read(p)[1][:, 0]
+    assert np.max(np.abs(temps["xla"] - temps["kernel"])) < 5e-3
+    # The fast mode freezes h per step: same building, looser agreement.
+    assert np.max(np.abs(temps["xla"] - temps["trbdf2"])) < 0.5
+
+
+def test_inputs_sequence_shapes_and_run():
+    import jax.numpy as jnp
+
+    import heatx
+    from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+
+    tm = heatx.ThermalModel(
+        single_zone_building(
+            SingleZoneOptions(construction=[TestMat.concrete(0.2)])
+        ),
+        config=heatx.SimConfig(dtype=jnp.float64),
+    )
+    b = tm.building
+    T = 5
+    t_series = np.linspace(0.0, 10.0, T)
+    sol_static = np.full(b.n_surfaces, 100.0)
+    seq = tm.inputs_sequence(T, t_out=t_series, sol_front=sol_static)
+    assert seq.t_out.shape == (T,)
+    assert np.allclose(np.asarray(seq.t_out), t_series)
+    assert seq.sol_front.shape == (T, b.n_surfaces)
+    assert np.allclose(np.asarray(seq.sol_front), 100.0)
+    assert seq.inf_vol.shape == (T, b.n_zones)
+
+    # The broadcast sequence scans identically to marching by hand.
+    st = tm.initial_state()
+    final, zt = tm.run(st, seq)
+    state = st
+    for t in range(T):
+        state = tm.march(
+            state, tm.inputs(t_out=t_series[t], sol_front=sol_static)
+        )
+    assert np.allclose(np.asarray(zt[-1]), np.asarray(state.zone_T), atol=1e-12)
+
+    # Per-sub-step weather: [T, sub] passes through, [sub] broadcasts.
+    sub = b.dt_subdivisions
+    seq2 = tm.inputs_sequence(T, t_out=np.zeros((T, sub)))
+    assert seq2.t_out.shape == (T, sub)
+    seq3 = tm.inputs_sequence(T, wind_speed=np.full(sub, 2.0))
+    assert seq3.wind_speed.shape == (T, sub)
