@@ -110,9 +110,14 @@ class ThermalModel:
                 if name in weather and v.ndim <= 2:
                     upd[name] = v
                 else:
-                    upd[name] = jnp.broadcast_to(
-                        v.reshape((T,) + v.shape[1:]), (T,) + b0.shape
-                    )
+                    # Per-step values broadcast against the static shape
+                    # from the LEFT: a [T] series is one value per step
+                    # held constant across the channel's elements (it was
+                    # previously right-aligned, which read a [T] series as
+                    # a static spatial map whenever T == len(b0)).
+                    tail = v.shape[1:]
+                    v2 = v.reshape((T,) + tail + (1,) * (b0.ndim - len(tail)))
+                    upd[name] = jnp.broadcast_to(v2, (T,) + b0.shape)
             elif name in weather and v.ndim == 1:
                 # [sub] static per-sub-step values.
                 upd[name] = jnp.broadcast_to(v[None], (T,) + v.shape)
@@ -274,6 +279,36 @@ class FastRunner:
     def layout(self):
         return self._bb.layout
 
+    def _layout_idx(self):
+        """Cached device-side layout permutation indices, shared by every
+        blocked<->flat conversion site (state converters, the jitted input
+        prep, the setpoint blocker) so the derivation lives in one place."""
+        if getattr(self, "_lidx", None) is None:
+            import types
+
+            import numpy as np
+
+            j = self._jnp
+            lay = self._bb.layout
+            b = self._tm.building
+            S, Z = b.n_surfaces, b.n_zones
+            perm = np.asarray(lay.surf_perm)  # [SP] -> surface id or -1
+            inv = np.zeros(S, np.int64)  # surface id -> blocked lane
+            inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
+            zt = np.asarray(lay.zone_table)  # [NB, ZB] -> zone id or -1
+            zt_flat = zt.reshape(-1)
+            zinv = np.zeros(Z, np.int64)  # zone id -> blocked slot
+            zinv[zt_flat[zt_flat >= 0]] = np.nonzero(zt_flat >= 0)[0]
+            self._lidx = types.SimpleNamespace(
+                perm_c=j.asarray(np.maximum(perm, 0)),
+                perm_ok=j.asarray(perm >= 0),
+                inv_d=j.asarray(inv),
+                zt_c=j.asarray(np.maximum(zt, 0)),
+                zt_ok=j.asarray(zt >= 0),
+                zinv_d=j.asarray(zinv),
+            )
+        return self._lidx
+
     def _converters(self):
         """Jitted device-side blocked<->SimState layout converters.
 
@@ -282,25 +317,10 @@ class FastRunner:
         12 transfer round-trips cost more than an entire annual kernel run.
         """
         if getattr(self, "_conv", None) is None:
-            import numpy as np
-
             j = self._jnp
-            lay = self._bb.layout
-            b = self._tm.building
-            S, Z = b.n_surfaces, b.n_zones
-            perm = np.asarray(lay.surf_perm)  # [SP] -> surface id or -1
-            perm_c = j.asarray(np.maximum(perm, 0))
-            perm_ok = j.asarray(perm >= 0)
-            inv = np.zeros(S, np.int64)  # surface id -> blocked lane
-            inv[perm[perm >= 0]] = np.nonzero(perm >= 0)[0]
-            inv_d = j.asarray(inv)
-            zt = np.asarray(lay.zone_table)  # [NB, ZB] -> zone id or -1
-            zt_flat = zt.reshape(-1)
-            zinv = np.zeros(Z, np.int64)
-            zinv[zt_flat[zt_flat >= 0]] = np.nonzero(zt_flat >= 0)[0]
-            zinv_d = j.asarray(zinv)
-            zt_c = j.asarray(np.maximum(zt, 0))
-            zt_ok = j.asarray(zt >= 0)
+            idx = self._layout_idx()
+            perm_c, perm_ok, inv_d = idx.perm_c, idx.perm_ok, idx.inv_d
+            zt_c, zt_ok, zinv_d = idx.zt_c, idx.zt_ok, idx.zinv_d
             dt = self._dtype
             NB, ZB = self._bb.n_blocks, self._bb.zones_per_block
 
@@ -604,12 +624,9 @@ class FastRunner:
         # would dominate wall-clock for annual runs at 10k+ surfaces.  Raw
         # arrays transfer in their natural shape ([S] stays [S]).
         if getattr(self, "_prep_jit", None) is None:
-            perm = np.asarray(lay.surf_perm)
-            perm_c = j.asarray(np.maximum(perm, 0))
-            perm_ok = j.asarray(perm >= 0)
-            zt = np.asarray(lay.zone_table)
-            zt_c = j.asarray(np.maximum(zt, 0))
-            zt_ok = j.asarray(zt >= 0)
+            idx = self._layout_idx()
+            perm_c, perm_ok = idx.perm_c, idx.perm_ok
+            zt_c, zt_ok = idx.zt_c, idx.zt_ok
             S_real = b.n_surfaces
 
             def prep(surf_raw, gains_raw, T_steps, is_ts):
@@ -662,10 +679,14 @@ class FastRunner:
         S_real = b.n_surfaces
 
         def time_leading(v):
+            # Same reading as the XLA path (ThermalModel.inputs_sequence):
+            # a leading axis of length T is a per-step series, and on the
+            # T == n_surfaces ambiguity the time-series reading WINS — pass
+            # [1, S] to force a static per-surface map in that case.
             sh = np.shape(v)  # shape only — no device transfer
             if len(sh) == 2 and sh[0] == T_steps:
                 return True
-            return len(sh) == 1 and sh[0] == T_steps and T_steps != S_real
+            return len(sh) == 1 and sh[0] == T_steps
 
         surf_is_ts = tuple(time_leading(v) for v in surf_raw)
         surf_raw = tuple(j.asarray(v, dt) for v in surf_raw)
@@ -679,10 +700,9 @@ class FastRunner:
             # (step._with_time_axis_mix): a 1-D length-T array is a
             # per-step scalar schedule.
             Z = b.n_zones
-            lay_zt = np.asarray(lay.zone_table)
             if getattr(self, "_sp_jit", None) is None:
-                zt_c = j.asarray(np.maximum(lay_zt, 0))
-                zt_ok = j.asarray(lay_zt >= 0)
+                idx = self._layout_idx()
+                zt_c, zt_ok = idx.zt_c, idx.zt_ok
 
                 @partial(jax.jit, static_argnames=("T_steps",))
                 def sp_block(a, T_steps):

@@ -99,6 +99,13 @@ def _weather_series(epw, T):
 
 
 def cmd_simulate(args) -> int:
+    if args.engine == "kernel" and args.mode == "exp":
+        print(
+            "error: --engine kernel supports --mode parity/trbdf2 only; "
+            "use --engine xla for the exponential integrator",
+            file=sys.stderr,
+        )
+        return 2
     _configure_jax(args)
     import jax
     import numpy as np
@@ -131,7 +138,10 @@ def cmd_simulate(args) -> int:
 
     engine = args.engine
     if engine == "auto":
-        engine = "kernel" if jax.default_backend() == "tpu" else "xla"
+        # The fused kernel implements parity and trbdf2 only; exp stays on
+        # the XLA host loop even on TPU.
+        on_tpu = jax.default_backend() == "tpu"
+        engine = "kernel" if (on_tpu and args.mode != "exp") else "xla"
     print(
         f"# {b.n_surfaces} surfaces / {b.n_zones} zones, {T} h, "
         f"engine={engine} mode={args.mode}",
@@ -146,14 +156,15 @@ def cmd_simulate(args) -> int:
             block_size=args.block_size, mode=args.mode, hours=hours,
             substeps=None if args.mode == "parity" else args.substeps,
         )
+        in_dt = np.float64 if args.f64 else np.float32
         seq = tm.inputs()._replace(
-            t_out=np.asarray(dry, np.float32),
-            wind_speed=np.asarray(wind, np.float32),
-            wind_direction=np.asarray(wdir, np.float32),
-            sol_front=np.asarray(sol_f, np.float32),
-            sol_back=np.asarray(sol_b, np.float32),
-            ir_front=np.asarray(ir_f, np.float32),
-            ir_back=np.asarray(ir_b, np.float32),
+            t_out=np.asarray(dry, in_dt),
+            wind_speed=np.asarray(wind, in_dt),
+            wind_direction=np.asarray(wdir, in_dt),
+            sol_front=np.asarray(sol_f, in_dt),
+            sol_back=np.asarray(sol_b, in_dt),
+            ir_front=np.asarray(ir_f, in_dt),
+            ir_back=np.asarray(ir_b, in_dt),
         )
         final, zt = fr.run(st, seq)
     elif args.mode == "parity":

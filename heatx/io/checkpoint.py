@@ -36,10 +36,16 @@ def load_state(path: str, dtype=None, building=None):
 
     with np.load(path) as d:
         step = int(d["step"])
+        optional = {"ideal_load"}  # channels save_state may legitimately omit
         kw = {}
         for k in SimState._fields:
             if k not in d:
-                kw[k] = None  # optional channel (e.g. ideal_load) absent
+                if k not in optional:
+                    raise KeyError(
+                        f"checkpoint {path!r} is missing required state "
+                        f"channel {k!r} (truncated or foreign file?)"
+                    )
+                kw[k] = None  # optional channel absent
                 continue
             a = d[k]
             kw[k] = jnp.asarray(a if dtype is None else a.astype(dtype))

@@ -372,9 +372,17 @@ class BuildingModel:
 
     def space_index(self, name: str) -> int:
         # Dict lookup, rebuilt when spaces were added since (the linear scan
-        # made 100k-surface boundary resolution O(S*Z)).
+        # made 100k-surface boundary resolution O(S*Z)).  A cache hit is
+        # verified against the live list (O(1)) so renaming/replacing a
+        # space without changing the count cannot return a stale index.
         idx = self.__dict__.get("_space_index_cache")
-        if idx is None or len(idx) != len(self.spaces):
+        i = idx.get(name) if idx is not None else None
+        if (
+            idx is None
+            or len(idx) != len(self.spaces)
+            or i is None
+            or self.spaces[i].name != name
+        ):
             idx = {s.name: i for i, s in enumerate(self.spaces)}
             self.__dict__["_space_index_cache"] = idx
         try:

@@ -980,7 +980,6 @@ def make_hour_march(
             i += 1
         scratch = refs[i:]
 
-        import os as _os
         from heatx.ops import tridiag as _td
 
         # Default solver: PCR when compiled (fastest on hardware, PERF.md),
@@ -990,10 +989,11 @@ def make_hour_march(
         # 5/5 runs PCR vs 0/5 Thomas; root cause in the interpret machinery,
         # not the math — both solvers agree to fp noise when it does run
         # correctly).  HEATX_KERNEL_SOLVER overrides either way.
-        _solver_kind = _os.environ.get(
+        _solver_kind = os.environ.get(
             "HEATX_KERNEL_SOLVER", "thomas" if interpret else "pcr"
         )
-        if _os.environ.get("HEATX_KERNEL_LOOP", "0") == "1" and n_parts == 1:
+        # Must agree with use_loop_thomas below (the scratch-shape decision).
+        if os.environ.get("HEATX_KERNEL_LOOP", "0") == "1" and n_parts == 1:
             # Scratch-ref Thomas: loop-form fallback (small Mosaic MLIR) in
             # case a bigger kernel ever overwhelms the Mosaic compiler.
             solver = _make_ref_thomas(*scratch, N)
@@ -1324,8 +1324,10 @@ def make_hour_march(
     # Scratch only serves the single-part loop-Thomas fallback; skip the
     # allocation when unused — uninitialized interpret-mode buffers corrupt
     # other outputs under multi-device shard_map (PERF.md repro).
+    # Must agree with the in-kernel solver selection above (both read
+    # HEATX_KERNEL_LOOP at trace time).
     use_loop_thomas = (
-        __import__("os").environ.get("HEATX_KERNEL_LOOP", "0") == "1" and n_parts == 1
+        os.environ.get("HEATX_KERNEL_LOOP", "0") == "1" and n_parts == 1
     )
     scratch_shapes = (
         [pltpu.VMEM((N, SB), dtype) for _ in range(5)] if use_loop_thomas else []

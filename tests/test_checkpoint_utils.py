@@ -59,3 +59,32 @@ def test_time_steps_helper():
     st, per = time_steps(lambda s: tm.march(s, inp), st, 3)
     assert per > 0
     assert np.isfinite(float(st.zone_T[0]))
+
+
+def test_load_rejects_truncated_checkpoint(tmp_path):
+    """A checkpoint missing a REQUIRED channel must fail loudly, not load
+    as SimState(field=None) and blow up later as a scan-carry structure
+    mismatch.  Only genuinely optional channels (ideal_load) may be absent."""
+    import numpy as np
+
+    from heatx.io.checkpoint import load_state, save_state
+
+    tm = _small_model()
+    st = tm.initial_state()
+    p = str(tmp_path / "ck.npz")
+    save_state(p, st, step=3)
+
+    with np.load(p) as d:
+        trimmed = {k: d[k] for k in d.files if k != "q_back"}
+    p2 = str(tmp_path / "bad.npz")
+    np.savez(p2, **trimmed)
+    try:
+        load_state(p2)
+        assert False, "should have raised"
+    except KeyError as e:
+        assert "q_back" in str(e)
+
+    # ideal_load stays optional: a checkpoint without it loads fine.
+    st2, step = load_state(p)
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(st2.zone_T), np.asarray(st.zone_T))

@@ -108,3 +108,14 @@ def test_inputs_sequence_shapes_and_run():
     assert seq2.t_out.shape == (T, sub)
     seq3 = tm.inputs_sequence(T, wind_speed=np.full(sub, 2.0))
     assert seq3.wind_speed.shape == (T, sub)
+
+
+def test_cli_rejects_exp_mode_on_kernel_engine(capsys):
+    """--engine kernel implements parity/trbdf2 only; an explicit
+    exp+kernel combination must exit with a clear error, not crash in
+    make_hour_march (and engine=auto must route exp to the XLA loop)."""
+    rc = main(["simulate", "m.spl", "w.epw", "--mode", "exp",
+               "--engine", "kernel"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "parity/trbdf2" in err

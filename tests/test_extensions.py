@@ -193,3 +193,22 @@ def test_cavity_r_value():
     # Temperature dependence: a hotter cavity convects/radiates more -> lower R.
     r_hot = b.discretizations[0].r_value(t_front=35.0, t_back=25.0)
     assert r_hot < r
+
+
+def test_space_index_survives_rename():
+    """Regression: the name->index cache is verified against the live
+    space list, so renaming/replacing a space (same count) cannot return a
+    stale index or miss the new name."""
+    from heatx.model.building import BuildingModel, SpaceDef
+
+    m = BuildingModel()
+    m.add_space(SpaceDef("a", 10.0))
+    m.add_space(SpaceDef("b", 20.0))
+    assert m.space_index("b") == 1  # warm the cache
+    m.spaces[1] = SpaceDef("renamed", 20.0)
+    assert m.space_index("renamed") == 1
+    try:
+        m.space_index("b")
+        assert False, "stale name should no longer resolve"
+    except KeyError:
+        pass

@@ -276,3 +276,43 @@ def test_hourly_scalar_series_not_confused_with_surface_map():
     _, zt_a = fr.run(st, seq_scalar, dispatch_days=6)
     _, zt_b = fr.run(st, seq_full, dispatch_days=6)
     np.testing.assert_array_equal(np.asarray(zt_a), np.asarray(zt_b))
+
+
+def test_full_horizon_T_equals_surface_count_reads_time_series():
+    """When the FULL horizon length equals n_surfaces, a 1-D channel is
+    ambiguous; the time-series reading must win — the same resolution as
+    the XLA path (ThermalModel.inputs_sequence) — with [1, S] as the
+    explicit static-map escape hatch."""
+    import jax
+    import jax.numpy as jnp
+
+    tm = heatx.ThermalModel(model(), n=1, config=heatx.SimConfig(dtype=np.float64))
+    b = tm.building
+    S = b.n_surfaces
+    T = S  # the ambiguous horizon
+    ir = np.linspace(100.0, 500.0, T)
+    base = tm.inputs(t_out=5.0, wind_speed=3.0)
+    seq = jax.tree.map(lambda x: jnp.broadcast_to(x, (T,) + jnp.shape(x)), base)
+    seq_scalar = seq._replace(ir_front=jnp.asarray(ir))  # ambiguous [T]==[S]
+    seq_full = seq._replace(                             # explicit [T, S]
+        ir_front=jnp.asarray(np.broadcast_to(ir[:, None], (T, S)))
+    )
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=4, hours=1)
+    st = tm.initial_state()
+    _, zt_a = fr.run(st, seq_scalar)
+    _, zt_b = fr.run(st, seq_full)
+    np.testing.assert_array_equal(np.asarray(zt_a), np.asarray(zt_b))
+
+    # XLA path resolves the same ambiguity identically (series, not map).
+    seq_xla = tm.inputs_sequence(T, t_out=5.0, wind_speed=3.0, ir_front=ir)
+    np.testing.assert_allclose(
+        np.asarray(seq_xla.ir_front), np.broadcast_to(ir[:, None], (T, S))
+    )
+
+    # The explicit [1, S] static per-surface map still works.
+    amap = np.linspace(0.0, 250.0, S)
+    _, zt_c = fr.run(st, seq._replace(ir_front=jnp.asarray(amap[None, :])))
+    _, zt_d = fr.run(
+        st, seq._replace(ir_front=jnp.asarray(np.broadcast_to(amap[None, :], (T, S))))
+    )
+    np.testing.assert_array_equal(np.asarray(zt_c), np.asarray(zt_d))
