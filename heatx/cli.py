@@ -124,9 +124,14 @@ def cmd_simulate(args) -> int:
     out_front = np.asarray(sb.front_code) == B_OUTDOOR
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
     if args.solar:
-        sol_f = surface_irradiance(epw, b, hours=T, albedo=args.albedo) * out_front
+        sol_f = (
+            surface_irradiance(epw, b, hours=T, albedo=args.albedo, sky=args.sky)
+            * out_front
+        )
         sol_b = (
-            surface_irradiance(epw, b, hours=T, albedo=args.albedo, side="back")
+            surface_irradiance(
+                epw, b, hours=T, albedo=args.albedo, side="back", sky=args.sky
+            )
             * out_back
         )
     else:
@@ -257,6 +262,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-solar", dest="solar", action="store_false",
                    help="skip the computed plane-of-array solar inputs")
     p.add_argument("--albedo", type=float, default=0.2)
+    p.add_argument(
+        "--sky", choices=("isotropic", "perez"), default="isotropic",
+        help="diffuse transposition model for the computed solar inputs "
+        "(perez = the EnergyPlus anisotropic sky)",
+    )
     p.add_argument("--checked", action="store_true",
                    help="in-graph per-step finiteness guard (XLA parity engine)")
     p.add_argument(

@@ -8,8 +8,12 @@ heatx ships the standard model so annual EPW runs are self-contained:
 * solar position from the Cooper (1969) declination + Spencer (1971)
   equation of time + hour-angle formulas (Duffie & Beckman eq. 1.6.1 et
   seq.) — the same textbook chain EnergyPlus and PVLIB implement;
-* plane-of-array irradiance with the isotropic-sky (Liu-Jordan) transposition:
-  ``POA = DNI*max(cos theta, 0) + DHI*(1+cos beta)/2 + GHI*rho*(1-cos beta)/2``.
+* plane-of-array irradiance with either the isotropic-sky (Liu-Jordan)
+  transposition ``POA = DNI*max(cos theta, 0) + DHI*(1+cos beta)/2 +
+  GHI*rho*(1-cos beta)/2`` or the Perez (1990) anisotropic-sky model
+  (``sky="perez"``) — the diffuse transposition EnergyPlus itself uses —
+  which splits DHI into isotropic dome, circumsolar, and horizon-brightening
+  components via the binned brightness coefficients F1/F2.
 
 Azimuth convention matches the rest of heatx (EPW wind direction): compass
 radians from north, clockwise, so a direction ``a`` is the horizontal unit
@@ -84,11 +88,81 @@ def sun_vector(altitude_rad, azimuth_rad):
     )
 
 
+def extraterrestrial_normal(day_of_year):
+    """Extraterrestrial normal irradiance, W/m2 (D&B eq. 1.4.1a)."""
+    n = np.asarray(day_of_year, np.float64)
+    return 1367.0 * (1.0 + 0.033 * np.cos(2.0 * np.pi * n / 365.0))
+
+
+def relative_air_mass(zenith_rad):
+    """Relative optical air mass (Kasten & Young 1989), clipped at the
+    horizon (the Perez brightness is irrelevant past it: DHI ~ 0)."""
+    z = np.clip(np.asarray(zenith_rad, np.float64), 0.0, 89.9 * _DEG)
+    zd = z / _DEG
+    return 1.0 / (np.cos(z) + 0.50572 * (96.07995 - zd) ** -1.6364)
+
+
+# Perez et al. (1990) "all sites composite" brightness coefficients
+# (f11 f12 f13 f21 f22 f23 per sky-clearness bin) — the table EnergyPlus
+# and PVLIB ship.  Bin edges on the clearness parameter epsilon.
+_PEREZ_EDGES = np.array([1.065, 1.230, 1.500, 1.950, 2.800, 4.500, 6.200])
+_PEREZ_F = np.array(
+    [
+        [-0.0083117, 0.5877285, -0.0620636, -0.0596012, 0.0721249, -0.0220216],
+        [0.1299457, 0.6825954, -0.1513752, -0.0189325, 0.0659650, -0.0288748],
+        [0.3296958, 0.4868735, -0.2210958, 0.0554140, -0.0639588, -0.0260542],
+        [0.5682053, 0.1874525, -0.2951290, 0.1088631, -0.1519229, -0.0139754],
+        [0.8730280, -0.3920403, -0.3616149, 0.2255647, -0.4620442, 0.0012448],
+        [1.1326077, -1.2367284, -0.4118494, 0.2877813, -0.8230357, 0.0558651],
+        [1.0601591, -1.5999137, -0.3589221, 0.2642124, -1.1272340, 0.1312794],
+        [0.6777470, -0.3272588, -0.2504286, 0.1561313, -1.3765031, 0.2506212],
+    ]
+)
+
+
+def perez_brightness_coefficients(dni, dhi, zenith_rad, day_of_year):
+    """Perez (1990) circumsolar/horizon brightening factors ``(F1, F2)``.
+
+    All inputs broadcast.  Where DHI is ~0 both factors are 0 (the sky
+    term vanishes anyway)."""
+    dni = np.asarray(dni, np.float64)
+    dhi = np.asarray(dhi, np.float64)
+    z = np.asarray(zenith_rad, np.float64)
+    day = np.asarray(day_of_year, np.float64)
+    lit = dhi > 1e-6
+    dhi_s = np.where(lit, dhi, 1.0)
+    kappa = 1.041
+    eps = ((dhi_s + dni) / dhi_s + kappa * z**3) / (1.0 + kappa * z**3)
+    delta = relative_air_mass(z) * dhi_s / extraterrestrial_normal(day)
+    b = np.digitize(eps, _PEREZ_EDGES)  # 0..7
+    f11, f12, f13, f21, f22, f23 = (_PEREZ_F[b, i] for i in range(6))
+    F1 = np.maximum(0.0, f11 + f12 * delta + z * f13)
+    F2 = f21 + f22 * delta + z * f23
+    return np.where(lit, F1, 0.0), np.where(lit, F2, 0.0)
+
+
+def perez_sky_diffuse(dhi, cos_tilt, cos_inc, zenith_rad, F1, F2):
+    """Sky diffuse on a tilted plane, Perez (1990) eq. 9:
+    ``DHI * [(1-F1)(1+cos beta)/2 + F1 a/b + F2 sin beta]`` with
+    ``a = max(0, cos theta_i)`` and ``b = max(cos 85deg, cos z)``."""
+    dhi = np.asarray(dhi, np.float64)
+    a = np.clip(cos_inc, 0.0, None)
+    b = np.maximum(np.cos(85.0 * _DEG), np.cos(zenith_rad))
+    sin_tilt = np.sqrt(np.clip(1.0 - np.asarray(cos_tilt) ** 2, 0.0, None))
+    iso = (1.0 - F1) * (1.0 + cos_tilt) / 2.0
+    return np.clip(dhi * (iso + F1 * a / b + F2 * sin_tilt), 0.0, None)
+
+
 def poa_irradiance(
     dni, dhi, ghi, altitude_rad, azimuth_rad, normal_x, normal_y, cos_tilt,
-    albedo=0.2,
+    albedo=0.2, sky="isotropic", day_of_year=None,
 ):
-    """Plane-of-array irradiance, isotropic-sky (Liu-Jordan) transposition.
+    """Plane-of-array irradiance.
+
+    ``sky="isotropic"`` (default) uses the Liu-Jordan transposition;
+    ``sky="perez"`` the Perez (1990) anisotropic model (requires
+    ``day_of_year``; falls back to isotropic for sun-below-horizon steps,
+    where EPW diffuse is ~0 anyway).
 
     Time arrays broadcast against surface arrays: pass time as [T, 1] and
     surfaces as [S] to get [T, S].  ``(normal_x, normal_y, cos_tilt)`` is the
@@ -99,16 +173,30 @@ def poa_irradiance(
     cos_inc = sx * normal_x + sy * normal_y + sz * cos_tilt
     up = np.asarray(altitude_rad) > 0.0
     direct = np.asarray(dni) * np.clip(cos_inc, 0.0, None) * up
-    sky = np.asarray(dhi) * (1.0 + cos_tilt) / 2.0
+    iso_sky = np.asarray(dhi) * (1.0 + cos_tilt) / 2.0
+    if sky == "perez":
+        if day_of_year is None:
+            raise ValueError("sky='perez' requires day_of_year")
+        zenith = np.pi / 2.0 - np.asarray(altitude_rad)
+        F1, F2 = perez_brightness_coefficients(dni, dhi, zenith, day_of_year)
+        anis = perez_sky_diffuse(dhi, cos_tilt, cos_inc, zenith, F1, F2)
+        sky_term = np.where(up, anis, iso_sky)
+    elif sky == "isotropic":
+        sky_term = iso_sky
+    else:
+        raise ValueError(f"unknown sky model {sky!r}")
     ground = np.asarray(ghi) * albedo * (1.0 - cos_tilt) / 2.0
-    return direct + sky + ground
+    return direct + sky_term + ground
 
 
-def surface_irradiance(epw, building, albedo=0.2, hours=None, side="front"):
+def surface_irradiance(
+    epw, building, albedo=0.2, hours=None, side="front", sky="isotropic"
+):
     """Per-surface incident solar from an EPW: the [T, S] ``sol_front``
     input for a compiled building (front faces are the outdoor side in
     heatx's layout convention).  ``side="back"`` evaluates the opposite
     faces (negated normals) for models whose outdoor boundary is the back.
+    ``sky`` selects the diffuse transposition ("isotropic" or "perez").
 
     EPW records are hour-ending local standard time; sun position is
     evaluated at the middle of each hour.  ``hours`` tiles/truncates the
@@ -137,5 +225,5 @@ def surface_irradiance(epw, building, albedo=0.2, hours=None, side="front"):
     return poa_irradiance(
         dni[:, None], dhi[:, None], ghi[:, None],
         alt[:, None], az[:, None], nx[None, :], ny[None, :], ct[None, :],
-        albedo=albedo,
+        albedo=albedo, sky=sky, day_of_year=day[:, None],
     )

@@ -99,3 +99,81 @@ def test_epw_location_and_surface_irradiance(ref_fixtures):
     south_total = solar.poa_irradiance(dni, 0.0, 0.0, alt, az, 0.0, -1.0, 0.0).sum()
     north_total = solar.poa_irradiance(dni, 0.0, 0.0, alt, az, 0.0, 1.0, 0.0).sum()
     assert north_total > 1.5 * south_total
+
+
+# ---- Perez (1990) anisotropic sky ------------------------------------------
+
+
+def test_perez_horizontal_identity():
+    """On a horizontal plane the Perez transposition returns exactly DHI
+    for any daytime sky: cos(theta_i) == cos(z), so a/b == 1 while z < 85deg
+    and the (1-F1)+F1 terms collapse."""
+    z = 40.0 * DEG
+    F1, F2 = solar.perez_brightness_coefficients(700.0, 120.0, z, 172)
+    d = solar.perez_sky_diffuse(120.0, 1.0, np.cos(z), z, F1, F2)
+    assert abs(d - 120.0) < 1e-9
+
+
+def test_perez_zero_coefficients_reduce_to_isotropic():
+    """F1 = F2 = 0 degenerates to the Liu-Jordan dome term."""
+    z = 55.0 * DEG
+    for ct in (1.0, 0.5, 0.0, -0.3):
+        d = solar.perez_sky_diffuse(200.0, ct, 0.3, z, 0.0, 0.0)
+        assert abs(d - 200.0 * (1.0 + ct) / 2.0) < 1e-9
+
+
+def test_perez_clear_sky_circumsolar_anisotropy():
+    """Clear sky (high DNI): the sun-facing vertical wall must see MORE sky
+    diffuse than the anti-sun wall (circumsolar brightening), and the
+    clearness must land in a high epsilon bin (F1 > 0)."""
+    z = 48.0 * DEG
+    F1, F2 = solar.perez_brightness_coefficients(850.0, 90.0, z, 100)
+    assert F1 > 0.2
+    cos_inc_sun = np.sin(z)  # vertical wall facing the sun azimuth
+    toward = solar.perez_sky_diffuse(90.0, 0.0, cos_inc_sun, z, F1, F2)
+    away = solar.perez_sky_diffuse(90.0, 0.0, -cos_inc_sun, z, F1, F2)
+    assert toward > away + 20.0
+
+
+def test_perez_overcast_is_near_isotropic():
+    """DNI = 0 puts epsilon in bin 1; the circumsolar factor is small, so
+    a vertical wall's sky diffuse is within ~15% of the isotropic half-dome."""
+    z = 30.0 * DEG
+    F1, F2 = solar.perez_brightness_coefficients(0.0, 350.0, z, 1)
+    assert 0.0 <= F1 < 0.35
+    d = solar.perez_sky_diffuse(350.0, 0.0, 0.2, z, F1, F2)
+    assert abs(d - 175.0) < 0.3 * 175.0
+    # No diffuse -> no sky term and no NaNs.
+    F1z, F2z = solar.perez_brightness_coefficients(0.0, 0.0, z, 1)
+    assert F1z == 0.0 and F2z == 0.0
+    assert solar.perez_sky_diffuse(0.0, 0.0, 0.2, z, F1z, F2z) == 0.0
+
+
+def test_perez_poa_requires_day_and_matches_shape(ref_fixtures):
+    import heatx
+    from heatx.build.layout import compile_building
+    from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+    from heatx.weather.epw import read_epw
+
+    with pytest.raises(ValueError):
+        solar.poa_irradiance(
+            500.0, 100.0, 400.0, 0.5, 3.0, 0.0, -1.0, 0.0, sky="perez"
+        )
+    with pytest.raises(ValueError):
+        solar.poa_irradiance(
+            500.0, 100.0, 400.0, 0.5, 3.0, 0.0, -1.0, 0.0, sky="bogus"
+        )
+
+    epw = read_epw(f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw")
+    opts = SingleZoneOptions(construction=[TestMat.concrete(0.1)])
+    b = compile_building(single_zone_building(opts), n=1,
+                         config=heatx.SimConfig(dtype=np.float64))
+    iso = solar.surface_irradiance(epw, b, hours=8760)
+    per = solar.surface_irradiance(epw, b, hours=8760, sky="perez")
+    assert per.shape == iso.shape
+    assert np.isfinite(per).all() and (per >= 0).all()
+    # The beam + ground terms are identical; only the sky diffuse differs,
+    # and annually the two transpositions agree within ~15% on total
+    # incident energy for a vertical wall.
+    r = per.sum() / iso.sum()
+    assert 0.85 < r < 1.20, r
