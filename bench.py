@@ -181,6 +181,78 @@ def run_demand_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
     )
 
 
+def run_accuracy_bench(args, dtype):
+    """Hardware-measured accuracy: replay the regime-gate workload (3 weeks
+    of real EPW weather, the 4-zone/40-surface city of
+    tests/test_fast_regime.py) through the fused Pallas kernels on the REAL
+    chip in float32, and report the zone-temperature RMSE against the
+    committed f64 reference-exact golden
+    (tests/data/accuracy_golden_504h.npz, regenerated by
+    scripts/make_accuracy_golden.py).  This puts an accuracy number measured
+    on the benched hardware next to the wall-clock ones in the scored JSON:
+    the parity row's f32+fixed-iteration drift and the TR-BDF2 fast-regime
+    error (CPU-f64-measured at 0.33 K in tests/test_fast_regime.py)."""
+    import jax.numpy as jnp
+
+    import heatx
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "accuracy_golden_504h.npz",
+    )
+    with np.load(golden_path) as g:
+        zhist_gold = g["zhist_par"]
+        hours, warm = int(g["hours"]), int(g["warmup"])
+        zones, spz = int(g["zones"]), int(g["surfaces_per_zone"])
+
+    dry, wind, wdir, ghi, ir = (v[:hours] for v in load_weather(hours))
+    model = build_city_model(zones, spz)
+    tm = heatx.ThermalModel(
+        model, n=1,
+        config=heatx.SimConfig(
+            dtype=dtype, nomass_fixed_iters=args.nomass_iters or 1
+        ),
+    )
+    b = tm.building
+    # Same per-surface solar factors as compute_regime_runs (seed 0).
+    sf = np.random.default_rng(0).uniform(0.2, 1.0, b.n_surfaces)
+    seq = tm.inputs(
+        hvac_power=np.full(b.n_hvacs, 500.0),
+        lum_power=np.full(b.n_luminaires, 150.0),
+    )._replace(
+        t_out=jnp.asarray(dry, dtype),
+        wind_speed=jnp.asarray(wind, dtype),
+        wind_direction=jnp.asarray(wdir, dtype),
+        sol_front=jnp.asarray(np.asarray(ghi[:, None] * sf[None, :]), dtype),
+        ir_front=jnp.asarray(ir, dtype),
+    )
+    st = tm.initial_state()
+    rng_T = float(zhist_gold[warm:].max() - zhist_gold[warm:].min())
+    out = dict(accuracy_hours=hours)
+    for mode, field in (("parity", "accuracy_parity_rmse_K"),
+                        ("trbdf2", "accuracy_trbdf2_rmse_K")):
+        fr = tm.fast_runner(
+            block_size=128, mode=mode, hours=24,
+            substeps=None if mode == "parity" else args.exp_substeps,
+        )
+        _, zt = fr.run(st, seq, interp_weather=True)
+        d = np.asarray(zt, np.float64)[warm:] - zhist_gold[warm:]
+        rmse = float(np.sqrt((d**2).mean()))
+        print(
+            f"# accuracy {mode} kernel ({args.dtype}) vs f64-exact golden, "
+            f"{hours}h: rmse {rmse:.4f} K ({rmse / rng_T * 100:.2f}% of "
+            f"{rng_T:.1f} K range), bias {d.mean():+.4f} K",
+            file=sys.stderr,
+        )
+        out[field] = round(rmse, 4)
+        out[field.replace("_K", "_frac_of_range")] = round(rmse / rng_T, 5)
+    # Sanity bombs, generous vs the CPU-measured 0.33 K fast-regime error:
+    # a solver regression shows up here as Kelvins, not millikelvins.
+    assert out["accuracy_parity_rmse_K"] < 0.75, out
+    assert out["accuracy_trbdf2_rmse_K"] < 1.0, out
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--zones", type=int, default=1000)
@@ -208,6 +280,13 @@ def main():
         action="store_true",
         help="skip the annual ideal-loads demand run (thermostats in-kernel) "
         "normally included as demand_* fields in the JSON line",
+    )
+    ap.add_argument(
+        "--skip-accuracy",
+        action="store_true",
+        help="skip the hardware accuracy row (3-week regime-gate workload "
+        "through both kernels vs the committed f64-exact golden) normally "
+        "included as accuracy_* fields in the JSON line",
     )
     ap.add_argument(
         "--xla-path",
@@ -539,6 +618,13 @@ def main():
             except Exception as e:  # headline row survives a demand failure
                 print(f"# demand row failed: {e}", file=sys.stderr)
                 row.update(demand_error=str(e)[:200])
+        if not args.parity_kernel and not args.skip_accuracy:
+            # Hardware-measured accuracy vs the committed f64-exact golden.
+            try:
+                row.update(run_accuracy_bench(args, dtype))
+            except Exception as e:  # headline row survives an accuracy failure
+                print(f"# accuracy row failed: {e}", file=sys.stderr)
+                row.update(accuracy_error=str(e)[:200])
         print(json.dumps(row))
         return
 

@@ -152,3 +152,20 @@ def test_interpolated_weather_beats_hourly_steps(regime_runs):
     assert err_interp <= err_const * 1.05, (
         f"interpolated {err_interp:.4f} K vs hour-constant {err_const:.4f} K"
     )
+
+
+@pytest.mark.slow
+def test_committed_golden_matches_parity_run(regime_runs):
+    """The committed golden behind bench.py's hardware-accuracy row
+    (accuracy_* fields) must track the live parity integrator.  If this
+    fails after a legitimate numerics change, regenerate with
+    scripts/make_accuracy_golden.py."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "accuracy_golden_504h.npz")
+    with np.load(path) as g:
+        gold = g["zhist_par"]
+        assert int(g["hours"]) == HOURS and int(g["warmup"]) == WARMUP
+    zhist_par, _, _ = regime_runs
+    np.testing.assert_allclose(gold, np.asarray(zhist_par), atol=5e-4)
