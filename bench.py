@@ -230,7 +230,8 @@ def run_accuracy_bench(args, dtype):
     rng_T = float(zhist_gold[warm:].max() - zhist_gold[warm:].min())
     out = dict(accuracy_hours=hours)
     for mode, field in (("parity", "accuracy_parity_rmse_K"),
-                        ("trbdf2", "accuracy_trbdf2_rmse_K")):
+                        ("trbdf2", "accuracy_trbdf2_rmse_K"),
+                        ("trbdf2_refresh", "accuracy_refresh_rmse_K")):
         fr = tm.fast_runner(
             block_size=128, mode=mode, hours=24,
             substeps=None if mode == "parity" else args.exp_substeps,
@@ -250,6 +251,7 @@ def run_accuracy_bench(args, dtype):
     # a solver regression shows up here as Kelvins, not millikelvins.
     assert out["accuracy_parity_rmse_K"] < 0.75, out
     assert out["accuracy_trbdf2_rmse_K"] < 1.0, out
+    assert out["accuracy_refresh_rmse_K"] < 0.3, out
     return out
 
 
@@ -606,6 +608,19 @@ def main():
             except Exception as e:  # headline row survives a parity failure
                 print(f"# parity kernel row failed: {e}", file=sys.stderr)
                 row.update(parity_error=str(e)[:200])
+            # The refresh middle point: film coefficients re-evaluated every
+            # sub-step (parity cadence) at the fast mode's sub-step count —
+            # 0.05 K vs parity where frozen-h sits at 0.33 K.
+            try:
+                rres = run_kernel_bench("trbdf2_refresh")
+                row.update(
+                    refresh_wall_clock_s=round(rres["wall"], 3),
+                    refresh_node_updates_per_sec_per_chip=round(rres["rate"], 1),
+                    refresh_vs_baseline=round(10.0 / rres["wall"], 3),
+                )
+            except Exception as e:
+                print(f"# refresh kernel row failed: {e}", file=sys.stderr)
+                row.update(refresh_error=str(e)[:200])
         if not args.parity_kernel and not args.skip_demand:
             # Annual ideal-loads demand (thermostats in-kernel,
             # heatx.engine.zone.zone_update semantics): the production load-

@@ -182,7 +182,11 @@ class ThermalModel:
         return self._march_exp(self._device(), state, inputs, substeps=substeps)
 
     def march_imp(
-        self, state: SimState, inputs: StepInputs, substeps: int = 12
+        self,
+        state: SimState,
+        inputs: StepInputs,
+        substeps: int = 12,
+        refresh_h: bool = False,
     ) -> SimState:
         """One main timestep in TR-BDF2 implicit fast mode: like
         :meth:`march_exp` (coefficients frozen per step, ~10x fewer
@@ -190,12 +194,19 @@ class ThermalModel:
         maps better onto TPU than the matrix exponential (tridiagonal solves
         instead of batched dense algebra).  This is the scheme behind the
         fused fast-mode Pallas kernel (heatx.ops.pallas_step mode="trbdf2").
-        See :mod:`heatx.engine.implicit`."""
+        ``refresh_h=True`` re-evaluates the film coefficients and stage
+        matrices every sub-step (kernel mode="trbdf2_refresh"): ~6x the
+        frozen-h accuracy at the same sub-step count.  See
+        :mod:`heatx.engine.implicit`."""
         if self._march_imp is None:
             from heatx.engine.implicit import imp_march
 
-            self._march_imp = jax.jit(imp_march, static_argnames=("substeps",))
-        return self._march_imp(self._device(), state, inputs, substeps=substeps)
+            self._march_imp = jax.jit(
+                imp_march, static_argnames=("substeps", "refresh_h")
+            )
+        return self._march_imp(
+            self._device(), state, inputs, substeps=substeps, refresh_h=refresh_h
+        )
 
     def fast_runner(
         self,
@@ -214,7 +225,12 @@ class ThermalModel:
         layers; validated against the EnergyPlus replay suite at 1-2).
         mode="trbdf2" runs the TR-BDF2 fast mode (h frozen per hour,
         ``substeps`` sub-steps instead of the stability-dictated ~120 —
-        another ~8x on a TPU; see heatx.engine.implicit)."""
+        another ~8x on a TPU; see heatx.engine.implicit).
+        mode="trbdf2_refresh" is TR-BDF2 with the film coefficients /
+        cavity U / stage factorizations re-evaluated EVERY sub-step (the
+        parity path's coefficient cadence): ~6x the frozen-h accuracy
+        (0.05 K vs 0.33 K on the 3-week regime gate) at the fast mode's
+        sub-step count."""
         return FastRunner(
             self, block_size=block_size, mode=mode, substeps=substeps,
             hours=hours, interpret=interpret, collect_fluxes=collect_fluxes,

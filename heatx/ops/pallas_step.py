@@ -521,12 +521,21 @@ def _hour_body_imp(
     off=0,
     mix_wt=None,  # [ZB, ZB] block-local inter-zone mixing matrix
     ctl=None,  # (heat_sp, cool_sp, max_heat, max_cool) [1, ZB] rows, or None
+    refresh_h=False,
 ):
     """One hour of TR-BDF2 fast-mode sub-steps for one block (see
     heatx.engine.implicit): coefficients freeze once per hour, each sub-step
     is one tridiagonal mat-vec + two Thomas solves + the analytical zone
     update.  ~10x fewer sub-steps than the parity body at the same in-VMEM
-    cost structure."""
+    cost structure.
+
+    ``refresh_h=True`` (mode="trbdf2_refresh") re-evaluates the film
+    coefficients / linearized radiation / cavity U and re-factors the stage
+    matrices EVERY sub-step from the marching state and the per-sub-step
+    weather — the parity path's coefficient cadence (surface.rs:596-717) at
+    the fast mode's sub-step count (frozen-h is the fast mode's dominant
+    error term: 0.33 K RMSE frozen vs 0.05 K refreshed on the 3-week
+    regime-gate workload)."""
     from heatx.engine import implicit as imp_mod
     from heatx.engine.exponential import _full_system_K, _substep_forcing
     from heatx.ops import tridiag
@@ -538,58 +547,79 @@ def _hour_body_imp(
     # otherwise the division-free factored sweeps.
     use_pcr = solver is tridiag.solve_pcr
 
-    # -- per-hour frozen operators (implicit.build_operators, in-kernel) -----
-    t_out0, ws0, wd0 = t_out_arr[off], wind_arr[off], wdir_arr[off]
-    frozen = []
-    for p, st, T0 in zip(parts, statics, T0s):
-        t_front0, t_back0 = _boundary_temps(p.sb, p, zT0, t_out0, f32)
-        env_f0, env_b0 = surf_mod.border_conditions(
-            p.sb, T0, t_front0, t_back0, wd0, ws0, p.ir_front, p.ir_back, cfg,
-            statics=st,
-        )
-        rad_hs_f = surf_mod.linearized_rad_coefficient(p.sb.eps_front, env_f0)
-        rad_hs_b = surf_mod.linearized_rad_coefficient(p.sb.eps_back, env_b0)
-        U = surf_mod.segment_u(p.sb, T0, env_b0.air)
-        K = _full_system_K(p.sb, U, env_f0, env_b0, rad_hs_f, rad_hs_b, st)
-        C = jnp.where(p.sb.massive, p.sb.mass, jnp.zeros_like(p.sb.mass))
-        M1 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.GAMMA * dt_sub / 2.0)
-        M2 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.BETA * dt_sub)
-        # The stage matrices are frozen for the hour: pre-factor them so the
-        # per-sub-step solves carry no elimination work (Mosaic does not
-        # hoist loop-invariant chains out of the fori_loop).  PCR keeps the
-        # log2(N) parallel sweeps (no sequential row chain); Thomas keeps
-        # the division-free sequential sweeps.
-        if use_pcr:
-            lv1, invb1 = tridiag.pcr_factor(*M1)
-            lv2, invb2 = tridiag.pcr_factor(*M2)
-            cs1 = inv1 = cs2 = inv2 = None
-        else:
-            cs1, inv1 = tridiag.factor(*M1)
-            cs2, inv2 = tridiag.factor(*M2)
-            lv1 = invb1 = lv2 = invb2 = None
+    solar_qs = []
+    for p in parts:
         sol_f = jnp.where(
             jnp.isnan(p.sol_front) | (p.sol_front < 0.0), 0.0, p.sol_front
         )
         sol_b = jnp.where(jnp.isnan(p.sol_back), 0.0, p.sol_back)
-        solar_q = p.sb.front_alphas * sol_f + p.sb.back_alphas * sol_b
-        frozen.append(
-            SimpleNamespace(
-                env_f0=env_f0, env_b0=env_b0, rad_hs_f=rad_hs_f,
-                rad_hs_b=rad_hs_b, K=K, C=C, M1=M1, M2=M2,
-                cs1=cs1, inv1=inv1, cs2=cs2, inv2=inv2,
-                lv1=lv1, invb1=invb1, lv2=lv2, invb2=invb2, solar_q=solar_q,
+        solar_qs.append(p.sb.front_alphas * sol_f + p.sb.back_alphas * sol_b)
+
+    def build_ops(Ts_c, zT_c, t_out_c, ws_c, wd_c):
+        """Operators from the given state + weather (implicit.build_operators,
+        in-kernel): border conditions, linearized radiation, cavity U, the
+        full-system K, and the two PRE-FACTORED TR-BDF2 stage matrices.
+        Called once per hour (frozen mode — Mosaic does not hoist
+        loop-invariant chains out of the fori_loop, so the hoist is manual)
+        or once per sub-step (refresh mode)."""
+        ops = []
+        for p, st, T0, solar_q in zip(parts, statics, Ts_c, solar_qs):
+            t_front0, t_back0 = _boundary_temps(p.sb, p, zT_c, t_out_c, f32)
+            env_f0, env_b0 = surf_mod.border_conditions(
+                p.sb, T0, t_front0, t_back0, wd_c, ws_c, p.ir_front,
+                p.ir_back, cfg, statics=st,
             )
+            rad_hs_f = surf_mod.linearized_rad_coefficient(p.sb.eps_front, env_f0)
+            rad_hs_b = surf_mod.linearized_rad_coefficient(p.sb.eps_back, env_b0)
+            U = surf_mod.segment_u(p.sb, T0, env_b0.air)
+            K = _full_system_K(p.sb, U, env_f0, env_b0, rad_hs_f, rad_hs_b, st)
+            C = jnp.where(p.sb.massive, p.sb.mass, jnp.zeros_like(p.sb.mass))
+            M1 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.GAMMA * dt_sub / 2.0)
+            M2 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.BETA * dt_sub)
+            if use_pcr:
+                lv1, invb1 = tridiag.pcr_factor(*M1)
+                lv2, invb2 = tridiag.pcr_factor(*M2)
+                cs1 = inv1 = cs2 = inv2 = None
+            else:
+                cs1, inv1 = tridiag.factor(*M1)
+                cs2, inv2 = tridiag.factor(*M2)
+                lv1 = invb1 = lv2 = invb2 = None
+            ops.append(
+                SimpleNamespace(
+                    env_f0=env_f0, env_b0=env_b0, rad_hs_f=rad_hs_f,
+                    rad_hs_b=rad_hs_b, K=K, C=C, M1=M1, M2=M2,
+                    cs1=cs1, inv1=inv1, cs2=cs2, inv2=inv2,
+                    lv1=lv1, invb1=invb1, lv2=lv2, invb2=invb2,
+                    solar_q=solar_q,
+                )
+            )
+        return ops
+
+    if not refresh_h:
+        # -- per-hour frozen operators ---------------------------------------
+        frozen = build_ops(
+            T0s, zT0, t_out_arr[off], wind_arr[off], wdir_arr[off]
         )
 
-    def substep(carry, t_out):
+    def substep(carry, i):
         Ts, zT = carry
+        t_out = t_out_arr[off + i]
+        fzs = (
+            build_ops(Ts, zT, t_out, wind_arr[off + i], wdir_arr[off + i])
+            if refresh_h
+            else frozen
+        )
         new_Ts = []
         hqs = []
         envs = []
-        for p, st, fz, T in zip(parts, statics, frozen, Ts):
+        for p, st, fz, T in zip(parts, statics, fzs, Ts):
             t_front, t_back = _boundary_temps(p.sb, p, zT, t_out, f32)
-            env_f = fz.env_f0._replace(air=t_front)
-            env_b = fz.env_b0._replace(air=t_back)
+            if refresh_h:
+                # build_ops already evaluated the envs from this state/air.
+                env_f, env_b = fz.env_f0, fz.env_b0
+            else:
+                env_f = fz.env_f0._replace(air=t_front)
+                env_b = fz.env_b0._replace(air=t_back)
             q = _substep_forcing(env_f, env_b, fz.rad_hs_f, fz.rad_hs_b, fz.solar_q, st)
 
             lower, diag, upper = fz.K
@@ -639,7 +669,7 @@ def _hour_body_imp(
 
         def loop_body(i, carry):
             (Ts, zT), _ = carry
-            st, hqs, _ = substep((Ts, zT), t_out_arr[off + i])
+            st, hqs, _ = substep((Ts, zT), i)
             return st, hqs
 
         (Ts, zT), hqs = jax.lax.fori_loop(
@@ -649,7 +679,7 @@ def _hour_body_imp(
 
     def loop_body(i, carry):
         (Ts, zT), _, lsum = carry
-        st, hqs, load = substep((Ts, zT), t_out_arr[off + i])
+        st, hqs, load = substep((Ts, zT), i)
         return st, hqs, lsum + load
 
     (Ts, zT), hqs, lsum = jax.lax.fori_loop(
@@ -698,7 +728,9 @@ def make_hour_march(
     mode="parity" runs the reference-parity sub-step physics at the
     stability-dictated sub-step count; mode="trbdf2" runs the implicit fast
     mode (heatx.engine.implicit) at ``substeps`` (default 12) sub-steps/hour
-    with coefficients frozen per hour.
+    with coefficients frozen per hour; mode="trbdf2_refresh" is the same
+    scheme with the coefficients and stage factorizations re-evaluated
+    every sub-step (parity coefficient cadence, ~6x the frozen-h accuracy).
 
     ``hours > 1`` marches that many consecutive hours per kernel invocation:
     one pallas_call costs a fixed ~0.7 ms/block in launch + HBM streaming of
@@ -727,7 +759,7 @@ def make_hour_march(
     state channels, surface_trait.rs:223-354), accumulated with the same
     one-hot-row trick as the zone history.
     """
-    if mode not in ("parity", "trbdf2"):
+    if mode not in ("parity", "trbdf2", "trbdf2_refresh"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
     if scheduled_setpoints and bb.ctl is None:
         raise ValueError(
@@ -1070,7 +1102,14 @@ def make_hour_march(
 
         # flush_tiny off: the TPU flushes subnormals in hardware in-kernel.
         cfg = bb.config.replace(kernel_mode=True, flush_tiny=False)
-        body = _hour_body if mode == "parity" else _hour_body_imp
+        if mode == "parity":
+            body = _hour_body
+        else:
+            from functools import partial as _partial
+
+            body = _partial(
+                _hour_body_imp, refresh_h=(mode == "trbdf2_refresh")
+            )
 
         def one_hour(h, Ts, zT):
             hs = pl.ds(h, 1)

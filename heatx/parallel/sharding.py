@@ -155,10 +155,12 @@ def _march_for_mode(mode: str, substeps: int):
     h frozen per main step, ``substeps`` sub-steps)."""
     if mode == "parity":
         return step_mod.march
-    if mode == "trbdf2":
+    if mode in ("trbdf2", "trbdf2_refresh"):
         from heatx.engine.implicit import imp_march
 
-        return partial(imp_march, substeps=substeps)
+        return partial(
+            imp_march, substeps=substeps, refresh_h=(mode == "trbdf2_refresh")
+        )
     if mode == "exp":
         from heatx.engine.exponential import exp_march
 

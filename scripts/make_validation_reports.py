@@ -120,7 +120,7 @@ def walls_report():
     try:
         import test_fast_regime as tfr
 
-        zhist_par, zhist_fast, _ = tfr.compute_regime_runs(FIXTURES)
+        zhist_par, zhist_fast, _, zhist_refresh = tfr.compute_regime_runs(FIXTURES)
         v.push(
             SeriesValidation(
                 title=(
@@ -133,6 +133,20 @@ def walls_report():
                 y_label="Zone Temperature",
                 y_units="C",
                 max_rmse_frac=0.03,
+            )
+        )
+        v.push(
+            SeriesValidation(
+                title=(
+                    "Refresh fast-mode regime (per-sub-step coefficients) "
+                    "vs reference-parity (same workload, zone 0)"
+                ),
+                expected=zhist_par[tfr.WARMUP :, 0],
+                found=zhist_refresh[tfr.WARMUP :, 0],
+                expected_legend="reference-parity integrator",
+                y_label="Zone Temperature",
+                y_units="C",
+                max_rmse_frac=0.01,
             )
         )
         print("  headline regime: done")

@@ -87,7 +87,7 @@ def compute_regime_runs(fixtures_root):
 
     # Fast mode at the bench settings (hourly freeze, SUBF sub-steps,
     # interpolated t_out) and with hour-constant t_out for the drift check.
-    def fast_hist(t_out_seq):
+    def fast_hist(t_out_seq, refresh_h=False):
         def hour(state, x):
             t_sub, ws, wd, g, qir = x
             inputs = base._replace(
@@ -95,7 +95,7 @@ def compute_regime_runs(fixtures_root):
                 sol_front=g * jnp.asarray(sol_factor),
                 ir_front=jnp.broadcast_to(qir, (S,)),
             )
-            s = imp_march(b, state, inputs, SUBF)
+            s = imp_march(b, state, inputs, SUBF, refresh_h=refresh_h)
             return s, s.zone_T
 
         xs = (t_out_seq, jnp.asarray(wind), jnp.asarray(wdir),
@@ -103,11 +103,13 @@ def compute_regime_runs(fixtures_root):
         _, hist = jax.jit(lambda s, xs: jax.lax.scan(hour, s, xs))(st0, xs)
         return np.asarray(hist)
 
-    zhist_fast = fast_hist(jnp.asarray(_interp(dry, SUBF)))
+    t_interp = jnp.asarray(_interp(dry, SUBF))
+    zhist_fast = fast_hist(t_interp)
     zhist_const = fast_hist(
         jnp.asarray(np.broadcast_to(dry[:, None], (HOURS, SUBF)))
     )
-    return np.asarray(zhist_par), zhist_fast, zhist_const
+    zhist_refresh = fast_hist(t_interp, refresh_h=True)
+    return np.asarray(zhist_par), zhist_fast, zhist_const, zhist_refresh
 
 
 @pytest.fixture(scope="module")
@@ -127,7 +129,7 @@ def ref_fixtures_module():
 
 @pytest.mark.slow
 def test_headline_regime_tracks_parity(regime_runs):
-    zhist_par, zhist_fast, _ = regime_runs
+    zhist_par, zhist_fast, _, _ = regime_runs
     d = zhist_fast[WARMUP:] - zhist_par[WARMUP:]
     rng_T = zhist_par[WARMUP:].max() - zhist_par[WARMUP:].min()
     rmse = float(np.sqrt((d ** 2).mean()))
@@ -144,7 +146,7 @@ def test_interpolated_weather_beats_hourly_steps(regime_runs):
     """Per-sub-step weather wiring (model.rs:371-374): interpolating the
     hourly series to sub-steps must move results measurably and toward the
     parity run (which also interpolates)."""
-    zhist_par, zhist_fast, zhist_const = regime_runs
+    zhist_par, zhist_fast, zhist_const, _ = regime_runs
     err_interp = np.sqrt(((zhist_fast[WARMUP:] - zhist_par[WARMUP:]) ** 2).mean())
     err_const = np.sqrt(((zhist_const[WARMUP:] - zhist_par[WARMUP:]) ** 2).mean())
     drift = np.abs(zhist_fast[WARMUP:] - zhist_const[WARMUP:]).max()
@@ -167,5 +169,26 @@ def test_committed_golden_matches_parity_run(regime_runs):
     with np.load(path) as g:
         gold = g["zhist_par"]
         assert int(g["hours"]) == HOURS and int(g["warmup"]) == WARMUP
-    zhist_par, _, _ = regime_runs
+    zhist_par, _, _, _ = regime_runs
     np.testing.assert_allclose(gold, np.asarray(zhist_par), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_refresh_regime_beats_frozen_h(regime_runs):
+    """mode="trbdf2_refresh" (film coefficients / cavity U / stage
+    factorizations re-evaluated every sub-step — the parity path's
+    coefficient cadence, surface.rs:596-717) must cut the frozen-h error by
+    several x at the same sub-step count.  Measured (f64, 3-week regime
+    workload): frozen 0.33 K RMSE -> refreshed ~0.05 K."""
+    zhist_par, zhist_fast, _, zhist_refresh = regime_runs
+    d_frozen = zhist_fast[WARMUP:] - zhist_par[WARMUP:]
+    d_refresh = zhist_refresh[WARMUP:] - zhist_par[WARMUP:]
+    rmse_frozen = float(np.sqrt((d_frozen ** 2).mean()))
+    rmse_refresh = float(np.sqrt((d_refresh ** 2).mean()))
+    assert rmse_refresh < 0.1, f"refresh RMSE {rmse_refresh:.3f} K"
+    assert rmse_refresh < rmse_frozen / 3.0, (
+        f"refresh {rmse_refresh:.3f} K vs frozen {rmse_frozen:.3f} K"
+    )
+    assert float(np.abs(d_refresh).max()) < 0.3, (
+        f"refresh max err {np.abs(d_refresh).max():.3f} K"
+    )

@@ -175,3 +175,27 @@ def test_trbdf2_kernel_zone_history():
     np.testing.assert_allclose(hist, np.stack(expected), atol=1e-12)
     # the last history entry is the final state
     np.testing.assert_allclose(hist[-1], expected[-1], atol=0)
+
+
+def test_trbdf2_refresh_kernel_matches_xla_refresh_march():
+    """mode="trbdf2_refresh": film coefficients / cavity U / stage matrices
+    re-evaluated every sub-step.  With hour-constant wind (so the XLA
+    path's per-main-step wind freeze agrees with the kernel's per-sub-step
+    read) the kernel must reproduce imp_march(refresh_h=True) bit-for-bit,
+    and must differ measurably from the frozen-h kernel."""
+    building = _compiled(_city(), nomass_fixed_iters=1)
+    S = building.n_surfaces
+    rng = np.random.default_rng(2)
+    solf = rng.uniform(0.2, 1.0, (4, S)) * 300.0
+
+    march = jax.jit(imp_mod.imp_march, static_argnames=("substeps", "refresh_h"))
+    stx = _march_xla(
+        building, 4, solf,
+        lambda b, s, i: march(b, s, i, substeps=12, refresh_h=True),
+    )
+    zK, TK, _ = _kernel_run(building, 4, 12, solf, "trbdf2_refresh")
+    np.testing.assert_allclose(np.asarray(stx.zone_T), zK, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(stx.node_T), TK, atol=1e-12)
+
+    zF, _, _ = _kernel_run(building, 4, 12, solf, "trbdf2")
+    assert np.abs(zF - zK).max() > 1e-6, "refresh had no effect"
