@@ -165,19 +165,24 @@ FAST_THRESHOLDS = {
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize(
+    "refresh", [False, True], ids=["frozen-h", "refresh-h"]
+)
 @pytest.mark.parametrize("name", sorted(WALL_CASES), ids=sorted(WALL_CASES))
-def test_eplus_replay_fast_mode(name, ref_fixtures):
+def test_eplus_replay_fast_mode(name, refresh, ref_fixtures):
     from heatx.engine.implicit import imp_march
 
     case = WALL_CASES[name]
     expected, found = run_case(
         case,
         ref_fixtures,
-        march_fn=lambda b, s, i: imp_march(b, s, i, substeps=2),
+        march_fn=lambda b, s, i: imp_march(
+            b, s, i, substeps=2, refresh_h=refresh
+        ),
     )
     rmse_frac, bias_frac = FAST_THRESHOLDS[name]
     v = SeriesValidation(
-        title=f"{name} (fast mode)",
+        title=f"{name} (fast mode{', refresh-h' if refresh else ''})",
         expected=expected,
         found=found,
         expected_legend="EnergyPlus",
@@ -187,4 +192,4 @@ def test_eplus_replay_fast_mode(name, ref_fixtures):
         max_bias_frac=bias_frac,
     )
     m = v.metrics()
-    assert v.passes(), f"{name} fast mode: {m}"
+    assert v.passes(), f"{name} fast mode (refresh={refresh}): {m}"
