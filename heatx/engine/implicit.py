@@ -216,22 +216,33 @@ def imp_march(
 
     ops = build_operators(building, state, t_out0, ws0, wd0, inputs, dt_sub)
 
-    t_out_seq = jnp.broadcast_to(t_out0, (substeps,)) if t_out.ndim == 0 else (
-        t_out if t_out.shape[0] == substeps else jnp.broadcast_to(t_out0, (substeps,))
-    )
+    def _sub_seq(v, v0):
+        """Per-sub-step series: a leading [substeps] axis passes through,
+        anything else freezes to the main-step value (first entry)."""
+        if v.ndim > 0 and v.shape[0] == substeps:
+            return v
+        return jnp.broadcast_to(v0, (substeps,))
+
+    t_out_seq = _sub_seq(t_out, t_out0)
+    # Wind enters only through build_operators, so a per-sub-step wind
+    # series matters only under refresh_h (the fused kernel reads wind per
+    # sub-step the same way, pallas_step._hour_body_imp).
+    ws_seq = _sub_seq(ws, ws0)
+    wd_seq = _sub_seq(wd, wd0)
 
     collect_load = building.has_ideal_hvac
 
     def body(carry, x):
+        t_i, ws_i, wd_i = x
         ops_i = (
-            build_operators(building, carry, x, ws0, wd0, inputs, dt_sub)
+            build_operators(building, carry, t_i, ws_i, wd_i, inputs, dt_sub)
             if refresh_h
             else ops
         )
-        new = imp_substep(building, ops_i, carry, x, inputs, dt_sub)
+        new = imp_substep(building, ops_i, carry, t_i, inputs, dt_sub)
         return new, (new.ideal_load if collect_load else None)
 
-    state, loads = jax.lax.scan(body, state, t_out_seq)
+    state, loads = jax.lax.scan(body, state, (t_out_seq, ws_seq, wd_seq))
     if collect_load:
         state = state._replace(ideal_load=jnp.mean(loads, axis=0))
     return state

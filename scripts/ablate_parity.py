@@ -30,6 +30,10 @@ ABLATIONS = {
     "parity": ("none", "rk4", "tarp", "cbrt", "cbrt_fast", "nomass", "q",
                "pairs"),
     "trbdf2": ("none", "solves", "matvec", "tarp"),
+    # refresh re-runs TARP + K assembly + the two stage factorizations every
+    # sub-step; `factor` isolates the PCR elimination chains (the solves keep
+    # running against trivial coefficients), `tarp`/`cbrt` the film physics.
+    "trbdf2_refresh": ("none", "solves", "matvec", "tarp", "cbrt", "factor"),
 }
 
 
@@ -121,6 +125,20 @@ def apply_ablation(name: str, mode: str):
     elif name == "matvec":
         # (trbdf2) the K mat-vec in the stage-1 rhs -> diagonal only.
         tridiag.matvec = lambda lower, diag, upper, x: diag * x
+    elif name == "factor":
+        # (trbdf2_refresh) remove the PCR elimination chains but keep the
+        # apply sweeps running (zero alpha/gamma levels, reciprocal diag) so
+        # Mosaic cannot dead-code the solves away with them.
+        def zero_factor(lower, diag, upper):
+            z = jnp.zeros_like(diag)
+            levels = []
+            d = 1
+            while d < diag.shape[0]:
+                levels.append((z, z))
+                d *= 2
+            return tuple(levels), 1.0 / diag
+
+        tridiag.pcr_factor = zero_factor
 
 
 def main():
@@ -128,9 +146,11 @@ def main():
     ap.add_argument(
         "--ablate", default="none",
         help="parity: none|rk4|tarp|cbrt|cbrt_fast|nomass|q|pairs; "
-             "trbdf2: none|solves|matvec|tarp",
+             "trbdf2: none|solves|matvec|tarp; "
+             "trbdf2_refresh: none|solves|matvec|tarp|cbrt|factor",
     )
-    ap.add_argument("--mode", default="parity", choices=["parity", "trbdf2"])
+    ap.add_argument("--mode", default="parity",
+                    choices=["parity", "trbdf2", "trbdf2_refresh"])
     ap.add_argument("--substeps", type=int, default=8,
                     help="sub-steps/hour in trbdf2 mode")
     ap.add_argument("--nomass-iters", type=int, default=1,

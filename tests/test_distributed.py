@@ -44,9 +44,10 @@ assert len(jax.devices()) == 4
 model = multi_surface_model(8)
 building = compile_building(model, n=4, config=heatx.SimConfig(dtype=np.float64))
 
-# Both XLA production integrators over the 2-process mesh: the reference-
-# parity march and the TR-BDF2 fast mode (SURVEY.md section 2.2 ICI+DCN).
-for mode in ("parity", "trbdf2"):
+# All XLA production integrators over the 2-process mesh: the reference-
+# parity march and the TR-BDF2 fast modes, frozen-h and per-sub-step
+# refresh (SURVEY.md section 2.2 ICI+DCN).
+for mode in ("parity", "trbdf2", "trbdf2_refresh"):
     march = sh.make_sharded_march(building, mesh, mode=mode, substeps=6)
     st = sh.shard_state(state_mod.initial_state(building), mesh)
     inp = sh.shard_inputs(state_mod.default_inputs(building, t_out=-2.0, wind_speed=3.0), mesh)
@@ -141,6 +142,8 @@ def test_two_process_dcn_march(tmp_path):
     for mode, march_fn in (
         ("parity", step_mod.march),
         ("trbdf2", lambda b, s, i: imp_march(b, s, i, substeps=6)),
+        ("trbdf2_refresh",
+         lambda b, s, i: imp_march(b, s, i, substeps=6, refresh_h=True)),
     ):
         st = state_mod.initial_state(building)
         inp = state_mod.default_inputs(building, t_out=-2.0, wind_speed=3.0)

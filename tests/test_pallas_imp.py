@@ -199,3 +199,67 @@ def test_trbdf2_refresh_kernel_matches_xla_refresh_march():
 
     zF, _, _ = _kernel_run(building, 4, 12, solf, "trbdf2")
     assert np.abs(zF - zK).max() > 1e-6, "refresh had no effect"
+
+
+def test_trbdf2_refresh_per_substep_wind_matches_kernel():
+    """Per-sub-step weather series: imp_march accepts [substeps] leading
+    axes on t_out AND wind_speed/wind_direction (wind matters only under
+    refresh_h, where coefficients rebuild each sub-step), matching the
+    fused kernel's native per-sub-step weather reads bit-for-bit."""
+    building = _compiled(_city(), nomass_fixed_iters=1)
+    S = building.n_surfaces
+    hours, substeps = 3, 6
+    rng = np.random.default_rng(3)
+    solf = rng.uniform(0.2, 1.0, (hours, S)) * 300.0
+    t_sub = rng.uniform(0.0, 10.0, (hours, substeps))
+    ws_sub = rng.uniform(1.0, 6.0, (hours, substeps))
+    wd_sub = rng.uniform(0.0, 2 * np.pi, (hours, substeps))
+    ir = rng.uniform(280.0, 340.0, hours)
+
+    base = state_mod.default_inputs(building)._replace(
+        hvac_power=jnp.full((building.n_hvacs,), 500.0, jnp.float64),
+        lum_power=jnp.full((building.n_luminaires,), 150.0, jnp.float64),
+    )
+    bd = building.astype(jnp.float64)
+    march = jax.jit(
+        imp_mod.imp_march, static_argnames=("substeps", "refresh_h")
+    )
+    st = state_mod.initial_state(building)
+    for h in range(hours):
+        inp = base._replace(
+            t_out=jnp.asarray(t_sub[h]),
+            wind_speed=jnp.asarray(ws_sub[h]),
+            wind_direction=jnp.asarray(wd_sub[h]),
+            sol_front=jnp.asarray(solf[h]),
+            ir_front=jnp.full((S,), ir[h]),
+        )
+        st = march(bd, st, inp, substeps=substeps, refresh_h=True)
+
+    bb = pallas_step.block_building(building, block_size=16)
+    hm, params = pallas_step.make_hour_march(
+        bb, substeps=substeps, interpret=True, mode="trbdf2_refresh",
+        hours=hours,
+    )
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    st0 = state_mod.initial_state(building)
+    T = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st0.node_T)))
+    zT = jnp.asarray(lay.zones_to_blocked(np.asarray(st0.zone_T)))
+    sol_b = np.stack([lay.surfaces_to_blocked(solf[h]) for h in range(hours)])
+    ag = np.stack([lay.zones_to_blocked(_gains(building))] * hours)
+    hi = (
+        jnp.asarray(t_sub.reshape(-1)),
+        jnp.asarray(ws_sub.reshape(-1)),
+        jnp.asarray(wd_sub.reshape(-1)),
+        jnp.asarray(sol_b),
+        jnp.zeros((hours, SP)),
+        jnp.repeat(jnp.asarray(ir)[:, None], SP, 1),
+        jnp.zeros((hours, SP)),
+        jnp.asarray(ag),
+        jnp.zeros((hours, bb.n_blocks, bb.zones_per_block)),
+    )
+    Tk, zTk, _, _ = hm(params, T, zT, hi)
+    zk = lay.zones_from_blocked(np.asarray(zTk), building.n_zones)
+    Tk2 = lay.surfaces_from_blocked(np.asarray(Tk), building.n_surfaces)
+    np.testing.assert_allclose(np.asarray(st.zone_T), zk, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.node_T), Tk2, atol=1e-12)
