@@ -143,8 +143,8 @@ def cmd_simulate(args) -> int:
 
     engine = args.engine
     if engine == "auto":
-        # The fused kernel implements parity and trbdf2 only; exp stays on
-        # the XLA host loop even on TPU.
+        # The fused kernel implements parity and both trbdf2 modes; exp
+        # stays on the XLA host loop even on TPU.
         on_tpu = jax.default_backend() == "tpu"
         engine = "kernel" if (on_tpu and args.mode != "exp") else "xla"
     print(

@@ -201,6 +201,57 @@ def test_trbdf2_refresh_kernel_matches_xla_refresh_march():
     assert np.abs(zF - zK).max() > 1e-6, "refresh had no effect"
 
 
+def test_trbdf2_refresh_kernel_cavity_matches_xla():
+    """Gas-cavity (double-glazing) constructions in refresh mode: the
+    cavity U re-evaluates from the marching node temperatures EVERY
+    sub-step, in-kernel and on the XLA path, and the two must agree
+    bit-for-bit."""
+    from heatx.model.building import (
+        Boundary as B2, Construction, GasSubstance, Material, Substance,
+        SurfaceDef as SD2,
+    )
+    from test_pallas_hour import city_model
+
+    m = city_model(3, 3)
+    m.add_substance(
+        Substance("glass", thermal_conductivity=1.0, density=2500.0,
+                  specific_heat_capacity=840.0, solar_transmittance=0.7,
+                  front_solar_absorbtance=0.1, back_solar_absorbtance=0.1,
+                  front_thermal_absorbtance=0.84,
+                  back_thermal_absorbtance=0.84)
+    )
+    m.add_substance(GasSubstance("argon", "argon"))
+    m.add_material(Material("pane", "glass", 0.006))
+    m.add_material(Material("gap", "argon", 0.012))
+    m.add_construction(Construction("igu", ["pane", "gap", "pane"]))
+    verts = np.array([[0, 0, 1], [2, 0, 1], [2, 0, 2], [0, 0, 2]], float)
+    for z in range(3):
+        m.add_fenestration(
+            SD2(f"win{z}", "igu", B2.outdoor(), B2.space_(f"z{z}"),
+                vertices=verts)
+        )
+
+    building = _compiled(m, nomass_fixed_iters=1)
+    assert building.surfaces.has_cavity
+    S = building.n_surfaces
+    rng = np.random.default_rng(4)
+    solf = rng.uniform(0.2, 1.0, (3, S)) * 250.0
+
+    march = jax.jit(
+        imp_mod.imp_march, static_argnames=("substeps", "refresh_h")
+    )
+    stx = _march_xla(
+        building, 3, solf,
+        lambda b, s, i: march(b, s, i, substeps=8, refresh_h=True),
+    )
+    zK, TK, _ = _kernel_run(building, 3, 8, solf, "trbdf2_refresh")
+    np.testing.assert_allclose(np.asarray(stx.zone_T), zK, atol=1e-12)
+    mask = np.asarray(building.surfaces.node_mask)
+    np.testing.assert_allclose(
+        np.asarray(stx.node_T) * mask, TK * mask, atol=1e-12
+    )
+
+
 def test_trbdf2_refresh_per_substep_wind_matches_kernel():
     """Per-sub-step weather series: imp_march accepts [substeps] leading
     axes on t_out AND wind_speed/wind_direction (wind matters only under
