@@ -1,4 +1,5 @@
-"""Command-line driver: simulate a ``.spl`` building under an EPW weather file.
+"""Command-line driver: simulate a ``.spl`` or EnergyPlus ``.idf`` building
+under an EPW weather file.
 
 The reference ships as a library only — it plugs into SIMPLE's orchestrator
 through the ``SimulationModel`` trait (model.rs:182-428) and has no
@@ -7,6 +8,10 @@ weather pair can be inspected and simulated without writing Python:
 
     python -m heatx info model.spl
     python -m heatx simulate model.spl weather.epw -o zones.csv --hours 168
+    python -m heatx simulate in.idf weather.epw -o zones.csv
+
+``.idf`` models load via :mod:`heatx.model.idf` (envelope subset); their
+``Timestep`` sets the main-step rate unless ``--n`` overrides it.
 
 ``simulate`` writes the hourly zone-temperature history as CSV (the
 reference's observable output channel, zone.rs:45-49) and prints a per-zone
@@ -40,13 +45,22 @@ def _build(args):
     import jax.numpy as jnp
 
     from heatx import SimConfig, ThermalModel
-    from heatx.model.spl import load_spl
 
-    model = load_spl(args.model)
+    if args.model.lower().endswith(".idf"):
+        from heatx.model.idf import load_idf
+
+        loaded = load_idf(args.model)
+        model = loaded.model
+        n = args.n if args.n is not None else loaded.timestep
+    else:
+        from heatx.model.spl import load_spl
+
+        model = load_spl(args.model)
+        n = args.n if args.n is not None else 1
     kw = {"dtype": jnp.float64 if args.f64 else jnp.float32}
     if getattr(args, "nomass_iters", None):
         kw["nomass_fixed_iters"] = args.nomass_iters
-    tm = ThermalModel(model, n=args.n, config=SimConfig(**kw))
+    tm = ThermalModel(model, n=n, config=SimConfig(**kw))
     return model, tm
 
 
@@ -64,8 +78,9 @@ def cmd_info(args) -> int:
         f"{b.n_luminaires} luminaires"
     )
     print(
-        f"  main step: {3600.0 / args.n:.0f} s; sub-steps per main step: "
-        f"{b.dt_subdivisions} (dt = {3600.0 / (args.n * b.dt_subdivisions):.1f} s)"
+        f"  main step: {3600.0 / b.n_steps_per_hour:.0f} s; sub-steps per "
+        f"main step: {b.dt_subdivisions} "
+        f"(dt = {3600.0 / (b.n_steps_per_hour * b.dt_subdivisions):.1f} s)"
     )
     names = [s.name for s in model.surfaces] + [f.name for f in model.fenestrations]
     massive_nodes = np.sum(np.asarray(sb.massive), axis=0)
@@ -142,11 +157,30 @@ def cmd_simulate(args) -> int:
     ir_b = ir[:, None] * out_back
 
     engine = args.engine
+    n = b.n_steps_per_hour
     if engine == "auto":
         # The fused kernel implements parity and both trbdf2 modes; exp
-        # stays on the XLA host loop even on TPU.
+        # stays on the XLA host loop even on TPU.  It marches whole hours,
+        # so sub-hourly main steps (--n / IDF Timestep > 1) stay on XLA.
         on_tpu = jax.default_backend() == "tpu"
-        engine = "kernel" if (on_tpu and args.mode != "exp") else "xla"
+        engine = "kernel" if (on_tpu and args.mode != "exp" and n == 1) else "xla"
+    if engine == "kernel" and n > 1:
+        print(
+            "error: --engine kernel marches hourly main steps; rebuild with "
+            "--n 1 or use --engine xla",
+            file=sys.stderr,
+        )
+        return 2
+    if n > 1:
+        # Hourly EPW weather drives n main steps per hour: hold each hour's
+        # conditions across its n steps, report end-of-hour temperatures.
+        dry, wind, wdir = (np.repeat(a, n) for a in (dry, wind, wdir))
+        sol_f, sol_b, ir_f, ir_b = (
+            np.repeat(a, n, axis=0) for a in (sol_f, sol_b, ir_f, ir_b)
+        )
+        T_steps = T * n
+    else:
+        T_steps = T
     print(
         f"# {b.n_surfaces} surfaces / {b.n_zones} zones, {T} h, "
         f"engine={engine} mode={args.mode}",
@@ -174,7 +208,7 @@ def cmd_simulate(args) -> int:
         final, zt = fr.run(st, seq)
     elif args.mode == "parity":
         seq = tm.inputs_sequence(
-            T, t_out=dry, wind_speed=wind, wind_direction=wdir,
+            T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,
             sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
         )
         run = tm.run_checked if args.checked else tm.run
@@ -183,7 +217,7 @@ def cmd_simulate(args) -> int:
         # Fast modes have no whole-run XLA scan wrapper; loop the jitted
         # per-step march on the host (fine at CLI scale).
         seq = tm.inputs_sequence(
-            T, t_out=dry, wind_speed=wind, wind_direction=wdir,
+            T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,
             sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
         )
         if args.mode == "exp":
@@ -197,16 +231,18 @@ def cmd_simulate(args) -> int:
                 )
         hist = []
         state = st
-        for t in range(T):
+        for t in range(T_steps):
             # Static leaves (mix_vol etc.) carry no time axis; slice only
             # the [T, ...] ones.
             step = jax.tree.map(
-                lambda x: x[t] if x.ndim and x.shape[0] == T else x, seq
+                lambda x: x[t] if x.ndim and x.shape[0] == T_steps else x, seq
             )
             state = march(state, step, substeps=args.substeps)
             hist.append(state.zone_T)
         final, zt = state, np.stack([np.asarray(z) for z in hist])
     zt = np.asarray(zt)
+    if n > 1:
+        zt = zt[n - 1 :: n]  # end-of-hour samples for the hourly CSV
     wall = time.time() - t0
     print(f"# simulated {T} h in {wall:.2f} s", file=sys.stderr)
 
@@ -240,8 +276,13 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="command", required=True)
 
     def common(p):
-        p.add_argument("model", help=".spl building description")
-        p.add_argument("--n", type=int, default=1, help="main steps per hour")
+        p.add_argument(
+            "model", help=".spl or EnergyPlus .idf building description"
+        )
+        p.add_argument(
+            "--n", type=int, default=None,
+            help="main steps per hour (default: the IDF's Timestep, else 1)",
+        )
         p.add_argument("--f64", action="store_true", help="double precision")
         p.add_argument(
             "--platform", default=None,

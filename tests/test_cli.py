@@ -119,3 +119,32 @@ def test_cli_rejects_exp_mode_on_kernel_engine(capsys):
     assert rc == 2
     err = capsys.readouterr().err
     assert "parity/trbdf2" in err
+
+
+def test_cli_simulate_idf(ref_fixtures, tmp_path):
+    """An EnergyPlus fixture IDF simulates directly: the IDF's Timestep (20)
+    becomes the main-step rate, hourly EPW weather holds across each hour's
+    20 main steps, and the CSV reports end-of-hour temperatures."""
+    idf = f"{ref_fixtures}/massive_full/in.idf"
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    out = tmp_path / "z.csv"
+    assert main([
+        "simulate", idf, EPW, "--hours", "4", "--mode", "trbdf2",
+        "--engine", "xla", "-o", str(out),
+    ]) == 0
+    header, temps = _read(out)
+    assert header == ["hour", "Interior Space"]
+    assert temps.shape == (4, 1)
+    assert np.isfinite(temps).all()
+
+
+def test_cli_idf_kernel_engine_needs_hourly_steps(ref_fixtures, capsys):
+    """The fused kernel marches hourly main steps; an IDF Timestep > 1 on
+    --engine kernel is rejected with guidance instead of mis-simulating."""
+    idf = f"{ref_fixtures}/massive_full/in.idf"
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    rc = main(["simulate", idf, EPW, "--hours", "2", "--engine", "kernel"])
+    assert rc == 2
+    assert "--n 1" in capsys.readouterr().err
