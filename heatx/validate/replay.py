@@ -233,9 +233,18 @@ WALL_CASES: Dict[str, WallCase] = {
 }
 
 
-def build_case_model(case: WallCase, fixtures_root: str):
+def build_case_model(case: WallCase, fixtures_root: str, via_idf: bool = False):
     """march_test_model / march_simple_model equivalents
-    (validate_wall_heat_transfer.rs:713-750)."""
+    (validate_wall_heat_transfer.rs:713-750).
+
+    ``via_idf=True`` builds the model from the fixture's own ``in.idf``
+    (heatx.model.idf) instead of the hand-authored equivalent — the full
+    loop EnergyPlus input file -> heatx -> EnergyPlus output, which the
+    reference cannot close (it re-authors every fixture in Rust)."""
+    if via_idf:
+        from heatx.model.idf import load_idf
+
+        return load_idf(f"{fixtures_root}/{case.name}/in.idf").model
     if case.construction is not None:
         opts = SingleZoneOptions(
             zone_volume=600.0,
@@ -259,6 +268,7 @@ def run_case(
     pin_h_inside: bool = False,
     pin_h_outside: bool = False,
     passes: int = 1,
+    via_idf: bool = False,
 ):
     """Compile + replay one fixture case; returns (expected, found).
 
@@ -267,7 +277,7 @@ def run_case(
     relaxed iterations — the regime the fused parity kernel executes
     (heatx.ops.pallas_step requires a static iteration count), so the bench
     configuration is gated against the same fixtures as the exact loop."""
-    model = build_case_model(case, fixtures_root)
+    model = build_case_model(case, fixtures_root, via_idf=via_idf)
     tm = heatx.ThermalModel(
         model,
         n=n,

@@ -156,3 +156,29 @@ def test_no_space_name_field(ref_fixtures):
     assert sd.front_boundary.kind == "outdoor"
     area, _, _, _ = sd.resolved_geometry()
     assert area == pytest.approx(6.0)
+
+
+# The full validation loop the reference cannot close: EnergyPlus input
+# file -> heatx (heatx.model.idf) -> EnergyPlus output.  The reference
+# re-authors every fixture model in Rust (validate_wall_heat_transfer.rs:
+# 713-750); here the fixture's own in.idf builds the model and must replay
+# within the SAME thresholds as the hand-built equivalent
+# (tests/test_eplus_replay.py).  Representative subset: one per material
+# family plus both .spl-geometry cases (tilted/horizontal exercise the
+# IDF vertex -> tilt path through TARP).
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", ["massive_full", "nomass_full", "mixed_full", "tilted", "horizontal"]
+)
+def test_eplus_replay_from_idf(name, ref_fixtures):
+    from heatx.validate.replay import WALL_CASES, run_case
+    from heatx.validate.series import SeriesValidation
+    from test_eplus_replay import THRESHOLDS
+
+    expected, found = run_case(WALL_CASES[name], ref_fixtures, via_idf=True)
+    rmse_frac, bias_frac = THRESHOLDS[name]
+    v = SeriesValidation(
+        title=f"{name} (model from in.idf)", expected=expected, found=found,
+        max_rmse_frac=rmse_frac, max_bias_frac=bias_frac,
+    )
+    assert v.passes, v.summary()
