@@ -55,6 +55,29 @@ class ThermalModel:
     def invalidate(self):
         self._device_building = None
 
+    def set_ground_temperature(self, value: float) -> None:
+        """Update every ground-contact face's soil temperature in place.
+
+        Seasonal ground coupling: EPW files tabulate monthly soil
+        temperatures (``EPWData.ground_temperature`` /
+        ``heatx.weather.epw.monthly_to_hourly``); call this between run
+        segments — the boundary temperatures are pytree leaves, so the next
+        jitted call picks the new values up without recompiling (the
+        mechanism the ``Boundary.ground`` docstring promises,
+        heatx/model/building.py)."""
+        import numpy as np
+
+        from heatx.build.layout import B_GROUND
+
+        sb = self.building.surfaces
+        front = np.asarray(sb.front_code) == B_GROUND
+        back = np.asarray(sb.back_code) == B_GROUND
+        if not (front.any() or back.any()):
+            raise ValueError("model has no ground boundaries")
+        sb.front_temp[front] = value
+        sb.back_temp[back] = value
+        self.invalidate()
+
     # -- introspection -------------------------------------------------------
 
     @property
@@ -129,10 +152,15 @@ class ThermalModel:
     # -- marching ------------------------------------------------------------
 
     def march(self, state: SimState, inputs: StepInputs) -> SimState:
-        """One main timestep (= dt_subdivisions sub-steps), jit-compiled."""
+        """One main timestep (= dt_subdivisions sub-steps), jit-compiled.
+
+        The building rides as a traced argument fetched per call, so
+        host-side edits (``set_ground_temperature``, emissivity tweaks)
+        followed by ``invalidate()`` take effect on the next march without
+        recompiling."""
         if self._march is None:
-            self._march = step_mod.make_march_fn(self._device(), donate=False)
-        return self._march(state, inputs)
+            self._march = jax.jit(step_mod.march)
+        return self._march(self._device(), state, inputs)
 
     def run(
         self,
@@ -148,11 +176,11 @@ class ThermalModel:
         mean heating(+)/cooling(-) demand in W per zone."""
         key = (collect_zone_T, collect_loads)
         if key not in self._run:
-            self._run[key] = step_mod.make_run_fn(
-                self._device(), collect_zone_T=collect_zone_T, donate=False,
+            self._run[key] = jax.jit(partial(
+                step_mod.run, collect_zone_T=collect_zone_T,
                 collect_loads=collect_loads,
-            )
-        return self._run[key](state, inputs_seq)
+            ))
+        return self._run[key](self._device(), state, inputs_seq)
 
     def run_checked(
         self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True
@@ -162,9 +190,9 @@ class ThermalModel:
         the first non-finite state, reporting the step and zone."""
         if collect_zone_T not in self._run_checked:
             self._run_checked[collect_zone_T] = step_mod.make_checked_run_fn(
-                self._device(), collect_zone_T=collect_zone_T
+                collect_zone_T=collect_zone_T
             )
-        return self._run_checked[collect_zone_T](state, inputs_seq)
+        return self._run_checked[collect_zone_T](self._device(), state, inputs_seq)
 
     def march_exp(
         self, state: SimState, inputs: StepInputs, substeps: int = 12

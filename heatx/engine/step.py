@@ -231,7 +231,7 @@ def make_run_fn(
     return fn
 
 
-def make_checked_run_fn(building: CompiledBuilding, collect_zone_T: bool = True):
+def make_checked_run_fn(collect_zone_T: bool = True):
     """Whole-run scan with an IN-GRAPH finiteness guard.
 
     The reference asserts against NaN temperatures every sub-step
@@ -239,31 +239,33 @@ def make_checked_run_fn(building: CompiledBuilding, collect_zone_T: bool = True)
     otherwise march 8760 h of garbage before anyone looked.  This variant
     checks zone and node temperatures after every main step inside the graph
     (``jax.experimental.checkify``) and reports the first offending step and
-    zone on the host.
+    zone on the host.  The building is a traced argument of the returned
+    ``fn(building, state, inputs_seq)`` so host-side leaf edits between
+    calls take effect without recompiling.
 
     Returns ``(state, zone_T_hist)``; raises ``checkify.JaxRuntimeError``
     on the first non-finite state.
     """
     from jax.experimental import checkify
 
-    def body(carry, xs):
-        state, step_idx = carry
-        step_inputs = xs
-        new_state = march(building, state, step_inputs)
-        zone_ok = jnp.isfinite(new_state.zone_T)
-        node_ok = jnp.isfinite(
-            jnp.where(building.surfaces.node_mask, new_state.node_T, 0.0)
-        )
-        checkify.check(
-            jnp.all(zone_ok) & jnp.all(node_ok),
-            "non-finite temperature at main step {step} (first bad zone {zone})",
-            step=step_idx,
-            zone=jnp.argmin(zone_ok.astype(jnp.int32)),
-        )
-        out = new_state.zone_T if collect_zone_T else None
-        return (new_state, step_idx + 1), out
+    def run_fn(building, state, inputs_seq):
+        def body(carry, xs):
+            state, step_idx = carry
+            step_inputs = xs
+            new_state = march(building, state, step_inputs)
+            zone_ok = jnp.isfinite(new_state.zone_T)
+            node_ok = jnp.isfinite(
+                jnp.where(building.surfaces.node_mask, new_state.node_T, 0.0)
+            )
+            checkify.check(
+                jnp.all(zone_ok) & jnp.all(node_ok),
+                "non-finite temperature at main step {step} (first bad zone {zone})",
+                step=step_idx,
+                zone=jnp.argmin(zone_ok.astype(jnp.int32)),
+            )
+            out = new_state.zone_T if collect_zone_T else None
+            return (new_state, step_idx + 1), out
 
-    def run_fn(state, inputs_seq):
         (state, _), hist = jax.lax.scan(
             body, (state, jnp.asarray(0, jnp.int32)), _with_time_axis_mix(inputs_seq)
         )
@@ -272,8 +274,8 @@ def make_checked_run_fn(building: CompiledBuilding, collect_zone_T: bool = True)
     checked = checkify.checkify(run_fn, errors=checkify.user_checks)
     jitted = jax.jit(checked)
 
-    def fn(state, inputs_seq):
-        err, out = jitted(state, inputs_seq)
+    def fn(building, state, inputs_seq):
+        err, out = jitted(building, state, inputs_seq)
         checkify.check_error(err)
         return out
 

@@ -8,7 +8,8 @@ run pipeline tiles/interpolates them into per-substep scan inputs.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Dict
 
 import numpy as np
 
@@ -37,6 +38,9 @@ class EPWData:
     latitude_deg: float = 0.0  # north positive (EPW LOCATION header)
     longitude_deg: float = 0.0  # east positive
     tz_hours: float = 0.0  # UTC offset of the records' local standard time
+    #: depth (m) -> 12 monthly soil temperatures (C), from the EPW's
+    #: GROUND TEMPERATURES header line (empty when the file omits it).
+    ground_temps: Dict[float, np.ndarray] = field(default_factory=dict)
 
     @property
     def n_hours(self) -> int:
@@ -45,6 +49,20 @@ class EPWData:
     @property
     def wind_direction_rad(self) -> np.ndarray:
         return np.radians(self.wind_direction_deg)
+
+    def ground_temperature(self, depth: float = None) -> np.ndarray:
+        """The 12 monthly soil temperatures at ``depth`` (m) — the closest
+        tabulated depth when the exact one is absent; the deepest one by
+        default (the most seasonally damped, the usual slab choice)."""
+        if not self.ground_temps:
+            raise ValueError(
+                f"{self.location or 'EPW'} has no GROUND TEMPERATURES header"
+            )
+        depths = sorted(self.ground_temps)
+        if depth is None:
+            return self.ground_temps[depths[-1]]
+        best = min(depths, key=lambda d: abs(d - depth))
+        return self.ground_temps[best]
 
 
 def read_epw(path: str) -> EPWData:
@@ -59,6 +77,28 @@ def read_epw(path: str) -> EPWData:
             lat, lon, tz = (float(loc_parts[k]) for k in (6, 7, 8))
         except ValueError:
             pass
+    ground_temps: Dict[float, np.ndarray] = {}
+    for line in lines[:8]:
+        parts = [p.strip() for p in line.split(",")]
+        if parts[0].upper() != "GROUND TEMPERATURES":
+            continue
+        # GROUND TEMPERATURES, n, then per set: depth, soil conductivity,
+        # soil density, soil specific heat (all may be blank), 12 monthly C.
+        try:
+            n_sets = int(float(parts[1]))
+        except (ValueError, IndexError):
+            continue
+        for g in range(n_sets):
+            base = 2 + g * 16
+            try:
+                depth = float(parts[base])
+                months = np.array(
+                    [float(v) for v in parts[base + 4 : base + 16]], np.float64
+                )
+            except (ValueError, IndexError):
+                continue
+            if len(months) == 12:
+                ground_temps[depth] = months
     rows = []
     for line in lines[8:]:
         parts = line.strip().split(",")
@@ -88,7 +128,25 @@ def read_epw(path: str) -> EPWData:
         latitude_deg=lat,
         longitude_deg=lon,
         tz_hours=tz,
+        ground_temps=ground_temps,
     )
+
+
+_MONTH_HOURS = np.repeat(
+    np.arange(12), np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]) * 24
+)
+
+
+def monthly_to_hourly(monthly: np.ndarray, hours: int = 8760) -> np.ndarray:
+    """Expand 12 monthly values into an hourly series (each month's value
+    held across its hours, EnergyPlus's ground-temperature convention),
+    tiled/truncated to ``hours``."""
+    monthly = np.asarray(monthly, np.float64)
+    if monthly.shape != (12,):
+        raise ValueError(f"expected 12 monthly values, got {monthly.shape}")
+    year = monthly[_MONTH_HOURS]
+    reps = -(-hours // len(year))
+    return np.tile(year, reps)[:hours]
 
 
 def interpolate_to_steps(values: np.ndarray, steps_per_hour: int) -> np.ndarray:

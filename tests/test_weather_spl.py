@@ -82,3 +82,78 @@ def test_double_glazing_alpha_distribution():
     assert fa[0] > fa[2]
     # total absorbed fraction below 1
     assert fa.sum() < 1.0
+
+
+def test_epw_ground_temperatures():
+    """The EPW GROUND TEMPERATURES header parses: 3 depths x 12 monthly C
+    (the Santiago file tabulates 0.5/2/4 m)."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    epw = read_epw(EPW)
+    assert sorted(epw.ground_temps) == [0.5, 2.0, 4.0]
+    assert epw.ground_temps[0.5][0] == pytest.approx(18.03)
+    assert epw.ground_temps[0.5][11] == pytest.approx(15.03)
+    # Nearest-depth lookup; default = deepest (most damped).
+    assert epw.ground_temperature(0.4)[0] == pytest.approx(18.03)
+    np.testing.assert_array_equal(
+        epw.ground_temperature(), epw.ground_temps[4.0]
+    )
+
+
+def test_monthly_to_hourly():
+    from heatx.weather.epw import monthly_to_hourly
+
+    monthly = np.arange(12, dtype=float)
+    h = monthly_to_hourly(monthly)
+    assert h.shape == (8760,)
+    assert (h[: 31 * 24] == 0.0).all()  # January held
+    assert h[31 * 24] == 1.0  # first February hour
+    assert h[-1] == 11.0
+    # Tiling wraps for multi-year horizons.
+    h2 = monthly_to_hourly(monthly, hours=8760 + 24)
+    assert (h2[8760:] == 0.0).all()
+    with pytest.raises(ValueError):
+        monthly_to_hourly(np.arange(11, dtype=float))
+
+
+def test_set_ground_temperature_updates_marches():
+    """Seasonal ground coupling: swapping the soil temperature between run
+    segments changes the march without recompiling; warmer soil -> warmer
+    slab zone."""
+    from heatx.model.building import (
+        Boundary, BuildingModel, Construction, Material, SpaceDef, Substance,
+        SurfaceDef,
+    )
+
+    def build():
+        m = BuildingModel()
+        m.add_substance(Substance("soil-slab", thermal_conductivity=1.4,
+                                  density=2000.0, specific_heat_capacity=900.0))
+        m.add_material(Material("slab20", "soil-slab", 0.2))
+        m.add_construction(Construction("slab", ["slab20"]))
+        m.add_space(SpaceDef("room", 100.0))
+        verts = np.array([[0, 0, 0], [5, 0, 0], [5, 5, 0], [0, 5, 0]], float)
+        m.add_surface(SurfaceDef("floor", "slab", Boundary.ground(10.0),
+                                 Boundary.space_("room"), vertices=verts))
+        return m
+
+    tm = heatx.ThermalModel(build(), n=1,
+                            config=heatx.SimConfig(dtype=np.float64))
+    inp = tm.inputs(t_out=10.0)
+
+    def run_month(tm, t_ground, state):
+        tm.set_ground_temperature(t_ground)
+        for _ in range(48):
+            state = tm.march(state, inp)
+        return state
+
+    st_cold = run_month(tm, 5.0, tm.initial_state())
+    st_warm = run_month(tm, 15.0, tm.initial_state())
+    assert float(st_warm.zone_T[0]) > float(st_cold.zone_T[0]) + 0.5
+
+    # No ground faces -> clear error.
+    m2 = build()
+    m2.surfaces[0].front_boundary = Boundary.outdoor()
+    tm2 = heatx.ThermalModel(m2, n=1, config=heatx.SimConfig(dtype=np.float64))
+    with pytest.raises(ValueError, match="ground"):
+        tm2.set_ground_temperature(12.0)
