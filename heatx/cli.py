@@ -136,6 +136,26 @@ def cmd_simulate(args) -> int:
     T = args.hours or epw.n_hours
     dry, wind, wdir, ir = _weather_series(epw, T)
 
+    # Seasonal soil temperatures: monthly per-hour ground series when the
+    # model has ground-contact faces and the EPW tabulates GROUND
+    # TEMPERATURES (--no-ground disables; --ground-depth picks the depth).
+    from heatx.build.layout import B_GROUND
+    from heatx.weather.epw import _MONTH_HOURS
+
+    has_ground = bool(
+        ((np.asarray(sb.front_code) == B_GROUND)
+         | (np.asarray(sb.back_code) == B_GROUND)).any()
+    )
+    ground_hourly = None
+    if args.ground and has_ground and epw.ground_temps:
+        monthly = epw.ground_temperature(args.ground_depth)
+        ground_hourly = monthly[_MONTH_HOURS[np.arange(T) % 8760]]
+        print(
+            f"# seasonal ground temperatures "
+            f"({monthly.min():.1f}..{monthly.max():.1f} C)",
+            file=sys.stderr,
+        )
+
     out_front = np.asarray(sb.front_code) == B_OUTDOOR
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
     if args.solar:
@@ -189,6 +209,16 @@ def cmd_simulate(args) -> int:
 
     st = tm.initial_state()
     t0 = time.time()
+    if engine == "kernel" and ground_hourly is not None:
+        # The fused kernel compiles the blocked building once; hold the
+        # simulated period's mean soil temperature instead of a monthly
+        # series (use --engine xla for the monthly swaps).
+        tm.set_ground_temperature(float(ground_hourly.mean()))
+        print(
+            f"# kernel engine: ground held at the period mean "
+            f"{ground_hourly.mean():.1f} C (monthly swaps need --engine xla)",
+            file=sys.stderr,
+        )
     if engine == "kernel":
         hours = 24 if T % 24 == 0 else 1
         fr = tm.fast_runner(
@@ -212,7 +242,26 @@ def cmd_simulate(args) -> int:
             sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
         )
         run = tm.run_checked if args.checked else tm.run
-        final, zt = run(st, seq)
+        if ground_hourly is None:
+            final, zt = run(st, seq)
+        else:
+            # Month-chunked scans with a ground-temperature leaf swap
+            # between chunks (at most a few distinct chunk lengths, so a
+            # few compiles).
+            bounds = (
+                [0] + list(np.flatnonzero(np.diff(ground_hourly)) + 1) + [T]
+            )
+            state, hists = st, []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                tm.set_ground_temperature(float(ground_hourly[lo]))
+                sl = slice(lo * n, hi * n)
+                sub = jax.tree.map(
+                    lambda x: x[sl] if x.ndim and x.shape[0] == T_steps else x,
+                    seq,
+                )
+                state, h = run(state, sub)
+                hists.append(np.asarray(h))
+            final, zt = state, np.concatenate(hists)
     else:
         # Fast modes have no whole-run XLA scan wrapper; loop the jitted
         # per-step march on the host (fine at CLI scale).
@@ -232,6 +281,13 @@ def cmd_simulate(args) -> int:
         hist = []
         state = st
         for t in range(T_steps):
+            if ground_hourly is not None:
+                hour = t // n
+                if t == 0 or (
+                    t % n == 0
+                    and ground_hourly[hour] != ground_hourly[hour - 1]
+                ):
+                    tm.set_ground_temperature(float(ground_hourly[hour]))
             # Static leaves (mix_vol etc.) carry no time axis; slice only
             # the [T, ...] ones.
             step = jax.tree.map(
@@ -311,6 +367,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--substeps", type=int, default=8, help="fast-mode sub-steps/h")
     p.add_argument("--block-size", type=int, default=1024)
+    p.add_argument(
+        "--no-ground", dest="ground", action="store_false",
+        help="hold ground boundaries at their compiled temperatures instead "
+        "of the EPW's monthly soil series",
+    )
+    p.add_argument(
+        "--ground-depth", type=float, default=None,
+        help="EPW ground-temperature depth in m (default: deepest tabulated)",
+    )
     p.add_argument("--no-solar", dest="solar", action="store_false",
                    help="skip the computed plane-of-array solar inputs")
     p.add_argument("--albedo", type=float, default=0.2)

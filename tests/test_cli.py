@@ -148,3 +148,38 @@ def test_cli_idf_kernel_engine_needs_hourly_steps(ref_fixtures, capsys):
     rc = main(["simulate", idf, EPW, "--hours", "2", "--engine", "kernel"])
     assert rc == 2
     assert "--n 1" in capsys.readouterr().err
+
+
+_SLAB_IDF = """
+Timestep, 1;
+Building, B, 0, Suburbs, 0.04, 0.25, MinimalShadowing, 25, 6;
+Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+Construction, Slab, Concrete;
+Zone, Room, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+BuildingSurface:Detailed,
+    Floor, Floor, Slab, Room, , Ground, , NoSun, NoWind, 0,
+    4, 0,0,0, 10,0,0, 10,10,0, 0,10,0;
+"""
+
+
+def test_cli_seasonal_ground(tmp_path, capsys):
+    """A ground-coupled slab picks up the EPW's monthly soil temperatures
+    (month-chunked scans on the parity engine); --no-ground holds the
+    compiled constant and gives a different series."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = tmp_path / "slab.idf"
+    idf.write_text(_SLAB_IDF)
+    g1, g2 = tmp_path / "g1.csv", tmp_path / "g2.csv"
+    # 746 h crosses the January/February month boundary (744).
+    base = ["simulate", str(idf), EPW, "--hours", "746", "--mode", "parity",
+            "--engine", "xla", "--f64"]
+    assert main(base + ["-o", str(g1)]) == 0
+    assert "seasonal ground temperatures" in capsys.readouterr().err
+    assert main(base + ["--no-ground", "-o", str(g2)]) == 0
+    _, t1 = _read(g1)
+    _, t2 = _read(g2)
+    assert t1.shape == (746, 1) and np.isfinite(t1).all()
+    # January soil at 4 m in the Santiago EPW is ~14.9 C vs the compiled
+    # 10 C default: the seasonal series must move the zone.
+    assert np.abs(t1 - t2).max() > 0.5
