@@ -192,12 +192,20 @@ def cmd_simulate(args) -> int:
         )
         return 2
     if n > 1:
-        # Hourly EPW weather drives n main steps per hour: hold each hour's
-        # conditions across its n steps, report end-of-hour temperatures.
-        dry, wind, wdir = (np.repeat(a, n) for a in (dry, wind, wdir))
-        sol_f, sol_b, ir_f, ir_b = (
-            np.repeat(a, n, axis=0) for a in (sol_f, sol_b, ir_f, ir_b)
-        )
+        # Hourly EPW weather drives n main steps per hour.  Continuous
+        # channels interpolate linearly to the main-step grid (EnergyPlus's
+        # own hourly->Timestep convention); wind direction is circular and
+        # holds.  The CSV reports end-of-hour temperatures.
+        def interp(a):
+            wrapped = np.concatenate([a, a[:1]], axis=0)
+            xi = np.arange(T * n) / n
+            i0 = np.floor(xi).astype(int)
+            frac = (xi - i0).reshape((-1,) + (1,) * (a.ndim - 1))
+            return wrapped[i0] * (1.0 - frac) + wrapped[i0 + 1] * frac
+
+        dry, wind = interp(dry), interp(wind)
+        sol_f, sol_b, ir_f, ir_b = (interp(a) for a in (sol_f, sol_b, ir_f, ir_b))
+        wdir = np.repeat(wdir, n)
         T_steps = T * n
     else:
         T_steps = T
