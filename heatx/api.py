@@ -323,6 +323,31 @@ class FastRunner:
     def layout(self):
         return self._bb.layout
 
+    def set_ground_temperature(self, value: float) -> None:
+        """Update every ground-contact face's soil temperature in the kernel
+        operands (the fused-path analogue of
+        :meth:`ThermalModel.set_ground_temperature`).  The blocked building
+        rides as per-dispatch traced arguments, so the swap is a few device
+        writes with no recompilation."""
+        from heatx.build.layout import B_GROUND
+
+        j = self._jnp
+        idx = self._hour_march.param_index
+        params = list(self._params)
+        hit = False
+        for side in ("front", "back"):
+            for (pi, name), k in idx.items():
+                if name != f"{side}_temp":
+                    continue
+                code = params[idx[(pi, f"{side}_code")]]
+                mask = code == B_GROUND
+                if bool(mask.any()):
+                    hit = True
+                params[k] = j.where(mask, j.asarray(value, self._dtype), params[k])
+        if not hit:
+            raise ValueError("model has no ground boundaries")
+        self._params = tuple(params)
+
     def _layout_idx(self):
         """Cached device-side layout permutation indices, shared by every
         blocked<->flat conversion site (state converters, the jitted input
@@ -572,6 +597,7 @@ class FastRunner:
         dispatch_days: int = None,
         collect_fluxes: bool = False,
         collect_loads: bool = False,
+        ground_hourly=None,
     ):
         """March a whole [T, ...] input sequence through the fused kernel:
         the fast-path equivalent of :meth:`ThermalModel.run`.
@@ -612,6 +638,15 @@ class FastRunner:
         ``collect_loads`` (setpoint-driven HVAC only) appends the [T, Z]
         per-hour mean ideal-load powers (the heating/cooling demand series,
         computed in-kernel; see heatx.engine.zone.zone_update).
+
+        ``ground_hourly`` ([T] C) drives ground-contact faces from a
+        per-hour soil-temperature series (EPW monthly ground temperatures,
+        ``heatx.weather.epw.monthly_to_hourly``): the value must be
+        constant within each ``hours`` kernel chunk (months are whole days,
+        so any daily-or-coarser series works with hours=24), and the
+        dispatch loop splits at value changes and swaps the kernel's
+        boundary-temperature operands between dispatches — no
+        recompilation.
 
         Returns ``(final SimState, zone_T [T, Z] | None)``, with
         ``collect_fluxes`` appending the fluxes dict and ``collect_loads``
@@ -831,7 +866,28 @@ class FastRunner:
                 "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
             )
         Tb, zTb = self.to_blocked(state)
-        chunk_D = D if dispatch_days is None else max(1, int(dispatch_days))
+        # With a ground series, default to day-sized dispatches: uneven
+        # month-boundary segments would otherwise re-trace the scan per
+        # distinct length (dispatch count is wall-clock-neutral, PERF.md).
+        if dispatch_days is None:
+            chunk_D = 1 if ground_hourly is not None else D
+        else:
+            chunk_D = max(1, int(dispatch_days))
+        gday = None
+        if ground_hourly is not None:
+            g = np.asarray(ground_hourly, np.float64)
+            if g.shape != (T_steps,):
+                raise ValueError(
+                    f"ground_hourly must be [{T_steps}] (one value per hour), "
+                    f"got {g.shape}"
+                )
+            gd = g.reshape(D, H)
+            if not (gd == gd[:, :1]).all():
+                raise ValueError(
+                    f"ground_hourly must be constant within each {H}-hour "
+                    "kernel chunk (use a daily-or-coarser series, or hours=1)"
+                )
+            gday = gd[:, 0]
         hists, hqhs, lds = [], [], []
         hq = None
 
@@ -849,8 +905,17 @@ class FastRunner:
         pending = None  # one-chunk lag: check chunk i after dispatching i+1,
         # so the finiteness fetch overlaps the next chunk's execution instead
         # of serializing the dispatch pipeline.
-        for d0 in range(0, D, chunk_D):
-            xs_c = chunk_xs(d0, min(chunk_D, D - d0))
+        starts = set(range(0, D, chunk_D))
+        if gday is not None:
+            # Split dispatches at soil-temperature changes so each dispatch
+            # sees one constant ground value.
+            starts |= set(int(i) for i in np.flatnonzero(np.diff(gday)) + 1)
+        starts = sorted(starts)
+        for si, d0 in enumerate(starts):
+            d1 = starts[si + 1] if si + 1 < len(starts) else D
+            if gday is not None and (si == 0 or gday[d0] != gday[starts[si - 1]]):
+                self.set_ground_temperature(float(gday[d0]))
+            xs_c = chunk_xs(d0, d1 - d0)
             Tb, zTb, hq, (hist_c, hqh_c, bad_c, ld_c) = self._run_jit(
                 self._params, Tb, zTb, xs_c, collect_zone_T
             )

@@ -217,16 +217,6 @@ def cmd_simulate(args) -> int:
 
     st = tm.initial_state()
     t0 = time.time()
-    if engine == "kernel" and ground_hourly is not None:
-        # The fused kernel compiles the blocked building once; hold the
-        # simulated period's mean soil temperature instead of a monthly
-        # series (use --engine xla for the monthly swaps).
-        tm.set_ground_temperature(float(ground_hourly.mean()))
-        print(
-            f"# kernel engine: ground held at the period mean "
-            f"{ground_hourly.mean():.1f} C (monthly swaps need --engine xla)",
-            file=sys.stderr,
-        )
     if engine == "kernel":
         hours = 24 if T % 24 == 0 else 1
         fr = tm.fast_runner(
@@ -243,7 +233,7 @@ def cmd_simulate(args) -> int:
             ir_front=np.asarray(ir_f, in_dt),
             ir_back=np.asarray(ir_b, in_dt),
         )
-        final, zt = fr.run(st, seq)
+        final, zt = fr.run(st, seq, ground_hourly=ground_hourly)
     elif args.mode == "parity":
         seq = tm.inputs_sequence(
             T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,

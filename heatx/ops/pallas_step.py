@@ -1294,15 +1294,19 @@ def make_hour_march(
     in_specs = [smem, smem, smem]
     params = []
     param_axes = []  # block axis of each params entry: "lane" or "row"
+    param_index = {}  # (part, field name) -> position in params (callers
+    # swap building leaves between dispatches, e.g. seasonal ground temps)
     for pi, (rows, lo, w) in enumerate(parts_meta):
         for name in part_node_names[pi]:
             a = part_node_arrays[pi][name]
             in_specs.append(vspec(a.shape[0], w))
+            param_index[(pi, name)] = len(params)
             params.append(jnp.asarray(a))
             param_axes.append("lane")
         for name in part_surf_names[pi]:
             a = part_surf_arrays[pi][name]
             in_specs.append(vspec(a.shape[0], w))
+            param_index[(pi, name)] = len(params)
             params.append(jnp.asarray(a))
             param_axes.append("lane")
         for name in part_aux_names[pi]:
@@ -1510,6 +1514,7 @@ def make_hour_march(
         return ret
 
     hour_march.param_axes = tuple(param_axes)
+    hour_march.param_index = param_index
     hour_march.collect_bad = collect_bad
     hour_march.collect_hq = collect_hq
     hour_march.collect_loads = bb.ctl is not None

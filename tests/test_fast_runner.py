@@ -316,3 +316,49 @@ def test_full_horizon_T_equals_surface_count_reads_time_series():
         st, seq._replace(ir_front=jnp.asarray(np.broadcast_to(amap[None, :], (T, S))))
     )
     np.testing.assert_array_equal(np.asarray(zt_c), np.asarray(zt_d))
+
+
+def test_run_ground_hourly_matches_xla_leaf_swaps():
+    """FastRunner.run(ground_hourly=...) swaps the kernel's ground-contact
+    boundary-temperature operands between dispatch chunks and matches the
+    XLA march with ThermalModel.set_ground_temperature leaf swaps
+    (seasonal EPW soil temperatures at kernel speed)."""
+    m = model()
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 4, 0], [0, 4, 0]], float)
+    for z in range(3):
+        m.add_surface(
+            SurfaceDef(f"floor{z}", "wall", Boundary.ground(10.0),
+                       Boundary.space_(f"z{z}"), vertices=verts)
+        )
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(m, n=1, config=cfg)
+    fr = heatx.api.FastRunner(tm, block_size=8, mode="trbdf2", substeps=6,
+                              hours=4)
+
+    T, S = 8, 9
+    rng = np.random.default_rng(11)
+    t_out = rng.uniform(-5, 10, T)
+    ground = np.array([6.0] * 4 + [16.0] * 4)
+    seq = tm.inputs(t_out=t_out, wind_speed=2.0)
+    final, zone_hist = fr.run(tm.initial_state(), seq, ground_hourly=ground)
+
+    st = tm.initial_state()
+    expected = []
+    for h in range(T):
+        if h % 4 == 0:
+            tm.set_ground_temperature(float(ground[h]))
+        st = tm.march_imp(st, tm.inputs(t_out=t_out[h], wind_speed=2.0),
+                          substeps=6)
+        expected.append(np.asarray(st.zone_T))
+    np.testing.assert_allclose(np.asarray(zone_hist), np.stack(expected),
+                               atol=1e-10)
+    # The swap must actually matter: a constant-ground run differs.
+    _, zh_const = fr.run(
+        tm.initial_state(), seq, ground_hourly=np.full(T, 6.0)
+    )
+    assert np.abs(np.asarray(zh_const)[-1] - np.asarray(zone_hist)[-1]).max() > 1e-3
+
+    # Value changing inside a kernel chunk -> clear error.
+    bad = np.array([6.0] * 3 + [16.0] * 5)
+    with pytest.raises(ValueError, match="constant within"):
+        fr.run(tm.initial_state(), seq, ground_hourly=bad)
