@@ -230,7 +230,12 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         # tau_ir, eps_f, eps_b, Conductivity.  The fixtures ship a truncated
         # variant with no Thickness field (field 4 is already tau_sol <= 1
         # and only 9 data fields follow the name) — detect by field count.
-        standard = len(o) >= 12 and _num(o, 4) is not None
+        # Plausibility guard: a real Thickness field is metres (< 0.1);
+        # a truncated object's field 4 is already tau_sol (0..1-ish, but
+        # >= 0.1 in practice), so a trailing-comma-padded truncated object
+        # cannot masquerade as standard.
+        t4 = _num(o, 4)
+        standard = len(o) >= 12 and t4 is not None and t4 < 0.1
         if standard:
             thickness = _num(o, 4, GLAZING_THICKNESS)
             tau = _num(o, 5, 0.0)
