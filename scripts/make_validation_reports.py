@@ -89,6 +89,28 @@ def walls_report():
         )
         print(f"  eplus {name}: done")
 
+    # The same replay with the model built from the fixture's own in.idf
+    # (heatx.model.idf) — the loop EnergyPlus input file -> heatx ->
+    # EnergyPlus output, which the reference cannot close (it re-authors
+    # every fixture model in Rust, validate_wall_heat_transfer.rs:713-750).
+    for name in ("massive_full", "nomass_full", "mixed_full", "tilted",
+                 "horizontal"):
+        expected, found = run_case(WALL_CASES[name], FIXTURES, via_idf=True)
+        rmse_frac, bias_frac = THRESHOLDS[name]
+        v.push(
+            SeriesValidation(
+                title=f"EnergyPlus replay, model loaded from in.idf: {name}",
+                expected=expected,
+                found=found,
+                expected_legend="EnergyPlus 9.6",
+                y_label="Zone Temperature",
+                y_units="C",
+                max_rmse_frac=rmse_frac,
+                max_bias_frac=bias_frac,
+            )
+        )
+        print(f"  eplus via-idf {name}: done")
+
     # The TR-BDF2 fast mode (the bench default) against the same evidence:
     # coefficients frozen per 3-minute fixture step, 2 L-stable sub-steps.
     from heatx.engine.implicit import imp_march
