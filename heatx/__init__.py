@@ -19,6 +19,8 @@ __version__ = "0.3.0"
 
 from heatx import config, constants, ensemble  # noqa: F401
 from heatx.api import ThermalModel  # noqa: F401
+from heatx.model.idf import LoadedIdf, load_idf  # noqa: F401
+from heatx.model.spl import load_spl  # noqa: F401
 from heatx.config import DEFAULT_CONFIG, SimConfig  # noqa: F401
 from heatx.engine.state import SimState, StepInputs  # noqa: F401
 from heatx.model.building import (  # noqa: F401
