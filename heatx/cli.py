@@ -46,12 +46,14 @@ def _build(args):
 
     from heatx import SimConfig, ThermalModel
 
+    extras = {"infiltration": {}}
     if args.model.lower().endswith(".idf"):
         from heatx.model.idf import load_idf
 
         loaded = load_idf(args.model)
         model = loaded.model
         n = args.n if args.n is not None else loaded.timestep
+        extras["infiltration"] = loaded.infiltration
     else:
         from heatx.model.spl import load_spl
 
@@ -61,14 +63,14 @@ def _build(args):
     if getattr(args, "nomass_iters", None):
         kw["nomass_fixed_iters"] = args.nomass_iters
     tm = ThermalModel(model, n=n, config=SimConfig(**kw))
-    return model, tm
+    return model, tm, extras
 
 
 def cmd_info(args) -> int:
     _configure_jax(args)
     import numpy as np
 
-    model, tm = _build(args)
+    model, tm, extras = _build(args)
     b = tm.building
     sb = b.surfaces
     print(f"model: {args.model}")
@@ -129,7 +131,7 @@ def cmd_simulate(args) -> int:
     from heatx.weather.epw import read_epw
     from heatx.weather.solar import surface_irradiance
 
-    model, tm = _build(args)
+    model, tm, extras = _build(args)
     b = tm.building
     sb = b.surfaces
     epw = read_epw(args.epw)
@@ -209,6 +211,21 @@ def cmd_simulate(args) -> int:
         T_steps = T * n
     else:
         T_steps = T
+
+    # IDF infiltration design flows: outdoor air exchanged at the parsed
+    # m3/s per zone, inlet at the (interpolated) outdoor dry bulb.
+    inf_kw = {}
+    inf_map = extras.get("infiltration") or {}
+    if any(v > 0.0 for v in inf_map.values()):
+        zn = [sp.name for sp in model.spaces]
+        inf_vol = np.array([float(inf_map.get(name, 0.0)) for name in zn])
+        inf_kw = dict(
+            inf_vol=inf_vol,
+            inf_mask=inf_vol > 0.0,
+            inf_temp=np.repeat(dry[:, None], len(zn), axis=1),
+        )
+        tot = ", ".join(f"{name} {v:.3f}" for name, v in inf_map.items() if v > 0)
+        print(f"# infiltration (m3/s): {tot}", file=sys.stderr)
     print(
         f"# {b.n_surfaces} surfaces / {b.n_zones} zones, {T} h, "
         f"engine={engine} mode={args.mode}",
@@ -224,7 +241,7 @@ def cmd_simulate(args) -> int:
             substeps=None if args.mode == "parity" else args.substeps,
         )
         in_dt = np.float64 if args.f64 else np.float32
-        seq = tm.inputs()._replace(
+        seq = tm.inputs(**inf_kw)._replace(
             t_out=np.asarray(dry, in_dt),
             wind_speed=np.asarray(wind, in_dt),
             wind_direction=np.asarray(wdir, in_dt),
@@ -238,6 +255,7 @@ def cmd_simulate(args) -> int:
         seq = tm.inputs_sequence(
             T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,
             sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
+            **inf_kw,
         )
         run = tm.run_checked if args.checked else tm.run
         if ground_hourly is None:
@@ -266,6 +284,7 @@ def cmd_simulate(args) -> int:
         seq = tm.inputs_sequence(
             T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,
             sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
+            **inf_kw,
         )
         if args.mode == "exp":
             march = tm.march_exp

@@ -183,3 +183,32 @@ def test_cli_seasonal_ground(tmp_path, capsys):
     # January soil at 4 m in the Santiago EPW is ~14.9 C vs the compiled
     # 10 C default: the seasonal series must move the zone.
     assert np.abs(t1 - t2).max() > 0.5
+
+
+def test_cli_idf_infiltration_applied(tmp_path, capsys):
+    """IDF ZoneInfiltration design flows drive StepInputs.inf_* (outdoor-air
+    exchange): the infiltrated zone tracks the cold outdoors more closely
+    than the sealed one."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    base = _SLAB_IDF.replace("Ground", "Outdoors")
+    leaky = base + """
+ZoneInfiltration:DesignFlowRate, Inf, Room, , AirChanges/Hour,
+    0, 0, 0, 2.0, 1, 0, 0, 0;
+"""
+    sealed_p, leaky_p = tmp_path / "sealed.idf", tmp_path / "leaky.idf"
+    sealed_p.write_text(base)
+    leaky_p.write_text(leaky)
+    outs = {}
+    for name, p in (("sealed", sealed_p), ("leaky", leaky_p)):
+        o = tmp_path / f"{name}.csv"
+        assert main(["simulate", str(p), EPW, "--hours", "48", "--mode",
+                     "trbdf2", "--engine", "xla", "-o", str(o)]) == 0
+        outs[name] = _read(o)[1]
+    err = capsys.readouterr().err
+    assert "infiltration (m3/s): Room 0.167" in err
+    # Santiago January nights are cold; the leaky zone must sit closer to
+    # the outdoor series than the sealed zone on average.
+    from heatx.weather.epw import read_epw
+    dry = read_epw(EPW).dry_bulb[:48][:, None]
+    assert np.mean(np.abs(outs["leaky"] - dry)) < np.mean(np.abs(outs["sealed"] - dry))
