@@ -182,3 +182,47 @@ def test_eplus_replay_from_idf(name, ref_fixtures):
         max_rmse_frac=rmse_frac, max_bias_frac=bias_frac,
     )
     assert v.passes, v.summary()
+
+
+def test_trombe_idf_marches(ref_fixtures):
+    """The IDF-built trombe model (glazed cavity zone + interior zone)
+    marches sanely: under a blackbody sky at the air temperature the
+    sunless model settles near ambient, and irradiating the glazed facade
+    warms the cavity zone more than the interior (irradiance is a
+    per-face input here, like the reference — no inter-surface solar
+    distribution)."""
+    from heatx.build.layout import B_OUTDOOR
+    from heatx.constants import SIGMA
+
+    loaded = load_idf(os.path.join(ref_fixtures, "trombe_wall_full", "in.idf"))
+    tm = heatx.ThermalModel(loaded.model, n=4, config=F64)
+    outdoor = np.asarray(tm.building.surfaces.front_code) == B_OUTDOOR
+    t_out = 15.0
+    ir = SIGMA * (t_out + 273.15) ** 4 * outdoor
+
+    def settle(sol_level):
+        sol = np.where(outdoor, sol_level, 0.0)
+        inp = tm.inputs(t_out=t_out, wind_speed=2.0, sol_front=sol,
+                        ir_front=ir)
+        st = tm.initial_state()
+        # Start at ambient: the massive walls' multi-day time constant
+        # would otherwise dominate the 96 h settle from the 22 C default.
+        import jax.numpy as jnp
+
+        st = st._replace(
+            node_T=jnp.full_like(st.node_T, t_out),
+            zone_T=jnp.full_like(st.zone_T, t_out),
+        )
+        for _ in range(96 * 4):
+            st = tm.march(st, inp)
+        return np.asarray(st.zone_T)
+
+    zmap = {sp.name: i for i, sp in enumerate(loaded.model.spaces)}
+    z_dark = settle(0.0)
+    assert np.isfinite(z_dark).all()
+    np.testing.assert_allclose(z_dark, t_out, atol=1.0)  # near-ambient
+    z_sun = settle(600.0)
+    gain_mid = z_sun[zmap["Mid Space"]] - z_dark[zmap["Mid Space"]]
+    gain_int = z_sun[zmap["Interior Space"]] - z_dark[zmap["Interior Space"]]
+    assert gain_mid > 1.0, (z_dark, z_sun)
+    assert gain_mid > gain_int > 0.0, (z_dark, z_sun)
