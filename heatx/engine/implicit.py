@@ -117,10 +117,14 @@ def build_operators(
     K = _full_system_K(sb, U, env_f, env_b, rad_hs_f, rad_hs_b, statics)
     C = jnp.where(sb.massive, sb.mass, 0.0)
 
+    # With the L-stable gamma = 2 - sqrt(2), GAMMA/2 == BETA exactly (in
+    # real arithmetic; they differ by 1 ulp as floats), so the two TR-BDF2
+    # stage matrices are THE SAME matrix — build and factor it once and
+    # alias both stages to it.  In the fused kernel this halves the
+    # per-sub-step factorization work of refresh mode.
     M1 = _stage_matrix(sb, K, C, GAMMA * dt_sub / 2.0)
-    M2 = _stage_matrix(sb, K, C, BETA * dt_sub)
     return ImplicitOperators(
-        K, C, M1, M2, env_f, env_b, rad_hs_f, rad_hs_b, statics
+        K, C, M1, M1, env_f, env_b, rad_hs_f, rad_hs_b, statics
     )
 
 

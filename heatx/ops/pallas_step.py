@@ -574,15 +574,18 @@ def _hour_body_imp(
             U = surf_mod.segment_u(p.sb, T0, env_b0.air)
             K = _full_system_K(p.sb, U, env_f0, env_b0, rad_hs_f, rad_hs_b, st)
             C = jnp.where(p.sb.massive, p.sb.mass, jnp.zeros_like(p.sb.mass))
+            # gamma = 2 - sqrt(2) makes GAMMA/2 == BETA: both TR-BDF2 stage
+            # matrices are the same matrix (heatx.engine.implicit
+            # build_operators) — one build, ONE factorization per (sub-)step.
             M1 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.GAMMA * dt_sub / 2.0)
-            M2 = imp_mod._stage_matrix(p.sb, K, C, imp_mod.BETA * dt_sub)
+            M2 = M1
             if use_pcr:
                 lv1, invb1 = tridiag.pcr_factor(*M1)
-                lv2, invb2 = tridiag.pcr_factor(*M2)
+                lv2, invb2 = lv1, invb1
                 cs1 = inv1 = cs2 = inv2 = None
             else:
                 cs1, inv1 = tridiag.factor(*M1)
-                cs2, inv2 = tridiag.factor(*M2)
+                cs2, inv2 = cs1, inv1
                 lv1 = invb1 = lv2 = invb2 = None
             ops.append(
                 SimpleNamespace(
