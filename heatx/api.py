@@ -245,6 +245,7 @@ class ThermalModel:
         interpret: bool = None,
         collect_fluxes: bool = False,
         scheduled_setpoints: bool = False,
+        mesh=None,
     ) -> "FastRunner":
         """The fused Pallas hour-kernel path.
 
@@ -258,18 +259,30 @@ class ThermalModel:
         cavity U / stage factorizations re-evaluated EVERY sub-step (the
         parity path's coefficient cadence): ~6x the frozen-h accuracy
         (0.05 K vs 0.33 K on the 3-week regime gate) at the fast mode's
-        sub-step count."""
+        sub-step count.
+
+        ``mesh=`` shards the kernel over a ``jax.sharding.Mesh`` (one
+        zone-closed block group per device, no collectives) with the full
+        high-level API available — see :class:`FastRunner`."""
         return FastRunner(
             self, block_size=block_size, mode=mode, substeps=substeps,
             hours=hours, interpret=interpret, collect_fluxes=collect_fluxes,
-            scheduled_setpoints=scheduled_setpoints,
+            scheduled_setpoints=scheduled_setpoints, mesh=mesh,
         )
 
 
 class FastRunner:
     """High-level wrapper over the fused Pallas hour kernel: takes/returns
     ordinary :class:`SimState` objects and per-hour StepInputs, handling the
-    zone-closed block permutation internally."""
+    zone-closed block permutation internally.
+
+    Pass ``mesh=`` (a ``jax.sharding.Mesh``) to run the kernel sharded over
+    the device mesh (shard_map over zone-closed blocks,
+    heatx.parallel.sharding.make_sharded_hour_march): the whole high-level
+    API — :meth:`run` with ``ground_hourly`` operand swaps, flux/load
+    collection, setpoint schedules, the fail-fast finiteness check — works
+    identically, with the blocked state and building operands living
+    block-sharded on the mesh."""
 
     def __init__(
         self,
@@ -281,6 +294,7 @@ class FastRunner:
         hours: int = 1,
         collect_fluxes: bool = False,
         scheduled_setpoints: bool = False,
+        mesh=None,
     ):
         import jax.numpy as jnp
         import numpy as np
@@ -303,15 +317,26 @@ class FastRunner:
         )
         self._hours = hours
         self._collect_hq = collect_fluxes
+        self._mesh = mesh
         # The per-hour finite count is always collected: one masked reduce
         # per hour is noise next to the sub-step work, and it is what lets
         # run(assert_finite=True) fail fast with hour resolution (the
         # reference asserts every sub-step, model.rs:416-419).
-        self._hour_march, self._params = pallas_step.make_hour_march(
-            self._bb, substeps=substeps, interpret=interpret, mode=mode,
-            hours=hours, collect_bad=True, collect_hq=collect_fluxes,
-            scheduled_setpoints=scheduled_setpoints,
-        )
+        if mesh is not None:
+            from heatx.parallel import sharding as _sharding
+
+            self._hour_march, self._params = _sharding.make_sharded_hour_march(
+                self._bb, mesh, substeps=substeps, mode=mode, hours=hours,
+                interpret=interpret, collect_bad=True,
+                collect_hq=collect_fluxes,
+                scheduled_setpoints=scheduled_setpoints,
+            )
+        else:
+            self._hour_march, self._params = pallas_step.make_hour_march(
+                self._bb, substeps=substeps, interpret=interpret, mode=mode,
+                hours=hours, collect_bad=True, collect_hq=collect_fluxes,
+                scheduled_setpoints=scheduled_setpoints,
+            )
         self._scheduled_sp = scheduled_setpoints
         self._jit = jax.jit(self._hour_march)
         self._run_jit = None
@@ -333,6 +358,7 @@ class FastRunner:
 
         j = self._jnp
         idx = self._hour_march.param_index
+        specs = getattr(self._hour_march, "param_specs", None)
         params = list(self._params)
         hit = False
         for side in ("front", "back"):
@@ -343,7 +369,17 @@ class FastRunner:
                 mask = code == B_GROUND
                 if bool(mask.any()):
                     hit = True
-                params[k] = j.where(mask, j.asarray(value, self._dtype), params[k])
+                new = j.where(mask, j.asarray(value, self._dtype), params[k])
+                if specs is not None:
+                    # Sharded runner: keep the swapped operand pinned to its
+                    # block sharding (eager propagation already preserves it;
+                    # the explicit put makes the invariant load-bearing).
+                    from jax.sharding import NamedSharding
+
+                    new = jax.device_put(
+                        new, NamedSharding(self._hour_march.mesh, specs[k])
+                    )
+                params[k] = new
         if not hit:
             raise ValueError("model has no ground boundaries")
         self._params = tuple(params)

@@ -218,6 +218,7 @@ def make_sharded_hour_march(
     interpret: bool = False,
     collect_bad: bool = False,
     collect_hq: bool = False,
+    scheduled_setpoints: bool = False,
 ):
     """Shard the fused Pallas hour/day kernel over the device mesh.
 
@@ -230,7 +231,16 @@ def make_sharded_hour_march(
     Returns ``(hour_march, params)`` with the same calling convention as
     :func:`heatx.ops.pallas_step.make_hour_march`, except the hour-input
     shapes must be canonical: weather ``[hours*substeps]``, per-surface
-    irradiance ``[hours, SP]``, gains ``[hours, n_blocks, ZB]``.
+    irradiance ``[hours, SP]``, gains ``[hours, n_blocks, ZB]`` — and, with
+    ``scheduled_setpoints``, the setpoint series MUST be passed (the
+    11-tuple form: ``shard_map`` pins the input pytree structure, so the
+    unscheduled 9-tuple fallback is not available here).
+
+    The returned function mirrors the hour-march metadata
+    (``param_index`` / ``param_axes`` / collect flags) so high-level callers
+    (:class:`heatx.api.FastRunner` with ``mesh=``) can swap building operands
+    between dispatches — e.g. seasonal ground temperatures — exactly as on
+    the single-device path.
     """
     try:
         import inspect
@@ -268,6 +278,7 @@ def make_sharded_hour_march(
         grid_blocks=NB // ndev,
         collect_bad=collect_bad,
         collect_hq=collect_hq,
+        scheduled_setpoints=scheduled_setpoints,
     )
     pspec = tuple(
         P(None, axis) if ax == "lane" else P(axis, None) for ax in hm.param_axes
@@ -279,6 +290,9 @@ def make_sharded_hour_march(
         lane2, lane2, lane2, lane2,  # sol/ir [hours, SP]
         P(None, axis, None), P(None, axis, None),  # gains [hours, NB, ZB]
     )
+    if scheduled_setpoints:
+        # heat_sp / cool_sp series [hours, NB, ZB] (blocked zone rows)
+        hi_spec = hi_spec + (P(None, axis, None), P(None, axis, None))
     in_specs = (pspec, lane2, P(axis, None), hi_spec)
     out_specs = (
         lane2,  # T  [N, SP]
@@ -299,6 +313,17 @@ def make_sharded_hour_march(
     # plain cross-process device_put rejects).
     params = tuple(_put_spec_tree(list(params), mesh, list(pspec)))
     fn.in_specs = in_specs
+    fn.param_specs = pspec
+    fn.mesh = mesh
+    # Mirror the hour-march metadata so high-level callers treat the sharded
+    # and single-device marches interchangeably (operand swaps, collect
+    # unpacking).
+    fn.param_axes = hm.param_axes
+    fn.param_index = hm.param_index
+    fn.collect_bad = hm.collect_bad
+    fn.collect_hq = hm.collect_hq
+    fn.collect_loads = hm.collect_loads
+    fn.scheduled_setpoints = hm.scheduled_setpoints
     return fn, params
 
 

@@ -244,3 +244,89 @@ def test_sharded_pallas_kernel_matches_unsharded():
     assert np.asarray(bad_d).sum() == 0
     for a, h in zip(hq_d, hqh_d):
         assert np.array_equal(np.asarray(h)[-1], np.asarray(a))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fast_runner_on_mesh_matches_single_device():
+    """The mesh-aware FastRunner (high-level API over the sharded kernel)
+    must reproduce the single-device runner exactly — including the
+    per-dispatch ground-temperature operand swaps (``ground_hourly``),
+    setpoint schedules (the 11-tuple hour-input form), flux collection and
+    the ideal-load history."""
+    from heatx.api import FastRunner, ThermalModel
+    from heatx.model.building import (
+        BuildingModel,
+        Construction,
+        IdealHeaterCooler,
+        Material,
+        SpaceDef,
+        Substance,
+        SurfaceDef,
+    )
+
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(8):
+        m.add_space(SpaceDef(f"z{z}", 100.0))
+        for si in range(2):
+            m.add_surface(
+                SurfaceDef(f"s{z}_{si}", "wall", Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+        # One soil-contact face per zone: exercised by ground_hourly below.
+        m.add_surface(
+            SurfaceDef(f"g{z}", "wall", Boundary.ground(12.0),
+                       Boundary.space_(f"z{z}"), vertices=verts)
+        )
+    m.add_hvac(IdealHeaterCooler(
+        "tstat", [f"z{z}" for z in range(8)],
+        heat_setpoint=20.0, cool_setpoint=26.0,
+    ))
+    tm = ThermalModel(m, n=2, config=heatx.SimConfig(dtype=np.float64))
+    st = tm.initial_state()
+
+    T = 48
+    rng = np.random.default_rng(7)
+    seq = tm.inputs_sequence(
+        T,
+        t_out=np.linspace(-3.0, 12.0, T),
+        wind_speed=np.full(T, 3.0),
+        sol_front=rng.uniform(0.0, 300.0, (T, tm.building.n_surfaces)),
+        heat_sp=np.where(np.arange(T) % 24 < 7, 16.0, 21.0),  # night setback
+    )
+    # Soil temperature steps at the day boundary (constant within each
+    # hours=2 kernel chunk, as run() requires).
+    ground = np.where(np.arange(T) < 24, 11.0, 13.0).astype(float)
+
+    kw = dict(block_size=4, mode="trbdf2", substeps=4, hours=2,
+              collect_fluxes=True, scheduled_setpoints=True)
+    fr0 = FastRunner(tm, **kw)
+    mesh = sh.make_mesh(jax.devices()[:8])
+    fr1 = FastRunner(tm, mesh=mesh, **kw)
+    assert fr0._bb.n_blocks == 8
+
+    run_kw = dict(collect_fluxes=True, collect_loads=True,
+                  ground_hourly=ground)
+    fin0, zt0, fx0, ld0 = fr0.run(st, seq, **run_kw)
+    fin1, zt1, fx1, ld1 = fr1.run(st, seq, **run_kw)
+
+    assert np.array_equal(np.asarray(zt0), np.asarray(zt1))
+    assert np.array_equal(np.asarray(ld0), np.asarray(ld1))
+    for k in fx0:
+        assert np.array_equal(np.asarray(fx0[k]), np.asarray(fx1[k]))
+    for leaf0, leaf1 in zip(fin0, fin1):
+        if leaf0 is None:
+            assert leaf1 is None
+            continue
+        assert np.array_equal(np.asarray(leaf0), np.asarray(leaf1))
+    # The schedule and the ground swap actually did something: the night
+    # setback must show in the load history, and the soil step must move
+    # the ground-face heat flow between the two days.
+    assert np.asarray(ld0).any()
+    assert not np.array_equal(np.asarray(zt0)[:24], np.asarray(zt0)[24:])
