@@ -23,11 +23,24 @@ simulated without re-authoring.  Supported objects:
   ``Timestep`` (main steps per hour, the ``n`` of ``ThermalModel``),
   ``SurfaceConvectionAlgorithm:*`` (must be TARP — the only algorithm the
   reference and heatx implement, convection.rs:1-22)
+* ``Schedule:Constant`` / ``Schedule:Compact`` -> hourly [8760] series
+  (``LoadedIdf.schedules``; Through/For/Until grammar, day-of-week groups)
+* Internal gains — ``Lights`` (-> :class:`Luminaire` +
+  ``StepInputs.lum_power`` series), ``ElectricEquipment`` and ``People``
+  (-> :class:`ElectricHeater` + ``StepInputs.hvac_power`` series).  Like
+  infiltration, schedules stay *input channels*: the importer adds the
+  gain device to the model and :meth:`LoadedIdf.hourly_channels` renders
+  the [T, n] power series (design level x schedule), because heatx
+  compiles buildings, not time series.
+* Thermostats -> setpoint-driven :class:`IdealHeaterCooler` (ideal loads):
+  ``HVACTemplate:Thermostat`` + ``HVACTemplate:Zone:IdealLoadsAirSystem``,
+  or ``ZoneControl:Thermostat`` + ``ThermostatSetpoint:DualSetpoint`` /
+  ``:SingleHeating`` / ``:SingleCooling`` (scheduled setpoints ride the
+  ``StepInputs.heat_sp``/``cool_sp`` channels via ``hourly_channels``).
 
-Everything else (RunPeriod, Output:*, schedules other than the constants
-referenced by infiltration, GlobalGeometryRules) is ignored; geometry is
-assumed world-coordinate counter-clockwise-from-outside, the convention of
-every reference fixture.
+Everything else (RunPeriod except its start weekday, Output:*,
+GlobalGeometryRules) is ignored; geometry is assumed world-coordinate
+counter-clockwise-from-outside, the convention of every reference fixture.
 
 Mapping notes (documented deviations, all lossless for the fixture set):
 
@@ -60,6 +73,9 @@ from heatx.model.building import (
     Boundary,
     BuildingModel,
     Construction,
+    ElectricHeater,
+    IdealHeaterCooler,
+    Luminaire,
     Material,
     SiteDetails,
     SpaceDef,
@@ -81,6 +97,45 @@ GLAZING_SPECIFIC_HEAT = 840.0
 _TERRAINS = {"country", "suburbs", "city", "ocean", "urban"}
 
 
+# Sensible fraction of metabolic heat applied when a People object says
+# ``autocalculate``: EnergyPlus splits sensible/latent from the activity
+# level at run time; at typical activity (~120 W/person) the sensible share
+# is ~0.6, which is the fixed approximation used here (heatx models
+# sensible zone heat only).
+PEOPLE_SENSIBLE_FRACTION = 0.6
+
+_WEEKDAYS = ("sunday", "monday", "tuesday", "wednesday", "thursday",
+             "friday", "saturday")
+_MONTH_DAYS = (31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+
+
+@dataclass
+class ImportedGain:
+    """An internal-gain device added to the model by the importer: design
+    sensible watts x (product of) schedules = the per-hour power to feed its
+    input channel (``lum_power`` for Lights -> Luminaire, ``hvac_power`` for
+    ElectricEquipment / People -> ElectricHeater)."""
+
+    name: str
+    zone: str
+    channel: str  # "lum" | "hvac"
+    index: int  # index into model.luminaires / model.hvacs
+    design_w: float  # sensible design power at schedule value 1.0
+    schedules: List[str] = field(default_factory=list)  # multiplied in
+
+
+@dataclass
+class ImportedThermostat:
+    """A thermostat imported as a setpoint-driven IdealHeaterCooler; the
+    scheduled setpoints (if any) render through
+    :meth:`LoadedIdf.hourly_channels` as ``heat_sp``/``cool_sp`` series."""
+
+    name: str
+    zone: str
+    heat_schedule: Optional[str] = None
+    cool_schedule: Optional[str] = None
+
+
 @dataclass
 class LoadedIdf:
     """Result of :func:`load_idf`."""
@@ -92,6 +147,74 @@ class LoadedIdf:
     infiltration: Dict[str, float] = field(default_factory=dict)
     #: object type (lower-case) -> count parsed, for diagnostics.
     counts: Dict[str, int] = field(default_factory=dict)
+    #: schedule name (lower-case) -> hourly [8760] value series.
+    schedules: Dict[str, np.ndarray] = field(default_factory=dict)
+    #: internal-gain devices (Lights / ElectricEquipment / People).
+    gains: List[ImportedGain] = field(default_factory=list)
+    #: imported thermostats (one IdealHeaterCooler per controlled zone).
+    thermostats: List[ImportedThermostat] = field(default_factory=list)
+
+    def schedule_series(self, name: str, T: int, start_hour: int = 0):
+        """The named schedule rendered over ``T`` hours (year-periodic)."""
+        s = self.schedules.get(name.lower())
+        if s is None:
+            raise KeyError(f"schedule {name!r} not found in the IDF")
+        return s[(start_hour + np.arange(T)) % 8760]
+
+    def hourly_channels(self, T: int, start_hour: int = 0) -> Dict[str, np.ndarray]:
+        """StepInputs channel overrides driving the imported internal gains
+        and thermostat setpoint schedules over ``T`` hours.
+
+        Returns a dict with any of ``lum_power`` [T, n_luminaires],
+        ``hvac_power`` [T, n_hvacs], ``heat_sp``/``cool_sp`` [T, n_zones]
+        — feed it to ``ThermalModel.inputs_sequence(T, **channels)`` or the
+        corresponding ``FastRunner.run`` sequence.  Schedules repeat
+        year-periodically; ``start_hour`` offsets into the year."""
+        out: Dict[str, np.ndarray] = {}
+
+        def render(g: ImportedGain) -> np.ndarray:
+            p = np.full(T, g.design_w, np.float64)
+            for s in g.schedules:
+                p = p * self.schedule_series(s, T, start_hour)
+            return p
+
+        lum = [g for g in self.gains if g.channel == "lum"]
+        if lum:
+            lp = np.zeros((T, len(self.model.luminaires)), np.float64)
+            for g in lum:
+                lp[:, g.index] += render(g)
+            out["lum_power"] = lp
+        hv = [g for g in self.gains if g.channel == "hvac"]
+        if hv:
+            hp = np.zeros((T, len(self.model.hvacs)), np.float64)
+            for g in hv:
+                hp[:, g.index] += render(g)
+            out["hvac_power"] = hp
+        if any(t.heat_schedule or t.cool_schedule for t in self.thermostats):
+            zn = [s.name for s in self.model.spaces]
+            heat = np.full((T, len(zn)), -1e9, np.float64)
+            cool = np.full((T, len(zn)), 1e9, np.float64)
+            for t in self.thermostats:
+                zi = zn.index(t.zone)
+                hvac = next(
+                    h for h in self.model.hvacs
+                    if isinstance(h, IdealHeaterCooler) and h.name == t.name
+                )
+                heat[:, zi] = (
+                    self.schedule_series(t.heat_schedule, T, start_hour)
+                    if t.heat_schedule
+                    else (-1e9 if hvac.heat_setpoint is None
+                          else hvac.heat_setpoint)
+                )
+                cool[:, zi] = (
+                    self.schedule_series(t.cool_schedule, T, start_hour)
+                    if t.cool_schedule
+                    else (1e9 if hvac.cool_setpoint is None
+                          else hvac.cool_setpoint)
+                )
+            out["heat_sp"] = heat
+            out["cool_sp"] = cool
+        return out
 
 
 def _tokenize(text: str) -> List[List[str]]:
@@ -138,6 +261,102 @@ def _polygon_area(v: np.ndarray) -> float:
     return float(np.linalg.norm(c)) / 2.0
 
 
+def _parse_md(s: str) -> int:
+    """``M/D`` -> 0-based day-of-year (365-day year, no leap day)."""
+    m, d = (int(x) for x in s.strip().split("/"))
+    return sum(_MONTH_DAYS[: m - 1]) + d - 1
+
+
+def _dow_matches(groups: set, dow: str) -> bool:
+    """Does a For: day-type group cover the given weekday name?
+
+    Special-day groups (Holidays, SummerDesignDay, ...) never match a real
+    calendar day — the rendered year has none of them; ``AllOtherDays``
+    matches anything not covered by an earlier rule (the caller tries rules
+    in listing order, so plain membership is the right reading)."""
+    if "alldays" in groups or "allotherdays" in groups:
+        return True
+    if dow in groups:
+        return True
+    if "weekdays" in groups and dow in _WEEKDAYS[1:6]:
+        return True
+    if "weekends" in groups and dow in ("saturday", "sunday"):
+        return True
+    return False
+
+
+def _compact_schedule(o: List[str], start_dow: int) -> np.ndarray:
+    """Render a ``Schedule:Compact`` object to an hourly [8760] series.
+
+    Grammar: ``Through: M/D`` periods, ``For:`` day-type groups, ``Until:
+    HH:MM, value`` pairs.  Hour ``k`` (0-based, hour-beginning) takes the
+    value of the first Until whose end time exceeds ``k`` — EnergyPlus's
+    hour-ending convention rendered on the hour-beginning grid every other
+    heatx series uses."""
+    name = o[1]
+    hourly = np.full((365, 24), np.nan)
+    periods: List = []  # (end_day inclusive, [(day groups, [(until_h, v)])])
+    cur_rules = cur_until = None
+    pending_h = None
+    for f in o[3:]:  # skip object type, name, schedule-type-limits
+        low = f.lower()
+        if not low:
+            continue
+        if low.startswith("through"):
+            cur_rules = []
+            periods.append((_parse_md(f.split(":", 1)[1]), cur_rules))
+        elif low.startswith("for"):
+            if cur_rules is None:
+                raise ValueError(f"Schedule:Compact {name!r}: For before Through")
+            cur_until = []
+            cur_rules.append((set(f.split(":", 1)[1].lower().split()), cur_until))
+        elif low.startswith("interpolate"):
+            if "no" not in low:
+                warnings.warn(
+                    f"Schedule:Compact {name!r}: Interpolate is ignored "
+                    "(hourly rendering)",
+                    stacklevel=2,
+                )
+        elif low.startswith("until"):
+            t = f.split(":", 1)[1].strip()
+            parts = t.split(":")
+            h = int(parts[0])
+            if len(parts) > 1 and int(parts[1]) != 0:
+                raise ValueError(
+                    f"Schedule:Compact {name!r}: Until {t!r} is not a whole "
+                    "hour (hourly rendering only)"
+                )
+            pending_h = h
+        else:
+            if pending_h is None or cur_until is None:
+                raise ValueError(
+                    f"Schedule:Compact {name!r}: value {f!r} without an Until"
+                )
+            cur_until.append((pending_h, float(f)))
+            pending_h = None
+    day = 0
+    for end_day, rules in periods:
+        if end_day >= 365:
+            end_day = 364
+        while day <= end_day:
+            dow = _WEEKDAYS[(start_dow + day) % 7]
+            for groups, untils in rules:
+                if _dow_matches(groups, dow):
+                    prev = 0
+                    for h, v in untils:
+                        hourly[day, prev:h] = v
+                        prev = h
+                    break
+            day += 1
+    if np.isnan(hourly).any():
+        d, h = np.argwhere(np.isnan(hourly))[0]
+        raise ValueError(
+            f"Schedule:Compact {name!r} leaves day {int(d)} hour {int(h)} "
+            "undefined (add a For: AllOtherDays rule and Until: 24:00)"
+        )
+    return hourly.reshape(8760)
+
+
 def load_idf(path_or_text: str) -> LoadedIdf:
     """Parse an EnergyPlus IDF (path or raw text) into a ``LoadedIdf``.
 
@@ -182,6 +401,29 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     schedule_constants: Dict[str, float] = {}
     for o in by_type.get("schedule:constant", []):
         schedule_constants[o[1]] = _num(o, 3, 1.0)
+
+    # -- schedules -> hourly [8760] series -------------------------------------
+    start_dow = 0  # Jan 1 weekday; E+ RunPeriod default is Sunday
+    for o in by_type.get("runperiod", []):
+        for f in o[2:]:
+            if f.lower() in _WEEKDAYS:
+                start_dow = _WEEKDAYS.index(f.lower())
+                break
+    for o in by_type.get("schedule:constant", []):
+        out.schedules[o[1].lower()] = np.full(8760, _num(o, 3, 1.0))
+    for o in by_type.get("schedule:compact", []):
+        out.schedules[o[1].lower()] = _compact_schedule(o, start_dow)
+
+    def _sched_ref(name: str, owner: str) -> Optional[str]:
+        """Validate a schedule reference; '' means always-on (None)."""
+        if not name:
+            return None
+        if name.lower() not in out.schedules:
+            raise ValueError(
+                f"{owner}: schedule {name!r} is not a parsed "
+                "Schedule:Constant/Schedule:Compact"
+            )
+        return name.lower()
 
     # -- materials -> Substance + Material -----------------------------------
     for o in by_type.get("material", []):
@@ -285,6 +527,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             zone_floor_area[name] = float(fa)
 
     # -- surfaces --------------------------------------------------------------
+    computed_floor_area: Dict[str, float] = {}  # from Floor-type surfaces
     surf_zone: Dict[str, str] = {}  # surface name -> zone (for OBC=Surface)
     surf_front: Dict[str, Boundary] = {}
     pending = []  # (SurfaceDef, obc_surface_name) resolved after the loop
@@ -306,6 +549,10 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             shift = 1 if len(o) - 12 == int(n1) * 3 else 0
         obc, obc_obj = _str(o, 5 + shift).lower(), _str(o, 6 + shift)
         surf_zone[name] = zone
+        if _str(o, 2).lower() == "floor":
+            computed_floor_area[zone] = computed_floor_area.get(
+                zone, 0.0
+            ) + _polygon_area(_vertices(o, 10 + shift))
         if obc == "outdoors":
             front: Optional[Boundary] = Boundary.outdoor()
         elif obc == "ground":
@@ -383,17 +630,183 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 )
             flow = _num(o, 8, 0.0) * vol_by_zone[zone] / 3600.0
         elif method == "flow/area":
-            if zone not in zone_floor_area:
+            if zone not in zone_floor_area and zone not in computed_floor_area:
                 raise ValueError(
                     f"ZoneInfiltration {o[1]!r}: Flow/Area needs the zone's "
                     "Floor Area"
                 )
-            flow = _num(o, 6, 0.0) * zone_floor_area[zone]
+            flow = _num(o, 6, 0.0) * zone_floor_area.get(
+                zone, computed_floor_area.get(zone, 0.0)
+            )
         else:
             raise ValueError(
                 f"ZoneInfiltration {o[1]!r}: unsupported calculation method "
                 f"{method!r}"
             )
         out.infiltration[zone] = out.infiltration.get(zone, 0.0) + flow * sched
+
+    # -- internal gains: Lights / ElectricEquipment / People -------------------
+    def _floor_area(zone: str, owner: str) -> float:
+        a = zone_floor_area.get(zone, computed_floor_area.get(zone))
+        if a is None or a <= 0.0:
+            raise ValueError(
+                f"{owner}: Watts/Area needs zone {zone!r}'s floor area (set "
+                "the Zone Floor Area field or give the zone a Floor surface)"
+            )
+        return a
+
+    def _zone_ref(zone: str, owner: str) -> str:
+        if zone not in vol_by_zone:
+            raise ValueError(f"{owner}: unknown zone {zone!r}")
+        return zone
+
+    for o in by_type.get("lights", []):
+        name, owner = o[1], f"Lights {o[1]!r}"
+        zone = _zone_ref(o[2], owner)
+        sched = _sched_ref(_str(o, 3), owner)
+        method = _str(o, 4).lower()
+        if method in ("lightinglevel", ""):
+            level = _num(o, 5, 0.0)
+        elif method == "watts/area":
+            level = _num(o, 6, 0.0) * _floor_area(zone, owner)
+        else:
+            raise ValueError(
+                f"{owner}: unsupported Design Level Calculation Method "
+                f"{method!r} (LightingLevel / Watts/Area)"
+            )
+        # Return-air fraction leaves the zone; radiant/visible fractions all
+        # land on the zone air node in heatx's model (luminaire.rs pattern).
+        level *= 1.0 - (_num(o, 8, 0.0) or 0.0)
+        m.add_luminaire(Luminaire(name, zone))
+        out.gains.append(ImportedGain(
+            name=name, zone=zone, channel="lum",
+            index=len(m.luminaires) - 1, design_w=level,
+            schedules=[sched] if sched else [],
+        ))
+
+    for o in by_type.get("electricequipment", []):
+        name, owner = o[1], f"ElectricEquipment {o[1]!r}"
+        zone = _zone_ref(o[2], owner)
+        sched = _sched_ref(_str(o, 3), owner)
+        method = _str(o, 4).lower()
+        if method in ("equipmentlevel", ""):
+            level = _num(o, 5, 0.0)
+        elif method == "watts/area":
+            level = _num(o, 6, 0.0) * _floor_area(zone, owner)
+        else:
+            raise ValueError(
+                f"{owner}: unsupported Design Level Calculation Method "
+                f"{method!r} (EquipmentLevel / Watts/Area)"
+            )
+        # Latent and lost fractions never reach the zone air sensibly.
+        level *= max(
+            0.0, 1.0 - (_num(o, 8, 0.0) or 0.0) - (_num(o, 10, 0.0) or 0.0)
+        )
+        m.add_hvac(ElectricHeater(name, zone))
+        out.gains.append(ImportedGain(
+            name=name, zone=zone, channel="hvac",
+            index=len(m.hvacs) - 1, design_w=level,
+            schedules=[sched] if sched else [],
+        ))
+
+    for o in by_type.get("people", []):
+        name, owner = o[1], f"People {o[1]!r}"
+        zone = _zone_ref(o[2], owner)
+        occ = _sched_ref(_str(o, 3), owner)
+        method = _str(o, 4).lower()
+        if method in ("people", ""):
+            n_people = _num(o, 5, 0.0)
+        elif method == "people/area":
+            n_people = _num(o, 6, 0.0) * _floor_area(zone, owner)
+        elif method == "area/person":
+            per = _num(o, 7, 0.0)
+            if not per:
+                raise ValueError(f"{owner}: Area/Person requires a nonzero area")
+            n_people = _floor_area(zone, owner) / per
+        else:
+            raise ValueError(
+                f"{owner}: unsupported Number of People Calculation Method "
+                f"{method!r}"
+            )
+        s9 = _str(o, 9).lower()  # numeric, '', or 'autocalculate'
+        sens = (
+            float(s9) if s9 not in ("", "autocalculate")
+            else PEOPLE_SENSIBLE_FRACTION
+        )
+        act = _sched_ref(_str(o, 10), owner)  # W/person metabolic rate
+        if act is None:
+            raise ValueError(f"{owner}: an Activity Level Schedule is required")
+        m.add_hvac(ElectricHeater(name, zone))
+        out.gains.append(ImportedGain(
+            name=name, zone=zone, channel="hvac",
+            index=len(m.hvacs) - 1, design_w=n_people * sens,
+            schedules=([occ] if occ else []) + [act],
+        ))
+
+    # -- thermostats -> setpoint-driven ideal loads ----------------------------
+    def _sp0(sched: Optional[str], const: Optional[float], side: str):
+        """Compiled (constant) setpoint: the schedule's hour-0 value when
+        scheduled (hourly_channels overrides per step), else the constant."""
+        if sched is not None:
+            return float(out.schedules[sched][0])
+        return const
+
+    def _add_tstat(name, zone, hs, hconst, cs, cconst, owner):
+        zone = _zone_ref(zone, owner)
+        heat0 = _sp0(hs, hconst, "heat")
+        cool0 = _sp0(cs, cconst, "cool")
+        if heat0 is None and cool0 is None:
+            raise ValueError(f"{owner}: neither a heating nor a cooling setpoint")
+        m.add_hvac(IdealHeaterCooler(
+            name, [zone], heat_setpoint=heat0, cool_setpoint=cool0
+        ))
+        out.thermostats.append(ImportedThermostat(
+            name=name, zone=zone, heat_schedule=hs, cool_schedule=cs
+        ))
+
+    tstat_templates: Dict[str, tuple] = {}
+    for o in by_type.get("hvactemplate:thermostat", []):
+        owner = f"HVACTemplate:Thermostat {o[1]!r}"
+        tstat_templates[o[1].lower()] = (
+            _sched_ref(_str(o, 2), owner), _num(o, 3),
+            _sched_ref(_str(o, 4), owner), _num(o, 5),
+        )
+    for o in by_type.get("hvactemplate:zone:idealloadsairsystem", []):
+        zone = o[1]
+        owner = f"HVACTemplate:Zone:IdealLoadsAirSystem ({zone!r})"
+        tname = _str(o, 2).lower()
+        if tname not in tstat_templates:
+            raise ValueError(
+                f"{owner}: Template Thermostat {_str(o, 2)!r} not found"
+            )
+        hs, hconst, cs, cconst = tstat_templates[tname]
+        _add_tstat(f"{zone} ideal loads", zone, hs, hconst, cs, cconst, owner)
+
+    sp_objs: Dict[tuple, List[str]] = {}
+    for kind in ("thermostatsetpoint:dualsetpoint",
+                 "thermostatsetpoint:singleheating",
+                 "thermostatsetpoint:singlecooling"):
+        for o in by_type.get(kind, []):
+            sp_objs[(kind, o[1].lower())] = o
+    for o in by_type.get("zonecontrol:thermostat", []):
+        name, zone = o[1], o[2]
+        owner = f"ZoneControl:Thermostat {name!r}"
+        ctype, cname = _str(o, 4).lower(), _str(o, 5).lower()
+        sp = sp_objs.get((ctype, cname))
+        if sp is None:
+            raise ValueError(
+                f"{owner}: control object {ctype}/{_str(o, 5)!r} not found "
+                "(supported: ThermostatSetpoint:DualSetpoint/SingleHeating/"
+                "SingleCooling)"
+            )
+        hs = cs = None
+        if ctype == "thermostatsetpoint:dualsetpoint":
+            hs = _sched_ref(_str(sp, 2), owner)
+            cs = _sched_ref(_str(sp, 3), owner)
+        elif ctype == "thermostatsetpoint:singleheating":
+            hs = _sched_ref(_str(sp, 2), owner)
+        else:
+            cs = _sched_ref(_str(sp, 2), owner)
+        _add_tstat(name, zone, hs, None, cs, None, owner)
 
     return out

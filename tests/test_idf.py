@@ -226,3 +226,134 @@ def test_trombe_idf_marches(ref_fixtures):
     gain_int = z_sun[zmap["Interior Space"]] - z_dark[zmap["Interior Space"]]
     assert gain_mid > 1.0, (z_dark, z_sun)
     assert gain_mid > gain_int > 0.0, (z_dark, z_sun)
+
+
+_GAINS_IDF = """
+Version, 9.4;
+Timestep, 4;
+RunPeriod, Run, 1, 1, 12, 31, Monday, No, No, No, Yes, Yes;
+
+Material, CONCRETE, MediumRough, 0.20, 0.816, 1700.0, 800.0, 0.9, 0.7, 0.7;
+Construction, WALL, CONCRETE;
+
+Zone, Z1, 0, 0, 0, 0, 1, 1, 3.0, 300.0, 100.0;
+Zone, Z2, 0, 0, 0, 0, 1, 1, 3.0, 240.0;
+
+BuildingSurface:Detailed, W1, Wall, WALL, Z1, Outdoors, , SunExposed,
+  WindExposed, autocalculate, 4,
+  0, 0, 3,  0, 0, 0,  10, 0, 0,  10, 0, 3;
+BuildingSurface:Detailed, W2, Wall, WALL, Z2, Outdoors, , SunExposed,
+  WindExposed, autocalculate, 4,
+  0, 5, 3,  0, 5, 0,  10, 5, 0,  10, 5, 3;
+BuildingSurface:Detailed, F2, Floor, WALL, Z2, Ground, , NoSun,
+  NoWind, autocalculate, 4,
+  0, 0, 0,  0, 4, 0,  5, 4, 0,  5, 0, 0;
+
+Schedule:Constant, AlwaysOn, , 1.0;
+Schedule:Constant, Activity, , 120.0;
+Schedule:Compact, OfficeOcc, Fraction,
+  Through: 12/31,
+  For: Weekdays,
+  Until: 8:00, 0.0,
+  Until: 18:00, 1.0,
+  Until: 24:00, 0.1,
+  For: AllOtherDays,
+  Until: 24:00, 0.0;
+Schedule:Compact, HeatSP, Temperature,
+  Through: 12/31,
+  For: AllDays,
+  Until: 6:00, 16.0,
+  Until: 22:00, 21.0,
+  Until: 24:00, 16.0;
+
+Lights, L1, Z1, OfficeOcc, Watts/Area, , 10.0, , 0.2, 0.4, 0.2;
+ElectricEquipment, E1, Z1, AlwaysOn, EquipmentLevel, 500.0, , , 0.1, 0.3, 0.1;
+People, P1, Z2, OfficeOcc, People, 10, , , 0.3, autocalculate, Activity;
+
+HVACTemplate:Thermostat, TST, HeatSP, , , 26.0;
+HVACTemplate:Zone:IdealLoadsAirSystem, Z1, TST;
+ZoneControl:Thermostat, ZT2, Z2, , ThermostatSetpoint:SingleHeating, SH1;
+ThermostatSetpoint:SingleHeating, SH1, HeatSP;
+"""
+
+
+def test_compact_schedule_rendering():
+    """Schedule:Compact Through/For/Until grammar: hour k (0-based,
+    hour-beginning) takes the first Until whose end time exceeds k; For
+    day groups follow the RunPeriod start weekday (Monday here)."""
+    loaded = load_idf(_GAINS_IDF)
+    occ = loaded.schedule_series("OfficeOcc", 24 * 7)
+    day0 = occ[:24]  # Jan 1 = Monday (a weekday)
+    assert (day0[:8] == 0.0).all()
+    assert (day0[8:18] == 1.0).all()
+    assert (day0[18:] == 0.1).all()
+    sat = occ[24 * 5 : 24 * 6]  # day 5 from Monday = Saturday
+    assert (sat == 0.0).all()
+    # Year-periodic wrap and start_hour offset agree.
+    assert loaded.schedule_series("OfficeOcc", 24, start_hour=8760)[10] == 1.0
+
+
+def test_internal_gains_and_thermostats_import():
+    loaded = load_idf(_GAINS_IDF)
+    m = loaded.model
+    # Devices: 1 luminaire (Lights), 2 ElectricHeaters (equipment, people),
+    # 2 IdealHeaterCoolers (template + ZoneControl).
+    assert len(m.luminaires) == 1 and m.luminaires[0].target_space == "Z1"
+    assert len(m.hvacs) == 4
+    ch = loaded.hourly_channels(24)
+    # Lights: 10 W/m2 x 100 m2 (explicit zone floor area) x (1 - 0.2 return
+    # air) = 800 W at full occupancy.
+    lp = ch["lum_power"]
+    assert lp.shape == (24, 1)
+    np.testing.assert_allclose(lp[12, 0], 800.0)
+    np.testing.assert_allclose(lp[2, 0], 0.0)
+    # Equipment: 500 W x (1 - 0.1 latent - 0.1 lost) = 400 W always on.
+    hp = ch["hvac_power"]
+    assert hp.shape == (24, 4)
+    np.testing.assert_allclose(hp[:, 0], 400.0)
+    # People: 10 x 0.6 sensible x 120 W/person activity x occupancy.
+    np.testing.assert_allclose(hp[12, 1], 720.0)
+    np.testing.assert_allclose(hp[2, 1], 0.0)
+    # Thermostat slots never consume the hvac_power channel.
+    np.testing.assert_allclose(hp[:, 2:], 0.0)
+    # Setpoints: Z1 heat follows HeatSP (16 night / 21 day), cool 26 const;
+    # Z2 heat scheduled, cooling side absent (sentinel).
+    hs, cs = ch["heat_sp"], ch["cool_sp"]
+    np.testing.assert_allclose(hs[3], [16.0, 16.0])
+    np.testing.assert_allclose(hs[12], [21.0, 21.0])
+    np.testing.assert_allclose(cs[12], [26.0, 1e9])
+    # The Z2 floor area needed by nothing here came from the Floor surface;
+    # exercise the fallback through a Watts/Area gain on Z2.
+    loaded2 = load_idf(_GAINS_IDF.replace(
+        "Lights, L1, Z1, OfficeOcc, Watts/Area, , 10.0",
+        "Lights, L1, Z2, OfficeOcc, Watts/Area, , 10.0",
+    ))
+    lp2 = loaded2.hourly_channels(24)["lum_power"]
+    np.testing.assert_allclose(lp2[12, 0], 10.0 * 20.0 * 0.8)  # 5x4 m floor
+
+
+def test_imported_gains_drive_a_simulation():
+    """End to end: the imported devices + schedules drive a one-day march
+    and the scheduled thermostat heats the zones to the setback pattern."""
+    loaded = load_idf(_GAINS_IDF)
+    tm = heatx.ThermalModel(loaded.model, n=1, config=F64)
+    T = 24
+    ch = loaded.hourly_channels(T)
+    seq = tm.inputs_sequence(
+        T, t_out=np.full(T, -5.0), wind_speed=np.full(T, 3.0), **ch
+    )
+    final, (zt, loads) = tm.run(tm.initial_state(), seq, collect_loads=True)
+    zt, loads = np.asarray(zt), np.asarray(loads)
+    assert np.isfinite(zt).all()
+    # Daytime control band [21, 26]: both zones inside it all afternoon.
+    assert (zt[12:22] >= 21.0 - 1e-6).all()
+    assert (zt[12:22] <= 26.0 + 1e-6).all()
+    # Z2 (720 W of people only) needs real heating against the -5 C
+    # outdoors; Z1's 1,200 W of lights+equipment ride it to the COOLING
+    # setpoint — the ideal loads show both regimes simultaneously.
+    assert loads[12:22, 1].min() > 0.0
+    assert loads[12:22, 0].min() < 0.0
+    # Night setback 16: Z2 free-floats below the daytime setpoint with the
+    # heater off until the 06:00 schedule step snaps it back to 21.
+    assert zt[4, 1] < 21.0 and loads[3:5, 1].max() == 0.0
+    np.testing.assert_allclose(zt[6, 1], 21.0, atol=1e-6)
