@@ -46,7 +46,7 @@ def _build(args):
 
     from heatx import SimConfig, ThermalModel
 
-    extras = {"infiltration": {}}
+    extras = {"infiltration": {}, "loaded": None}
     if args.model.lower().endswith(".idf"):
         from heatx.model.idf import load_idf
 
@@ -54,6 +54,7 @@ def _build(args):
         model = loaded.model
         n = args.n if args.n is not None else loaded.timestep
         extras["infiltration"] = loaded.infiltration
+        extras["loaded"] = loaded
     else:
         from heatx.model.spl import load_spl
 
@@ -212,6 +213,26 @@ def cmd_simulate(args) -> int:
     else:
         T_steps = T
 
+    # IDF internal gains and thermostat schedules: rendered hourly channel
+    # overrides (lights/equipment/people power, scheduled setpoints).
+    gain_kw = {}
+    loaded = extras.get("loaded")
+    if loaded is not None:
+        gain_kw = loaded.hourly_channels(T)
+        if gain_kw:
+            kinds = ", ".join(sorted(gain_kw))
+            print(
+                f"# imported gains/schedules: {len(loaded.gains)} devices, "
+                f"{len(loaded.thermostats)} thermostats ({kinds})",
+                file=sys.stderr,
+            )
+            if n > 1:
+                # Gains and setpoints hold constant within the hour on the
+                # sub-hourly main-step grid (E+ reads schedules hourly too).
+                gain_kw = {
+                    k: np.repeat(v, n, axis=0) for k, v in gain_kw.items()
+                }
+
     # IDF infiltration design flows: outdoor air exchanged at the parsed
     # m3/s per zone, inlet at the (interpolated) outdoor dry bulb.
     inf_kw = {}
@@ -232,6 +253,16 @@ def cmd_simulate(args) -> int:
         file=sys.stderr,
     )
 
+    want_loads = bool(args.loads_csv)
+    if want_loads and not b.has_ideal_hvac:
+        print(
+            "error: --loads-csv needs setpoint-driven HVAC (imported "
+            "thermostats or IdealHeaterCooler setpoints)",
+            file=sys.stderr,
+        )
+        return 2
+    loads = None  # [T_steps, Z] mean ideal power, when collected
+
     st = tm.initial_state()
     t0 = time.time()
     if engine == "kernel":
@@ -239,6 +270,7 @@ def cmd_simulate(args) -> int:
         fr = tm.fast_runner(
             block_size=args.block_size, mode=args.mode, hours=hours,
             substeps=None if args.mode == "parity" else args.substeps,
+            scheduled_setpoints="heat_sp" in gain_kw,
         )
         in_dt = np.float64 if args.f64 else np.float32
         seq = tm.inputs(**inf_kw)._replace(
@@ -249,17 +281,34 @@ def cmd_simulate(args) -> int:
             sol_back=np.asarray(sol_b, in_dt),
             ir_front=np.asarray(ir_f, in_dt),
             ir_back=np.asarray(ir_b, in_dt),
+            **{k: np.asarray(v, in_dt) for k, v in gain_kw.items()},
         )
-        final, zt = fr.run(st, seq, ground_hourly=ground_hourly)
+        out = fr.run(
+            st, seq, ground_hourly=ground_hourly, collect_loads=want_loads
+        )
+        if want_loads:
+            final, zt, loads = out
+        else:
+            final, zt = out
     elif args.mode == "parity":
         seq = tm.inputs_sequence(
             T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,
             sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
-            **inf_kw,
+            **inf_kw, **gain_kw,
         )
-        run = tm.run_checked if args.checked else tm.run
+        if args.checked and want_loads:
+            print(
+                "# note: --checked does not collect loads; using the "
+                "plain scan",
+                file=sys.stderr,
+            )
+        if want_loads:
+            run = lambda s, x: tm.run(s, x, collect_loads=True)  # noqa: E731
+        else:
+            run = tm.run_checked if args.checked else tm.run
         if ground_hourly is None:
-            final, zt = run(st, seq)
+            final, hist_out = run(st, seq)
+            zt, loads = hist_out if want_loads else (hist_out, None)
         else:
             # Month-chunked scans with a ground-temperature leaf swap
             # between chunks (at most a few distinct chunk lengths, so a
@@ -267,7 +316,7 @@ def cmd_simulate(args) -> int:
             bounds = (
                 [0] + list(np.flatnonzero(np.diff(ground_hourly)) + 1) + [T]
             )
-            state, hists = st, []
+            state, hists, ldists = st, [], []
             for lo, hi in zip(bounds[:-1], bounds[1:]):
                 tm.set_ground_temperature(float(ground_hourly[lo]))
                 sl = slice(lo * n, hi * n)
@@ -276,15 +325,19 @@ def cmd_simulate(args) -> int:
                     seq,
                 )
                 state, h = run(state, sub)
+                if want_loads:
+                    h, ld = h
+                    ldists.append(np.asarray(ld))
                 hists.append(np.asarray(h))
             final, zt = state, np.concatenate(hists)
+            loads = np.concatenate(ldists) if want_loads else None
     else:
         # Fast modes have no whole-run XLA scan wrapper; loop the jitted
         # per-step march on the host (fine at CLI scale).
         seq = tm.inputs_sequence(
             T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,
             sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
-            **inf_kw,
+            **inf_kw, **gain_kw,
         )
         if args.mode == "exp":
             march = tm.march_exp
@@ -295,7 +348,7 @@ def cmd_simulate(args) -> int:
                     state, step, substeps=substeps,
                     refresh_h=args.mode == "trbdf2_refresh",
                 )
-        hist = []
+        hist, ldist = [], []
         state = st
         for t in range(T_steps):
             if ground_hourly is not None:
@@ -312,10 +365,17 @@ def cmd_simulate(args) -> int:
             )
             state = march(state, step, substeps=args.substeps)
             hist.append(state.zone_T)
+            if want_loads:
+                ldist.append(state.ideal_load)
         final, zt = state, np.stack([np.asarray(z) for z in hist])
+        if want_loads:
+            loads = np.stack([np.asarray(x) for x in ldist])
     zt = np.asarray(zt)
     if n > 1:
         zt = zt[n - 1 :: n]  # end-of-hour samples for the hourly CSV
+        if loads is not None:
+            # Mean power within each hour (energy-preserving downsample).
+            loads = np.asarray(loads).reshape(T, n, -1).mean(axis=1)
     wall = time.time() - t0
     print(f"# simulated {T} h in {wall:.2f} s", file=sys.stderr)
 
@@ -332,6 +392,20 @@ def cmd_simulate(args) -> int:
             for t in range(T):
                 w.writerow([t] + [f"{v:.4f}" for v in zt[t]])
         print(f"# wrote {args.out}", file=sys.stderr)
+    if loads is not None:
+        loads = np.asarray(loads)
+        with open(args.loads_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["hour"] + znames)
+            for t in range(T):
+                w.writerow([t] + [f"{v:.1f}" for v in loads[t]])
+        print(f"# wrote {args.loads_csv}", file=sys.stderr)
+        heat_kwh = loads.clip(min=0).sum() / 1e3
+        cool_kwh = (-loads.clip(max=0)).sum() / 1e3
+        print(
+            f"demand: heating {heat_kwh:.1f} kWh  cooling {cool_kwh:.1f} kWh "
+            f"({len(znames)} zones, {T} h)"
+        )
     for z, name in enumerate(znames):
         col = zt[:, z]
         print(
@@ -403,6 +477,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--checked", action="store_true",
                    help="in-graph per-step finiteness guard (XLA parity engine)")
+    p.add_argument(
+        "--loads-csv", default=None,
+        help="also write the hourly per-zone ideal-load demand (W, "
+        "heating +) — requires thermostats (imported or modeled)",
+    )
     p.add_argument(
         "--nomass-iters", type=int, default=None,
         help="fix the no-mass solve at N relaxed iterations "

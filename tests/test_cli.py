@@ -212,3 +212,43 @@ ZoneInfiltration:DesignFlowRate, Inf, Room, , AirChanges/Hour,
     from heatx.weather.epw import read_epw
     dry = read_epw(EPW).dry_bulb[:48][:, None]
     assert np.mean(np.abs(outs["leaky"] - dry)) < np.mean(np.abs(outs["sealed"] - dry))
+
+
+def test_cli_idf_gains_and_thermostat(tmp_path, capsys):
+    """Imported Lights + thermostat drive the simulation: the scheduled
+    setpoints hold the zone in band, --loads-csv writes the hourly demand,
+    and the XLA and kernel engines agree on both series."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
+Schedule:Compact, Occ, Fraction,
+    Through: 12/31,
+    For: AllDays, Until: 8:00, 0.0, Until: 18:00, 1.0, Until: 24:00, 0.0;
+Lights, L1, Room, Occ, LightingLevel, 400.0;
+HVACTemplate:Thermostat, TST, , 20.0, , 26.0;
+HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
+"""
+    p = tmp_path / "office.idf"
+    p.write_text(idf)
+    series = {}
+    for name, extra in (
+        ("xla", ["--engine", "xla", "--mode", "trbdf2"]),
+        ("kernel", ["--engine", "kernel", "--mode", "trbdf2"]),
+    ):
+        o, ld = tmp_path / f"{name}.csv", tmp_path / f"{name}_loads.csv"
+        assert main([
+            "simulate", str(p), EPW, "--hours", "48", "--f64",
+            "-o", str(o), "--loads-csv", str(ld),
+        ] + extra) == 0
+        series[name] = (_read(o)[1], _read(ld)[1])
+    err = capsys.readouterr().err
+    assert "imported gains/schedules: 1 devices, 1 thermostats" in err
+    for name, (temps, loads) in series.items():
+        assert temps.shape == (48, 1) and loads.shape == (48, 1), name
+        # The thermostat holds the band all 48 h.
+        assert (temps >= 20.0 - 1e-6).all() and (temps <= 26.0 + 1e-6).all(), name
+        # Santiago January: real heating demand at night somewhere.
+        assert loads.max() > 0.0, name
+    # The two engines march the same physics at the same sub-step count.
+    dT = np.abs(series["xla"][0] - series["kernel"][0]).max()
+    assert dT < 0.05, dT
