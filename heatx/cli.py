@@ -233,20 +233,32 @@ def cmd_simulate(args) -> int:
                     k: np.repeat(v, n, axis=0) for k, v in gain_kw.items()
                 }
 
-    # IDF infiltration design flows: outdoor air exchanged at the parsed
-    # m3/s per zone, inlet at the (interpolated) outdoor dry bulb.
+    # IDF infiltration/ventilation flows: outdoor air exchanged at the
+    # scheduled m3/s per zone, inlet at the (interpolated) outdoor dry bulb.
     inf_kw = {}
-    inf_map = extras.get("infiltration") or {}
-    if any(v > 0.0 for v in inf_map.values()):
-        zn = [sp.name for sp in model.spaces]
-        inf_vol = np.array([float(inf_map.get(name, 0.0)) for name in zn])
-        inf_kw = dict(
-            inf_vol=inf_vol,
-            inf_mask=inf_vol > 0.0,
-            inf_temp=np.repeat(dry[:, None], len(zn), axis=1),
-        )
-        tot = ", ".join(f"{name} {v:.3f}" for name, v in inf_map.items() if v > 0)
-        print(f"# infiltration (m3/s): {tot}", file=sys.stderr)
+    if loaded is not None and loaded.airflows:
+        Z = len(model.spaces)
+        air = loaded.airflow_series(T)
+        if n > 1:  # hold within the hour on the sub-hourly main-step grid
+            air = {k: np.repeat(v, n, axis=0) for k, v in air.items()}
+        t_in = np.repeat(dry[:, None], Z, axis=1)
+        if "inf_vol" in air and air["inf_vol"].any():
+            inf_kw.update(
+                inf_vol=air["inf_vol"], inf_mask=air["inf_vol"] > 0.0,
+                inf_temp=t_in,
+            )
+        if "vent_vol" in air and air["vent_vol"].any():
+            inf_kw.update(
+                vent_vol=air["vent_vol"], vent_mask=air["vent_vol"] > 0.0,
+                vent_temp=t_in,
+            )
+        for kind, m_ in (("infiltration", extras.get("infiltration") or {}),
+                         ("ventilation", loaded.ventilation)):
+            if any(v > 0.0 for v in m_.values()):
+                tot = ", ".join(
+                    f"{name} {v:.3f}" for name, v in m_.items() if v > 0
+                )
+                print(f"# {kind} (m3/s): {tot}", file=sys.stderr)
     print(
         f"# {b.n_surfaces} surfaces / {b.n_zones} zones, {T} h, "
         f"engine={engine} mode={args.mode}",

@@ -125,6 +125,18 @@ class ImportedGain:
 
 
 @dataclass
+class AirflowRule:
+    """One ZoneInfiltration/ZoneVentilation:DesignFlowRate object: design
+    m3/s x schedule = the per-hour outdoor-air exchange for its zone
+    (rendered by :meth:`LoadedIdf.airflow_series`)."""
+
+    kind: str  # "infiltration" | "ventilation"
+    zone: str
+    flow: float  # design m3/s at schedule value 1.0
+    schedule: Optional[str] = None
+
+
+@dataclass
 class ImportedThermostat:
     """A thermostat imported as a setpoint-driven IdealHeaterCooler; the
     scheduled setpoints (if any) render through
@@ -145,6 +157,10 @@ class LoadedIdf:
     #: zone name -> design infiltration flow, m3/s (drive it through
     #: ``StepInputs.inf_vol``; heatx does not compile schedules).
     infiltration: Dict[str, float] = field(default_factory=dict)
+    #: zone name -> design ventilation flow, m3/s (``StepInputs.vent_vol``).
+    ventilation: Dict[str, float] = field(default_factory=dict)
+    #: per-object airflow rules with their schedules (airflow_series).
+    airflows: List[AirflowRule] = field(default_factory=list)
     #: object type (lower-case) -> count parsed, for diagnostics.
     counts: Dict[str, int] = field(default_factory=dict)
     #: schedule name (lower-case) -> hourly [8760] value series.
@@ -160,6 +176,30 @@ class LoadedIdf:
         if s is None:
             raise KeyError(f"schedule {name!r} not found in the IDF")
         return s[(start_hour + np.arange(T)) % 8760]
+
+    def airflow_series(self, T: int, start_hour: int = 0) -> Dict[str, np.ndarray]:
+        """Per-hour outdoor-air exchange from the imported
+        ZoneInfiltration/ZoneVentilation objects: a dict with ``inf_vol`` /
+        ``vent_vol`` [T, n_zones] m3/s (design flow x schedule; keys only
+        present when the IDF has objects of that kind).  The caller supplies
+        the inlet temperature (outdoor dry bulb for both; the CLI wires
+        it)."""
+        out: Dict[str, np.ndarray] = {}
+        zn = [s.name for s in self.model.spaces]
+        for kind, key in (("infiltration", "inf_vol"), ("ventilation", "vent_vol")):
+            rules = [r for r in self.airflows if r.kind == kind]
+            if not rules:
+                continue
+            v = np.zeros((T, len(zn)), np.float64)
+            for r in rules:
+                s = (
+                    self.schedule_series(r.schedule, T, start_hour)
+                    if r.schedule
+                    else 1.0
+                )
+                v[:, zn.index(r.zone)] += r.flow * s
+            out[key] = v
+        return out
 
     def hourly_channels(self, T: int, start_hour: int = 0) -> Dict[str, np.ndarray]:
         """StepInputs channel overrides driving the imported internal gains
@@ -615,35 +655,50 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                         "the host polygon"
                     )
 
-    # -- infiltration (reported, not compiled) ---------------------------------
+    # -- infiltration / ventilation (input channels, not compiled) -------------
     vol_by_zone = {s.name: s.volume for s in m.spaces}
-    for o in by_type.get("zoneinfiltration:designflowrate", []):
-        zone = o[2]
-        sched = schedule_constants.get(_str(o, 3), 1.0)
+
+    def _airflow(o: List[str], kind: str, totals: Dict[str, float]):
+        name, zone = o[1], o[2]
+        owner = f"Zone{kind.capitalize()} {name!r}"
+        sched_const = schedule_constants.get(_str(o, 3), 1.0)
         method = _str(o, 4).lower()
         if method in ("flow/zone", ""):
             flow = _num(o, 5, 0.0)
         elif method == "airchanges/hour":
             if zone not in vol_by_zone:
-                raise ValueError(
-                    f"ZoneInfiltration {o[1]!r}: unknown zone {zone!r}"
-                )
+                raise ValueError(f"{owner}: unknown zone {zone!r}")
             flow = _num(o, 8, 0.0) * vol_by_zone[zone] / 3600.0
         elif method == "flow/area":
             if zone not in zone_floor_area and zone not in computed_floor_area:
                 raise ValueError(
-                    f"ZoneInfiltration {o[1]!r}: Flow/Area needs the zone's "
-                    "Floor Area"
+                    f"{owner}: Flow/Area needs the zone's Floor Area"
                 )
             flow = _num(o, 6, 0.0) * zone_floor_area.get(
                 zone, computed_floor_area.get(zone, 0.0)
             )
         else:
             raise ValueError(
-                f"ZoneInfiltration {o[1]!r}: unsupported calculation method "
-                f"{method!r}"
+                f"{owner}: unsupported calculation method {method!r}"
             )
-        out.infiltration[zone] = out.infiltration.get(zone, 0.0) + flow * sched
+        # Design total (schedule folded in as a constant — the historical
+        # reporting figure); the rule carries the full schedule.
+        totals[zone] = totals.get(zone, 0.0) + flow * sched_const
+        sname = _str(o, 3)
+        out.airflows.append(AirflowRule(
+            kind, zone, flow,
+            schedule=sname.lower() if sname.lower() in out.schedules else None,
+        ))
+
+    for o in by_type.get("zoneinfiltration:designflowrate", []):
+        _airflow(o, "infiltration", out.infiltration)
+    for o in by_type.get("zoneventilation:designflowrate", []):
+        # The flow/schedule subset only: Ventilation Type, fan pressure and
+        # the temperature/wind control terms (fields 9+) model controlled
+        # natural ventilation, which heatx leaves to the caller (the
+        # channels are per-step inputs — drive vent_vol with any control
+        # law you like).
+        _airflow(o, "ventilation", out.ventilation)
 
     # -- internal gains: Lights / ElectricEquipment / People -------------------
     def _floor_area(zone: str, owner: str) -> float:

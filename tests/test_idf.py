@@ -357,3 +357,25 @@ def test_imported_gains_drive_a_simulation():
     # heater off until the 06:00 schedule step snaps it back to 21.
     assert zt[4, 1] < 21.0 and loads[3:5, 1].max() == 0.0
     np.testing.assert_allclose(zt[6, 1], 21.0, atol=1e-6)
+
+
+def test_airflow_series_infiltration_and_ventilation():
+    """ZoneInfiltration/ZoneVentilation:DesignFlowRate render to scheduled
+    [T, Z] m3/s series (airflow_series); the design totals stay reported."""
+    idf = _GAINS_IDF + """
+ZoneInfiltration:DesignFlowRate, Inf1, Z1, OfficeOcc, AirChanges/Hour,
+    0, 0, 0, 1.2, 1, 0, 0, 0;
+ZoneVentilation:DesignFlowRate, Vent1, Z2, OfficeOcc, Flow/Zone,
+    0.05, , , , Natural;
+"""
+    loaded = load_idf(idf)
+    np.testing.assert_allclose(loaded.infiltration["Z1"], 1.2 * 300.0 / 3600.0)
+    np.testing.assert_allclose(loaded.ventilation["Z2"], 0.05)
+    air = loaded.airflow_series(24)
+    iv, vv = air["inf_vol"], air["vent_vol"]
+    assert iv.shape == (24, 2) and vv.shape == (24, 2)
+    # OfficeOcc (Monday): 0 before 8, 1.0 in 8-18, 0.1 after 18.
+    np.testing.assert_allclose(iv[12], [1.2 * 300.0 / 3600.0, 0.0])
+    np.testing.assert_allclose(iv[2], [0.0, 0.0])
+    np.testing.assert_allclose(vv[12], [0.0, 0.05])
+    np.testing.assert_allclose(vv[20], [0.0, 0.005])
