@@ -96,6 +96,25 @@ def cmd_info(args) -> int:
         )
     for z, sp in enumerate(model.spaces):
         print(f"  zone {z}: {sp.name} ({sp.volume:.1f} m3)")
+    loaded = extras.get("loaded")
+    if loaded is not None:
+        for g in loaded.gains:
+            sched = " x ".join(g.schedules) if g.schedules else "always on"
+            print(
+                f"  gain: {g.name} -> {g.zone} ({g.design_w:.0f} W sensible, "
+                f"{sched})"
+            )
+        for t in loaded.thermostats:
+            print(
+                f"  thermostat: {t.name} -> {t.zone} "
+                f"(heat {t.heat_schedule or 'constant'}, "
+                f"cool {t.cool_schedule or 'constant'})"
+            )
+        for r in loaded.airflows:
+            print(
+                f"  {r.kind}: {r.zone} {r.flow:.3f} m3/s "
+                f"({r.schedule or 'always on'})"
+            )
     return 0
 
 
