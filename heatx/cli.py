@@ -118,14 +118,14 @@ def cmd_info(args) -> int:
     return 0
 
 
-def _weather_series(epw, T):
-    """Tile/truncate the EPW's hourly columns to T hours."""
+def _weather_series(epw, T, start=0):
+    """Tile/truncate the EPW's hourly columns to hours [start, start+T)."""
     import numpy as np
 
-    reps = -(-T // epw.n_hours)
+    reps = -(-(start + T) // epw.n_hours)
 
     def tile(v):
-        return np.tile(np.asarray(v, np.float64), reps)[:T]
+        return np.tile(np.asarray(v, np.float64), reps)[start : start + T]
 
     return (
         tile(epw.dry_bulb),
@@ -156,7 +156,8 @@ def cmd_simulate(args) -> int:
     sb = b.surfaces
     epw = read_epw(args.epw)
     T = args.hours or epw.n_hours
-    dry, wind, wdir, ir = _weather_series(epw, T)
+    start = args.start_hour % 8760 if args.start_hour else 0
+    dry, wind, wdir, ir = _weather_series(epw, T, start)
 
     # Seasonal soil temperatures: monthly per-hour ground series when the
     # model has ground-contact faces and the EPW tabulates GROUND
@@ -171,7 +172,7 @@ def cmd_simulate(args) -> int:
     ground_hourly = None
     if args.ground and has_ground and epw.ground_temps:
         monthly = epw.ground_temperature(args.ground_depth)
-        ground_hourly = monthly[_MONTH_HOURS[np.arange(T) % 8760]]
+        ground_hourly = monthly[_MONTH_HOURS[(start + np.arange(T)) % 8760]]
         print(
             f"# seasonal ground temperatures "
             f"({monthly.min():.1f}..{monthly.max():.1f} C)",
@@ -182,13 +183,16 @@ def cmd_simulate(args) -> int:
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
     if args.solar:
         sol_f = (
-            surface_irradiance(epw, b, hours=T, albedo=args.albedo, sky=args.sky)
+            surface_irradiance(
+                epw, b, hours=start + T, albedo=args.albedo, sky=args.sky
+            )[start:]
             * out_front
         )
         sol_b = (
             surface_irradiance(
-                epw, b, hours=T, albedo=args.albedo, side="back", sky=args.sky
-            )
+                epw, b, hours=start + T, albedo=args.albedo, side="back",
+                sky=args.sky,
+            )[start:]
             * out_back
         )
     else:
@@ -237,7 +241,7 @@ def cmd_simulate(args) -> int:
     gain_kw = {}
     loaded = extras.get("loaded")
     if loaded is not None:
-        gain_kw = loaded.hourly_channels(T)
+        gain_kw = loaded.hourly_channels(T, start_hour=start)
         if gain_kw:
             kinds = ", ".join(sorted(gain_kw))
             print(
@@ -257,7 +261,7 @@ def cmd_simulate(args) -> int:
     inf_kw = {}
     if loaded is not None and loaded.airflows:
         Z = len(model.spaces)
-        air = loaded.airflow_series(T)
+        air = loaded.airflow_series(T, start_hour=start)
         if n > 1:  # hold within the hour on the sub-hourly main-step grid
             air = {k: np.repeat(v, n, axis=0) for k, v in air.items()}
         t_in = np.repeat(dry[:, None], Z, axis=1)
@@ -294,7 +298,18 @@ def cmd_simulate(args) -> int:
         return 2
     loads = None  # [T_steps, Z] mean ideal power, when collected
 
-    st = tm.initial_state()
+    if args.init_state:
+        from heatx.io.checkpoint import load_state
+
+        st, step0 = load_state(
+            args.init_state, dtype=b.config.dtype, building=b
+        )
+        print(
+            f"# resumed state from {args.init_state} (step {step0})",
+            file=sys.stderr,
+        )
+    else:
+        st = tm.initial_state()
     t0 = time.time()
     if engine == "kernel":
         hours = 24 if T % 24 == 0 else 1
@@ -415,13 +430,19 @@ def cmd_simulate(args) -> int:
         print(f"error: non-finite zone temperature at hour {bad}", file=sys.stderr)
         return 1
 
+    if args.save_state:
+        from heatx.io.checkpoint import save_state
+
+        save_state(args.save_state, final, step=start + T)
+        print(f"# saved final state to {args.save_state}", file=sys.stderr)
+
     znames = [sp.name for sp in model.spaces]
     if args.out:
         with open(args.out, "w", newline="") as f:
             w = csv.writer(f)
             w.writerow(["hour"] + znames)
             for t in range(T):
-                w.writerow([t] + [f"{v:.4f}" for v in zt[t]])
+                w.writerow([start + t] + [f"{v:.4f}" for v in zt[t]])
         print(f"# wrote {args.out}", file=sys.stderr)
     if loads is not None:
         loads = np.asarray(loads)
@@ -429,7 +450,7 @@ def cmd_simulate(args) -> int:
             w = csv.writer(f)
             w.writerow(["hour"] + znames)
             for t in range(T):
-                w.writerow([t] + [f"{v:.1f}" for v in loads[t]])
+                w.writerow([start + t] + [f"{v:.1f}" for v in loads[t]])
         print(f"# wrote {args.loads_csv}", file=sys.stderr)
         heat_kwh = loads.clip(min=0).sum() / 1e3
         cool_kwh = (-loads.clip(max=0)).sum() / 1e3
@@ -512,6 +533,19 @@ def build_parser() -> argparse.ArgumentParser:
         "--loads-csv", default=None,
         help="also write the hourly per-zone ideal-load demand (W, "
         "heating +) — requires thermostats (imported or modeled)",
+    )
+    p.add_argument(
+        "--start-hour", type=int, default=0,
+        help="year hour to start at (weather/solar/schedules/soil offset; "
+        "pairs with --init-state for segmented runs)",
+    )
+    p.add_argument(
+        "--init-state", default=None,
+        help="resume from a saved state checkpoint (.npz, see --save-state)",
+    )
+    p.add_argument(
+        "--save-state", default=None,
+        help="write the final simulation state to this .npz checkpoint",
     )
     p.add_argument(
         "--nomass-iters", type=int, default=None,

@@ -252,3 +252,37 @@ HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
     # The two engines march the same physics at the same sub-step count.
     dT = np.abs(series["xla"][0] - series["kernel"][0]).max()
     assert dT < 0.05, dT
+
+
+def test_cli_resume_matches_continuous(tmp_path):
+    """--save-state / --init-state / --start-hour: a 48 h run split into two
+    24 h segments (state checkpointed between) reproduces the continuous run
+    exactly — weather, solar, schedules and gains all offset correctly."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
+Schedule:Compact, Occ, Fraction,
+    Through: 12/31,
+    For: AllDays, Until: 8:00, 0.0, Until: 18:00, 1.0, Until: 24:00, 0.0;
+Lights, L1, Room, Occ, LightingLevel, 400.0;
+"""
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    base = ["simulate", str(p), EPW, "--engine", "xla", "--mode", "trbdf2",
+            "--f64"]
+    full = tmp_path / "full.csv"
+    assert main(base + ["--hours", "48", "-o", str(full)]) == 0
+    ck = tmp_path / "ck.npz"
+    s1, s2 = tmp_path / "s1.csv", tmp_path / "s2.csv"
+    assert main(base + ["--hours", "24", "-o", str(s1),
+                        "--save-state", str(ck)]) == 0
+    assert main(base + ["--hours", "24", "-o", str(s2), "--start-hour", "24",
+                        "--init-state", str(ck)]) == 0
+    _, tf = _read(full)
+    _, t1 = _read(s1)
+    _, t2 = _read(s2)
+    np.testing.assert_array_equal(tf, np.concatenate([t1, t2]))
+    # The hour column of the resumed segment continues the year clock.
+    with open(s2) as f:
+        rows = list(csv.reader(f))
+    assert rows[1][0] == "24" and rows[-1][0] == "47"
