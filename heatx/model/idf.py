@@ -8,7 +8,15 @@ the envelope subset of an IDF directly into a :class:`BuildingModel`, so the
 validation fixtures (and any IDF restricted to the same object set) can be
 simulated without re-authoring.  Supported objects:
 
-* ``Material`` / ``Material:NoMass`` / ``WindowMaterial:Glazing``
+* ``Material`` / ``Material:NoMass`` / ``WindowMaterial:Glazing`` /
+  ``WindowMaterial:Gas`` (Air/Argon/Krypton/Xenon -> an ISO 15099 gas
+  cavity) / ``WindowMaterial:SimpleGlazingSystem`` (U/SHGC -> an
+  equivalent single pane: glass-only resistance ``1/U`` minus NFRC winter
+  film resistances sets the conductivity, SHGC realizes as the direct
+  solar transmittance with 8 % absorption — the inward-flowing share of
+  that absorption overshoots the SHGC by <3 %, and the film coefficients
+  are simulated dynamically with TARP rather than held at rating
+  conditions)
 * ``Construction``
 * ``Zone`` (volume required — ``autocalculate`` is rejected)
 * ``BuildingSurface:Detailed`` (Outdoors / Ground / Zone / Surface outside
@@ -74,6 +82,7 @@ from heatx.model.building import (
     BuildingModel,
     Construction,
     ElectricHeater,
+    GasSubstance,
     IdealHeaterCooler,
     Luminaire,
     Material,
@@ -543,6 +552,48 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             solar_transmittance=tau,
         ))
         m.add_material(Material(name, f"{name} substance", thickness))
+
+    for o in by_type.get("windowmaterial:gas", []):
+        # Name, Gas Type, Thickness -> an ISO 15099 gas cavity layer (the
+        # discretizer lowers it to heatx.physics.cavity, like the
+        # reference's UValue::Cavity, discretization.rs:221-285).
+        name = o[1]
+        gtype = _str(o, 2).lower()
+        if gtype not in ("air", "argon", "krypton", "xenon"):
+            raise ValueError(
+                f"WindowMaterial:Gas {name!r}: unsupported gas {gtype!r} "
+                "(Air/Argon/Krypton/Xenon)"
+            )
+        m.add_substance(GasSubstance(f"{name} substance", gtype))
+        m.add_material(Material(name, f"{name} substance", _num(o, 3)))
+
+    for o in by_type.get("windowmaterial:simpleglazingsystem", []):
+        # Name, U-Factor, SHGC, [Visible Transmittance] -> equivalent
+        # single pane (see module docstring for the approximation).
+        name = o[1]
+        u = _num(o, 2)
+        shgc = _num(o, 3)
+        if not u or shgc is None:
+            raise ValueError(
+                f"WindowMaterial:SimpleGlazingSystem {name!r}: U-Factor and "
+                "SHGC are required"
+            )
+        # NFRC winter rating films: h_out ~ 26 (5.5 m/s), h_in ~ 7.7 W/m2K.
+        r_glass = max(1.0 / u - (1.0 / 26.0 + 1.0 / 7.7), 1e-4)
+        tau = min(float(shgc), 0.92)
+        alpha = min(0.08, 1.0 - tau)
+        m.add_substance(Substance(
+            f"{name} substance",
+            thermal_conductivity=GLAZING_THICKNESS / r_glass,
+            density=GLAZING_DENSITY,
+            specific_heat_capacity=GLAZING_SPECIFIC_HEAT,
+            front_thermal_absorbtance=0.84,
+            back_thermal_absorbtance=0.84,
+            front_solar_absorbtance=alpha,
+            back_solar_absorbtance=alpha,
+            solar_transmittance=tau,
+        ))
+        m.add_material(Material(name, f"{name} substance", GLAZING_THICKNESS))
 
     for o in by_type.get("construction", []):
         # Name, then layers outside -> inside == heatx front -> back.

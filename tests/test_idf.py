@@ -379,3 +379,42 @@ ZoneVentilation:DesignFlowRate, Vent1, Z2, OfficeOcc, Flow/Zone,
     np.testing.assert_allclose(iv[2], [0.0, 0.0])
     np.testing.assert_allclose(vv[12], [0.0, 0.05])
     np.testing.assert_allclose(vv[20], [0.0, 0.005])
+
+
+def test_window_gas_and_simple_glazing():
+    """WindowMaterial:Gas builds an ISO 15099 cavity layer;
+    WindowMaterial:SimpleGlazingSystem builds the equivalent single pane
+    (glass resistance = 1/U minus NFRC winter films, tau = SHGC)."""
+    idf = """
+    Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+    WindowMaterial:Glazing, Clear3, SpectralAverage, , 0.003, 0.837, 0.075,
+        0.075, 0.898, 0.081, 0.081, 0.0, 0.84, 0.84, 0.9;
+    WindowMaterial:Gas, Argon12, Argon, 0.012;
+    WindowMaterial:SimpleGlazingSystem, SG, 2.5, 0.4, 0.6;
+    Construction, Wall, Concrete;
+    Construction, DoubleGlz, Clear3, Argon12, Clear3;
+    Construction, SimpleGlz, SG;
+    Zone, Z1, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    BuildingSurface:Detailed, W1, Wall, Wall, Z1, Outdoors, , Sun, Wind, 0,
+        4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+    FenestrationSurface:Detailed, WinA, Window, DoubleGlz, W1, , 0, , 1,
+        4, 1,0,2, 1,0,1, 3,0,1, 3,0,2;
+    FenestrationSurface:Detailed, WinB, Window, SimpleGlz, W1, , 0, , 1,
+        4, 5,0,2, 5,0,1, 7,0,1, 7,0,2;
+    """
+    loaded = load_idf(idf)
+    m = loaded.model
+    # Gas layer -> GasSubstance; the double-glazed construction compiles to
+    # a building with a gas cavity.
+    gs = m.substances["Argon12 substance"]
+    assert gs.is_gas and gs.gas == "argon"
+    # Simple glazing: equivalent pane properties.
+    sg = m.substances["SG substance"]
+    r_glass = 1.0 / 2.5 - (1.0 / 26.0 + 1.0 / 7.7)
+    assert sg.thermal_conductivity == pytest.approx(0.006 / r_glass)
+    assert sg.solar_transmittance == pytest.approx(0.4)
+    b = compile_building(m, n=4, config=F64)
+    assert bool(np.asarray(b.surfaces.seg_is_cavity).any())
+    # And it marches: a sunny cold day stays finite with both windows.
+    zt = _march_zone_series(m, hours=12)
+    assert np.isfinite(zt).all()
