@@ -709,37 +709,52 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     # -- infiltration / ventilation (input channels, not compiled) -------------
     vol_by_zone = {s.name: s.volume for s in m.spaces}
 
+    # Zone lists: a gain/airflow on a list applies per member zone (the E+
+    # semantic — one instance per member, sized by that zone's geometry).
+    zone_lists: Dict[str, List[str]] = {}
+    for o in by_type.get("zonelist", []):
+        zone_lists[o[1].lower()] = [f for f in o[2:] if f]
+
+    def _expand_zones(zone: str, owner: str) -> List[str]:
+        if zone.lower() in zone_lists:
+            return zone_lists[zone.lower()]
+        if zone not in vol_by_zone:
+            raise ValueError(f"{owner}: unknown zone or zone list {zone!r}")
+        return [zone]
+
     def _airflow(o: List[str], kind: str, totals: Dict[str, float]):
-        name, zone = o[1], o[2]
+        name = o[1]
         owner = f"Zone{kind.capitalize()} {name!r}"
         sched_const = schedule_constants.get(_str(o, 3), 1.0)
         method = _str(o, 4).lower()
-        if method in ("flow/zone", ""):
-            flow = _num(o, 5, 0.0)
-        elif method == "airchanges/hour":
-            if zone not in vol_by_zone:
-                raise ValueError(f"{owner}: unknown zone {zone!r}")
-            flow = _num(o, 8, 0.0) * vol_by_zone[zone] / 3600.0
-        elif method == "flow/area":
-            if zone not in zone_floor_area and zone not in computed_floor_area:
-                raise ValueError(
-                    f"{owner}: Flow/Area needs the zone's Floor Area"
+        for zone in _expand_zones(o[2], owner):
+            if method in ("flow/zone", ""):
+                flow = _num(o, 5, 0.0)
+            elif method == "airchanges/hour":
+                flow = _num(o, 8, 0.0) * vol_by_zone[zone] / 3600.0
+            elif method == "flow/area":
+                if (zone not in zone_floor_area
+                        and zone not in computed_floor_area):
+                    raise ValueError(
+                        f"{owner}: Flow/Area needs the zone's Floor Area"
+                    )
+                flow = _num(o, 6, 0.0) * zone_floor_area.get(
+                    zone, computed_floor_area.get(zone, 0.0)
                 )
-            flow = _num(o, 6, 0.0) * zone_floor_area.get(
-                zone, computed_floor_area.get(zone, 0.0)
-            )
-        else:
-            raise ValueError(
-                f"{owner}: unsupported calculation method {method!r}"
-            )
-        # Design total (schedule folded in as a constant — the historical
-        # reporting figure); the rule carries the full schedule.
-        totals[zone] = totals.get(zone, 0.0) + flow * sched_const
-        sname = _str(o, 3)
-        out.airflows.append(AirflowRule(
-            kind, zone, flow,
-            schedule=sname.lower() if sname.lower() in out.schedules else None,
-        ))
+            else:
+                raise ValueError(
+                    f"{owner}: unsupported calculation method {method!r}"
+                )
+            # Design total (schedule folded in as a constant — the
+            # historical reporting figure); the rule carries the schedule.
+            totals[zone] = totals.get(zone, 0.0) + flow * sched_const
+            sname = _str(o, 3)
+            out.airflows.append(AirflowRule(
+                kind, zone, flow,
+                schedule=(
+                    sname.lower() if sname.lower() in out.schedules else None
+                ),
+            ))
 
     for o in by_type.get("zoneinfiltration:designflowrate", []):
         _airflow(o, "infiltration", out.infiltration)
@@ -766,74 +781,65 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             raise ValueError(f"{owner}: unknown zone {zone!r}")
         return zone
 
+    def _gain_name(name: str, zone: str, zones: List[str]) -> str:
+        return name if len(zones) == 1 else f"{name}:{zone}"
+
     for o in by_type.get("lights", []):
         name, owner = o[1], f"Lights {o[1]!r}"
-        zone = _zone_ref(o[2], owner)
+        zones = _expand_zones(o[2], owner)
         sched = _sched_ref(_str(o, 3), owner)
         method = _str(o, 4).lower()
-        if method in ("lightinglevel", ""):
-            level = _num(o, 5, 0.0)
-        elif method == "watts/area":
-            level = _num(o, 6, 0.0) * _floor_area(zone, owner)
-        else:
-            raise ValueError(
-                f"{owner}: unsupported Design Level Calculation Method "
-                f"{method!r} (LightingLevel / Watts/Area)"
-            )
-        # Return-air fraction leaves the zone; radiant/visible fractions all
-        # land on the zone air node in heatx's model (luminaire.rs pattern).
-        level *= 1.0 - (_num(o, 8, 0.0) or 0.0)
-        m.add_luminaire(Luminaire(name, zone))
-        out.gains.append(ImportedGain(
-            name=name, zone=zone, channel="lum",
-            index=len(m.luminaires) - 1, design_w=level,
-            schedules=[sched] if sched else [],
-        ))
+        for zone in zones:
+            if method in ("lightinglevel", ""):
+                level = _num(o, 5, 0.0)
+            elif method == "watts/area":
+                level = _num(o, 6, 0.0) * _floor_area(zone, owner)
+            else:
+                raise ValueError(
+                    f"{owner}: unsupported Design Level Calculation Method "
+                    f"{method!r} (LightingLevel / Watts/Area)"
+                )
+            # Return-air fraction leaves the zone; radiant/visible fractions
+            # all land on the zone air node in heatx's model (luminaire.rs).
+            level *= 1.0 - (_num(o, 8, 0.0) or 0.0)
+            m.add_luminaire(Luminaire(_gain_name(name, zone, zones), zone))
+            out.gains.append(ImportedGain(
+                name=_gain_name(name, zone, zones), zone=zone, channel="lum",
+                index=len(m.luminaires) - 1, design_w=level,
+                schedules=[sched] if sched else [],
+            ))
 
     for o in by_type.get("electricequipment", []):
         name, owner = o[1], f"ElectricEquipment {o[1]!r}"
-        zone = _zone_ref(o[2], owner)
+        zones = _expand_zones(o[2], owner)
         sched = _sched_ref(_str(o, 3), owner)
         method = _str(o, 4).lower()
-        if method in ("equipmentlevel", ""):
-            level = _num(o, 5, 0.0)
-        elif method == "watts/area":
-            level = _num(o, 6, 0.0) * _floor_area(zone, owner)
-        else:
-            raise ValueError(
-                f"{owner}: unsupported Design Level Calculation Method "
-                f"{method!r} (EquipmentLevel / Watts/Area)"
+        for zone in zones:
+            if method in ("equipmentlevel", ""):
+                level = _num(o, 5, 0.0)
+            elif method == "watts/area":
+                level = _num(o, 6, 0.0) * _floor_area(zone, owner)
+            else:
+                raise ValueError(
+                    f"{owner}: unsupported Design Level Calculation Method "
+                    f"{method!r} (EquipmentLevel / Watts/Area)"
+                )
+            # Latent and lost fractions never reach the zone air sensibly.
+            level *= max(
+                0.0, 1.0 - (_num(o, 8, 0.0) or 0.0) - (_num(o, 10, 0.0) or 0.0)
             )
-        # Latent and lost fractions never reach the zone air sensibly.
-        level *= max(
-            0.0, 1.0 - (_num(o, 8, 0.0) or 0.0) - (_num(o, 10, 0.0) or 0.0)
-        )
-        m.add_hvac(ElectricHeater(name, zone))
-        out.gains.append(ImportedGain(
-            name=name, zone=zone, channel="hvac",
-            index=len(m.hvacs) - 1, design_w=level,
-            schedules=[sched] if sched else [],
-        ))
+            m.add_hvac(ElectricHeater(_gain_name(name, zone, zones), zone))
+            out.gains.append(ImportedGain(
+                name=_gain_name(name, zone, zones), zone=zone, channel="hvac",
+                index=len(m.hvacs) - 1, design_w=level,
+                schedules=[sched] if sched else [],
+            ))
 
     for o in by_type.get("people", []):
         name, owner = o[1], f"People {o[1]!r}"
-        zone = _zone_ref(o[2], owner)
+        zones = _expand_zones(o[2], owner)
         occ = _sched_ref(_str(o, 3), owner)
         method = _str(o, 4).lower()
-        if method in ("people", ""):
-            n_people = _num(o, 5, 0.0)
-        elif method == "people/area":
-            n_people = _num(o, 6, 0.0) * _floor_area(zone, owner)
-        elif method == "area/person":
-            per = _num(o, 7, 0.0)
-            if not per:
-                raise ValueError(f"{owner}: Area/Person requires a nonzero area")
-            n_people = _floor_area(zone, owner) / per
-        else:
-            raise ValueError(
-                f"{owner}: unsupported Number of People Calculation Method "
-                f"{method!r}"
-            )
         s9 = _str(o, 9).lower()  # numeric, '', or 'autocalculate'
         sens = (
             float(s9) if s9 not in ("", "autocalculate")
@@ -842,12 +848,29 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         act = _sched_ref(_str(o, 10), owner)  # W/person metabolic rate
         if act is None:
             raise ValueError(f"{owner}: an Activity Level Schedule is required")
-        m.add_hvac(ElectricHeater(name, zone))
-        out.gains.append(ImportedGain(
-            name=name, zone=zone, channel="hvac",
-            index=len(m.hvacs) - 1, design_w=n_people * sens,
-            schedules=([occ] if occ else []) + [act],
-        ))
+        for zone in zones:
+            if method in ("people", ""):
+                n_people = _num(o, 5, 0.0)
+            elif method == "people/area":
+                n_people = _num(o, 6, 0.0) * _floor_area(zone, owner)
+            elif method == "area/person":
+                per = _num(o, 7, 0.0)
+                if not per:
+                    raise ValueError(
+                        f"{owner}: Area/Person requires a nonzero area"
+                    )
+                n_people = _floor_area(zone, owner) / per
+            else:
+                raise ValueError(
+                    f"{owner}: unsupported Number of People Calculation "
+                    f"Method {method!r}"
+                )
+            m.add_hvac(ElectricHeater(_gain_name(name, zone, zones), zone))
+            out.gains.append(ImportedGain(
+                name=_gain_name(name, zone, zones), zone=zone, channel="hvac",
+                index=len(m.hvacs) - 1, design_w=n_people * sens,
+                schedules=([occ] if occ else []) + [act],
+            ))
 
     # -- thermostats -> setpoint-driven ideal loads ----------------------------
     def _sp0(sched: Optional[str], const: Optional[float], side: str):

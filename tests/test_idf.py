@@ -418,3 +418,26 @@ def test_window_gas_and_simple_glazing():
     # And it marches: a sunny cold day stays finite with both windows.
     zt = _march_zone_series(m, hours=12)
     assert np.isfinite(zt).all()
+
+
+def test_zonelist_expansion():
+    """Gains and airflows on a ZoneList instantiate per member zone, each
+    sized by its own zone's floor area (the EnergyPlus semantic)."""
+    idf = """
+    Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+    Construction, Wall, Concrete;
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    Zone, B, 0, 0, 0, 0, 1, 1, 3, 150,  50;
+    ZoneList, Offices, A, B;
+    Schedule:Constant, On, , 1.0;
+    Lights, L, Offices, On, Watts/Area, , 10.0, , 0.0;
+    ZoneInfiltration:DesignFlowRate, Inf, Offices, On, AirChanges/Hour,
+        0, 0, 0, 1.0, 1, 0, 0, 0;
+    """
+    loaded = load_idf(idf)
+    m = loaded.model
+    assert [l.name for l in m.luminaires] == ["L:A", "L:B"]
+    ch = loaded.hourly_channels(2)
+    np.testing.assert_allclose(ch["lum_power"][0], [1000.0, 500.0])
+    np.testing.assert_allclose(loaded.infiltration["A"], 300.0 / 3600.0)
+    np.testing.assert_allclose(loaded.infiltration["B"], 150.0 / 3600.0)
