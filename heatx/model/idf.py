@@ -105,6 +105,30 @@ GLAZING_SPECIFIC_HEAT = 840.0
 
 _TERRAINS = {"country", "suburbs", "city", "ocean", "urban"}
 
+# Object types the importer realizes in the thermal model.
+_SUPPORTED_TYPES = {
+    "version", "building", "timestep", "runperiod",
+    "surfaceconvectionalgorithm:inside", "surfaceconvectionalgorithm:outside",
+    "material", "material:nomass", "windowmaterial:glazing",
+    "windowmaterial:gas", "windowmaterial:simpleglazingsystem",
+    "construction", "zone", "zonelist",
+    "buildingsurface:detailed", "fenestrationsurface:detailed", "internalmass",
+    "schedule:constant", "schedule:compact",
+    "zoneinfiltration:designflowrate", "zoneventilation:designflowrate",
+    "lights", "electricequipment", "people",
+    "hvactemplate:thermostat", "hvactemplate:zone:idealloadsairsystem",
+    "zonecontrol:thermostat", "thermostatsetpoint:dualsetpoint",
+    "thermostatsetpoint:singleheating", "thermostatsetpoint:singlecooling",
+}
+# Pure-reporting / solver-configuration types that genuinely have no thermal
+# content to import — silently skipped.
+_IGNORABLE_PREFIXES = (
+    "output", "globalgeometryrules", "scheduletypelimits", "site:",
+    "sizing", "simulationcontrol", "heatbalancealgorithm",
+    "shadowcalculation", "convergencelimits", "zoneairheatbalancealgorithm",
+    "runperiodcontrol", "zoneaircontaminantbalance", "zonecapacitance",
+)
+
 
 # Sensible fraction of metabolic heat applied when a People object says
 # ``autocalculate``: EnergyPlus splits sensible/latent from the activity
@@ -428,6 +452,20 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     m = BuildingModel()
     out = LoadedIdf(model=m, counts=counts)
+
+    unknown = sorted(
+        t for t in by_type
+        if t not in _SUPPORTED_TYPES
+        and not any(t.startswith(p) for p in _IGNORABLE_PREFIXES)
+    )
+    if unknown:
+        # Honest-degradation notice: these objects may carry thermal content
+        # (HVAC systems, shades, ...) that the imported model will NOT have.
+        warnings.warn(
+            f"IDF objects not imported (no thermal effect in the model): "
+            f"{', '.join(unknown)}",
+            stacklevel=2,
+        )
 
     for o in by_type.get("timestep", []):
         out.timestep = int(_num(o, 1, 1.0))
@@ -754,6 +792,29 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 schedule=(
                     sname.lower() if sname.lower() in out.schedules else None
                 ),
+            ))
+
+    # -- internal thermal mass --------------------------------------------------
+    for o in by_type.get("internalmass", []):
+        # Name, Construction, Zone or ZoneList, [Space — 22.1+], Surface
+        # Area.  Both faces couple to the SAME zone air (partitions and
+        # furniture inside the zone): the batched solver treats it as an
+        # ordinary surface whose front and back boundary is that space.
+        name, construction = o[1], o[2]
+        area = _num(o, 4) if _str(o, 5) == "" else _num(o, 5)
+        if not area or area <= 0.0:
+            raise ValueError(f"InternalMass {name!r}: a positive Surface Area "
+                             "is required")
+        im_zones = _expand_zones(o[3], f"InternalMass {name!r}")
+        for zone in im_zones:
+            m.add_surface(SurfaceDef(
+                name if len(im_zones) == 1 else f"{name}:{zone}",
+                construction,
+                Boundary.space_(zone), Boundary.space_(zone),
+                # Nominal vertical-partition geometry: square panel shape
+                # factor for the TARP perimeter term, mid-room height.
+                area=float(area), perimeter=4.0 * float(area) ** 0.5,
+                normal=(0.0, 1.0, 0.0), height=1.5,
             ))
 
     for o in by_type.get("zoneinfiltration:designflowrate", []):

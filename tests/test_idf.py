@@ -441,3 +441,29 @@ def test_zonelist_expansion():
     np.testing.assert_allclose(ch["lum_power"][0], [1000.0, 500.0])
     np.testing.assert_allclose(loaded.infiltration["A"], 300.0 / 3600.0)
     np.testing.assert_allclose(loaded.infiltration["B"], 150.0 / 3600.0)
+
+
+def test_internal_mass_and_unknown_warning():
+    """InternalMass becomes a both-faces-to-the-zone surface (partitions /
+    furniture thermal mass slows the zone response); unknown object types
+    raise an honest not-imported warning."""
+    base = """
+    Material, Concrete, Rough, 0.1, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+    Construction, Wall, Concrete;
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    BuildingSurface:Detailed, WA, Wall, Wall, A, Outdoors, , Sun, Wind, 0,
+        4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+    """
+    heavy = base + "InternalMass, Mass, Wall, A, , 60.0;\n"
+    m_light = load_idf(base).model
+    m_heavy = load_idf(heavy).model
+    im = next(s for s in m_heavy.surfaces if s.name == "Mass")
+    assert im.front_boundary.kind == "space" and im.back_boundary.kind == "space"
+    area, perim, _, _ = im.resolved_geometry()
+    assert area == pytest.approx(60.0)
+    # Step the outdoor temperature: the massive zone must respond slower.
+    zl = _march_zone_series(m_light, hours=6, t_out=-10.0, sol=0.0)
+    zh = _march_zone_series(m_heavy, hours=6, t_out=-10.0, sol=0.0)
+    assert zh[-1, 0] > zl[-1, 0] + 0.5  # internal mass holds the heat
+    with pytest.warns(UserWarning, match="not imported.*airflownetwork"):
+        load_idf(base + "AirflowNetwork:SimulationControl, X;\n")
