@@ -997,6 +997,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             hs = _sched_ref(_str(sp, 2), owner)
         else:
             cs = _sched_ref(_str(sp, 2), owner)
-        _add_tstat(name, zone, hs, None, cs, None, owner)
+        zones = _expand_zones(zone, owner)
+        for z in zones:
+            _add_tstat(
+                name if len(zones) == 1 else f"{name}:{z}",
+                z, hs, None, cs, None, owner,
+            )
 
     return out

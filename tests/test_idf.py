@@ -433,6 +433,9 @@ def test_zonelist_expansion():
     Lights, L, Offices, On, Watts/Area, , 10.0, , 0.0;
     ZoneInfiltration:DesignFlowRate, Inf, Offices, On, AirChanges/Hour,
         0, 0, 0, 1.0, 1, 0, 0, 0;
+    Schedule:Constant, HSP, Temperature, 19.0;
+    ZoneControl:Thermostat, T, Offices, , ThermostatSetpoint:SingleHeating, SH;
+    ThermostatSetpoint:SingleHeating, SH, HSP;
     """
     loaded = load_idf(idf)
     m = loaded.model
@@ -441,6 +444,9 @@ def test_zonelist_expansion():
     np.testing.assert_allclose(ch["lum_power"][0], [1000.0, 500.0])
     np.testing.assert_allclose(loaded.infiltration["A"], 300.0 / 3600.0)
     np.testing.assert_allclose(loaded.infiltration["B"], 150.0 / 3600.0)
+    # The zone-list thermostat controls every member zone.
+    assert [t.zone for t in loaded.thermostats] == ["A", "B"]
+    np.testing.assert_allclose(ch["heat_sp"][0], [19.0, 19.0])
 
 
 def test_internal_mass_and_unknown_warning():
