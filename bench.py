@@ -181,6 +181,91 @@ def run_demand_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
     )
 
 
+def run_office_bench(args, dtype):
+    """The complete EnergyPlus-file workflow, timed on hardware: the
+    committed ``examples/data/office.idf`` (envelope + windows with an
+    argon cavity + internal mass + zone-list gains on office schedules +
+    scheduled infiltration/ventilation + night-setback thermostats) runs a
+    full year under real EPW weather — computed solar, monthly soil
+    temperatures via per-dispatch operand swaps, imported schedules as
+    input channels, demand collected in-kernel.  Returns office_* fields."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    import heatx
+    from heatx.build.layout import B_GROUND, B_OUTDOOR
+    from heatx.model.idf import load_idf
+    from heatx.weather.epw import _MONTH_HOURS, read_epw
+    from heatx.weather.solar import surface_irradiance
+
+    epw_path = os.environ.get(
+        "HEATX_EPW", "/root/reference/tests/epw/CHL_Santiago.855740_IWEC.epw"
+    )
+    if not os.path.isfile(epw_path):
+        return {}
+    idf = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "examples", "data", "office.idf")
+    loaded = load_idf(idf)
+    tm = heatx.ThermalModel(
+        loaded.model, n=1, config=heatx.SimConfig(dtype=dtype)
+    )
+    b = tm.building
+    T = min(args.hours, 8760)
+    w = read_epw(epw_path)
+    reps = -(-T // w.n_hours)
+    tile = lambda v: np.tile(np.asarray(v, np.float64), reps)[:T]  # noqa: E731
+    sb = b.surfaces
+    out_f = np.asarray(sb.front_code) == B_OUTDOOR
+    sol_f = surface_irradiance(w, b, hours=T) * out_f
+    ch = loaded.hourly_channels(T)
+    air = loaded.airflow_series(T)
+    dry = tile(w.dry_bulb)
+    Z = b.n_zones
+    t_in = np.repeat(dry[:, None], Z, axis=1)
+    seq = tm.inputs()._replace(
+        t_out=jnp.asarray(dry, dtype),
+        wind_speed=jnp.asarray(tile(w.wind_speed), dtype),
+        wind_direction=jnp.asarray(tile(np.radians(w.wind_direction_deg)), dtype),
+        sol_front=jnp.asarray(sol_f, dtype),
+        ir_front=jnp.asarray(tile(w.horizontal_ir), dtype),
+        inf_vol=air["inf_vol"], inf_mask=air["inf_vol"] > 0, inf_temp=t_in,
+        vent_vol=air["vent_vol"], vent_mask=air["vent_vol"] > 0, vent_temp=t_in,
+        **{k: jnp.asarray(v, dtype) for k, v in ch.items()},
+    )
+    ground = None
+    if ((np.asarray(sb.front_code) == B_GROUND).any()
+            or (np.asarray(sb.back_code) == B_GROUND).any()) and w.ground_temps:
+        ground = w.ground_temperature(None)[_MONTH_HOURS[np.arange(T) % 8760]]
+    fr = tm.fast_runner(
+        mode="trbdf2", substeps=args.exp_substeps, hours=24,
+        scheduled_setpoints="heat_sp" in ch,
+    )
+    st = tm.initial_state()
+    kw = dict(ground_hourly=ground, collect_loads=True)
+    t0 = time.time()
+    _, _, loads = fr.run(st, seq, **kw)
+    jax.block_until_ready(loads)
+    print(f"# office-idf compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    final, zt, loads = fr.run(st, seq, **kw)
+    heat = float(jnp.sum(jnp.clip(loads, min=0))) / 1000.0
+    cool = float(-jnp.sum(jnp.clip(loads, max=0))) / 1000.0
+    wall = time.time() - t0
+    assert np.isfinite(heat) and np.isfinite(cool)
+    print(
+        f"# office-idf workflow: {T}h x {Z} zones in {wall:.2f}s; "
+        f"heating {heat:.0f} kWh, cooling {cool:.0f} kWh",
+        file=sys.stderr,
+    )
+    return dict(
+        office_idf_wall_clock_s=round(wall, 3),
+        office_idf_heating_kwh=round(heat, 1),
+        office_idf_cooling_kwh=round(cool, 1),
+    )
+
+
 def run_accuracy_bench(args, dtype):
     """Hardware-measured accuracy: replay the regime-gate workload (3 weeks
     of real EPW weather, the 4-zone/40-surface city of
@@ -282,6 +367,12 @@ def main():
         action="store_true",
         help="skip the annual ideal-loads demand run (thermostats in-kernel) "
         "normally included as demand_* fields in the JSON line",
+    )
+    ap.add_argument(
+        "--skip-office",
+        action="store_true",
+        help="skip the EnergyPlus-workflow row (examples/data/office.idf "
+        "annual run) normally included as office_idf_* fields",
     )
     ap.add_argument(
         "--skip-accuracy",
@@ -640,6 +731,14 @@ def main():
             except Exception as e:  # headline row survives an accuracy failure
                 print(f"# accuracy row failed: {e}", file=sys.stderr)
                 row.update(accuracy_error=str(e)[:200])
+        if not args.parity_kernel and not args.skip_office:
+            # The complete EnergyPlus-file workflow (examples/data/office.idf)
+            # timed on hardware.
+            try:
+                row.update(run_office_bench(args, dtype))
+            except Exception as e:  # headline row survives an office failure
+                print(f"# office-idf row failed: {e}", file=sys.stderr)
+                row.update(office_idf_error=str(e)[:200])
         print(json.dumps(row))
         return
 

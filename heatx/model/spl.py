@@ -1,7 +1,13 @@
-"""Parser for the subset of SIMPLE's ``.spl`` model format that the thermal
-validation fixtures use (tests/tilted/back.spl, tests/horizontal/back.spl):
-Substance / Material / Construction / Surface / Space objects with scalar,
-string, array and nested-object fields.
+"""Parser for the subset of SIMPLE's ``.spl`` model format the heat module
+consumes: Substance / Material / Construction / Surface / Fenestration /
+Space plus the gain devices (Luminaire, HVAC — ElectricHeater and
+IdealHeaterCooler, heating_cooling.rs:41-65) and SiteDetails (terrain ->
+wind profile, surface.rs:135-166).  ``Building`` objects parse and are
+skipped (metadata only).  Power ratings (``max_power`` /
+``max_heating_power``) on scheduled devices are not compiled: consumption
+is a per-step input channel (``StepInputs.hvac_power``/``lum_power``),
+matching how the reference reads power from the state vector at run time;
+IdealHeaterCooler capacities DO compile (they clamp the ideal loads).
 
 The grammar is ``ObjectName { key: value, ... }`` where values are numbers,
 quoted strings, ``[ ... ]`` arrays, or nested ``{ ... }`` objects.
@@ -17,8 +23,12 @@ from heatx.model.building import (
     Boundary,
     BuildingModel,
     Construction,
+    ElectricHeater,
     GasSubstance,
+    IdealHeaterCooler,
+    Luminaire,
     Material,
+    SiteDetails,
     SpaceDef,
     Substance,
     SurfaceDef,
@@ -169,6 +179,37 @@ def load_spl(path: str) -> BuildingModel:
             )
         elif kind == "Space":
             m.add_space(SpaceDef(f_["name"], float(f_["volume"])))
+        elif kind == "Luminaire":
+            m.add_luminaire(Luminaire(f_["name"], f_["target_space"]))
+        elif kind == "HVAC":
+            h_type = f_.get("type", "ElectricHeater")
+            if h_type == "ElectricHeater":
+                m.add_hvac(ElectricHeater(f_["name"], f_["target_space"]))
+            elif h_type == "IdealHeaterCooler":
+                spaces = f_.get("target_spaces")
+                if spaces is None:
+                    spaces = [f_["target_space"]]
+                m.add_hvac(IdealHeaterCooler(
+                    f_["name"], list(spaces),
+                    heat_setpoint=f_.get("heating_setpoint"),
+                    cool_setpoint=f_.get("cooling_setpoint"),
+                    max_heating=float(
+                        f_.get("max_heating_power", float("inf"))
+                    ),
+                    max_cooling=float(
+                        f_.get("max_cooling_power", float("inf"))
+                    ),
+                ))
+            else:
+                raise ValueError(f"unknown HVAC type '{h_type}'")
+        elif kind == "SiteDetails":
+            tc = str(
+                f_.get("terrain_class") or f_.get("terrain") or ""
+            ).lower()
+            if tc:
+                m.site_details = SiteDetails(terrain=tc)
+        elif kind == "Building":
+            pass  # metadata (name, shelter class): no thermal content
         else:
             raise ValueError(f"unsupported .spl object '{kind}'")
     return m

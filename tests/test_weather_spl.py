@@ -157,3 +157,63 @@ def test_set_ground_temperature_updates_marches():
     tm2 = heatx.ThermalModel(m2, n=1, config=heatx.SimConfig(dtype=np.float64))
     with pytest.raises(ValueError, match="ground"):
         tm2.set_ground_temperature(12.0)
+
+
+def test_spl_devices_and_site(tmp_path):
+    """SIMPLE .spl device objects load: Luminaire, HVAC (ElectricHeater and
+    a setpoint IdealHeaterCooler), SiteDetails terrain; Building metadata is
+    skipped.  The loaded model compiles and the thermostat controls."""
+    spl = """
+    Building { name: "test" }
+    SiteDetails { terrain_class: "City" }
+    Substance {
+        type: "Normal", name: "Concrete", thermal_conductivity: 0.816,
+        density: 1700., specific_heat_capacity: 800.,
+    }
+    Material { name: "C10", substance: "Concrete", thickness: 0.1 }
+    Construction { name: "Wall", materials: ["C10"] }
+    Space { name: "Room", volume: 300. }
+    Space { name: "Attic", volume: 100. }
+    Surface {
+        name: "W", construction: "Wall",
+        back_boundary: { type: "Space", space: "Room" },
+        vertices: [ 0.,0.,0., 10.,0.,0., 10.,0.,3., 0.,0.,3. ]
+    }
+    Surface {
+        name: "A", construction: "Wall",
+        back_boundary: { type: "Space", space: "Attic" },
+        vertices: [ 0.,5.,0., 10.,5.,0., 10.,5.,3., 0.,5.,3. ]
+    }
+    Luminaire { name: "lights", target_space: "Room", max_power: 120. }
+    HVAC {
+        type: "ElectricHeater", name: "heater", target_space: "Attic",
+        max_heating_power: 2300.,
+    }
+    HVAC {
+        type: "IdealHeaterCooler", name: "tstat", target_spaces: ["Room"],
+        heating_setpoint: 19., cooling_setpoint: 27.,
+    }
+    """
+    p = tmp_path / "m.spl"
+    p.write_text(spl)
+    m = load_spl(str(p))
+    assert m.site_details.terrain == "city"
+    assert [l.name for l in m.luminaires] == ["lights"]
+    assert [h.name for h in m.hvacs] == ["heater", "tstat"]
+
+    import heatx
+
+    tm = heatx.ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    st = tm.initial_state()
+    inp = tm.inputs(
+        t_out=-5.0, wind_speed=3.0, ir_front=330.0,
+        hvac_power=np.array([500.0, 0.0]), lum_power=np.array([120.0]),
+    )
+    for _ in range(12):
+        st = tm.march(st, inp)
+    zt = np.asarray(st.zone_T)
+    assert np.isfinite(zt).all()
+    # Room held at the 19 C heating setpoint by the ideal loads; the attic
+    # floats with its 500 W heater.
+    assert zt[0] >= 19.0 - 1e-9
+    assert np.asarray(st.ideal_load)[0] > 0.0
