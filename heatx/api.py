@@ -902,11 +902,15 @@ class FastRunner:
                 "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
             )
         Tb, zTb = self.to_blocked(state)
-        # With a ground series, default to day-sized dispatches: uneven
-        # month-boundary segments would otherwise re-trace the scan per
-        # distinct length (dispatch count is wall-clock-neutral, PERF.md).
+        # With a ground series the dispatch loop splits at value changes
+        # anyway, so default to whole-horizon chunks: an annual run with
+        # monthly soil temperatures becomes 12 dispatches of 3 distinct
+        # scan lengths (28/30/31 days — 3 cheap wrapper traces over the
+        # cached day kernel), not 365 per-day dispatches whose launch
+        # latency dominates small models (was 17 s for a 3-zone year
+        # through a remote tunnel; ~2 s month-chunked).
         if dispatch_days is None:
-            chunk_D = 1 if ground_hourly is not None else D
+            chunk_D = D
         else:
             chunk_D = max(1, int(dispatch_days))
         gday = None
