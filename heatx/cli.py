@@ -184,15 +184,16 @@ def cmd_simulate(args) -> int:
     if args.solar:
         sol_f = (
             surface_irradiance(
-                epw, b, hours=start + T, albedo=args.albedo, sky=args.sky
-            )[start:]
+                epw, b, hours=T, albedo=args.albedo, sky=args.sky,
+                start_hour=start,
+            )
             * out_front
         )
         sol_b = (
             surface_irradiance(
-                epw, b, hours=start + T, albedo=args.albedo, side="back",
-                sky=args.sky,
-            )[start:]
+                epw, b, hours=T, albedo=args.albedo, side="back",
+                sky=args.sky, start_hour=start,
+            )
             * out_back
         )
     else:
@@ -312,7 +313,11 @@ def cmd_simulate(args) -> int:
         st = tm.initial_state()
     t0 = time.time()
     if engine == "kernel":
-        hours = 24 if T % 24 == 0 else 1
+        # Day-sized invocations need day-aligned segments: with a ground
+        # series and a non-day-aligned --start-hour, soil-temperature
+        # changes would land mid-chunk and run() rejects the series.
+        day_ok = T % 24 == 0 and (ground_hourly is None or start % 24 == 0)
+        hours = 24 if day_ok else 1
         fr = tm.fast_runner(
             block_size=args.block_size, mode=args.mode, hours=hours,
             substeps=None if args.mode == "parity" else args.substeps,

@@ -485,16 +485,20 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                     stacklevel=2,
                 )
 
-    schedule_constants: Dict[str, float] = {}
-    for o in by_type.get("schedule:constant", []):
-        schedule_constants[o[1]] = _num(o, 3, 1.0)
-
     # -- schedules -> hourly [8760] series -------------------------------------
     start_dow = 0  # Jan 1 weekday; E+ RunPeriod default is Sunday
     for o in by_type.get("runperiod", []):
         for f in o[2:]:
             if f.lower() in _WEEKDAYS:
-                start_dow = _WEEKDAYS.index(f.lower())
+                # Day of Week for Start Day names the RUN PERIOD's begin
+                # date (fields 2/3 in both schema generations), not Jan 1:
+                # anchor the year's weekday cycle so the begin date lands
+                # on the declared weekday.
+                begin_doy = 0
+                bm, bd = _num(o, 2, 1.0), _num(o, 3, 1.0)
+                if bm and bd:
+                    begin_doy = _parse_md(f"{int(bm)}/{int(bd)}")
+                start_dow = (_WEEKDAYS.index(f.lower()) - begin_doy) % 7
                 break
     for o in by_type.get("schedule:constant", []):
         out.schedules[o[1].lower()] = np.full(8760, _num(o, 3, 1.0))
@@ -755,7 +759,14 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     def _expand_zones(zone: str, owner: str) -> List[str]:
         if zone.lower() in zone_lists:
-            return zone_lists[zone.lower()]
+            members = zone_lists[zone.lower()]
+            for z in members:
+                if z not in vol_by_zone:
+                    raise ValueError(
+                        f"{owner}: ZoneList {zone!r} member {z!r} is not a "
+                        "parsed zone"
+                    )
+            return members
         if zone not in vol_by_zone:
             raise ValueError(f"{owner}: unknown zone or zone list {zone!r}")
         return [zone]
@@ -763,7 +774,15 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     def _airflow(o: List[str], kind: str, totals: Dict[str, float]):
         name = o[1]
         owner = f"Zone{kind.capitalize()} {name!r}"
-        sched_const = schedule_constants.get(_str(o, 3), 1.0)
+        sched = _sched_ref(_str(o, 3), owner)  # raises on unknown, like gains
+        # Reported design total folds a constant schedule's value; a
+        # time-varying schedule reports the design flow itself (the rule
+        # carries the full series for airflow_series).
+        sched_const = 1.0
+        if sched is not None:
+            s = out.schedules[sched]
+            if s.min() == s.max():
+                sched_const = float(s[0])
         method = _str(o, 4).lower()
         for zone in _expand_zones(o[2], owner):
             if method in ("flow/zone", ""):
@@ -786,13 +805,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             # Design total (schedule folded in as a constant — the
             # historical reporting figure); the rule carries the schedule.
             totals[zone] = totals.get(zone, 0.0) + flow * sched_const
-            sname = _str(o, 3)
-            out.airflows.append(AirflowRule(
-                kind, zone, flow,
-                schedule=(
-                    sname.lower() if sname.lower() in out.schedules else None
-                ),
-            ))
+            out.airflows.append(AirflowRule(kind, zone, flow, schedule=sched))
 
     # -- internal thermal mass --------------------------------------------------
     for o in by_type.get("internalmass", []):

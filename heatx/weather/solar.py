@@ -190,7 +190,8 @@ def poa_irradiance(
 
 
 def surface_irradiance(
-    epw, building, albedo=0.2, hours=None, side="front", sky="isotropic"
+    epw, building, albedo=0.2, hours=None, side="front", sky="isotropic",
+    start_hour=0,
 ):
     """Per-surface incident solar from an EPW: the [T, S] ``sol_front``
     input for a compiled building (front faces are the outdoor side in
@@ -200,19 +201,22 @@ def surface_irradiance(
 
     EPW records are hour-ending local standard time; sun position is
     evaluated at the middle of each hour.  ``hours`` tiles/truncates the
-    annual series (default: the EPW's own length).
+    annual series (default: the EPW's own length); ``start_hour`` offsets
+    into the year (segmented runs) — evaluating hours [start, start+T)
+    directly instead of computing the prefix and slicing.
     """
     sb = building.surfaces
     T = int(hours) if hours is not None else epw.n_hours
-    reps = int(np.ceil(T / epw.n_hours))
+    start = int(start_hour)
+    reps = int(np.ceil((start + T) / epw.n_hours))
 
     def tile(v):
-        return np.tile(np.asarray(v, np.float64), reps)[:T]
+        return np.tile(np.asarray(v, np.float64), reps)[start : start + T]
 
     dni, dhi, ghi = tile(epw.direct_normal), tile(epw.diffuse_horizontal), tile(
         epw.global_horizontal
     )
-    h = np.arange(T, dtype=np.float64)
+    h = start + np.arange(T, dtype=np.float64)
     day = (np.floor(h / 24.0) % 365.0) + 1.0
     local_hour = (h % 24.0) + 0.5
     alt, az = solar_position(

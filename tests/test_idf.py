@@ -473,3 +473,39 @@ def test_internal_mass_and_unknown_warning():
     assert zh[-1, 0] > zl[-1, 0] + 0.5  # internal mass holds the heat
     with pytest.warns(UserWarning, match="not imported.*airflownetwork"):
         load_idf(base + "AirflowNetwork:SimulationControl, X;\n")
+
+
+def test_review_fixes_runperiod_zonelist_airflow_schedule():
+    """Round-3 self-review regressions: (a) RunPeriod's start weekday
+    anchors the run period's BEGIN date, not Jan 1; (b) ZoneList members
+    validate at parse time; (c) airflow schedule references validate like
+    gain schedules."""
+    base = """
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    Schedule:Compact, WD, Fraction,
+        Through: 12/31,
+        For: Weekdays, Until: 24:00, 1.0,
+        For: AllOtherDays, Until: 24:00, 0.0;
+    """
+    # Jul 1 declared a Tuesday: day-of-year 181 must render as a weekday,
+    # and Jul 5 (Saturday) as weekend.
+    loaded = load_idf("RunPeriod, Summer, 7, 1, 9, 30, Tuesday;\n" + base)
+    s = loaded.schedules["wd"]
+    jul1 = (31 + 28 + 31 + 30 + 31 + 30) * 24
+    assert s[jul1] == 1.0  # Tuesday
+    assert s[jul1 + 4 * 24] == 0.0  # Saturday
+    with pytest.raises(ValueError, match="member 'Typo'"):
+        load_idf(base + """
+    ZoneList, L, A, Typo;
+    ZoneInfiltration:DesignFlowRate, I, L, , Flow/Zone, 0.1, 0, 0, 0;
+    """)
+    with pytest.raises(ValueError, match="schedule 'Mystery'"):
+        load_idf(base + """
+    ZoneInfiltration:DesignFlowRate, I, A, Mystery, Flow/Zone, 0.1, 0, 0, 0;
+    """)
+    # Constant schedules still fold into the reported design total.
+    loaded = load_idf(base + """
+    Schedule:Constant, Half, , 0.5;
+    ZoneInfiltration:DesignFlowRate, I, A, Half, Flow/Zone, 0.2, 0, 0, 0;
+    """)
+    assert loaded.infiltration["A"] == pytest.approx(0.1)

@@ -177,3 +177,21 @@ def test_perez_poa_requires_day_and_matches_shape(ref_fixtures):
     # incident energy for a vertical wall.
     r = per.sum() / iso.sum()
     assert 0.85 < r < 1.20, r
+
+
+def test_surface_irradiance_start_hour_offset(ref_fixtures):
+    """start_hour evaluates hours [s, s+T) directly — identical to
+    computing the prefix and slicing, without the wasted work."""
+    import heatx
+    from heatx.build.layout import compile_building
+    from heatx.weather.epw import read_epw
+    from heatx.weather.solar import surface_irradiance
+    from test_sharding import multi_surface_model
+
+    epw = read_epw(f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw")
+    b = compile_building(
+        multi_surface_model(4), n=1, config=heatx.SimConfig(dtype=np.float64)
+    )
+    full = surface_irradiance(epw, b, hours=200)
+    part = surface_irradiance(epw, b, hours=80, start_hour=120)
+    np.testing.assert_array_equal(full[120:200], part)
