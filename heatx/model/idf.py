@@ -18,7 +18,8 @@ simulated without re-authoring.  Supported objects:
   are simulated dynamically with TARP rather than held at rating
   conditions)
 * ``Construction``
-* ``Zone`` (volume required — ``autocalculate`` is rejected)
+* ``Zone`` (an ``autocalculate`` volume derives as ceiling height x floor
+  area — explicit or computed from the zone's Floor surfaces)
 * ``BuildingSurface:Detailed`` (Outdoors / Ground / Zone / Surface outside
   boundary conditions)
 * ``FenestrationSurface:Detailed`` (window hosted in a wall; its area is
@@ -646,15 +647,16 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     # -- zones ----------------------------------------------------------------
     zone_floor_area: Dict[str, float] = {}
+    pending_zones: List[tuple] = []  # (name, volume|None, ceiling|None)
     for o in by_type.get("zone", []):
         name = o[1]
         vol = _str(o, 9).lower()
-        if vol in ("", "autocalculate"):
-            raise ValueError(
-                f"Zone {name!r}: heatx requires an explicit Volume "
-                "(autocalculate is not supported)"
-            )
-        m.add_space(SpaceDef(name, float(vol)))
+        ch = _str(o, 8).lower()
+        pending_zones.append((
+            name,
+            float(vol) if vol not in ("", "autocalculate") else None,
+            float(ch) if ch not in ("", "autocalculate") else None,
+        ))
         fa = _str(o, 10).lower()
         if fa not in ("", "autocalculate"):
             zone_floor_area[name] = float(fa)
@@ -714,6 +716,22 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 "parsed surface"
             )
         sd.front_boundary = Boundary.space_(surf_zone[other])
+
+    # Zone air volumes, resolved now that Floor surfaces are parsed: an
+    # autocalculated Volume derives as floor area x ceiling height (E+
+    # computes the enclosure polyhedron; the prism product is exact for
+    # the flat-floor/flat-ceiling zones that dominate practice).
+    for zname, volume, ceiling in pending_zones:
+        if volume is None:
+            fa = zone_floor_area.get(zname, computed_floor_area.get(zname))
+            if fa is None or ceiling is None:
+                raise ValueError(
+                    f"Zone {zname!r}: Volume is autocalculate and cannot be "
+                    "derived — give the zone a Ceiling Height plus a Floor "
+                    "surface (or explicit Floor Area), or set the Volume"
+                )
+            volume = fa * ceiling
+        m.add_space(SpaceDef(zname, float(volume)))
 
     # -- fenestration: a window hosted in a wall ------------------------------
     host_area_cut: Dict[str, float] = {}

@@ -509,3 +509,24 @@ def test_review_fixes_runperiod_zonelist_airflow_schedule():
     ZoneInfiltration:DesignFlowRate, I, A, Half, Flow/Zone, 0.2, 0, 0, 0;
     """)
     assert loaded.infiltration["A"] == pytest.approx(0.1)
+
+
+def test_zone_volume_autocalculate():
+    """Zone Volume autocalculate derives as ceiling height x floor area
+    (explicit or computed from the zone's Floor surfaces); without both it
+    stays a clear error."""
+    idf = """
+    Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+    Construction, Slab, Concrete;
+    Zone, A, 0, 0, 0, 0, 1, 1, 2.5, autocalculate;
+    BuildingSurface:Detailed, F, Floor, Slab, A, Ground, , NoSun, NoWind, 0,
+        4, 0,0,0, 0,4,0, 5,4,0, 5,0,0;
+    """
+    loaded = load_idf(idf)
+    (sp,) = loaded.model.spaces
+    assert sp.volume == pytest.approx(2.5 * 20.0)  # 5x4 floor
+    # Explicit floor area wins over the computed one.
+    loaded2 = load_idf(idf.replace("2.5, autocalculate;", "2.5, , 30.0;"))
+    assert loaded2.model.spaces[0].volume == pytest.approx(2.5 * 30.0)
+    with pytest.raises(ValueError, match="autocalculate"):
+        load_idf("Zone, A, 0, 0, 0, 0, 1, 1, autocalculate, autocalculate;")
