@@ -47,9 +47,14 @@ simulated without re-authoring.  Supported objects:
   ``:SingleHeating`` / ``:SingleCooling`` (scheduled setpoints ride the
   ``StepInputs.heat_sp``/``cool_sp`` channels via ``hourly_channels``).
 
-Everything else (RunPeriod except its start weekday, Output:*,
-GlobalGeometryRules) is ignored; geometry is assumed world-coordinate
-counter-clockwise-from-outside, the convention of every reference fixture.
+Geometry follows ``GlobalGeometryRules``: clockwise vertex entry flips to
+the counter-clockwise winding the normal math assumes, and Relative
+coordinates lower to world (rotate by Building North Axis + the zone's
+Direction of Relative North, translate by the zone origin).  Absent rules
+default to the reference fixtures' convention (world, counter-clockwise).
+Everything else (RunPeriod beyond its begin-date weekday, Output:*) is
+ignored — with one summarized warning for object types that may carry
+thermal content.
 
 Mapping notes (documented deviations, all lossless for the fixture set):
 
@@ -114,6 +119,7 @@ _SUPPORTED_TYPES = {
     "windowmaterial:gas", "windowmaterial:simpleglazingsystem",
     "construction", "zone", "zonelist",
     "buildingsurface:detailed", "fenestrationsurface:detailed", "internalmass",
+    "globalgeometryrules",
     "schedule:constant", "schedule:compact",
     "zoneinfiltration:designflowrate", "zoneventilation:designflowrate",
     "lights", "electricequipment", "people",
@@ -124,7 +130,7 @@ _SUPPORTED_TYPES = {
 # Pure-reporting / solver-configuration types that genuinely have no thermal
 # content to import — silently skipped.
 _IGNORABLE_PREFIXES = (
-    "output", "globalgeometryrules", "scheduletypelimits", "site:",
+    "output", "scheduletypelimits", "site:",
     "sizing", "simulationcontrol", "heatbalancealgorithm",
     "shadowcalculation", "convergencelimits", "zoneairheatbalancealgorithm",
     "runperiodcontrol", "zoneaircontaminantbalance", "zonecapacitance",
@@ -471,10 +477,28 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     for o in by_type.get("timestep", []):
         out.timestep = int(_num(o, 1, 1.0))
 
+    north_axis = 0.0  # building rotation, degrees clockwise from true north
     for o in by_type.get("building", []):
+        north_axis = _num(o, 2, 0.0) or 0.0
         terrain = _str(o, 3).lower()
         if terrain in _TERRAINS:
             m.site_details = SiteDetails(terrain=terrain)
+
+    # -- geometry rules ---------------------------------------------------------
+    # Starting Vertex Position is irrelevant to area/normal math; the entry
+    # direction flips the winding (outward normal), and Relative coordinates
+    # rotate by (building north axis + zone relative north) and translate by
+    # the zone origin.
+    clockwise = False
+    relative = False
+    for o in by_type.get("globalgeometryrules", []):
+        clockwise = _str(o, 2).lower().startswith("clockwise")
+        cs = _str(o, 3).lower()
+        relative = cs in ("", "relative")  # E+ default is Relative
+        if cs not in ("", "relative", "world", "absolute"):
+            raise ValueError(
+                f"GlobalGeometryRules: unsupported Coordinate System {cs!r}"
+            )
 
     for kind in ("surfaceconvectionalgorithm:inside",
                  "surfaceconvectionalgorithm:outside"):
@@ -647,6 +671,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     # -- zones ----------------------------------------------------------------
     zone_floor_area: Dict[str, float] = {}
+    zone_xform: Dict[str, tuple] = {}  # zone -> (rel. north deg, origin xyz)
     pending_zones: List[tuple] = []  # (name, volume|None, ceiling|None)
     for o in by_type.get("zone", []):
         name = o[1]
@@ -657,9 +682,35 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             float(vol) if vol not in ("", "autocalculate") else None,
             float(ch) if ch not in ("", "autocalculate") else None,
         ))
+        zone_xform[name] = (
+            _num(o, 2, 0.0) or 0.0,
+            np.array([
+                _num(o, 3, 0.0) or 0.0,
+                _num(o, 4, 0.0) or 0.0,
+                _num(o, 5, 0.0) or 0.0,
+            ]),
+        )
         fa = _str(o, 10).lower()
         if fa not in ("", "autocalculate"):
             zone_floor_area[name] = float(fa)
+
+    def _to_world(verts: np.ndarray, zone: str) -> np.ndarray:
+        """Apply the geometry rules: flip clockwise winding to the CCW the
+        normal math assumes, and lower Relative coordinates to world —
+        rotate by (building north axis + zone relative north, clockwise
+        positive) and add the zone origin.  The origin itself is applied
+        untransformed: absolute x/y never enter the physics, and the z
+        offset (wind-profile height) is translation only."""
+        if clockwise:
+            verts = verts[::-1]
+        if relative:
+            th, origin = zone_xform.get(zone, (0.0, np.zeros(3)))
+            b = np.radians(north_axis + th)
+            c, s = np.cos(b), np.sin(b)
+            x, y = verts[:, 0], verts[:, 1]
+            verts = np.column_stack([c * x + s * y, -s * x + c * y, verts[:, 2]])
+            verts = verts + origin
+        return verts
 
     # -- surfaces --------------------------------------------------------------
     computed_floor_area: Dict[str, float] = {}  # from Floor-type surfaces
@@ -701,7 +752,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 f"BuildingSurface {name!r}: unsupported Outside Boundary "
                 f"Condition {obc!r} (supported: Outdoors/Ground/Zone/Surface)"
             )
-        verts = _vertices(o, 10 + shift)
+        verts = _to_world(_vertices(o, 10 + shift), zone)
         sd = SurfaceDef(name, construction, front or Boundary.outdoor(),
                         Boundary.space_(zone), vertices=verts)
         if front is None:
@@ -739,11 +790,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         # Name, Surface Type, Construction, Building Surface Name,
         # OBC Object, View Factor, Frame, Multiplier, N, coords...
         name, construction, host = o[1], o[3], o[4]
-        verts = _vertices(o, 9)
         if host not in surf_zone:
             raise ValueError(
                 f"FenestrationSurface {name!r}: host surface {host!r} not found"
             )
+        verts = _to_world(_vertices(o, 9), surf_zone[host])
         mult = _num(o, 8, 1.0)
         front = surf_front.get(host, Boundary.outdoor())
         m.add_fenestration(SurfaceDef(

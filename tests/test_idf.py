@@ -530,3 +530,44 @@ def test_zone_volume_autocalculate():
     assert loaded2.model.spaces[0].volume == pytest.approx(2.5 * 30.0)
     with pytest.raises(ValueError, match="autocalculate"):
         load_idf("Zone, A, 0, 0, 0, 0, 1, 1, autocalculate, autocalculate;")
+
+
+def test_global_geometry_rules_relative_and_clockwise():
+    """Relative coordinates rotate by building north + zone relative north
+    and translate by the zone origin; Clockwise vertex entry flips to the
+    CCW winding the normal math assumes."""
+    def wall_idf(rules, zone_fields, verts):
+        return f"""
+        GlobalGeometryRules, UpperLeftCorner, {rules};
+        Building, B, 0, Suburbs, 0.04, 0.25, MinimalShadowing, 25, 6;
+        Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+        Construction, Wall, Concrete;
+        Zone, A, {zone_fields}, 1, 1, 3, 300, 100;
+        BuildingSurface:Detailed, W, Wall, Wall, A, Outdoors, , Sun, Wind, 0,
+            4, {verts};
+        """
+    base_verts = "0,0,3, 0,0,0, 10,0,0, 10,0,3"  # CCW, outward normal -y
+
+    world = load_idf(wall_idf("CounterClockWise, World", "0, 0, 0, 0", base_verts))
+    (sw,) = world.model.surfaces
+    _, _, n_w, h_w = sw.resolved_geometry()
+    np.testing.assert_allclose(n_w, [0, -1, 0], atol=1e-12)
+
+    # Same wall in RELATIVE coords of a zone whose north points 90 deg
+    # clockwise and whose origin is (10, 5, 2): the normal rotates -y -> -x
+    # and the centroid rises by the 2 m z-origin.
+    rel = load_idf(wall_idf(
+        "CounterClockWise, Relative", "90, 10, 5, 2", base_verts
+    ))
+    (sr,) = rel.model.surfaces
+    area, _, n_r, h_r = sr.resolved_geometry()
+    np.testing.assert_allclose(n_r, [-1, 0, 0], atol=1e-12)
+    assert area == pytest.approx(30.0)
+    assert h_r == pytest.approx(h_w + 2.0)
+
+    # Clockwise entry of the reversed loop reproduces the CCW baseline.
+    cw_verts = "10,0,3, 10,0,0, 0,0,0, 0,0,3"
+    cw = load_idf(wall_idf("Clockwise, World", "0, 0, 0, 0", cw_verts))
+    (sc,) = cw.model.surfaces
+    _, _, n_c, _ = sc.resolved_geometry()
+    np.testing.assert_allclose(n_c, n_w, atol=1e-12)
