@@ -119,7 +119,7 @@ _SUPPORTED_TYPES = {
     "windowmaterial:gas", "windowmaterial:simpleglazingsystem",
     "construction", "zone", "zonelist",
     "buildingsurface:detailed", "fenestrationsurface:detailed", "internalmass",
-    "globalgeometryrules",
+    "globalgeometryrules", "material:airgap", "window", "glazeddoor",
     "schedule:constant", "schedule:compact",
     "zoneinfiltration:designflowrate", "zoneventilation:designflowrate",
     "lights", "electricequipment", "people",
@@ -620,6 +620,26 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         ))
         m.add_material(Material(name, f"{name} substance", thickness))
 
+    for o in by_type.get("material:airgap", []):
+        # Name, Thermal Resistance — an opaque-construction air gap is a
+        # pure R like Material:NoMass; realize it as the same equivalent
+        # light slab (see the NoMass note in the module docstring).
+        name = o[1]
+        r_value = _num(o, 2)
+        m.add_substance(Substance(
+            f"{name} substance",
+            thermal_conductivity=NOMASS_CONDUCTIVITY,
+            density=NOMASS_DENSITY,
+            specific_heat_capacity=NOMASS_SPECIFIC_HEAT,
+            front_thermal_absorbtance=0.9,
+            back_thermal_absorbtance=0.9,
+            front_solar_absorbtance=0.7,
+            back_solar_absorbtance=0.7,
+            solar_transmittance=0.0,
+        ))
+        m.add_material(Material(name, f"{name} substance",
+                                r_value * NOMASS_CONDUCTIVITY))
+
     for o in by_type.get("windowmaterial:gas", []):
         # Name, Gas Type, Thickness -> an ISO 15099 gas cavity layer (the
         # discretizer lowers it to heatx.physics.cavity, like the
@@ -804,6 +824,37 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         host_area_cut[host] = (
             host_area_cut.get(host, 0.0) + _polygon_area(verts) * mult
         )
+    for kind in ("window", "glazeddoor"):
+        for o in by_type.get(kind, []):
+            # Rectangular fenestration on a host wall: Name, Construction,
+            # Building Surface, Frame, Multiplier, Start X, Start Z,
+            # Length, Height.  The pane lies in the host's plane, so its
+            # geometry is the host's orientation with the L x H rectangle's
+            # area/perimeter (the in-plane position never enters the
+            # physics).
+            name, construction, host = o[1], o[2], o[3]
+            if host not in surf_zone:
+                raise ValueError(
+                    f"{o[0]} {name!r}: host surface {host!r} not found"
+                )
+            mult = _num(o, 5, 1.0) or 1.0
+            length, height = _num(o, 8), _num(o, 9)
+            if not length or not height:
+                raise ValueError(
+                    f"{o[0]} {name!r}: Length and Height are required"
+                )
+            host_sd = next(s for s in m.surfaces if s.name == host)
+            _, _, normal0, h0 = host_sd.resolved_geometry()
+            m.add_fenestration(SurfaceDef(
+                name, construction, surf_front.get(host, Boundary.outdoor()),
+                Boundary.space_(surf_zone[host]),
+                area=length * height, perimeter=2.0 * (length + height),
+                normal=tuple(float(v) for v in normal0), height=h0,
+            ))
+            host_area_cut[host] = (
+                host_area_cut.get(host, 0.0) + length * height * mult
+            )
+
     if host_area_cut:
         # The window is a hole in its host: net the host's heat-transfer
         # area (validate_wall_heat_transfer.rs:106-118 does the same).

@@ -571,3 +571,37 @@ def test_global_geometry_rules_relative_and_clockwise():
     (sc,) = cw.model.surfaces
     _, _, n_c, _ = sc.resolved_geometry()
     np.testing.assert_allclose(n_c, n_w, atol=1e-12)
+
+
+def test_airgap_and_rectangular_window():
+    """Material:AirGap realizes as the NoMass equivalent slab; the simple
+    rectangular Window object becomes a fenestration in its host's plane
+    with the host's area netted."""
+    idf = """
+    Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+    Material:AirGap, Gap, 0.15;
+    WindowMaterial:Glazing, Clear3, SpectralAverage, , 0.003, 0.837, 0.075,
+        0.075, 0.898, 0.081, 0.081, 0.0, 0.84, 0.84, 0.9;
+    Construction, Wall, Concrete, Gap, Concrete;
+    Construction, Glz, Clear3;
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    BuildingSurface:Detailed, W, Wall, Wall, A, Outdoors, , Sun, Wind, 0,
+        4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+    Window, Win, Glz, W, , 1, 2.0, 1.0, 4.0, 1.5;
+    """
+    loaded = load_idf(idf)
+    m = loaded.model
+    gap = m.materials["Gap"]
+    sub = m.substances[gap.substance]
+    from heatx.model.idf import NOMASS_CONDUCTIVITY
+    assert gap.thickness == pytest.approx(0.15 * NOMASS_CONDUCTIVITY)
+    assert sub.thermal_conductivity == NOMASS_CONDUCTIVITY
+    (win,) = m.fenestrations
+    area, perim, normal, _ = win.resolved_geometry()
+    assert area == pytest.approx(6.0) and perim == pytest.approx(11.0)
+    np.testing.assert_allclose(normal, [0, -1, 0], atol=1e-12)
+    (host,) = m.surfaces
+    assert host.area == pytest.approx(30.0 - 6.0)
+    # The triple-layer wall with the air gap compiles and marches.
+    zt = _march_zone_series(m, hours=4)
+    assert np.isfinite(zt).all()
