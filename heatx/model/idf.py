@@ -546,6 +546,10 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         name = o[1]
         # Name, Roughness, Thickness, Conductivity, Density, Specific Heat,
         # Thermal Absorptance, Solar Absorptance, Visible Absorptance.
+        if _num(o, 3) is None or _num(o, 4) is None:
+            raise ValueError(
+                f"Material {name!r}: Thickness and Conductivity are required"
+            )
         eps = _num(o, 7, 0.9)
         alpha = _num(o, 8, 0.7)
         m.add_substance(Substance(
@@ -561,12 +565,14 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         ))
         m.add_material(Material(name, f"{name} substance", _num(o, 3)))
 
-    for o in by_type.get("material:nomass", []):
-        name = o[1]
-        # Name, Roughness, Thermal Resistance, Thermal Abs, Solar Abs, Vis.
-        r_value = _num(o, 3)
-        eps = _num(o, 4, 0.9)
-        alpha = _num(o, 5, 0.7)
+    def _pure_r_material(name: str, r_value, eps: float, alpha: float, owner: str):
+        """Realize a thermal-resistance-only layer (Material:NoMass /
+        Material:AirGap) as the equivalent light slab — see the NoMass note
+        in the module docstring."""
+        if not r_value or r_value <= 0.0:
+            raise ValueError(
+                f"{owner}: a positive Thermal Resistance is required"
+            )
         m.add_substance(Substance(
             f"{name} substance",
             thermal_conductivity=NOMASS_CONDUCTIVITY,
@@ -580,6 +586,13 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         ))
         m.add_material(Material(name, f"{name} substance",
                                 r_value * NOMASS_CONDUCTIVITY))
+
+    for o in by_type.get("material:nomass", []):
+        # Name, Roughness, Thermal Resistance, Thermal Abs, Solar Abs, Vis.
+        _pure_r_material(
+            o[1], _num(o, 3), _num(o, 4, 0.9), _num(o, 5, 0.7),
+            f"Material:NoMass {o[1]!r}",
+        )
 
     for o in by_type.get("windowmaterial:glazing", []):
         name = o[1]
@@ -622,23 +635,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     for o in by_type.get("material:airgap", []):
         # Name, Thermal Resistance — an opaque-construction air gap is a
-        # pure R like Material:NoMass; realize it as the same equivalent
-        # light slab (see the NoMass note in the module docstring).
-        name = o[1]
-        r_value = _num(o, 2)
-        m.add_substance(Substance(
-            f"{name} substance",
-            thermal_conductivity=NOMASS_CONDUCTIVITY,
-            density=NOMASS_DENSITY,
-            specific_heat_capacity=NOMASS_SPECIFIC_HEAT,
-            front_thermal_absorbtance=0.9,
-            back_thermal_absorbtance=0.9,
-            front_solar_absorbtance=0.7,
-            back_solar_absorbtance=0.7,
-            solar_transmittance=0.0,
-        ))
-        m.add_material(Material(name, f"{name} substance",
-                                r_value * NOMASS_CONDUCTIVITY))
+        # pure R like Material:NoMass (an interior layer, so the surface
+        # absorptance defaults never apply).
+        _pure_r_material(
+            o[1], _num(o, 2), 0.9, 0.7, f"Material:AirGap {o[1]!r}"
+        )
 
     for o in by_type.get("windowmaterial:gas", []):
         # Name, Gas Type, Thickness -> an ISO 15099 gas cavity layer (the
@@ -736,6 +737,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     computed_floor_area: Dict[str, float] = {}  # from Floor-type surfaces
     surf_zone: Dict[str, str] = {}  # surface name -> zone (for OBC=Surface)
     surf_front: Dict[str, Boundary] = {}
+    surf_def: Dict[str, SurfaceDef] = {}  # name -> SurfaceDef (host lookups)
     pending = []  # (SurfaceDef, obc_surface_name) resolved after the loop
     known_obc = {"outdoors", "ground", "zone", "surface", "adiabatic",
                  "othersidecoefficients", "othersideconditionsmodel"}
@@ -755,10 +757,12 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             shift = 1 if len(o) - 12 == int(n1) * 3 else 0
         obc, obc_obj = _str(o, 5 + shift).lower(), _str(o, 6 + shift)
         surf_zone[name] = zone
+        verts = _to_world(_vertices(o, 10 + shift), zone)
         if _str(o, 2).lower() == "floor":
+            # (rotation + translation preserve polygon area)
             computed_floor_area[zone] = computed_floor_area.get(
                 zone, 0.0
-            ) + _polygon_area(_vertices(o, 10 + shift))
+            ) + _polygon_area(verts)
         if obc == "outdoors":
             front: Optional[Boundary] = Boundary.outdoor()
         elif obc == "ground":
@@ -772,13 +776,13 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 f"BuildingSurface {name!r}: unsupported Outside Boundary "
                 f"Condition {obc!r} (supported: Outdoors/Ground/Zone/Surface)"
             )
-        verts = _to_world(_vertices(o, 10 + shift), zone)
         sd = SurfaceDef(name, construction, front or Boundary.outdoor(),
                         Boundary.space_(zone), vertices=verts)
         if front is None:
             pending.append((sd, obc_obj))
         else:
             surf_front[name] = front
+        surf_def[name] = sd
         m.add_surface(sd)
     for sd, other in pending:
         if other not in surf_zone:
@@ -787,6 +791,9 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 "parsed surface"
             )
         sd.front_boundary = Boundary.space_(surf_zone[other])
+        # Keep the front map consistent: a fenestration hosted on this
+        # inter-zone wall must face the adjacent zone, not the outdoors.
+        surf_front[sd.name] = sd.front_boundary
 
     # Zone air volumes, resolved now that Floor surfaces are parsed: an
     # autocalculated Volume derives as floor area x ceiling height (E+
@@ -815,41 +822,65 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 f"FenestrationSurface {name!r}: host surface {host!r} not found"
             )
         verts = _to_world(_vertices(o, 9), surf_zone[host])
-        mult = _num(o, 8, 1.0)
+        mult = _num(o, 8, 1.0) or 1.0
         front = surf_front.get(host, Boundary.outdoor())
-        m.add_fenestration(SurfaceDef(
+        fen = SurfaceDef(
             name, construction, front, Boundary.space_(surf_zone[host]),
             vertices=verts,
-        ))
+        )
+        if mult != 1.0:
+            # Multiplier = that many identical panes: the fenestration's
+            # heat-transfer area AND the host cut both scale (scaling the
+            # perimeter too keeps the per-pane P/A characteristic length
+            # the TARP forced term uses).
+            from heatx.model.geometry import polygon_perimeter
+
+            fen.area = _polygon_area(verts) * mult
+            fen.perimeter = polygon_perimeter(verts) * mult
+        m.add_fenestration(fen)
         host_area_cut[host] = (
             host_area_cut.get(host, 0.0) + _polygon_area(verts) * mult
         )
     for kind in ("window", "glazeddoor"):
         for o in by_type.get(kind, []):
-            # Rectangular fenestration on a host wall: Name, Construction,
-            # Building Surface, Frame, Multiplier, Start X, Start Z,
-            # Length, Height.  The pane lies in the host's plane, so its
-            # geometry is the host's orientation with the L x H rectangle's
-            # area/perimeter (the in-plane position never enters the
-            # physics).
+            # Rectangular fenestration on a host wall.  The pane lies in
+            # the host's plane: host orientation + the L x H rectangle's
+            # area/perimeter; its centroid height = host base + Start Z +
+            # H/2 (it feeds the wind profile).  Schema generations differ
+            # in the leading optional fields (pre-9.0 has an extra Shading
+            # Control), but both END with Start X, Start Z, Length, Height
+            # — parse from the tail.
             name, construction, host = o[1], o[2], o[3]
             if host not in surf_zone:
                 raise ValueError(
                     f"{o[0]} {name!r}: host surface {host!r} not found"
                 )
-            mult = _num(o, 5, 1.0) or 1.0
-            length, height = _num(o, 8), _num(o, 9)
+            last = max(i for i, f in enumerate(o) if f != "")
+            if last < 7:
+                raise ValueError(
+                    f"{o[0]} {name!r}: Starting X/Z, Length and Height are "
+                    "required"
+                )
+            length, height = _num(o, last - 1), _num(o, last)
+            start_z = _num(o, last - 2, 0.0) or 0.0
+            mult = _num(o, last - 4, 1.0) or 1.0
             if not length or not height:
                 raise ValueError(
                     f"{o[0]} {name!r}: Length and Height are required"
                 )
-            host_sd = next(s for s in m.surfaces if s.name == host)
+            host_sd = surf_def[host]
             _, _, normal0, h0 = host_sd.resolved_geometry()
+            base_z = (
+                float(np.min(host_sd.vertices[:, 2]))
+                if host_sd.vertices is not None else h0
+            )
             m.add_fenestration(SurfaceDef(
                 name, construction, surf_front.get(host, Boundary.outdoor()),
                 Boundary.space_(surf_zone[host]),
-                area=length * height, perimeter=2.0 * (length + height),
-                normal=tuple(float(v) for v in normal0), height=h0,
+                area=length * height * mult,
+                perimeter=2.0 * (length + height) * mult,
+                normal=tuple(float(v) for v in normal0),
+                height=base_z + start_z + height / 2.0,
             ))
             host_area_cut[host] = (
                 host_area_cut.get(host, 0.0) + length * height * mult
@@ -858,15 +889,15 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     if host_area_cut:
         # The window is a hole in its host: net the host's heat-transfer
         # area (validate_wall_heat_transfer.rs:106-118 does the same).
-        for sd in m.surfaces:
-            if sd.name in host_area_cut:
-                area, per, normal, height = sd.resolved_geometry()
-                sd.area = area - host_area_cut[sd.name]
-                if sd.area <= 0.0:
-                    raise ValueError(
-                        f"surface {sd.name!r}: fenestration area exceeds "
-                        "the host polygon"
-                    )
+        for hname, cut in host_area_cut.items():
+            sd = surf_def[hname]
+            area, per, normal, height = sd.resolved_geometry()
+            sd.area = area - cut
+            if sd.area <= 0.0:
+                raise ValueError(
+                    f"surface {sd.name!r}: fenestration area exceeds "
+                    "the host polygon"
+                )
 
     # -- infiltration / ventilation (input channels, not compiled) -------------
     vol_by_zone = {s.name: s.volume for s in m.spaces}

@@ -605,3 +605,45 @@ def test_airgap_and_rectangular_window():
     # The triple-layer wall with the air gap compiles and marches.
     zt = _march_zone_series(m, hours=4)
     assert np.isfinite(zt).all()
+
+
+def test_fenestration_multiplier_and_interzone_host():
+    """Second-review regressions: (a) a fenestration Multiplier scales the
+    pane's own heat-transfer area, not just the host cut; (b) a window on
+    an inter-zone host (OBC=Surface) faces the adjacent zone, not the
+    outdoors; (c) a rectangular window's centroid height tracks Start Z."""
+    idf = """
+    Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+    WindowMaterial:Glazing, Clear3, SpectralAverage, , 0.003, 0.837, 0.075,
+        0.075, 0.898, 0.081, 0.081, 0.0, 0.84, 0.84, 0.9;
+    Construction, Wall, Concrete;
+    Construction, Glz, Clear3;
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    Zone, B, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    BuildingSurface:Detailed, WA, Wall, Wall, A, Surface, WB, NoSun, NoWind, 0,
+        4, 0,0,20, 0,0,0, 10,0,0, 10,0,20;
+    BuildingSurface:Detailed, WB, Wall, Wall, B, Surface, WA, NoSun, NoWind, 0,
+        4, 10,0,20, 10,0,0, 0,0,0, 0,0,20;
+    FenestrationSurface:Detailed, FM, Window, Glz, WA, , 0, , 3,
+        4, 1,0,2, 1,0,1, 3,0,1, 3,0,2;
+    Window, WR, Glz, WA, , 1, 2.0, 17.0, 2.0, 1.0;
+    """
+    loaded = load_idf(idf)
+    m = loaded.model
+    fm = next(f for f in m.fenestrations if f.name == "FM")
+    area, perim, _, _ = fm.resolved_geometry()
+    assert area == pytest.approx(3 * 2.0)  # 2 m2 polygon x multiplier 3
+    assert perim == pytest.approx(3 * 6.0)
+    # Both panes face zone B through the inter-zone host, not the outdoors.
+    for f in m.fenestrations:
+        assert f.front_boundary.kind == "space", f.name
+        assert f.front_boundary.space == "B", f.name
+    # Host area netted by all panes (6 + 2 of 200).
+    host = next(s for s in m.surfaces if s.name == "WA")
+    assert host.area == pytest.approx(200.0 - 6.0 - 2.0)
+    # Rectangular window 17 m up the 20 m wall: centroid 17.5 m, not 10.
+    wr = next(f for f in m.fenestrations if f.name == "WR")
+    assert wr.resolved_geometry()[3] == pytest.approx(17.5)
+    # It all compiles and marches.
+    b = compile_building(m, n=1, config=F64)
+    assert b.n_zones == 2
