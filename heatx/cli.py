@@ -149,7 +149,7 @@ def cmd_simulate(args) -> int:
 
     from heatx.build.layout import B_OUTDOOR
     from heatx.weather.epw import read_epw
-    from heatx.weather.solar import surface_irradiance
+    from heatx.weather.solar import sun_and_sky, surface_irradiance
 
     model, tm, extras = _build(args)
     b = tm.building
@@ -157,7 +157,12 @@ def cmd_simulate(args) -> int:
     epw = read_epw(args.epw)
     T = args.hours or epw.n_hours
     start = args.start_hour % 8760 if args.start_hour else 0
-    dry, wind, wdir, ir = _weather_series(epw, T, start)
+    n = b.n_steps_per_hour
+    # Sub-hourly runs interpolate toward the EPW's ACTUAL next record at
+    # the horizon end, so fetch one extra hour (wrapping to hour 0 of the
+    # series there would blend e.g. a July evening toward Jan 1 00:30).
+    Tx = T + 1 if n > 1 else T
+    dry, wind, wdir, ir = _weather_series(epw, Tx, start)
 
     # Seasonal soil temperatures: monthly per-hour ground series when the
     # model has ground-contact faces and the EPW tabulates GROUND
@@ -182,29 +187,30 @@ def cmd_simulate(args) -> int:
     out_front = np.asarray(sb.front_code) == B_OUTDOOR
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
     if args.solar:
+        # The sun path and tiled irradiance columns are side-independent:
+        # compute once, project onto both faces.
+        sun = sun_and_sky(epw, hours=Tx, start_hour=start)
         sol_f = (
             surface_irradiance(
-                epw, b, hours=T, albedo=args.albedo, sky=args.sky,
-                start_hour=start,
+                epw, b, hours=Tx, albedo=args.albedo, sky=args.sky, sun=sun
             )
             * out_front
         )
         sol_b = (
             surface_irradiance(
-                epw, b, hours=T, albedo=args.albedo, side="back",
-                sky=args.sky, start_hour=start,
+                epw, b, hours=Tx, albedo=args.albedo, side="back",
+                sky=args.sky, sun=sun,
             )
             * out_back
         )
     else:
         S = b.n_surfaces
-        sol_f = np.zeros((T, S))
-        sol_b = np.zeros((T, S))
+        sol_f = np.zeros((Tx, S))
+        sol_b = np.zeros((Tx, S))
     ir_f = ir[:, None] * out_front
     ir_b = ir[:, None] * out_back
 
     engine = args.engine
-    n = b.n_steps_per_hour
     if engine == "auto":
         # The fused kernel implements parity and both trbdf2 modes; exp
         # stays on the XLA host loop even on TPU.  It marches whole hours,
@@ -221,18 +227,19 @@ def cmd_simulate(args) -> int:
     if n > 1:
         # Hourly EPW weather drives n main steps per hour.  Continuous
         # channels interpolate linearly to the main-step grid (EnergyPlus's
-        # own hourly->Timestep convention); wind direction is circular and
-        # holds.  The CSV reports end-of-hour temperatures.
-        def interp(a):
-            wrapped = np.concatenate([a, a[:1]], axis=0)
+        # own hourly->Timestep convention), with the horizon's last hour
+        # blending toward the fetched hour-T record (the [Tx = T+1]-length
+        # series above); wind direction is circular and holds.  The CSV
+        # reports end-of-hour temperatures.
+        def interp(a):  # a: [T+1, ...] including the true next record
             xi = np.arange(T * n) / n
             i0 = np.floor(xi).astype(int)
             frac = (xi - i0).reshape((-1,) + (1,) * (a.ndim - 1))
-            return wrapped[i0] * (1.0 - frac) + wrapped[i0 + 1] * frac
+            return a[i0] * (1.0 - frac) + a[i0 + 1] * frac
 
         dry, wind = interp(dry), interp(wind)
         sol_f, sol_b, ir_f, ir_b = (interp(a) for a in (sol_f, sol_b, ir_f, ir_b))
-        wdir = np.repeat(wdir, n)
+        wdir = np.repeat(wdir[:T], n)
         T_steps = T * n
     else:
         T_steps = T

@@ -324,7 +324,12 @@ def _str(fields: List[str], i: int, default: str = "") -> str:
 
 
 def _vertices(fields: List[str], n_field: int) -> np.ndarray:
-    n = _num(fields, n_field)
+    # Number of Vertices may be blank OR 'autocalculate' (the E+ default
+    # many tools emit): both mean "derive from the coordinate list".
+    try:
+        n = _num(fields, n_field)
+    except ValueError:
+        n = None
     coords = [float(f) for f in fields[n_field + 1 :] if f != ""]
     if n is not None and len(coords) != int(n) * 3:
         raise ValueError(
@@ -601,12 +606,15 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         # tau_ir, eps_f, eps_b, Conductivity.  The fixtures ship a truncated
         # variant with no Thickness field (field 4 is already tau_sol <= 1
         # and only 9 data fields follow the name) — detect by field count.
-        # Plausibility guard: a real Thickness field is metres (< 0.1);
-        # a truncated object's field 4 is already tau_sol (0..1-ish, but
-        # >= 0.1 in practice), so a trailing-comma-padded truncated object
-        # cannot masquerade as standard.
+        # Plausibility guards: a real Thickness field is metres (< 0.1),
+        # AND the standard schema runs through Conductivity (index 14) —
+        # requiring that field to be numeric keeps a truncated dark-glass
+        # object (tau_sol < 0.1, trailing-comma padded) from masquerading
+        # as standard and mis-reading its optics as geometry.
         t4 = _num(o, 4)
-        standard = len(o) >= 12 and t4 is not None and t4 < 0.1
+        standard = (
+            t4 is not None and t4 < 0.1 and _num(o, 14) is not None
+        )
         if standard:
             thickness = _num(o, 4, GLAZING_THICKNESS)
             tau = _num(o, 5, 0.0)

@@ -189,23 +189,12 @@ def poa_irradiance(
     return direct + sky_term + ground
 
 
-def surface_irradiance(
-    epw, building, albedo=0.2, hours=None, side="front", sky="isotropic",
-    start_hour=0,
-):
-    """Per-surface incident solar from an EPW: the [T, S] ``sol_front``
-    input for a compiled building (front faces are the outdoor side in
-    heatx's layout convention).  ``side="back"`` evaluates the opposite
-    faces (negated normals) for models whose outdoor boundary is the back.
-    ``sky`` selects the diffuse transposition ("isotropic" or "perez").
-
-    EPW records are hour-ending local standard time; sun position is
-    evaluated at the middle of each hour.  ``hours`` tiles/truncates the
-    annual series (default: the EPW's own length); ``start_hour`` offsets
-    into the year (segmented runs) — evaluating hours [start, start+T)
-    directly instead of computing the prefix and slicing.
-    """
-    sb = building.surfaces
+def sun_and_sky(epw, hours=None, start_hour=0):
+    """The side-independent solar state for hours [start, start+T): the
+    tiled EPW irradiance columns and the sun path.  Returns
+    ``(dni, dhi, ghi, alt, az, day)`` — compute once and pass as ``sun=``
+    to :func:`surface_irradiance` for both faces (the per-face work is
+    only the final plane-of-array projection)."""
     T = int(hours) if hours is not None else epw.n_hours
     start = int(start_hour)
     reps = int(np.ceil((start + T) / epw.n_hours))
@@ -222,6 +211,31 @@ def surface_irradiance(
     alt, az = solar_position(
         epw.latitude_deg, epw.longitude_deg, epw.tz_hours, day, local_hour
     )
+    return dni, dhi, ghi, alt, az, day
+
+
+def surface_irradiance(
+    epw, building, albedo=0.2, hours=None, side="front", sky="isotropic",
+    start_hour=0, sun=None,
+):
+    """Per-surface incident solar from an EPW: the [T, S] ``sol_front``
+    input for a compiled building (front faces are the outdoor side in
+    heatx's layout convention).  ``side="back"`` evaluates the opposite
+    faces (negated normals) for models whose outdoor boundary is the back.
+    ``sky`` selects the diffuse transposition ("isotropic" or "perez").
+
+    EPW records are hour-ending local standard time; sun position is
+    evaluated at the middle of each hour.  ``hours`` tiles/truncates the
+    annual series (default: the EPW's own length); ``start_hour`` offsets
+    into the year (segmented runs) — evaluating hours [start, start+T)
+    directly instead of computing the prefix and slicing.  ``sun`` accepts
+    a precomputed :func:`sun_and_sky` result so callers evaluating both
+    faces pay for the sun path once.
+    """
+    sb = building.surfaces
+    if sun is None:
+        sun = sun_and_sky(epw, hours=hours, start_hour=start_hour)
+    dni, dhi, ghi, alt, az, day = sun
     sign = 1.0 if side == "front" else -1.0
     nx = sign * np.asarray(sb.normal[:, 0], np.float64)
     ny = sign * np.asarray(sb.normal[:, 1], np.float64)

@@ -647,3 +647,21 @@ def test_fenestration_multiplier_and_interzone_host():
     # It all compiles and marches.
     b = compile_building(m, n=1, config=F64)
     assert b.n_zones == 2
+
+
+def test_truncated_dark_glazing_not_misread_as_standard():
+    """Third-review regression: a truncated WindowMaterial:Glazing for dark
+    glass (tau_sol < 0.1) padded with trailing blanks must still take the
+    truncated-schema reading (the standard reading needs a numeric
+    Conductivity at index 14, not just a small field 4)."""
+    idf = """
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    WindowMaterial:Glazing, Dark, SpectralAverage, , 0.05, 0.30, 0.30,
+        0.06, 0.25, 0.25, 0.0, , ;
+    """
+    loaded = load_idf(idf)
+    sub = loaded.model.substances["Dark substance"]
+    # Truncated reading: field 4 IS tau_sol, thickness falls back to 6 mm.
+    assert sub.solar_transmittance == pytest.approx(0.05)
+    assert loaded.model.materials["Dark"].thickness == pytest.approx(0.006)
+    assert sub.front_solar_absorbtance == pytest.approx(1 - 0.05 - 0.30)
