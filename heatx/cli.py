@@ -305,6 +305,15 @@ def cmd_simulate(args) -> int:
         )
         return 2
     loads = None  # [T_steps, Z] mean ideal power, when collected
+    want_fluxes = bool(args.fluxes_csv)
+    if want_fluxes and engine != "kernel":
+        print(
+            "error: --fluxes-csv collects the per-hour h/q history inside "
+            "the fused kernel; run with --engine kernel",
+            file=sys.stderr,
+        )
+        return 2
+    fluxes = None
 
     if args.init_state:
         from heatx.io.checkpoint import load_state
@@ -329,6 +338,7 @@ def cmd_simulate(args) -> int:
             block_size=args.block_size, mode=args.mode, hours=hours,
             substeps=None if args.mode == "parity" else args.substeps,
             scheduled_setpoints="heat_sp" in gain_kw,
+            collect_fluxes=want_fluxes,
         )
         in_dt = np.float64 if args.f64 else np.float32
         seq = tm.inputs(**inf_kw)._replace(
@@ -342,12 +352,15 @@ def cmd_simulate(args) -> int:
             **{k: np.asarray(v, in_dt) for k, v in gain_kw.items()},
         )
         out = fr.run(
-            st, seq, ground_hourly=ground_hourly, collect_loads=want_loads
+            st, seq, ground_hourly=ground_hourly, collect_loads=want_loads,
+            collect_fluxes=want_fluxes,
         )
+        out = list(out)
+        final, zt = out[:2]
+        if want_fluxes:
+            fluxes = out[2]
         if want_loads:
-            final, zt, loads = out
-        else:
-            final, zt = out
+            loads = out[-1]
     elif args.mode == "parity":
         seq = tm.inputs_sequence(
             T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,
@@ -456,6 +469,26 @@ def cmd_simulate(args) -> int:
             for t in range(T):
                 w.writerow([start + t] + [f"{v:.4f}" for v in zt[t]])
         print(f"# wrote {args.out}", file=sys.stderr)
+    if fluxes is not None:
+        # The reference's observable per-surface state channels
+        # (surface_trait.rs:223-354): per-hour convection coefficient and
+        # convective flow, front and back, one CSV per channel.
+        snames = (
+            [s.name for s in model.surfaces]
+            + [f.name for f in model.fenestrations]
+        )
+        for chan, series in fluxes.items():
+            path = f"{args.fluxes_csv}_{chan}.csv"
+            series = np.asarray(series)
+            with open(path, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["hour"] + snames)
+                for t in range(T):
+                    w.writerow([start + t] + [f"{v:.4f}" for v in series[t]])
+        print(
+            f"# wrote {args.fluxes_csv}_{{h,q}}_{{front,back}}.csv",
+            file=sys.stderr,
+        )
     if loads is not None:
         loads = np.asarray(loads)
         with open(args.loads_csv, "w", newline="") as f:
@@ -545,6 +578,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--loads-csv", default=None,
         help="also write the hourly per-zone ideal-load demand (W, "
         "heating +) — requires thermostats (imported or modeled)",
+    )
+    p.add_argument(
+        "--fluxes-csv", default=None, metavar="PREFIX",
+        help="write the per-hour per-surface convection coefficients and "
+        "convective flows (PREFIX_{h,q}_{front,back}.csv; kernel engine — "
+        "the history is collected inside the fused kernel)",
     )
     p.add_argument(
         "--start-hour", type=int, default=0,

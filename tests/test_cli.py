@@ -286,3 +286,30 @@ Lights, L1, Room, Occ, LightingLevel, 400.0;
     with open(s2) as f:
         rows = list(csv.reader(f))
     assert rows[1][0] == "24" and rows[-1][0] == "47"
+
+
+def test_cli_fluxes_csv(tmp_path, capsys):
+    """--fluxes-csv exports the per-surface observable channels (the
+    reference's surface_trait state slots) from the fused kernel, and the
+    final hour agrees with the final-state h/q."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    p = tmp_path / "m.idf"
+    p.write_text(_SLAB_IDF.replace("Ground", "Outdoors"))
+    pre = tmp_path / "fx"
+    assert main([
+        "simulate", str(p), EPW, "--hours", "24", "--engine", "kernel",
+        "--mode", "trbdf2", "--f64", "--fluxes-csv", str(pre),
+    ]) == 0
+    for chan in ("h_front", "h_back", "q_front", "q_back"):
+        header, series = _read(f"{pre}_{chan}.csv")
+        assert header == ["hour", "Floor"]
+        assert series.shape == (24, 1) and np.isfinite(series).all(), chan
+    _, h = _read(f"{pre}_h_front.csv")
+    assert (h > 0).all()  # a live convection coefficient every hour
+    # XLA engines reject the flag with guidance instead of mis-running.
+    assert main([
+        "simulate", str(p), EPW, "--hours", "2", "--engine", "xla",
+        "--fluxes-csv", str(pre),
+    ]) == 2
+    assert "--engine kernel" in capsys.readouterr().err
