@@ -932,15 +932,24 @@ class FastRunner:
         hq = None
 
         def check_bad(d0, bad_c):
-            bad_np = np.asarray(bad_c)  # [chunk, hours, NB] — host sync
-            if bad_np.sum() > 0:
+            # Device-side total first: the sum of a block-sharded array is
+            # replicated, so this host sync works even on a multi-process
+            # mesh where the per-block counts are not all addressable.
+            if float(j.sum(bad_c)) <= 0:
+                return
+            try:
+                bad_np = np.asarray(bad_c)  # [chunk, hours, NB]
                 ci, hi, bi = (int(x) for x in np.argwhere(bad_np > 0)[0])
                 hour = (d0 + ci) * H + hi
-                raise FloatingPointError(
-                    f"non-finite state first detected at hour {hour} "
-                    f"(day {hour // 24}, block {bi}): "
+                detail = (
+                    f"at hour {hour} (day {hour // 24}, block {bi}): "
                     f"{int(bad_np[ci, hi, bi])} bad values"
                 )
+            except RuntimeError:  # non-addressable shards (multi-process)
+                detail = f"within days [{d0}, {d0 + int(bad_c.shape[0])})"
+            raise FloatingPointError(
+                f"non-finite state first detected {detail}"
+            )
 
         pending = None  # one-chunk lag: check chunk i after dispatching i+1,
         # so the finiteness fetch overlaps the next chunk's execution instead

@@ -65,6 +65,39 @@ for s in hist.addressable_shards:
     blk = s.index[1]
     print("KERNEL_SHARD", blk.start, blk.stop,
           repr(np.asarray(s.data).tolist()), flush=True)
+
+# The HIGH-LEVEL mesh runner (FastRunner(mesh=...)) end to end across both
+# processes: whole-sequence run with a mid-sequence seasonal-ground swap
+# and the in-graph finiteness check on.  The zone history gathers to a
+# replicated array — identical on every process.
+from heatx.api import FastRunner, ThermalModel
+from heatx.model.building import (
+    Boundary, BuildingModel, Construction, Material, SpaceDef, Substance,
+    SurfaceDef,
+)
+
+mm = BuildingModel()
+mm.add_substance(Substance("c", thermal_conductivity=0.816, density=1700.,
+                           specific_heat_capacity=800.))
+mm.add_material(Material("c10", "c", 0.1))
+mm.add_construction(Construction("w", ["c10"]))
+fr_verts = np.array([[0,0,0],[4,0,0],[4,0,3],[0,0,3]], float)
+for z in range(4):
+    mm.add_space(SpaceDef(f"fz{z}", 100.0))
+    for si in range(2):
+        mm.add_surface(SurfaceDef(f"fs{z}_{si}", "w", Boundary.outdoor(),
+                                  Boundary.space_(f"fz{z}"), vertices=fr_verts))
+    mm.add_surface(SurfaceDef(f"fg{z}", "w", Boundary.ground(12.0),
+                              Boundary.space_(f"fz{z}"), vertices=fr_verts))
+tm = ThermalModel(mm, n=1, config=heatx.SimConfig(dtype=np.float64))
+fr = FastRunner(tm, block_size=4, mode="trbdf2", substeps=4, hours=2,
+                mesh=mesh, interpret=True)
+T = 4
+fr_seq = tm.inputs_sequence(T, t_out=np.linspace(0., 6., T),
+                            wind_speed=np.full(T, 3.0))
+ground = np.array([10., 10., 13., 13.])
+final, zt = fr.run(tm.initial_state(), fr_seq, ground_hourly=ground)
+print("FR_ZT", repr(np.asarray(jax.device_get(zt)).tolist()), flush=True)
 """
 
 
@@ -107,12 +140,15 @@ def test_two_process_dcn_march(tmp_path):
         assert p.returncode == 0, out[-3000:]
 
     zones = {}  # mode -> [per-process zone arrays]
+    fr_zts = []  # per-process high-level runner histories
     shards = {}  # global block start -> shard data (merged across processes)
     for out in outs:
         for ln in out.splitlines():
             if ln.startswith("ZONE_T"):
                 _, mode, rest = ln.split(" ", 2)
                 zones.setdefault(mode, []).append(np.asarray(eval(rest)))
+            elif ln.startswith("FR_ZT"):
+                fr_zts.append(np.asarray(eval(ln.split(" ", 1)[1])))
             elif ln.startswith("KERNEL_SHARD"):
                 _, start, stop, rest = ln.split(" ", 3)
                 data = np.asarray(eval(rest))
@@ -159,3 +195,41 @@ def test_two_process_dcn_march(tmp_path):
     assert sorted(shards) == [0, 1, 2, 3], sorted(shards)
     merged = np.concatenate([shards[k] for k in sorted(shards)], axis=1)
     assert np.array_equal(merged, hist1), (merged, hist1)
+
+    # The high-level mesh runner across processes: both processes observe
+    # the same history, equal to the single-device FastRunner on the same
+    # model (ground swap + finiteness check included in both).
+    from heatx.api import FastRunner, ThermalModel
+    from heatx.model.building import (
+        Boundary, BuildingModel, Construction, Material, SpaceDef,
+        Substance, SurfaceDef,
+    )
+
+    mm = BuildingModel()
+    mm.add_substance(Substance("c", thermal_conductivity=0.816, density=1700.,
+                               specific_heat_capacity=800.))
+    mm.add_material(Material("c10", "c", 0.1))
+    mm.add_construction(Construction("w", ["c10"]))
+    fr_verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(4):
+        mm.add_space(SpaceDef(f"fz{z}", 100.0))
+        for si in range(2):
+            mm.add_surface(SurfaceDef(
+                f"fs{z}_{si}", "w", Boundary.outdoor(),
+                Boundary.space_(f"fz{z}"), vertices=fr_verts,
+            ))
+        mm.add_surface(SurfaceDef(
+            f"fg{z}", "w", Boundary.ground(12.0),
+            Boundary.space_(f"fz{z}"), vertices=fr_verts,
+        ))
+    tm = ThermalModel(mm, n=1, config=heatx.SimConfig(dtype=np.float64))
+    fr = FastRunner(tm, block_size=4, mode="trbdf2", substeps=4, hours=2,
+                    interpret=True)
+    T = 4
+    fr_seq = tm.inputs_sequence(T, t_out=np.linspace(0., 6., T),
+                                wind_speed=np.full(T, 3.0))
+    _, zt1 = fr.run(tm.initial_state(), fr_seq,
+                    ground_hourly=np.array([10., 10., 13., 13.]))
+    assert len(fr_zts) == 2
+    assert np.array_equal(fr_zts[0], fr_zts[1])
+    assert np.array_equal(fr_zts[0], np.asarray(zt1))
