@@ -155,8 +155,22 @@ def cmd_simulate(args) -> int:
     b = tm.building
     sb = b.surfaces
     epw = read_epw(args.epw)
-    T = args.hours or epw.n_hours
-    start = args.start_hour % 8760 if args.start_hour else 0
+    T, start = args.hours, args.start_hour
+    loaded0 = extras.get("loaded")
+    if loaded0 is not None and loaded0.run_period is not None:
+        # The IDF's own RunPeriod dates, unless overridden on the line.
+        d0, d1 = loaded0.run_period
+        if not start:
+            start = d0 * 24
+        if not T:
+            T = (d1 - d0 + 1) * 24
+            print(
+                f"# RunPeriod: days {d0 + 1}..{d1 + 1} ({T} h from hour "
+                f"{start})",
+                file=sys.stderr,
+            )
+    T = T or epw.n_hours
+    start = start % 8760 if start else 0
     n = b.n_steps_per_hour
     # Sub-hourly runs interpolate toward the EPW's ACTUAL next record at
     # the horizon end, so fetch one extra hour (wrapping to hour 0 of the

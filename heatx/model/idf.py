@@ -203,6 +203,9 @@ class LoadedIdf:
     airflows: List[AirflowRule] = field(default_factory=list)
     #: object type (lower-case) -> count parsed, for diagnostics.
     counts: Dict[str, int] = field(default_factory=dict)
+    #: (start day-of-year, end day-of-year), 0-based inclusive, from the
+    #: first RunPeriod with explicit begin/end dates (else None).
+    run_period: Optional[tuple] = None
     #: schedule name (lower-case) -> hourly [8760] value series.
     schedules: Dict[str, np.ndarray] = field(default_factory=dict)
     #: internal-gain devices (Lights / ElectricEquipment / People).
@@ -518,6 +521,30 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     # -- schedules -> hourly [8760] series -------------------------------------
     start_dow = 0  # Jan 1 weekday; E+ RunPeriod default is Sunday
     for o in by_type.get("runperiod", []):
+        if out.run_period is None:
+            try:
+                bm, bd = int(_num(o, 2, 0)), int(_num(o, 3, 0))
+                # End month/day: fields 4/5 in the classic schema; 9.x
+                # inserts Begin/End Year fields — collect the numeric
+                # values after the begin date, skipping years (>= 1000)
+                # and stopping at the weekday string.
+                tail = []
+                for f in o[4:9]:
+                    if not f:
+                        continue
+                    try:
+                        v = float(f)
+                    except ValueError:
+                        break
+                    if v < 1000:
+                        tail.append(int(v))
+                if bm and bd and len(tail) >= 2:
+                    out.run_period = (
+                        _parse_md(f"{bm}/{bd}"),
+                        _parse_md(f"{tail[0]}/{tail[1]}"),
+                    )
+            except (ValueError, IndexError):
+                pass
         for f in o[2:]:
             if f.lower() in _WEEKDAYS:
                 # Day of Week for Start Day names the RUN PERIOD's begin

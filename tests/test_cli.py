@@ -313,3 +313,28 @@ def test_cli_fluxes_csv(tmp_path, capsys):
         "--fluxes-csv", str(pre),
     ]) == 2
     assert "--engine kernel" in capsys.readouterr().err
+
+
+def test_cli_honors_idf_runperiod(tmp_path, capsys):
+    """An IDF RunPeriod (Jul 1 - Jul 7 here) sets the simulation window
+    when --hours/--start-hour are not given; explicit flags override."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + \
+        "RunPeriod, Week, 7, 1, 7, 7, Tuesday, No, No, No, Yes, Yes;\n"
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    o = tmp_path / "z.csv"
+    assert main(["simulate", str(p), EPW, "--engine", "xla",
+                 "--mode", "trbdf2", "-o", str(o)]) == 0
+    err = capsys.readouterr().err
+    assert "RunPeriod: days 182..188 (168 h from hour 4344)" in err
+    with open(o) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 1 + 168
+    assert rows[1][0] == "4344" and rows[-1][0] == str(4344 + 167)
+    # Explicit flags still win.
+    assert main(["simulate", str(p), EPW, "--engine", "xla", "--mode",
+                 "trbdf2", "--hours", "3", "-o", str(o)]) == 0
+    with open(o) as f:
+        assert len(list(csv.reader(f))) == 1 + 3
