@@ -395,12 +395,14 @@ def main():
     ap.add_argument(
         "--block-size",
         type=int,
-        default=2048,
+        default=4096,
         help="surfaces per zone-closed kernel block; the bench probes "
         "downward from this (halving to 512) and records the selected "
-        "size in the JSON line (2048 measures ~5-10%% faster than 1024 at "
-        "10k-surface scale; very large grids x 2048-lane blocks exceed "
-        "compiler capacity and probe down to 1024 — PERF.md)",
+        "size in the JSON line (4096 measures ~7%% faster than 2048 at "
+        "10k-surface scale now that zone vectors are rank-2 rows — the "
+        "old rank-1 Mosaic crash was the original 2048 ceiling; very "
+        "large grids still exceed compiler capacity and probe down — "
+        "PERF.md)",
     )
     ap.add_argument(
         "--kernel-hours",
