@@ -157,18 +157,24 @@ def cmd_simulate(args) -> int:
     epw = read_epw(args.epw)
     T, start = args.hours, args.start_hour
     loaded0 = extras.get("loaded")
-    if loaded0 is not None and loaded0.run_period is not None:
-        # The IDF's own RunPeriod dates, unless overridden on the line.
+    if loaded0 is not None and loaded0.run_period is not None and (
+        start is None or not T
+    ):
+        # The IDF's own RunPeriod dates, unless overridden on the line
+        # (--start-hour 0 is an explicit Jan-1 request, hence the None
+        # default).  A begin date after the end date runs across the year
+        # boundary, as EnergyPlus does.
         d0, d1 = loaded0.run_period
-        if not start:
+        days = d1 - d0 + 1 if d1 >= d0 else 365 - d0 + d1 + 1
+        if start is None:
             start = d0 * 24
         if not T:
-            T = (d1 - d0 + 1) * 24
-            print(
-                f"# RunPeriod: days {d0 + 1}..{d1 + 1} ({T} h from hour "
-                f"{start})",
-                file=sys.stderr,
-            )
+            T = days * 24
+        print(
+            f"# RunPeriod: days {d0 + 1}..{d1 + 1} ({T} h from hour "
+            f"{start})",
+            file=sys.stderr,
+        )
     T = T or epw.n_hours
     start = start % 8760 if start else 0
     n = b.n_steps_per_hour
@@ -600,9 +606,10 @@ def build_parser() -> argparse.ArgumentParser:
         "the history is collected inside the fused kernel)",
     )
     p.add_argument(
-        "--start-hour", type=int, default=0,
+        "--start-hour", type=int, default=None,
         help="year hour to start at (weather/solar/schedules/soil offset; "
-        "pairs with --init-state for segmented runs)",
+        "pairs with --init-state for segmented runs; default: the IDF's "
+        "RunPeriod begin date, else 0 — pass 0 explicitly to force Jan 1)",
     )
     p.add_argument(
         "--init-state", default=None,

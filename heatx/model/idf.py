@@ -634,13 +634,16 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         # variant with no Thickness field (field 4 is already tau_sol <= 1
         # and only 9 data fields follow the name) — detect by field count.
         # Plausibility guards: a real Thickness field is metres (< 0.1),
-        # AND the standard schema runs through Conductivity (index 14) —
-        # requiring that field to be numeric keeps a truncated dark-glass
-        # object (tau_sol < 0.1, trailing-comma padded) from masquerading
-        # as standard and mis-reading its optics as geometry.
+        # AND the standard schema carries emissivity/conductivity content
+        # at indices 12-14 — requiring something non-empty there keeps a
+        # truncated dark-glass object (tau_sol < 0.1, trailing-comma
+        # padded with BLANKS) from masquerading as standard, while a
+        # standard object that leaves Conductivity blank (IDD default)
+        # still classifies by its emissivity fields.
         t4 = _num(o, 4)
         standard = (
-            t4 is not None and t4 < 0.1 and _num(o, 14) is not None
+            t4 is not None and t4 < 0.1
+            and any(_str(o, i) for i in (12, 13, 14))
         )
         if standard:
             thickness = _num(o, 4, GLAZING_THICKNESS)

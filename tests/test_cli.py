@@ -338,3 +338,29 @@ def test_cli_honors_idf_runperiod(tmp_path, capsys):
                  "trbdf2", "--hours", "3", "-o", str(o)]) == 0
     with open(o) as f:
         assert len(list(csv.reader(f))) == 1 + 3
+
+
+def test_cli_runperiod_wraparound_and_explicit_zero(tmp_path, capsys):
+    """Fourth-review regressions: a Dec->Feb RunPeriod wraps the year
+    boundary instead of producing a negative horizon, and an explicit
+    --start-hour 0 overrides the RunPeriod begin date."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + \
+        "RunPeriod, Winter, 12, 30, 1, 2, Sunday;\n"
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    o = tmp_path / "z.csv"
+    assert main(["simulate", str(p), EPW, "--engine", "xla",
+                 "--mode", "trbdf2", "-o", str(o)]) == 0
+    err = capsys.readouterr().err
+    assert "RunPeriod: days 364..2 (96 h from hour 8712)" in err
+    with open(o) as f:
+        rows = list(csv.reader(f))
+    assert len(rows) == 1 + 96  # Dec 30, 31, Jan 1, 2
+    assert main(["simulate", str(p), EPW, "--engine", "xla", "--mode",
+                 "trbdf2", "--start-hour", "0", "--hours", "2",
+                 "-o", str(o)]) == 0
+    with open(o) as f:
+        rows = list(csv.reader(f))
+    assert rows[1][0] == "0"  # explicit Jan-1 start wins

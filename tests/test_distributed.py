@@ -69,27 +69,13 @@ for s in hist.addressable_shards:
 # The HIGH-LEVEL mesh runner (FastRunner(mesh=...)) end to end across both
 # processes: whole-sequence run with a mid-sequence seasonal-ground swap
 # and the in-graph finiteness check on.  The zone history gathers to a
-# replicated array — identical on every process.
+# replicated array — identical on every process.  The model is the SHARED
+# builder also used by the in-test single-device reference.
 from heatx.api import FastRunner, ThermalModel
-from heatx.model.building import (
-    Boundary, BuildingModel, Construction, Material, SpaceDef, Substance,
-    SurfaceDef,
-)
+from test_sharding import fast_runner_comparison_model
 
-mm = BuildingModel()
-mm.add_substance(Substance("c", thermal_conductivity=0.816, density=1700.,
-                           specific_heat_capacity=800.))
-mm.add_material(Material("c10", "c", 0.1))
-mm.add_construction(Construction("w", ["c10"]))
-fr_verts = np.array([[0,0,0],[4,0,0],[4,0,3],[0,0,3]], float)
-for z in range(4):
-    mm.add_space(SpaceDef(f"fz{z}", 100.0))
-    for si in range(2):
-        mm.add_surface(SurfaceDef(f"fs{z}_{si}", "w", Boundary.outdoor(),
-                                  Boundary.space_(f"fz{z}"), vertices=fr_verts))
-    mm.add_surface(SurfaceDef(f"fg{z}", "w", Boundary.ground(12.0),
-                              Boundary.space_(f"fz{z}"), vertices=fr_verts))
-tm = ThermalModel(mm, n=1, config=heatx.SimConfig(dtype=np.float64))
+tm = ThermalModel(fast_runner_comparison_model(), n=1,
+                  config=heatx.SimConfig(dtype=np.float64))
 fr = FastRunner(tm, block_size=4, mode="trbdf2", substeps=4, hours=2,
                 mesh=mesh, interpret=True)
 T = 4
@@ -198,31 +184,13 @@ def test_two_process_dcn_march(tmp_path):
 
     # The high-level mesh runner across processes: both processes observe
     # the same history, equal to the single-device FastRunner on the same
-    # model (ground swap + finiteness check included in both).
+    # model (ground swap + finiteness check included in both; one shared
+    # model builder, test_sharding.fast_runner_comparison_model).
     from heatx.api import FastRunner, ThermalModel
-    from heatx.model.building import (
-        Boundary, BuildingModel, Construction, Material, SpaceDef,
-        Substance, SurfaceDef,
-    )
+    from test_sharding import fast_runner_comparison_model
 
-    mm = BuildingModel()
-    mm.add_substance(Substance("c", thermal_conductivity=0.816, density=1700.,
-                               specific_heat_capacity=800.))
-    mm.add_material(Material("c10", "c", 0.1))
-    mm.add_construction(Construction("w", ["c10"]))
-    fr_verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
-    for z in range(4):
-        mm.add_space(SpaceDef(f"fz{z}", 100.0))
-        for si in range(2):
-            mm.add_surface(SurfaceDef(
-                f"fs{z}_{si}", "w", Boundary.outdoor(),
-                Boundary.space_(f"fz{z}"), vertices=fr_verts,
-            ))
-        mm.add_surface(SurfaceDef(
-            f"fg{z}", "w", Boundary.ground(12.0),
-            Boundary.space_(f"fz{z}"), vertices=fr_verts,
-        ))
-    tm = ThermalModel(mm, n=1, config=heatx.SimConfig(dtype=np.float64))
+    tm = ThermalModel(fast_runner_comparison_model(), n=1,
+                      config=heatx.SimConfig(dtype=np.float64))
     fr = FastRunner(tm, block_size=4, mode="trbdf2", substeps=4, hours=2,
                     interpret=True)
     T = 4

@@ -665,3 +665,20 @@ def test_truncated_dark_glazing_not_misread_as_standard():
     assert sub.solar_transmittance == pytest.approx(0.05)
     assert loaded.model.materials["Dark"].thickness == pytest.approx(0.006)
     assert sub.front_solar_absorbtance == pytest.approx(1 - 0.05 - 0.30)
+
+
+def test_standard_glazing_with_blank_conductivity():
+    """Fourth-review regression: a standard-schema glazing that leaves
+    Conductivity blank (the IDD default) still classifies as standard by
+    its emissivity fields."""
+    idf = """
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    WindowMaterial:Glazing, Clear3, SpectralAverage, , 0.003, 0.837, 0.075,
+        0.075, 0.898, 0.081, 0.081, 0.0, 0.84, 0.84;
+    """
+    loaded = load_idf(idf)
+    sub = loaded.model.substances["Clear3 substance"]
+    assert sub.solar_transmittance == pytest.approx(0.837)
+    assert loaded.model.materials["Clear3"].thickness == pytest.approx(0.003)
+    from heatx.model.idf import GLAZING_CONDUCTIVITY
+    assert sub.thermal_conductivity == GLAZING_CONDUCTIVITY

@@ -330,3 +330,31 @@ def test_fast_runner_on_mesh_matches_single_device():
     # the ground-face heat flow between the two days.
     assert np.asarray(ld0).any()
     assert not np.array_equal(np.asarray(zt0)[:24], np.asarray(zt0)[24:])
+
+
+def fast_runner_comparison_model():
+    """The 4-zone soil-contact model the 2-process DCN harness and its
+    single-device reference both build (tests/test_distributed.py): one
+    definition so the bit-equality comparison cannot drift."""
+    from heatx.model.building import (
+        BuildingModel, Construction, Material, SpaceDef, Substance,
+    )
+
+    m = BuildingModel()
+    m.add_substance(Substance("c", thermal_conductivity=0.816, density=1700.,
+                              specific_heat_capacity=800.))
+    m.add_material(Material("c10", "c", 0.1))
+    m.add_construction(Construction("w", ["c10"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(4):
+        m.add_space(SpaceDef(f"fz{z}", 100.0))
+        for si in range(2):
+            m.add_surface(SurfaceDef(
+                f"fs{z}_{si}", "w", Boundary.outdoor(),
+                Boundary.space_(f"fz{z}"), vertices=verts,
+            ))
+        m.add_surface(SurfaceDef(
+            f"fg{z}", "w", Boundary.ground(12.0),
+            Boundary.space_(f"fz{z}"), vertices=verts,
+        ))
+    return m
