@@ -316,8 +316,10 @@ def cmd_simulate(args) -> int:
         file=sys.stderr,
     )
 
-    want_loads = bool(args.loads_csv)
-    if want_loads and not b.has_ideal_hvac:
+    want_loads = bool(args.loads_csv) or (
+        bool(args.summary_json) and b.has_ideal_hvac
+    )
+    if bool(args.loads_csv) and not b.has_ideal_hvac:
         print(
             "error: --loads-csv needs setpoint-driven HVAC (imported "
             "thermostats or IdealHeaterCooler setpoints)",
@@ -511,12 +513,13 @@ def cmd_simulate(args) -> int:
         )
     if loads is not None:
         loads = np.asarray(loads)
-        with open(args.loads_csv, "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["hour"] + znames)
-            for t in range(T):
-                w.writerow([start + t] + [f"{v:.1f}" for v in loads[t]])
-        print(f"# wrote {args.loads_csv}", file=sys.stderr)
+        if args.loads_csv:
+            with open(args.loads_csv, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["hour"] + znames)
+                for t in range(T):
+                    w.writerow([start + t] + [f"{v:.1f}" for v in loads[t]])
+            print(f"# wrote {args.loads_csv}", file=sys.stderr)
         heat_kwh = loads.clip(min=0).sum() / 1e3
         cool_kwh = (-loads.clip(max=0)).sum() / 1e3
         print(
@@ -529,6 +532,44 @@ def cmd_simulate(args) -> int:
             f"{name}: min {col.min():.2f} C  mean {col.mean():.2f} C  "
             f"max {col.max():.2f} C"
         )
+    if args.summary_json:
+        import json
+
+        summary = {
+            "model": args.model,
+            "epw": args.epw,
+            "hours": T,
+            "start_hour": start,
+            "engine": engine,
+            "mode": args.mode,
+            "wall_clock_s": round(wall, 3),
+            "zones": {
+                name: {
+                    "min_C": round(float(zt[:, z].min()), 4),
+                    "mean_C": round(float(zt[:, z].mean()), 4),
+                    "max_C": round(float(zt[:, z].max()), 4),
+                }
+                for z, name in enumerate(znames)
+            },
+        }
+        if loads is not None:
+            summary["demand"] = {
+                "heating_kwh": round(float(loads.clip(min=0).sum()) / 1e3, 3),
+                "cooling_kwh": round(float(-loads.clip(max=0).sum()) / 1e3, 3),
+                "peak_heating_w": round(float(loads.max()), 1),
+                "peak_cooling_w": round(float(-loads.min()), 1),
+                "per_zone_heating_kwh": {
+                    name: round(float(loads[:, z].clip(min=0).sum()) / 1e3, 3)
+                    for z, name in enumerate(znames)
+                },
+                "per_zone_cooling_kwh": {
+                    name: round(float(-loads[:, z].clip(max=0).sum()) / 1e3, 3)
+                    for z, name in enumerate(znames)
+                },
+            }
+        with open(args.summary_json, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"# wrote {args.summary_json}", file=sys.stderr)
     return 0
 
 
@@ -598,6 +639,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--loads-csv", default=None,
         help="also write the hourly per-zone ideal-load demand (W, "
         "heating +) — requires thermostats (imported or modeled)",
+    )
+    p.add_argument(
+        "--summary-json", default=None,
+        help="write a machine-readable run summary (per-zone temperature "
+        "stats; heating/cooling kWh, peaks and per-zone split when "
+        "--loads-csv collection runs)",
     )
     p.add_argument(
         "--fluxes-csv", default=None, metavar="PREFIX",

@@ -364,3 +364,32 @@ def test_cli_runperiod_wraparound_and_explicit_zero(tmp_path, capsys):
     with open(o) as f:
         rows = list(csv.reader(f))
     assert rows[1][0] == "0"  # explicit Jan-1 start wins
+
+
+def test_cli_summary_json(tmp_path):
+    """--summary-json writes machine-readable results; on a thermostatic
+    model it also collects and summarizes the demand (kWh, peaks) without
+    needing --loads-csv."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
+HVACTemplate:Thermostat, TST, , 20.0, , 26.0;
+HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
+"""
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    js = tmp_path / "summary.json"
+    assert main(["simulate", str(p), EPW, "--hours", "24", "--engine",
+                 "xla", "--mode", "trbdf2", "--summary-json", str(js)]) == 0
+    import json
+
+    s = json.loads(js.read_text())
+    assert s["hours"] == 24 and s["engine"] == "xla"
+    z = s["zones"]["Room"]
+    assert 20.0 - 1e-6 <= z["min_C"] <= z["max_C"] <= 26.0 + 1e-6
+    d = s["demand"]
+    assert d["heating_kwh"] >= 0 and d["cooling_kwh"] >= 0
+    assert d["cooling_kwh"] == pytest.approx(
+        d["per_zone_cooling_kwh"]["Room"], abs=1e-6
+    )
+    assert (d["heating_kwh"] + d["cooling_kwh"]) > 0
