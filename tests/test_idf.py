@@ -83,6 +83,43 @@ def test_nomass_full_matches_handbuilt(ref_fixtures):
     np.testing.assert_allclose(zi, zh, rtol=1e-6)
 
 
+def test_every_replay_fixture_idf_matches_handbuilt_building(ref_fixtures):
+    """ALL 14 replay fixtures: the compiled building built from the
+    fixture's own ``in.idf`` equals the hand-authored replay model
+    (or the ``.spl`` one for tilted/horizontal) leaf-for-leaf.
+
+    Together with the 5 end-to-end ``test_eplus_replay_from_idf`` cases this
+    gates the whole EnergyPlus-file -> heatx loop: identical compiled
+    buildings march identically, so every fixture's replay result is the
+    IDF-built model's result.  Tolerance 2e-5 covers the fixture IDFs'
+    floored optical properties (EnergyPlus requires absorptance >= 1e-9 /
+    1e-5 where the Rust models use exact 0,
+    validate_wall_heat_transfer.rs:817-994) and R-value rounding."""
+    import jax.tree_util as jtu
+
+    from heatx.validate.replay import WALL_CASES, build_case_model
+
+    for name, case in WALL_CASES.items():
+        hand = build_case_model(case, ref_fixtures, via_idf=False)
+        idf = build_case_model(case, ref_fixtures, via_idf=True)
+        bh = heatx.ThermalModel(hand, n=20, config=F64).building
+        bi = heatx.ThermalModel(idf, n=20, config=F64).building
+        lh, th = jtu.tree_flatten(bh)
+        li, ti = jtu.tree_flatten(bi)
+        assert th == ti, name
+        for a, b in zip(lh, li):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape and a.dtype == b.dtype, name
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(
+                    np.nan_to_num(a, nan=-999.0),
+                    np.nan_to_num(b, nan=-999.0),
+                    rtol=0, atol=2e-5, err_msg=name,
+                )
+            else:
+                assert (a == b).all(), name
+
+
 def test_geometry_and_site(ref_fixtures):
     loaded = load_idf(os.path.join(ref_fixtures, "massive_full", "in.idf"))
     m = loaded.model
