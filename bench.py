@@ -159,15 +159,25 @@ def run_demand_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
     )
     st = tm.initial_state()
     kw = dict(dispatch_days=args.dispatch_days, collect_loads=True)
+
+    def timed():
+        t0 = time.time()
+        final, zt, loads = fr.run(st, seq, **kw)
+        heat = float(jnp.sum(jnp.clip(loads, min=0))) / 1000.0 / b.n_zones
+        cool = float(-jnp.sum(jnp.clip(loads, max=0))) / 1000.0 / b.n_zones
+        return time.time() - t0, heat, cool
+
+    # Warm up the FULL timed computation (run + the kWh reductions): the
+    # first reduction call compiles inside the timed region otherwise, and
+    # the first post-compile rep carries process-state noise through the
+    # remote tunnel (measured 12.5 s for a 0.85 s steady-state run).
     t0 = time.time()
-    _, _, loads = fr.run(st, seq, **kw)
-    jax.block_until_ready(loads)  # warm-up sync
+    timed()
     print(f"# demand compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    final, zt, loads = fr.run(st, seq, **kw)
-    heat = float(jnp.sum(jnp.clip(loads, min=0))) / 1000.0 / b.n_zones
-    cool = float(-jnp.sum(jnp.clip(loads, max=0))) / 1000.0 / b.n_zones
-    wall = time.time() - t0
+    wall, heat, cool = timed()
+    wall2, h2, c2 = timed()
+    if wall2 < wall:
+        wall, heat, cool = wall2, h2, c2
     assert np.isfinite(heat) and np.isfinite(cool) and heat > 0
     print(
         f"# demand kernel {T}h x {b.n_zones} thermostats: {wall:.2f}s; "
