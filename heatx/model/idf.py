@@ -32,7 +32,9 @@ simulated without re-authoring.  Supported objects:
   ``Timestep`` (main steps per hour, the ``n`` of ``ThermalModel``),
   ``SurfaceConvectionAlgorithm:*`` (must be TARP — the only algorithm the
   reference and heatx implement, convection.rs:1-22)
-* ``Schedule:Constant`` / ``Schedule:Compact`` -> hourly [8760] series
+* ``Schedule:Constant`` / ``Schedule:Compact`` / the classic
+  ``Schedule:Day:Hourly|Interval`` -> ``Schedule:Week:Daily|Compact`` ->
+  ``Schedule:Year`` family -> hourly [8760] series
   (``LoadedIdf.schedules``; Through/For/Until grammar, day-of-week groups)
 * Internal gains — ``Lights`` (-> :class:`Luminaire` +
   ``StepInputs.lum_power`` series), ``ElectricEquipment`` and ``People``
@@ -120,7 +122,9 @@ _SUPPORTED_TYPES = {
     "construction", "zone", "zonelist",
     "buildingsurface:detailed", "fenestrationsurface:detailed", "internalmass",
     "globalgeometryrules", "material:airgap", "window", "glazeddoor",
-    "schedule:constant", "schedule:compact",
+    "schedule:constant", "schedule:compact", "schedule:year",
+    "schedule:week:daily", "schedule:week:compact",
+    "schedule:day:hourly", "schedule:day:interval",
     "zoneinfiltration:designflowrate", "zoneventilation:designflowrate",
     "lights", "electricequipment", "people",
     "hvactemplate:thermostat", "hvactemplate:zone:idealloadsairsystem",
@@ -445,6 +449,128 @@ def _compact_schedule(o: List[str], start_dow: int) -> np.ndarray:
     return hourly.reshape(8760)
 
 
+def _parse_until_pairs(name: str, fields: List[str], prof: np.ndarray):
+    """Fill a [24] day profile from ``Until HH:MM, value`` field pairs
+    (hour-ending times rendered on the hour-beginning grid, like
+    :func:`_compact_schedule`)."""
+    prev = 0
+    vals = [f for f in fields if f != ""]
+    if len(vals) % 2:
+        raise ValueError(f"{name}: dangling Until/value field {vals[-1]!r}")
+    for i in range(0, len(vals), 2):
+        t = vals[i].lower().replace("until", "").lstrip(": ").strip()
+        parts = t.split(":")
+        h = int(parts[0])
+        if len(parts) > 1 and int(parts[1]) != 0:
+            raise ValueError(
+                f"{name}: Until {t!r} is not a whole hour (hourly rendering "
+                "only)"
+            )
+        prof[prev:h] = float(vals[i + 1])
+        prev = h
+    if np.isnan(prof).any():
+        raise ValueError(
+            f"{name} leaves hour {int(np.argwhere(np.isnan(prof))[0])} "
+            "undefined (end with Until: 24:00)"
+        )
+
+
+def _day_week_year_schedules(by_type, start_dow: int) -> Dict[str, np.ndarray]:
+    """Render the classic ``Schedule:Day:Hourly`` / ``Schedule:Day:Interval``
+    -> ``Schedule:Week:Daily`` / ``Schedule:Week:Compact`` -> ``Schedule:Year``
+    family to hourly [8760] series (one per Schedule:Year; the day/week
+    objects are building blocks and are not directly referenceable by gains).
+
+    Day-of-week anchoring uses the same RunPeriod-derived ``start_dow`` as
+    Schedule:Compact.  Special-day columns (Holiday, design days, custom
+    days) never occur in the rendered calendar and are ignored."""
+    days: Dict[str, np.ndarray] = {}
+    for o in by_type.get("schedule:day:hourly", []):
+        # Name, Type Limits, 24 hour-ending values.
+        days[o[1].lower()] = np.asarray(
+            [_num(o, 3 + i, 0.0) for i in range(24)], np.float64
+        )
+    for o in by_type.get("schedule:day:interval", []):
+        # Name, Type Limits, Interpolate to Timestep, (Time, value)*.
+        if _str(o, 3).lower() not in ("", "no"):
+            warnings.warn(
+                f"Schedule:Day:Interval {o[1]!r}: Interpolate is ignored "
+                "(hourly rendering)",
+                stacklevel=3,
+            )
+        prof = np.full(24, np.nan)
+        _parse_until_pairs(f"Schedule:Day:Interval {o[1]!r}", o[4:], prof)
+        days[o[1].lower()] = prof
+
+    def day_ref(owner: str, name: str) -> np.ndarray:
+        d = days.get(name.lower())
+        if d is None:
+            raise ValueError(
+                f"{owner}: day schedule {name!r} is not a parsed "
+                "Schedule:Day:Hourly/Schedule:Day:Interval"
+            )
+        return d
+
+    weeks: Dict[str, List[np.ndarray]] = {}  # name -> [Sun..Sat] profiles
+    for o in by_type.get("schedule:week:daily", []):
+        # Name, then day-schedule names Sunday..Saturday (fields 2-8; the
+        # holiday/design-day/custom columns that follow never render).
+        weeks[o[1].lower()] = [
+            day_ref(f"Schedule:Week:Daily {o[1]!r}", _str(o, 2 + i))
+            for i in range(7)
+        ]
+    for o in by_type.get("schedule:week:compact", []):
+        # Name, (DayType List: For ..., day-schedule-name)*.  Earlier rules
+        # win, so only unfilled slots take later matches (AllOtherDays).
+        prof: List[Optional[np.ndarray]] = [None] * 7
+        vals = [f for f in o[2:] if f != ""]
+        for i in range(0, len(vals) - 1, 2):
+            groups = set(
+                vals[i].lower().replace("for", "").lstrip(": ").split()
+            )
+            d = day_ref(f"Schedule:Week:Compact {o[1]!r}", vals[i + 1])
+            for di, dow in enumerate(_WEEKDAYS):
+                if prof[di] is None and _dow_matches(groups, dow):
+                    prof[di] = d
+        if any(p is None for p in prof):
+            missing = next(d for d, p in zip(_WEEKDAYS, prof) if p is None)
+            raise ValueError(
+                f"Schedule:Week:Compact {o[1]!r} leaves {missing} uncovered "
+                "(add a For: AllOtherDays rule)"
+            )
+        weeks[o[1].lower()] = prof
+
+    out: Dict[str, np.ndarray] = {}
+    for o in by_type.get("schedule:year", []):
+        # Name, Type Limits, (week name, begin M, begin D, end M, end D)*.
+        hourly = np.full((365, 24), np.nan)
+        vals = [f for f in o[3:] if f != ""]
+        if len(vals) % 5:
+            raise ValueError(
+                f"Schedule:Year {o[1]!r}: fields after the name must come in "
+                "(week, begin M/D, end M/D) groups of five"
+            )
+        for i in range(0, len(vals), 5):
+            wk = weeks.get(vals[i].lower())
+            if wk is None:
+                raise ValueError(
+                    f"Schedule:Year {o[1]!r}: week schedule {vals[i]!r} is "
+                    "not a parsed Schedule:Week:Daily/Schedule:Week:Compact"
+                )
+            d0 = _parse_md(f"{int(float(vals[i + 1]))}/{int(float(vals[i + 2]))}")
+            d1 = _parse_md(f"{int(float(vals[i + 3]))}/{int(float(vals[i + 4]))}")
+            for day in range(d0, min(d1, 364) + 1):
+                hourly[day] = wk[(start_dow + day) % 7]
+        if np.isnan(hourly).any():
+            d = int(np.argwhere(np.isnan(hourly[:, 0]))[0])
+            raise ValueError(
+                f"Schedule:Year {o[1]!r} leaves day {d + 1} uncovered "
+                "(periods must span 1/1 through 12/31)"
+            )
+        out[o[1].lower()] = hourly.reshape(8760)
+    return out
+
+
 def load_idf(path_or_text: str) -> LoadedIdf:
     """Parse an EnergyPlus IDF (path or raw text) into a ``LoadedIdf``.
 
@@ -561,6 +687,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         out.schedules[o[1].lower()] = np.full(8760, _num(o, 3, 1.0))
     for o in by_type.get("schedule:compact", []):
         out.schedules[o[1].lower()] = _compact_schedule(o, start_dow)
+    out.schedules.update(_day_week_year_schedules(by_type, start_dow))
 
     def _sched_ref(name: str, owner: str) -> Optional[str]:
         """Validate a schedule reference; '' means always-on (None)."""
@@ -569,7 +696,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         if name.lower() not in out.schedules:
             raise ValueError(
                 f"{owner}: schedule {name!r} is not a parsed "
-                "Schedule:Constant/Schedule:Compact"
+                "Schedule:Constant/Schedule:Compact/Schedule:Year"
             )
         return name.lower()
 

@@ -330,6 +330,65 @@ def test_compact_schedule_rendering():
     assert loaded.schedule_series("OfficeOcc", 24, start_hour=8760)[10] == 1.0
 
 
+def test_day_week_year_schedule_family():
+    """The classic Schedule:Day:Hourly / Day:Interval -> Week:Daily /
+    Week:Compact -> Schedule:Year chain renders like the equivalent
+    Schedule:Compact: hour-ending Until times on the hour-beginning grid,
+    weekday anchoring from the RunPeriod start day, whole-year coverage."""
+    wk_hours = ", ".join(["0"] * 8 + ["1"] * 10 + ["0.1"] * 6)
+    idf = f"""
+    RunPeriod, Yr, 1, 1, 12, 31, Monday;
+    Schedule:Day:Hourly, WorkDay, , {wk_hours};
+    Schedule:Day:Interval, OffDay, , No, Until: 24:00, 0.0;
+    Schedule:Week:Daily, Wk, OffDay, WorkDay, WorkDay, WorkDay, WorkDay,
+        WorkDay, OffDay, OffDay, OffDay, OffDay, OffDay, OffDay;
+    Schedule:Week:Compact, WkC, For: Weekdays, WorkDay,
+        For: AllOtherDays, OffDay;
+    Schedule:Year, Occ, , Wk, 1, 1, 12, 31;
+    Schedule:Year, OccC, , WkC, 1, 1, 6, 30, WkC, 7, 1, 12, 31;
+    Schedule:Compact, OccRef, , Through: 12/31, For: Weekdays,
+        Until: 8:00, 0, Until: 18:00, 1, Until: 24:00, 0.1,
+        For: AllOtherDays, Until: 24:00, 0;
+    """
+    loaded = load_idf(idf)
+    occ = loaded.schedule_series("Occ", 8760)
+    ref = loaded.schedule_series("OccRef", 8760)
+    np.testing.assert_array_equal(occ, ref)
+    np.testing.assert_array_equal(loaded.schedule_series("OccC", 8760), ref)
+    # Jan 1 = Monday: working profile; day 5 (Saturday) off.
+    assert occ[12] == 1.0 and occ[3] == 0.0 and occ[20] == 0.1
+    assert (occ[24 * 5 : 24 * 7] == 0.0).all()
+    # Gains may reference a Schedule:Year by name.
+    loaded2 = load_idf(idf + """
+    Zone, Z1, 0, 0, 0, 0, 1, 1, 3, 300;
+    Lights, L1, Z1, Occ, LightingLevel, 100;
+    """)
+    lp = loaded2.hourly_channels(48)["lum_power"]
+    np.testing.assert_allclose(lp[12, 0], 100.0)
+    np.testing.assert_allclose(lp[3, 0], 0.0)
+
+
+def test_day_week_year_schedule_errors():
+    """Unknown references and coverage gaps fail loudly."""
+    with pytest.raises(ValueError, match="day schedule 'Nope'"):
+        load_idf("Schedule:Week:Daily, W, Nope, Nope, Nope, Nope, Nope, "
+                 "Nope, Nope;")
+    with pytest.raises(ValueError, match="leaves day 32 uncovered"):
+        load_idf("""
+        Schedule:Day:Interval, D, , No, Until: 24:00, 1.0;
+        Schedule:Week:Daily, W, D, D, D, D, D, D, D;
+        Schedule:Year, Y, , W, 1, 1, 1, 31;
+        """)
+    with pytest.raises(ValueError, match="not a whole hour"):
+        load_idf("Schedule:Day:Interval, D, , No, Until: 9:30, 1.0, "
+                 "Until: 24:00, 0.0;")
+    with pytest.raises(ValueError, match="leaves saturday uncovered"):
+        load_idf("""
+        Schedule:Day:Hourly, D, , 1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1;
+        Schedule:Week:Compact, W, For: Weekdays, D, For: Sunday, D;
+        """)
+
+
 def test_internal_gains_and_thermostats_import():
     loaded = load_idf(_GAINS_IDF)
     m = loaded.model
