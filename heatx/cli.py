@@ -553,20 +553,43 @@ def cmd_simulate(args) -> int:
             },
         }
         if loads is not None:
+            def kwh(x):
+                return round(float(x) / 1e3, 3) + 0.0  # +0.0 kills -0.0
+
             summary["demand"] = {
-                "heating_kwh": round(float(loads.clip(min=0).sum()) / 1e3, 3),
-                "cooling_kwh": round(float(-loads.clip(max=0).sum()) / 1e3, 3),
-                "peak_heating_w": round(float(loads.max()), 1),
-                "peak_cooling_w": round(float(-loads.min()), 1),
+                "heating_kwh": kwh(loads.clip(min=0).sum()),
+                "cooling_kwh": kwh(-loads.clip(max=0).sum()),
+                "peak_heating_w": round(max(0.0, float(loads.max())), 1),
+                "peak_cooling_w": round(max(0.0, float(-loads.min())), 1),
                 "per_zone_heating_kwh": {
-                    name: round(float(loads[:, z].clip(min=0).sum()) / 1e3, 3)
+                    name: kwh(loads[:, z].clip(min=0).sum())
                     for z, name in enumerate(znames)
                 },
                 "per_zone_cooling_kwh": {
-                    name: round(float(-loads[:, z].clip(max=0).sum()) / 1e3, 3)
+                    name: kwh(-loads[:, z].clip(max=0).sum())
                     for z, name in enumerate(znames)
                 },
             }
+            # Unmet setpoint hours (zone-hours outside the setpoint +-0.5 K
+            # throttling range, the ASHRAE 90.1 convention): nonzero only
+            # when capacity limits (max_heating/max_cooling) bind — ideal
+            # loads otherwise land exactly on the setpoint.
+            Z = len(znames)
+            hs = gain_kw.get("heat_sp")
+            cs = gain_kw.get("cool_sp")
+            hs = np.broadcast_to(
+                np.asarray(b.ctl_heat_sp if hs is None else hs, np.float64),
+                (T, Z),
+            )
+            cs = np.broadcast_to(
+                np.asarray(b.ctl_cool_sp if cs is None else cs, np.float64),
+                (T, Z),
+            )
+            ztc = np.asarray(zt, np.float64)
+            unmet_h = (hs > -1e8) & (ztc < hs - 0.5)
+            unmet_c = (cs < 1e8) & (ztc > cs + 0.5)
+            summary["demand"]["unmet_heating_hours"] = int(unmet_h.sum())
+            summary["demand"]["unmet_cooling_hours"] = int(unmet_c.sum())
         with open(args.summary_json, "w") as f:
             json.dump(summary, f, indent=1)
         print(f"# wrote {args.summary_json}", file=sys.stderr)
@@ -643,8 +666,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--summary-json", default=None,
         help="write a machine-readable run summary (per-zone temperature "
-        "stats; heating/cooling kWh, peaks and per-zone split when "
-        "--loads-csv collection runs)",
+        "stats; heating/cooling kWh, peaks, per-zone split and unmet "
+        "setpoint hours when --loads-csv collection runs)",
     )
     p.add_argument(
         "--fluxes-csv", default=None, metavar="PREFIX",

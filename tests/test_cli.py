@@ -393,3 +393,41 @@ HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
         d["per_zone_cooling_kwh"]["Room"], abs=1e-6
     )
     assert (d["heating_kwh"] + d["cooling_kwh"]) > 0
+    # Unlimited ideal loads land exactly on the setpoint: no unmet hours.
+    assert d["unmet_heating_hours"] == 0 and d["unmet_cooling_hours"] == 0
+
+
+def test_cli_summary_unmet_hours(tmp_path):
+    """Capacity-limited ideal loads report unmet setpoint hours (zone-hours
+    outside the +-0.5 K throttling range) in the summary."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    spl = """
+    Substance {
+        type: "Normal", name: "Concrete", thermal_conductivity: 0.816,
+        density: 1700., specific_heat_capacity: 800.,
+    }
+    Material { name: "C10", substance: "Concrete", thickness: 0.1 }
+    Construction { name: "Wall", materials: ["C10"] }
+    Space { name: "Room", volume: 300. }
+    Surface {
+        name: "W", construction: "Wall",
+        back_boundary: { type: "Space", space: "Room" },
+        vertices: [ 0.,0.,0., 10.,0.,0., 10.,0.,3., 0.,0.,3. ]
+    }
+    HVAC {
+        type: "IdealHeaterCooler", name: "tstat", target_spaces: ["Room"],
+        heating_setpoint: 30., max_heating_power: 1.,
+    }
+    """
+    p = tmp_path / "m.spl"
+    p.write_text(spl)
+    js = tmp_path / "summary.json"
+    assert main(["simulate", str(p), EPW, "--hours", "24", "--engine",
+                 "xla", "--mode", "trbdf2", "--summary-json", str(js)]) == 0
+    import json
+
+    d = json.loads(js.read_text())["demand"]
+    # 1 W against a 30 C setpoint: the zone free-floats below 29.5 C.
+    assert d["unmet_heating_hours"] > 0
+    assert d["unmet_cooling_hours"] == 0  # no cooling side configured
