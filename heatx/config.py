@@ -78,6 +78,19 @@ class SimConfig:
     # reference, model.rs:92.)
     ground_contact_h: float = 20.0
 
+    # Interior longwave radiant exchange between the surfaces of a zone
+    # via Carroll's (1980) mean-radiant-temperature network (heatx
+    # extension).  The reference radiates every interior face against the
+    # zone AIR temperature (surface.rs:611-640) — an infinite bath that
+    # books no energy anywhere; with this flag each space-facing face
+    # instead exchanges with its zone's MRT node (area-emissivity-Carroll
+    # weighted balance point of the other faces), which conserves the
+    # linearized exchange exactly at each coefficient evaluation.  Zones
+    # with fewer than two participating faces keep the air-bath behavior.
+    # Supported on the XLA integrators (parity march, TR-BDF2,
+    # exponential); the fused Pallas kernel rejects it at construction.
+    interior_mrt: bool = False
+
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
 

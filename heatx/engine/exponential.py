@@ -181,8 +181,18 @@ def build_operators(
         sb, state.node_T, t_front, t_back, wind_direction0, wind_speed0,
         inputs.ir_front, inputs.ir_back, cfg, statics=statics,
     )
-    rad_hs_f = surf_mod.linearized_rad_coefficient(sb.eps_front, env_f)
-    rad_hs_b = surf_mod.linearized_rad_coefficient(sb.eps_back, env_b)
+    # Interior longwave exchange (config.interior_mrt): frozen with the
+    # rest of the coefficients for the main step.
+    mrt = None
+    if cfg.interior_mrt:
+        mrt = surf_mod.interior_mrt(
+            sb, state.node_T, state.zone_T, building.n_zones, statics
+        )
+    env_f, env_b, rad_eps_f, rad_eps_b = surf_mod.apply_interior_mrt(
+        sb, env_f, env_b, mrt
+    )
+    rad_hs_f = surf_mod.linearized_rad_coefficient(rad_eps_f, env_f)
+    rad_hs_b = surf_mod.linearized_rad_coefficient(rad_eps_b, env_b)
 
     U = surf_mod.segment_u(sb, state.node_T, env_b.air)
     lower, diag, upper = _full_system_K(

@@ -44,6 +44,15 @@ def substep(
 
     t_front, t_back = surf_mod.boundary_temperatures(sb, state.zone_T, t_out)
 
+    # Interior longwave exchange (config.interior_mrt, heatx extension):
+    # evaluated from the step-start state snapshot, like every other
+    # coefficient of this sub-step.
+    mrt = None
+    if cfg.interior_mrt:
+        mrt = surf_mod.interior_mrt(
+            sb, state.node_T, state.zone_T, building.n_zones
+        )
+
     node_T = surf_mod.march_surfaces(
         sb,
         state.node_T,
@@ -58,6 +67,7 @@ def substep(
         dt,
         cfg,
         has_massive=sb.has_massive,
+        mrt=mrt,
     )
 
     # Post-march conditions with the *updated* node temperatures

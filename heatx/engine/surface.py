@@ -351,6 +351,105 @@ def linearized_rad_coefficient(eps, env: FaceEnv):
     return 4.0 * eps * SIGMA * (KELVIN + (env.rad + env.surf) / 2.0) ** 3
 
 
+def carroll_view_factors(area, space, participating, n_zones, iters=20):
+    """Carroll (1980) MRT-network view factors, one per participating face.
+
+    ``F_i = 1 / (1 - A_i F_i / sum_{j in zone} A_j F_j)``, solved by the
+    standard fixed point from ``F = 1`` (equal areas converge in one step:
+    n faces give F = n/(n-1)).  A face whose weighted area approaches the
+    zone total would diverge (a one-sided "enclosure" is outside the
+    method's validity), so the denominator clamps at 0.05 — results stay
+    finite and the dominant face simply saturates.  Non-participating faces
+    return F = 0.
+    """
+    idx = jnp.where(participating, space, n_zones).astype(jnp.int32)
+    F = jnp.ones_like(area)
+    for _ in range(iters):
+        af = jnp.where(participating, area * F, 0.0)
+        tot = jax.ops.segment_sum(af, idx, num_segments=n_zones + 1)
+        denom = 1.0 - af / jnp.maximum(tot[idx], 1e-30)
+        F = 1.0 / jnp.maximum(denom, 0.05)
+    return jnp.where(participating, F, 0.0)
+
+
+def interior_mrt(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
+    """Interior longwave exchange context (``config.interior_mrt``).
+
+    For every space-facing face, computes the zone's mean-radiant-
+    temperature node (Carroll 1980 — the MRT network EnergyPlus offers as
+    its geometry-free radiant-exchange option) from the CURRENT node
+    temperatures, plus the face's effective emissivity toward that node:
+    the surface resistance (1-eps)/eps in series with the Carroll view
+    resistance 1/F, i.e. ``eps* = eps F / (F (1-eps) + eps)``.
+
+    The MRT temperature is the balance point of the same linearized
+    conductances the wall equations use (``rad_hs`` with midpoint
+    ``(T_m + T_s)/2``; a short fixed point makes the two self-consistent),
+    so the zone's radiant exchange sums to zero exactly at each coefficient
+    evaluation — unlike the reference's zone-air radiant bath
+    (surface.rs:611-640), which books the radiative flux nowhere.
+
+    Returns ``(mask_f, tm_f, eps_f, mask_b, tm_b, eps_b)`` per-surface
+    arrays; masks are False (and the caller keeps air-bath behavior) for
+    non-space faces, eps ~ 0 faces, and zones with fewer than two
+    participating faces.
+    """
+    dtype = node_T.dtype
+    S = sb.area.shape[0]
+    ts = jnp.concatenate([node_T[0], _last_node(sb, node_T, statics)])
+    part = jnp.concatenate(
+        [
+            (sb.front_code == B_SPACE) & (sb.eps_front > 1e-6),
+            (sb.back_code == B_SPACE) & (sb.eps_back > 1e-6),
+        ]
+    )
+    area = jnp.concatenate([sb.area, sb.area])
+    space = jnp.concatenate([sb.front_space, sb.back_space]).astype(jnp.int32)
+    eps = jnp.concatenate([sb.eps_front, sb.eps_back])
+
+    # An exchange network needs at least two faces in the zone.
+    idx = jnp.where(part, space, n_zones).astype(jnp.int32)
+    count = jax.ops.segment_sum(
+        jnp.where(part, 1.0, 0.0), idx, num_segments=n_zones + 1
+    )
+    part = part & (count[idx] >= 1.5)
+    idx = jnp.where(part, space, n_zones).astype(jnp.int32)
+
+    F = carroll_view_factors(area, space, part, n_zones)
+    eps_eff = jnp.where(part, eps * F / (F * (1.0 - eps) + eps), 0.0)
+
+    zpad = jnp.concatenate([zone_T, jnp.zeros((1,), dtype)])
+    tm_face = zpad[idx]  # start the linearization at the zone air temp
+    for _ in range(4):
+        h = 4.0 * SIGMA * eps_eff * (KELVIN + (tm_face + ts) / 2.0) ** 3
+        w = jnp.where(part, h * area, 0.0)
+        num = jax.ops.segment_sum(w * ts, idx, num_segments=n_zones + 1)
+        den = jax.ops.segment_sum(w, idx, num_segments=n_zones + 1)
+        tm = jnp.where(den > 1e-30, num / jnp.maximum(den, 1e-30), zpad)
+        tm_face = tm[idx]
+    return (
+        part[:S], tm_face[:S], eps_eff[:S],
+        part[S:], tm_face[S:], eps_eff[S:],
+    )
+
+
+def apply_interior_mrt(sb: SurfaceBatch, env_f: FaceEnv, env_b: FaceEnv, mrt):
+    """Merge an :func:`interior_mrt` context into the face environments.
+
+    Returns ``(env_f, env_b, eps_front, eps_back)`` — participating faces
+    get the zone MRT as radiant temperature and their Carroll effective
+    emissivity; everything else passes through unchanged (``mrt=None`` is
+    the identity)."""
+    if mrt is None:
+        return env_f, env_b, sb.eps_front, sb.eps_back
+    mf, tmf, ef, mb, tmb, eb = mrt
+    env_f = env_f._replace(rad=jnp.where(mf, tmf, env_f.rad))
+    env_b = env_b._replace(rad=jnp.where(mb, tmb, env_b.rad))
+    eps_f = jnp.where(mf, ef, sb.eps_front)
+    eps_b = jnp.where(mb, eb, sb.eps_back)
+    return env_f, env_b, eps_f, eps_b
+
+
 def segment_u(sb: SurfaceBatch, T, back_air):
     """Per-segment U-value at the current working temperatures
     (UValue::u_value, discretization.rs:46-56).
@@ -763,6 +862,7 @@ def march_surfaces(
     rad_out=None,
     envs=None,
     solar_q=None,
+    mrt=None,
 ):
     """One sub-step of every surface (surface.rs:902-1001 march):
     solar distribution -> no-mass chunks -> massive chunks.
@@ -785,8 +885,9 @@ def march_surfaces(
             sb, node_T, t_front, t_back, wind_direction, wind_speed, ir_front,
             ir_back, config, statics=statics, rad_out=rad_out,
         )
-    rad_hs_f = linearized_rad_coefficient(sb.eps_front, env_f)
-    rad_hs_b = linearized_rad_coefficient(sb.eps_back, env_b)
+    env_f, env_b, rad_eps_f, rad_eps_b = apply_interior_mrt(sb, env_f, env_b, mrt)
+    rad_hs_f = linearized_rad_coefficient(rad_eps_f, env_f)
+    rad_hs_b = linearized_rad_coefficient(rad_eps_b, env_b)
 
     if solar_q is None:
         solar_q = absorbed_solar_q(sb, sol_front, sol_back)

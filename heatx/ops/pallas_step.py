@@ -99,6 +99,11 @@ def block_building(
     ``node_split`` (see heatx.build.blocking.build_blocks): "auto" places
     few-node surfaces in dedicated lanes of each block so the kernel can
     march them as a short sub-batch — typically ~3x less padded node work."""
+    if building.config.interior_mrt:
+        raise NotImplementedError(
+            "config.interior_mrt is not implemented in the fused Pallas "
+            "kernel; use the XLA integrators (march / march_imp / march_exp)"
+        )
     layout = build_blocks(building, block_size=block_size, node_split=node_split)
     sb = building.surfaces
 

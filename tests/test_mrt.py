@@ -1,0 +1,241 @@
+"""Interior longwave radiant exchange (config.interior_mrt, heatx extension).
+
+The reference radiates every interior face against the zone AIR temperature
+(surface.rs:611-640) — a non-conservative bath.  heatx's opt-in alternative
+is Carroll's (1980) MRT network: each space-facing face exchanges with its
+zone's mean-radiant-temperature node through an effective emissivity
+(surface resistance in series with the Carroll view resistance), and the
+node temperature is the balance point of the linearized conductances, so
+the zone's radiant exchange sums to zero at each coefficient evaluation.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import heatx
+from heatx.constants import KELVIN, SIGMA
+from heatx.engine import state as state_mod
+from heatx.engine import step as step_mod
+from heatx.engine import surface as surf_mod
+from heatx.model.building import (
+    Boundary,
+    BuildingModel,
+    Construction,
+    Material,
+    SpaceDef,
+    Substance,
+    SurfaceDef,
+)
+
+F64 = heatx.SimConfig(dtype=np.float64)
+MRT = heatx.SimConfig(dtype=np.float64, interior_mrt=True)
+
+
+def test_carroll_view_factors_known_values():
+    """Equal areas: n faces give F = n/(n-1) (Carroll 1980)."""
+    for n in (2, 3, 6):
+        area = jnp.ones(n, np.float64)
+        space = jnp.zeros(n, np.int32)
+        part = jnp.ones(n, bool)
+        F = surf_mod.carroll_view_factors(area, space, part, 1)
+        np.testing.assert_allclose(np.asarray(F), n / (n - 1.0), rtol=1e-12)
+    # Unequal areas still satisfy the defining fixed point (dominant face
+    # comfortably under half the zone total — Carroll's validity domain;
+    # at exactly half the factor diverges and the clamp takes over).
+    area = jnp.asarray([1.0, 1.2, 1.5])
+    F = np.asarray(
+        surf_mod.carroll_view_factors(area, space[:3], part[:3], 1, iters=80)
+    )
+    tot = float((np.asarray(area) * F).sum())
+    np.testing.assert_allclose(
+        F, 1.0 / (1.0 - np.asarray(area) * F / tot), rtol=1e-9
+    )
+    # Non-participating faces drop out of the zone total and return F=0.
+    F2 = np.asarray(
+        surf_mod.carroll_view_factors(
+            jnp.ones(3, np.float64), jnp.zeros(3, jnp.int32),
+            jnp.asarray([True, True, False]), 1,
+        )
+    )
+    np.testing.assert_allclose(F2[:2], 2.0, rtol=1e-12)
+    assert F2[2] == 0.0
+
+
+def _box_model(n_walls=4, eps=0.9, volume=600.0):
+    """One zone boxed by ``n_walls`` identical concrete walls, outdoors on
+    the front face, the zone on the back face."""
+    m = BuildingModel()
+    m.add_substance(Substance(
+        "concrete", thermal_conductivity=0.816, density=1700.0,
+        specific_heat_capacity=800.0,
+    ))
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    m.add_space(SpaceDef("room", volume))
+    verts = np.array([[0, 0, 0], [5, 0, 0], [5, 0, 3], [0, 0, 3]], float)
+    for i in range(n_walls):
+        m.add_surface(SurfaceDef(
+            f"w{i}", "wall", Boundary.outdoor(), Boundary.space_("room"),
+            vertices=verts,
+        ))
+    return m
+
+
+def test_mrt_context_balances_exactly():
+    """The MRT node temperature balances the linearized exchange: with the
+    rad_hs the wall equations compute from the returned (rad, eps), the
+    zone's area-weighted radiant flux sums to zero."""
+    tm = heatx.ThermalModel(_box_model(), n=4, config=MRT)
+    b = tm.building
+    sb = b.surfaces
+    st = tm.initial_state()
+    # Perturb the surfaces so they actually disagree.
+    node_T = np.asarray(st.node_T).copy()
+    rng = np.random.default_rng(0)
+    node_T += rng.uniform(-6.0, 6.0, node_T.shape)
+    node_T = jnp.asarray(node_T)
+
+    mf, tmf, ef, mb, tmb, eb = surf_mod.interior_mrt(
+        sb, node_T, st.zone_T, b.n_zones
+    )
+    mb = np.asarray(mb)
+    assert mb.all() and not np.asarray(mf).any()  # back faces bound the zone
+    ts_b = np.asarray(surf_mod._last_node(sb, node_T))
+    h = 4.0 * SIGMA * np.asarray(eb) * (
+        KELVIN + (np.asarray(tmb) + ts_b) / 2.0
+    ) ** 3
+    flux = (np.asarray(sb.area) * h * (np.asarray(tmb) - ts_b))[mb]
+    assert abs(flux.sum()) < 1e-8 * np.abs(flux).sum()
+    # The MRT node sits strictly inside the surface-temperature span.
+    assert ts_b.min() - 1e-9 <= np.asarray(tmb)[0] <= ts_b.max() + 1e-9
+
+
+def test_mrt_couples_hot_and_cold_walls():
+    """The discriminating experiment: a zone whose two walls face 60 C and
+    0 C ambients, interior films pinned to ~0 so the only interior coupling
+    is RADIATION and the zone air is inert (B ~ 0 holds it at 22 C, the
+    reference's degenerate-ODE rule).
+
+    * Air-bath (the reference's model): both interior faces radiate against
+      the frozen 22 C air — the walls never talk to each other.
+    * MRT: the faces exchange with their common radiant node, which sits at
+      the conductance-weighted mean of the two faces (ABOVE 22 here), so
+      BOTH inside faces end warmer than the air-bath run, and the heat
+      actually crossing the zone into the cold wall increases.
+    """
+    m = BuildingModel()
+    m.add_substance(Substance(
+        "concrete", thermal_conductivity=0.816, density=1700.0,
+        specific_heat_capacity=800.0,
+    ))
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    m.add_space(SpaceDef("room", 100.0))
+    verts = np.array([[0, 0, 0], [5, 0, 0], [5, 0, 3], [0, 0, 3]], float)
+    m.add_surface(SurfaceDef(
+        "hot", "wall", Boundary.ambient(60.0), Boundary.space_("room"),
+        vertices=verts,
+    ))
+    m.add_surface(SurfaceDef(
+        "cold", "wall", Boundary.ambient(0.0), Boundary.space_("room"),
+        vertices=verts,
+    ))
+
+    def run(cfg):
+        tm = heatx.ThermalModel(m, n=4, config=cfg)
+        tm.building.set_fixed_h(back=0.0)  # interior film off
+        tm.invalidate()
+        st = tm.initial_state()
+        inp = tm.inputs(t_out=20.0, wind_speed=0.0)
+        for _ in range(24 * 6 * 4):
+            st = tm.march(st, inp)
+        return tm, st
+
+    tm_air, st_air = run(F64)
+    tm_mrt, st_mrt = run(MRT)
+    b = tm_mrt.building
+    in_air = np.asarray(surf_mod._last_node(b.surfaces, st_air.node_T))
+    in_mrt = np.asarray(surf_mod._last_node(b.surfaces, st_mrt.node_T))
+    # Zone air held at its initial 22 C in both runs (B ~ 0 rule).
+    assert abs(float(st_air.zone_T[0]) - 22.0) < 1e-6
+    assert abs(float(st_mrt.zone_T[0]) - 22.0) < 1e-6
+    # The radiant node sits above the frozen 22 C bath, so both faces warm.
+    assert in_mrt[0] > in_air[0] + 0.3
+    assert in_mrt[1] > in_air[1] + 0.3
+    # Conservation at the final state: the hot face's linearized radiant
+    # loss equals the cold face's gain (the air-bath books these against
+    # an infinite reservoir instead).
+    mf, tmf, ef, mb, tmb, eb = surf_mod.interior_mrt(
+        b.surfaces, st_mrt.node_T, st_mrt.zone_T, b.n_zones
+    )
+    h = 4.0 * SIGMA * np.asarray(eb) * (
+        KELVIN + (np.asarray(tmb) + in_mrt) / 2.0
+    ) ** 3
+    flux = np.asarray(b.surfaces.area) * h * (np.asarray(tmb) - in_mrt)
+    assert abs(flux.sum()) < 1e-9 * np.abs(flux).sum() + 1e-12
+    assert flux[1] > 1.0  # real watts flow into the cold wall
+    # More heat crosses the zone with the radiant path in place: the cold
+    # wall conducts more to its 0 C ambient than under the air bath.
+    q_air = float(st_air.q_front[1])
+    q_mrt = float(st_mrt.q_front[1])
+    assert q_mrt > q_air + 0.1
+
+
+def test_mrt_skips_singleton_and_zero_eps_zones():
+    """A zone with a single participating face keeps the air-bath behavior
+    (bit-identical to interior_mrt=False), as does an eps=0 model."""
+    m = _box_model(n_walls=1)
+    tm_off = heatx.ThermalModel(m, n=4, config=F64)
+    tm_on = heatx.ThermalModel(m, n=4, config=MRT)
+    st0 = tm_off.initial_state()
+    inp = tm_off.inputs(t_out=-5.0, wind_speed=3.0, ir_front=300.0)
+    a, b_ = st0, st0
+    for _ in range(48):
+        a = tm_off.march(a, inp)
+        b_ = tm_on.march(b_, inp)
+    np.testing.assert_array_equal(np.asarray(a.node_T), np.asarray(b_.node_T))
+    np.testing.assert_array_equal(np.asarray(a.zone_T), np.asarray(b_.zone_T))
+
+
+def test_mrt_on_fast_integrators():
+    """TR-BDF2 and exponential fast modes apply the same MRT coefficients
+    (frozen per main step): both move the inside faces the same direction
+    as the parity march and stay within the usual coefficient-freeze drift."""
+    from heatx.engine.exponential import exp_march
+    from heatx.engine.implicit import imp_march
+
+    m = _box_model()
+    sol = np.array([500.0, 0.0, 0.0, 0.0])
+    tm = heatx.ThermalModel(m, n=1, config=MRT)
+    b = tm.building
+    st0 = tm.initial_state()
+    inp = tm.inputs(
+        t_out=10.0, wind_speed=2.0, sol_front=sol,
+        ir_front=SIGMA * (KELVIN + 10.0) ** 4,
+    )
+
+    sts = {"parity": st0, "imp": st0, "exp": st0}
+    import jax
+
+    march_imp = jax.jit(lambda s: imp_march(b, s, inp, 8))
+    march_exp = jax.jit(lambda s: exp_march(b, s, inp, 8))
+    march_par = jax.jit(lambda s: step_mod.march(b, s, inp))
+    for _ in range(48):
+        sts["parity"] = march_par(sts["parity"])
+        sts["imp"] = march_imp(sts["imp"])
+        sts["exp"] = march_exp(sts["exp"])
+    ref = np.asarray(surf_mod._last_node(b.surfaces, sts["parity"].node_T))
+    for k in ("imp", "exp"):
+        got = np.asarray(surf_mod._last_node(b.surfaces, sts[k].node_T))
+        np.testing.assert_allclose(got, ref, atol=0.5)
+        assert got[0] == got.max()  # sun-struck face stays the hottest
+
+
+def test_mrt_rejected_by_kernel():
+    from heatx.ops import pallas_step
+
+    tm = heatx.ThermalModel(_box_model(), n=1, config=MRT)
+    with pytest.raises(NotImplementedError, match="interior_mrt"):
+        pallas_step.block_building(tm.building, block_size=8)
