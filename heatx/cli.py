@@ -63,6 +63,8 @@ def _build(args):
     kw = {"dtype": jnp.float64 if args.f64 else jnp.float32}
     if getattr(args, "nomass_iters", None):
         kw["nomass_fixed_iters"] = args.nomass_iters
+    if getattr(args, "interior_mrt", False):
+        kw["interior_mrt"] = True
     tm = ThermalModel(model, n=n, config=SimConfig(**kw))
     return model, tm, extras
 
@@ -234,9 +236,19 @@ def cmd_simulate(args) -> int:
     if engine == "auto":
         # The fused kernel implements parity and both trbdf2 modes; exp
         # stays on the XLA host loop even on TPU.  It marches whole hours,
-        # so sub-hourly main steps (--n / IDF Timestep > 1) stay on XLA.
+        # so sub-hourly main steps (--n / IDF Timestep > 1) stay on XLA;
+        # interior MRT exchange is XLA-only too.
         on_tpu = jax.default_backend() == "tpu"
-        engine = "kernel" if (on_tpu and args.mode != "exp" and n == 1) else "xla"
+        engine = "kernel" if (
+            on_tpu and args.mode != "exp" and n == 1 and not args.interior_mrt
+        ) else "xla"
+    if engine == "kernel" and args.interior_mrt:
+        print(
+            "error: --interior-mrt runs on the XLA integrators only; use "
+            "--engine xla",
+            file=sys.stderr,
+        )
+        return 2
     if engine == "kernel" and n > 1:
         print(
             "error: --engine kernel marches hourly main steps; rebuild with "
@@ -658,6 +670,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--checked", action="store_true",
                    help="in-graph per-step finiteness guard (XLA parity engine)")
+    p.add_argument(
+        "--interior-mrt", action="store_true",
+        help="interior longwave exchange between each zone's surfaces via "
+        "Carroll's MRT network instead of the zone-air radiant bath "
+        "(conservative; XLA engines only)",
+    )
     p.add_argument(
         "--loads-csv", default=None,
         help="also write the hourly per-zone ideal-load demand (W, "

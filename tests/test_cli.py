@@ -397,6 +397,29 @@ HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
     assert d["unmet_heating_hours"] == 0 and d["unmet_cooling_hours"] == 0
 
 
+def test_cli_interior_mrt(tmp_path):
+    """--interior-mrt changes results on a multi-surface zone (the zone's
+    faces exchange longwave directly) and is rejected by the kernel engine."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
+BuildingSurface:Detailed,
+    Wall, Wall, Slab, Room, , Outdoors, , SunExposed, WindExposed, 0,
+    4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+"""
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    o1, o2 = tmp_path / "a.csv", tmp_path / "b.csv"
+    base = ["simulate", str(p), EPW, "--hours", "12", "--engine", "xla",
+            "--mode", "trbdf2", "--f64"]
+    assert main(base + ["-o", str(o1)]) == 0
+    assert main(base + ["--interior-mrt", "-o", str(o2)]) == 0
+    a = [r[1] for r in csv.reader(open(o1))][1:]
+    b = [r[1] for r in csv.reader(open(o2))][1:]
+    assert a != b  # radiant coupling moved the zone trajectory
+    assert main(base + ["--interior-mrt", "--engine", "kernel"]) == 2
+
+
 def test_cli_summary_unmet_hours(tmp_path):
     """Capacity-limited ideal loads report unmet setpoint hours (zone-hours
     outside the +-0.5 K throttling range) in the summary."""
