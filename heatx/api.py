@@ -149,6 +149,55 @@ class ThermalModel:
                 upd[name] = jnp.broadcast_to(v[None], (T,) + b0.shape)
         return base._replace(**upd)
 
+    def warmup(
+        self,
+        state: SimState,
+        inputs_period: StepInputs,
+        max_repeats: int = 25,
+        tol: float = 0.01,
+        run=None,
+    ):
+        """EnergyPlus-style warm-up: repeat one period of inputs until the
+        state converges period-over-period.
+
+        Marches ``inputs_period`` (typically the horizon's first day, via
+        :meth:`inputs_sequence`) repeatedly from ``state``, stopping when the
+        largest zone- or node-temperature change between consecutive repeats
+        drops below ``tol`` K, or after ``max_repeats`` (EnergyPlus's default
+        cap is 25 warm-up days).  Returns ``(state, repeats_run)``.
+
+        Why: simulations start from the registered 22 C initialization
+        (surface_trait.rs:356-378); a massive or insulated envelope carries
+        that transient for days (the replay analysis measured a ~6.6-day
+        time constant for the mixed fixture wall — the dominant replay error
+        source; tests/test_eplus_replay.py).  The reference has no warm-up
+        mechanism; EnergyPlus repeats the first day until convergence, which
+        is what this reproduces.
+
+        ``run`` overrides the period integrator (``run(state) -> state``;
+        default: :meth:`run` without history) — pass a FastRunner closure to
+        warm up through the fused kernel.
+        """
+        import numpy as np
+
+        if run is None:
+            def run(s):
+                return self.run(s, inputs_period, collect_zone_T=False)[0]
+
+        mask = np.asarray(self.building.surfaces.node_mask)
+        prev_z = prev_n = None
+        for d in range(max_repeats):
+            state = run(state)
+            zt = np.asarray(state.zone_T)
+            nt = np.where(mask, np.asarray(state.node_T), 0.0)
+            if prev_z is not None:
+                dz = float(np.max(np.abs(zt - prev_z))) if zt.size else 0.0
+                dn = float(np.max(np.abs(nt - prev_n)))
+                if max(dz, dn) < tol:
+                    return state, d + 1
+            prev_z, prev_n = zt, nt
+        return state, max_repeats
+
     # -- marching ------------------------------------------------------------
 
     def march(self, state: SimState, inputs: StepInputs) -> SimState:

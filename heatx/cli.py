@@ -137,6 +137,17 @@ def _weather_series(epw, T, start=0):
     )
 
 
+def _first_day(seq, total_steps: int, day_steps: int):
+    """Slice a [T, ...]-leading StepInputs pytree to its first simulated day
+    (static leaves pass through) — the repeated period for --warmup-days."""
+    import jax
+
+    k = min(day_steps, total_steps)
+    return jax.tree.map(
+        lambda x: x[:k] if x.ndim and x.shape[0] == total_steps else x, seq
+    )
+
+
 def cmd_simulate(args) -> int:
     if args.engine == "kernel" and args.mode == "exp":
         print(
@@ -385,6 +396,16 @@ def cmd_simulate(args) -> int:
             ir_back=np.asarray(ir_b, in_dt),
             **{k: np.asarray(v, in_dt) for k, v in gain_kw.items()},
         )
+        if args.warmup_days:
+            day = _first_day(seq, T_steps, 24)
+            g_day = ground_hourly[:24] if ground_hourly is not None else None
+            st, reps = tm.warmup(
+                st, day, max_repeats=args.warmup_days,
+                run=lambda s: fr.run(
+                    s, day, collect_zone_T=False, ground_hourly=g_day
+                )[0],
+            )
+            print(f"# warm-up: {reps} first-day repeats", file=sys.stderr)
         out = fr.run(
             st, seq, ground_hourly=ground_hourly, collect_loads=want_loads,
             collect_fluxes=want_fluxes,
@@ -411,6 +432,14 @@ def cmd_simulate(args) -> int:
             run = lambda s, x: tm.run(s, x, collect_loads=True)  # noqa: E731
         else:
             run = tm.run_checked if args.checked else tm.run
+        if args.warmup_days:
+            if ground_hourly is not None:
+                tm.set_ground_temperature(float(ground_hourly[0]))
+            st, reps = tm.warmup(
+                st, _first_day(seq, T_steps, 24 * n),
+                max_repeats=args.warmup_days,
+            )
+            print(f"# warm-up: {reps} first-day repeats", file=sys.stderr)
         if ground_hourly is None:
             final, hist_out = run(st, seq)
             zt, loads = hist_out if want_loads else (hist_out, None)
@@ -453,6 +482,24 @@ def cmd_simulate(args) -> int:
                     state, step, substeps=substeps,
                     refresh_h=args.mode == "trbdf2_refresh",
                 )
+        if args.warmup_days:
+            day = _first_day(seq, T_steps, 24 * n)
+            k = min(24 * n, T_steps)
+            if ground_hourly is not None:
+                tm.set_ground_temperature(float(ground_hourly[0]))
+
+            def run_day(s):
+                for t in range(k):
+                    step = jax.tree.map(
+                        lambda x: x[t] if x.ndim and x.shape[0] == k
+                        else x, day,
+                    )
+                    s = march(s, step, substeps=args.substeps)
+                return s
+
+            st, reps = tm.warmup(st, day, max_repeats=args.warmup_days,
+                                 run=run_day)
+            print(f"# warm-up: {reps} first-day repeats", file=sys.stderr)
         hist, ldist = [], []
         state = st
         for t in range(T_steps):
@@ -670,6 +717,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--checked", action="store_true",
                    help="in-graph per-step finiteness guard (XLA parity engine)")
+    p.add_argument(
+        "--warmup-days", type=int, default=0, metavar="N",
+        help="EnergyPlus-style warm-up: repeat the first simulated day until "
+        "zone/node temperatures converge day-over-day (< 0.01 K), up to N "
+        "repeats, before marching the reported horizon (cures the 22 C "
+        "initialization transient; EnergyPlus's own cap is 25).  Warm-up "
+        "time is included in the reported wall clock",
+    )
     p.add_argument(
         "--interior-mrt", action="store_true",
         help="interior longwave exchange between each zone's surfaces via "

@@ -397,6 +397,29 @@ HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
     assert d["unmet_heating_hours"] == 0 and d["unmet_cooling_hours"] == 0
 
 
+def test_cli_warmup_days(tmp_path, capsys):
+    """--warmup-days repeats the first day to convergence before the
+    reported horizon: the first reported hour moves from the 22 C
+    initialization toward the periodic regime, and stderr names the
+    repeat count."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = tmp_path / "m.idf"
+    idf.write_text(_SLAB_IDF.replace("Ground", "Outdoors"))
+    o1, o2 = tmp_path / "a.csv", tmp_path / "b.csv"
+    base = ["simulate", str(idf), EPW, "--hours", "24", "--engine", "xla",
+            "--mode", "trbdf2", "--f64"]
+    assert main(base + ["-o", str(o1)]) == 0
+    assert main(base + ["--warmup-days", "25", "-o", str(o2)]) == 0
+    err = capsys.readouterr().err
+    assert "# warm-up:" in err
+    a = [float(r[1]) for r in list(csv.reader(open(o1)))[1:]]
+    b = [float(r[1]) for r in list(csv.reader(open(o2)))[1:]]
+    # Warmed start differs up front and is more day-periodic.
+    assert abs(a[0] - b[0]) > 0.5
+    assert abs(b[-1] - b[0]) < abs(a[-1] - a[0])
+
+
 def test_cli_interior_mrt(tmp_path):
     """--interior-mrt changes results on a multi-surface zone (the zone's
     faces exchange longwave directly) and is rejected by the kernel engine."""
