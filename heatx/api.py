@@ -217,19 +217,35 @@ class ThermalModel:
         inputs_seq: StepInputs,
         collect_zone_T: bool = True,
         collect_loads: bool = False,
+        collect_operative: bool = False,
     ) -> Tuple[SimState, Optional[jax.Array]]:
         """March a whole [T, ...] input sequence in one compiled scan.
 
         With ``collect_loads`` (setpoint-driven HVAC only) the history
         output is ``(zone_T_hist, ideal_load_hist)`` — the per-main-step
-        mean heating(+)/cooling(-) demand in W per zone."""
-        key = (collect_zone_T, collect_loads)
+        mean heating(+)/cooling(-) demand in W per zone.
+        ``collect_operative`` appends the [T, Z] operative-temperature
+        history ``(T_air + T_mrt)/2`` (see :meth:`zone_mrt`)."""
+        key = (collect_zone_T, collect_loads, collect_operative)
         if key not in self._run:
             self._run[key] = jax.jit(partial(
                 step_mod.run, collect_zone_T=collect_zone_T,
                 collect_loads=collect_loads,
+                collect_operative=collect_operative,
             ))
         return self._run[key](self._device(), state, inputs_seq)
+
+    def zone_mrt(self, state: SimState) -> jax.Array:
+        """Per-zone mean radiant temperature [Z] of a state — the Carroll
+        exchange node over the zone's surface temperatures (a comfort
+        observable, available whether or not ``config.interior_mrt`` drives
+        the physics).  Operative temperature = ``(zone_T + zone_mrt)/2``."""
+        from heatx.engine import surface as surf_mod
+
+        b = self._device()
+        return jax.jit(surf_mod.zone_mrt, static_argnames=("n_zones",))(
+            b.surfaces, state.node_T, state.zone_T, n_zones=b.n_zones
+        )
 
     def run_checked(
         self, state: SimState, inputs_seq: StepInputs, collect_zone_T: bool = True

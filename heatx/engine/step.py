@@ -196,6 +196,7 @@ def run(
     inputs_seq: StepInputs,
     collect_zone_T: bool = True,
     collect_loads: bool = False,
+    collect_operative: bool = False,
 ) -> Tuple[SimState, Optional[jnp.ndarray]]:
     """March over a whole sequence of main steps in one XLA call.
 
@@ -207,6 +208,10 @@ def run(
     setpoint-driven HVAC only) the history output becomes the tuple
     ``(zone_T_hist, ideal_load_hist)`` with the [T_steps, Z] per-main-step
     mean ideal powers — the heating/cooling demand series.
+    ``collect_operative`` appends the [T_steps, Z] operative-temperature
+    history ``(zone_T + zone_MRT) / 2`` (zone MRT = the Carroll exchange
+    node of heatx.engine.surface.zone_mrt — a comfort observable,
+    independent of whether ``config.interior_mrt`` drives the physics).
     """
     if collect_loads and not building.has_ideal_hvac:
         raise ValueError(
@@ -219,6 +224,13 @@ def run(
         out = new_state.zone_T if collect_zone_T else None
         if collect_loads:
             out = (out, new_state.ideal_load)
+        if collect_operative:
+            mrt = surf_mod.zone_mrt(
+                building.surfaces, new_state.node_T, new_state.zone_T,
+                building.n_zones,
+            )
+            t_op = (new_state.zone_T + mrt) / 2.0
+            out = (out, t_op) if not collect_loads else (*out, t_op)
         return new_state, out
 
     return jax.lax.scan(body, state, _with_time_axis_mix(inputs_seq))

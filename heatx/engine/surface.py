@@ -394,8 +394,22 @@ def interior_mrt(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
     non-space faces, eps ~ 0 faces, and zones with fewer than two
     participating faces.
     """
-    dtype = node_T.dtype
+    part, idx, eps_eff, ts, tm, tm_face = _mrt_solve(
+        sb, node_T, zone_T, n_zones, statics
+    )
     S = sb.area.shape[0]
+    return (
+        part[:S], tm_face[:S], eps_eff[:S],
+        part[S:], tm_face[S:], eps_eff[S:],
+    )
+
+
+def _mrt_solve(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
+    """The Carroll MRT network over the [2S] concatenated (front, back)
+    faces; see :func:`interior_mrt`.  Returns ``(part, idx, eps_eff, ts,
+    tm, tm_face)`` with ``tm`` the [Z+1] per-zone node temperatures
+    (air-temperature fallback where the network is undefined)."""
+    dtype = node_T.dtype
     ts = jnp.concatenate([node_T[0], _last_node(sb, node_T, statics)])
     part = jnp.concatenate(
         [
@@ -419,6 +433,7 @@ def interior_mrt(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
     eps_eff = jnp.where(part, eps * F / (F * (1.0 - eps) + eps), 0.0)
 
     zpad = jnp.concatenate([zone_T, jnp.zeros((1,), dtype)])
+    tm = zpad
     tm_face = zpad[idx]  # start the linearization at the zone air temp
     for _ in range(4):
         h = 4.0 * SIGMA * eps_eff * (KELVIN + (tm_face + ts) / 2.0) ** 3
@@ -427,10 +442,18 @@ def interior_mrt(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
         den = jax.ops.segment_sum(w, idx, num_segments=n_zones + 1)
         tm = jnp.where(den > 1e-30, num / jnp.maximum(den, 1e-30), zpad)
         tm_face = tm[idx]
-    return (
-        part[:S], tm_face[:S], eps_eff[:S],
-        part[S:], tm_face[S:], eps_eff[S:],
-    )
+    return part, idx, eps_eff, ts, tm, tm_face
+
+
+def zone_mrt(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
+    """Per-zone mean radiant temperature [Z] from the current state — the
+    Carroll exchange node of :func:`interior_mrt` — as an OBSERVABLE (it
+    does not require ``config.interior_mrt``; under the air-bath model it
+    is simply the comfort metric's MRT estimate).  Zones whose network is
+    undefined (fewer than two participating faces) report the zone air
+    temperature.  Operative temperature is ``(zone_T + zone_mrt) / 2``."""
+    _, _, _, _, tm, _ = _mrt_solve(sb, node_T, zone_T, n_zones, statics)
+    return tm[:n_zones]
 
 
 def apply_interior_mrt(sb: SurfaceBatch, env_f: FaceEnv, env_b: FaceEnv, mrt):

@@ -233,6 +233,50 @@ def test_mrt_on_fast_integrators():
         assert got[0] == got.max()  # sun-struck face stays the hottest
 
 
+def test_zone_mrt_and_operative_observables():
+    """zone_mrt / run(collect_operative=True) report the comfort MRT and
+    operative temperature regardless of the physics flag: the MRT sits
+    inside the span of the zone's inside-face temperatures, the operative
+    temperature is the air/MRT mean, and a singleton zone reports air."""
+    tm = heatx.ThermalModel(_box_model(), n=1, config=F64)
+    T = 48
+    sol = np.zeros((T, 4))
+    sol[:, 0] = 400.0
+    seq = tm.inputs_sequence(
+        T, t_out=-5.0, wind_speed=3.0, sol_front=sol,
+        ir_front=SIGMA * (KELVIN - 5.0) ** 4,
+    )
+    st, hist = tm.run(tm.initial_state(), seq, collect_operative=True)
+    zt, top = (np.asarray(h) for h in hist)
+    assert zt.shape == top.shape == (T, 1)
+    mrt_final = float(tm.zone_mrt(st)[0])
+    faces = np.asarray(surf_mod._last_node(tm.building.surfaces, st.node_T))
+    assert faces.min() - 1e-9 <= mrt_final <= faces.max() + 1e-9
+    np.testing.assert_allclose(
+        top[-1, 0], (float(st.zone_T[0]) + mrt_final) / 2.0, rtol=1e-12
+    )
+    # The radiant environment differs measurably from the air node (three
+    # outdoor-losing faces pull MRT below air in this cold-sky setup).
+    assert abs(top[-1, 0] - zt[-1, 0]) > 0.05
+    # With loads collection the operative history rides third.
+    from heatx.model.building import IdealHeaterCooler
+
+    m2 = _box_model()
+    m2.add_hvac(IdealHeaterCooler("t", ["room"], heat_setpoint=20.0))
+    tm2 = heatx.ThermalModel(m2, n=1, config=F64)
+    seq2 = tm2.inputs_sequence(8, t_out=-5.0, wind_speed=3.0)
+    _, (zt2, loads2, top2) = tm2.run(
+        tm2.initial_state(), seq2, collect_loads=True, collect_operative=True
+    )
+    assert np.asarray(loads2).shape == np.asarray(top2).shape == (8, 1)
+    # Singleton zone: MRT falls back to the air temperature.
+    tm1 = heatx.ThermalModel(_box_model(n_walls=1), n=1, config=F64)
+    st1 = tm1.initial_state()
+    np.testing.assert_allclose(
+        np.asarray(tm1.zone_mrt(st1)), np.asarray(st1.zone_T), rtol=0, atol=0
+    )
+
+
 def test_mrt_rejected_by_kernel():
     from heatx.ops import pallas_step
 
