@@ -245,21 +245,12 @@ def cmd_simulate(args) -> int:
 
     engine = args.engine
     if engine == "auto":
-        # The fused kernel implements parity and both trbdf2 modes; exp
-        # stays on the XLA host loop even on TPU.  It marches whole hours,
-        # so sub-hourly main steps (--n / IDF Timestep > 1) stay on XLA;
-        # interior MRT exchange is XLA-only too.
+        # The fused kernel implements parity, both trbdf2 modes, and the
+        # interior-MRT network; exp stays on the XLA host loop even on TPU.
+        # It marches whole hours, so sub-hourly main steps (--n / IDF
+        # Timestep > 1) stay on XLA.
         on_tpu = jax.default_backend() == "tpu"
-        engine = "kernel" if (
-            on_tpu and args.mode != "exp" and n == 1 and not args.interior_mrt
-        ) else "xla"
-    if engine == "kernel" and args.interior_mrt:
-        print(
-            "error: --interior-mrt runs on the XLA integrators only; use "
-            "--engine xla",
-            file=sys.stderr,
-        )
-        return 2
+        engine = "kernel" if (on_tpu and args.mode != "exp" and n == 1) else "xla"
     if engine == "kernel" and n > 1:
         print(
             "error: --engine kernel marches hourly main steps; rebuild with "
@@ -729,7 +720,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--interior-mrt", action="store_true",
         help="interior longwave exchange between each zone's surfaces via "
         "Carroll's MRT network instead of the zone-air radiant bath "
-        "(conservative; XLA engines only)",
+        "(conservative)",
     )
     p.add_argument(
         "--loads-csv", default=None,

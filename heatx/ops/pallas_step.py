@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from heatx.build.blocking import BlockedLayout, build_blocks
 from heatx.build.layout import B_AMBIENT, B_OUTDOOR, B_SPACE, CompiledBuilding, SurfaceBatch
 from heatx.config import SimConfig
-from heatx.constants import KELVIN
+from heatx.constants import KELVIN, SIGMA
 from heatx.engine import surface as surf_mod
 from heatx.physics import gas
 
@@ -69,6 +69,10 @@ class BlockedBuilding:
     # (heat_sp, cool_sp, max_heat, max_cool) as [n_blocks, ZB] arrays, or
     # None when the building has no thermostatic units.
     ctl: tuple = None
+    # Static Carroll MRT-network data (config.interior_mrt): effective
+    # emissivities (eps_eff_front, eps_eff_back) as [SP] arrays, 0 for
+    # non-participating faces; None when the option is off.
+    mrt_eps: tuple = None
 
     @property
     def config(self) -> SimConfig:
@@ -91,6 +95,57 @@ class BlockedBuilding:
         return self.surfaces.max_nodes
 
 
+def _mrt_static_blocked(sb: SurfaceBatch, front_oh, back_oh, n_blocks, zones_per_block):
+    """Static Carroll MRT-network data for a blocked building (numpy).
+
+    The participation filter, view-factor fixed point, and effective
+    emissivities of engine.surface._mrt_solve depend only on static geometry
+    (areas, boundary codes, emissivities), so they precompute at blocking
+    time; only the 4-iteration linearized temperature fixed point runs
+    in-kernel (_mrt_context).  Blocks are zone-closed, so the network is
+    block-local and the zone axis is each block's ZB one-hot columns.
+
+    Returns ``(eps_eff_front, eps_eff_back)`` as [SP] float64 arrays
+    (0 = the face does not participate).
+    """
+    NB, ZB = n_blocks, zones_per_block
+    area = np.asarray(sb.area, np.float64)
+    SP = area.shape[0]
+    oh = np.stack(
+        [
+            np.asarray(front_oh, np.float64).reshape(NB, -1, ZB),
+            np.asarray(back_oh, np.float64).reshape(NB, -1, ZB),
+        ]
+    )  # [2, NB, SB, ZB]
+    part = np.stack(
+        [
+            (np.asarray(sb.front_code) == B_SPACE) & (np.asarray(sb.eps_front) > 1e-6),
+            (np.asarray(sb.back_code) == B_SPACE) & (np.asarray(sb.eps_back) > 1e-6),
+        ]
+    ).reshape(2, NB, -1)
+    a2 = np.broadcast_to(area.reshape(1, NB, -1), part.shape)
+
+    # An exchange network needs >= 2 participating faces in the zone
+    # (engine.surface._mrt_solve).
+    count = np.einsum("fnsz,fns->nz", oh, part.astype(np.float64))
+    part = part & (np.einsum("fnsz,nz->fns", oh, count) >= 1.5)
+
+    # Carroll view-factor fixed point (engine.surface.carroll_view_factors).
+    F = np.ones_like(a2)
+    for _ in range(20):
+        af = np.where(part, a2 * F, 0.0)
+        tot = np.einsum("fnsz,fns->nz", oh, af)
+        denom = 1.0 - af / np.maximum(np.einsum("fnsz,nz->fns", oh, tot), 1e-30)
+        F = 1.0 / np.maximum(denom, 0.05)
+    F = np.where(part, F, 0.0)
+    eps = np.stack(
+        [np.asarray(sb.eps_front, np.float64), np.asarray(sb.eps_back, np.float64)]
+    ).reshape(2, NB, -1)
+    denom = np.where(part, F * (1.0 - eps) + eps, 1.0)  # 0/0 on masked faces
+    eps_eff = np.where(part, eps * F / denom, 0.0)
+    return eps_eff[0].reshape(SP), eps_eff[1].reshape(SP)
+
+
 def block_building(
     building: CompiledBuilding, block_size: int = 1024, node_split="auto"
 ) -> BlockedBuilding:
@@ -99,11 +154,6 @@ def block_building(
     ``node_split`` (see heatx.build.blocking.build_blocks): "auto" places
     few-node surfaces in dedicated lanes of each block so the kernel can
     march them as a short sub-batch — typically ~3x less padded node work."""
-    if building.config.interior_mrt:
-        raise NotImplementedError(
-            "config.interior_mrt is not implemented in the fused Pallas "
-            "kernel; use the XLA integrators (march / march_imp / march_exp)"
-        )
     layout = build_blocks(building, block_size=block_size, node_split=node_split)
     sb = building.surfaces
 
@@ -195,6 +245,13 @@ def block_building(
             zb(building.ctl_max_cool, 0.0),
         )
 
+    mrt_eps = None
+    if building.config.interior_mrt:
+        mrt_eps = _mrt_static_blocked(
+            new_sb, layout.front_oh, layout.back_oh,
+            layout.n_blocks, layout.zones_per_block,
+        )
+
     return BlockedBuilding(
         base=building,
         layout=layout,
@@ -205,6 +262,7 @@ def block_building(
         zone_valid=layout.zone_valid,
         mix_wt=mix_wt,
         ctl=ctl,
+        mrt_eps=mrt_eps,
     )
 
 
@@ -390,6 +448,82 @@ def _zone_dots(a_extra, b_extra, parts_env, f32):
     return a_z, b_z
 
 
+def _mrt_context(parts, statics, Ts, tfbs, zT, f32):
+    """In-kernel Carroll MRT network (engine.surface.interior_mrt).
+
+    The participation masks, view factors, and effective emissivities are
+    static (block_building._mrt_static_blocked precomputes them; a part side
+    with no participating face carries ``mrt_ef``/``mrt_eb = None`` and is
+    skipped at trace time).  What runs per coefficient evaluation is the
+    same 4-iteration linearized fixed point as the XLA path
+    (surface.py:_mrt_solve), expressed as one-hot row matmuls over the
+    block's zones — the machinery _zone_dots already uses.
+
+    ``tfbs`` are the parts' (t_front, t_back) boundary air temperatures
+    (zone air for space faces — the fixed point's initial linearization,
+    like _mrt_solve's ``zpad[idx]``).  Returns one
+    ``(mask_f, tm_f, eps_f, mask_b, tm_b, eps_b)`` context per part
+    (None where neither side participates), ready for
+    surface.apply_interior_mrt.
+    """
+    faces = []  # (part, eps_eff, ts, oh, ohT) per participating side
+    tm_face = []  # current linearization temperature per side
+    for p, st, T, (t_front, t_back) in zip(parts, statics, Ts, tfbs):
+        if p.mrt_ef is not None:
+            faces.append((p, p.mrt_ef, T[0], p.front_oh, p.front_ohT))
+            tm_face.append(t_front)
+        if p.mrt_eb is not None:
+            faces.append(
+                (p, p.mrt_eb, surf_mod._last_node(p.sb, T, st), p.back_oh,
+                 p.back_ohT)
+            )
+            tm_face.append(t_back)
+    if not faces:
+        return [None] * len(parts)
+
+    tm = zT
+    for _ in range(4):
+        num = jnp.zeros_like(zT)
+        den = jnp.zeros_like(zT)
+        for (p, eps_eff, ts, oh, _), tmf in zip(faces, tm_face):
+            h = 4.0 * SIGMA * eps_eff * (KELVIN + (tmf + ts) / 2.0) ** 3
+            w = h * p.sb.area  # 0 for non-participating faces (eps_eff = 0)
+            ab = jnp.dot(
+                jnp.stack([w * ts, w], axis=0), oh, preferred_element_type=f32
+            )
+            r0, r1 = _row01(ab)
+            num = num + r0
+            den = den + r1
+        tm = jnp.where(den > 1e-30, num / jnp.maximum(den, 1e-30), zT)
+        tm_face = [
+            jnp.dot(tm, ohT, preferred_element_type=f32)[0]
+            for (_, _, _, _, ohT) in faces
+        ]
+
+    out = []
+    fi = 0
+    for p in parts:
+        if p.mrt_ef is None and p.mrt_eb is None:
+            out.append(None)
+            continue
+        zero = jnp.zeros_like(p.sb.area)
+        false = zero > 1.0
+        ef = p.mrt_ef if p.mrt_ef is not None else zero
+        eb = p.mrt_eb if p.mrt_eb is not None else zero
+        if p.mrt_ef is not None:
+            mf, tmf = ef > 0.0, tm_face[fi]
+            fi += 1
+        else:
+            mf, tmf = false, zero
+        if p.mrt_eb is not None:
+            mb, tmb = eb > 0.0, tm_face[fi]
+            fi += 1
+        else:
+            mb, tmb = false, zero
+        out.append((mf, tmf, ef, mb, tmb, eb))
+    return out
+
+
 def _hour_body(
     cfg: SimConfig,
     parts,  # list of SimpleNamespace(sb, front_oh[T], back_oh[T], sol/ir, *_any)
@@ -430,11 +564,20 @@ def _hour_body(
     ]
     def substep(carry, t_out, wind_speed, wind_direction):
         Ts, zT = carry
+        bts = [_boundary_temps(p.sb, p, zT, t_out, f32) for p in parts]
+        # Interior longwave exchange (config.interior_mrt): evaluated from
+        # the step-start state snapshot, like the XLA path (step.substep).
+        mrts = (
+            _mrt_context(parts, statics, Ts, bts, zT, f32)
+            if cfg.interior_mrt
+            else [None] * len(parts)
+        )
         new_Ts = []
         hqs = []
         envs = []
-        for p, st, ro, sq, T in zip(parts, statics, rad_outs, solar_qs, Ts):
-            t_front, t_back = _boundary_temps(p.sb, p, zT, t_out, f32)
+        for p, st, ro, sq, T, (t_front, t_back), mrt in zip(
+            parts, statics, rad_outs, solar_qs, Ts, bts, mrts
+        ):
             # Forced h + windward test depend only on this sub-step's weather:
             # computed once, shared by the in-march and post-march TARP
             # evaluations (they differ only in the surface temperature).
@@ -448,7 +591,7 @@ def _hour_body(
                 p.sb, T, t_front, t_back, wind_direction, wind_speed,
                 p.sol_front, p.sol_back, p.ir_front, p.ir_back, dt, cfg,
                 has_massive=p.sb.has_massive, solver=solver, statics=st,
-                rad_out=ro, envs=env_m, solar_q=sq,
+                rad_out=ro, envs=env_m, solar_q=sq, mrt=mrt,
             )
             env_f, env_b = surf_mod.border_conditions(
                 p.sb, T_new, t_front, t_back, wind_direction, wind_speed,
@@ -567,15 +710,28 @@ def _hour_body_imp(
         Called once per hour (frozen mode — Mosaic does not hoist
         loop-invariant chains out of the fori_loop, so the hoist is manual)
         or once per sub-step (refresh mode)."""
+        bts = [_boundary_temps(p.sb, p, zT_c, t_out_c, f32) for p in parts]
+        # Interior longwave exchange (config.interior_mrt): frozen with the
+        # rest of the coefficients, exactly like the XLA implicit path
+        # (implicit.py build_operators).
+        mrts = (
+            _mrt_context(parts, statics, Ts_c, bts, zT_c, f32)
+            if cfg.interior_mrt
+            else [None] * len(parts)
+        )
         ops = []
-        for p, st, T0, solar_q in zip(parts, statics, Ts_c, solar_qs):
-            t_front0, t_back0 = _boundary_temps(p.sb, p, zT_c, t_out_c, f32)
+        for p, st, T0, solar_q, (t_front0, t_back0), mrt in zip(
+            parts, statics, Ts_c, solar_qs, bts, mrts
+        ):
             env_f0, env_b0 = surf_mod.border_conditions(
                 p.sb, T0, t_front0, t_back0, wd_c, ws_c, p.ir_front,
                 p.ir_back, cfg, statics=st,
             )
-            rad_hs_f = surf_mod.linearized_rad_coefficient(p.sb.eps_front, env_f0)
-            rad_hs_b = surf_mod.linearized_rad_coefficient(p.sb.eps_back, env_b0)
+            env_f0, env_b0, rad_eps_f, rad_eps_b = surf_mod.apply_interior_mrt(
+                p.sb, env_f0, env_b0, mrt
+            )
+            rad_hs_f = surf_mod.linearized_rad_coefficient(rad_eps_f, env_f0)
+            rad_hs_b = surf_mod.linearized_rad_coefficient(rad_eps_b, env_b0)
             U = surf_mod.segment_u(p.sb, T0, env_b0.air)
             K = _full_system_K(p.sb, U, env_f0, env_b0, rad_hs_f, rad_hs_b, st)
             C = jnp.where(p.sb.massive, p.sb.mass, jnp.zeros_like(p.sb.mass))
@@ -923,6 +1079,16 @@ def make_hour_march(
             normal_y=row(psb.normal[1]),
             chunk_count=np.ascontiguousarray(psb.nomass_chunk_count),  # [C, W*NB]
         )
+        if bb.mrt_eps is not None:
+            # Static Carroll effective emissivities (config.interior_mrt);
+            # a part side with no participating face skips its row (and,
+            # statically, the whole MRT arithmetic for that side).
+            mef = np.asarray(s_(bb.mrt_eps[0]), dtype)
+            meb = np.asarray(s_(bb.mrt_eps[1]), dtype)
+            if mef.any():
+                surf_arrays["mrt_eps_f"] = row(mef)
+            if meb.any():
+                surf_arrays["mrt_eps_b"] = row(meb)
         part_surf_arrays.append(surf_arrays)
         # Zone one-hots, both orientations: [W, ZB] for the reduce dots and
         # [ZB, W] for the temperature gathers (M=1 matmuls both ways — the
@@ -1124,6 +1290,7 @@ def make_hour_march(
             parts = []
             for pi, (sb_vals, rp) in enumerate(part_vals):
                 names = part_aux_names[pi]
+                snames = part_surf_names[pi]
                 parts.append(
                     SimpleNamespace(
                         sb=sb_vals,
@@ -1133,6 +1300,8 @@ def make_hour_march(
                         back_oh=rp["back_oh"][...] if "back_oh" in names else None,
                         front_ohT=rp["front_ohT"][...] if "front_ohT" in names else None,
                         back_ohT=rp["back_ohT"][...] if "back_ohT" in names else None,
+                        mrt_ef=rp["mrt_eps_f"][0] if "mrt_eps_f" in snames else None,
+                        mrt_eb=rp["mrt_eps_b"][0] if "mrt_eps_b" in snames else None,
                         sol_front=rp["sol_front"][hs, :][0],
                         sol_back=rp["sol_back"][hs, :][0],
                         ir_front=rp["ir_front"][hs, :][0],

@@ -422,7 +422,7 @@ def test_cli_warmup_days(tmp_path, capsys):
 
 def test_cli_interior_mrt(tmp_path):
     """--interior-mrt changes results on a multi-surface zone (the zone's
-    faces exchange longwave directly) and is rejected by the kernel engine."""
+    faces exchange longwave directly) and runs on the kernel engine too."""
     if not os.path.isfile(EPW):
         pytest.skip("reference EPW unavailable")
     idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
@@ -440,7 +440,16 @@ BuildingSurface:Detailed,
     a = [r[1] for r in csv.reader(open(o1))][1:]
     b = [r[1] for r in csv.reader(open(o2))][1:]
     assert a != b  # radiant coupling moved the zone trajectory
-    assert main(base + ["--interior-mrt", "--engine", "kernel"]) == 2
+    # The fused kernel implements the same MRT network (pallas_step
+    # _mrt_context): same trajectory as the XLA integrator, f64.
+    o3 = tmp_path / "c.csv"
+    kbase = [x for x in base if x not in ("--engine", "xla")]
+    assert main(kbase + ["--interior-mrt", "--engine", "kernel",
+                         "-o", str(o3)]) == 0
+    c = [r[1] for r in csv.reader(open(o3))][1:]
+    np.testing.assert_allclose(
+        np.asarray(c, float), np.asarray(b, float), atol=1e-8
+    )
 
 
 def test_cli_summary_unmet_hours(tmp_path):

@@ -277,9 +277,156 @@ def test_zone_mrt_and_operative_observables():
     )
 
 
-def test_mrt_rejected_by_kernel():
+def _two_zone_model():
+    """Two zones x (2 massive + 1 mixed) outdoor walls + a massive partition
+    between them: multiple participating faces per zone, two node heights
+    (exercises the kernel's node-split parts), and a both-sides-participating
+    face (the partition)."""
+    m = BuildingModel()
+    m.add_substance(Substance(
+        "concrete", thermal_conductivity=0.816, density=1700.0,
+        specific_heat_capacity=800.0,
+    ))
+    m.add_substance(Substance(
+        "poly", thermal_conductivity=0.0252, density=17.5,
+        specific_heat_capacity=2400.0,
+    ))
+    m.add_material(Material("c15", "concrete", 0.15))
+    m.add_material(Material("p2", "poly", 0.02))
+    m.add_construction(Construction("wall", ["c15"]))
+    m.add_construction(Construction("mixed", ["p2", "c15"]))
+    verts = np.array([[0, 0, 0], [5, 0, 0], [5, 0, 3], [0, 0, 3]], float)
+    for z in range(2):
+        m.add_space(SpaceDef(f"z{z}", 200.0 + 50.0 * z))
+        for i, kind in enumerate(("wall", "wall", "mixed")):
+            m.add_surface(SurfaceDef(
+                f"s{z}_{i}", kind, Boundary.outdoor(),
+                Boundary.space_(f"z{z}"), vertices=verts,
+            ))
+    m.add_surface(SurfaceDef(
+        "partition", "wall", Boundary.space_("z0"), Boundary.space_("z1"),
+        vertices=verts,
+    ))
+    return m
+
+
+def _kernel_vs_xla(mode, xla_march, substeps=None, atol=1e-10, hours=3):
+    """March ``hours`` varying-weather hours through the fused kernel
+    (interpret, f64, interior_mrt) and the matching XLA integrator;
+    assert node/zone temperatures agree."""
+    import jax
+
+    from heatx.build.layout import compile_building
     from heatx.ops import pallas_step
 
-    tm = heatx.ThermalModel(_box_model(), n=1, config=MRT)
-    with pytest.raises(NotImplementedError, match="interior_mrt"):
-        pallas_step.block_building(tm.building, block_size=8)
+    cfg = heatx.SimConfig(
+        dtype=np.float64, interior_mrt=True, nomass_fixed_iters=2
+    )
+    b = compile_building(_two_zone_model(), n=1, config=cfg).astype(np.float64)
+    S = b.n_surfaces
+    sub = substeps or b.dt_subdivisions
+    t_out = np.array([-3.0, 2.0, 6.0])[:hours]
+    ws = np.array([3.0, 1.0, 5.0])[:hours]
+    rng = np.random.default_rng(7)
+    solf = rng.uniform(0.0, 1.0, (hours, S)) * 350.0
+    ir = SIGMA * (KELVIN + t_out - 15.0) ** 4
+
+    st = state_mod.initial_state(b)
+    base = state_mod.default_inputs(b)
+    march = jax.jit(xla_march)
+    for h in range(hours):
+        inp = base._replace(
+            t_out=jnp.asarray(t_out[h]), wind_speed=jnp.asarray(ws[h]),
+            sol_front=jnp.asarray(solf[h]),
+            ir_front=jnp.full((S,), ir[h]),
+        )
+        st = march(b, st, inp)
+
+    bb = pallas_step.block_building(b, block_size=8)
+    assert bb.mrt_eps is not None and np.asarray(bb.mrt_eps[0]).max() > 0
+    hm, params = pallas_step.make_hour_march(
+        bb, substeps=sub, interpret=True, mode=mode, hours=hours
+    )
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    st0 = state_mod.initial_state(b)
+    T = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st0.node_T)))
+    zT = jnp.asarray(lay.zones_to_blocked(np.asarray(st0.zone_T)))
+    az = jnp.zeros((hours, bb.n_blocks, bb.zones_per_block))
+    hi = (
+        jnp.repeat(jnp.asarray(t_out), sub),
+        jnp.repeat(jnp.asarray(ws), sub),
+        jnp.zeros((hours * sub,)),
+        jnp.asarray(np.stack([lay.surfaces_to_blocked(solf[h]) for h in range(hours)])),
+        jnp.zeros((hours, SP)),
+        jnp.asarray(np.repeat(ir[:, None], SP, 1)),
+        jnp.zeros((hours, SP)),
+        az, az,
+    )
+    Tk, zTk, _, _ = hm(params, T, zT, hi)
+    np.testing.assert_allclose(
+        np.asarray(lay.zones_from_blocked(np.asarray(zTk), b.n_zones)),
+        np.asarray(st.zone_T), atol=atol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lay.surfaces_from_blocked(np.asarray(Tk), S)),
+        np.asarray(st.node_T), atol=atol,
+    )
+    return b, bb
+
+
+def test_mrt_kernel_statics_match_xla():
+    """block_building's host-side Carroll statics equal the XLA path's
+    (participation-filtered effective emissivities), blocked layout-wise."""
+    from heatx.build.layout import compile_building
+    from heatx.ops import pallas_step
+
+    b = compile_building(_two_zone_model(), n=1, config=MRT).astype(np.float64)
+    st = state_mod.initial_state(b)
+    _, _, eps_eff, _, _, _ = surf_mod._mrt_solve(
+        b.surfaces, st.node_T, st.zone_T, b.n_zones
+    )
+    S = b.n_surfaces
+    bb = pallas_step.block_building(b, block_size=8)
+    lay = bb.layout
+    np.testing.assert_allclose(
+        np.asarray(bb.mrt_eps[0]),
+        lay.surfaces_to_blocked(np.asarray(eps_eff[:S])), atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bb.mrt_eps[1]),
+        lay.surfaces_to_blocked(np.asarray(eps_eff[S:])), atol=1e-12,
+    )
+    # The partition participates on BOTH faces; outdoor fronts on neither.
+    assert (np.asarray(bb.mrt_eps[0]) > 0).sum() == 1  # partition front
+    assert (np.asarray(bb.mrt_eps[1]) > 0).sum() == S  # every back face
+
+
+def test_mrt_kernel_matches_xla_parity():
+    """The parity hour kernel under config.interior_mrt reproduces the XLA
+    sub-step path (same 4-iteration linearized fixed point, f64)."""
+    _kernel_vs_xla("parity", step_mod.march, atol=1e-9)
+
+
+def test_mrt_kernel_matches_xla_trbdf2():
+    """The TR-BDF2 kernel freezes the MRT context with the other
+    coefficients, like implicit.build_operators."""
+    from heatx.engine import implicit as imp_mod
+
+    _kernel_vs_xla(
+        "trbdf2",
+        lambda b, s, i: imp_mod.imp_march(b, s, i, substeps=8),
+        substeps=8, atol=1e-11,
+    )
+
+
+def test_mrt_kernel_matches_xla_trbdf2_refresh():
+    """Refresh mode re-evaluates the MRT network every sub-step, like the
+    XLA refresh path (build_operators per sub-step)."""
+    from heatx.engine import implicit as imp_mod
+
+    _kernel_vs_xla(
+        "trbdf2_refresh",
+        lambda b, s, i: imp_mod.imp_march(b, s, i, substeps=8, refresh_h=True),
+        substeps=8, atol=1e-11,
+    )
