@@ -38,6 +38,7 @@ class ThermalModel:
         self.building: CompiledBuilding = compile_building(model, n=n, config=config)
         self._march = None
         self._run = {}  # keyed by collect_zone_T
+        self._zone_mrt_fn = None
         self._run_checked = {}
         self._march_exp = None
         self._march_imp = None
@@ -242,8 +243,15 @@ class ThermalModel:
         the physics).  Operative temperature = ``(zone_T + zone_mrt)/2``."""
         from heatx.engine import surface as surf_mod
 
+        if self._zone_mrt_fn is None:
+            # Cached like the other jitted entry points: a fresh jax.jit
+            # wrapper per call would re-trace on every invocation (a comfort
+            # post-processing loop calls this per saved state).
+            self._zone_mrt_fn = jax.jit(
+                surf_mod.zone_mrt, static_argnames=("n_zones",)
+            )
         b = self._device()
-        return jax.jit(surf_mod.zone_mrt, static_argnames=("n_zones",))(
+        return self._zone_mrt_fn(
             b.surfaces, state.node_T, state.zone_T, n_zones=b.n_zones
         )
 

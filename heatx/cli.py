@@ -30,6 +30,8 @@ import csv
 import sys
 import time
 
+import numpy as np
+
 
 def _configure_jax(args):
     import jax
@@ -137,15 +139,29 @@ def _weather_series(epw, T, start=0):
     )
 
 
+def _time_leaf_mask(seq, total_steps: int):
+    """Per-leaf "carries the [T, ...] time axis" mask for a StepInputs
+    pytree.  Identified ONCE against the full sequence length (thousands of
+    steps — unambiguous), then reused for any shorter slice: re-testing
+    against short lengths like 24 would misread a static per-zone/per-rule
+    leaf of the same length as a time series."""
+    import jax
+
+    return jax.tree.map(
+        lambda x: bool(np.ndim(x) and np.shape(x)[0] == total_steps), seq
+    )
+
+
 def _first_day(seq, total_steps: int, day_steps: int):
     """Slice a [T, ...]-leading StepInputs pytree to its first simulated day
-    (static leaves pass through) — the repeated period for --warmup-days."""
+    (static leaves pass through) — the repeated period for --warmup-days.
+    Returns ``(day, is_time)`` with the time-leaf mask for further slicing."""
     import jax
 
     k = min(day_steps, total_steps)
-    return jax.tree.map(
-        lambda x: x[:k] if x.ndim and x.shape[0] == total_steps else x, seq
-    )
+    is_time = _time_leaf_mask(seq, total_steps)
+    day = jax.tree.map(lambda x, m: x[:k] if m else x, seq, is_time)
+    return day, is_time
 
 
 def cmd_simulate(args) -> int:
@@ -388,7 +404,7 @@ def cmd_simulate(args) -> int:
             **{k: np.asarray(v, in_dt) for k, v in gain_kw.items()},
         )
         if args.warmup_days:
-            day = _first_day(seq, T_steps, 24)
+            day, _ = _first_day(seq, T_steps, 24)
             g_day = ground_hourly[:24] if ground_hourly is not None else None
             st, reps = tm.warmup(
                 st, day, max_repeats=args.warmup_days,
@@ -427,7 +443,7 @@ def cmd_simulate(args) -> int:
             if ground_hourly is not None:
                 tm.set_ground_temperature(float(ground_hourly[0]))
             st, reps = tm.warmup(
-                st, _first_day(seq, T_steps, 24 * n),
+                st, _first_day(seq, T_steps, 24 * n)[0],
                 max_repeats=args.warmup_days,
             )
             print(f"# warm-up: {reps} first-day repeats", file=sys.stderr)
@@ -474,7 +490,7 @@ def cmd_simulate(args) -> int:
                     refresh_h=args.mode == "trbdf2_refresh",
                 )
         if args.warmup_days:
-            day = _first_day(seq, T_steps, 24 * n)
+            day, day_is_time = _first_day(seq, T_steps, 24 * n)
             k = min(24 * n, T_steps)
             if ground_hourly is not None:
                 tm.set_ground_temperature(float(ground_hourly[0]))
@@ -482,8 +498,7 @@ def cmd_simulate(args) -> int:
             def run_day(s):
                 for t in range(k):
                     step = jax.tree.map(
-                        lambda x: x[t] if x.ndim and x.shape[0] == k
-                        else x, day,
+                        lambda x, m: x[t] if m else x, day, day_is_time,
                     )
                     s = march(s, step, substeps=args.substeps)
                 return s
@@ -493,6 +508,7 @@ def cmd_simulate(args) -> int:
             print(f"# warm-up: {reps} first-day repeats", file=sys.stderr)
         hist, ldist = [], []
         state = st
+        seq_is_time = _time_leaf_mask(seq, T_steps)
         for t in range(T_steps):
             if ground_hourly is not None:
                 hour = t // n
@@ -504,7 +520,7 @@ def cmd_simulate(args) -> int:
             # Static leaves (mix_vol etc.) carry no time axis; slice only
             # the [T, ...] ones.
             step = jax.tree.map(
-                lambda x: x[t] if x.ndim and x.shape[0] == T_steps else x, seq
+                lambda x, m: x[t] if m else x, seq, seq_is_time
             )
             state = march(state, step, substeps=args.substeps)
             hist.append(state.zone_T)
@@ -627,6 +643,11 @@ def cmd_simulate(args) -> int:
             Z = len(znames)
             hs = gain_kw.get("heat_sp")
             cs = gain_kw.get("cool_sp")
+            if n > 1:
+                # Scheduled setpoints were repeated onto the [T*n] sub-hourly
+                # grid (hour-constant); sample them back to the hourly zt grid.
+                hs = None if hs is None else np.asarray(hs)[n - 1 :: n]
+                cs = None if cs is None else np.asarray(cs)[n - 1 :: n]
             hs = np.broadcast_to(
                 np.asarray(b.ctl_heat_sp if hs is None else hs, np.float64),
                 (T, Z),

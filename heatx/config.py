@@ -87,8 +87,9 @@ class SimConfig:
     # weighted balance point of the other faces), which conserves the
     # linearized exchange exactly at each coefficient evaluation.  Zones
     # with fewer than two participating faces keep the air-bath behavior.
-    # Supported on the XLA integrators (parity march, TR-BDF2,
-    # exponential); the fused Pallas kernel rejects it at construction.
+    # Supported everywhere: the XLA integrators (parity march, TR-BDF2,
+    # exponential) and the fused Pallas kernel (all three modes; the static
+    # network data precomputes at blocking time, pallas_step._mrt_context).
     interior_mrt: bool = False
 
     def replace(self, **kw) -> "SimConfig":

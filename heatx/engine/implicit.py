@@ -98,6 +98,7 @@ def build_operators(
     wind_direction0,
     inputs: StepInputs,
     dt_sub,
+    mrt_static=None,
 ):
     """Per-main-step precompute: freeze h / rad_hs / cavity U from the current
     state and assemble the two TR-BDF2 stage matrices."""
@@ -115,7 +116,8 @@ def build_operators(
     mrt = None
     if cfg.interior_mrt:
         mrt = surf_mod.interior_mrt(
-            sb, state.node_T, state.zone_T, building.n_zones, statics
+            sb, state.node_T, state.zone_T, building.n_zones, statics,
+            mrt_static=mrt_static,
         )
     env_f, env_b, rad_eps_f, rad_eps_b = surf_mod.apply_interior_mrt(
         sb, env_f, env_b, mrt
@@ -228,7 +230,16 @@ def imp_march(
     wd = jnp.asarray(inputs.wind_direction)
     wd0 = wd if wd.ndim == 0 else wd[0]
 
-    ops = build_operators(building, state, t_out0, ws0, wd0, inputs, dt_sub)
+    # Hoist the Carroll network's static prefix out of the sub-step scan
+    # (it only matters under refresh_h, where build_operators re-runs per
+    # sub-step; computing it here is free either way).
+    mrt_static = None
+    if building.config.interior_mrt:
+        mrt_static = surf_mod.mrt_statics(building.surfaces, building.n_zones)
+
+    ops = build_operators(
+        building, state, t_out0, ws0, wd0, inputs, dt_sub, mrt_static
+    )
 
     def _sub_seq(v, v0):
         """Per-sub-step series: a leading [substeps] axis passes through,
@@ -249,7 +260,9 @@ def imp_march(
     def body(carry, x):
         t_i, ws_i, wd_i = x
         ops_i = (
-            build_operators(building, carry, t_i, ws_i, wd_i, inputs, dt_sub)
+            build_operators(
+                building, carry, t_i, ws_i, wd_i, inputs, dt_sub, mrt_static
+            )
             if refresh_h
             else ops
         )

@@ -29,6 +29,7 @@ def substep(
     wind_speed,
     wind_direction,
     inputs: StepInputs,
+    mrt_static=None,
 ) -> SimState:
     """One stability sub-step (the body of model.rs:369-424):
 
@@ -50,7 +51,8 @@ def substep(
     mrt = None
     if cfg.interior_mrt:
         mrt = surf_mod.interior_mrt(
-            sb, state.node_T, state.zone_T, building.n_zones
+            sb, state.node_T, state.zone_T, building.n_zones,
+            mrt_static=mrt_static,
         )
 
     node_T = surf_mod.march_surfaces(
@@ -115,7 +117,12 @@ def _per_substep_weather(building: CompiledBuilding, value):
     return value
 
 
-def march(building: CompiledBuilding, state: SimState, inputs: StepInputs) -> SimState:
+def march(
+    building: CompiledBuilding,
+    state: SimState,
+    inputs: StepInputs,
+    mrt_static=None,
+) -> SimState:
     """One main timestep = ``dt_subdivisions`` sub-steps (model.rs:359-427).
 
     Equivalent to one ``ThermalModel::march`` call: weather may vary per
@@ -125,11 +132,16 @@ def march(building: CompiledBuilding, state: SimState, inputs: StepInputs) -> Si
     ws = _per_substep_weather(building, inputs.wind_speed)
     wd = _per_substep_weather(building, inputs.wind_direction)
 
+    # Hoist the Carroll network's static prefix (participation / view
+    # factors / effective emissivities) out of the sub-step scan.
+    if building.config.interior_mrt and mrt_static is None:
+        mrt_static = surf_mod.mrt_statics(building.surfaces, building.n_zones)
+
     collect_load = building.has_ideal_hvac
 
     def body(carry, xs):
         t_o, w_s, w_d = xs
-        new = substep(building, carry, t_o, w_s, w_d, inputs)
+        new = substep(building, carry, t_o, w_s, w_d, inputs, mrt_static)
         return new, (new.ideal_load if collect_load else None)
 
     state, loads = jax.lax.scan(body, state, (t_out, ws, wd))
@@ -219,15 +231,21 @@ def run(
             "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
         )
 
+    # One static-prefix evaluation per run, outside both scans (needed by
+    # the physics under interior_mrt and by the operative-T observable).
+    mrt_static = None
+    if building.config.interior_mrt or collect_operative:
+        mrt_static = surf_mod.mrt_statics(building.surfaces, building.n_zones)
+
     def body(carry, step_inputs):
-        new_state = march(building, carry, step_inputs)
+        new_state = march(building, carry, step_inputs, mrt_static=mrt_static)
         out = new_state.zone_T if collect_zone_T else None
         if collect_loads:
             out = (out, new_state.ideal_load)
         if collect_operative:
             mrt = surf_mod.zone_mrt(
                 building.surfaces, new_state.node_T, new_state.zone_T,
-                building.n_zones,
+                building.n_zones, mrt_static=mrt_static,
             )
             t_op = (new_state.zone_T + mrt) / 2.0
             out = (out, t_op) if not collect_loads else (*out, t_op)
@@ -271,10 +289,16 @@ def make_checked_run_fn(collect_zone_T: bool = True):
     from jax.experimental import checkify
 
     def run_fn(building, state, inputs_seq):
+        mrt_static = None
+        if building.config.interior_mrt:
+            mrt_static = surf_mod.mrt_statics(
+                building.surfaces, building.n_zones
+            )
+
         def body(carry, xs):
             state, step_idx = carry
             step_inputs = xs
-            new_state = march(building, state, step_inputs)
+            new_state = march(building, state, step_inputs, mrt_static=mrt_static)
             zone_ok = jnp.isfinite(new_state.zone_T)
             node_ok = jnp.isfinite(
                 jnp.where(building.surfaces.node_mask, new_state.node_T, 0.0)

@@ -372,45 +372,15 @@ def carroll_view_factors(area, space, participating, n_zones, iters=20):
     return jnp.where(participating, F, 0.0)
 
 
-def interior_mrt(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
-    """Interior longwave exchange context (``config.interior_mrt``).
-
-    For every space-facing face, computes the zone's mean-radiant-
-    temperature node (Carroll 1980 — the MRT network EnergyPlus offers as
-    its geometry-free radiant-exchange option) from the CURRENT node
-    temperatures, plus the face's effective emissivity toward that node:
-    the surface resistance (1-eps)/eps in series with the Carroll view
-    resistance 1/F, i.e. ``eps* = eps F / (F (1-eps) + eps)``.
-
-    The MRT temperature is the balance point of the same linearized
-    conductances the wall equations use (``rad_hs`` with midpoint
-    ``(T_m + T_s)/2``; a short fixed point makes the two self-consistent),
-    so the zone's radiant exchange sums to zero exactly at each coefficient
-    evaluation — unlike the reference's zone-air radiant bath
-    (surface.rs:611-640), which books the radiative flux nowhere.
-
-    Returns ``(mask_f, tm_f, eps_f, mask_b, tm_b, eps_b)`` per-surface
-    arrays; masks are False (and the caller keeps air-bath behavior) for
-    non-space faces, eps ~ 0 faces, and zones with fewer than two
-    participating faces.
-    """
-    part, idx, eps_eff, ts, tm, tm_face = _mrt_solve(
-        sb, node_T, zone_T, n_zones, statics
-    )
-    S = sb.area.shape[0]
-    return (
-        part[:S], tm_face[:S], eps_eff[:S],
-        part[S:], tm_face[S:], eps_eff[S:],
-    )
-
-
-def _mrt_solve(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
-    """The Carroll MRT network over the [2S] concatenated (front, back)
-    faces; see :func:`interior_mrt`.  Returns ``(part, idx, eps_eff, ts,
-    tm, tm_face)`` with ``tm`` the [Z+1] per-zone node temperatures
-    (air-temperature fallback where the network is undefined)."""
-    dtype = node_T.dtype
-    ts = jnp.concatenate([node_T[0], _last_node(sb, node_T, statics)])
+def mrt_statics(sb: SurfaceBatch, n_zones):
+    """Static prefix of the Carroll MRT network over the [2S] concatenated
+    (front, back) faces: participation mask, zone index, and effective
+    emissivity.  Depends only on static geometry (areas, boundary codes,
+    emissivities) — the run/march entry points compute it ONCE outside
+    their scans and pass it down (the 20-iteration view-factor fixed point
+    is a segment-sum chain XLA's LICM is not guaranteed to hoist out of a
+    scan body).  The fused kernel's numpy twin is
+    pallas_step._mrt_static_blocked."""
     part = jnp.concatenate(
         [
             (sb.front_code == B_SPACE) & (sb.eps_front > 1e-6),
@@ -430,7 +400,64 @@ def _mrt_solve(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
     idx = jnp.where(part, space, n_zones).astype(jnp.int32)
 
     F = carroll_view_factors(area, space, part, n_zones)
-    eps_eff = jnp.where(part, eps * F / (F * (1.0 - eps) + eps), 0.0)
+    # Guard the masked branch: F = eps = 0 on non-participating faces makes
+    # the raw quotient 0/0, whose NaN would poison reverse-mode gradients
+    # through the jnp.where (the classic where-NaN-VJP trap).
+    den = jnp.where(part, F * (1.0 - eps) + eps, 1.0)
+    eps_eff = jnp.where(part, eps * F / den, 0.0)
+    return part, idx, eps_eff
+
+
+def interior_mrt(
+    sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None, mrt_static=None
+):
+    """Interior longwave exchange context (``config.interior_mrt``).
+
+    For every space-facing face, computes the zone's mean-radiant-
+    temperature node (Carroll 1980 — the MRT network EnergyPlus offers as
+    its geometry-free radiant-exchange option) from the CURRENT node
+    temperatures, plus the face's effective emissivity toward that node:
+    the surface resistance (1-eps)/eps in series with the Carroll view
+    resistance 1/F, i.e. ``eps* = eps F / (F (1-eps) + eps)``.
+
+    The MRT temperature is the balance point of the same linearized
+    conductances the wall equations use (``rad_hs`` with midpoint
+    ``(T_m + T_s)/2``; a short fixed point makes the two self-consistent),
+    so the zone's radiant exchange sums to zero exactly at each coefficient
+    evaluation — unlike the reference's zone-air radiant bath
+    (surface.rs:611-640), which books the radiative flux nowhere.
+
+    ``mrt_static`` passes a precomputed :func:`mrt_statics` result (hoisted
+    outside the caller's scan); default computes it here.
+
+    Returns ``(mask_f, tm_f, eps_f, mask_b, tm_b, eps_b)`` per-surface
+    arrays; masks are False (and the caller keeps air-bath behavior) for
+    non-space faces, eps ~ 0 faces, and zones with fewer than two
+    participating faces.
+    """
+    part, idx, eps_eff, ts, tm, tm_face = _mrt_solve(
+        sb, node_T, zone_T, n_zones, statics, mrt_static
+    )
+    S = sb.area.shape[0]
+    return (
+        part[:S], tm_face[:S], eps_eff[:S],
+        part[S:], tm_face[S:], eps_eff[S:],
+    )
+
+
+def _mrt_solve(
+    sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None, mrt_static=None
+):
+    """The Carroll MRT network over the [2S] concatenated (front, back)
+    faces; see :func:`interior_mrt`.  Returns ``(part, idx, eps_eff, ts,
+    tm, tm_face)`` with ``tm`` the [Z+1] per-zone node temperatures
+    (air-temperature fallback where the network is undefined)."""
+    dtype = node_T.dtype
+    ts = jnp.concatenate([node_T[0], _last_node(sb, node_T, statics)])
+    if mrt_static is None:
+        mrt_static = mrt_statics(sb, n_zones)
+    part, idx, eps_eff = mrt_static
+    area = jnp.concatenate([sb.area, sb.area])
 
     zpad = jnp.concatenate([zone_T, jnp.zeros((1,), dtype)])
     tm = zpad
@@ -445,14 +472,18 @@ def _mrt_solve(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
     return part, idx, eps_eff, ts, tm, tm_face
 
 
-def zone_mrt(sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None):
+def zone_mrt(
+    sb: SurfaceBatch, node_T, zone_T, n_zones, statics=None, mrt_static=None
+):
     """Per-zone mean radiant temperature [Z] from the current state — the
     Carroll exchange node of :func:`interior_mrt` — as an OBSERVABLE (it
     does not require ``config.interior_mrt``; under the air-bath model it
     is simply the comfort metric's MRT estimate).  Zones whose network is
     undefined (fewer than two participating faces) report the zone air
     temperature.  Operative temperature is ``(zone_T + zone_mrt) / 2``."""
-    _, _, _, _, tm, _ = _mrt_solve(sb, node_T, zone_T, n_zones, statics)
+    _, _, _, _, tm, _ = _mrt_solve(
+        sb, node_T, zone_T, n_zones, statics, mrt_static
+    )
     return tm[:n_zones]
 
 

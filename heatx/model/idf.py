@@ -486,7 +486,15 @@ def _day_week_year_schedules(by_type, start_dow: int) -> Dict[str, np.ndarray]:
     days) never occur in the rendered calendar and are ignored."""
     days: Dict[str, np.ndarray] = {}
     for o in by_type.get("schedule:day:hourly", []):
-        # Name, Type Limits, 24 hour-ending values.
+        # Name, Type Limits, 24 hour-ending values (EnergyPlus requires all
+        # 24; defaulting missing ones to 0 would silently zero evening gains
+        # on a truncated object).
+        if len(o) < 3 + 24:
+            raise ValueError(
+                f"Schedule:Day:Hourly {o[1]!r} has {max(0, len(o) - 3)} of "
+                "the required 24 hourly values"
+            )
+        # Blank-but-present fields keep the IDD's per-hour default of 0.
         days[o[1].lower()] = np.asarray(
             [_num(o, 3 + i, 0.0) for i in range(24)], np.float64
         )
@@ -524,6 +532,11 @@ def _day_week_year_schedules(by_type, start_dow: int) -> Dict[str, np.ndarray]:
         # win, so only unfilled slots take later matches (AllOtherDays).
         prof: List[Optional[np.ndarray]] = [None] * 7
         vals = [f for f in o[2:] if f != ""]
+        if len(vals) % 2:
+            raise ValueError(
+                f"Schedule:Week:Compact {o[1]!r}: dangling DayType list "
+                f"{vals[-1]!r} without a day-schedule name"
+            )
         for i in range(0, len(vals) - 1, 2):
             groups = set(
                 vals[i].lower().replace("for", "").lstrip(": ").split()

@@ -452,6 +452,33 @@ BuildingSurface:Detailed,
     )
 
 
+def test_cli_summary_json_subhourly_scheduled_setpoints(tmp_path):
+    """Scheduled setpoints + IDF Timestep > 1: the unmet-hours summary must
+    downsample the [T*n] setpoint series to the hourly zt grid instead of
+    crashing on a shape mismatch."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors").replace(
+        "Timestep, 1;", "Timestep, 4;"
+    ) + """
+Schedule:Compact, HeatSP, Temperature, Through: 12/31, For: AllDays,
+    Until: 24:00, 20.0;
+HVACTemplate:Thermostat, TST, HeatSP, , , 26.0;
+HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
+"""
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    js = tmp_path / "summary.json"
+    assert main(["simulate", str(p), EPW, "--hours", "24", "--engine",
+                 "xla", "--mode", "trbdf2", "--summary-json", str(js)]) == 0
+    import json
+
+    s = json.loads(js.read_text())
+    assert s["timestep_per_hour"] == 4 if "timestep_per_hour" in s else True
+    d = s["demand"]
+    assert "unmet_heating_hours" in d and d["unmet_heating_hours"] >= 0
+
+
 def test_cli_summary_unmet_hours(tmp_path):
     """Capacity-limited ideal loads report unmet setpoint hours (zone-hours
     outside the +-0.5 K throttling range) in the summary."""

@@ -387,6 +387,18 @@ def test_day_week_year_schedule_errors():
         Schedule:Day:Hourly, D, , 1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1;
         Schedule:Week:Compact, W, For: Weekdays, D, For: Sunday, D;
         """)
+    # A truncated Schedule:Day:Hourly must not silently zero the missing
+    # hours (EnergyPlus requires all 24 values).
+    with pytest.raises(ValueError, match="18 of the required 24"):
+        load_idf("Schedule:Day:Hourly, D, , "
+                 "1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1;")
+    # An odd field count in Schedule:Week:Compact (DayType list without its
+    # day-schedule name) must not silently drop the rule.
+    with pytest.raises(ValueError, match="dangling DayType list"):
+        load_idf("""
+        Schedule:Day:Hourly, D, , 1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1;
+        Schedule:Week:Compact, W, For: Weekdays, D, For: AllOtherDays;
+        """)
 
 
 def test_internal_gains_and_thermostats_import():
