@@ -319,6 +319,7 @@ class ThermalModel:
         collect_fluxes: bool = False,
         scheduled_setpoints: bool = False,
         mesh=None,
+        collect_operative: bool = False,
     ) -> "FastRunner":
         """The fused Pallas hour-kernel path.
 
@@ -341,6 +342,7 @@ class ThermalModel:
             self, block_size=block_size, mode=mode, substeps=substeps,
             hours=hours, interpret=interpret, collect_fluxes=collect_fluxes,
             scheduled_setpoints=scheduled_setpoints, mesh=mesh,
+            collect_operative=collect_operative,
         )
 
 
@@ -368,6 +370,7 @@ class FastRunner:
         collect_fluxes: bool = False,
         scheduled_setpoints: bool = False,
         mesh=None,
+        collect_operative: bool = False,
     ):
         import jax.numpy as jnp
         import numpy as np
@@ -376,7 +379,12 @@ class FastRunner:
 
         self._tm = tm
         building = tm._device()
-        self._bb = pallas_step.block_building(building, block_size=block_size)
+        self._bb = pallas_step.block_building(
+            building, block_size=block_size,
+            # The operative-T observable needs the Carroll statics even when
+            # interior_mrt physics is off.
+            mrt_statics=True if collect_operative else None,
+        )
         if interpret is None:
             # Pallas TPU kernels only run compiled on TPU; fall back to the
             # interpreter elsewhere (tests, CPU experimentation).
@@ -390,6 +398,7 @@ class FastRunner:
         )
         self._hours = hours
         self._collect_hq = collect_fluxes
+        self._collect_op = collect_operative
         self._mesh = mesh
         # The per-hour finite count is always collected: one masked reduce
         # per hour is noise next to the sub-step work, and it is what lets
@@ -403,12 +412,14 @@ class FastRunner:
                 interpret=interpret, collect_bad=True,
                 collect_hq=collect_fluxes,
                 scheduled_setpoints=scheduled_setpoints,
+                collect_operative=collect_operative,
             )
         else:
             self._hour_march, self._params = pallas_step.make_hour_march(
                 self._bb, substeps=substeps, interpret=interpret, mode=mode,
                 hours=hours, collect_bad=True, collect_hq=collect_fluxes,
                 scheduled_setpoints=scheduled_setpoints,
+                collect_operative=collect_operative,
             )
         self._scheduled_sp = scheduled_setpoints
         self._jit = jax.jit(self._hour_march)
@@ -707,6 +718,7 @@ class FastRunner:
         collect_fluxes: bool = False,
         collect_loads: bool = False,
         ground_hourly=None,
+        collect_operative: bool = False,
     ):
         """March a whole [T, ...] input sequence through the fused kernel:
         the fast-path equivalent of :meth:`ThermalModel.run`.
@@ -757,9 +769,16 @@ class FastRunner:
         boundary-temperature operands between dispatches — no
         recompilation.
 
+        ``collect_operative`` appends the [T, Z] per-hour operative
+        temperature ``(T_air + T_mrt)/2`` (Carroll zone MRT solved in-kernel
+        from each hour's final state — ThermalModel.run(collect_operative)
+        at kernel speed).  Requires the runner to be constructed with
+        ``collect_operative=True``.
+
         Returns ``(final SimState, zone_T [T, Z] | None)``, with
-        ``collect_fluxes`` appending the fluxes dict and ``collect_loads``
-        appending the loads array (in that order).
+        ``collect_fluxes`` appending the fluxes dict, ``collect_loads``
+        the loads array, and ``collect_operative`` the operative series
+        (in that order).
         """
         import numpy as np
 
@@ -767,6 +786,11 @@ class FastRunner:
             raise ValueError(
                 "construct the runner with collect_fluxes=True to collect "
                 "the h/q history"
+            )
+        if collect_operative and not self._collect_op:
+            raise ValueError(
+                "construct the runner with collect_operative=True to "
+                "collect the operative-temperature history"
             )
 
         j = self._jnp
@@ -945,6 +969,7 @@ class FastRunner:
         if self._run_jit is None:
             hour_march = self._hour_march
             collect_hq = self._collect_hq
+            collect_op = self._collect_op
             has_loads = getattr(self._hour_march, "collect_loads", False)
 
             def scan_run(params, T, zT, xs, collect):
@@ -959,8 +984,14 @@ class FastRunner:
                         k += 1
                     bad = outs[k]
                     k += 1
-                    ld = outs[k] if has_loads else None
-                    return (T, zT, hq), (hist if collect else None, hqh, bad, ld)
+                    ld = None
+                    if has_loads:
+                        ld = outs[k]
+                        k += 1
+                    top = outs[k] if collect_op else None
+                    return (T, zT, hq), (
+                        hist if collect else None, hqh, bad, ld, top
+                    )
 
                 hq0 = tuple(j.zeros((SP,), dt) for _ in range(4))
                 (T, zT, hq), ys = jax.lax.scan(body, (T, zT, hq0), xs)
@@ -1001,7 +1032,7 @@ class FastRunner:
                     "kernel chunk (use a daily-or-coarser series, or hours=1)"
                 )
             gday = gd[:, 0]
-        hists, hqhs, lds = [], [], []
+        hists, hqhs, lds, tops = [], [], [], []
         hq = None
 
         def check_bad(d0, bad_c):
@@ -1038,7 +1069,7 @@ class FastRunner:
             if gday is not None and (si == 0 or gday[d0] != gday[starts[si - 1]]):
                 self.set_ground_temperature(float(gday[d0]))
             xs_c = chunk_xs(d0, d1 - d0)
-            Tb, zTb, hq, (hist_c, hqh_c, bad_c, ld_c) = self._run_jit(
+            Tb, zTb, hq, (hist_c, hqh_c, bad_c, ld_c, top_c) = self._run_jit(
                 self._params, Tb, zTb, xs_c, collect_zone_T
             )
             if assert_finite:
@@ -1049,6 +1080,8 @@ class FastRunner:
                 hists.append(hist_c)
             if collect_fluxes:
                 hqhs.append(hqh_c)
+            if collect_operative:
+                tops.append(top_c)
             if has_loads:
                 if collect_loads:
                     lds.append(ld_c)
@@ -1076,6 +1109,12 @@ class FastRunner:
             self._converters()
             ld = j.concatenate(lds, axis=0).reshape(T_steps, NB * ZB)
             loads = ld[:, self._zinv_d]  # [T, Z] mean ideal power per hour
+        operative = None
+        if collect_operative:
+            self._converters()
+            top = j.concatenate(tops, axis=0).reshape(T_steps, NB * ZB)
+            operative = top[:, self._zinv_d]  # [T, Z] post-hour operative T
+        ret = (final, zone_T)
         if collect_fluxes:
             S = b.n_surfaces
             chans = []
@@ -1085,12 +1124,12 @@ class FastRunner:
                 ).reshape(T_steps, SP)
                 chans.append(lay.surfaces_from_blocked(a, S))
             fluxes = dict(zip(("h_front", "h_back", "q_front", "q_back"), chans))
-            if collect_loads:
-                return final, zone_T, fluxes, loads
-            return final, zone_T, fluxes
+            ret = ret + (fluxes,)
         if collect_loads:
-            return final, zone_T, loads
-        return final, zone_T
+            ret = ret + (loads,)
+        if collect_operative:
+            ret = ret + (operative,)
+        return ret
 
     def march_blocked(self, T, zT, hour_inputs):
         """One hour on blocked state (the zero-copy hot path).  Returns

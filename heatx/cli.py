@@ -366,6 +366,15 @@ def cmd_simulate(args) -> int:
         )
         return 2
     fluxes = None
+    want_op = bool(getattr(args, "operative_csv", None))
+    if want_op and engine != "kernel":
+        print(
+            "error: --operative-csv collects the per-hour operative "
+            "temperature inside the fused kernel; run with --engine kernel",
+            file=sys.stderr,
+        )
+        return 2
+    operative = None
 
     if args.init_state:
         from heatx.io.checkpoint import load_state
@@ -391,6 +400,7 @@ def cmd_simulate(args) -> int:
             substeps=None if args.mode == "parity" else args.substeps,
             scheduled_setpoints="heat_sp" in gain_kw,
             collect_fluxes=want_fluxes,
+            collect_operative=want_op,
         )
         in_dt = np.float64 if args.f64 else np.float32
         seq = tm.inputs(**inf_kw)._replace(
@@ -415,14 +425,19 @@ def cmd_simulate(args) -> int:
             print(f"# warm-up: {reps} first-day repeats", file=sys.stderr)
         out = fr.run(
             st, seq, ground_hourly=ground_hourly, collect_loads=want_loads,
-            collect_fluxes=want_fluxes,
+            collect_fluxes=want_fluxes, collect_operative=want_op,
         )
         out = list(out)
         final, zt = out[:2]
+        k = 2
         if want_fluxes:
-            fluxes = out[2]
+            fluxes = out[k]
+            k += 1
         if want_loads:
-            loads = out[-1]
+            loads = out[k]
+            k += 1
+        if want_op:
+            operative = out[k]
     elif args.mode == "parity":
         seq = tm.inputs_sequence(
             T_steps, t_out=dry, wind_speed=wind, wind_direction=wdir,
@@ -592,6 +607,14 @@ def cmd_simulate(args) -> int:
             f"demand: heating {heat_kwh:.1f} kWh  cooling {cool_kwh:.1f} kWh "
             f"({len(znames)} zones, {T} h)"
         )
+    if operative is not None:
+        operative = np.asarray(operative)
+        with open(args.operative_csv, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["hour"] + znames)
+            for t in range(T):
+                w.writerow([start + t] + [f"{v:.4f}" for v in operative[t]])
+        print(f"# wrote {args.operative_csv}", file=sys.stderr)
     for z, name in enumerate(znames):
         col = zt[:, z]
         print(
@@ -747,6 +770,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--loads-csv", default=None,
         help="also write the hourly per-zone ideal-load demand (W, "
         "heating +) — requires thermostats (imported or modeled)",
+    )
+    p.add_argument(
+        "--operative-csv", default=None,
+        help="also write the hourly per-zone operative temperature "
+        "(T_air + T_mrt)/2 with the Carroll zone MRT solved in-kernel "
+        "(kernel engine)",
     )
     p.add_argument(
         "--summary-json", default=None,

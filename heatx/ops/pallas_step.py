@@ -147,13 +147,21 @@ def _mrt_static_blocked(sb: SurfaceBatch, front_oh, back_oh, n_blocks, zones_per
 
 
 def block_building(
-    building: CompiledBuilding, block_size: int = 1024, node_split="auto"
+    building: CompiledBuilding,
+    block_size: int = 1024,
+    node_split="auto",
+    mrt_statics: bool = None,
 ) -> BlockedBuilding:
     """Permute + pad a compiled building into zone-closed blocks.
 
     ``node_split`` (see heatx.build.blocking.build_blocks): "auto" places
     few-node surfaces in dedicated lanes of each block so the kernel can
-    march them as a short sub-batch — typically ~3x less padded node work."""
+    march them as a short sub-batch — typically ~3x less padded node work.
+
+    ``mrt_statics`` forces computing the static Carroll network data
+    (needed by ``make_hour_march(collect_operative=True)`` on buildings
+    that don't run ``config.interior_mrt`` physics); default: only when
+    the config enables interior MRT."""
     layout = build_blocks(building, block_size=block_size, node_split=node_split)
     sb = building.surfaces
 
@@ -246,7 +254,7 @@ def block_building(
         )
 
     mrt_eps = None
-    if building.config.interior_mrt:
+    if building.config.interior_mrt if mrt_statics is None else mrt_statics:
         mrt_eps = _mrt_static_blocked(
             new_sb, layout.front_oh, layout.back_oh,
             layout.n_blocks, layout.zones_per_block,
@@ -461,10 +469,12 @@ def _mrt_context(parts, statics, Ts, tfbs, zT, f32):
 
     ``tfbs`` are the parts' (t_front, t_back) boundary air temperatures
     (zone air for space faces — the fixed point's initial linearization,
-    like _mrt_solve's ``zpad[idx]``).  Returns one
+    like _mrt_solve's ``zpad[idx]``).  Returns ``(contexts, tm)``: one
     ``(mask_f, tm_f, eps_f, mask_b, tm_b, eps_b)`` context per part
     (None where neither side participates), ready for
-    surface.apply_interior_mrt.
+    surface.apply_interior_mrt, plus the converged ``[1, ZB]`` zone MRT
+    node (air-temperature fallback where the network is undefined — the
+    comfort observable).
     """
     faces = []  # (part, eps_eff, ts, oh, ohT) per participating side
     tm_face = []  # current linearization temperature per side
@@ -479,7 +489,7 @@ def _mrt_context(parts, statics, Ts, tfbs, zT, f32):
             )
             tm_face.append(t_back)
     if not faces:
-        return [None] * len(parts)
+        return [None] * len(parts), zT
 
     tm = zT
     for _ in range(4):
@@ -521,7 +531,7 @@ def _mrt_context(parts, statics, Ts, tfbs, zT, f32):
         else:
             mb, tmb = false, zero
         out.append((mf, tmf, ef, mb, tmb, eb))
-    return out
+    return out, tm
 
 
 def _hour_body(
@@ -568,7 +578,7 @@ def _hour_body(
         # Interior longwave exchange (config.interior_mrt): evaluated from
         # the step-start state snapshot, like the XLA path (step.substep).
         mrts = (
-            _mrt_context(parts, statics, Ts, bts, zT, f32)
+            _mrt_context(parts, statics, Ts, bts, zT, f32)[0]
             if cfg.interior_mrt
             else [None] * len(parts)
         )
@@ -715,7 +725,7 @@ def _hour_body_imp(
         # rest of the coefficients, exactly like the XLA implicit path
         # (implicit.py build_operators).
         mrts = (
-            _mrt_context(parts, statics, Ts_c, bts, zT_c, f32)
+            _mrt_context(parts, statics, Ts_c, bts, zT_c, f32)[0]
             if cfg.interior_mrt
             else [None] * len(parts)
         )
@@ -880,6 +890,7 @@ def make_hour_march(
     collect_bad: bool = False,
     collect_hq: bool = False,
     scheduled_setpoints: bool = False,
+    collect_operative: bool = False,
 ):
     """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
 
@@ -921,10 +932,21 @@ def make_hour_march(
     per-hour h/q history ``4 x [hours, SPl]`` (post-hour front/back
     convection coefficient and convective flux — the reference's observable
     state channels, surface_trait.rs:223-354), accumulated with the same
-    one-hot-row trick as the zone history.
+    one-hot-row trick as the zone history.  ``collect_operative`` appends
+    the per-hour operative-temperature history ``[hours, NBl, ZB]``
+    (``(T_air + T_mrt)/2`` with the Carroll zone MRT solved from each
+    hour's final state — step.run(collect_operative=True) at kernel speed;
+    requires the blocked building's MRT statics,
+    ``block_building(mrt_statics=True)``).
     """
     if mode not in ("parity", "trbdf2", "trbdf2_refresh"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
+    if collect_operative and bb.mrt_eps is None:
+        raise ValueError(
+            "collect_operative needs the blocked Carroll statics: build "
+            "with block_building(..., mrt_statics=True) (automatic when "
+            "config.interior_mrt is set)"
+        )
     if scheduled_setpoints and bb.ctl is None:
         raise ValueError(
             "scheduled_setpoints requires setpoint-driven HVAC "
@@ -1184,6 +1206,10 @@ def make_hour_march(
         if bb.ctl is not None:
             ld_hist_ref = refs[i]
             i += 1
+        top_hist_ref = None
+        if collect_operative:
+            top_hist_ref = refs[i]
+            i += 1
         scratch = refs[i:]
 
         from heatx.ops import tridiag as _td
@@ -1352,6 +1378,48 @@ def make_hour_march(
         HR8 = zt_hist_ref.shape[0]  # hours padded to the 8-row sublane tile
         hour_row_iota = jax.lax.broadcasted_iota(jnp.int32, (HR8, 1), 0)
 
+        if collect_operative:
+            # Light per-part views for the hour-boundary Carroll MRT solve
+            # (the comfort observable, step.run(collect_operative=True)):
+            # statics + one-hots + effective emissivities, no weather.
+            op_parts = []
+            for pi, (sb_vals, rp) in enumerate(part_vals):
+                names = part_aux_names[pi]
+                snames = part_surf_names[pi]
+                op_parts.append(
+                    SimpleNamespace(
+                        sb=sb_vals,
+                        front_oh=rp["front_oh"][...] if "front_oh" in names else None,
+                        back_oh=rp["back_oh"][...] if "back_oh" in names else None,
+                        front_ohT=rp["front_ohT"][...] if "front_ohT" in names else None,
+                        back_ohT=rp["back_ohT"][...] if "back_ohT" in names else None,
+                        mrt_ef=rp["mrt_eps_f"][0] if "mrt_eps_f" in snames else None,
+                        mrt_eb=rp["mrt_eps_b"][0] if "mrt_eps_b" in snames else None,
+                    )
+                )
+            op_statics = [
+                surf_mod.compute_statics(sb_vals) for sb_vals, _ in part_vals
+            ]
+
+            def op_temp(Ts, zT):
+                """Operative temperature [1, ZB] from an hour's final state:
+                zone-air-initialized 4-iteration MRT solve, then
+                (T_air + T_mrt)/2 (engine.surface.zone_mrt semantics)."""
+                tfbs = []
+                for p in op_parts:
+                    z = jnp.zeros_like(p.sb.area)
+                    tf = (
+                        jnp.dot(zT, p.front_ohT, preferred_element_type=dtype)[0]
+                        if p.front_ohT is not None else z
+                    )
+                    tb = (
+                        jnp.dot(zT, p.back_ohT, preferred_element_type=dtype)[0]
+                        if p.back_ohT is not None else z
+                    )
+                    tfbs.append((tf, tb))
+                _, tm = _mrt_context(op_parts, op_statics, Ts, tfbs, zT, dtype)
+                return (zT + tm) / 2.0
+
         def row_mask(h):
             return jnp.where(hour_row_iota == h, 1.0, 0.0)
 
@@ -1381,8 +1449,11 @@ def make_hour_march(
         bad_hist0 = (
             jnp.zeros((HR8, zT0.shape[-1]), dtype) if collect_bad else None
         )
+        top_hist0 = (
+            jnp.zeros((HR8, zT0.shape[-1]), dtype) if collect_operative else None
+        )
 
-        def post_hour(h, hqs, zT, Ts, hq_hists, bad_hist):
+        def post_hour(h, hqs, zT, Ts, hq_hists, bad_hist, top_hist):
             rm = row_mask(h)
             if collect_hq:
                 hq_hists = [
@@ -1391,7 +1462,9 @@ def make_hour_march(
                 ]
             if collect_bad:
                 bad_hist = bad_hist + bad_count(Ts, zT) * rm
-            return hq_hists, bad_hist
+            if collect_operative:
+                top_hist = top_hist + op_temp(Ts, zT) * rm
+            return hq_hists, bad_hist, top_hist
 
         ideal = bb.ctl is not None
         ld_hist0 = jnp.zeros((HR8, zT0.shape[-1]), dtype) if ideal else None
@@ -1399,7 +1472,9 @@ def make_hour_march(
             Ts, zT, hqs, ld = one_hour(0, T0s, zT0)
             zt_hist = zT * row_mask(0)
             ld_hist = ld * row_mask(0) if ideal else None
-            hq_hists, bad_hist = post_hour(0, hqs, zT, Ts, hq_hists0, bad_hist0)
+            hq_hists, bad_hist, top_hist = post_hour(
+                0, hqs, zT, Ts, hq_hists0, bad_hist0, top_hist0
+            )
         else:
             hq0 = tuple(
                 tuple(jnp.zeros((parts_meta[pi][2],), dtype) for _ in range(4))
@@ -1408,7 +1483,7 @@ def make_hour_march(
             hist0 = jnp.zeros((HR8, zT0.shape[-1]), dtype)
 
             def hour_loop(h, carry):
-                Ts, zT, _, hist, hq_hists, bad_hist, ld_hist = carry
+                Ts, zT, _, hist, hq_hists, bad_hist, ld_hist, top_hist = carry
                 Ts, zT, hqs, ld = one_hour(h, Ts, zT)
                 # Post-hour zone temps, accumulated via a one-hot row
                 # (stores with a dynamic sublane offset also lower, but the
@@ -1416,12 +1491,16 @@ def make_hour_march(
                 hist = hist + zT * row_mask(h)
                 if ideal:
                     ld_hist = ld_hist + ld * row_mask(h)
-                hq_hists, bad_hist = post_hour(h, hqs, zT, Ts, hq_hists, bad_hist)
-                return (Ts, zT, hqs, hist, hq_hists, bad_hist, ld_hist)
+                hq_hists, bad_hist, top_hist = post_hour(
+                    h, hqs, zT, Ts, hq_hists, bad_hist, top_hist
+                )
+                return (Ts, zT, hqs, hist, hq_hists, bad_hist, ld_hist, top_hist)
 
-            Ts, zT, hqs, zt_hist, hq_hists, bad_hist, ld_hist = jax.lax.fori_loop(
+            (
+                Ts, zT, hqs, zt_hist, hq_hists, bad_hist, ld_hist, top_hist
+            ) = jax.lax.fori_loop(
                 0, hours, hour_loop,
-                (T0s, zT0, hq0, hist0, hq_hists0, bad_hist0, ld_hist0),
+                (T0s, zT0, hq0, hist0, hq_hists0, bad_hist0, ld_hist0, top_hist0),
             )
         for pi in range(n_parts):
             t_out_refs[pi][...] = Ts[pi]
@@ -1441,6 +1520,8 @@ def make_hour_march(
             bad_ref[...] = jnp.broadcast_to(bad_hist, (HR8, zT0.shape[-1]))
         if ideal:
             ld_hist_ref[...] = ld_hist
+        if collect_operative:
+            top_hist_ref[...] = top_hist
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -1538,6 +1619,9 @@ def make_hour_march(
         out_specs.append(zone_spec(HR8))
         out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
     if bb.ctl is not None:  # per-hour mean ideal-load history
+        out_specs.append(zone_spec(HR8))
+        out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
+    if collect_operative:  # per-hour operative-temperature history
         out_specs.append(zone_spec(HR8))
         out_shape.append(jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype))
 
@@ -1647,6 +1731,8 @@ def make_hour_march(
         bad_out = outs[oi] if collect_bad else None
         oi += 1 if collect_bad else 0
         ld_out = outs[oi] if bb.ctl is not None else None
+        oi += 1 if bb.ctl is not None else 0
+        top_out = outs[oi] if collect_operative else None
 
         # Reassemble the full-width layout from the parts.
         T_new = jnp.zeros((N, NBl, SB), dtype)
@@ -1688,6 +1774,10 @@ def make_hour_march(
             # [hours, NBl, ZB]: per-hour mean ideal-load power (W, heating +)
             ld = jnp.moveaxis(ld_out.reshape(NBl, HR8, ZB)[:, :hours], 1, 0)
             ret = ret + (ld,)
+        if collect_operative:
+            # [hours, NBl, ZB]: post-hour operative temperature
+            top = jnp.moveaxis(top_out.reshape(NBl, HR8, ZB)[:, :hours], 1, 0)
+            ret = ret + (top,)
         return ret
 
     hour_march.param_axes = tuple(param_axes)
@@ -1696,4 +1786,5 @@ def make_hour_march(
     hour_march.collect_hq = collect_hq
     hour_march.collect_loads = bb.ctl is not None
     hour_march.scheduled_setpoints = scheduled_setpoints
+    hour_march.collect_operative = collect_operative
     return hour_march, params

@@ -219,6 +219,7 @@ def make_sharded_hour_march(
     collect_bad: bool = False,
     collect_hq: bool = False,
     scheduled_setpoints: bool = False,
+    collect_operative: bool = False,
 ):
     """Shard the fused Pallas hour/day kernel over the device mesh.
 
@@ -279,6 +280,7 @@ def make_sharded_hour_march(
         collect_bad=collect_bad,
         collect_hq=collect_hq,
         scheduled_setpoints=scheduled_setpoints,
+        collect_operative=collect_operative,
     )
     pspec = tuple(
         P(None, axis) if ax == "lane" else P(axis, None) for ax in hm.param_axes
@@ -306,6 +308,8 @@ def make_sharded_hour_march(
         out_specs = out_specs + (P(None, axis),)  # [hours, NB]
     if getattr(hm, "collect_loads", False):
         out_specs = out_specs + (P(None, axis, None),)  # loads [hours, NB, ZB]
+    if collect_operative:
+        out_specs = out_specs + (P(None, axis, None),)  # T_op [hours, NB, ZB]
     fn = shard_map(
         hm, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False
     )
@@ -324,6 +328,7 @@ def make_sharded_hour_march(
     fn.collect_hq = hm.collect_hq
     fn.collect_loads = hm.collect_loads
     fn.scheduled_setpoints = hm.scheduled_setpoints
+    fn.collect_operative = hm.collect_operative
     return fn, params
 
 

@@ -479,6 +479,33 @@ HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
     assert "unmet_heating_hours" in d and d["unmet_heating_hours"] >= 0
 
 
+def test_cli_operative_csv(tmp_path):
+    """--operative-csv writes the hourly per-zone operative temperature via
+    the kernel engine; rejected on the XLA engine."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
+BuildingSurface:Detailed,
+    Wall, Wall, Slab, Room, , Outdoors, , SunExposed, WindExposed, 0,
+    4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+"""
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    oz, oo = tmp_path / "z.csv", tmp_path / "op.csv"
+    assert main(["simulate", str(p), EPW, "--hours", "12", "--engine",
+                 "kernel", "--mode", "trbdf2", "--f64", "-o", str(oz),
+                 "--operative-csv", str(oo)]) == 0
+    zt = np.asarray([r[1] for r in csv.reader(open(oz))][1:], float)
+    top = np.asarray([r[1] for r in csv.reader(open(oo))][1:], float)
+    assert top.shape == zt.shape
+    # Operative sits between air and the (colder) envelope faces here, and
+    # is not the air temperature itself.
+    assert np.all(np.isfinite(top)) and np.abs(top - zt).max() > 0.01
+    assert main(["simulate", str(p), EPW, "--hours", "12", "--engine",
+                 "xla", "--mode", "trbdf2", "--operative-csv",
+                 str(oo)]) == 2
+
+
 def test_cli_summary_unmet_hours(tmp_path):
     """Capacity-limited ideal loads report unmet setpoint hours (zone-hours
     outside the +-0.5 K throttling range) in the summary."""

@@ -420,6 +420,40 @@ def test_mrt_kernel_matches_xla_trbdf2():
     )
 
 
+def test_fast_runner_collect_operative():
+    """FastRunner.run(collect_operative=True): the in-kernel hour-boundary
+    Carroll MRT solve reproduces the XLA run(collect_operative=True)
+    history (no interior_mrt physics — observable only)."""
+    from heatx.api import FastRunner
+
+    tm = heatx.ThermalModel(
+        _two_zone_model(), n=1,
+        config=heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2),
+    )
+    T = 6
+    rng = np.random.default_rng(3)
+    solf = rng.uniform(0.0, 1.0, (T, tm.building.n_surfaces)) * 300.0
+    seq = tm.inputs_sequence(
+        T, t_out=np.linspace(-5.0, 5.0, T), wind_speed=np.full(T, 3.0),
+        sol_front=solf, ir_front=np.full(T, 320.0),
+    )
+    st, (zt, top) = tm.run(tm.initial_state(), seq, collect_operative=True)
+
+    fr = FastRunner(tm, block_size=8, hours=3, collect_operative=True)
+    stk, ztk, topk = fr.run(
+        tm.initial_state(), seq, collect_operative=True
+    )
+    np.testing.assert_allclose(np.asarray(ztk), np.asarray(zt), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(topk), np.asarray(top), atol=1e-9)
+    # Radiant environment measurably differs from air in this cold setup.
+    assert np.abs(np.asarray(topk) - np.asarray(ztk)).max() > 0.01
+    # Per-call flag demands the construction-time one.
+    with pytest.raises(ValueError, match="collect_operative=True"):
+        FastRunner(tm, block_size=8).run(
+            tm.initial_state(), seq, collect_operative=True
+        )
+
+
 def test_mrt_kernel_matches_xla_trbdf2_refresh():
     """Refresh mode re-evaluates the MRT network every sub-step, like the
     XLA refresh path (build_operators per sub-step)."""
