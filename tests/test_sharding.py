@@ -358,3 +358,59 @@ def fast_runner_comparison_model():
             Boundary.space_(f"fz{z}"), vertices=verts,
         ))
     return m
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_fast_runner_on_mesh_interior_mrt_operative():
+    """interior_mrt physics + the in-kernel operative observable shard
+    bit-exactly over the mesh (the Carroll eps rows ride the lane axis like
+    every other per-surface operand, and the network is block-local because
+    blocks are zone-closed), and both match the XLA integrator."""
+    from heatx.api import FastRunner, ThermalModel
+    from heatx.model.building import (
+        BuildingModel,
+        Construction,
+        Material,
+        SpaceDef,
+        Substance,
+        SurfaceDef,
+    )
+
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(8):
+        m.add_space(SpaceDef(f"z{z}", 100.0))
+        for si in range(3):
+            m.add_surface(
+                SurfaceDef(f"s{z}_{si}", "wall", Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+    cfg = heatx.SimConfig(
+        dtype=np.float64, interior_mrt=True, nomass_fixed_iters=1
+    )
+    tm = ThermalModel(m, n=1, config=cfg)
+    st = tm.initial_state()
+    T = 8
+    rng = np.random.default_rng(5)
+    seq = tm.inputs_sequence(
+        T, t_out=np.linspace(-3.0, 8.0, T), wind_speed=np.full(T, 3.0),
+        sol_front=rng.uniform(0.0, 300.0, (T, tm.building.n_surfaces)),
+        ir_front=np.full(T, 320.0),
+    )
+    kw = dict(block_size=4, mode="parity", hours=2, collect_operative=True)
+    fr0 = FastRunner(tm, **kw)
+    mesh = sh.make_mesh(jax.devices()[:8])
+    fr1 = FastRunner(tm, mesh=mesh, **kw)
+    fin0, zt0, top0 = fr0.run(st, seq, collect_operative=True)
+    fin1, zt1, top1 = fr1.run(st, seq, collect_operative=True)
+    assert np.array_equal(np.asarray(zt0), np.asarray(zt1))
+    assert np.array_equal(np.asarray(top0), np.asarray(top1))
+    stx, (ztx, topx) = tm.run(st, seq, collect_operative=True)
+    np.testing.assert_allclose(np.asarray(zt0), np.asarray(ztx), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(top0), np.asarray(topx), atol=1e-9)
