@@ -260,13 +260,7 @@ def exp_substep(
     env_f = ops.env_f._replace(air=t_front)
     env_b = ops.env_b._replace(air=t_back)
 
-    # Solar clamping quirks of surface.rs:916-923 (see march_surfaces).
-    sol_f = jnp.where(
-        jnp.isnan(inputs.sol_front) | (inputs.sol_front < 0.0), 0.0, inputs.sol_front
-    )
-    sol_b = jnp.where(jnp.isnan(inputs.sol_back), 0.0, inputs.sol_back)
-    solar_q = sb.front_alphas * sol_f + sb.back_alphas * sol_b
-
+    solar_q = surf_mod.absorbed_solar_q(sb, inputs.sol_front, inputs.sol_back)
     q = _substep_forcing(env_f, env_b, ops.rad_hs_f, ops.rad_hs_b, solar_q, st)
     qs = jnp.moveaxis(q, 0, -1)  # [S, N]
     Ts = jnp.moveaxis(state.node_T, 0, -1)
@@ -330,8 +324,17 @@ def exp_march(
 
     ops = build_operators(building, state, t_out0, ws0, wd0, inputs, dt_sub)
 
-    t_out_seq = jnp.broadcast_to(t_out0, (substeps,)) if t_out.ndim == 0 else (
-        t_out if t_out.shape[0] == substeps else jnp.broadcast_to(t_out0, (substeps,))
+    if t_out.ndim > 0 and t_out.shape[0] != substeps:
+        # Same contract as the parity path's _per_substep_weather and
+        # imp_march's _sub_seq: silently freezing a mismatched series to
+        # its first value hides real input errors.
+        raise ValueError(
+            f"per-sub-step weather series has length {t_out.shape[0]} but "
+            f"this march runs {substeps} sub-steps; pass a scalar or a "
+            f"[{substeps}] series"
+        )
+    t_out_seq = (
+        jnp.broadcast_to(t_out0, (substeps,)) if t_out.ndim == 0 else t_out
     )
 
     collect_load = building.has_ideal_hvac

@@ -159,12 +159,7 @@ def imp_substep(
     env_f = ops.env_f._replace(air=t_front)
     env_b = ops.env_b._replace(air=t_back)
 
-    # Solar clamping quirks of surface.rs:916-923 (see march_surfaces).
-    sol_f = jnp.where(
-        jnp.isnan(inputs.sol_front) | (inputs.sol_front < 0.0), 0.0, inputs.sol_front
-    )
-    sol_b = jnp.where(jnp.isnan(inputs.sol_back), 0.0, inputs.sol_back)
-    solar_q = sb.front_alphas * sol_f + sb.back_alphas * sol_b
+    solar_q = surf_mod.absorbed_solar_q(sb, inputs.sol_front, inputs.sol_back)
     q = _substep_forcing(env_f, env_b, ops.rad_hs_f, ops.rad_hs_b, solar_q, st)
 
     T0 = state.node_T
@@ -237,14 +232,29 @@ def imp_march(
     if building.config.interior_mrt:
         mrt_static = surf_mod.mrt_statics(building.surfaces, building.n_zones)
 
-    ops = build_operators(
-        building, state, t_out0, ws0, wd0, inputs, dt_sub, mrt_static
+    # Under refresh_h the scan body rebuilds the operators per sub-step and
+    # this result would be dead (XLA DCEs it, but the full build — border
+    # conditions, MRT fixed point, stage assembly — still costs trace time).
+    ops = (
+        None
+        if refresh_h
+        else build_operators(
+            building, state, t_out0, ws0, wd0, inputs, dt_sub, mrt_static
+        )
     )
 
     def _sub_seq(v, v0):
-        """Per-sub-step series: a leading [substeps] axis passes through,
-        anything else freezes to the main-step value (first entry)."""
-        if v.ndim > 0 and v.shape[0] == substeps:
+        """Per-sub-step series: a scalar holds for the main step; a 1-D
+        series must have exactly [substeps] entries (the parity path's
+        _per_substep_weather asserts the same — silently freezing a
+        mismatched series to its first value hid real input errors)."""
+        if v.ndim > 0:
+            if v.shape[0] != substeps:
+                raise ValueError(
+                    f"per-sub-step weather series has length {v.shape[0]} "
+                    f"but this march runs {substeps} sub-steps; pass a "
+                    f"scalar or a [{substeps}] series"
+                )
             return v
         return jnp.broadcast_to(v0, (substeps,))
 

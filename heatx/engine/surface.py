@@ -658,6 +658,14 @@ def march_nomass(
     Convection coefficients are constant during the loop (they derive from the
     state snapshot); cavity U-values and Dirichlet couplings re-evaluate each
     iteration.
+
+    NOTE on ``solver``: when every no-mass run has <= 2 nodes
+    (``sb.max_nomass_run``) the padded system decouples and the closed-form
+    pair solve (tridiag.solve_runs2) is selected STATICALLY, taking
+    precedence over a caller-supplied ``solver`` (which then only covers
+    longer runs).  The two agree to fp rounding; set ``HEATX_NOMASS_PAIRS=0``
+    to force the supplied/default sweep solver (ablation / bit-parity
+    studies).
     """
     st = statics if statics is not None else compute_statics(sb)
     sel = st.nomass_sel  # [N, S]
@@ -728,12 +736,11 @@ def march_nomass(
 
     # Loop-carried chunk state is all-float ([C, S] f32: active flag as 0/1,
     # iteration count as float) — Mosaic miscompiles bool/int loop carries.
-    def cond(carry):
-        _, _, _, active_f, it = carry
-        return jnp.any(active_f > 0.5) & (it < config.nomass_max_iter)
-
+    # The scalar int iteration counter exists ONLY on the adaptive
+    # while_loop path (its cond needs it); the fixed-iteration carries stay
+    # int-free.
     def body(carry):
-        T, old_err, count, active_f, it = carry
+        T, old_err, count, active_f = carry
         active = active_f > 0.5
         T_sol = one_iteration(T)
         err_node = _ftz(jnp.where(sel, jnp.abs(T_sol - T), 0.0))
@@ -761,7 +768,7 @@ def march_nomass(
         new_active_f = jnp.where(new_active, 1.0, 0.0).astype(T.dtype)
         new_old_err = jnp.where(upd_chunk, err_chunk, old_err)
         new_count = count + new_active_f
-        return T_new, new_old_err, new_count, new_active_f, it + 1
+        return T_new, new_old_err, new_count, new_active_f
 
     if config.nomass_fixed_iters == 1:
         # One relaxed iteration is the whole loop: the convergence machinery
@@ -777,7 +784,6 @@ def march_nomass(
         jnp.full_like(chunk_n, big),
         jnp.zeros_like(chunk_n),
         active0,
-        jnp.asarray(0, jnp.int32),
     )
     if config.nomass_fixed_iters is not None:
         # Performance mode: fixed iteration count with the same per-chunk
@@ -796,7 +802,18 @@ def march_nomass(
             for _ in range(config.nomass_fixed_iters):
                 carry = body(carry)
         return carry[0]
-    T_final, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
+
+    def w_cond(carry):
+        (_, _, _, active_f), it = carry
+        return jnp.any(active_f > 0.5) & (it < config.nomass_max_iter)
+
+    def w_body(carry):
+        c4, it = carry
+        return body(c4), it + 1
+
+    (T_final, _, _, _), _ = jax.lax.while_loop(
+        w_cond, w_body, (carry0, jnp.asarray(0, jnp.int32))
+    )
     return T_final
 
 
@@ -837,6 +854,11 @@ def march_massive(
         statics is not None
         and statics.mass_scale is not None
         and isinstance(dt, (int, float))
+        # mass_scale_dt is a Python float when statics were built in the
+        # same trace; across a jit boundary it arrives as a tracer leaf and
+        # the == would force a concrete bool — the isinstance guard makes
+        # that degrade to the inline path instead of crashing.
+        and isinstance(statics.mass_scale_dt, (int, float))
         and float(dt) == statics.mass_scale_dt
         and lower is statics.k_lower
         and upper is statics.k_upper

@@ -705,13 +705,9 @@ def _hour_body_imp(
     # otherwise the division-free factored sweeps.
     use_pcr = solver is tridiag.solve_pcr
 
-    solar_qs = []
-    for p in parts:
-        sol_f = jnp.where(
-            jnp.isnan(p.sol_front) | (p.sol_front < 0.0), 0.0, p.sol_front
-        )
-        sol_b = jnp.where(jnp.isnan(p.sol_back), 0.0, p.sol_back)
-        solar_qs.append(p.sb.front_alphas * sol_f + p.sb.back_alphas * sol_b)
+    solar_qs = [
+        surf_mod.absorbed_solar_q(p.sb, p.sol_front, p.sol_back) for p in parts
+    ]
 
     def build_ops(Ts_c, zT_c, t_out_c, ws_c, wd_c):
         """Operators from the given state + weather (implicit.build_operators,

@@ -118,6 +118,25 @@ def solve_scan(lower, diag, upper, rhs):
     return jnp.concatenate([xs, x_last[None]], axis=0)
 
 
+def _shift_up(x, d, fill):
+    """``x[i-d]`` with ``fill`` above the top edge — the static-shift
+    primitive shared by the PCR solver and its factor/apply twins (one
+    definition so their padding semantics cannot drift; they must stay
+    bit-equivalent)."""
+    pad = jnp.full_like(x[:1], fill)
+    return jnp.concatenate(
+        [jnp.broadcast_to(pad, (d,) + x.shape[1:]), x[:-d]], axis=0
+    )
+
+
+def _shift_dn(x, d, fill):
+    """``x[i+d]`` with ``fill`` below the bottom edge (see _shift_up)."""
+    pad = jnp.full_like(x[:1], fill)
+    return jnp.concatenate(
+        [x[d:], jnp.broadcast_to(pad, (d,) + x.shape[1:])], axis=0
+    )
+
+
 def solve_pcr(lower, diag, upper, rhs):
     """Parallel cyclic reduction over axis 0.
 
@@ -133,24 +152,16 @@ def solve_pcr(lower, diag, upper, rhs):
     n = rhs.shape[0]
     a, b, c, r = lower, diag, upper, rhs
 
-    def shift_up(x, d, fill):  # x[i-d]
-        pad = jnp.full_like(x[:1], fill)
-        return jnp.concatenate([jnp.broadcast_to(pad, (d,) + x.shape[1:]), x[:-d]], axis=0)
-
-    def shift_dn(x, d, fill):  # x[i+d]
-        pad = jnp.full_like(x[:1], fill)
-        return jnp.concatenate([x[d:], jnp.broadcast_to(pad, (d,) + x.shape[1:])], axis=0)
-
     d = 1
     while d < n:
-        b_up = shift_up(b, d, 1.0)
-        b_dn = shift_dn(b, d, 1.0)
+        b_up = _shift_up(b, d, 1.0)
+        b_dn = _shift_dn(b, d, 1.0)
         alpha = -a / b_up
         gamma = -c / b_dn
-        b = b + alpha * shift_up(c, d, 0.0) + gamma * shift_dn(a, d, 0.0)
-        r = r + alpha * shift_up(r, d, 0.0) + gamma * shift_dn(r, d, 0.0)
-        a = alpha * shift_up(a, d, 0.0)
-        c = gamma * shift_dn(c, d, 0.0)
+        b = b + alpha * _shift_up(c, d, 0.0) + gamma * _shift_dn(a, d, 0.0)
+        r = r + alpha * _shift_up(r, d, 0.0) + gamma * _shift_dn(r, d, 0.0)
+        a = alpha * _shift_up(a, d, 0.0)
+        c = gamma * _shift_dn(c, d, 0.0)
         d *= 2
     return r / b
 
@@ -171,28 +182,16 @@ def pcr_factor(lower, diag, upper):
     n = diag.shape[0]
     a, b, c = lower, diag, upper
 
-    def shift_up(x, d, fill):
-        pad = jnp.full_like(x[:1], fill)
-        return jnp.concatenate(
-            [jnp.broadcast_to(pad, (d,) + x.shape[1:]), x[:-d]], axis=0
-        )
-
-    def shift_dn(x, d, fill):
-        pad = jnp.full_like(x[:1], fill)
-        return jnp.concatenate(
-            [x[d:], jnp.broadcast_to(pad, (d,) + x.shape[1:])], axis=0
-        )
-
     levels = []
     d = 1
     while d < n:
-        b_up = shift_up(b, d, 1.0)
-        b_dn = shift_dn(b, d, 1.0)
+        b_up = _shift_up(b, d, 1.0)
+        b_dn = _shift_dn(b, d, 1.0)
         alpha = -a / b_up
         gamma = -c / b_dn
-        b = b + alpha * shift_up(c, d, 0.0) + gamma * shift_dn(a, d, 0.0)
-        a = alpha * shift_up(a, d, 0.0)
-        c = gamma * shift_dn(c, d, 0.0)
+        b = b + alpha * _shift_up(c, d, 0.0) + gamma * _shift_dn(a, d, 0.0)
+        a = alpha * _shift_up(a, d, 0.0)
+        c = gamma * _shift_dn(c, d, 0.0)
         levels.append((alpha, gamma))
         d *= 2
     return tuple(levels), 1.0 / b
@@ -203,14 +202,7 @@ def pcr_apply(levels, inv_b, rhs):
     r = rhs
     d = 1
     for alpha, gamma in levels:
-        zero = jnp.zeros_like(r[:1])
-        up = jnp.concatenate(
-            [jnp.broadcast_to(zero, (d,) + r.shape[1:]), r[:-d]], axis=0
-        )
-        dn = jnp.concatenate(
-            [r[d:], jnp.broadcast_to(zero, (d,) + r.shape[1:])], axis=0
-        )
-        r = r + alpha * up + gamma * dn
+        r = r + alpha * _shift_up(r, d, 0.0) + gamma * _shift_dn(r, d, 0.0)
         d *= 2
     return r * inv_b
 
