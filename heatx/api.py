@@ -227,6 +227,9 @@ class ThermalModel:
         mean heating(+)/cooling(-) demand in W per zone.
         ``collect_operative`` appends the [T, Z] operative-temperature
         history ``(T_air + T_mrt)/2`` (see :meth:`zone_mrt`)."""
+        _check_setpoint_order(
+            self.building, inputs_seq.heat_sp, inputs_seq.cool_sp
+        )
         key = (collect_zone_T, collect_loads, collect_operative)
         if key not in self._run:
             self._run[key] = jax.jit(partial(
@@ -343,6 +346,42 @@ class ThermalModel:
             hours=hours, interpret=interpret, collect_fluxes=collect_fluxes,
             scheduled_setpoints=scheduled_setpoints, mesh=mesh,
             collect_operative=collect_operative,
+        )
+
+
+def _check_setpoint_order(building, heat_sp, cool_sp):
+    """Host-side sanity check of SCHEDULED setpoints: heating must stay
+    below cooling wherever both are active.  compile_building enforces this
+    for compiled thermostat values (layout.py), but a per-step schedule
+    bypasses that check, and the zone update's heating branch takes
+    priority — a transposed setback array would silently heat every zone
+    to the cooling setpoint.  Best-effort: skipped for traced values and
+    non-broadcastable shape pairs (the runners normalize those later)."""
+    if heat_sp is None and cool_sp is None:
+        return
+    import numpy as np
+
+    try:
+        h = np.asarray(
+            building.ctl_heat_sp if heat_sp is None else heat_sp, np.float64
+        )
+        c = np.asarray(
+            building.ctl_cool_sp if cool_sp is None else cool_sp, np.float64
+        )
+        if h.size == 0 or c.size == 0:
+            return
+        hb, cb = np.broadcast_arrays(h, c)
+    except Exception:
+        return
+    bad = (hb > -1e8) & (cb < 1e8) & (hb >= cb)
+    if bad.any():
+        i = np.argwhere(bad)[0]
+        raise ValueError(
+            "scheduled heating setpoint >= cooling setpoint at index "
+            f"{tuple(int(x) for x in i)} ({float(hb[tuple(i)])} >= "
+            f"{float(cb[tuple(i)])}): the heating branch would win every "
+            "sub-step and hold the zone at the heating value (transposed "
+            "schedule arrays are the usual cause)"
         )
 
 
@@ -594,7 +633,9 @@ class FastRunner:
                 * np.asarray(gas_mod.heat_capacity(gas_mod.AIR, t_k)),
                 0.0,
             )
-            a_gain = a_gain + term * temp
+            # Mask the product too (a masked-off channel may carry NaN
+            # temperatures; 0 * NaN = NaN) — matches zone.air_exchange.
+            a_gain = a_gain + np.where(mask, term * temp, 0.0)
             b_gain = b_gain + term
 
         out = (
@@ -695,7 +736,8 @@ class FastRunner:
                     * gas_mod.heat_capacity(gas_mod.AIR, t_k),
                     0.0,
                 )
-                a_gain = a_gain + term * temp
+                # Masked product (NaN-safe), matching zone.air_exchange.
+                a_gain = a_gain + jnp.where(mask > 0, term * temp, 0.0)
                 b_gain = b_gain + term
             return a_gain, b_gain
 
@@ -811,6 +853,8 @@ class FastRunner:
                 "construct the runner with scheduled_setpoints=True to pass "
                 "StepInputs.heat_sp/cool_sp schedules through the kernel"
             )
+        if has_sched:
+            _check_setpoint_order(b, inputs_seq.heat_sp, inputs_seq.cool_sp)
         t_out = np.asarray(inputs_seq.t_out, np.float64)
         T_steps = t_out.shape[0]
         if T_steps % H != 0:

@@ -307,11 +307,19 @@ class CompiledBuilding:
     def set_fixed_h(self, front=None, back=None):
         """Pin convection coefficients (the reference's debug-only
         front_hs/back_hs override, surface.rs:374-381).  Pass scalars or [S]
-        arrays; None leaves the side untouched."""
+        arrays; None leaves the side untouched.
+
+        Ground-contact faces are exempt: their fixed-h channel carries the
+        compiled soil-contact coefficient (config.ground_contact_h), which
+        this debug override must not clobber (and a NaN "unset" must not
+        strip)."""
+        sb = self.surfaces
         if front is not None:
-            self.surfaces.fixed_h_front[:] = front
+            keep = np.asarray(sb.front_code) == B_GROUND
+            sb.fixed_h_front[:] = np.where(keep, sb.fixed_h_front, front)
         if back is not None:
-            self.surfaces.fixed_h_back[:] = back
+            keep = np.asarray(sb.back_code) == B_GROUND
+            sb.fixed_h_back[:] = np.where(keep, sb.fixed_h_back, back)
         return self
 
 
@@ -487,7 +495,7 @@ def compile_building(
     mass = zeros(S, N)
     seg_u = zeros(S, N)
     seg_is_cavity = np.zeros((S, N), dtype=bool)
-    cav_fields = [zeros(S, N) for _ in range(7)]
+    cav_fields = [zeros(S, N) for _ in range(len(GasProps._fields))]
     cav_thickness = zeros(S, N)
     cav_height = np.ones((S, N), dtype=f64)
     cav_angle = zeros(S, N)
@@ -556,10 +564,12 @@ def compile_building(
             else DEFAULT_EMISSIVITY
         )
 
-        # Alphas depend only on (construction, discretization) — shared by
-        # every surface using them (the per-surface call was a top build cost
-        # at 100k surfaces).
-        akey = (construction.name, id(d))
+        # Alphas depend only on (construction, node count) — the node layout
+        # is angle-independent (discretize_construction takes no angle), so
+        # every tilt of a construction shares one computation (the
+        # per-surface call was a top build cost at 100k surfaces; keying on
+        # id(d) still recomputed once per distinct tilt).
+        akey = (construction.name, nn)
         al = alpha_cache.get(akey)
         if al is None:
             al = (

@@ -119,5 +119,7 @@ def default_inputs(building, dtype=None, **overrides) -> StepInputs:
         mix_vol=jnp.asarray(building.mix_vol, dtype=dtype),
     )
     for k, v in overrides.items():
+        if v is None:
+            continue  # explicit None = keep the default / leave absent
         base = base._replace(**{k: jnp.asarray(v, dtype=bool if k.endswith("mask") else dtype)})
     return base

@@ -62,7 +62,10 @@ def zone_abc(
         cp = gas.heat_capacity(gas.AIR, t_k)
         rho = gas.density(gas.AIR, t_k)
         term = jnp.where(mask, rho * vol * cp, 0.0)
-        return a + term * temp, b + term
+        # Mask the PRODUCT too: a masked-off channel may carry NaN in its
+        # temperature (the natural 'no infiltration' encoding) and
+        # 0 * NaN = NaN would poison the zone gains.
+        return a + jnp.where(mask, term * temp, 0.0), b + term
 
     a, b = air_exchange(a, b, inputs.inf_vol, inputs.inf_temp, inputs.inf_mask)
     a, b = air_exchange(a, b, inputs.vent_vol, inputs.vent_temp, inputs.vent_mask)

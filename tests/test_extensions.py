@@ -212,3 +212,120 @@ def test_space_index_survives_rename():
         assert False, "stale name should no longer resolve"
     except KeyError:
         pass
+
+
+def test_set_fixed_h_exempts_ground_faces():
+    """The debug h-override must not clobber (or NaN-strip) the compiled
+    soil-contact coefficient on ground faces."""
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("slab", "concrete", 0.15))
+    m.add_construction(Construction("floor", ["slab"]))
+    m.add_space(SpaceDef("room", 100.0))
+    verts = np.array([[0, 0, 0], [5, 0, 0], [5, 5, 0], [0, 5, 0]], float)
+    m.add_surface(SurfaceDef("slab0", "floor", Boundary.ground(temperature=12.0),
+                             Boundary.space_("room"), vertices=verts))
+    m.add_surface(SurfaceDef("wall0", "floor", Boundary.outdoor(),
+                             Boundary.space_("room"), vertices=verts))
+    tm = heatx.ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    b = tm.building
+    b.set_fixed_h(front=10.0, back=10.0)
+    assert float(b.surfaces.fixed_h_front[0]) == 20.0  # ground face kept
+    assert float(b.surfaces.fixed_h_front[1]) == 10.0  # ordinary face pinned
+    b.set_fixed_h(front=np.nan, back=np.nan)  # unset the override
+    assert float(b.surfaces.fixed_h_front[0]) == 20.0  # soil contact survives
+    assert np.isnan(b.surfaces.fixed_h_front[1])
+
+
+def test_masked_airflow_nan_temperature_is_inert():
+    """A masked-off infiltration/ventilation channel carrying NaN in its
+    temperature (the natural 'absent' encoding) must not poison the zone
+    gains (0 * NaN)."""
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c"]))
+    m.add_space(SpaceDef("room", 100.0))
+    m.add_surface(SurfaceDef(
+        "w", "wall", Boundary.outdoor(), Boundary.space_("room"),
+        vertices=np.array([[0, 0, 0], [5, 0, 0], [5, 0, 3], [0, 0, 3]], float),
+    ))
+    tm = heatx.ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    st = tm.initial_state()
+    inp = tm.inputs(t_out=0.0, wind_speed=2.0,
+                    inf_vol=0.1, inf_temp=np.nan, inf_mask=False)
+    for _ in range(4):
+        st = tm.march(st, inp)
+    assert np.isfinite(float(st.zone_T[0]))
+    # And through the FastRunner gains preprocessing.
+    from heatx.api import FastRunner
+
+    fr = FastRunner(tm, block_size=8, mode="trbdf2", substeps=4)
+    seq = tm.inputs_sequence(4, t_out=np.zeros(4), wind_speed=np.full(4, 2.0),
+                             inf_vol=0.1, inf_temp=np.nan, inf_mask=False)
+    stk, zt = fr.run(tm.initial_state(), seq)
+    assert np.all(np.isfinite(np.asarray(zt)))
+
+
+def test_inverted_scheduled_setpoints_rejected():
+    """A transposed setpoint schedule (heat >= cool) is rejected host-side:
+    under jit the heating branch would silently win every sub-step."""
+    from heatx.model.building import IdealHeaterCooler
+
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c"]))
+    m.add_space(SpaceDef("room", 100.0))
+    m.add_surface(SurfaceDef(
+        "w", "wall", Boundary.outdoor(), Boundary.space_("room"),
+        vertices=np.array([[0, 0, 0], [5, 0, 0], [5, 0, 3], [0, 0, 3]], float),
+    ))
+    m.add_hvac(IdealHeaterCooler("t", ["room"], heat_setpoint=20.0,
+                                 cool_setpoint=26.0))
+    tm = heatx.ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    T = 4
+    seq = tm.inputs_sequence(
+        T, t_out=np.zeros(T), heat_sp=np.full((T, 1), 26.0),
+        cool_sp=np.full((T, 1), 20.0),
+    )
+    with pytest.raises(ValueError, match="heating setpoint >= cooling"):
+        tm.run(tm.initial_state(), seq)
+    from heatx.api import FastRunner
+
+    fr = FastRunner(tm, block_size=8, mode="trbdf2", substeps=4,
+                    scheduled_setpoints=True)
+    with pytest.raises(ValueError, match="heating setpoint >= cooling"):
+        fr.run(tm.initial_state(), seq)
+    # A valid schedule still runs.
+    ok = tm.inputs_sequence(T, t_out=np.zeros(T),
+                            heat_sp=np.full((T, 1), 18.0))
+    tm.run(tm.initial_state(), ok)
+
+
+def test_default_inputs_none_override_noop():
+    """Explicit None overrides keep the defaults instead of crashing."""
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c"]))
+    m.add_space(SpaceDef("room", 100.0))
+    m.add_surface(SurfaceDef(
+        "w", "wall", Boundary.outdoor(), Boundary.space_("room"),
+        vertices=np.array([[0, 0, 0], [5, 0, 0], [5, 0, 3], [0, 0, 3]], float),
+    ))
+    tm = heatx.ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    inp = tm.inputs(t_out=3.0, mix_vol=None, heat_sp=None)
+    assert float(inp.t_out) == 3.0 and inp.heat_sp is None
