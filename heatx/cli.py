@@ -561,8 +561,8 @@ def cmd_simulate(args) -> int:
     if args.save_state:
         from heatx.io.checkpoint import save_state
 
-        save_state(args.save_state, final, step=start + T)
-        print(f"# saved final state to {args.save_state}", file=sys.stderr)
+        saved = save_state(args.save_state, final, step=start + T)
+        print(f"# saved final state to {saved}", file=sys.stderr)
 
     znames = [sp.name for sp in model.spaces]
     if args.out:

@@ -101,15 +101,23 @@ def ensemble_initial_state(building_e: CompiledBuilding, n_members: int) -> SimS
     )
 
 
-def _seq_run(mode: str, substeps: int, collect_zone_T: bool, collect_loads: bool = False):
+def _seq_run(mode: str, substeps, collect_zone_T: bool, collect_loads: bool = False):
     """A (building, state, inputs_seq) -> (state, history) runner for one
     member, for each production integrator.  With ``collect_loads`` the
     history is ``(zone_T_hist, ideal_load_hist)`` (setpoint-driven HVAC
     only, like step.run)."""
     if mode == "parity":
+        if substeps is not None:
+            # Parity marches the stability-dictated dt_subdivisions; a
+            # substeps request would otherwise be silently ignored.
+            raise ValueError(
+                "mode='parity' marches the building's dt_subdivisions; "
+                "substeps applies to 'trbdf2'/'exponential' only"
+            )
         return partial(
             step_mod.run, collect_zone_T=collect_zone_T, collect_loads=collect_loads
         )
+    substeps = 8 if substeps is None else int(substeps)
 
     if mode == "trbdf2":
         from heatx.engine.implicit import imp_march as march_fn
@@ -139,7 +147,7 @@ def _seq_run(mode: str, substeps: int, collect_zone_T: bool, collect_loads: bool
 
 def make_run(
     mode: str = "parity",
-    substeps: int = 8,
+    substeps: int = None,
     collect_zone_T: bool = True,
     inputs_axes=None,
     jit: bool = True,
@@ -151,6 +159,8 @@ def make_run(
     (see :func:`stack_pytrees` / :func:`ensemble_initial_state`);
     ``inputs_seq`` is shared across members by default (``inputs_axes=None``)
     or per-member with ``inputs_axes=0`` (leaves then shaped [E, T, ...]).
+    ``substeps`` (fast modes only; default 8) is rejected under
+    ``mode="parity"``, which marches the stability-dictated sub-step count.
     Returns ``(final_state_e, zone_T_hist_e)`` with ``zone_T_hist_e`` shaped
     [E, T, Z]; ``collect_loads`` makes the history
     ``(zone_T_hist_e, ideal_load_hist_e)`` (setpoint-driven HVAC only).
@@ -165,13 +175,17 @@ def ensemble_run(
     state_e: SimState,
     inputs_seq: StepInputs,
     mode: str = "parity",
-    substeps: int = 8,
+    substeps: int = None,
     collect_zone_T: bool = True,
     inputs_axes=None,
+    collect_loads: bool = False,
 ):
     """One-shot convenience wrapper over :func:`make_run` (re-traces per
     call; build the runner once via ``make_run`` for repeated use)."""
-    fn = make_run(mode, substeps, collect_zone_T, inputs_axes, jit=False)
+    fn = make_run(
+        mode, substeps, collect_zone_T, inputs_axes, jit=False,
+        collect_loads=collect_loads,
+    )
     return fn(building_e, state_e, inputs_seq)
 
 
@@ -182,7 +196,7 @@ def run_param_ensemble(
     state: SimState,
     inputs_seq: StepInputs,
     mode: str = "parity",
-    substeps: int = 8,
+    substeps: int = None,
     collect_zone_T: bool = True,
     inputs_axes=None,
     collect_loads: bool = False,

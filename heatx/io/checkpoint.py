@@ -15,13 +15,19 @@ import numpy as np
 from heatx.engine.state import SimState
 
 
-def save_state(path: str, state: SimState, step: int = 0):
-    """Serialize a SimState (and the step counter) to ``path`` (.npz)."""
+def save_state(path: str, state: SimState, step: int = 0) -> str:
+    """Serialize a SimState (and the step counter) to ``path``; returns the
+    actual file path.  ``np.savez`` appends ``.npz`` when missing — the
+    suffix is normalized here so a later ``load_state`` with the SAME path
+    string round-trips."""
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"
     np.savez(
         path,
         step=np.int64(step),
         **{k: np.asarray(v) for k, v in state._asdict().items() if v is not None},
     )
+    return path
 
 
 def load_state(path: str, dtype=None, building=None):
@@ -32,7 +38,13 @@ def load_state(path: str, dtype=None, building=None):
     thermostatic building gets a zero-initialized channel, and one WITH the
     channel loaded into an uncontrolled building drops it — otherwise the
     scan carry structure would mismatch on the first march."""
+    import os
+
     import jax.numpy as jnp
+
+    if not os.path.exists(path) and not str(path).endswith(".npz"):
+        if os.path.exists(f"{path}.npz"):
+            path = f"{path}.npz"  # save_state's normalized suffix
 
     with np.load(path) as d:
         step = int(d["step"])

@@ -324,6 +324,11 @@ class BuildingModel:
         return s
 
     def add_space(self, s: SpaceDef) -> SpaceDef:
+        # Duplicate names are rejected: space_index resolves by name, so a
+        # second 'Room' would silently absorb every surface/gain bound to
+        # the name while the first zone floats unreferenced.
+        if any(sp.name == s.name for sp in self.spaces):
+            raise ValueError(f"duplicate space name {s.name!r}")
         self.spaces.append(s)
         return s
 

@@ -120,6 +120,10 @@ def _boundary_from(field: Any) -> Boundary:
     if kind == "AmbientTemperature":
         return Boundary.ambient(float(field["temperature"]))
     if kind == "Ground":
+        # Honor the file's soil temperature when present (dropping it used
+        # to silently pin every ground face at the 10 C default).
+        if "temperature" in field:
+            return Boundary.ground(float(field["temperature"]))
         return Boundary.ground()
     raise ValueError(f"unknown boundary type '{kind}'")
 

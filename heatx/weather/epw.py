@@ -100,10 +100,17 @@ def read_epw(path: str) -> EPWData:
             if len(months) == 12:
                 ground_temps[depth] = months
     rows = []
-    for line in lines[8:]:
+    for li, line in enumerate(lines[8:], start=9):
+        if not line.strip():
+            continue  # trailing blank lines are fine
         parts = line.strip().split(",")
         if len(parts) < 22:
-            continue
+            # Silently skipping a truncated record would shift every later
+            # hour of the year (solar position, ground series, schedules).
+            raise ValueError(
+                f"EPW data record at line {li} has {len(parts)} fields "
+                "(need >= 22): truncated or damaged file"
+            )
         rows.append(
             (
                 float(parts[_F_DRY_BULB]),
@@ -115,7 +122,34 @@ def read_epw(path: str) -> EPWData:
                 float(parts[_F_HORIZ_IR]),
             )
         )
+    if not rows:
+        raise ValueError(f"no weather data records found in EPW file")
     data = np.array(rows, dtype=np.float64)
+    # EPW missing-data markers (99.9 dry bulb, 999 wind, 9999 radiation/IR):
+    # hold the last valid value (EnergyPlus's substitution convention) rather
+    # than injecting the marker as physics.
+    _MISSING = (99.0, 999.0, 400.0, 9999.0, 9999.0, 9999.0, 9999.0)
+    for col, thresh in enumerate(_MISSING):
+        v = data[:, col]
+        bad = v >= thresh
+        if not bad.any():
+            continue
+        if bad.all():
+            raise ValueError(
+                f"EPW column {col} is entirely missing-data markers"
+            )
+        import warnings
+
+        warnings.warn(
+            f"EPW: {int(bad.sum())} missing-data records in column {col} "
+            "held at the last valid value",
+            stacklevel=2,
+        )
+        idx = np.where(bad, 0, np.arange(len(v)))
+        idx = np.maximum.accumulate(idx)  # last valid index at or before i
+        first = np.flatnonzero(~bad)[0]
+        v = v[np.maximum(idx, first)]  # head gap back-fills the first valid
+        data[:, col] = v
     return EPWData(
         dry_bulb=data[:, 0],
         wind_speed=data[:, 1],
@@ -135,16 +169,24 @@ def read_epw(path: str) -> EPWData:
 _MONTH_HOURS = np.repeat(
     np.arange(12), np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]) * 24
 )
+_MONTH_HOURS_LEAP = np.repeat(
+    np.arange(12), np.array([31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]) * 24
+)
 
 
-def monthly_to_hourly(monthly: np.ndarray, hours: int = 8760) -> np.ndarray:
+def monthly_to_hourly(
+    monthly: np.ndarray, hours: int = 8760, leap: bool = False
+) -> np.ndarray:
     """Expand 12 monthly values into an hourly series (each month's value
     held across its hours, EnergyPlus's ground-temperature convention),
-    tiled/truncated to ``hours``."""
+    tiled/truncated to ``hours``.  Pass ``leap=True`` for an 8784-hour
+    leap-year weather file — the 365-day table would otherwise shift every
+    boundary after Feb 28 and give Dec 31 January's value (8784 alone is
+    ambiguous: it is also one year + one day of a multi-year tiling)."""
     monthly = np.asarray(monthly, np.float64)
     if monthly.shape != (12,):
         raise ValueError(f"expected 12 monthly values, got {monthly.shape}")
-    year = monthly[_MONTH_HOURS]
+    year = monthly[_MONTH_HOURS_LEAP if leap else _MONTH_HOURS]
     reps = -(-hours // len(year))
     return np.tile(year, reps)[:hours]
 

@@ -64,10 +64,11 @@ def stacked():
 def test_stacked_matches_individual(stacked, mode):
     builds, b_e, st_e = stacked
     seq = _inputs_seq(builds[0])
-    run = ensemble.make_run(mode=mode, substeps=2, jit=False)
+    sub = None if mode == "parity" else 2
+    run = ensemble.make_run(mode=mode, substeps=sub, jit=False)
     state_e, hist_e = run(b_e, st_e, seq)
     assert hist_e.shape == (len(builds), 4, builds[0].n_zones)
-    single = ensemble._seq_run(mode, 2, True)
+    single = ensemble._seq_run(mode, sub, True)
     for i, b in enumerate(builds):
         st = state_mod.initial_state(b)
         state_i, hist_i = single(b, st, seq)

@@ -112,6 +112,11 @@ def test_monthly_to_hourly():
     # Tiling wraps for multi-year horizons.
     h2 = monthly_to_hourly(monthly, hours=8760 + 24)
     assert (h2[8760:] == 0.0).all()
+    # Leap years keep the month boundaries aligned (Feb = 29 days).
+    h3 = monthly_to_hourly(monthly, hours=8784, leap=True)
+    assert h3.shape == (8784,)
+    assert h3[(31 + 28) * 24] == 1.0  # Feb 29 still February
+    assert h3[-1] == 11.0  # Dec 31 of the leap year stays December
     with pytest.raises(ValueError):
         monthly_to_hourly(np.arange(11, dtype=float))
 
@@ -217,3 +222,86 @@ def test_spl_devices_and_site(tmp_path):
     # floats with its 500 W heater.
     assert zt[0] >= 19.0 - 1e-9
     assert np.asarray(st.ideal_load)[0] > 0.0
+
+
+def test_epw_missing_markers_and_truncation(tmp_path):
+    """EPW missing-data markers substitute (hold last valid) instead of
+    entering the physics as 9999 W/m2; truncated records raise instead of
+    silently shifting the rest of the year."""
+    import warnings
+
+    header = "\n".join(
+        ["LOCATION,X,,,,,-33.38,-70.78,-4.0,476.0"] + ["HDR"] * 7
+    )
+
+    def rec(dry=10.0, ir=350.0, ghi=100.0, dni=200.0, dhi=50.0, ws=3.0, wd=180.0):
+        f = ["9"] * 35
+        f[6], f[12], f[13], f[14], f[15], f[21], f[20] = (
+            str(dry), str(ir), str(ghi), str(dni), str(dhi), str(ws), str(wd)
+        )
+        return ",".join(f)
+
+    p = tmp_path / "w.epw"
+    p.write_text(header + "\n" + "\n".join(
+        [rec(), rec(dry=99.9, ir=9999.0), rec(dry=12.0)]
+    ) + "\n")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        w = read_epw(str(p))
+    assert w.dry_bulb[1] == 10.0  # held at the last valid value
+    assert w.horizontal_ir[1] == 350.0
+    assert w.dry_bulb[2] == 12.0
+    assert any("missing-data" in str(c.message) for c in caught)
+
+    # Leading missing records back-fill from the first valid one.
+    p.write_text(header + "\n" + "\n".join([rec(dry=99.9), rec(dry=7.0)]) + "\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        w2 = read_epw(str(p))
+    assert w2.dry_bulb[0] == 7.0
+
+    # A truncated record raises (line number included).
+    p.write_text(header + "\n" + rec() + "\nbad,line\n" + rec() + "\n")
+    with pytest.raises(ValueError, match="line 10"):
+        read_epw(str(p))
+    # A records-free file raises clearly.
+    p.write_text(header + "\n")
+    with pytest.raises(ValueError, match="no weather data"):
+        read_epw(str(p))
+
+
+def test_checkpoint_path_roundtrip(tmp_path):
+    """save_state/load_state round-trip with the SAME path string (np.savez
+    appends .npz; the loader must find it)."""
+    from heatx.io.checkpoint import load_state, save_state
+    from heatx.engine.state import SimState
+
+    st = SimState(
+        node_T=np.zeros((3, 2)), zone_T=np.array([21.0]),
+        h_front=np.zeros(2), h_back=np.zeros(2),
+        q_front=np.zeros(2), q_back=np.zeros(2),
+    )
+    base = str(tmp_path / "ckpt")
+    actual = save_state(base, st, step=7)
+    assert actual.endswith(".npz")
+    st2, step = load_state(base)  # same string the caller passed
+    assert step == 7 and float(st2.zone_T[0]) == 21.0
+
+
+def test_spl_ground_temperature_honored(tmp_path):
+    """A .spl Ground boundary's temperature field reaches the model."""
+    from heatx.model.spl import _boundary_from
+
+    b = _boundary_from({"type": "Ground", "temperature": 18.0})
+    assert b.kind == "ground" and b.temperature == 18.0
+    b2 = _boundary_from({"type": "Ground"})
+    assert b2.temperature == 10.0
+
+
+def test_duplicate_space_rejected():
+    from heatx.model.building import BuildingModel, SpaceDef
+
+    m = BuildingModel()
+    m.add_space(SpaceDef("room", 100.0))
+    with pytest.raises(ValueError, match="duplicate space"):
+        m.add_space(SpaceDef("room", 200.0))
