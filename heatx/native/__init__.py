@@ -41,16 +41,21 @@ def _build() -> Optional[str]:
     so_path = os.path.join(_cache_dir(), f"heatx_native_{digest}.so")
     if os.path.exists(so_path):
         return so_path
-    cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", so_path + ".tmp", _SRC,
-    ]
+    # Per-process tmp name: concurrent cold-cache builds (a bench run next
+    # to a test run) would otherwise interleave g++ writes into ONE .tmp
+    # and os.replace a torn ELF into the cache.
+    tmp = f"{so_path}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(so_path + ".tmp", so_path)
+        os.replace(tmp, so_path)
         return so_path
     except Exception as e:  # g++ missing, sandboxed, etc. -> python fallback
         print(f"heatx.native: build failed ({e}); using python fallbacks", file=sys.stderr)
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -66,7 +71,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         so = _build()
         if so is None:
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError as e:
+            # A corrupt/incompatible cached .so (e.g. -march=native built on
+            # a different CPU via a shared home) must fall back to the pure
+            # Python paths, not crash every caller.
+            print(
+                f"heatx.native: cached library unusable ({e}); using python "
+                "fallbacks", file=sys.stderr,
+            )
+            return None
         c_double_p = ctypes.POINTER(ctypes.c_double)
         c_int_p = ctypes.POINTER(ctypes.c_int)
         c_long_p = ctypes.POINTER(ctypes.c_long)
@@ -105,6 +120,8 @@ def parse_csv(path: str, usecols, skip_header: int = 1) -> Optional[np.ndarray]:
     if lib is None:
         return None
     rows = lib.hx_count_rows(path.encode(), skip_header)
+    if rows == -2:
+        return None  # line exceeds the native buffer: numpy fallback
     if rows < 0:
         raise FileNotFoundError(path)
     cols = np.asarray(usecols, dtype=np.int32)
@@ -113,6 +130,8 @@ def parse_csv(path: str, usecols, skip_header: int = 1) -> Optional[np.ndarray]:
         path.encode(), skip_header, _ptr(cols, ctypes.c_int), len(cols),
         _ptr(out, ctypes.c_double), rows,
     )
+    if got == -2:
+        return None
     if got < 0:
         raise FileNotFoundError(path)
     return out[:got]

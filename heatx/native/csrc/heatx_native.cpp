@@ -21,6 +21,9 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 // Count data rows (lines after `skip_header` with at least one comma).
+// Returns -2 when a line exceeds the read buffer (a very wide EnergyPlus
+// CSV): the caller must fall back to the Python parser — continuing would
+// silently split the line into misaligned pseudo-rows.
 long hx_count_rows(const char* path, int skip_header) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -28,6 +31,10 @@ long hx_count_rows(const char* path, int skip_header) {
   int line = 0;
   char buf[1 << 16];
   while (std::fgets(buf, sizeof buf, f)) {
+    if (!std::strchr(buf, '\n') && !std::feof(f)) {
+      std::fclose(f);
+      return -2;  // overlong line (buffer holds a partial record)
+    }
     if (line++ < skip_header) continue;
     if (std::strchr(buf, ',')) rows++;
   }
@@ -50,6 +57,10 @@ long hx_parse_csv(const char* path, int skip_header, const int* usecols,
   long row = 0;
   int line = 0;
   while (std::fgets(buf, sizeof buf, f) && row < max_rows) {
+    if (!std::strchr(buf, '\n') && !std::feof(f)) {
+      std::fclose(f);
+      return -2;  // overlong line (see hx_count_rows)
+    }
     if (line++ < skip_header) continue;
     if (!std::strchr(buf, ',')) continue;
     // split in place

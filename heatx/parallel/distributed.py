@@ -55,12 +55,11 @@ def initialize(
 
 
 def global_mesh(axis_name: str = "surf", devices: Optional[Sequence] = None):
-    """1-D mesh over every device of every process (ICI + DCN)."""
-    import jax
-    from jax.sharding import Mesh
+    """1-D mesh over every device of every process (ICI + DCN).  Delegates
+    to :func:`heatx.parallel.sharding.make_mesh` (one mesh constructor)."""
+    from heatx.parallel.sharding import make_mesh
 
-    devices = list(devices) if devices is not None else jax.devices()
-    return Mesh(np.array(devices), (axis_name,))
+    return make_mesh(devices, axis_name=axis_name)
 
 
 def is_multi_process() -> bool:

@@ -20,8 +20,16 @@ def check_state_finite(state: SimState) -> dict:
     for name, arr in state._asdict().items():
         if arr is None:  # optional channel (e.g. ideal_load) absent
             continue
-        a = np.asarray(arr)
-        bad = int(np.size(a) - np.isfinite(a).sum())
+        try:
+            a = np.asarray(arr)
+            bad = int(np.size(a) - np.isfinite(a).sum())
+        except RuntimeError:
+            # Multi-process sharded state spans non-addressable devices and
+            # cannot be fetched whole; reduce on device instead (the sum of
+            # a sharded array is replicated, hence fetchable everywhere).
+            import jax.numpy as jnp
+
+            bad = int(jnp.sum(jnp.where(jnp.isfinite(arr), 0, 1)))
         if bad:
             out[name] = bad
     return out

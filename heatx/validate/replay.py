@@ -15,7 +15,6 @@ front-node temperature from the scan carry.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace as dc_replace
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -41,6 +40,7 @@ def replay_wall_run(
     pin_h_inside: bool = False,
     pin_h_outside: bool = False,
     passes: int = 1,
+    collect_channels: bool = False,
 ):
     """March the compiled model through the fixture's boundary conditions.
 
@@ -66,7 +66,16 @@ def replay_wall_run(
     (nodes initialized to 22 C vs EnergyPlus's 25 warm-up days — decisive
     for the insulated mixed wall, whose ~6.6-day time constant outlives the
     5000-step warm-up skip; see tests/test_eplus_replay.py).
+
+    ``collect_channels`` records every observable channel the fixture logs
+    (zone T, outside/inside face temperatures, h out/in) and returns a dict
+    of (ours, energyplus) series pairs instead — so a zone-temperature
+    disagreement can be localized to the physics channel it enters through
+    (one scan body serves both uses; the channel variant used to be a
+    drifting copy).
     """
+    from heatx.engine import surface as surf_mod
+
     if march_fn is None:
         march_fn = step_mod.march
     building = tm.building
@@ -95,37 +104,68 @@ def replay_wall_run(
     )
     use_ir = emissivity > 1e-3
 
-    def body(carry, x):
-        t_out, ws, wd, sol, gain, h_in, h_out = x
-        ts = carry.node_T[0]
-        if use_ir:
-            ir = gain / (surface_area * emissivity) + SIGMA * (ts + 273.15) ** 4
-        else:
-            ir = jnp.zeros((S,), dtype)
-        inputs = base._replace(
-            t_out=t_out,
-            wind_speed=ws,
-            wind_direction=wd,
-            sol_front=jnp.broadcast_to(sol, (S,)),
-            ir_front=ir,
-        )
-        bld = building
-        if pin_h_inside or pin_h_outside:
-            sb = bld.surfaces
-            if pin_h_inside:  # inside film = the back (space-facing) face
-                sb = dc_replace(sb, fixed_h_back=jnp.broadcast_to(h_in, (S,)))
-            if pin_h_outside:
-                sb = dc_replace(sb, fixed_h_front=jnp.broadcast_to(h_out, (S,)))
-            bld = dc_replace(bld, surfaces=sb, discretizations=[])
-        new = march_fn(bld, carry, inputs)
-        # Record the zone temperature *before* this march, like the reference.
-        return new, carry.zone_T[0]
+    # The building rides as a traced ARGUMENT of the jitted scan (repo
+    # convention: never a closure constant — that bakes every array into
+    # the executable and retraces per model / per pin-h configuration).
+    def scan_fn(building, state, xs):
+        def body(carry, x):
+            t_out, ws, wd, sol, gain, h_in, h_out = x
+            ts = carry.node_T[0]
+            if use_ir:
+                ir = (
+                    gain / (surface_area * emissivity)
+                    + SIGMA * (ts + 273.15) ** 4
+                )
+            else:
+                ir = jnp.zeros((S,), dtype)
+            inputs = base._replace(
+                t_out=t_out,
+                wind_speed=ws,
+                wind_direction=wd,
+                sol_front=jnp.broadcast_to(sol, (S,)),
+                ir_front=ir,
+            )
+            bld = building
+            if pin_h_inside or pin_h_outside:
+                sb = bld.surfaces
+                if pin_h_inside:  # inside film = the back (space-facing) face
+                    sb = dc_replace(sb, fixed_h_back=jnp.broadcast_to(h_in, (S,)))
+                if pin_h_outside:
+                    sb = dc_replace(sb, fixed_h_front=jnp.broadcast_to(h_out, (S,)))
+                bld = dc_replace(bld, surfaces=sb, discretizations=[])
+            new = march_fn(bld, carry, inputs)
+            # Record the state *before* this march, like the reference.
+            out = carry.zone_T[0]
+            if collect_channels:
+                out = (
+                    out,
+                    carry.node_T[0, 0],
+                    surf_mod._last_node(building.surfaces, carry.node_T)[0],
+                    carry.h_front[0],
+                    carry.h_back[0],
+                )
+            return new, out
 
-    _, found = jax.jit(partial(jax.lax.scan, body))(state, xs)
-    found = np.asarray(found)[-run.n_steps :]  # score the last pass
-    expected = run.zone_air_temp
-    # i > warmup (strict), matching validate_wall_heat_transfer.rs:669
-    return expected[warmup + 1 :], found[warmup + 1 :]
+        return jax.lax.scan(body, state, xs)
+
+    _, found = jax.jit(scan_fn)(building, state, xs)
+
+    def last_pass(a):
+        # Score the LAST replayed pass, skipping the warm-up steps
+        # (i > warmup strict, matching validate_wall_heat_transfer.rs:669).
+        return np.asarray(a)[-run.n_steps :][warmup + 1 :]
+
+    if collect_channels:
+        zT, t_of, t_if, h_f, h_b = found
+        sl = slice(warmup + 1, None)
+        return {
+            "zone_T": (last_pass(zT), run.zone_air_temp[sl]),
+            "outside_face_T": (last_pass(t_of), run.outside_surface_temp[sl]),
+            "inside_face_T": (last_pass(t_if), run.inside_surface_temp[sl]),
+            "h_outside": (last_pass(h_f), run.hs_outside[sl]),
+            "h_inside": (last_pass(h_b), run.hs_inside[sl]),
+        }
+    return run.zone_air_temp[warmup + 1 :], last_pass(found)
 
 
 def replay_wall_channels(
@@ -134,63 +174,15 @@ def replay_wall_channels(
     emissivity: float,
     surface_area: float,
     warmup: int = 5000,
+    **kw,
 ):
-    """Like :func:`replay_wall_run` but records every observable channel the
-    fixture logs — zone T, outside/inside face temperatures, h out/in — so a
-    disagreement in zone temperature can be localized to the physics channel
-    it enters through.  Returns a dict of (ours, energyplus) series pairs."""
-    from heatx.engine import surface as surf_mod
-
-    building = tm.building
-    dtype = building.config.dtype
-    S = building.n_surfaces
-
-    state = state_mod.initial_state(building)
-    state = state._replace(zone_T=jnp.full_like(state.zone_T, run.zone_air_temp[0]))
-    base = state_mod.default_inputs(building)
-    xs = (
-        jnp.asarray(run.outdoor_temp, dtype),
-        jnp.asarray(run.site_wind_speed, dtype),
-        jnp.asarray(np.radians(run.site_wind_direction), dtype),
-        jnp.asarray(run.incident_solar, dtype),
-        jnp.asarray(run.outdoor_thermal_gain, dtype),
+    """Channel-localizing replay: :func:`replay_wall_run` with
+    ``collect_channels=True`` (kept as a named entry point; extra keywords
+    — march_fn, pin_h, passes — pass through)."""
+    return replay_wall_run(
+        tm, run, emissivity, surface_area, warmup=warmup,
+        collect_channels=True, **kw,
     )
-    use_ir = emissivity > 1e-3
-
-    def body(carry, x):
-        t_out, ws, wd, sol, gain = x
-        ts = carry.node_T[0]
-        if use_ir:
-            ir = gain / (surface_area * emissivity) + SIGMA * (ts + 273.15) ** 4
-        else:
-            ir = jnp.zeros((S,), dtype)
-        inputs = base._replace(
-            t_out=t_out,
-            wind_speed=ws,
-            wind_direction=wd,
-            sol_front=jnp.broadcast_to(sol, (S,)),
-            ir_front=ir,
-        )
-        new = march_fn_default(building, carry, inputs)
-        out = (
-            carry.zone_T[0],
-            carry.node_T[0, 0],
-            surf_mod._last_node(building.surfaces, carry.node_T)[0],
-            carry.h_front[0],
-            carry.h_back[0],
-        )
-        return new, out
-
-    march_fn_default = step_mod.march
-    _, (zT, t_of, t_if, h_f, h_b) = jax.jit(partial(jax.lax.scan, body))(state, xs)
-    sl = slice(warmup + 1, None)
-    return {
-        "zone_T": (np.asarray(zT)[sl], run.zone_air_temp[sl]),
-        "outside_face_T": (np.asarray(t_of)[sl], run.outside_surface_temp[sl]),
-        "inside_face_T": (np.asarray(t_if)[sl], run.inside_surface_temp[sl]),
-        "h_outside": (np.asarray(h_f)[sl], run.hs_outside[sl]),
-        "h_inside": (np.asarray(h_b)[sl], run.hs_inside[sl]),
-    }
 
 
 # ---------------------------------------------------------------------------

@@ -121,7 +121,9 @@ class Validator:
     def validate(self, raise_on_fail: bool = True) -> bool:
         ok = all(v.passes() for v in self.validations)
         if self.target_file:
-            os.makedirs(os.path.dirname(self.target_file), exist_ok=True)
+            d = os.path.dirname(self.target_file)
+            if d:  # bare filename: cwd needs no makedirs
+                os.makedirs(d, exist_ok=True)
             body = "\n".join(v.to_html() for v in self.validations)
             doc = (
                 "<!DOCTYPE html><html><head><meta charset='utf-8'>"

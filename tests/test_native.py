@@ -128,3 +128,17 @@ def test_chunk_ids_native_matches_python(lib):
                 prev = False
         for c in range(max_runs):
             assert cnt[s, c] == np.sum(cid[s] == c)
+
+
+def test_parse_csv_overlong_line_falls_back(lib, tmp_path):
+    """A CSV line exceeding the native 64 KiB read buffer returns None
+    (numpy fallback) instead of silently splitting into misaligned rows."""
+    p = tmp_path / "wide.csv"
+    wide = ",".join(["1.0"] * 40000)  # ~240 KB line
+    p.write_text(f"h\n{wide}\n")
+    assert native.parse_csv(str(p), [0, 1]) is None
+    # Ordinary files still parse natively.
+    p2 = tmp_path / "ok.csv"
+    p2.write_text("h1,h2\n1,2\n3,4")  # no trailing newline on the last row
+    out = native.parse_csv(str(p2), [0, 1])
+    np.testing.assert_array_equal(out, [[1.0, 2.0], [3.0, 4.0]])
