@@ -1177,8 +1177,10 @@ class FastRunner:
 
     def march_blocked(self, T, zT, hour_inputs):
         """One hour on blocked state (the zero-copy hot path).  Returns
-        ``(T, zT, hq, zt_hist[, hq_hist], bad)`` — the trailing entries
-        follow the runner's collect flags (bad is always present)."""
+        ``(T, zT, hq, zt_hist[, hq_hist], bad[, ld_hist][, top_hist])`` —
+        the trailing entries follow the runner's collect flags (bad is
+        always present; loads when the building has thermostats; the
+        operative history when built with collect_operative)."""
         return self._jit(self._params, T, zT, hour_inputs)
 
     def march(self, state: SimState, inputs: StepInputs) -> SimState:
@@ -1191,6 +1193,9 @@ class FastRunner:
         if getattr(self._hour_march, "collect_loads", False):
             self._converters()  # ensure _zinv_d
             NB, ZB = self._bb.n_blocks, self._bb.zones_per_block
-            ld = outs[-1][-1].reshape(NB * ZB)[self._zinv_d]
+            # The loads history sits BEFORE the optional operative history
+            # in the kernel outputs (make_hour_march output ordering).
+            ld_out = outs[-2] if self._collect_op else outs[-1]
+            ld = ld_out[-1].reshape(NB * ZB)[self._zinv_d]
             st = st._replace(ideal_load=ld)
         return st

@@ -217,7 +217,7 @@ def cmd_simulate(args) -> int:
     # model has ground-contact faces and the EPW tabulates GROUND
     # TEMPERATURES (--no-ground disables; --ground-depth picks the depth).
     from heatx.build.layout import B_GROUND
-    from heatx.weather.epw import _MONTH_HOURS
+    from heatx.weather.epw import _MONTH_HOURS, _MONTH_HOURS_LEAP
 
     has_ground = bool(
         ((np.asarray(sb.front_code) == B_GROUND)
@@ -226,7 +226,10 @@ def cmd_simulate(args) -> int:
     ground_hourly = None
     if args.ground and has_ground and epw.ground_temps:
         monthly = epw.ground_temperature(args.ground_depth)
-        ground_hourly = monthly[_MONTH_HOURS[(start + np.arange(T)) % 8760]]
+        # Leap-year weather (8784 records) keeps Feb = 29 days so the month
+        # boundaries stay aligned with the weather series.
+        mh = _MONTH_HOURS_LEAP if epw.n_hours == 8784 else _MONTH_HOURS
+        ground_hourly = monthly[mh[(start + np.arange(T)) % len(mh)]]
         print(
             f"# seasonal ground temperatures "
             f"({monthly.min():.1f}..{monthly.max():.1f} C)",

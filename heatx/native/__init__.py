@@ -73,15 +73,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(so)
-        except OSError as e:
+        except OSError:
             # A corrupt/incompatible cached .so (e.g. -march=native built on
-            # a different CPU via a shared home) must fall back to the pure
-            # Python paths, not crash every caller.
-            print(
-                f"heatx.native: cached library unusable ({e}); using python "
-                "fallbacks", file=sys.stderr,
-            )
-            return None
+            # a different CPU via a shared home): drop the bad cache entry
+            # and rebuild once for THIS machine before giving up.
+            try:
+                os.unlink(so)
+            except OSError:
+                pass
+            so = _build()
+            try:
+                lib = ctypes.CDLL(so) if so is not None else None
+            except OSError as e:
+                print(
+                    f"heatx.native: rebuilt library unusable ({e}); using "
+                    "python fallbacks", file=sys.stderr,
+                )
+                return None
+            if lib is None:
+                return None
         c_double_p = ctypes.POINTER(ctypes.c_double)
         c_int_p = ctypes.POINTER(ctypes.c_int)
         c_long_p = ctypes.POINTER(ctypes.c_long)

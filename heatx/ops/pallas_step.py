@@ -1393,6 +1393,10 @@ def make_hour_march(
                         mrt_eb=rp["mrt_eps_b"][0] if "mrt_eps_b" in snames else None,
                     )
                 )
+            # A second (per-invocation, masks-only) statics evaluation:
+            # the hour bodies build theirs inside the hours loop, so
+            # threading them out would mean widening every body's return
+            # for work that amortizes over hours x sub-steps.
             op_statics = [
                 surf_mod.compute_statics(sb_vals) for sb_vals, _ in part_vals
             ]

@@ -100,9 +100,18 @@ def read_epw(path: str) -> EPWData:
             if len(months) == 12:
                 ground_temps[depth] = months
     rows = []
+    blank_at = None  # tolerate blank lines only at EOF: a mid-file blank
+    # is a lost record and would shift every later hour of the year
     for li, line in enumerate(lines[8:], start=9):
         if not line.strip():
-            continue  # trailing blank lines are fine
+            if blank_at is None:
+                blank_at = li
+            continue
+        if blank_at is not None:
+            raise ValueError(
+                f"EPW blank line {blank_at} in the middle of the data "
+                "section (a lost record would misalign the year)"
+            )
         parts = line.strip().split(",")
         if len(parts) < 22:
             # Silently skipping a truncated record would shift every later

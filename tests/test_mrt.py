@@ -464,3 +464,30 @@ def test_mrt_kernel_matches_xla_trbdf2_refresh():
         lambda b, s, i: imp_mod.imp_march(b, s, i, substeps=8, refresh_h=True),
         substeps=8, atol=1e-11,
     )
+
+
+def test_fast_runner_march_loads_with_operative():
+    """FastRunner.march seeds SimState.ideal_load from the LOADS output even
+    when the runner also collects the operative history (the operative
+    output rides after the loads in the kernel outputs)."""
+    from heatx.api import FastRunner
+    from heatx.model.building import IdealHeaterCooler
+
+    m = _two_zone_model()
+    # Heating setpoint above the 22 C initialization so the very first hour
+    # demands real power.
+    m.add_hvac(IdealHeaterCooler("t", ["z0", "z1"], heat_setpoint=25.0,
+                                 cool_setpoint=28.0))
+    tm = heatx.ThermalModel(
+        m, n=1,
+        config=heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=1),
+    )
+    inp = tm.inputs(t_out=-10.0, wind_speed=3.0)
+    st0 = tm.initial_state()
+    fr_plain = FastRunner(tm, block_size=8, mode="trbdf2", substeps=4)
+    fr_op = FastRunner(tm, block_size=8, mode="trbdf2", substeps=4,
+                       collect_operative=True)
+    ld_plain = np.asarray(fr_plain.march(st0, inp).ideal_load)
+    ld_op = np.asarray(fr_op.march(st0, inp).ideal_load)
+    np.testing.assert_allclose(ld_op, ld_plain, rtol=0, atol=0)
+    assert ld_plain.max() > 50.0  # real heating W, not a temperature
