@@ -132,7 +132,12 @@ def run_demand_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
             f"tstat{z}", [f"z{z}"], heat_setpoint=20.0, cool_setpoint=26.0))
     tm = heatx.ThermalModel(
         model, n=1,
-        config=heatx.SimConfig(dtype=dtype, nomass_fixed_iters=args.nomass_iters or 1),
+        config=heatx.SimConfig(
+            dtype=dtype,
+            # 0 = reference-exact adaptive loop, same mapping as the headline
+            # rows (silently coercing 0 -> 1 mixed regimes in one JSON line).
+            nomass_fixed_iters=args.nomass_iters if args.nomass_iters > 0 else None,
+        ),
     )
     b = tm.building
     S = b.n_surfaces
@@ -305,7 +310,8 @@ def run_accuracy_bench(args, dtype):
     tm = heatx.ThermalModel(
         model, n=1,
         config=heatx.SimConfig(
-            dtype=dtype, nomass_fixed_iters=args.nomass_iters or 1
+            dtype=dtype,
+            nomass_fixed_iters=args.nomass_iters if args.nomass_iters > 0 else None,
         ),
     )
     b = tm.building
@@ -356,7 +362,6 @@ def main():
     ap.add_argument("--surfaces-per-zone", type=int, default=10)
     ap.add_argument("--hours", type=int, default=8760)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--warmup-hours", type=int, default=24)
     ap.add_argument(
         "--nomass-iters",
         type=int,

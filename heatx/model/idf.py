@@ -347,10 +347,11 @@ def _vertices(fields: List[str], n_field: int) -> np.ndarray:
 
 
 def _polygon_area(v: np.ndarray) -> float:
-    c = np.zeros(3)
-    for i in range(len(v)):
-        c += np.cross(v[i], v[(i + 1) % len(v)])
-    return float(np.linalg.norm(c)) / 2.0
+    # One area implementation for the whole model layer (the hand-rolled
+    # cross-sum twin could drift from the one resolved_geometry uses).
+    from heatx.model.geometry import polygon_area
+
+    return polygon_area(v)
 
 
 def _parse_md(s: str) -> int:
@@ -590,9 +591,16 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     Raises ``ValueError`` on objects outside the supported envelope subset
     that affect the thermal model (unknown boundary conditions, gas layers,
     autocalculated volumes); ignores purely-reporting objects."""
-    if "\n" not in path_or_text and os.path.exists(path_or_text):
-        with open(path_or_text) as f:
-            text = f.read()
+    if "\n" not in path_or_text:
+        if os.path.exists(path_or_text):
+            with open(path_or_text) as f:
+                text = f.read()
+        elif path_or_text.lower().endswith(".idf") or os.sep in path_or_text:
+            # Looks like a path: tokenizing a typo'd filename as raw IDF
+            # text would "succeed" with an empty model.
+            raise FileNotFoundError(path_or_text)
+        else:
+            text = path_or_text
     else:
         text = path_or_text
 
@@ -874,6 +882,14 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     pending_zones: List[tuple] = []  # (name, volume|None, ceiling|None)
     for o in by_type.get("zone", []):
         name = o[1]
+        mult = _num(o, 7, 1.0) or 1.0
+        if mult != 1.0:
+            warnings.warn(
+                f"Zone {name!r}: Multiplier {mult:g} is ignored (heatx "
+                "simulates the single declared zone; whole-building totals "
+                "will be understated accordingly)",
+                stacklevel=3,
+            )
         vol = _str(o, 9).lower()
         ch = _str(o, 8).lower()
         pending_zones.append((
@@ -916,25 +932,58 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     surf_zone: Dict[str, str] = {}  # surface name -> zone (for OBC=Surface)
     surf_front: Dict[str, Boundary] = {}
     surf_def: Dict[str, SurfaceDef] = {}  # name -> SurfaceDef (host lookups)
+    surf_canon: Dict[str, str] = {}  # lower -> declared surface name
     pending = []  # (SurfaceDef, obc_surface_name) resolved after the loop
     known_obc = {"outdoors", "ground", "zone", "surface", "adiabatic",
                  "othersidecoefficients", "othersideconditionsmodel"}
+    # EnergyPlus name matching is case-insensitive: canonicalize zone and
+    # surface references to the declared spellings.
+    zone_decl = {n.lower(): n for (n, _, _) in pending_zones}
+
+    def _zone_decl_ref(nm: str, owner: str) -> str:
+        z = zone_decl.get(nm.lower())
+        if z is None:
+            raise ValueError(f"{owner}: unknown zone {nm!r}")
+        return z
+
+    def _host_ref(nm: str, owner: str) -> str:
+        h = surf_canon.get(nm.lower())
+        if h is None:
+            raise ValueError(f"{owner}: host surface {nm!r} not found")
+        return h
     for o in by_type.get("buildingsurface:detailed", []):
         # Name, Surface Type, Construction, Zone, [Space — added in E+ 22.1,
         # absent in older IDFs], OBC, OBC Object, Sun Exposure, Wind
         # Exposure, View Factor to Ground, N, coords...
         name, construction, zone = o[1], o[3], o[4]
-        if _str(o, 6).lower() in known_obc:
-            shift = 1
-        elif _str(o, 5).lower() in known_obc:
-            shift = 0
+
+        def _fits(sh):
+            # Does reading N at 10+sh / coords from 11+sh make the declared
+            # vertex count match the trailing coordinates?  Tolerates an
+            # autocalculated/blank count (coords must then be whole triples).
+            nf = _str(o, 10 + sh).lower()
+            ncoord = len(o) - (11 + sh)
+            if nf in ("", "autocalculate"):
+                return ncoord >= 9 and ncoord % 3 == 0
+            try:
+                n1 = int(float(nf))
+            except ValueError:
+                return False
+            return ncoord == n1 * 3
+
+        in5 = _str(o, 5).lower() in known_obc
+        in6 = _str(o, 6).lower() in known_obc
+        if in5 != in6:
+            shift = 1 if in6 else 0
         else:
-            # Unknown OBC either way: disambiguate by which index makes the
-            # declared vertex count match the trailing coordinates.
-            n1 = _num(o, 11, -1.0)
-            shift = 1 if len(o) - 12 == int(n1) * 3 else 0
+            # Ambiguous (an OBC Object literally named 'Ground'/'Zone'...,
+            # or unknown keywords both ways): disambiguate by which index
+            # makes the vertex count match the trailing coordinates.
+            shift = 1 if (_fits(1) and not _fits(0)) else 0
         obc, obc_obj = _str(o, 5 + shift).lower(), _str(o, 6 + shift)
+        zone = _zone_decl_ref(zone, f"BuildingSurface {name!r}")
         surf_zone[name] = zone
+        surf_canon[name.lower()] = name
         verts = _to_world(_vertices(o, 10 + shift), zone)
         if _str(o, 2).lower() == "floor":
             # (rotation + translation preserve polygon area)
@@ -946,7 +995,13 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         elif obc == "ground":
             front = Boundary.ground()
         elif obc == "zone":
-            front = Boundary.space_(obc_obj)
+            # Validate now: deferring leaves an obscure compile-time
+            # KeyError with no IDF context.
+            front = Boundary.space_(_zone_decl_ref(
+                obc_obj,
+                f"BuildingSurface {name!r} (Outside Boundary Condition "
+                "Object)",
+            ))
         elif obc == "surface":
             front = None  # the OBC object is a surface; resolve below
         else:
@@ -963,12 +1018,12 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         surf_def[name] = sd
         m.add_surface(sd)
     for sd, other in pending:
-        if other not in surf_zone:
+        if other.lower() not in surf_canon:
             raise ValueError(
                 f"BuildingSurface {sd.name!r}: OBC Object {other!r} names no "
                 "parsed surface"
             )
-        sd.front_boundary = Boundary.space_(surf_zone[other])
+        sd.front_boundary = Boundary.space_(surf_zone[surf_canon[other.lower()]])
         # Keep the front map consistent: a fenestration hosted on this
         # inter-zone wall must face the adjacent zone, not the outdoors.
         surf_front[sd.name] = sd.front_boundary
@@ -994,13 +1049,27 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     for o in by_type.get("fenestrationsurface:detailed", []):
         # Name, Surface Type, Construction, Building Surface Name,
         # OBC Object, View Factor, Frame, Multiplier, N, coords...
+        # Pre-9.0 IDFs insert a Shading Control Name before Frame, pushing
+        # Multiplier/N/coords one field right: disambiguate by which index
+        # makes the declared vertex count match the coordinates (like
+        # BuildingSurface's Space-field shift).
         name, construction, host = o[1], o[3], o[4]
-        if host not in surf_zone:
-            raise ValueError(
-                f"FenestrationSurface {name!r}: host surface {host!r} not found"
-            )
-        verts = _to_world(_vertices(o, 9), surf_zone[host])
-        mult = _num(o, 8, 1.0) or 1.0
+        host = _host_ref(host, f"FenestrationSurface {name!r}")
+
+        def _fen_fits(sh):
+            nf = _str(o, 9 + sh).lower()
+            ncoord = len(o) - (10 + sh)
+            if nf in ("", "autocalculate"):
+                return ncoord >= 9 and ncoord % 3 == 0
+            try:
+                n1 = int(float(nf))
+            except ValueError:
+                return False
+            return ncoord == n1 * 3
+
+        fshift = 1 if (_fen_fits(1) and not _fen_fits(0)) else 0
+        verts = _to_world(_vertices(o, 9 + fshift), surf_zone[host])
+        mult = _num(o, 8 + fshift, 1.0) or 1.0
         front = surf_front.get(host, Boundary.outdoor())
         fen = SurfaceDef(
             name, construction, front, Boundary.space_(surf_zone[host]),
@@ -1029,10 +1098,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             # Control), but both END with Start X, Start Z, Length, Height
             # — parse from the tail.
             name, construction, host = o[1], o[2], o[3]
-            if host not in surf_zone:
-                raise ValueError(
-                    f"{o[0]} {name!r}: host surface {host!r} not found"
-                )
+            host = _host_ref(host, f"{o[0]} {name!r}")
             last = max(i for i, f in enumerate(o) if f != "")
             if last < 7:
                 raise ValueError(
@@ -1086,19 +1152,32 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     for o in by_type.get("zonelist", []):
         zone_lists[o[1].lower()] = [f for f in o[2:] if f]
 
+    # EnergyPlus name matching is case-insensitive; references resolve to
+    # the declared spelling.
+    zone_canon = {n.lower(): n for n in vol_by_zone}
+
+    def _zone_ref(nm: str, owner: str) -> str:
+        z = zone_canon.get(nm.lower())
+        if z is None:
+            raise ValueError(f"{owner}: unknown zone {nm!r}")
+        return z
+
     def _expand_zones(zone: str, owner: str) -> List[str]:
         if zone.lower() in zone_lists:
-            members = zone_lists[zone.lower()]
-            for z in members:
-                if z not in vol_by_zone:
+            members = []
+            for z in zone_lists[zone.lower()]:
+                zc = zone_canon.get(z.lower())
+                if zc is None:
                     raise ValueError(
                         f"{owner}: ZoneList {zone!r} member {z!r} is not a "
                         "parsed zone"
                     )
+                members.append(zc)
             return members
-        if zone not in vol_by_zone:
+        z = zone_canon.get(zone.lower())
+        if z is None:
             raise ValueError(f"{owner}: unknown zone or zone list {zone!r}")
-        return [zone]
+        return [z]
 
     def _airflow(o: List[str], kind: str, totals: Dict[str, float]):
         name = o[1]

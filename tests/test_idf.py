@@ -790,3 +790,73 @@ def test_standard_glazing_with_blank_conductivity():
     assert loaded.model.materials["Clear3"].thickness == pytest.approx(0.003)
     from heatx.model.idf import GLAZING_CONDUCTIVITY
     assert sub.thermal_conductivity == GLAZING_CONDUCTIVITY
+
+
+_MINI_IDF = """
+Material, M, Rough, 0.2, 0.8, 1700, 800, 0.9, 0.7, 0.7;
+Construction, C, M;
+Zone, RoomA, 0, 0, 0, 0, 1, 1, 3.0, 90.0;
+BuildingSurface:Detailed,
+    Wall, Wall, C, ROOMA, , Outdoors, , SunExposed, WindExposed, 0,
+    4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+"""
+
+
+def test_idf_case_insensitive_references():
+    """Zone / host-surface references resolve case-insensitively, like
+    EnergyPlus (the BuildingSurface above references ROOMA)."""
+    m = load_idf(_MINI_IDF + """
+FenestrationSurface:Detailed, Win, Window, C, WALL, , , , 1,
+    4, 1,0,2, 1,0,1, 3,0,1, 3,0,2;
+Lights, L, rooma, , LightingLevel, 100;
+""").model
+    assert m.spaces[0].name == "RoomA"
+    assert m.surfaces[0].back_boundary.space == "RoomA"
+    assert m.fenestrations[0].back_boundary.space == "RoomA"
+
+
+def test_idf_missing_path_raises():
+    with pytest.raises(FileNotFoundError):
+        load_idf("/no/such/dir/model.idf")
+    with pytest.raises(FileNotFoundError):
+        load_idf("typo_name.idf")
+
+
+def test_idf_zone_multiplier_warns():
+    import warnings
+
+    idf = _MINI_IDF.replace(
+        "Zone, RoomA, 0, 0, 0, 0, 1, 1, 3.0, 90.0;",
+        "Zone, RoomA, 0, 0, 0, 0, 1, 10, 3.0, 90.0;",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        load_idf(idf)
+    assert any("Multiplier 10" in str(c.message) for c in caught)
+
+
+def test_idf_unknown_obc_zone_clear_error():
+    idf = _MINI_IDF + """
+BuildingSurface:Detailed,
+    Part, Wall, C, RoomA, , Zone, Elsewhere, NoSun, NoWind, 0,
+    4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+"""
+    with pytest.raises(ValueError, match="unknown zone 'Elsewhere'"):
+        load_idf(idf)
+
+
+def test_idf_pre9_fenestration_schema():
+    """Pre-9.0 FenestrationSurface:Detailed carries a Shading Control Name
+    field before Frame/Multiplier; both generations must parse to the same
+    window."""
+    new = load_idf(_MINI_IDF + """
+FenestrationSurface:Detailed, Win, Window, C, Wall, , , , 2,
+    4, 1,0,2, 1,0,1, 3,0,1, 3,0,2;
+""").model
+    old = load_idf(_MINI_IDF + """
+FenestrationSurface:Detailed, Win, Window, C, Wall, , , MyShade, , 2,
+    4, 1,0,2, 1,0,1, 3,0,1, 3,0,2;
+""").model
+    f_new, f_old = new.fenestrations[0], old.fenestrations[0]
+    np.testing.assert_allclose(f_new.vertices, f_old.vertices)
+    assert f_new.area == f_old.area  # multiplier 2 applied in both
