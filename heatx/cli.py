@@ -73,7 +73,6 @@ def _build(args):
 
 def cmd_info(args) -> int:
     _configure_jax(args)
-    import numpy as np
 
     model, tm, extras = _build(args)
     b = tm.building
@@ -124,7 +123,6 @@ def cmd_info(args) -> int:
 
 def _weather_series(epw, T, start=0):
     """Tile/truncate the EPW's hourly columns to hours [start, start+T)."""
-    import numpy as np
 
     reps = -(-(start + T) // epw.n_hours)
 
@@ -139,29 +137,51 @@ def _weather_series(epw, T, start=0):
     )
 
 
-def _time_leaf_mask(seq, total_steps: int):
-    """Per-leaf "carries the [T, ...] time axis" mask for a StepInputs
-    pytree.  Identified ONCE against the full sequence length (thousands of
-    steps — unambiguous), then reused for any shorter slice: re-testing
-    against short lengths like 24 would misread a static per-zone/per-rule
-    leaf of the same length as a time series."""
-    import jax
+# The only channels this CLI ever builds as 1-D per-step series; per-zone /
+# per-device vectors (inf_*, vent_*, mix_vol, hvac_power, lum_power) are
+# static whatever their length.
+_SERIES_1D = {
+    "t_out", "wind_speed", "wind_direction",
+    "sol_front", "sol_back", "ir_front", "ir_back",
+}
 
-    return jax.tree.map(
-        lambda x: bool(np.ndim(x) and np.shape(x)[0] == total_steps), seq
+
+def _time_leaf_mask(seq, total_steps: int):
+    """Per-FIELD "carries the [T, ...] time axis" mask (dict by name).
+
+    Shape alone is ambiguous on short runs: a static per-zone [Z] leaf with
+    Z == T would masquerade as a series (e.g. a 48-zone model run with
+    --hours 48).  1-D leaves therefore classify by channel name
+    (_SERIES_1D); 2-D+ leaves are series iff their leading axis is the run
+    length (this CLI builds no 2-D static leaves)."""
+    out = {}
+    for name in seq._fields:
+        v = getattr(seq, name)
+        ok = (
+            v is not None
+            and np.ndim(v) > 0
+            and np.shape(v)[0] == total_steps
+        )
+        if ok and np.ndim(v) == 1 and name not in _SERIES_1D:
+            ok = False
+        out[name] = ok
+    return out
+
+
+def _slice_inputs(seq, idx, is_time):
+    """Index/slice the time axis of every series field; static fields pass."""
+    return seq._replace(
+        **{k: getattr(seq, k)[idx] for k, t in is_time.items() if t}
     )
 
 
 def _first_day(seq, total_steps: int, day_steps: int):
     """Slice a [T, ...]-leading StepInputs pytree to its first simulated day
     (static leaves pass through) — the repeated period for --warmup-days.
-    Returns ``(day, is_time)`` with the time-leaf mask for further slicing."""
-    import jax
-
+    Returns ``(day, is_time)`` with the time-field mask for further slicing."""
     k = min(day_steps, total_steps)
     is_time = _time_leaf_mask(seq, total_steps)
-    day = jax.tree.map(lambda x, m: x[:k] if m else x, seq, is_time)
-    return day, is_time
+    return _slice_inputs(seq, slice(0, k), is_time), is_time
 
 
 def cmd_simulate(args) -> int:
@@ -174,7 +194,6 @@ def cmd_simulate(args) -> int:
         return 2
     _configure_jax(args)
     import jax
-    import numpy as np
 
     from heatx.build.layout import B_OUTDOOR
     from heatx.weather.epw import read_epw
@@ -194,18 +213,28 @@ def cmd_simulate(args) -> int:
         # default).  A begin date after the end date runs across the year
         # boundary, as EnergyPlus does.
         d0, d1 = loaded0.run_period
-        days = d1 - d0 + 1 if d1 >= d0 else 365 - d0 + d1 + 1
+        year_days = epw.n_hours // 24  # 366 for a leap EPW
+        days = d1 - d0 + 1 if d1 >= d0 else year_days - d0 + d1 + 1
+        from_dates = start is None
         if start is None:
             start = d0 * 24
         if not T:
             T = days * 24
-        print(
-            f"# RunPeriod: days {d0 + 1}..{d1 + 1} ({T} h from hour "
-            f"{start})",
-            file=sys.stderr,
-        )
+        if from_dates:
+            print(
+                f"# RunPeriod: days {d0 + 1}..{d1 + 1} ({T} h from hour "
+                f"{start})",
+                file=sys.stderr,
+            )
+        else:
+            # --start-hour overrides the dates; only the duration is kept.
+            print(
+                f"# RunPeriod duration kept ({T} h), from --start-hour "
+                f"{start}",
+                file=sys.stderr,
+            )
     T = T or epw.n_hours
-    start = start % 8760 if start else 0
+    start = start % epw.n_hours if start else 0
     n = b.n_steps_per_hour
     # Sub-hourly runs interpolate toward the EPW's ACTUAL next record at
     # the horizon end, so fetch one extra hour (wrapping to hour 0 of the
@@ -277,6 +306,17 @@ def cmd_simulate(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if getattr(args, "checked", False) and (
+        engine == "kernel" or args.mode != "parity"
+    ):
+        # Don't let the flag imply a guard that isn't running: the per-step
+        # in-graph check exists on the XLA parity scan only.
+        print(
+            "# note: --checked applies to the XLA parity engine; this run "
+            "uses the kernel's per-chunk fail-fast / post-run finiteness "
+            "checks instead",
+            file=sys.stderr,
+        )
     if n > 1:
         # Hourly EPW weather drives n main steps per hour.  Continuous
         # channels interpolate linearly to the main-step grid (EnergyPlus's
@@ -426,10 +466,20 @@ def cmd_simulate(args) -> int:
                 )[0],
             )
             print(f"# warm-up: {reps} first-day repeats", file=sys.stderr)
-        out = fr.run(
-            st, seq, ground_hourly=ground_hourly, collect_loads=want_loads,
-            collect_fluxes=want_fluxes, collect_operative=want_op,
-        )
+        try:
+            out = fr.run(
+                st, seq, ground_hourly=ground_hourly, collect_loads=want_loads,
+                collect_fluxes=want_fluxes, collect_operative=want_op,
+            )
+        except FloatingPointError as e:
+            # The kernel's per-chunk fail-fast check (the in-kernel NaN
+            # guard): exit cleanly like the XLA paths' post-run check.
+            print(
+                f"error: {e} (hours are run-relative; the run starts at "
+                f"absolute hour {start})",
+                file=sys.stderr,
+            )
+            return 1
         out = list(out)
         final, zt = out[:2]
         k = 2
@@ -476,13 +526,10 @@ def cmd_simulate(args) -> int:
                 [0] + list(np.flatnonzero(np.diff(ground_hourly)) + 1) + [T]
             )
             state, hists, ldists = st, [], []
+            seq_is_time = _time_leaf_mask(seq, T_steps)
             for lo, hi in zip(bounds[:-1], bounds[1:]):
                 tm.set_ground_temperature(float(ground_hourly[lo]))
-                sl = slice(lo * n, hi * n)
-                sub = jax.tree.map(
-                    lambda x: x[sl] if x.ndim and x.shape[0] == T_steps else x,
-                    seq,
-                )
+                sub = _slice_inputs(seq, slice(lo * n, hi * n), seq_is_time)
                 state, h = run(state, sub)
                 if want_loads:
                     h, ld = h
@@ -515,10 +562,10 @@ def cmd_simulate(args) -> int:
 
             def run_day(s):
                 for t in range(k):
-                    step = jax.tree.map(
-                        lambda x, m: x[t] if m else x, day, day_is_time,
+                    s = march(
+                        s, _slice_inputs(day, t, day_is_time),
+                        substeps=args.substeps,
                     )
-                    s = march(s, step, substeps=args.substeps)
                 return s
 
             st, reps = tm.warmup(st, day, max_repeats=args.warmup_days,
@@ -535,11 +582,9 @@ def cmd_simulate(args) -> int:
                     and ground_hourly[hour] != ground_hourly[hour - 1]
                 ):
                     tm.set_ground_temperature(float(ground_hourly[hour]))
-            # Static leaves (mix_vol etc.) carry no time axis; slice only
+            # Static fields (mix_vol etc.) carry no time axis; slice only
             # the [T, ...] ones.
-            step = jax.tree.map(
-                lambda x, m: x[t] if m else x, seq, seq_is_time
-            )
+            step = _slice_inputs(seq, t, seq_is_time)
             state = march(state, step, substeps=args.substeps)
             hist.append(state.zone_T)
             if want_loads:
@@ -558,7 +603,11 @@ def cmd_simulate(args) -> int:
 
     if not np.isfinite(zt).all():
         bad = int(np.argmax(~np.isfinite(zt).all(axis=1)))
-        print(f"error: non-finite zone temperature at hour {bad}", file=sys.stderr)
+        print(
+            f"error: non-finite zone temperature at hour {start + bad} "
+            f"(run hour {bad})",
+            file=sys.stderr,
+        )
         return 1
 
     if args.save_state:

@@ -540,3 +540,37 @@ def test_cli_summary_unmet_hours(tmp_path):
     # 1 W against a 30 C setpoint: the zone free-floats below 29.5 C.
     assert d["unmet_heating_hours"] > 0
     assert d["unmet_cooling_hours"] == 0  # no cooling side configured
+
+
+def test_time_leaf_mask_short_run_collision():
+    """A static per-zone leaf whose length equals a SHORT run's step count
+    must not be misread as a time series (channel-name classification)."""
+    import heatx
+    from heatx.cli import _slice_inputs, _time_leaf_mask
+    from heatx.model.building import (
+        Boundary, BuildingModel, Construction, Material, SpaceDef,
+        Substance, SurfaceDef,
+    )
+
+    m = BuildingModel()
+    m.add_substance(Substance("c", thermal_conductivity=0.8, density=1700.0,
+                              specific_heat_capacity=800.0))
+    m.add_material(Material("m", "c", 0.1))
+    m.add_construction(Construction("w", ["m"]))
+    v = np.array([[0, 0, 0], [5, 0, 0], [5, 0, 3], [0, 0, 3]], float)
+    for z in range(3):
+        m.add_space(SpaceDef(f"z{z}", 100.0))
+        m.add_surface(SurfaceDef(f"s{z}", "w", Boundary.outdoor(),
+                                 Boundary.space_(f"z{z}"), vertices=v))
+    tm = heatx.ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    # 3 zones, 3 steps: inf_vol [3] collides with T_steps=3 by shape.
+    seq = tm.inputs(
+        t_out=np.array([1.0, 2.0, 3.0]),
+        inf_vol=np.array([0.1, 0.2, 0.3]),
+        inf_temp=np.zeros(3), inf_mask=np.ones(3, bool),
+    )
+    mask = _time_leaf_mask(seq, 3)
+    assert mask["t_out"] and not mask["inf_vol"] and not mask["inf_mask"]
+    step0 = _slice_inputs(seq, 0, mask)
+    assert float(step0.t_out) == 1.0
+    assert step0.inf_vol.shape == (3,)  # static vector intact
