@@ -206,7 +206,11 @@ def sun_and_sky(epw, hours=None, start_hour=0):
         epw.global_horizontal
     )
     h = start + np.arange(T, dtype=np.float64)
-    day = (np.floor(h / 24.0) % 365.0) + 1.0
+    # Day-of-year for the sun position: honor a leap-year EPW's 366 days
+    # (the 365 modulo would shift every post-Feb-28 day and map Dec 31 to
+    # Jan 1).  Multi-year tiling of a normal EPW keeps the 365-day wrap.
+    year_days = 366.0 if epw.n_hours == 8784 else 365.0
+    day = (np.floor(h / 24.0) % year_days) + 1.0
     local_hour = (h % 24.0) + 0.5
     alt, az = solar_position(
         epw.latitude_deg, epw.longitude_deg, epw.tz_hours, day, local_hour
