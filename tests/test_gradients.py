@@ -317,3 +317,36 @@ def test_adaptive_loop_not_differentiable_is_documented():
 
     with pytest.raises(ValueError, match="while_loop|Reverse-mode"):
         jax.grad(loss)(1000.0)
+
+
+def test_grad_through_interior_mrt_matches_fd():
+    """Reverse-mode flows through the Carroll MRT network (the masked
+    view-factor/emissivity arithmetic guards its 0/0 branch, so the VJP is
+    NaN-free) — gradients with interior_mrt on match finite differences."""
+    m = heated_concrete_model()
+    # A second wall so the zone has >= 2 participating faces (otherwise the
+    # network is inert and the flag changes nothing).
+    m.add_surface(SurfaceDef("ext2", "wall", Boundary.outdoor(),
+                             Boundary.space_("room"), vertices=VERTS))
+    cfg = F64.replace(interior_mrt=True, nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(m, n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+
+    def loss(power):
+        return _run_loss(building, st, _inputs_seq(tm, 6, power))
+
+    g = jax.grad(loss)(1500.0)
+    assert np.isfinite(g) and g > 0.0
+    fd = _central_fd(loss, 1500.0, 1e-2)
+    np.testing.assert_allclose(g, fd, rtol=1e-6)
+    # The MRT physics is actually in the differentiated graph: its gradient
+    # differs measurably from the air-bath model's.
+    tm0 = heatx.ThermalModel(m, n=1, config=F64.replace(nomass_fixed_iters=1))
+    b0 = tm0._device()
+
+    def loss0(power):
+        return _run_loss(b0, tm0.initial_state(), _inputs_seq(tm0, 6, power))
+
+    g0 = jax.grad(loss0)(1500.0)
+    assert abs(float(g) - float(g0)) > 1e-12
