@@ -112,13 +112,18 @@ def _random_model(rng: np.random.Generator) -> BuildingModel:
     return m
 
 
+def _fuzz_case(seed, base, **cfg_kw):
+    rng = np.random.default_rng(base + seed)
+    m = _random_model(rng)
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2, **cfg_kw)
+    tm = heatx.ThermalModel(m, n=2, config=cfg)
+    return rng, tm
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_kernel_matches_xla(seed):
-    rng = np.random.default_rng(1000 + seed)
-    m = _random_model(rng)
-    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=2)
-    tm = heatx.ThermalModel(m, n=2, config=cfg)
+    rng, tm = _fuzz_case(seed, 1000)
     fr = tm.fast_runner(block_size=16, mode="parity", interpret=True)
 
     S = tm.building.n_surfaces
@@ -152,4 +157,40 @@ def test_fuzz_kernel_matches_xla(seed):
     )
     np.testing.assert_allclose(
         np.asarray(st_k.q_back), np.asarray(st_x.q_back), atol=1e-7
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(3))
+def test_fuzz_kernel_matches_xla_interior_mrt(seed):
+    """The same randomized sweep with the Carroll MRT network driving the
+    interior longwave physics: random participation patterns (multi-zone,
+    ambient/ground faces excluded, both-sides-space partitions) must agree
+    between the fused kernel and the XLA path."""
+    rng, tm = _fuzz_case(seed, 2000, interior_mrt=True)
+    fr = tm.fast_runner(block_size=16, mode="parity", interpret=True)
+    S = tm.building.n_surfaces
+    st_x = tm.initial_state()
+    st_k = tm.initial_state()
+    for step in range(3):
+        inp = tm.inputs(
+            t_out=float(rng.uniform(-10, 25)),
+            wind_speed=float(rng.uniform(0, 8)),
+            wind_direction=float(rng.uniform(0, 2 * np.pi)),
+            sol_front=rng.uniform(0, 400, S),
+            ir_front=rng.uniform(250, 400, S),
+            hvac_power=np.array([float(rng.uniform(0, 1000))]),
+            lum_power=np.array([float(rng.uniform(0, 300))]),
+        )
+        st_x = tm.march(st_x, inp)
+        st_k = fr.march(st_k, inp)
+    mask = np.asarray(tm.building.surfaces.node_mask)
+    assert np.all(np.isfinite(np.asarray(st_x.zone_T)))
+    np.testing.assert_allclose(
+        np.asarray(st_k.zone_T), np.asarray(st_x.zone_T), atol=1e-8,
+        err_msg=f"seed {seed}: zone temps (interior_mrt)",
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_k.node_T) * mask, np.asarray(st_x.node_T) * mask,
+        atol=1e-8, err_msg=f"seed {seed}: node temps (interior_mrt)",
     )
