@@ -121,11 +121,13 @@ class ThermalModel:
         upd = {}
         for name in StepInputs._fields:
             if name in ("mix_vol", "heat_sp", "cool_sp"):
-                if name in overrides:
+                if overrides.get(name) is not None:
                     upd[name] = jnp.asarray(overrides[name])
                 continue
             b0 = getattr(base, name)
-            if name not in overrides:
+            if overrides.get(name) is None:
+                # Absent OR explicit None: keep the default (same contract
+                # as default_inputs).
                 upd[name] = jnp.broadcast_to(b0[None], (T,) + b0.shape)
                 continue
             v = jnp.asarray(overrides[name], dtype=b0.dtype)
@@ -208,6 +210,7 @@ class ThermalModel:
         host-side edits (``set_ground_temperature``, emissivity tweaks)
         followed by ``invalidate()`` take effect on the next march without
         recompiling."""
+        _check_setpoint_order(self.building, inputs.heat_sp, inputs.cool_sp)
         if self._march is None:
             self._march = jax.jit(step_mod.march)
         return self._march(self._device(), state, inputs)
@@ -302,6 +305,7 @@ class ThermalModel:
         matrices every sub-step (kernel mode="trbdf2_refresh"): ~6x the
         frozen-h accuracy at the same sub-step count.  See
         :mod:`heatx.engine.implicit`."""
+        _check_setpoint_order(self.building, inputs.heat_sp, inputs.cool_sp)
         if self._march_imp is None:
             from heatx.engine.implicit import imp_march
 
@@ -655,6 +659,8 @@ class FastRunner:
                 "construct the runner with scheduled_setpoints=True to pass "
                 "StepInputs.heat_sp/cool_sp through the kernel"
             )
+        if has_sp:
+            _check_setpoint_order(b, inputs.heat_sp, inputs.cool_sp)
         if self._scheduled_sp:
             # Per-call constant setpoints ([Z] or scalar; hour-resolved
             # schedules go through FastRunner.run), held for this chunk.

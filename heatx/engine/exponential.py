@@ -324,15 +324,18 @@ def exp_march(
 
     ops = build_operators(building, state, t_out0, ws0, wd0, inputs, dt_sub)
 
-    if t_out.ndim > 0 and t_out.shape[0] != substeps:
-        # Same contract as the parity path's _per_substep_weather and
-        # imp_march's _sub_seq: silently freezing a mismatched series to
-        # its first value hides real input errors.
-        raise ValueError(
-            f"per-sub-step weather series has length {t_out.shape[0]} but "
-            f"this march runs {substeps} sub-steps; pass a scalar or a "
-            f"[{substeps}] series"
-        )
+    for v in (t_out, ws, wd):
+        if v.ndim > 0 and v.shape[0] != substeps:
+            # Same contract as the parity path's _per_substep_weather and
+            # imp_march's _sub_seq: silently freezing a mismatched series
+            # to its first value hides real input errors (wind enters only
+            # through the frozen operators here, but a wrong-length series
+            # is still a caller bug worth surfacing).
+            raise ValueError(
+                f"per-sub-step weather series has length {v.shape[0]} but "
+                f"this march runs {substeps} sub-steps; pass a scalar or a "
+                f"[{substeps}] series"
+            )
     t_out_seq = (
         jnp.broadcast_to(t_out0, (substeps,)) if t_out.ndim == 0 else t_out
     )
