@@ -197,7 +197,11 @@ def cmd_simulate(args) -> int:
 
     from heatx.build.layout import B_OUTDOOR
     from heatx.weather.epw import read_epw
-    from heatx.weather.solar import sun_and_sky, surface_irradiance
+    from heatx.weather.solar import (
+        longwave_irradiance,
+        sun_and_sky,
+        surface_irradiance,
+    )
 
     model, tm, extras = _build(args)
     b = tm.building
@@ -288,8 +292,18 @@ def cmd_simulate(args) -> int:
         S = b.n_surfaces
         sol_f = np.zeros((Tx, S))
         sol_b = np.zeros((Tx, S))
-    ir_f = ir[:, None] * out_front
-    ir_b = ir[:, None] * out_back
+    if args.ir_model == "tilted":
+        # EnergyPlus-style exterior longwave: sky through F_sky (split
+        # sky/air by sqrt(F_sky)), ground at air temperature through
+        # F_ground.  A vertical wall sees ~35% cold sky instead of 100%.
+        ct = np.asarray(sb.cos_tilt, np.float64)
+        ir_f = longwave_irradiance(ir[:, None], dry[:, None], ct[None, :])
+        ir_b = longwave_irradiance(ir[:, None], dry[:, None], -ct[None, :])
+        ir_f = ir_f * out_front
+        ir_b = ir_b * out_back
+    else:
+        ir_f = ir[:, None] * out_front
+        ir_b = ir[:, None] * out_back
 
     engine = args.engine
     if engine == "auto":
@@ -801,6 +815,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--sky", choices=("isotropic", "perez"), default="isotropic",
         help="diffuse transposition model for the computed solar inputs "
         "(perez = the EnergyPlus anisotropic sky)",
+    )
+    p.add_argument(
+        "--ir-model", choices=("tilted", "horizontal"), default="tilted",
+        help="incident longwave on outdoor faces: 'tilted' blends sky / "
+        "air / ground by view factor like EnergyPlus's exterior LW model "
+        "(default); 'horizontal' applies the EPW sky column to every tilt",
     )
     p.add_argument("--checked", action="store_true",
                    help="in-graph per-step finiteness guard (XLA parity engine)")

@@ -189,6 +189,75 @@ def poa_irradiance(
     return direct + sky_term + ground
 
 
+def longwave_irradiance(ir_horizontal, t_air_c, cos_tilt, t_ground_c=None):
+    """Incident longwave IR on a tilted exterior face, W/m2.
+
+    The EPW's ``horizontal_ir`` column is the sky's hemispheric blackbody
+    emission onto a horizontal surface (sigma*T_sky^4).  A tilted face sees
+    the sky through ``F_sky = (1 + cos beta)/2`` and the ground through
+    ``F_ground = (1 - cos beta)/2``; following EnergyPlus's exterior
+    longwave model the sky view further splits between sky temperature and
+    air temperature with ``beta = sqrt(F_sky)`` (the near-horizon part of
+    the sky dome radiates at ~air temperature).  The ground radiates as a
+    blackbody at ``t_ground_c`` (default: air temperature, EnergyPlus's own
+    default).  heatx's solver consumes ONE incident-IR channel per face and
+    takes its fourth root for the radiant temperature (surface.rs:611-702
+    semantics), so the three components sum as fluxes here:
+
+        IR = F_sky*beta*IR_h + (F_sky*(1-beta))*sigma*T_air^4
+             + F_ground*sigma*T_ground^4
+
+    Invariant: an isothermal environment (IR_h = sigma*T_air^4 = ground)
+    yields IR_h at every tilt.  All arguments broadcast (time as [T, 1],
+    surfaces as [S]).
+    """
+    from heatx.constants import SIGMA
+
+    ir_h = np.asarray(ir_horizontal, np.float64)
+    ct = np.clip(np.asarray(cos_tilt, np.float64), -1.0, 1.0)
+    f_sky = (1.0 + ct) / 2.0
+    f_ground = 1.0 - f_sky
+    beta = np.sqrt(f_sky)
+    e_air = SIGMA * (np.asarray(t_air_c, np.float64) + 273.15) ** 4
+    if t_ground_c is None:
+        e_ground = e_air
+    else:
+        e_ground = SIGMA * (np.asarray(t_ground_c, np.float64) + 273.15) ** 4
+    return f_sky * beta * ir_h + f_sky * (1.0 - beta) * e_air + f_ground * e_ground
+
+
+def surface_longwave(
+    epw, building, hours=None, side="front", start_hour=0, t_ground_c=None
+):
+    """Per-surface incident longwave from an EPW: the [T, S] ``ir_front``
+    input for a compiled building (:func:`longwave_irradiance` over each
+    surface's tilt).  ``side``/``hours``/``start_hour`` follow
+    :func:`surface_irradiance`; ``t_ground_c`` optionally fixes the ground
+    radiant temperature (scalar or [T] series; default air temperature).
+
+    The reference takes incident IR as an input channel and never computes
+    it (surface_trait.rs:223-354); this closes the EPW -> inputs loop the
+    same way the solar model does.
+    """
+    T = int(hours) if hours is not None else epw.n_hours
+    start = int(start_hour)
+    reps = int(np.ceil((start + T) / epw.n_hours))
+
+    def tile(v):
+        return np.tile(np.asarray(v, np.float64), reps)[start : start + T]
+
+    ir_h = tile(epw.horizontal_ir)
+    t_air = tile(epw.dry_bulb)
+    sign = 1.0 if side == "front" else -1.0
+    ct = sign * np.asarray(building.surfaces.cos_tilt, np.float64)
+    tg = None
+    if t_ground_c is not None:
+        tg = np.asarray(t_ground_c, np.float64)
+        if tg.ndim == 1:
+            tg = tg[:, None]
+    return longwave_irradiance(ir_h[:, None], t_air[:, None], ct[None, :], tg)
+
+
 def sun_and_sky(epw, hours=None, start_hour=0):
     """The side-independent solar state for hours [start, start+T): the
     tiled EPW irradiance columns and the sun path.  Returns

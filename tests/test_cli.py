@@ -574,3 +574,41 @@ def test_time_leaf_mask_short_run_collision():
     step0 = _slice_inputs(seq, 0, mask)
     assert float(step0.t_out) == 1.0
     assert step0.inf_vol.shape == (3,)  # static vector intact
+
+
+def test_cli_ir_model_tilted_vs_horizontal(tmp_path):
+    """The default tilted exterior-longwave model blends cold sky with
+    air/ground blackbody by view factor: a vertical wall loses less IR than
+    under the raw horizontal sky column, so the zone runs warmer; an
+    up-facing outdoor surface (F_sky = 1) is bit-identical either way."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    wall_idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
+BuildingSurface:Detailed,
+    Wall, Wall, Slab, Room, , Outdoors, , SunExposed, WindExposed, 0,
+    4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+"""
+    p = tmp_path / "w.idf"
+    p.write_text(wall_idf)
+    base = ["simulate", str(p), EPW, "--hours", "48", "--engine", "xla",
+            "--mode", "trbdf2", "--f64"]
+    o1, o2 = tmp_path / "t.csv", tmp_path / "h.csv"
+    assert main(base + ["-o", str(o1)]) == 0
+    assert main(base + ["--ir-model", "horizontal", "-o", str(o2)]) == 0
+    tilted = _read(o1)[1][:, 0]
+    horiz = _read(o2)[1][:, 0]
+    assert not np.array_equal(tilted, horiz)
+    # The Santiago sky column is (almost) always colder than the air
+    # blackbody, so blending in air/ground keeps the zone warmer.
+    assert (tilted - horiz).mean() > 0.05
+
+    # Up-facing outdoor face only: F_sky = 1, beta = 1 -> the models agree
+    # exactly (the slab IDF's floor polygon winds to an upward normal).
+    p2 = tmp_path / "r.idf"
+    p2.write_text(_SLAB_IDF.replace("Ground", "Outdoors"))
+    base2 = ["simulate", str(p2), EPW, "--hours", "24", "--engine", "xla",
+             "--mode", "trbdf2", "--f64"]
+    o3, o4 = tmp_path / "rt.csv", tmp_path / "rh.csv"
+    assert main(base2 + ["-o", str(o3)]) == 0
+    assert main(base2 + ["--ir-model", "horizontal", "-o", str(o4)]) == 0
+    np.testing.assert_array_equal(_read(o3)[1], _read(o4)[1])

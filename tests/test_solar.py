@@ -195,3 +195,71 @@ def test_surface_irradiance_start_hour_offset(ref_fixtures):
     full = surface_irradiance(epw, b, hours=200)
     part = surface_irradiance(epw, b, hours=80, start_hour=120)
     np.testing.assert_array_equal(full[120:200], part)
+
+
+def test_longwave_tilt_blend():
+    """Tilted incident longwave (EnergyPlus exterior LW view factors):
+    a horizontal up-face sees the sky column exactly; a down-face sees a
+    pure air-temperature blackbody; a vertical wall blends with
+    F_sky = 0.5 and the sqrt(F_sky) sky/air split; and an isothermal
+    environment (IR_h = sigma*T_air^4) is tilt-invariant."""
+    from heatx.constants import SIGMA
+
+    t_air = 10.0
+    e_air = SIGMA * (t_air + 273.15) ** 4
+    ir_h = SIGMA * (263.15) ** 4  # clear sky ~20 K colder
+
+    up = solar.longwave_irradiance(ir_h, t_air, 1.0)
+    np.testing.assert_allclose(up, ir_h, rtol=1e-14)
+    down = solar.longwave_irradiance(ir_h, t_air, -1.0)
+    np.testing.assert_allclose(down, e_air, rtol=1e-14)
+    wall = solar.longwave_irradiance(ir_h, t_air, 0.0)
+    beta = np.sqrt(0.5)
+    np.testing.assert_allclose(
+        wall, 0.5 * beta * ir_h + (0.5 * (1 - beta) + 0.5) * e_air,
+        rtol=1e-14,
+    )
+    assert down > wall > up  # colder sky -> less incident IR with more sky view
+    # Isothermal invariance at arbitrary tilt.
+    for ct in (-0.7, -0.2, 0.3, 0.9):
+        np.testing.assert_allclose(
+            solar.longwave_irradiance(e_air, t_air, ct), e_air, rtol=1e-14
+        )
+    # Explicit ground temperature replaces the air-temperature ground term.
+    warm = solar.longwave_irradiance(ir_h, t_air, 0.0, t_ground_c=30.0)
+    assert warm > wall
+
+
+def test_surface_longwave_shapes_and_sides(ref_fixtures):
+    import heatx
+    from heatx.build.layout import compile_building
+    from heatx.constants import SIGMA
+    from heatx.weather.epw import read_epw
+    from test_sharding import multi_surface_model
+
+    epw = read_epw(f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw")
+    b = compile_building(
+        multi_surface_model(4), n=1, config=heatx.SimConfig(dtype=np.float64)
+    )
+    irf = solar.surface_longwave(epw, b, hours=48)
+    assert irf.shape == (48, b.n_surfaces)
+    assert np.isfinite(irf).all() and (irf > 0).all()
+    # Vertical walls: identical for front and back faces (F_sky = 0.5 both).
+    ct = np.asarray(b.surfaces.cos_tilt)
+    vert = np.abs(ct) < 1e-9
+    if vert.any():
+        irb = solar.surface_longwave(epw, b, hours=48, side="back")
+        np.testing.assert_allclose(irf[:, vert], irb[:, vert], rtol=1e-14)
+    # start_hour offset slices exactly.
+    part = solar.surface_longwave(epw, b, hours=20, start_hour=17)
+    np.testing.assert_array_equal(irf[17:37], part)
+    # The blend sits between the raw sky column and the air blackbody.
+    ir_h = np.asarray(epw.horizontal_ir[:48])
+    e_air = SIGMA * (np.asarray(epw.dry_bulb[:48]) + 273.15) ** 4
+    lo = np.minimum(ir_h, e_air)[:, None] - 1e-9
+    hi = np.maximum(ir_h, e_air)[:, None] + 1e-9
+    assert ((irf >= lo) & (irf <= hi)).all()
+    # [T]-series ground temperature broadcasts.
+    tg = np.full(48, 15.0)
+    irg = solar.surface_longwave(epw, b, hours=48, t_ground_c=tg)
+    assert irg.shape == irf.shape
