@@ -273,18 +273,24 @@ def cmd_simulate(args) -> int:
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
     if args.solar:
         # The sun path and tiled irradiance columns are side-independent:
-        # compute once, project onto both faces.
+        # compute once, project onto both faces.  Explicit per-surface
+        # "View Factor to Ground" declarations (IDF imports) override the
+        # geometric ground-reflected term, like EnergyPlus.
+        from heatx.weather.solar import model_ground_views
+
+        gv = model_ground_views(model)
         sun = sun_and_sky(epw, hours=Tx, start_hour=start)
         sol_f = (
             surface_irradiance(
-                epw, b, hours=Tx, albedo=args.albedo, sky=args.sky, sun=sun
+                epw, b, hours=Tx, albedo=args.albedo, sky=args.sky, sun=sun,
+                ground_view=gv,
             )
             * out_front
         )
         sol_b = (
             surface_irradiance(
                 epw, b, hours=Tx, albedo=args.albedo, side="back",
-                sky=args.sky, sun=sun,
+                sky=args.sky, sun=sun, ground_view=gv,
             )
             * out_back
         )

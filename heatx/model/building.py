@@ -140,6 +140,11 @@ class SurfaceDef:
     perimeter: Optional[float] = None
     normal: Optional[Tuple[float, float, float]] = None
     height: Optional[float] = None  # centroid z, for the wind profile
+    # Solar ground view factor of the outdoor face (EnergyPlus's explicit
+    # "View Factor to Ground" surface field).  None = geometric
+    # (1 - cos_tilt)/2.  Consumed by heatx.weather.solar, not the solver
+    # (incident solar is an input channel, surface.rs:916-931).
+    ground_view_factor: Optional[float] = None
 
     def resolved_geometry(self):
         """area, perimeter, normal, centroid-height."""

@@ -1011,6 +1011,13 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             )
         sd = SurfaceDef(name, construction, front or Boundary.outdoor(),
                         Boundary.space_(zone), vertices=verts)
+        # Explicit "View Factor to Ground" (blank/autocalculate = geometric):
+        # EnergyPlus honors it even where it disagrees with the tilt, so
+        # reproducing a run needs it (the reference fixtures pin 0.5 on
+        # tilted/horizontal surfaces).  Feeds heatx.weather.solar only.
+        vfg = _str(o, 9 + shift).lower()
+        if vfg not in ("", "autocalculate"):
+            sd.ground_view_factor = float(vfg)
         if front is None:
             pending.append((sd, obc_obj))
         else:
@@ -1075,6 +1082,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             name, construction, front, Boundary.space_(surf_zone[host]),
             vertices=verts,
         )
+        # View Factor to Ground sits before the generation-dependent shift
+        # (Name, Type, Construction, Host, OBC Object, VFg, ...).
+        fvfg = _str(o, 6).lower()
+        if fvfg not in ("", "autocalculate"):
+            fen.ground_view_factor = float(fvfg)
         if mult != 1.0:
             # Multiplier = that many identical panes: the fenestration's
             # heat-transfer area AND the host cut both scale (scaling the

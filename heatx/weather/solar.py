@@ -155,7 +155,7 @@ def perez_sky_diffuse(dhi, cos_tilt, cos_inc, zenith_rad, F1, F2):
 
 def poa_irradiance(
     dni, dhi, ghi, altitude_rad, azimuth_rad, normal_x, normal_y, cos_tilt,
-    albedo=0.2, sky="isotropic", day_of_year=None,
+    albedo=0.2, sky="isotropic", day_of_year=None, ground_view=None,
 ):
     """Plane-of-array irradiance.
 
@@ -163,6 +163,12 @@ def poa_irradiance(
     ``sky="perez"`` the Perez (1990) anisotropic model (requires
     ``day_of_year``; falls back to isotropic for sun-below-horizon steps,
     where EPW diffuse is ~0 anyway).
+
+    ``ground_view`` overrides the ground-reflected term's view factor
+    (default: the geometric ``(1 - cos beta)/2``).  EnergyPlus surfaces
+    carry an explicit "View Factor to Ground" that it honors even where
+    it disagrees with the tilt (e.g. 0.5 on a roof); pass it here to
+    reproduce such runs.  NaN entries fall back to geometric.
 
     Time arrays broadcast against surface arrays: pass time as [T, 1] and
     surfaces as [S] to get [T, S].  ``(normal_x, normal_y, cos_tilt)`` is the
@@ -185,7 +191,11 @@ def poa_irradiance(
         sky_term = iso_sky
     else:
         raise ValueError(f"unknown sky model {sky!r}")
-    ground = np.asarray(ghi) * albedo * (1.0 - cos_tilt) / 2.0
+    f_gnd = (1.0 - cos_tilt) / 2.0
+    if ground_view is not None:
+        gv = np.asarray(ground_view, np.float64)
+        f_gnd = np.where(np.isnan(gv), f_gnd, gv)
+    ground = np.asarray(ghi) * albedo * f_gnd
     return direct + sky_term + ground
 
 
@@ -287,9 +297,23 @@ def sun_and_sky(epw, hours=None, start_hour=0):
     return dni, dhi, ghi, alt, az, day
 
 
+def model_ground_views(model):
+    """Per-surface solar ground view factors for :func:`surface_irradiance`,
+    aligned with the compiled surface order (surfaces then fenestrations,
+    build/layout.py): each surface's explicit ``ground_view_factor`` where
+    given (e.g. an imported IDF's "View Factor to Ground"), NaN where
+    geometric."""
+    defs = list(model.surfaces) + list(model.fenestrations)
+    return np.array(
+        [np.nan if s.ground_view_factor is None else float(s.ground_view_factor)
+         for s in defs],
+        np.float64,
+    )
+
+
 def surface_irradiance(
     epw, building, albedo=0.2, hours=None, side="front", sky="isotropic",
-    start_hour=0, sun=None,
+    start_hour=0, sun=None, ground_view=None,
 ):
     """Per-surface incident solar from an EPW: the [T, S] ``sol_front``
     input for a compiled building (front faces are the outdoor side in
@@ -303,7 +327,10 @@ def surface_irradiance(
     into the year (segmented runs) — evaluating hours [start, start+T)
     directly instead of computing the prefix and slicing.  ``sun`` accepts
     a precomputed :func:`sun_and_sky` result so callers evaluating both
-    faces pay for the sun path once.
+    faces pay for the sun path once.  ``ground_view`` optionally overrides
+    the ground-reflected view factor (scalar or [S]; NaN entries stay
+    geometric — :func:`model_ground_views` builds the array from a
+    BuildingModel's explicit per-surface factors).
     """
     sb = building.surfaces
     if sun is None:
@@ -313,8 +340,12 @@ def surface_irradiance(
     nx = sign * np.asarray(sb.normal[:, 0], np.float64)
     ny = sign * np.asarray(sb.normal[:, 1], np.float64)
     ct = sign * np.asarray(sb.cos_tilt, np.float64)
+    gv = None
+    if ground_view is not None:
+        gv = np.asarray(ground_view, np.float64)
+        gv = gv[None, :] if gv.ndim == 1 else gv
     return poa_irradiance(
         dni[:, None], dhi[:, None], ghi[:, None],
         alt[:, None], az[:, None], nx[None, :], ny[None, :], ct[None, :],
-        albedo=albedo, sky=sky, day_of_year=day[:, None],
+        albedo=albedo, sky=sky, day_of_year=day[:, None], ground_view=gv,
     )
