@@ -111,6 +111,34 @@ def walls_report():
         )
         print(f"  eplus via-idf {name}: done")
 
+    # Full-stack end-to-end: heatx's OWN solar (Perez) and longwave
+    # (tilted view-factor blend) computed from the raw Santiago EPW —
+    # no replayed boundary conditions — model built from the fixture's
+    # in.idf.  A loop the reference never closes; errors here belong to
+    # the weather-model stack (tests/test_e2e_eplus.py thresholds).
+    from heatx.validate.endtoend import FULL_CASES, run_end_to_end_case
+    from test_e2e_eplus import E2E_THRESHOLDS
+
+    for name in FULL_CASES:
+        expected, found = run_end_to_end_case(name, FIXTURES)
+        max_rmse, _ = E2E_THRESHOLDS[name]
+        rng = float(expected.max() - expected.min())
+        v.push(
+            SeriesValidation(
+                title=(
+                    f"Full-stack end-to-end (heatx solar + longwave from "
+                    f"the raw EPW): {name}"
+                ),
+                expected=expected,
+                found=found,
+                expected_legend="EnergyPlus 9.6",
+                y_label="Zone Temperature",
+                y_units="C",
+                max_rmse_frac=max_rmse / rng,
+            )
+        )
+        print(f"  end-to-end {name}: done")
+
     # The TR-BDF2 fast mode (the bench default) against the same evidence:
     # coefficients frozen per 3-minute fixture step, 2 L-stable sub-steps.
     from heatx.engine.implicit import imp_march
