@@ -762,6 +762,97 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+def cmd_size(args) -> int:
+    """Design-day sizing: peak heating/cooling ideal loads per zone."""
+    _configure_jax(args)
+    import jax.numpy as jnp
+
+    from heatx import SimConfig
+    from heatx.sizing import design_day_loads, design_days_from_epw
+    from heatx.weather.epw import read_epw
+
+    # Load the model without compiling (sizing builds its own ThermalModel
+    # with unlimited ideal loads in every zone).
+    loaded = None
+    if args.model.lower().endswith(".idf"):
+        from heatx.model.idf import load_idf
+
+        loaded = load_idf(args.model)
+        model = loaded.model
+        n = args.n if args.n is not None else loaded.timestep
+    else:
+        from heatx.model.spl import load_spl
+
+        model = load_spl(args.model)
+        n = args.n if args.n is not None else 1
+    epw = read_epw(args.epw)
+    days = design_days_from_epw(epw)
+    cfg = SimConfig(
+        dtype=jnp.float64 if args.f64 else jnp.float32,
+        interior_mrt=not args.air_bath,
+    )
+
+    Z = len(model.spaces)
+    zidx = {sp.name: z for z, sp in enumerate(model.spaces)}
+    inf_vol = np.zeros(Z)
+    if loaded is not None:
+        for src in (loaded.infiltration, loaded.ventilation):
+            for zname, v in src.items():
+                inf_vol[zidx[zname]] += v
+    gains_max = {}
+    if loaded is not None and args.gains:
+        # Cooling days include internal gains at their scheduled annual
+        # maximum (conservative); heating days exclude them (the ASHRAE
+        # convention).  Setpoint schedules never override the sizing
+        # thermostat.
+        ch = loaded.hourly_channels(8760)
+        for k in ("hvac_power", "lum_power"):
+            if k in ch and np.asarray(ch[k]).size:
+                gains_max[k] = np.asarray(ch[k]).max(axis=0)
+
+    out = {}
+    for season in ("winter", "summer"):
+        if season not in days:
+            print(f"# no {season} design conditions in the EPW header",
+                  file=sys.stderr)
+            continue
+        day = days[season]
+        extra = {}
+        if inf_vol.any():
+            # Outdoor air at the design rate, inlet at the design dry bulb
+            # (full-on infiltration: conservative for both seasons).
+            extra.update(
+                inf_vol=inf_vol, inf_mask=inf_vol > 0.0,
+                inf_temp=np.repeat(day.dry_bulb_profile[:, None], Z, axis=1),
+            )
+        if season == "summer":
+            extra.update(gains_max)
+        res = design_day_loads(
+            model, day, heat_sp=args.heat_sp, cool_sp=args.cool_sp,
+            epw=epw, n=n, config=cfg, extra_channels=extra or None,
+        )
+        print(res.summary())
+        verb = "heating" if season == "winter" else "cooling"
+        out[season] = {
+            "design_db_C": day.db_max,
+            "db_range_K": day.db_range,
+            "wind_m_s": day.wind_speed,
+            "warmup_days": res.warmup_days,
+            f"peak_{verb}_W": {
+                nm: round(float(res.peak_W[z]), 1)
+                for z, nm in enumerate(res.zone_names)
+            },
+            f"total_peak_{verb}_W": round(float(res.peak_W.sum()), 1),
+        }
+    if args.sizing_json:
+        import json
+
+        with open(args.sizing_json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"# wrote {args.sizing_json}", file=sys.stderr)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m heatx",
@@ -786,6 +877,31 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("info", help="compile a model and print its discretization")
     common(p)
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "size",
+        help="design-day sizing: peak heating/cooling loads per zone "
+        "(ASHRAE 99.6%%/0.4%% design days from the EPW header)",
+    )
+    common(p)
+    p.add_argument("epw", help="EPW weather file (DESIGN CONDITIONS header)")
+    p.add_argument("--heat-sp", type=float, default=20.0,
+                   help="heating setpoint C (default 20)")
+    p.add_argument("--cool-sp", type=float, default=26.0,
+                   help="cooling setpoint C (default 26)")
+    p.add_argument(
+        "--no-gains", dest="gains", action="store_false",
+        help="exclude scheduled internal gains from the cooling day "
+        "(default: included at their annual maximum)",
+    )
+    p.add_argument(
+        "--air-bath", action="store_true",
+        help="reference interior radiant semantics (zone-air bath) instead "
+        "of the conserving Carroll MRT network",
+    )
+    p.add_argument("--sizing-json", default=None,
+                   help="write the machine-readable sizing table")
+    p.set_defaults(fn=cmd_size)
 
     p = sub.add_parser("simulate", help="march a model under an EPW weather file")
     common(p)

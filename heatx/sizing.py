@@ -1,0 +1,310 @@
+"""Design-day sizing: peak heating/cooling loads (heatx extension).
+
+Every production building simulator sizes equipment from design days;
+the reference has no sizing machinery at all (its IdealHeaterCooler is
+``todo!()``, heating_cooling.rs:66-90).  heatx composes it from parts it
+already has: unlimited setpoint-driven ideal loads (engine.zone), the
+EnergyPlus-style warm-up (``ThermalModel.warmup``), the ASHRAE clear-sky
+solar model (weather.solar.ashrae_clear_sky) and the tilted longwave
+blend.
+
+Conventions (the ASHRAE / EnergyPlus ``SizingPeriod:DesignDay`` ones):
+
+* **Winter (heating) design day**: constant dry-bulb at the 99.6 %
+  heating design temperature, **no solar**, clear-sky longwave (the
+  coldest radiant environment), mean-coincident wind.  Internal gains
+  excluded unless the caller passes them — the conservative heating
+  convention.
+* **Summer (cooling) design day**: dry-bulb follows the ASHRAE daily
+  profile ``T(h) = DB_max - range * f(h)``, ASHRAE clear-sky beam +
+  diffuse transposed to every exterior face (21st of the hottest month),
+  mean-coincident wind.
+* The day repeats until the building converges day-over-day (warm-up),
+  then one more day is marched with unlimited ideal loads in every zone;
+  the reported load profile/peaks come from that converged periodic day.
+
+Design conditions come from the EPW's ``DESIGN CONDITIONS`` header
+(``EPWData.design_conditions``) or explicit ``DesignDay`` fields.
+"""
+
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from heatx.constants import SIGMA
+
+# ASHRAE daily range fractions f(h): fraction of the daily dry-bulb range
+# subtracted from the day's maximum at each hour 0-23 (local standard
+# time; max at 15:00, min at 05:00) — 2017 Fundamentals ch. 14 table 6.
+DAILY_RANGE_FRACTION = np.array([
+    0.88, 0.92, 0.95, 0.98, 1.00, 0.98, 0.91, 0.74,
+    0.55, 0.38, 0.23, 0.13, 0.05, 0.00, 0.00, 0.06,
+    0.14, 0.24, 0.39, 0.50, 0.59, 0.68, 0.75, 0.82,
+])
+
+
+def clark_allen_sky_emissivity(t_dew_c):
+    """Clark & Allen (1978) clear-sky emissivity from dew point —
+    EnergyPlus's default design-day sky model:
+    ``eps = 0.787 + 0.764 ln((T_dp + 273.15)/273.15)``."""
+    return 0.787 + 0.764 * np.log((np.asarray(t_dew_c) + 273.15) / 273.15)
+
+
+@dataclass
+class DesignDay:
+    """One design day's independent conditions."""
+
+    kind: str  # "winter" | "summer"
+    db_max: float  # C (winter: the constant dry-bulb)
+    db_range: float = 0.0  # C, daily dry-bulb swing (summer)
+    wind_speed: float = 3.0  # m/s
+    month: int = 1  # for sun position + clear-sky coefficients (summer)
+    dew_point: Optional[float] = None  # C, for the sky emissivity
+    clearness: float = 1.0  # ASHRAE clear-sky multiplier (summer solar)
+
+    @property
+    def dry_bulb_profile(self) -> np.ndarray:
+        """[24] hourly dry-bulb series."""
+        if self.kind == "winter":
+            return np.full(24, self.db_max)
+        return self.db_max - self.db_range * DAILY_RANGE_FRACTION
+
+    def sky_ir_horizontal(self) -> np.ndarray:
+        """[24] horizontal incident longwave under the clear design sky."""
+        t = self.dry_bulb_profile
+        dp = self.dew_point if self.dew_point is not None else t - 2.0
+        eps = clark_allen_sky_emissivity(dp)
+        return eps * SIGMA * (t + 273.15) ** 4
+
+
+def design_days_from_epw(epw) -> Dict[str, DesignDay]:
+    """The 99.6 % heating / 0.4 % cooling design days from the EPW's
+    DESIGN CONDITIONS header."""
+    dc = epw.design_conditions
+    if not dc:
+        raise ValueError(
+            f"{epw.location or 'EPW'} has no DESIGN CONDITIONS header; "
+            "construct DesignDay values explicitly"
+        )
+    out = {}
+    if "heating_db_996" in dc:
+        out["winter"] = DesignDay(
+            kind="winter",
+            db_max=dc["heating_db_996"],
+            wind_speed=dc.get("heating_mcws", 3.0),
+            month=int(dc.get("heating_coldest_month", 1)),
+            dew_point=dc.get("heating_dp_996"),
+        )
+    if "cooling_db_004" in dc:
+        out["summer"] = DesignDay(
+            kind="summer",
+            db_max=dc["cooling_db_004"],
+            db_range=dc.get("cooling_db_range", 0.0),
+            wind_speed=dc.get("cooling_mcws", 3.0),
+            month=int(dc.get("cooling_hottest_month", 7)),
+            # Approximation: dew point ~ the mean-coincident wet bulb
+            # (exact only at saturation; biases the sky slightly warm,
+            # i.e. conservative for cooling).
+            dew_point=dc.get("cooling_mcwb_004"),
+        )
+    return out
+
+
+@dataclass
+class SizingResult:
+    zone_names: list
+    peak_W: np.ndarray  # [Z] peak load, positive W (heating or cooling)
+    profile_W: np.ndarray  # [24*n, Z] signed ideal load (+heat / -cool)
+    peak_hour: np.ndarray  # [Z] hour-of-day of each zone's peak
+    warmup_days: int
+    design_day: DesignDay
+
+    def summary(self) -> str:
+        kind = self.design_day.kind
+        lines = [
+            f"{kind} design day ({self.design_day.db_max:.1f} C"
+            + (f", range {self.design_day.db_range:.1f} K"
+               if kind == "summer" else "")
+            + f", wind {self.design_day.wind_speed:.1f} m/s; converged "
+            f"after {self.warmup_days} repeats)"
+        ]
+        verb = "heating" if kind == "winter" else "cooling"
+        for z, name in enumerate(self.zone_names):
+            lines.append(
+                f"  {name}: peak {verb} {self.peak_W[z]:,.0f} W "
+                f"at {int(self.peak_hour[z]):02d}:00"
+            )
+        return "\n".join(lines)
+
+
+def _sizing_model(model, heat_sp: float, cool_sp: float):
+    """A copy of the model with unlimited ideal loads in every zone and
+    every pre-existing *setpoint-driven* HVAC removed (their capacities
+    are exactly what sizing is asked to find); scheduled power devices
+    (heaters as gains) are kept."""
+    from heatx.model.building import IdealHeaterCooler
+
+    m = copy.deepcopy(model)
+    m.hvacs = [
+        h for h in m.hvacs
+        if getattr(h, "heat_setpoint", None) is None
+        and getattr(h, "cool_setpoint", None) is None
+    ]
+    m.hvacs.append(IdealHeaterCooler(
+        "sizing ideal loads", [sp.name for sp in m.spaces],
+        heat_setpoint=heat_sp, cool_setpoint=cool_sp,
+    ))
+    return m
+
+
+def design_day_loads(
+    model,
+    day: DesignDay,
+    *,
+    heat_sp: float = 20.0,
+    cool_sp: float = 26.0,
+    epw=None,
+    albedo: float = 0.2,
+    n: int = 1,
+    config=None,
+    max_repeats: int = 25,
+    extra_channels: Optional[dict] = None,
+) -> SizingResult:
+    """Peak heating/cooling loads for ``model`` on one design day.
+
+    ``epw`` supplies site latitude/longitude/timezone for the summer
+    clear-sky sun path (required for summer days; winter days have no
+    solar).  ``extra_channels`` passes additional ``inputs_sequence``
+    channels ([24, ...] series or static), e.g. scheduled internal gains
+    for the cooling day.  Returns a :class:`SizingResult`; loads are the
+    converged periodic day's, heating positive on winter days and cooling
+    positive on summer days.
+    """
+    import heatx
+    from heatx.build.layout import B_OUTDOOR
+    from heatx.weather.solar import (
+        ashrae_clear_sky,
+        longwave_irradiance,
+        model_ground_views,
+        poa_irradiance,
+        solar_position,
+    )
+
+    sized = _sizing_model(model, heat_sp, cool_sp)
+    if config is None:
+        # Sizing wants conserving interior physics: the reference's
+        # zone-air radiant bath books interior radiant flux against an
+        # infinite reservoir (surface.rs:611-640), which understates
+        # heating loads (measured ~2x on a bare two-wall zone).  The
+        # Carroll MRT network (heatx extension) closes the balance.
+        config = heatx.SimConfig(interior_mrt=True)
+    tm = heatx.ThermalModel(sized, n=n, config=config)
+    b = tm.building
+    sb = b.surfaces
+    T = 24
+
+    t_out = day.dry_bulb_profile
+    ir_h = day.sky_ir_horizontal()
+
+    out_front = np.asarray(sb.front_code) == B_OUTDOOR
+    out_back = np.asarray(sb.back_code) == B_OUTDOOR
+    ct = np.asarray(sb.cos_tilt, np.float64)
+    ir_f = longwave_irradiance(ir_h[:, None], t_out[:, None], ct[None, :])
+    ir_b = longwave_irradiance(ir_h[:, None], t_out[:, None], -ct[None, :])
+
+    S = b.n_surfaces
+    sol_f = np.zeros((T, S))
+    sol_b = np.zeros((T, S))
+    if day.kind == "summer":
+        if epw is None:
+            raise ValueError(
+                "summer design days need the epw for the site sun path"
+            )
+        # The 21st of the design month, EnergyPlus's convention.
+        month_day = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334]
+        doy = month_day[day.month - 1] + 21
+        alt, az = solar_position(
+            epw.latitude_deg, epw.longitude_deg, epw.tz_hours,
+            float(doy), np.arange(24, dtype=np.float64) + 0.5,
+        )
+        dni, dhi = ashrae_clear_sky(alt, day.month, clearness=day.clearness)
+        ghi = dni * np.clip(np.sin(alt), 0.0, None) + dhi
+        gv = model_ground_views(sized)
+
+        def poa(sign):
+            return poa_irradiance(
+                dni[:, None], dhi[:, None], ghi[:, None],
+                alt[:, None], az[:, None],
+                sign * np.asarray(sb.normal[:, 0])[None, :],
+                sign * np.asarray(sb.normal[:, 1])[None, :],
+                (sign * ct)[None, :],
+                albedo=albedo, ground_view=gv[None, :],
+            )
+
+        sol_f = poa(1.0)
+        sol_b = poa(-1.0)
+
+    channels = dict(
+        t_out=t_out,
+        wind_speed=np.full(T, day.wind_speed),
+        sol_front=sol_f * out_front,
+        sol_back=sol_b * out_back,
+        ir_front=ir_f * out_front,
+        ir_back=ir_b * out_back,
+    )
+    if extra_channels:
+        channels.update(extra_channels)
+    if n > 1:
+        # Hold the hourly design channels across each hour's main steps
+        # ([24] / [24, ...] series -> the [24*n] main-step grid).  1-D
+        # arrays classify by name (a static [Z] vector with Z == 24 must
+        # not repeat — the CLI's _SERIES_1D convention); 2-D+ arrays are
+        # series iff their leading axis is the day.
+        series_1d = {
+            "t_out", "wind_speed", "wind_direction",
+            "sol_front", "sol_back", "ir_front", "ir_back",
+        }
+        channels = {
+            k: (np.repeat(v, n, axis=0)
+                if np.ndim(v) > 0 and np.shape(v)[0] == T
+                and (np.ndim(v) > 1 or k in series_1d) else v)
+            for k, v in channels.items()
+        }
+    seq = tm.inputs_sequence(T * n, **channels)
+
+    state, repeats = tm.warmup(
+        tm.initial_state(), seq, max_repeats=max_repeats
+    )
+    _, (_, loads) = tm.run(state, seq, collect_loads=True)
+    loads = np.asarray(loads)  # [24*n, Z], +heating / -cooling
+    signed = loads if day.kind == "winter" else -loads
+    per_zone = np.clip(signed, 0.0, None)
+    peak = per_zone.max(axis=0)
+    peak_hour = per_zone.argmax(axis=0) // n
+    return SizingResult(
+        zone_names=[sp.name for sp in sized.spaces],
+        peak_W=peak,
+        profile_W=loads,
+        peak_hour=peak_hour,
+        warmup_days=repeats,
+        design_day=day,
+    )
+
+
+def size_from_epw(
+    model, epw, *, heat_sp: float = 20.0, cool_sp: float = 26.0, **kw
+) -> Dict[str, SizingResult]:
+    """Both design days from the EPW's DESIGN CONDITIONS header:
+    ``{"winter": SizingResult, "summer": SizingResult}`` (whichever the
+    header provides)."""
+    days = design_days_from_epw(epw)
+    return {
+        season: design_day_loads(
+            model, day, heat_sp=heat_sp, cool_sp=cool_sp, epw=epw, **kw
+        )
+        for season, day in days.items()
+    }

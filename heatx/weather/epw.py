@@ -41,6 +41,13 @@ class EPWData:
     #: depth (m) -> 12 monthly soil temperatures (C), from the EPW's
     #: GROUND TEMPERATURES header line (empty when the file omits it).
     ground_temps: Dict[float, np.ndarray] = field(default_factory=dict)
+    #: ASHRAE climatic design data parsed from the DESIGN CONDITIONS
+    #: header (empty when absent).  Keys: heating_coldest_month,
+    #: heating_db_996, heating_db_990, heating_dp_996, heating_mcws
+    #: (mean wind coincident with the 99.6% DB), cooling_hottest_month,
+    #: cooling_db_range, cooling_db_004/010/020, cooling_mcwb_004,
+    #: cooling_mcws.  Consumed by heatx.sizing design days.
+    design_conditions: Dict[str, float] = field(default_factory=dict)
 
     @property
     def n_hours(self) -> int:
@@ -77,6 +84,35 @@ def read_epw(path: str) -> EPWData:
             lat, lon, tz = (float(loc_parts[k]) for k in (6, 7, 8))
         except ValueError:
             pass
+    design_conditions: Dict[str, float] = {}
+    for line in lines[:8]:
+        parts = [p.strip() for p in line.split(",")]
+        if parts[0].upper() != "DESIGN CONDITIONS":
+            continue
+        # ASHRAE Handbook layout (EnergyPlus Auxiliary Programs): the
+        # 'Heating' / 'Cooling' markers start fixed-order value runs.
+        def _take(marker, offsets):
+            try:
+                i = next(
+                    k for k, p in enumerate(parts) if p.lower() == marker
+                )
+            except StopIteration:
+                return
+            for key, off in offsets.items():
+                try:
+                    design_conditions[key] = float(parts[i + off])
+                except (ValueError, IndexError):
+                    pass
+        _take("heating", {
+            "heating_coldest_month": 1, "heating_db_996": 2,
+            "heating_db_990": 3, "heating_dp_996": 4, "heating_mcws": 14,
+        })
+        _take("cooling", {
+            "cooling_hottest_month": 1, "cooling_db_range": 2,
+            "cooling_db_004": 3, "cooling_mcwb_004": 4,
+            "cooling_db_010": 5, "cooling_db_020": 7, "cooling_mcws": 15,
+        })
+        break
     ground_temps: Dict[float, np.ndarray] = {}
     for line in lines[:8]:
         parts = [p.strip() for p in line.split(",")]
@@ -172,6 +208,7 @@ def read_epw(path: str) -> EPWData:
         longitude_deg=lon,
         tz_hours=tz,
         ground_temps=ground_temps,
+        design_conditions=design_conditions,
     )
 
 

@@ -1,0 +1,179 @@
+"""Design-day sizing (heatx.sizing — extension; the reference has no
+sizing machinery, its IdealHeaterCooler is todo!(), heating_cooling.rs:66).
+"""
+
+import numpy as np
+import pytest
+
+import heatx
+from heatx.sizing import (
+    DAILY_RANGE_FRACTION,
+    DesignDay,
+    clark_allen_sky_emissivity,
+    design_day_loads,
+    design_days_from_epw,
+)
+from heatx.testing import SingleZoneOptions, TestMat, single_zone_building
+from heatx.weather.epw import read_epw
+
+EPW = "/root/reference/tests/epw/CHL_Santiago.855740_IWEC.epw"
+F64 = heatx.SimConfig(dtype=np.float64, interior_mrt=True)
+
+
+@pytest.fixture
+def epw(ref_fixtures):
+    return read_epw(f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw")
+
+
+def _model(width=10.0):
+    return single_zone_building(SingleZoneOptions(
+        zone_volume=300.0, surface_width=width, surface_height=3.0,
+        construction=[TestMat.concrete(0.2)],
+    ))
+
+
+def test_design_conditions_from_epw(epw):
+    """The DESIGN CONDITIONS header parses to the ASHRAE values (southern
+    hemisphere: heating month July, cooling January)."""
+    dc = epw.design_conditions
+    assert dc["heating_db_996"] == -1.1
+    assert dc["heating_coldest_month"] == 7
+    assert dc["heating_dp_996"] == -2.7
+    assert dc["heating_mcws"] == 0.9
+    assert dc["cooling_db_004"] == 31.8
+    assert dc["cooling_db_range"] == 17.2
+    assert dc["cooling_hottest_month"] == 1
+    assert dc["cooling_mcws"] == 5.7
+    days = design_days_from_epw(epw)
+    assert days["winter"].dry_bulb_profile.max() == -1.1
+    assert days["winter"].dry_bulb_profile.min() == -1.1
+    summer = days["summer"].dry_bulb_profile
+    assert summer.max() == pytest.approx(31.8)  # 15:00, fraction 0
+    assert summer.min() == pytest.approx(31.8 - 17.2)  # 05:00
+    assert summer.argmax() in (13, 14)
+    # No-header EPW fails loudly.
+    import dataclasses
+
+    bare = dataclasses.replace(epw, design_conditions={})
+    with pytest.raises(ValueError, match="DESIGN CONDITIONS"):
+        design_days_from_epw(bare)
+
+
+def test_daily_range_fractions_are_ashrae():
+    assert DAILY_RANGE_FRACTION.shape == (24,)
+    assert DAILY_RANGE_FRACTION.max() == 1.0  # 05:00 minimum temperature
+    assert DAILY_RANGE_FRACTION[14] == 0.0  # 15:00 maximum
+    assert clark_allen_sky_emissivity(0.0) == pytest.approx(0.787)
+    assert clark_allen_sky_emissivity(20.0) > clark_allen_sky_emissivity(0.0)
+
+
+def test_ashrae_clear_sky():
+    from heatx.weather.solar import ashrae_clear_sky
+
+    dni, dhi = ashrae_clear_sky(np.radians([60.0, 30.0, -5.0]), month=1)
+    assert 1230 * np.exp(-0.142 / np.sin(np.radians(60))) == pytest.approx(dni[0])
+    assert dni[0] > dni[1] > 0.0
+    assert dni[2] == 0.0 and dhi[2] == 0.0
+    np.testing.assert_allclose(dhi[:2], 0.058 * dni[:2])
+    # clearness scales both.
+    d2, h2 = ashrae_clear_sky(np.radians(60.0), month=1, clearness=0.5)
+    assert d2 == pytest.approx(0.5 * dni[0])
+
+
+def test_winter_day_steady_and_scales_with_area(epw):
+    """A constant winter day converges to a steady heating load that
+    scales ~linearly with envelope area and grows when the design
+    temperature drops."""
+    days = design_days_from_epw(epw)
+    r1 = design_day_loads(_model(10.0), days["winter"], config=F64, epw=epw)
+    assert r1.peak_W.shape == (1,)
+    p1 = float(r1.peak_W[0])
+    assert p1 > 100.0
+    # Converged periodic day under constant forcing: flat profile.
+    prof = r1.profile_W[:, 0]
+    assert prof.min() > 0  # always heating
+    assert (prof.max() - prof.min()) < 0.05 * p1
+    # Double the wall -> ~double the loss (within film nonlinearity).
+    r2 = design_day_loads(_model(20.0), days["winter"], config=F64, epw=epw)
+    assert 1.7 < float(r2.peak_W[0]) / p1 < 2.3
+    # Colder design day -> bigger load, roughly proportional to deltaT.
+    import dataclasses
+
+    colder = dataclasses.replace(days["winter"], db_max=-11.1)
+    r3 = design_day_loads(_model(10.0), colder, config=F64, epw=epw)
+    ratio = float(r3.peak_W[0]) / p1
+    dt_ratio = (20.0 + 11.1) / (20.0 + 1.1)
+    assert 0.8 * dt_ratio < ratio < 1.2 * dt_ratio
+
+
+def test_summer_day_solar_and_timing(epw):
+    """The cooling day's peak lands in the afternoon/evening; killing the
+    clear-sky solar (clearness=0) shrinks the load."""
+    import dataclasses
+
+    days = design_days_from_epw(epw)
+    r = design_day_loads(_model(), days["summer"], config=F64, epw=epw)
+    peak = float(r.peak_W[0])
+    assert peak > 0.0
+    assert 12 <= int(r.peak_hour[0]) <= 22
+    dark = dataclasses.replace(days["summer"], clearness=0.0)
+    r0 = design_day_loads(_model(), dark, config=F64, epw=epw)
+    assert float(r0.peak_W[0]) < peak
+    # Summer days need the EPW sun path.
+    with pytest.raises(ValueError, match="sun path"):
+        design_day_loads(_model(), days["summer"], config=F64)
+
+
+def test_subhourly_grid_matches_hourly(epw):
+    """n=4 main steps/hour lands on the same steady winter load as n=1
+    (the channels hold within the hour)."""
+    days = design_days_from_epw(epw)
+    r1 = design_day_loads(_model(), days["winter"], config=F64, epw=epw, n=1)
+    r4 = design_day_loads(_model(), days["winter"], config=F64, epw=epw, n=4)
+    assert r4.profile_W.shape[0] == 96
+    np.testing.assert_allclose(r4.peak_W, r1.peak_W, rtol=0.02)
+
+
+def test_sizing_replaces_thermostats_keeps_gain_devices(epw):
+    """Pre-existing setpoint HVACs are removed from the sizing copy (their
+    capacity is the unknown); scheduled power devices stay as gains."""
+    from heatx.model.building import ElectricHeater, IdealHeaterCooler
+
+    m = _model()
+    m.add_hvac(IdealHeaterCooler("old tstat", ["Space"],
+                                 heat_setpoint=15.0, max_heating=50.0))
+    m.add_hvac(ElectricHeater("plug loads", "Space"))
+    days = design_days_from_epw(epw)
+    base = design_day_loads(_model(), days["winter"], config=F64, epw=epw)
+    r = design_day_loads(
+        m, days["winter"], config=F64, epw=epw,
+        # The ElectricHeater delivers through the hvac_power channel:
+        # [n_hvacs] static vector (old tstat removed -> plug loads at
+        # index 0, the sizing ideal loads appended after).
+        extra_channels={"hvac_power": np.array([200.0, 0.0])},
+    )
+    # The 50 W-capped 15 C thermostat must NOT cap the sizing load, and
+    # the 200 W gain offsets the envelope loss.
+    assert float(r.peak_W[0]) > 100.0
+    assert float(r.peak_W[0]) == pytest.approx(
+        float(base.peak_W[0]) - 200.0, abs=30.0
+    )
+
+
+def test_cli_size(ref_fixtures, tmp_path, capsys):
+    from heatx.cli import main
+
+    js = tmp_path / "sizing.json"
+    rc = main([
+        "size", f"{ref_fixtures}/massive_full/in.idf", EPW,
+        "--f64", "--platform", "cpu", "--sizing-json", str(js),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "winter design day (-1.1 C" in out
+    assert "summer design day (31.8 C, range 17.2 K" in out
+    import json
+
+    s = json.loads(js.read_text())
+    assert s["winter"]["peak_heating_W"]["Interior Space"] > 100.0
+    assert s["summer"]["total_peak_cooling_W"] > 0.0
