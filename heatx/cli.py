@@ -805,10 +805,17 @@ def cmd_size(args) -> int:
         # maximum (conservative); heating days exclude them (the ASHRAE
         # convention).  Setpoint schedules never override the sizing
         # thermostat.
+        from heatx.sizing import sizing_hvac_power
+
         ch = loaded.hourly_channels(8760)
-        for k in ("hvac_power", "lum_power"):
-            if k in ch and np.asarray(ch[k]).size:
-                gains_max[k] = np.asarray(ch[k]).max(axis=0)
+        if "lum_power" in ch and np.asarray(ch["lum_power"]).size:
+            gains_max["lum_power"] = np.asarray(ch["lum_power"]).max(axis=0)
+        if "hvac_power" in ch and np.asarray(ch["hvac_power"]).size:
+            # The channel is laid out for the model's hvac list; the sizing
+            # copy removes thermostats and appends its own ideal-loads unit.
+            gains_max["hvac_power"] = sizing_hvac_power(
+                model, np.asarray(ch["hvac_power"]).max(axis=0)
+            )
 
     out = {}
     for season in ("winter", "summer"):

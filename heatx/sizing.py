@@ -141,6 +141,29 @@ class SizingResult:
         return "\n".join(lines)
 
 
+def _is_gain_hvac(h) -> bool:
+    """Scheduled power devices (kept as gains by the sizing copy), as
+    opposed to setpoint-driven units (removed — their capacity is the
+    unknown sizing solves for)."""
+    return (
+        getattr(h, "heat_setpoint", None) is None
+        and getattr(h, "cool_setpoint", None) is None
+    )
+
+
+def sizing_hvac_power(model, hvac_power):
+    """Remap an ``hvac_power`` channel built for ``model``'s device order
+    ([n_hvacs] static or [T, n_hvacs] series) onto the sizing copy's:
+    setpoint-driven units drop out, the appended sizing unit gets zero
+    scheduled power.  Use this for ``design_day_loads(extra_channels=
+    {"hvac_power": ...})`` whenever the model has thermostats."""
+    keep = [i for i, h in enumerate(model.hvacs) if _is_gain_hvac(h)]
+    v = np.asarray(hvac_power, np.float64)
+    kept = v[..., keep]
+    zero = np.zeros(kept.shape[:-1] + (1,))
+    return np.concatenate([kept, zero], axis=-1)
+
+
 def _sizing_model(model, heat_sp: float, cool_sp: float):
     """A copy of the model with unlimited ideal loads in every zone and
     every pre-existing *setpoint-driven* HVAC removed (their capacities
@@ -149,11 +172,7 @@ def _sizing_model(model, heat_sp: float, cool_sp: float):
     from heatx.model.building import IdealHeaterCooler
 
     m = copy.deepcopy(model)
-    m.hvacs = [
-        h for h in m.hvacs
-        if getattr(h, "heat_setpoint", None) is None
-        and getattr(h, "cool_setpoint", None) is None
-    ]
+    m.hvacs = [h for h in m.hvacs if _is_gain_hvac(h)]
     m.hvacs.append(IdealHeaterCooler(
         "sizing ideal loads", [sp.name for sp in m.spaces],
         heat_setpoint=heat_sp, cool_setpoint=cool_sp,

@@ -53,12 +53,16 @@ def weather_model_inputs(epw, model, building, sky="perez"):
     """The [T, S] incident solar and longwave heatx computes for a fixture
     model from the EPW alone (T = the 21-day horizon + 1 hour for
     sub-hour interpolation past the last record)."""
+    from heatx.weather.solar import sun_and_sky
+
     gv = model_ground_views(model)
+    sun = sun_and_sky(epw, hours=HOURS + 1)  # shared by both faces
     sol = {}
     ir = {}
     for side in ("front", "back"):
         sol[side] = surface_irradiance(
-            epw, building, hours=HOURS + 1, sky=sky, side=side, ground_view=gv
+            epw, building, hours=HOURS + 1, sky=sky, side=side,
+            ground_view=gv, sun=sun,
         )
         ir[side] = surface_longwave(epw, building, hours=HOURS + 1, side=side)
     return sol, ir
@@ -87,10 +91,16 @@ def run_end_to_end_case(
     # explicit View Factor to Ground the .spl/hand models don't have.
     model = build_case_model(case, fixtures_root, via_idf=True)
     tm = heatx.ThermalModel(model, n=n, config=heatx.SimConfig(dtype=dtype))
-    # Single-surface convention shared with the replay harness: EnergyPlus
-    # assumes zero IR indoors (validate_wall_heat_transfer.rs:629-630).
-    tm.building.surfaces.eps_back[:] = 0.0
     b = tm.building
+    # Single-surface convention shared with the replay harness: EnergyPlus
+    # assumes zero IR indoors (validate_wall_heat_transfer.rs:629-630) —
+    # zero the INTERIOR face's emissivity, whichever side that is (all
+    # current fixtures are front-outdoor; keep the side logic honest).
+    front_outdoor = bool(np.asarray(b.surfaces.front_code)[0] == B_OUTDOOR)
+    if front_outdoor:
+        b.surfaces.eps_back[:] = 0.0
+    else:
+        b.surfaces.eps_front[:] = 0.0
 
     epw = read_epw(f"{fixtures_root}/epw/CHL_Santiago.855740_IWEC.epw")
     run = read_eplusout(f"{fixtures_root}/{name}/eplusout.csv")
@@ -107,7 +117,7 @@ def run_end_to_end_case(
             [np.interp(t_mid, hr_mid, a[:, s]) for s in range(a.shape[1])], 1
         )
 
-    front_out = bool(np.asarray(b.surfaces.front_code)[0] == B_OUTDOOR)
+    front_out = front_outdoor
     side = "front" if front_out else "back"
     sol_s = to_steps(np.asarray(sol[side]))
     ir_s = to_steps(np.asarray(ir[side]))

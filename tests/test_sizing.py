@@ -177,3 +177,65 @@ def test_cli_size(ref_fixtures, tmp_path, capsys):
     s = json.loads(js.read_text())
     assert s["winter"]["peak_heating_W"]["Interior Space"] > 100.0
     assert s["summer"]["total_peak_cooling_W"] > 0.0
+
+
+def test_sizing_hvac_power_remap():
+    """The hvac_power channel remaps from the original device order to the
+    sizing copy's (thermostats dropped, zero-power sizing unit appended)."""
+    from heatx.model.building import ElectricHeater, IdealHeaterCooler
+    from heatx.sizing import sizing_hvac_power
+
+    m = _model()
+    m.add_hvac(ElectricHeater("eq1", "Space"))
+    m.add_hvac(IdealHeaterCooler("t1", ["Space"], heat_setpoint=20.0))
+    m.add_hvac(ElectricHeater("eq2", "Space"))
+    m.add_hvac(IdealHeaterCooler("t2", ["Space"], cool_setpoint=26.0))
+    np.testing.assert_array_equal(
+        sizing_hvac_power(m, np.array([100.0, 7.0, 200.0, 7.0])),
+        [100.0, 200.0, 0.0],
+    )
+    series = np.tile([100.0, 7.0, 200.0, 7.0], (5, 1))
+    out = sizing_hvac_power(m, series)
+    assert out.shape == (5, 3)
+    np.testing.assert_array_equal(out[0], [100.0, 200.0, 0.0])
+
+
+def test_cli_size_with_gains_and_thermostats(ref_fixtures, tmp_path, capsys):
+    """Regression: an IDF with scheduled gains AND multiple thermostats
+    sizes cleanly — the hvac_power channel is remapped onto the sizing
+    copy's device order (it used to broadcast-crash unless the IDF had
+    exactly one thermostat)."""
+    from heatx.cli import main
+
+    idf = tmp_path / "m.idf"
+    idf.write_text("""
+Timestep, 1;
+Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+Construction, Wall, Concrete;
+Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+Zone, B, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+BuildingSurface:Detailed, WA, Wall, Wall, A, Outdoors, , Sun, Wind, 0,
+    4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+BuildingSurface:Detailed, WB, Wall, Wall, B, Outdoors, , Sun, Wind, 0,
+    4, 0,5,3, 0,5,0, 10,5,0, 10,5,3;
+Schedule:Constant, On, , 1.0;
+ElectricEquipment, E1, A, On, EquipmentLevel, 500.0;
+Schedule:Constant, Act, , 120.0;
+People, P1, B, On, People, 5, , , 0.3, , Act;
+Schedule:Constant, HSP, Temperature, 19.0;
+ZoneControl:Thermostat, TA, A, , ThermostatSetpoint:SingleHeating, SH;
+ZoneControl:Thermostat, TB, B, , ThermostatSetpoint:SingleHeating, SH;
+ThermostatSetpoint:SingleHeating, SH, HSP;
+""")
+    js = tmp_path / "s.json"
+    rc = main(["size", str(idf), EPW, "--f64", "--platform", "cpu",
+               "--sizing-json", str(js)])
+    assert rc == 0
+    import json
+
+    s = json.loads(js.read_text())
+    assert set(s["winter"]["peak_heating_W"]) == {"A", "B"}
+    # Summer includes the 400 W equipment gain in zone A (10% latent/lost
+    # defaults absent -> full 500 W sensible here): A needs more cooling.
+    assert (s["summer"]["peak_cooling_W"]["A"]
+            > s["summer"]["peak_cooling_W"]["B"])
