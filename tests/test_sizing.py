@@ -239,3 +239,55 @@ ThermostatSetpoint:SingleHeating, SH, HSP;
     # defaults absent -> full 500 W sensible here): A needs more cooling.
     assert (s["summer"]["peak_cooling_W"]["A"]
             > s["summer"]["peak_cooling_W"]["B"])
+
+
+@pytest.mark.slow
+def test_sized_capacity_covers_the_annual_run(epw):
+    """Closing the loop: equipment capped at the design-day peaks holds the
+    setpoints through the whole annual EPW run (0 unmet heating hours; a
+    handful of cooling exceedances — the 0.4% cooling design condition
+    statistically permits ~35), while half-sized equipment fails hundreds
+    of hours.  This validates the sizing pipeline against the simulation
+    it is meant to protect."""
+    import copy
+
+    from heatx.build.layout import B_OUTDOOR
+    from heatx.model.building import IdealHeaterCooler
+    from heatx.weather.solar import surface_irradiance, surface_longwave
+
+    m = _model()
+    days = design_days_from_epw(epw)
+    rw = design_day_loads(m, days["winter"], config=F64, epw=epw)
+    rs = design_day_loads(m, days["summer"], config=F64, epw=epw)
+    heat_cap, cool_cap = float(rw.peak_W[0]), float(rs.peak_W[0])
+
+    def annual_unmet(hc, cc):
+        mm = copy.deepcopy(m)
+        mm.add_hvac(IdealHeaterCooler(
+            "hvac", ["Space"], heat_setpoint=20.0, cool_setpoint=26.0,
+            max_heating=hc, max_cooling=cc,
+        ))
+        tm = heatx.ThermalModel(mm, n=1, config=F64)
+        T = 8760
+        sol = surface_irradiance(epw, tm.building, hours=T, sky="perez")
+        ir = surface_longwave(epw, tm.building, hours=T)
+        outf = np.asarray(tm.building.surfaces.front_code) == B_OUTDOOR
+        seq = tm.inputs_sequence(
+            T, t_out=epw.dry_bulb[:T], wind_speed=epw.wind_speed[:T],
+            wind_direction=np.radians(epw.wind_direction_deg[:T]),
+            sol_front=sol * outf, ir_front=ir * outf,
+        )
+        day1 = tm.inputs_sequence(
+            24, t_out=epw.dry_bulb[:24], wind_speed=epw.wind_speed[:24],
+            sol_front=sol[:24] * outf, ir_front=ir[:24] * outf,
+        )
+        st, _ = tm.warmup(tm.initial_state(), day1)
+        _, zt = tm.run(st, seq)
+        zt = np.asarray(zt)
+        return int((zt < 19.5).sum()), int((zt > 26.5).sum())
+
+    uh, uc = annual_unmet(heat_cap, cool_cap)
+    assert uh == 0, (uh, uc)
+    assert uc <= 35, (uh, uc)  # the 0.4% condition's statistical allowance
+    uh2, uc2 = annual_unmet(0.5 * heat_cap, 0.5 * cool_cap)
+    assert uh2 > 100, (uh2, uc2)  # half-sized heating demonstrably fails
