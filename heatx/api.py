@@ -222,6 +222,8 @@ class ThermalModel:
         collect_zone_T: bool = True,
         collect_loads: bool = False,
         collect_operative: bool = False,
+        mode: str = "parity",
+        substeps: Optional[int] = None,
     ) -> Tuple[SimState, Optional[jax.Array]]:
         """March a whole [T, ...] input sequence in one compiled scan.
 
@@ -229,16 +231,46 @@ class ThermalModel:
         output is ``(zone_T_hist, ideal_load_hist)`` — the per-main-step
         mean heating(+)/cooling(-) demand in W per zone.
         ``collect_operative`` appends the [T, Z] operative-temperature
-        history ``(T_air + T_mrt)/2`` (see :meth:`zone_mrt`)."""
+        history ``(T_air + T_mrt)/2`` (see :meth:`zone_mrt`).
+
+        ``mode`` selects the integrator for the whole scan: ``"parity"``
+        (default, the reference's sub-step count), ``"trbdf2"`` /
+        ``"trbdf2_refresh"`` / ``"exp"`` run the fast modes at ``substeps``
+        sub-steps per main step (default 8, the bench regime) — the
+        whole-sequence XLA-scan analogue of :meth:`march_imp` /
+        :meth:`march_exp`, matching a host loop of those marches
+        bit-for-bit."""
         _check_setpoint_order(
             self.building, inputs_seq.heat_sp, inputs_seq.cool_sp
         )
-        key = (collect_zone_T, collect_loads, collect_operative)
+        if mode == "parity":
+            march_fn = None
+            if substeps is not None:
+                raise ValueError(
+                    "substeps applies to the fast modes; the parity "
+                    "integrator's sub-step count is stability-dictated"
+                )
+        elif mode in ("trbdf2", "trbdf2_refresh"):
+            from heatx.engine.implicit import imp_march
+
+            march_fn = partial(
+                imp_march, substeps=substeps or 8,
+                refresh_h=(mode == "trbdf2_refresh"),
+            )
+        elif mode == "exp":
+            from heatx.engine.exponential import exp_march
+
+            march_fn = partial(exp_march, substeps=substeps or 8)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        key = (collect_zone_T, collect_loads, collect_operative,
+               mode, substeps)
         if key not in self._run:
             self._run[key] = jax.jit(partial(
                 step_mod.run, collect_zone_T=collect_zone_T,
                 collect_loads=collect_loads,
                 collect_operative=collect_operative,
+                march_fn=march_fn,
             ))
         return self._run[key](self._device(), state, inputs_seq)
 

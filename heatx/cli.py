@@ -818,6 +818,56 @@ def cmd_size(args) -> int:
             )
 
     out = {}
+    if args.annual:
+        # Sizing by simulation: the actual EPW year with unlimited ideal
+        # loads (exact weather by construction — synthetic clear-sky
+        # design days understate diffuse solar on glazing; see
+        # heatx.sizing.annual_peak_loads).
+        from heatx.sizing import annual_peak_loads
+
+        extra = {}
+        if inf_vol.any():
+            extra.update(
+                inf_vol=inf_vol, inf_mask=inf_vol > 0.0,
+                inf_temp=np.repeat(epw.dry_bulb[:, None], Z, axis=1),
+            )
+        if loaded is not None and args.gains:
+            ch_y = loaded.hourly_channels(epw.n_hours)
+            ch_y.pop("heat_sp", None)
+            ch_y.pop("cool_sp", None)
+            if "hvac_power" in ch_y:
+                from heatx.sizing import sizing_hvac_power
+
+                ch_y["hvac_power"] = sizing_hvac_power(
+                    model, ch_y["hvac_power"]
+                )
+            extra.update(ch_y)
+        ann = annual_peak_loads(
+            model, epw, heat_sp=args.heat_sp, cool_sp=args.cool_sp,
+            coverage=args.coverage, n=n, config=cfg,
+            extra_channels=extra or None,
+        )
+        print(ann.summary())
+        out["annual"] = {
+            "coverage_pct": ann.coverage,
+            "warmup_days": ann.warmup_days,
+            "peak_heating_W": {
+                nm: round(float(ann.peak_heating_W[z]), 1)
+                for z, nm in enumerate(ann.zone_names)
+            },
+            "peak_cooling_W": {
+                nm: round(float(ann.peak_cooling_W[z]), 1)
+                for z, nm in enumerate(ann.zone_names)
+            },
+            "abs_max_heating_W": {
+                nm: round(float(ann.max_heating_W[z]), 1)
+                for z, nm in enumerate(ann.zone_names)
+            },
+            "abs_max_cooling_W": {
+                nm: round(float(ann.max_cooling_W[z]), 1)
+                for z, nm in enumerate(ann.zone_names)
+            },
+        }
     for season in ("winter", "summer"):
         if season not in days:
             print(f"# no {season} design conditions in the EPW header",
@@ -905,6 +955,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--air-bath", action="store_true",
         help="reference interior radiant semantics (zone-air bath) instead "
         "of the conserving Carroll MRT network",
+    )
+    p.add_argument(
+        "--annual", action="store_true",
+        help="also size by simulation: march the whole EPW year with "
+        "unlimited ideal loads and report peak/percentile demand — exact "
+        "weather, gain/weather coincidence and multi-day mass effects "
+        "included (design days bound conservatively; this right-sizes)",
+    )
+    p.add_argument(
+        "--coverage", type=float, default=99.6,
+        help="--annual demand percentile to size at (default 99.6, the "
+        "ASHRAE design-condition convention; 100 = absolute peak)",
     )
     p.add_argument("--sizing-json", default=None,
                    help="write the machine-readable sizing table")

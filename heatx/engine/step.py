@@ -209,8 +209,15 @@ def run(
     collect_zone_T: bool = True,
     collect_loads: bool = False,
     collect_operative: bool = False,
+    march_fn=None,
 ) -> Tuple[SimState, Optional[jnp.ndarray]]:
     """March over a whole sequence of main steps in one XLA call.
+
+    ``march_fn(building, state, step_inputs) -> state`` overrides the
+    per-main-step integrator (default: the reference-parity :func:`march`)
+    — pass a fast-mode march (``engine.implicit.imp_march`` /
+    ``engine.exponential.exp_march`` partials) to scan a whole annual
+    sequence through them instead of looping per step on the host.
 
     ``inputs_seq`` is a StepInputs pytree whose leaves carry a leading time
     axis [T_steps, ...] (weather leaves may be [T_steps] scalars-per-step or
@@ -238,7 +245,12 @@ def run(
         mrt_static = surf_mod.mrt_statics(building.surfaces, building.n_zones)
 
     def body(carry, step_inputs):
-        new_state = march(building, carry, step_inputs, mrt_static=mrt_static)
+        if march_fn is None:
+            new_state = march(
+                building, carry, step_inputs, mrt_static=mrt_static
+            )
+        else:
+            new_state = march_fn(building, carry, step_inputs)
         out = new_state.zone_T if collect_zone_T else None
         if collect_loads:
             out = (out, new_state.ideal_load)

@@ -226,6 +226,22 @@ def design_day_loads(
     sb = b.surfaces
     T = 24
 
+    # Ground-contact faces: soil at the design month's EPW monthly ground
+    # temperature (the compiled default would otherwise apply year-round —
+    # a 10 C slab under the cooling design day overstates heating and
+    # understates cooling).
+    from heatx.build.layout import B_GROUND
+
+    has_ground = bool((
+        (np.asarray(sb.front_code) == B_GROUND)
+        | (np.asarray(sb.back_code) == B_GROUND)
+    ).any())
+    if has_ground and epw is not None and getattr(epw, "ground_temps", None):
+        tm.set_ground_temperature(
+            float(epw.ground_temperature()[day.month - 1])
+        )
+        tm.invalidate()
+
     t_out = day.dry_bulb_profile
     ir_h = day.sky_ir_horizontal()
 
@@ -327,3 +343,171 @@ def size_from_epw(
         )
         for season, day in days.items()
     }
+
+
+@dataclass
+class AnnualSizing:
+    zone_names: list
+    peak_heating_W: np.ndarray  # [Z] at the requested coverage
+    peak_cooling_W: np.ndarray  # [Z]
+    max_heating_W: np.ndarray  # [Z] absolute annual peaks
+    max_cooling_W: np.ndarray  # [Z]
+    coverage: float  # % of hours the reported peaks cover
+    loads_W: np.ndarray  # [T, Z] signed demand series (+heat / -cool)
+    warmup_days: int
+
+    def summary(self) -> str:
+        lines = [
+            f"annual-simulation sizing ({self.coverage:.1f} % coverage; "
+            f"warm-up {self.warmup_days} days)"
+        ]
+        for z, name in enumerate(self.zone_names):
+            lines.append(
+                f"  {name}: heating {self.peak_heating_W[z]:,.0f} W "
+                f"(abs max {self.max_heating_W[z]:,.0f}), cooling "
+                f"{self.peak_cooling_W[z]:,.0f} W "
+                f"(abs max {self.max_cooling_W[z]:,.0f})"
+            )
+        return "\n".join(lines)
+
+
+def annual_peak_loads(
+    model,
+    epw,
+    *,
+    heat_sp: float = 20.0,
+    cool_sp: float = 26.0,
+    coverage: float = 100.0,
+    albedo: float = 0.2,
+    sky: str = "perez",
+    n: int = 1,
+    config=None,
+    extra_channels: Optional[dict] = None,
+    max_repeats: int = 25,
+) -> AnnualSizing:
+    """Sizing by simulation: the whole EPW year with unlimited ideal loads.
+
+    Synthetic design days bake in assumptions — a clear-sky model's
+    diffuse, full-on gains, single-day periodicity (no multi-day heat
+    waves), no schedule/weather coincidence — and so can land on either
+    side of the real requirement.  Marching the actual year (heatx's own
+    Perez solar + tilted longwave + seasonal soil, TR-BDF2 scan — seconds
+    of wall clock) makes the weather exact by construction and measures
+    the coverage directly: on the office example the ASHRAE days oversize
+    2-6x, and the annual 99.6 % percentile right-sizes to single-digit
+    unmet hours (examples/size_equipment.py).  Compare both; sizing and
+    any verification run must share the same ``config`` (the interior
+    radiant model alone shifts loads substantially).
+
+    ``coverage`` < 100 sizes to the demand percentile instead of the
+    absolute peak (e.g. 99.6 leaves ~35 not-fully-served hours — the
+    ASHRAE design-condition convention).  ``extra_channels`` adds
+    scheduled gains/airflows, as in :func:`design_day_loads` but [T]-long.
+    Returns the signed demand series too, so callers can study the peaks.
+    """
+    import heatx
+    from heatx.build.layout import B_GROUND, B_OUTDOOR
+    from heatx.weather.epw import monthly_to_hourly
+    from heatx.weather.solar import (
+        model_ground_views,
+        surface_irradiance,
+        surface_longwave,
+    )
+
+    sized = _sizing_model(model, heat_sp, cool_sp)
+    if config is None:
+        config = heatx.SimConfig(interior_mrt=True)
+    tm = heatx.ThermalModel(sized, n=n, config=config)
+    b = tm.building
+    sb = b.surfaces
+    T = epw.n_hours
+
+    out_front = np.asarray(sb.front_code) == B_OUTDOOR
+    out_back = np.asarray(sb.back_code) == B_OUTDOOR
+    gv = model_ground_views(sized)
+    sol_f = surface_irradiance(epw, b, albedo=albedo, sky=sky,
+                               ground_view=gv) * out_front
+    sol_b = surface_irradiance(epw, b, albedo=albedo, sky=sky, side="back",
+                               ground_view=gv) * out_back
+    ir_f = surface_longwave(epw, b) * out_front
+    ir_b = surface_longwave(epw, b, side="back") * out_back
+    channels = dict(
+        t_out=epw.dry_bulb, wind_speed=epw.wind_speed,
+        wind_direction=np.radians(epw.wind_direction_deg),
+        sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
+    )
+    if extra_channels:
+        channels.update(extra_channels)
+    if n > 1:
+        series_1d = {
+            "t_out", "wind_speed", "wind_direction",
+            "sol_front", "sol_back", "ir_front", "ir_back",
+        }
+        channels = {
+            k: (np.repeat(v, n, axis=0)
+                if np.ndim(v) > 0 and np.shape(v)[0] == T
+                and (np.ndim(v) > 1 or k in series_1d) else v)
+            for k, v in channels.items()
+        }
+    seq = tm.inputs_sequence(T * n, **channels)
+
+    def _sl(s, lo, hi):
+        return s._replace(**{
+            k: getattr(s, k)[lo:hi] for k in s._fields
+            if getattr(s, k) is not None
+            and np.ndim(getattr(s, k)) > 0
+            and np.shape(getattr(s, k))[0] == T * n
+        })
+
+    has_ground = bool((
+        (np.asarray(sb.front_code) == B_GROUND)
+        | (np.asarray(sb.back_code) == B_GROUND)
+    ).any())
+    soil_hourly = None
+    if has_ground and getattr(epw, "ground_temps", None):
+        soil_hourly = monthly_to_hourly(
+            epw.ground_temperature(), hours=T, leap=(T == 8784)
+        )
+        tm.set_ground_temperature(float(soil_hourly[0]))
+        tm.invalidate()
+
+    day1 = _sl(seq, 0, 24 * n)
+    state, repeats = tm.warmup(
+        tm.initial_state(), day1, max_repeats=max_repeats,
+        run=lambda s: tm.run(s, day1, collect_zone_T=False,
+                             mode="trbdf2")[0],
+    )
+
+    if soil_hourly is None:
+        _, (_, loads) = tm.run(state, seq, collect_loads=True, mode="trbdf2")
+        loads = np.asarray(loads)
+    else:
+        # Month-chunked scans so the soil temperature tracks the EPW's
+        # monthly series (boundary temps are pytree leaves; three distinct
+        # chunk lengths = three cheap traces).
+        bounds = np.flatnonzero(np.diff(soil_hourly)) + 1
+        bounds = np.concatenate([[0], bounds, [T]])
+        parts = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            tm.set_ground_temperature(float(soil_hourly[lo]))
+            tm.invalidate()
+            state, (_, ld) = tm.run(
+                state, _sl(seq, lo * n, hi * n),
+                collect_loads=True, mode="trbdf2",
+            )
+            parts.append(np.asarray(ld))
+        loads = np.concatenate(parts, axis=0)
+
+    heat = np.clip(loads, 0.0, None)
+    cool = np.clip(-loads, 0.0, None)
+    q = min(float(coverage), 100.0)
+    return AnnualSizing(
+        zone_names=[sp.name for sp in sized.spaces],
+        peak_heating_W=np.percentile(heat, q, axis=0),
+        peak_cooling_W=np.percentile(cool, q, axis=0),
+        max_heating_W=heat.max(axis=0),
+        max_cooling_W=cool.max(axis=0),
+        coverage=q,
+        loads_W=loads,
+        warmup_days=repeats,
+    )

@@ -291,3 +291,90 @@ def test_sized_capacity_covers_the_annual_run(epw):
     assert uc <= 35, (uh, uc)  # the 0.4% condition's statistical allowance
     uh2, uc2 = annual_unmet(0.5 * heat_cap, 0.5 * cool_cap)
     assert uh2 > 100, (uh2, uc2)  # half-sized heating demonstrably fails
+
+
+def test_annual_peak_loads_consistency(epw):
+    """Sizing by simulation: coverage=100 peaks equal the demand-series
+    maxima, lower coverage never exceeds them, and capping capacities at
+    the 100% peaks reproduces a covered year (same config throughout)."""
+    import copy
+
+    from heatx.model.building import IdealHeaterCooler
+    from heatx.sizing import annual_peak_loads
+
+    m = _model()
+    r = annual_peak_loads(m, epw, heat_sp=20.0, cool_sp=26.0,
+                          coverage=100.0, config=F64)
+    assert r.loads_W.shape == (epw.n_hours, 1)
+    np.testing.assert_allclose(
+        r.peak_heating_W, np.clip(r.loads_W, 0, None).max(0)
+    )
+    np.testing.assert_allclose(
+        r.peak_cooling_W, np.clip(-r.loads_W, 0, None).max(0)
+    )
+    r996 = annual_peak_loads(m, epw, heat_sp=20.0, cool_sp=26.0,
+                             coverage=99.6, config=F64)
+    assert (r996.peak_heating_W <= r.peak_heating_W + 1e-9).all()
+    assert (r996.peak_cooling_W <= r.peak_cooling_W + 1e-9).all()
+    assert r996.max_heating_W == pytest.approx(r.peak_heating_W)
+
+    # Cap at the 100% peaks and re-run the same year: still covered.
+    mm = copy.deepcopy(m)
+    mm.add_hvac(IdealHeaterCooler(
+        "hvac", ["Space"], heat_setpoint=20.0, cool_setpoint=26.0,
+        max_heating=float(r.peak_heating_W[0]) + 1.0,
+        max_cooling=float(r.peak_cooling_W[0]) + 1.0,
+    ))
+    from heatx.build.layout import B_OUTDOOR
+    from heatx.weather.solar import surface_irradiance, surface_longwave
+
+    cfg = heatx.SimConfig(dtype=np.float64, interior_mrt=True)
+    tm = heatx.ThermalModel(mm, n=1, config=cfg)
+    T = epw.n_hours
+    outf = np.asarray(tm.building.surfaces.front_code) == B_OUTDOOR
+    sol = surface_irradiance(epw, tm.building, hours=T, sky="perez")
+    ir = surface_longwave(epw, tm.building, hours=T)
+    seq = tm.inputs_sequence(
+        T, t_out=epw.dry_bulb, wind_speed=epw.wind_speed,
+        wind_direction=np.radians(epw.wind_direction_deg),
+        sol_front=sol * outf, ir_front=ir * outf,
+    )
+    day1 = seq._replace(**{
+        k: getattr(seq, k)[:24] for k in seq._fields
+        if getattr(seq, k) is not None and np.ndim(getattr(seq, k)) > 0
+        and np.shape(getattr(seq, k))[0] == T
+    })
+    st, _ = tm.warmup(
+        tm.initial_state(), day1,
+        run=lambda s: tm.run(s, day1, collect_zone_T=False,
+                             mode="trbdf2")[0],
+    )
+    _, zt = tm.run(st, seq, mode="trbdf2")
+    zt = np.asarray(zt)
+    assert int((zt < 19.5).sum()) == 0
+    assert int((zt > 26.5).sum()) == 0
+
+
+def test_cli_size_annual(ref_fixtures, tmp_path, capsys):
+    from heatx.cli import main
+
+    js = tmp_path / "s.json"
+    rc = main([
+        "size", f"{ref_fixtures}/massive_full/in.idf", EPW,
+        "--f64", "--platform", "cpu", "--annual", "--coverage", "99.0",
+        "--sizing-json", str(js),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "annual-simulation sizing (99.0 % coverage" in out
+    import json
+
+    s = json.loads(js.read_text())
+    ann = s["annual"]
+    assert ann["coverage_pct"] == 99.0
+    nm = "Interior Space"
+    assert 0.0 <= ann["peak_heating_W"][nm] <= ann["abs_max_heating_W"][nm]
+    assert 0.0 <= ann["peak_cooling_W"][nm] <= ann["abs_max_cooling_W"][nm]
+    # Design-day heating (constant 99.6% extreme) bounds the annual value.
+    assert (s["winter"]["peak_heating_W"][nm]
+            >= ann["peak_heating_W"][nm] * 0.9)
