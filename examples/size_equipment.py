@@ -67,6 +67,7 @@ def main():
         design_day_loads,
         design_days_from_epw,
         sizing_hvac_power,
+        slice_time,
     )
     from heatx.weather.epw import monthly_to_hourly, read_epw
     from heatx.weather.solar import (
@@ -164,29 +165,36 @@ def main():
     )
 
     def _sl(s, lo, hi):
-        return s._replace(**{
-            k: getattr(s, k)[lo:hi] for k in s._fields
-            if getattr(s, k) is not None
-            and np.ndim(getattr(s, k)) > 0
-            and np.shape(getattr(s, k))[0] == T
-        })
+        return slice_time(s, lo, hi, T)
 
-    soil = monthly_to_hourly(epw.ground_temperature(), hours=T)
-    tm.set_ground_temperature(float(soil[0]))
-    tm.invalidate()
+    # Monthly soil from the EPW when available (office.idf has slab
+    # floors; a ground-less model or a header-less EPW simply skips this
+    # — set_ground_temperature itself invalidates the cached callables).
+    soil = None
+    if epw.ground_temps:
+        try:
+            soil = monthly_to_hourly(epw.ground_temperature(), hours=T)
+            tm.set_ground_temperature(float(soil[0]))
+        except ValueError:
+            soil = None  # model has no ground boundaries
     day1 = _sl(seq, 0, 24)
     state, reps = tm.warmup(
         tm.initial_state(), day1,
         run=lambda s: tm.run(s, day1, collect_zone_T=False, mode="trbdf2")[0],
     )
-    bounds = np.concatenate([[0], np.flatnonzero(np.diff(soil)) + 1, [T]])
-    zt_parts = []
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
-        tm.set_ground_temperature(float(soil[lo]))
-        tm.invalidate()
-        state, zt_m = tm.run(state, _sl(seq, lo, hi), mode="trbdf2")
-        zt_parts.append(np.asarray(zt_m))
-    zt = np.concatenate(zt_parts, axis=0)
+    if soil is None:
+        state, zt = tm.run(state, seq, mode="trbdf2")
+        zt = np.asarray(zt)
+    else:
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(soil)) + 1, [T]]
+        )
+        zt_parts = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            tm.set_ground_temperature(float(soil[lo]))
+            state, zt_m = tm.run(state, _sl(seq, lo, hi), mode="trbdf2")
+            zt_parts.append(np.asarray(zt_m))
+        zt = np.concatenate(zt_parts, axis=0)
 
     unmet_h = (zt < HEAT_SP - 0.5).sum(axis=0)
     unmet_c = (zt > COOL_SP + 0.5).sum(axis=0)

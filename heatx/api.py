@@ -250,19 +250,26 @@ class ThermalModel:
                     "substeps applies to the fast modes; the parity "
                     "integrator's sub-step count is stability-dictated"
                 )
-        elif mode in ("trbdf2", "trbdf2_refresh"):
-            from heatx.engine.implicit import imp_march
-
-            march_fn = partial(
-                imp_march, substeps=substeps or 8,
-                refresh_h=(mode == "trbdf2_refresh"),
-            )
-        elif mode == "exp":
-            from heatx.engine.exponential import exp_march
-
-            march_fn = partial(exp_march, substeps=substeps or 8)
         else:
-            raise ValueError(f"unknown mode {mode!r}")
+            # Normalize BEFORE building the partial and the cache key:
+            # `substeps or 8` would silently run an invalid 0 at 8, and
+            # None vs an explicit 8 would compile the same program twice.
+            substeps = 8 if substeps is None else int(substeps)
+            if substeps < 1:
+                raise ValueError(f"substeps must be >= 1, got {substeps}")
+            if mode in ("trbdf2", "trbdf2_refresh"):
+                from heatx.engine.implicit import imp_march
+
+                march_fn = partial(
+                    imp_march, substeps=substeps,
+                    refresh_h=(mode == "trbdf2_refresh"),
+                )
+            elif mode == "exp":
+                from heatx.engine.exponential import exp_march
+
+                march_fn = partial(exp_march, substeps=substeps)
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
         key = (collect_zone_T, collect_loads, collect_operative,
                mode, substeps)
         if key not in self._run:

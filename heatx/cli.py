@@ -817,6 +817,10 @@ def cmd_size(args) -> int:
                 model, np.asarray(ch["hvac_power"]).max(axis=0)
             )
 
+    if not 0.0 < args.coverage <= 100.0:
+        print(f"error: --coverage must be in (0, 100], got {args.coverage}",
+              file=sys.stderr)
+        return 2
     out = {}
     if args.annual:
         # Sizing by simulation: the actual EPW year with unlimited ideal

@@ -239,9 +239,11 @@ def run(
         )
 
     # One static-prefix evaluation per run, outside both scans (needed by
-    # the physics under interior_mrt and by the operative-T observable).
+    # the parity physics under interior_mrt and by the operative-T
+    # observable; a custom march_fn computes its own — imp_march/exp_march
+    # hoist the Carroll prefix internally).
     mrt_static = None
-    if building.config.interior_mrt or collect_operative:
+    if (building.config.interior_mrt and march_fn is None) or collect_operative:
         mrt_static = surf_mod.mrt_statics(building.surfaces, building.n_zones)
 
     def body(carry, step_inputs):

@@ -141,6 +141,40 @@ class SizingResult:
         return "\n".join(lines)
 
 
+# Channels this module ever builds as 1-D per-hour series; static
+# per-zone/per-device vectors stay whatever their length (the CLI's
+# _SERIES_1D convention — shape alone is ambiguous when Z == T).
+_SERIES_1D = {
+    "t_out", "wind_speed", "wind_direction",
+    "sol_front", "sol_back", "ir_front", "ir_back",
+}
+
+
+def _hold_hourly(channels, T: int, n: int) -> dict:
+    """Repeat hourly channels onto the [T*n] main-step grid (hold within
+    the hour).  1-D arrays classify by name (:data:`_SERIES_1D`); 2-D+
+    arrays are series iff their leading axis is T."""
+    if n <= 1:
+        return channels
+    return {
+        k: (np.repeat(v, n, axis=0)
+            if np.ndim(v) > 0 and np.shape(v)[0] == T
+            and (np.ndim(v) > 1 or k in _SERIES_1D) else v)
+        for k, v in channels.items()
+    }
+
+
+def slice_time(seq, lo: int, hi: int, total: int):
+    """Slice the time axis of a StepInputs pytree: every leaf whose
+    leading axis is ``total`` takes ``[lo:hi]``; static leaves pass."""
+    return seq._replace(**{
+        k: getattr(seq, k)[lo:hi] for k in seq._fields
+        if getattr(seq, k) is not None
+        and np.ndim(getattr(seq, k)) > 0
+        and np.shape(getattr(seq, k))[0] == total
+    })
+
+
 def _is_gain_hvac(h) -> bool:
     """Scheduled power devices (kept as gains by the sizing copy), as
     opposed to setpoint-driven units (removed — their capacity is the
@@ -237,10 +271,10 @@ def design_day_loads(
         | (np.asarray(sb.back_code) == B_GROUND)
     ).any())
     if has_ground and epw is not None and getattr(epw, "ground_temps", None):
+        # (set_ground_temperature itself invalidates the cached callables.)
         tm.set_ground_temperature(
             float(epw.ground_temperature()[day.month - 1])
         )
-        tm.invalidate()
 
     t_out = day.dry_bulb_profile
     ir_h = day.sky_ir_horizontal()
@@ -293,23 +327,7 @@ def design_day_loads(
     )
     if extra_channels:
         channels.update(extra_channels)
-    if n > 1:
-        # Hold the hourly design channels across each hour's main steps
-        # ([24] / [24, ...] series -> the [24*n] main-step grid).  1-D
-        # arrays classify by name (a static [Z] vector with Z == 24 must
-        # not repeat — the CLI's _SERIES_1D convention); 2-D+ arrays are
-        # series iff their leading axis is the day.
-        series_1d = {
-            "t_out", "wind_speed", "wind_direction",
-            "sol_front", "sol_back", "ir_front", "ir_back",
-        }
-        channels = {
-            k: (np.repeat(v, n, axis=0)
-                if np.ndim(v) > 0 and np.shape(v)[0] == T
-                and (np.ndim(v) > 1 or k in series_1d) else v)
-            for k, v in channels.items()
-        }
-    seq = tm.inputs_sequence(T * n, **channels)
+    seq = tm.inputs_sequence(T * n, **_hold_hourly(channels, T, n))
 
     state, repeats = tm.warmup(
         tm.initial_state(), seq, max_repeats=max_repeats
@@ -352,8 +370,11 @@ class AnnualSizing:
     peak_cooling_W: np.ndarray  # [Z]
     max_heating_W: np.ndarray  # [Z] absolute annual peaks
     max_cooling_W: np.ndarray  # [Z]
-    coverage: float  # % of hours the reported peaks cover
-    loads_W: np.ndarray  # [T, Z] signed demand series (+heat / -cool)
+    coverage: float  # % of main steps the reported peaks cover
+    #: [T*n, Z] signed demand series (+heat / -cool) on the MAIN-STEP
+    #: grid — hourly only at n=1; a percentile of main steps, so at n>1
+    #: the conceded tail is (100-coverage)% of steps, not hours.
+    loads_W: np.ndarray
     warmup_days: int
 
     def summary(self) -> str:
@@ -414,6 +435,9 @@ def annual_peak_loads(
         surface_longwave,
     )
 
+    q = float(coverage)
+    if not 0.0 < q <= 100.0:
+        raise ValueError(f"coverage must be in (0, 100], got {coverage}")
     sized = _sizing_model(model, heat_sp, cool_sp)
     if config is None:
         config = heatx.SimConfig(interior_mrt=True)
@@ -422,42 +446,34 @@ def annual_peak_loads(
     sb = b.surfaces
     T = epw.n_hours
 
+    from heatx.weather.solar import sun_and_sky
+
     out_front = np.asarray(sb.front_code) == B_OUTDOOR
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
     gv = model_ground_views(sized)
+    sun = sun_and_sky(epw)
     sol_f = surface_irradiance(epw, b, albedo=albedo, sky=sky,
-                               ground_view=gv) * out_front
-    sol_b = surface_irradiance(epw, b, albedo=albedo, sky=sky, side="back",
-                               ground_view=gv) * out_back
+                               ground_view=gv, sun=sun) * out_front
     ir_f = surface_longwave(epw, b) * out_front
-    ir_b = surface_longwave(epw, b, side="back") * out_back
+    if out_back.any():
+        sol_b = surface_irradiance(epw, b, albedo=albedo, sky=sky,
+                                   side="back", ground_view=gv,
+                                   sun=sun) * out_back
+        ir_b = surface_longwave(epw, b, side="back") * out_back
+    else:
+        sol_b = np.zeros_like(sol_f)
+        ir_b = np.zeros_like(ir_f)
     channels = dict(
         t_out=epw.dry_bulb, wind_speed=epw.wind_speed,
-        wind_direction=np.radians(epw.wind_direction_deg),
+        wind_direction=epw.wind_direction_rad,
         sol_front=sol_f, sol_back=sol_b, ir_front=ir_f, ir_back=ir_b,
     )
     if extra_channels:
         channels.update(extra_channels)
-    if n > 1:
-        series_1d = {
-            "t_out", "wind_speed", "wind_direction",
-            "sol_front", "sol_back", "ir_front", "ir_back",
-        }
-        channels = {
-            k: (np.repeat(v, n, axis=0)
-                if np.ndim(v) > 0 and np.shape(v)[0] == T
-                and (np.ndim(v) > 1 or k in series_1d) else v)
-            for k, v in channels.items()
-        }
-    seq = tm.inputs_sequence(T * n, **channels)
+    seq = tm.inputs_sequence(T * n, **_hold_hourly(channels, T, n))
 
     def _sl(s, lo, hi):
-        return s._replace(**{
-            k: getattr(s, k)[lo:hi] for k in s._fields
-            if getattr(s, k) is not None
-            and np.ndim(getattr(s, k)) > 0
-            and np.shape(getattr(s, k))[0] == T * n
-        })
+        return slice_time(s, lo, hi, T * n)
 
     has_ground = bool((
         (np.asarray(sb.front_code) == B_GROUND)
@@ -469,7 +485,6 @@ def annual_peak_loads(
             epw.ground_temperature(), hours=T, leap=(T == 8784)
         )
         tm.set_ground_temperature(float(soil_hourly[0]))
-        tm.invalidate()
 
     day1 = _sl(seq, 0, 24 * n)
     state, repeats = tm.warmup(
@@ -489,8 +504,9 @@ def annual_peak_loads(
         bounds = np.concatenate([[0], bounds, [T]])
         parts = []
         for lo, hi in zip(bounds[:-1], bounds[1:]):
+            # set_ground_temperature invalidates the cached callables
+            # itself; the leaves ride as traced arguments anyway.
             tm.set_ground_temperature(float(soil_hourly[lo]))
-            tm.invalidate()
             state, (_, ld) = tm.run(
                 state, _sl(seq, lo * n, hi * n),
                 collect_loads=True, mode="trbdf2",
@@ -500,7 +516,6 @@ def annual_peak_loads(
 
     heat = np.clip(loads, 0.0, None)
     cool = np.clip(-loads, 0.0, None)
-    q = min(float(coverage), 100.0)
     return AnnualSizing(
         zone_names=[sp.name for sp in sized.spaces],
         peak_heating_W=np.percentile(heat, q, axis=0),
