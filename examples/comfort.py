@@ -131,10 +131,23 @@ def main():
         zt, top = np.asarray(zt)[:, 0], np.asarray(top)[:, 0]
         wall = time.time() - t0
         gap = zt - top  # air minus operative: the radiant comfort deficit
+        # Fanger PMV/PPD over the same history (office occupant: 1.2 met,
+        # winter clothing 1.0 clo; indoor RH assumed 40% — heatx does not
+        # model moisture).  operative = (air + MRT)/2, so MRT = 2*op - air.
+        from heatx.comfort import zone_comfort_history
+
+        pmv, ppd = zone_comfort_history(
+            zt, 2.0 * top - zt, 40.0, met=1.2, clo=1.0
+        )
+        work = slice(8, 18)  # working hours of each day
+        pmv_w = pmv.reshape(-1, 24)[:, work]
+        ppd_w = ppd.reshape(-1, 24)[:, work]
         print(
             f"{label:>15}: air {zt.min():.1f}..{zt.max():.1f} C held by the "
             f"heater; operative {top.min():.1f}..{top.max():.1f} C; worst "
-            f"radiant deficit {gap.max():.2f} K ({wall:.2f}s for {T} h)"
+            f"radiant deficit {gap.max():.2f} K; working-hours PMV "
+            f"{pmv_w.mean():+.2f} (worst {pmv_w.min():+.2f}), PPD "
+            f"{ppd_w.mean():.0f}% ({wall:.2f}s for {T} h)"
         )
 
 

@@ -1,0 +1,116 @@
+"""Thermal-comfort indices (heatx extension; host post-processing).
+
+Fanger's PMV/PPD per ISO 7730:2005 (the model EnergyPlus's
+``People ... Fanger`` option reports): the predicted mean vote solves the
+steady-state heat balance of a clothed body — clothing surface
+temperature by fixed-point iteration, then the six loss terms — and the
+predicted percentage dissatisfied follows from the standard's quartic.
+
+heatx already exposes the physical inputs per zone and hour: air
+temperature (the zone history), mean radiant temperature
+(``ThermalModel.zone_mrt`` / the in-kernel operative collection), and the
+EPW's relative humidity (indoor moisture is not modeled — pass measured
+or assumed indoor RH when you have it).  Everything here is plain
+vectorized numpy over any broadcastable shapes ([T, Z] histories in one
+call).
+
+The reference has no comfort machinery (its observables stop at the
+state-vector channels, surface_trait.rs:223-354).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def saturation_vapor_pressure(t_c):
+    """Water saturation pressure, Pa (the Antoine-form fit ISO 7730 uses:
+    ``exp(16.6536 - 4030.183/(t + 235))`` kPa)."""
+    t = np.asarray(t_c, np.float64)
+    return 1000.0 * np.exp(16.6536 - 4030.183 / (t + 235.0))
+
+
+def pmv_ppd(
+    t_air_c,
+    t_mrt_c,
+    rel_humidity_pct,
+    air_speed=0.1,
+    met=1.2,
+    clo=0.5,
+    work_met=0.0,
+    iters=30,
+):
+    """Fanger PMV and PPD (ISO 7730:2005, clause 4 + annex D algorithm).
+
+    All arguments broadcast; returns ``(pmv, ppd_pct)`` arrays.  ``met``
+    is the metabolic rate in met (1 met = 58.15 W/m2), ``clo`` the
+    clothing insulation in clo (1 clo = 0.155 m2K/W), ``air_speed`` the
+    relative air velocity in m/s, ``work_met`` external work (usually 0).
+    The clothing-surface-temperature fixed point runs ``iters`` bisected
+    iterations (the standard's loop; 30 converges far below 1e-5 for the
+    habitable range).
+    """
+    ta = np.asarray(t_air_c, np.float64)
+    tr = np.asarray(t_mrt_c, np.float64)
+    rh = np.asarray(rel_humidity_pct, np.float64)
+    vel = np.maximum(np.asarray(air_speed, np.float64), 0.0)
+
+    pa = rh / 100.0 * saturation_vapor_pressure(ta)  # vapour pressure, Pa
+    icl = 0.155 * clo  # m2K/W
+    m = met * 58.15  # W/m2
+    w = work_met * 58.15
+    mw = m - w
+    fcl = np.where(icl <= 0.078, 1.0 + 1.29 * icl, 1.05 + 0.645 * icl)
+    hcf = 12.1 * np.sqrt(vel)  # forced convection
+    taa = ta + 273.15
+    tra = tr + 273.15
+
+    # Clothing surface temperature by the standard's averaged fixed point.
+    tcla = taa + (35.5 - ta) / (3.5 * icl + 0.1)
+    p1 = icl * fcl
+    p2 = p1 * 3.96
+    p3 = p1 * 100.0
+    p4 = p1 * taa
+    p5 = 308.7 - 0.028 * mw + p2 * (tra / 100.0) ** 4
+    xn = tcla / 100.0
+    xf = tcla / 50.0
+    hc = hcf
+    for _ in range(int(iters)):
+        xf = (xf + xn) / 2.0
+        hcn = 2.38 * np.abs(100.0 * xf - taa) ** 0.25  # natural convection
+        hc = np.maximum(hcf, hcn)
+        xn = (p5 + p4 * hc - p2 * xf**4) / (100.0 + p3 * hc)
+    tcl = 100.0 * xn - 273.15
+
+    # The six heat-loss terms (skin diffusion, sweat, latent + dry
+    # respiration, radiation, convection).
+    hl1 = 3.05e-3 * (5733.0 - 6.99 * mw - pa)
+    hl2 = np.where(mw > 58.15, 0.42 * (mw - 58.15), 0.0)
+    hl3 = 1.7e-5 * m * (5867.0 - pa)
+    hl4 = 0.0014 * m * (34.0 - ta)
+    hl5 = 3.96 * fcl * (xn**4 - (tra / 100.0) ** 4)
+    hl6 = fcl * hc * (tcl - ta)
+
+    ts = 0.303 * np.exp(-0.036 * m) + 0.028
+    pmv = ts * (mw - hl1 - hl2 - hl3 - hl4 - hl5 - hl6)
+    ppd = 100.0 - 95.0 * np.exp(-0.03353 * pmv**4 - 0.2179 * pmv**2)
+    return pmv, ppd
+
+
+def zone_comfort_history(
+    zone_T,
+    zone_mrt,
+    rel_humidity_pct=50.0,
+    **kw,
+):
+    """PMV/PPD over a simulation's [T, Z] zone-temperature and zone-MRT
+    histories (e.g. ``run(collect_operative=True)``'s inputs: operative =
+    (air + MRT)/2, so ``mrt = 2*operative - air``).  ``rel_humidity_pct``
+    may be a scalar or a [T] / [T, Z] series (the EPW column, or measured
+    indoor RH).  Extra keywords pass to :func:`pmv_ppd`."""
+    zt = np.asarray(zone_T, np.float64)
+    mrt = np.asarray(zone_mrt, np.float64)
+    rh = np.asarray(rel_humidity_pct, np.float64)
+    if rh.ndim == 1 and zt.ndim == 2:
+        rh = rh[:, None]
+    return pmv_ppd(zt, mrt, rh, **kw)

@@ -15,6 +15,7 @@ import numpy as np
 
 # EPW data-record field indices (EnergyPlus Auxiliary Programs spec).
 _F_DRY_BULB = 6
+_F_REL_HUMIDITY = 8
 _F_WIND_DIR = 20
 _F_WIND_SPEED = 21
 _F_GLOBAL_HORIZ = 13
@@ -28,6 +29,7 @@ class EPWData:
     """Hourly weather series (8760 or 8784 entries)."""
 
     dry_bulb: np.ndarray  # C
+    rel_humidity: np.ndarray  # %
     wind_speed: np.ndarray  # m/s
     wind_direction_deg: np.ndarray  # degrees
     global_horizontal: np.ndarray  # W/m2
@@ -159,6 +161,7 @@ def read_epw(path: str) -> EPWData:
         rows.append(
             (
                 float(parts[_F_DRY_BULB]),
+                float(parts[_F_REL_HUMIDITY]),
                 float(parts[_F_WIND_SPEED]),
                 float(parts[_F_WIND_DIR]),
                 float(parts[_F_GLOBAL_HORIZ]),
@@ -173,7 +176,7 @@ def read_epw(path: str) -> EPWData:
     # EPW missing-data markers (99.9 dry bulb, 999 wind, 9999 radiation/IR):
     # hold the last valid value (EnergyPlus's substitution convention) rather
     # than injecting the marker as physics.
-    _MISSING = (99.0, 999.0, 400.0, 9999.0, 9999.0, 9999.0, 9999.0)
+    _MISSING = (99.0, 999.0, 999.0, 400.0, 9999.0, 9999.0, 9999.0, 9999.0)
     for col, thresh in enumerate(_MISSING):
         v = data[:, col]
         bad = v >= thresh
@@ -197,12 +200,13 @@ def read_epw(path: str) -> EPWData:
         data[:, col] = v
     return EPWData(
         dry_bulb=data[:, 0],
-        wind_speed=data[:, 1],
-        wind_direction_deg=data[:, 2],
-        global_horizontal=data[:, 3],
-        direct_normal=data[:, 4],
-        diffuse_horizontal=data[:, 5],
-        horizontal_ir=data[:, 6],
+        rel_humidity=data[:, 1],
+        wind_speed=data[:, 2],
+        wind_direction_deg=data[:, 3],
+        global_horizontal=data[:, 4],
+        direct_normal=data[:, 5],
+        diffuse_horizontal=data[:, 6],
+        horizontal_ir=data[:, 7],
         location=location,
         latitude_deg=lat,
         longitude_deg=lon,
