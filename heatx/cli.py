@@ -134,6 +134,7 @@ def _weather_series(epw, T, start=0):
         tile(epw.wind_speed),
         tile(np.radians(epw.wind_direction_deg)),
         tile(epw.horizontal_ir),
+        tile(epw.rel_humidity),
     )
 
 
@@ -244,7 +245,7 @@ def cmd_simulate(args) -> int:
     # the horizon end, so fetch one extra hour (wrapping to hour 0 of the
     # series there would blend e.g. a July evening toward Jan 1 00:30).
     Tx = T + 1 if n > 1 else T
-    dry, wind, wdir, ir = _weather_series(epw, Tx, start)
+    dry, wind, wdir, ir, _rh = _weather_series(epw, Tx, start)
 
     # Seasonal soil temperatures: monthly per-hour ground series when the
     # model has ground-contact faces and the EPW tabulates GROUND
@@ -429,11 +430,13 @@ def cmd_simulate(args) -> int:
         )
         return 2
     fluxes = None
-    want_op = bool(getattr(args, "operative_csv", None))
+    want_comfort = bool(getattr(args, "comfort_csv", None))
+    want_op = bool(getattr(args, "operative_csv", None)) or want_comfort
     if want_op and engine != "kernel":
+        which = "--comfort-csv" if want_comfort else "--operative-csv"
         print(
-            "error: --operative-csv collects the per-hour operative "
-            "temperature inside the fused kernel; run with --engine kernel",
+            f"error: {which} needs the per-hour operative temperature "
+            "collected inside the fused kernel; run with --engine kernel",
             file=sys.stderr,
         )
         return 2
@@ -681,12 +684,46 @@ def cmd_simulate(args) -> int:
         )
     if operative is not None:
         operative = np.asarray(operative)
-        with open(args.operative_csv, "w", newline="") as f:
-            w = csv.writer(f)
-            w.writerow(["hour"] + znames)
-            for t in range(T):
-                w.writerow([start + t] + [f"{v:.4f}" for v in operative[t]])
-        print(f"# wrote {args.operative_csv}", file=sys.stderr)
+        if args.operative_csv:
+            with open(args.operative_csv, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["hour"] + znames)
+                for t in range(T):
+                    w.writerow(
+                        [start + t] + [f"{v:.4f}" for v in operative[t]]
+                    )
+            print(f"# wrote {args.operative_csv}", file=sys.stderr)
+        if want_comfort:
+            # Fanger PMV/PPD (ISO 7730) per zone and hour: MRT from the
+            # collected operative (op = (air + mrt)/2); RH from the EPW
+            # unless --indoor-rh pins a constant (heatx does not model
+            # indoor moisture).
+            from heatx.comfort import zone_comfort_history
+
+            ztc = np.asarray(zt, np.float64)[:T]
+            mrt = 2.0 * operative[:T] - ztc
+            rh = (
+                float(args.indoor_rh)
+                if args.indoor_rh is not None
+                else _weather_series(epw, T, start)[4]
+            )
+            pmv, ppd = zone_comfort_history(
+                ztc, mrt, rh, met=args.met, clo=args.clo
+            )
+            with open(args.comfort_csv, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(
+                    ["hour"]
+                    + [f"{z} PMV" for z in znames]
+                    + [f"{z} PPD%" for z in znames]
+                )
+                for t in range(T):
+                    w.writerow(
+                        [start + t]
+                        + [f"{v:.3f}" for v in pmv[t]]
+                        + [f"{v:.1f}" for v in ppd[t]]
+                    )
+            print(f"# wrote {args.comfort_csv}", file=sys.stderr)
     for z, name in enumerate(znames):
         col = zt[:, z]
         print(
@@ -1043,6 +1080,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write the hourly per-zone operative temperature "
         "(T_air + T_mrt)/2 with the Carroll zone MRT solved in-kernel "
         "(kernel engine)",
+    )
+    p.add_argument(
+        "--comfort-csv", default=None,
+        help="also write hourly per-zone Fanger PMV/PPD (ISO 7730) from "
+        "the in-kernel operative history (kernel engine); RH from the EPW "
+        "unless --indoor-rh",
+    )
+    p.add_argument("--met", type=float, default=1.2,
+                   help="metabolic rate for --comfort-csv (met)")
+    p.add_argument("--clo", type=float, default=0.5,
+                   help="clothing insulation for --comfort-csv (clo)")
+    p.add_argument(
+        "--indoor-rh", type=float, default=None,
+        help="constant indoor relative humidity %% for --comfort-csv "
+        "(default: the EPW's outdoor column)",
     )
     p.add_argument(
         "--summary-json", default=None,

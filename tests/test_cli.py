@@ -612,3 +612,41 @@ BuildingSurface:Detailed,
     assert main(base2 + ["-o", str(o3)]) == 0
     assert main(base2 + ["--ir-model", "horizontal", "-o", str(o4)]) == 0
     np.testing.assert_array_equal(_read(o3)[1], _read(o4)[1])
+
+
+def test_cli_comfort_csv(tmp_path):
+    """--comfort-csv writes hourly per-zone Fanger PMV/PPD from the
+    in-kernel operative history; --indoor-rh pins a constant RH; rejected
+    on the XLA engine like --operative-csv."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
+BuildingSurface:Detailed,
+    Wall, Wall, Slab, Room, , Outdoors, , SunExposed, WindExposed, 0,
+    4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+"""
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    oz, oc = tmp_path / "z.csv", tmp_path / "c.csv"
+    base = ["simulate", str(p), EPW, "--hours", "12", "--engine", "kernel",
+            "--mode", "trbdf2", "--f64", "-o", str(oz)]
+    assert main(base + ["--comfort-csv", str(oc)]) == 0
+    rows = list(csv.reader(open(oc)))
+    assert rows[0] == ["hour", "Room PMV", "Room PPD%"]
+    pmv = np.asarray([r[1] for r in rows[1:]], float)
+    ppd = np.asarray([r[2] for r in rows[1:]], float)
+    assert pmv.shape == (12,) and np.isfinite(pmv).all()
+    assert (ppd >= 5.0 - 1e-6).all() and (ppd <= 100.0).all()
+    # Matches the library computation from the zone/operative histories.
+    oo = tmp_path / "op.csv"
+    assert main(base + ["--operative-csv", str(oo), "--comfort-csv",
+                        str(oc), "--indoor-rh", "50"]) == 0
+    zt = np.asarray([r[1] for r in csv.reader(open(oz))][1:], float)
+    top = np.asarray([r[1] for r in csv.reader(open(oo))][1:], float)
+    pmv2 = np.asarray([r[1] for r in list(csv.reader(open(oc)))[1:]], float)
+    from heatx.comfort import zone_comfort_history
+
+    ref, _ = zone_comfort_history(zt, 2 * top - zt, 50.0)
+    np.testing.assert_allclose(pmv2, ref, atol=2e-3)  # CSV rounding
+    assert main(["simulate", str(p), EPW, "--hours", "6", "--engine",
+                 "xla", "--comfort-csv", str(oc)]) == 2
