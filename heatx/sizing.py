@@ -405,6 +405,8 @@ def annual_peak_loads(
     config=None,
     extra_channels: Optional[dict] = None,
     max_repeats: int = 25,
+    engine: str = "xla",
+    block_size: int = 1024,
 ) -> AnnualSizing:
     """Sizing by simulation: the whole EPW year with unlimited ideal loads.
 
@@ -425,6 +427,13 @@ def annual_peak_loads(
     ASHRAE design-condition convention).  ``extra_channels`` adds
     scheduled gains/airflows, as in :func:`design_day_loads` but [T]-long.
     Returns the signed demand series too, so callers can study the peaks.
+
+    ``engine="kernel"`` runs the year through the fused Pallas day kernel
+    instead of the XLA scan (hourly main steps only) — city-scale sizing:
+    the in-kernel thermostats collect the same demand series at kernel
+    speed (~1 s annual at 10k surfaces / 1,000 zones on one chip), with
+    the seasonal soil handled by the runner's own per-dispatch operand
+    swaps.
     """
     import heatx
     from heatx.build.layout import B_GROUND, B_OUTDOOR
@@ -438,6 +447,10 @@ def annual_peak_loads(
     q = float(coverage)
     if not 0.0 < q <= 100.0:
         raise ValueError(f"coverage must be in (0, 100], got {coverage}")
+    if engine not in ("xla", "kernel"):
+        raise ValueError(f"engine must be 'xla' or 'kernel', got {engine!r}")
+    if engine == "kernel" and n != 1:
+        raise ValueError("the fused kernel marches hourly main steps (n=1)")
     sized = _sizing_model(model, heat_sp, cool_sp)
     if config is None:
         config = heatx.SimConfig(interior_mrt=True)
@@ -487,32 +500,46 @@ def annual_peak_loads(
         tm.set_ground_temperature(float(soil_hourly[0]))
 
     day1 = _sl(seq, 0, 24 * n)
-    state, repeats = tm.warmup(
-        tm.initial_state(), day1, max_repeats=max_repeats,
-        run=lambda s: tm.run(s, day1, collect_zone_T=False,
-                             mode="trbdf2")[0],
-    )
-
-    if soil_hourly is None:
-        _, (_, loads) = tm.run(state, seq, collect_loads=True, mode="trbdf2")
+    if engine == "kernel":
+        fr = tm.fast_runner(mode="trbdf2", hours=24, block_size=block_size)
+        state, repeats = tm.warmup(
+            tm.initial_state(), day1, max_repeats=max_repeats,
+            run=lambda s: fr.run(s, day1, collect_zone_T=False)[0],
+        )
+        # The runner's own seasonal-ground handling splits dispatches at
+        # soil changes and swaps the kernel operands in place.
+        _, _, loads = fr.run(
+            state, seq, collect_loads=True, ground_hourly=soil_hourly
+        )
         loads = np.asarray(loads)
     else:
-        # Month-chunked scans so the soil temperature tracks the EPW's
-        # monthly series (boundary temps are pytree leaves; three distinct
-        # chunk lengths = three cheap traces).
-        bounds = np.flatnonzero(np.diff(soil_hourly)) + 1
-        bounds = np.concatenate([[0], bounds, [T]])
-        parts = []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            # set_ground_temperature invalidates the cached callables
-            # itself; the leaves ride as traced arguments anyway.
-            tm.set_ground_temperature(float(soil_hourly[lo]))
-            state, (_, ld) = tm.run(
-                state, _sl(seq, lo * n, hi * n),
-                collect_loads=True, mode="trbdf2",
+        state, repeats = tm.warmup(
+            tm.initial_state(), day1, max_repeats=max_repeats,
+            run=lambda s: tm.run(s, day1, collect_zone_T=False,
+                                 mode="trbdf2")[0],
+        )
+        if soil_hourly is None:
+            _, (_, loads) = tm.run(
+                state, seq, collect_loads=True, mode="trbdf2"
             )
-            parts.append(np.asarray(ld))
-        loads = np.concatenate(parts, axis=0)
+            loads = np.asarray(loads)
+        else:
+            # Month-chunked scans so the soil temperature tracks the EPW's
+            # monthly series (boundary temps are pytree leaves; three
+            # distinct chunk lengths = three cheap traces).
+            bounds = np.flatnonzero(np.diff(soil_hourly)) + 1
+            bounds = np.concatenate([[0], bounds, [T]])
+            parts = []
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                # set_ground_temperature invalidates the cached callables
+                # itself; the leaves ride as traced arguments anyway.
+                tm.set_ground_temperature(float(soil_hourly[lo]))
+                state, (_, ld) = tm.run(
+                    state, _sl(seq, lo * n, hi * n),
+                    collect_loads=True, mode="trbdf2",
+                )
+                parts.append(np.asarray(ld))
+            loads = np.concatenate(parts, axis=0)
 
     heat = np.clip(loads, 0.0, None)
     cool = np.clip(-loads, 0.0, None)

@@ -378,3 +378,34 @@ def test_cli_size_annual(ref_fixtures, tmp_path, capsys):
     # Design-day heating (constant 99.6% extreme) bounds the annual value.
     assert (s["winter"]["peak_heating_W"][nm]
             >= ann["peak_heating_W"][nm] * 0.9)
+
+
+def test_annual_peak_loads_kernel_engine(epw):
+    """engine="kernel" routes the annual sizing through the fused day
+    kernel (interpret mode on CPU) and matches the XLA TR-BDF2 scan; the
+    seasonal soil rides the runner's own per-dispatch operand swaps."""
+    from heatx.model.building import Boundary, SurfaceDef
+    from heatx.sizing import annual_peak_loads
+
+    m = _model()
+    m.add_surface(SurfaceDef(
+        "slab", "the construction", Boundary.ground(), Boundary.space_("Space"),
+        vertices=np.array(
+            [[0, 0, 0], [0, 5, 0], [10, 5, 0], [10, 0, 0]], float
+        ),
+    ))
+    kw = dict(heat_sp=20.0, cool_sp=26.0, coverage=99.6, config=F64)
+    rx = annual_peak_loads(m, epw, engine="xla", **kw)
+    rk = annual_peak_loads(m, epw, engine="kernel", **kw)
+    # The in-kernel Carroll MRT matches the XLA evaluation at ~1e-9 per
+    # step (tests/test_mrt.py); compounded through a chaotic year that
+    # drifts to ~1 W on kW-scale loads — gate the drift, not bit-equality.
+    np.testing.assert_allclose(rk.loads_W, rx.loads_W, atol=3.0)
+    np.testing.assert_allclose(rk.peak_heating_W, rx.peak_heating_W,
+                               rtol=2e-3)
+    np.testing.assert_allclose(rk.peak_cooling_W, rx.peak_cooling_W,
+                               rtol=2e-3, atol=1.0)
+    with pytest.raises(ValueError, match="hourly main steps"):
+        annual_peak_loads(m, epw, engine="kernel", n=2, config=F64)
+    with pytest.raises(ValueError, match="engine must be"):
+        annual_peak_loads(m, epw, engine="bogus", config=F64)
