@@ -114,3 +114,67 @@ def zone_comfort_history(
     if rh.ndim == 1 and zt.ndim == 2:
         rh = rh[:, None]
     return pmv_ppd(zt, mrt, rh, **kw)
+
+
+def prevailing_mean_outdoor(dry_bulb_hourly, days=7):
+    """ASHRAE 55's prevailing mean outdoor air temperature: for each hour,
+    the mean of the previous ``days`` full days' daily mean dry-bulbs
+    (7-30 days per the standard).  The annual series wraps (hour 0 looks
+    back into December), matching heatx's year-periodic schedule/weather
+    conventions.  Returns a [T] series for :func:`adaptive_comfort`."""
+    t = np.asarray(dry_bulb_hourly, np.float64)
+    if len(t) % 24:
+        raise ValueError(f"need whole days of hourly data, got {len(t)} h")
+    days = int(days)
+    if not 7 <= days <= 30:
+        raise ValueError(f"days must be in [7, 30] (ASHRAE 55), got {days}")
+    daily = t.reshape(-1, 24).mean(1)
+    nd = len(daily)
+    # Mean of the `days` daily means preceding each day, with wraparound.
+    idx = (np.arange(nd)[:, None] - 1 - np.arange(days)[None, :]) % nd
+    pma_daily = daily[idx].mean(1)
+    return np.repeat(pma_daily, 24)
+
+
+#: ASHRAE 55 adaptive-model applicability range for the prevailing mean
+#: outdoor temperature, C.
+ADAPTIVE_RANGE = (10.0, 33.5)
+
+
+def adaptive_comfort(t_pma_c):
+    """The ASHRAE 55 adaptive comfort model for occupant-controlled,
+    naturally conditioned spaces: ``t_comf = 0.31 t_pma + 17.8`` with the
+    80 % acceptability band at +-3.5 K and 90 % at +-2.5 K.  Outside the
+    model's 10-33.5 C applicability range everything is NaN (the standard
+    offers no limits there).  Returns a dict of arrays: ``t_comf``,
+    ``lo_80``/``hi_80``, ``lo_90``/``hi_90``."""
+    t = np.asarray(t_pma_c, np.float64)
+    ok = (t >= ADAPTIVE_RANGE[0]) & (t <= ADAPTIVE_RANGE[1])
+    t_comf = np.where(ok, 0.31 * t + 17.8, np.nan)
+    return {
+        "t_comf": t_comf,
+        "lo_80": t_comf - 3.5,
+        "hi_80": t_comf + 3.5,
+        "lo_90": t_comf - 2.5,
+        "hi_90": t_comf + 2.5,
+    }
+
+
+def adaptive_acceptability(t_operative_c, t_pma_c):
+    """Hours-in-band summary for a free-running building: boolean masks of
+    the operative temperature inside the ASHRAE 55 adaptive 80 %/90 %
+    bands (False wherever the model does not apply).  Broadcastable:
+    [T, Z] operative against a [T] prevailing-mean series."""
+    top = np.asarray(t_operative_c, np.float64)
+    band = adaptive_comfort(t_pma_c)
+    lo80, hi80 = band["lo_80"], band["hi_80"]
+    lo90, hi90 = band["lo_90"], band["hi_90"]
+    if top.ndim == 2 and np.ndim(lo80) == 1:
+        lo80, hi80 = lo80[:, None], hi80[:, None]
+        lo90, hi90 = lo90[:, None], hi90[:, None]
+    # NaN band limits (inapplicable hours) compare False on both sides.
+    return {
+        "in_80": (top >= lo80) & (top <= hi80),
+        "in_90": (top >= lo90) & (top <= hi90),
+        "applicable": ~np.isnan(np.broadcast_to(lo80, top.shape)),
+    }

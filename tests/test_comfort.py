@@ -106,3 +106,48 @@ def test_simulation_integration():
     pmv, ppd = zone_comfort_history(zt, mrt, 50.0)
     assert pmv.shape == zt.shape
     assert np.isfinite(pmv).all() and (ppd >= 5.0 - 1e-9).all()
+
+
+def test_adaptive_model_values():
+    """ASHRAE 55 adaptive: t_comf = 0.31*t_pma + 17.8, bands +-3.5/2.5 K,
+    NaN outside the 10-33.5 C applicability range."""
+    from heatx.comfort import ADAPTIVE_RANGE, adaptive_comfort
+
+    band = adaptive_comfort(np.array([20.0, 5.0, 35.0]))
+    assert band["t_comf"][0] == pytest.approx(24.0)
+    assert band["lo_80"][0] == pytest.approx(20.5)
+    assert band["hi_80"][0] == pytest.approx(27.5)
+    assert band["lo_90"][0] == pytest.approx(21.5)
+    assert np.isnan(band["t_comf"][1]) and np.isnan(band["hi_90"][2])
+    assert ADAPTIVE_RANGE == (10.0, 33.5)
+
+
+def test_prevailing_mean_and_acceptability(ref_fixtures):
+    from heatx.comfort import adaptive_acceptability, prevailing_mean_outdoor
+    from heatx.weather.epw import read_epw
+
+    epw = read_epw(f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw")
+    pma = prevailing_mean_outdoor(epw.dry_bulb, days=7)
+    assert pma.shape == epw.dry_bulb.shape
+    # Hand-check one interior day: day 40's PMA = mean of days 33..39.
+    daily = epw.dry_bulb.reshape(-1, 24).mean(1)
+    assert pma[40 * 24] == pytest.approx(daily[33:40].mean())
+    # Constant within each day.
+    assert (pma[:24] == pma[0]).all()
+    # Wraparound: day 0 looks into late December.
+    assert pma[0] == pytest.approx(daily[-7:].mean())
+    with pytest.raises(ValueError, match=r"\[7, 30\]"):
+        prevailing_mean_outdoor(epw.dry_bulb, days=3)
+    with pytest.raises(ValueError, match="whole days"):
+        prevailing_mean_outdoor(epw.dry_bulb[:100])
+
+    # Acceptability masks broadcast [T, Z] against [T].
+    T = len(pma)
+    top = np.tile((0.31 * pma + 17.8)[:, None], (1, 2))  # exactly t_comf
+    acc = adaptive_acceptability(top, pma)
+    assert acc["in_80"].shape == (T, 2)
+    applicable = acc["applicable"]
+    assert (acc["in_90"][applicable]).all()  # on the comfort line
+    # 5 K above the line: outside 90, inside 80 is false too (5 > 3.5).
+    acc2 = adaptive_acceptability(top + 5.0, pma)
+    assert not acc2["in_80"][applicable].any()
