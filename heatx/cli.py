@@ -695,18 +695,26 @@ def cmd_simulate(args) -> int:
             print(f"# wrote {args.operative_csv}", file=sys.stderr)
         if want_comfort:
             # Fanger PMV/PPD (ISO 7730) per zone and hour: MRT from the
-            # collected operative (op = (air + mrt)/2); RH from the EPW
-            # unless --indoor-rh pins a constant (heatx does not model
-            # indoor moisture).
-            from heatx.comfort import zone_comfort_history
+            # collected operative (op = (air + mrt)/2).  Default RH holds
+            # the OUTDOOR vapor pressure at the zone temperature (RH% is
+            # temperature-relative: 80% at 0 C outdoors is ~20% at 21 C
+            # indoors) — --indoor-rh pins a constant instead (heatx does
+            # not model indoor moisture sources).
+            from heatx.comfort import (
+                indoor_rh_from_outdoor,
+                zone_comfort_history,
+            )
 
             ztc = np.asarray(zt, np.float64)[:T]
             mrt = 2.0 * operative[:T] - ztc
-            rh = (
-                float(args.indoor_rh)
-                if args.indoor_rh is not None
-                else _weather_series(epw, T, start)[4]
-            )
+            if args.indoor_rh is not None:
+                rh = float(args.indoor_rh)
+            else:
+                # The kernel engine runs hourly steps, so the already-
+                # tiled weather series align with the zt grid.
+                rh = indoor_rh_from_outdoor(
+                    _rh[:T, None], dry[:T, None], ztc
+                )
             pmv, ppd = zone_comfort_history(
                 ztc, mrt, rh, met=args.met, clo=args.clo
             )

@@ -30,6 +30,23 @@ def saturation_vapor_pressure(t_c):
     return 1000.0 * np.exp(16.6536 - 4030.183 / (t + 235.0))
 
 
+def indoor_rh_from_outdoor(rh_out_pct, t_out_c, t_in_c):
+    """Indoor relative humidity assuming the indoor air carries the
+    outdoor air's moisture (constant vapor pressure, no indoor sources):
+    ``RH_in = RH_out * psat(T_out) / psat(T_in)``, clipped to [0, 100].
+
+    RH% is temperature-relative — applying an outdoor percentage at a
+    warmer indoor temperature inflates the vapor pressure (80 % at 0 C is
+    ~20 % at 21 C, a ~+0.3 PMV error).  All arguments broadcast."""
+    pa_times_100 = (
+        np.asarray(rh_out_pct, np.float64)
+        * saturation_vapor_pressure(t_out_c)
+    )
+    return np.clip(
+        pa_times_100 / saturation_vapor_pressure(t_in_c), 0.0, 100.0
+    )
+
+
 def pmv_ppd(
     t_air_c,
     t_mrt_c,
@@ -130,6 +147,12 @@ def prevailing_mean_outdoor(dry_bulb_hourly, days=7):
         raise ValueError(f"days must be in [7, 30] (ASHRAE 55), got {days}")
     daily = t.reshape(-1, 24).mean(1)
     nd = len(daily)
+    if nd < days:
+        # Wrapping a shorter series would silently double-count days.
+        raise ValueError(
+            f"need at least {days} days of data for a {days}-day "
+            f"prevailing mean, got {nd}"
+        )
     # Mean of the `days` daily means preceding each day, with wraparound.
     idx = (np.arange(nd)[:, None] - 1 - np.arange(days)[None, :]) % nd
     pma_daily = daily[idx].mean(1)

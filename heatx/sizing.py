@@ -501,11 +501,25 @@ def annual_peak_loads(
 
     day1 = _sl(seq, 0, 24 * n)
     if engine == "kernel":
-        fr = tm.fast_runner(mode="trbdf2", hours=24, block_size=block_size)
-        state, repeats = tm.warmup(
-            tm.initial_state(), day1, max_repeats=max_repeats,
-            run=lambda s: fr.run(s, day1, collect_zone_T=False)[0],
+        # Setpoint schedules in extra_channels need the runner built with
+        # the per-hour setpoint operands (the XLA path consumes the
+        # channels directly).
+        fr = tm.fast_runner(
+            mode="trbdf2", hours=24, block_size=block_size,
+            scheduled_setpoints=(
+                channels.get("heat_sp") is not None
+                or channels.get("cool_sp") is not None
+            ),
         )
+        run_day = lambda s: fr.run(s, day1, collect_zone_T=False)[0]  # noqa: E731
+    else:
+        run_day = lambda s: tm.run(  # noqa: E731
+            s, day1, collect_zone_T=False, mode="trbdf2"
+        )[0]
+    state, repeats = tm.warmup(
+        tm.initial_state(), day1, max_repeats=max_repeats, run=run_day
+    )
+    if engine == "kernel":
         # The runner's own seasonal-ground handling splits dispatches at
         # soil changes and swaps the kernel operands in place.
         _, _, loads = fr.run(
@@ -513,11 +527,6 @@ def annual_peak_loads(
         )
         loads = np.asarray(loads)
     else:
-        state, repeats = tm.warmup(
-            tm.initial_state(), day1, max_repeats=max_repeats,
-            run=lambda s: tm.run(s, day1, collect_zone_T=False,
-                                 mode="trbdf2")[0],
-        )
         if soil_hourly is None:
             _, (_, loads) = tm.run(
                 state, seq, collect_loads=True, mode="trbdf2"

@@ -151,3 +151,31 @@ def test_prevailing_mean_and_acceptability(ref_fixtures):
     # 5 K above the line: outside 90, inside 80 is false too (5 > 3.5).
     acc2 = adaptive_acceptability(top + 5.0, pma)
     assert not acc2["in_80"][applicable].any()
+
+
+def test_indoor_rh_from_outdoor():
+    """Constant-moisture RH conversion: 80% at 0 C is ~21% at 21 C (the
+    vapor pressure holds, the saturation reference moves)."""
+    from heatx.comfort import indoor_rh_from_outdoor
+
+    rh_in = indoor_rh_from_outdoor(80.0, 0.0, 21.0)
+    pa_out = 0.80 * saturation_vapor_pressure(0.0)
+    assert rh_in == pytest.approx(
+        100.0 * pa_out / saturation_vapor_pressure(21.0), rel=1e-12
+    )
+    assert 18.0 < rh_in < 25.0
+    # Same temperature -> unchanged; colder indoors clips at saturation.
+    assert indoor_rh_from_outdoor(55.0, 20.0, 20.0) == pytest.approx(55.0)
+    assert indoor_rh_from_outdoor(90.0, 25.0, 5.0) == 100.0
+    # Broadcasts over [T, Z] zone temperatures.
+    out = indoor_rh_from_outdoor(
+        np.full((4, 1), 70.0), np.full((4, 1), 5.0), np.full((4, 3), 22.0)
+    )
+    assert out.shape == (4, 3)
+
+
+def test_prevailing_mean_short_series_rejected():
+    from heatx.comfort import prevailing_mean_outdoor
+
+    with pytest.raises(ValueError, match="at least 7 days"):
+        prevailing_mean_outdoor(np.zeros(48))
