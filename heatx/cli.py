@@ -295,6 +295,17 @@ def cmd_simulate(args) -> int:
             )
             * out_back
         )
+        if loaded0 is not None and loaded0.shading:
+            # Imported scheduled window shading: scale the controlled
+            # panes' incident solar by the deployed shade's transmittance.
+            shade_mult = loaded0.shading_series(Tx, start)
+            sol_f = sol_f * shade_mult
+            sol_b = sol_b * shade_mult
+            print(
+                f"# window shading: {len(loaded0.shading)} rule(s) applied "
+                "to the incident-solar inputs",
+                file=sys.stderr,
+            )
     else:
         S = b.n_surfaces
         sol_f = np.zeros((Tx, S))

@@ -130,6 +130,8 @@ _SUPPORTED_TYPES = {
     "hvactemplate:thermostat", "hvactemplate:zone:idealloadsairsystem",
     "zonecontrol:thermostat", "thermostatsetpoint:dualsetpoint",
     "thermostatsetpoint:singleheating", "thermostatsetpoint:singlecooling",
+    "windowmaterial:shade", "windowshadingcontrol",
+    "windowproperty:shadingcontrol",
 }
 # Pure-reporting / solver-configuration types that genuinely have no thermal
 # content to import — silently skipped.
@@ -181,6 +183,18 @@ class AirflowRule:
 
 
 @dataclass
+class ShadingRule:
+    """A scheduled window-shading rule (WindowShadingControl /
+    WindowProperty:ShadingControl subset): when deployed, the controlled
+    panes' incident solar scales by the shade's transmittance."""
+
+    name: str
+    fenestrations: List[str]
+    transmittance: float  # the shade material's solar transmittance
+    schedule: Optional[str] = None  # None = always deployed (AlwaysOn)
+
+
+@dataclass
 class ImportedThermostat:
     """A thermostat imported as a setpoint-driven IdealHeaterCooler; the
     scheduled setpoints (if any) render through
@@ -216,6 +230,8 @@ class LoadedIdf:
     gains: List[ImportedGain] = field(default_factory=list)
     #: imported thermostats (one IdealHeaterCooler per controlled zone).
     thermostats: List[ImportedThermostat] = field(default_factory=list)
+    #: scheduled window-shading rules (shading_series renders them).
+    shading: List["ShadingRule"] = field(default_factory=list)
 
     def schedule_series(self, name: str, T: int, start_hour: int = 0):
         """The named schedule rendered over ``T`` hours (year-periodic)."""
@@ -223,6 +239,39 @@ class LoadedIdf:
         if s is None:
             raise KeyError(f"schedule {name!r} not found in the IDF")
         return s[(start_hour + np.arange(T)) % 8760]
+
+    def shading_series(self, T: int, start_hour: int = 0) -> np.ndarray:
+        """Per-hour incident-solar multipliers from the imported shading
+        rules: a [T, n_surfaces + n_fenestrations] array aligned with the
+        compiled surface order, 1.0 everywhere except controlled panes
+        during deployed hours, where it is the shade's solar
+        transmittance.  Multiply the ``sol_front``/``sol_back`` inputs by
+        it (the CLI does this automatically).
+
+        Approximation (documented in the import warning semantics): a
+        deployed shade scales the pane's incident solar by its
+        transmittance — exact for the transmitted beam of an exterior
+        shade, ignoring shade absorption re-emission and inter-reflection
+        (EnergyPlus's full shade layer model); interior shades are treated
+        the same (conservative for gain reduction)."""
+        S = len(self.model.surfaces)
+        names = {
+            f.name: S + i for i, f in enumerate(self.model.fenestrations)
+        }
+        out = np.ones((T, S + len(self.model.fenestrations)))
+        for rule in self.shading:
+            if rule.schedule is None:
+                deployed = np.ones(T, bool)
+            else:
+                deployed = self.schedule_series(
+                    rule.schedule, T, start_hour
+                ) > 0.0
+            for fname in rule.fenestrations:
+                col = names[fname]
+                out[deployed, col] = np.minimum(
+                    out[deployed, col], rule.transmittance
+                )
+        return out
 
     def airflow_series(self, T: int, start_hour: int = 0) -> Dict[str, np.ndarray]:
         """Per-hour outdoor-air exchange from the imported
@@ -1053,6 +1102,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     # -- fenestration: a window hosted in a wall ------------------------------
     host_area_cut: Dict[str, float] = {}
+    fen_shading_ctl: Dict[str, str] = {}  # pane -> pre-9.0 control name
     for o in by_type.get("fenestrationsurface:detailed", []):
         # Name, Surface Type, Construction, Building Surface Name,
         # OBC Object, View Factor, Frame, Multiplier, N, coords...
@@ -1097,6 +1147,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             fen.area = _polygon_area(verts) * mult
             fen.perimeter = polygon_perimeter(verts) * mult
         m.add_fenestration(fen)
+        if fshift == 1 and _str(o, 7):
+            # Pre-9.0 schema: the window references its
+            # WindowProperty:ShadingControl by name (resolved at the end
+            # of load_idf, once the control objects are parsed).
+            fen_shading_ctl[name] = _str(o, 7).lower()
         host_area_cut[host] = (
             host_area_cut.get(host, 0.0) + _polygon_area(verts) * mult
         )
@@ -1436,5 +1491,96 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 name if len(zones) == 1 else f"{name}:{z}",
                 z, hs, None, cs, None, owner,
             )
+
+    # -- scheduled window shading (subset) ------------------------------------
+    # Supported: AlwaysOn / OnIfScheduleAllows with a WindowMaterial:Shade
+    # device (directly named, or found as a layer of the "Construction with
+    # Shading").  State-dependent control types (OnIfHighSolarOnWindow, ...)
+    # need in-run logic and are honestly skipped with a warning.  The rules
+    # render to incident-solar multipliers (LoadedIdf.shading_series).
+    shade_tau: Dict[str, float] = {}
+    for o in by_type.get("windowmaterial:shade", []):
+        shade_tau[o[1].lower()] = float(_num(o, 2, 0.0) or 0.0)
+    fen_canon = {f.name.lower(): f.name for f in m.fenestrations}
+    constr_canon = {c.lower(): c for c in m.constructions}
+
+    def _shade_rule(owner, construction_with, control_type, sched,
+                    device_material, fen_names):
+        ct = control_type.lower().replace(" ", "")
+        if ct == "alwayson":
+            schedule = None
+        elif ct == "onifscheduleallows":
+            schedule = _sched_ref(sched, owner)
+            if schedule is None:
+                raise ValueError(
+                    f"{owner}: OnIfScheduleAllows needs a Schedule Name"
+                )
+        else:
+            warnings.warn(
+                f"{owner}: Shading Control Type {control_type!r} is "
+                "state-dependent and not imported (supported: AlwaysOn, "
+                "OnIfScheduleAllows) — these panes run unshaded",
+                stacklevel=3,
+            )
+            return
+        tau = None
+        if device_material:
+            tau = shade_tau.get(device_material.lower())
+        elif construction_with and construction_with.lower() in constr_canon:
+            c = m.constructions[constr_canon[construction_with.lower()]]
+            for layer in c.materials:
+                if layer.lower() in shade_tau:
+                    tau = shade_tau[layer.lower()]
+                    break
+        if tau is None:
+            warnings.warn(
+                f"{owner}: no WindowMaterial:Shade device found (blinds/"
+                "screens/switchable glazing are not imported) — these "
+                "panes run unshaded",
+                stacklevel=3,
+            )
+            return
+        fens = []
+        for fn in fen_names:
+            if fn and fn.lower() in fen_canon:
+                fens.append(fen_canon[fn.lower()])
+            elif fn:
+                raise ValueError(
+                    f"{owner}: fenestration {fn!r} names no parsed window"
+                )
+        if fens:
+            out.shading.append(ShadingRule(owner, fens, tau, schedule))
+
+    for o in by_type.get("windowshadingcontrol", []):
+        # 9.0+ schema: ..., Shading Type(4), Construction with Shading(5),
+        # Control Type(6), Schedule(7), ..., Device Material(11), ...,
+        # Multiple Surface Control Type(16), Fenestration names(17+).
+        _shade_rule(
+            f"WindowShadingControl {o[1]!r}", _str(o, 5), _str(o, 6),
+            _str(o, 7), _str(o, 11), [_str(o, k) for k in range(17, len(o))],
+        )
+    pre9_ctls = {
+        o[1].lower(): o
+        for o in by_type.get("windowproperty:shadingcontrol", [])
+    }
+    ctl_fens: Dict[str, List[str]] = {}
+    for fname, cname in fen_shading_ctl.items():
+        ctl_fens.setdefault(cname, []).append(fname)
+    for cname, fens in sorted(ctl_fens.items()):
+        o = pre9_ctls.get(cname)
+        if o is None:
+            warnings.warn(
+                f"Shading Control {cname!r} referenced by "
+                f"{', '.join(fens)} has no WindowProperty:ShadingControl "
+                "object — these panes run unshaded",
+                stacklevel=2,
+            )
+            continue
+        # Pre-9.0 schema: Shading Type(2), Construction with Shading(3),
+        # Control Type(4), Schedule(5), ..., Device Material(9).
+        _shade_rule(
+            f"WindowProperty:ShadingControl {o[1]!r}", _str(o, 3),
+            _str(o, 4), _str(o, 5), _str(o, 9), fens,
+        )
 
     return out

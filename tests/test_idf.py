@@ -860,3 +860,139 @@ FenestrationSurface:Detailed, Win, Window, C, Wall, , , MyShade, , 2,
     f_new, f_old = new.fenestrations[0], old.fenestrations[0]
     np.testing.assert_allclose(f_new.vertices, f_old.vertices)
     assert f_new.area == f_old.area  # multiplier 2 applied in both
+
+
+_SHADE_IDF = """
+Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+WindowMaterial:Glazing, Clear3, SpectralAverage, , 0.003, 0.837, 0.075,
+    0.075, 0.898, 0.081, 0.081, 0.0, 0.84, 0.84, 0.9;
+WindowMaterial:Shade, Roller, 0.25, 0.5, 0.25, 0.5, 0.9, 0.0, 0.003, 0.1;
+Construction, Wall, Concrete;
+Construction, Glz, Clear3;
+Construction, GlzShaded, Clear3, Roller;
+Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+BuildingSurface:Detailed, W, Wall, Wall, A, Outdoors, , Sun, Wind, 0,
+    4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+FenestrationSurface:Detailed, Win1, Window, Glz, W, , 0, , 1,
+    4, 1,0,2, 1,0,1, 3,0,1, 3,0,2;
+FenestrationSurface:Detailed, Win2, Window, Glz, W, , 0, , 1,
+    4, 5,0,2, 5,0,1, 7,0,1, 7,0,2;
+Schedule:Compact, Afternoons, Fraction,
+    Through: 12/31, For: AllDays,
+    Until: 12:00, 0.0, Until: 18:00, 1.0, Until: 24:00, 0.0;
+"""
+
+
+def test_window_shading_control_scheduled():
+    """WindowShadingControl (9.0+): OnIfScheduleAllows deploys the shade
+    during scheduled hours only; the multiplier is the shade material's
+    solar transmittance on the controlled panes."""
+    idf = _SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfScheduleAllows,
+    Afternoons, , Yes, No, Roller, , , , , Sequential, Win1;
+"""
+    loaded = load_idf(idf)
+    (rule,) = loaded.shading
+    assert rule.fenestrations == ["Win1"]
+    assert rule.transmittance == pytest.approx(0.25)
+    assert rule.schedule == "afternoons"
+    mult = loaded.shading_series(24)
+    # Columns: [wall, Win1, Win2]; shade down 12:00-18:00 on Win1 only.
+    assert mult.shape == (24, 3)
+    np.testing.assert_allclose(mult[:, 0], 1.0)
+    np.testing.assert_allclose(mult[:, 2], 1.0)
+    np.testing.assert_allclose(mult[13, 1], 0.25)
+    np.testing.assert_allclose(mult[10, 1], 1.0)
+
+
+def test_window_shading_always_on_from_construction():
+    """AlwaysOn + the shade found as a layer of 'Construction with
+    Shading'; both named panes controlled."""
+    idf = _SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, GlzShaded, AlwaysOn,
+    , , No, No, , , , , , Group, Win1, Win2;
+"""
+    loaded = load_idf(idf)
+    (rule,) = loaded.shading
+    assert sorted(rule.fenestrations) == ["Win1", "Win2"]
+    assert rule.schedule is None
+    mult = loaded.shading_series(6)
+    np.testing.assert_allclose(mult[:, 1:], 0.25)
+
+
+def test_window_shading_pre9_property():
+    """Pre-9.0: the fenestration names its WindowProperty:ShadingControl
+    (the extra field before Frame that shifts the schema)."""
+    idf = _SHADE_IDF + """
+FenestrationSurface:Detailed, Win3, Window, Glz, W, , 0, OldSC, , 1,
+    4, 8,0,2, 8,0,1, 9,0,1, 9,0,2;
+WindowProperty:ShadingControl, OldSC, InteriorShade, , AlwaysOn,
+    , , No, No, Roller;
+"""
+    loaded = load_idf(idf)
+    (rule,) = loaded.shading
+    assert rule.fenestrations == ["Win3"]
+    assert rule.transmittance == pytest.approx(0.25)
+    mult = loaded.shading_series(2)
+    assert mult.shape == (2, 4)
+    np.testing.assert_allclose(mult[:, 3], 0.25)
+
+
+def test_window_shading_unsupported_honest():
+    """State-dependent control types and missing shade devices warn and
+    leave the panes unshaded; unknown pane names are hard errors."""
+    with pytest.warns(UserWarning, match="state-dependent"):
+        loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighSolarOnWindow,
+    , 200, No, No, Roller, , , , , Sequential, Win1;
+""")
+    assert loaded.shading == []
+    with pytest.warns(UserWarning, match="no WindowMaterial:Shade"):
+        loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorBlind, , AlwaysOn,
+    , , No, No, , , , , , Sequential, Win1;
+""")
+    assert loaded.shading == []
+    with pytest.raises(ValueError, match="names no parsed window"):
+        load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , AlwaysOn,
+    , , No, No, Roller, , , , , Sequential, Typo;
+""")
+    with pytest.warns(UserWarning, match="has no WindowProperty"):
+        load_idf(_SHADE_IDF + """
+FenestrationSurface:Detailed, Win3, Window, Glz, W, , 0, Ghost, , 1,
+    4, 8,0,2, 8,0,1, 9,0,1, 9,0,2;
+""")
+
+
+def test_cli_applies_shading(tmp_path, capsys):
+    """The simulate command scales the controlled panes' incident solar:
+    the always-shaded variant runs cooler on a sunny day."""
+    import csv as _csv
+    import os as _os
+
+    from heatx.cli import main
+
+    EPW = "/root/reference/tests/epw/CHL_Santiago.855740_IWEC.epw"
+    if not _os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    base = _SHADE_IDF + "Timestep, 1;\n"
+    shaded = base + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , AlwaysOn,
+    , , No, No, Roller, , , , , Group, Win1, Win2;
+"""
+    temps = {}
+    for tag, text in (("open", base), ("shaded", shaded)):
+        p = tmp_path / f"{tag}.idf"
+        p.write_text(text)
+        o = tmp_path / f"{tag}.csv"
+        assert main(["simulate", str(p), EPW, "--hours", "48", "--engine",
+                     "xla", "--mode", "trbdf2", "--f64", "-o", str(o)]) == 0
+        temps[tag] = np.asarray(
+            [r[1] for r in list(_csv.reader(open(o)))[1:]], float
+        )
+    err = capsys.readouterr().err
+    assert "window shading: 1 rule(s)" in err
+    # South-facing (shade side in Santiago) glazing sees mostly diffuse;
+    # the shade still reads clearly against the 48 h mean.
+    assert temps["shaded"].mean() < temps["open"].mean() - 0.03
