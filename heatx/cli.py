@@ -281,10 +281,23 @@ def cmd_simulate(args) -> int:
 
         gv = model_ground_views(model)
         sun = sun_and_sky(epw, hours=Tx, start_hour=start)
+        beam_frac = None
+        if model.shades:
+            # Context shading (overhangs / fins / neighbors): ray-cast
+            # sunlit fractions scale the beam term on both faces.
+            from heatx.weather.shadow import sunlit_fraction
+
+            _, _, _, alt_s, az_s, _ = sun
+            beam_frac = sunlit_fraction(model, alt_s, az_s)
+            print(
+                f"# context shading: {len(model.shades)} polygon(s) "
+                "ray-cast into beam sunlit fractions",
+                file=sys.stderr,
+            )
         sol_f = (
             surface_irradiance(
                 epw, b, hours=Tx, albedo=args.albedo, sky=args.sky, sun=sun,
-                ground_view=gv,
+                ground_view=gv, beam_fraction=beam_frac,
             )
             * out_front
         )
@@ -292,6 +305,7 @@ def cmd_simulate(args) -> int:
             surface_irradiance(
                 epw, b, hours=Tx, albedo=args.albedo, side="back",
                 sky=args.sky, sun=sun, ground_view=gv,
+                beam_fraction=beam_frac,
             )
             * out_back
         )

@@ -305,6 +305,11 @@ class BuildingModel:
     # implements it as ventilation whose source temperature is the other
     # zone's air: A_to += rho*cp(T_from)*vol*T_from, B_to += rho*cp*vol.
     mixings: List[tuple] = field(default_factory=list)
+    #: Opaque shading polygons ((n, 3) world-space vertex loops — context
+    #: buildings, overhangs, fins; EnergyPlus's Shading:*:Detailed).  Not
+    #: part of the thermal network: heatx.weather.shadow ray-casts them
+    #: into per-surface sunlit beam fractions for the solar inputs.
+    shades: List[np.ndarray] = field(default_factory=list)
 
     # -- construction helpers ------------------------------------------------
 
@@ -344,6 +349,19 @@ class BuildingModel:
     def add_luminaire(self, l: Luminaire) -> Luminaire:
         self.luminaires.append(l)
         return l
+
+    def add_shade(self, vertices) -> np.ndarray:
+        """Register an opaque shading polygon ((n, 3) world-space loop —
+        an overhang, fin, or neighboring building).  Shades block beam
+        solar only (heatx.weather.shadow.sunlit_fraction); they carry no
+        thermal state."""
+        v = np.asarray(vertices, dtype=np.float64)
+        if v.ndim != 2 or v.shape[0] < 3 or v.shape[1] != 3:
+            raise ValueError(
+                f"shade vertices must be (n>=3, 3), got {v.shape}"
+            )
+        self.shades.append(v)
+        return v
 
     def add_mixing(
         self, from_space: str, to_space: str, vol_rate: float, bidirectional: bool = True

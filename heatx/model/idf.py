@@ -132,6 +132,8 @@ _SUPPORTED_TYPES = {
     "thermostatsetpoint:singleheating", "thermostatsetpoint:singlecooling",
     "windowmaterial:shade", "windowshadingcontrol",
     "windowproperty:shadingcontrol",
+    "shading:site:detailed", "shading:building:detailed",
+    "shading:zone:detailed",
 }
 # Pure-reporting / solver-configuration types that genuinely have no thermal
 # content to import — silently skipped.
@@ -1283,6 +1285,50 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             out.airflows.append(AirflowRule(kind, zone, flow, schedule=sched))
 
     # -- internal thermal mass --------------------------------------------------
+    # -- context shading polygons ---------------------------------------------
+    # Shading:Site:Detailed (absolute world), Shading:Building:Detailed
+    # (rotates with the building), Shading:Zone:Detailed (base surface's
+    # zone frame).  Opaque blockers for the beam ray-cast
+    # (heatx.weather.shadow); a Transmittance Schedule is honestly
+    # approximated as opaque with a warning when it can be nonzero.
+    def _shade_verts(o, first, zone=""):
+        nf = _str(o, first).lower()
+        base = first + 1
+        if nf in ("", "autocalculate"):
+            ncoord = len(o) - base
+            if ncoord < 9 or ncoord % 3:
+                raise ValueError(
+                    f"{o[0]} {o[1]!r}: vertex coordinates must come in "
+                    "whole (x, y, z) triples"
+                )
+        return _to_world(_vertices(o, first), zone)
+
+    for kind, sched_at in (("shading:site:detailed", 2),
+                           ("shading:building:detailed", 2)):
+        for o in by_type.get(kind, []):
+            sched = _str(o, sched_at)
+            if sched and out.schedules.get(sched.lower(), np.ones(1)).max() > 0:
+                warnings.warn(
+                    f"{o[0]} {o[1]!r}: Transmittance Schedule "
+                    f"{sched!r} treated as opaque (partial shade "
+                    "transmission is not imported)",
+                    stacklevel=2,
+                )
+            m.add_shade(_shade_verts(o, sched_at + 1))
+    for o in by_type.get("shading:zone:detailed", []):
+        base_surf = _str(o, 2)
+        zone = surf_zone.get(
+            surf_canon.get(base_surf.lower(), base_surf), ""
+        )
+        sched = _str(o, 3)
+        if sched and out.schedules.get(sched.lower(), np.ones(1)).max() > 0:
+            warnings.warn(
+                f"Shading:Zone:Detailed {o[1]!r}: Transmittance Schedule "
+                f"{sched!r} treated as opaque",
+                stacklevel=2,
+            )
+        m.add_shade(_shade_verts(o, 4, zone))
+
     for o in by_type.get("internalmass", []):
         # Name, Construction, Zone or ZoneList, [Space — 22.1+], Surface
         # Area.  Both faces couple to the SAME zone air (partitions and

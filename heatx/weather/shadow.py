@@ -1,0 +1,149 @@
+"""Beam shading from context geometry (heatx extension).
+
+The reference takes per-surface incident solar as an input and has no
+shading machinery; EnergyPlus computes sunlit fractions from its
+Shading:*:Detailed polygons.  heatx does the same with a vectorized
+ray-cast: sample points on each receiving surface, trace toward the sun,
+and test intersections against every opaque shading polygon
+(``BuildingModel.shades`` — overhangs, fins, neighboring buildings).
+The resulting [T, S] sunlit fraction multiplies the BEAM component of
+the plane-of-array irradiance (``surface_irradiance(beam_fraction=...)``)
+— diffuse shading (sky-view reduction) is not modeled, matching
+EnergyPlus's own "MinimalShadowing" tier.
+
+Resolution: each surface samples its centroid plus its vertices shrunk
+30 % toward the centroid (V+1 points — exact for fully-lit /
+fully-shaded hours, quantized to V+1 steps for partially-shaded ones;
+``shrink`` tunes the ring).  Everything is host-side numpy (weather
+preprocessing, like the solar module).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+_EPS = 1e-6  # m along the ray; also excludes coplanar geometry (t ~ 0)
+
+
+def _poly_plane(poly: np.ndarray):
+    """Plane + 2D projection basis of a vertex loop: (origin, normal,
+    e1, e2, verts2 [V, 2])."""
+    v = np.asarray(poly, np.float64)
+    origin = v[0]
+    # Newell normal (robust for near-degenerate/concave loops).
+    nx = np.sum((v[:, 1] - np.roll(v[:, 1], -1)) * (v[:, 2] + np.roll(v[:, 2], -1)))
+    ny = np.sum((v[:, 2] - np.roll(v[:, 2], -1)) * (v[:, 0] + np.roll(v[:, 0], -1)))
+    nz = np.sum((v[:, 0] - np.roll(v[:, 0], -1)) * (v[:, 1] + np.roll(v[:, 1], -1)))
+    n = np.array([nx, ny, nz])
+    norm = np.linalg.norm(n)
+    if norm < 1e-12:
+        raise ValueError("degenerate shading polygon (zero area)")
+    n = n / norm
+    e1 = v[1] - v[0]
+    e1 = e1 - n * (e1 @ n)
+    e1 = e1 / np.linalg.norm(e1)
+    e2 = np.cross(n, e1)
+    verts2 = np.column_stack([(v - origin) @ e1, (v - origin) @ e2])
+    return origin, n, e1, e2, verts2
+
+
+def _in_polygon(px: np.ndarray, py: np.ndarray, poly2: np.ndarray):
+    """Crossing-number point-in-polygon, vectorized over px/py's shape
+    (poly2: [V, 2], CCW or CW, convex or not)."""
+    inside = np.zeros(px.shape, bool)
+    x0, y0 = poly2[:, 0], poly2[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    for i in range(len(poly2)):
+        crosses = (y0[i] > py) != (y1[i] > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xi = x0[i] + (py - y0[i]) * (x1[i] - x0[i]) / (y1[i] - y0[i])
+        inside ^= crosses & (px < xi)
+    return inside
+
+
+def sample_points(vertices: np.ndarray, shrink: float = 0.3) -> np.ndarray:
+    """[K, 3] receiver sample points: the centroid plus each vertex pulled
+    ``shrink`` of the way toward it (interior for star-shaped polygons —
+    every practical facade)."""
+    v = np.asarray(vertices, np.float64)
+    c = v.mean(axis=0)
+    return np.vstack([c[None, :], c + (1.0 - shrink) * (v - c)])
+
+
+def sunlit_fraction(
+    model,
+    altitude_rad,
+    azimuth_rad,
+    include_building: bool = False,
+    shrink: float = 0.3,
+    extra_shades: Optional[List[np.ndarray]] = None,
+) -> np.ndarray:
+    """Per-hour beam sunlit fraction for every surface of ``model``.
+
+    Returns [T, S] aligned with the compiled surface order (surfaces then
+    fenestrations): 1.0 fully lit, 0.0 fully blocked, sampled over
+    :func:`sample_points` (surfaces without vertex geometry stay 1.0 —
+    there is nothing to ray-cast).  Blockers: ``model.shades`` (+
+    ``extra_shades``), and with ``include_building=True`` every OTHER
+    vertex-bearing surface of the model (self-shadowing by the building's
+    own massing; windows are never blocked by their coplanar host — the
+    ray leaves the shared plane).  Below the horizon everything is 1.0
+    (the beam is zero anyway).
+
+    Feed the result to ``surface_irradiance(beam_fraction=...)`` — it
+    scales only the direct term.
+    """
+    from heatx.weather.solar import sun_vector
+
+    alt = np.asarray(altitude_rad, np.float64)
+    az = np.asarray(azimuth_rad, np.float64)
+    T = alt.shape[0]
+    defs = list(model.surfaces) + list(model.fenestrations)
+    S = len(defs)
+    out = np.ones((T, S))
+
+    blockers = [np.asarray(p, np.float64) for p in model.shades]
+    if extra_shades:
+        blockers += [np.asarray(p, np.float64) for p in extra_shades]
+    own = []  # (receiver index, polygon) for include_building
+    if include_building:
+        for i, sd in enumerate(defs):
+            if sd.vertices is not None and len(sd.vertices) >= 3:
+                own.append((i, np.asarray(sd.vertices, np.float64)))
+    if not blockers and not own:
+        return out
+
+    d = np.column_stack(sun_vector(alt, az))  # [T, 3] toward the sun
+    up = alt > 0.0
+    planes = [_poly_plane(p) for p in blockers]
+    own_planes = [(i, _poly_plane(p)) for i, p in own]
+
+    for si, sd in enumerate(defs):
+        if sd.vertices is None or len(sd.vertices) < 3:
+            continue
+        pts = sample_points(sd.vertices, shrink=shrink)  # [K, 3]
+        K = len(pts)
+        blocked = np.zeros((T, K), bool)
+        for owner, (q0, nq, e1, e2, v2) in (
+            [(None, pl) for pl in planes]
+            + [(i, pl) for i, pl in own_planes]
+        ):
+            if owner == si:
+                continue  # a surface never shades itself
+            denom = d @ nq  # [T]
+            ok = np.abs(denom) > 1e-12
+            tdist = np.where(
+                ok[:, None],
+                ((q0 - pts) @ nq)[None, :] / np.where(ok, denom, 1.0)[:, None],
+                -1.0,
+            )  # [T, K]
+            hit = tdist > _EPS
+            if not hit.any():
+                continue
+            x = pts[None, :, :] + tdist[:, :, None] * d[:, None, :]
+            rel = x - q0
+            blocked |= hit & _in_polygon(rel @ e1, rel @ e2, v2)
+        out[:, si] = np.where(up, 1.0 - blocked.mean(axis=1), 1.0)
+    return out

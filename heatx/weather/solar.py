@@ -156,6 +156,7 @@ def perez_sky_diffuse(dhi, cos_tilt, cos_inc, zenith_rad, F1, F2):
 def poa_irradiance(
     dni, dhi, ghi, altitude_rad, azimuth_rad, normal_x, normal_y, cos_tilt,
     albedo=0.2, sky="isotropic", day_of_year=None, ground_view=None,
+    beam_fraction=None,
 ):
     """Plane-of-array irradiance.
 
@@ -179,6 +180,10 @@ def poa_irradiance(
     cos_inc = sx * normal_x + sy * normal_y + sz * cos_tilt
     up = np.asarray(altitude_rad) > 0.0
     direct = np.asarray(dni) * np.clip(cos_inc, 0.0, None) * up
+    if beam_fraction is not None:
+        # Sunlit fraction from context shading (heatx.weather.shadow):
+        # scales the beam only; diffuse sky-view reduction is not modeled.
+        direct = direct * np.asarray(beam_fraction, np.float64)
     iso_sky = np.asarray(dhi) * (1.0 + cos_tilt) / 2.0
     if sky == "perez":
         if day_of_year is None:
@@ -342,7 +347,7 @@ def model_ground_views(model):
 
 def surface_irradiance(
     epw, building, albedo=0.2, hours=None, side="front", sky="isotropic",
-    start_hour=0, sun=None, ground_view=None,
+    start_hour=0, sun=None, ground_view=None, beam_fraction=None,
 ):
     """Per-surface incident solar from an EPW: the [T, S] ``sol_front``
     input for a compiled building (front faces are the outdoor side in
@@ -359,7 +364,10 @@ def surface_irradiance(
     faces pay for the sun path once.  ``ground_view`` optionally overrides
     the ground-reflected view factor (scalar or [S]; NaN entries stay
     geometric — :func:`model_ground_views` builds the array from a
-    BuildingModel's explicit per-surface factors).
+    BuildingModel's explicit per-surface factors).  ``beam_fraction``
+    ([T, S]) scales the direct term only — the sunlit fractions
+    :func:`heatx.weather.shadow.sunlit_fraction` computes from context
+    shading polygons.
     """
     sb = building.surfaces
     if sun is None:
@@ -377,4 +385,5 @@ def surface_irradiance(
         dni[:, None], dhi[:, None], ghi[:, None],
         alt[:, None], az[:, None], nx[None, :], ny[None, :], ct[None, :],
         albedo=albedo, sky=sky, day_of_year=day[:, None], ground_view=gv,
+        beam_fraction=beam_fraction,
     )

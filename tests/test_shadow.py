@@ -1,0 +1,175 @@
+"""Context-shading ray-cast (heatx.weather.shadow — extension; the
+reference takes incident solar as an input and has no shading at all).
+Geometry truths first, then the solar-model and IDF integrations."""
+
+import numpy as np
+import pytest
+
+import heatx
+from heatx.model.building import Boundary, BuildingModel, SurfaceDef
+from heatx.model.building import Construction, Material, SpaceDef, Substance
+from heatx.weather.shadow import _in_polygon, sample_points, sunlit_fraction
+
+
+def _wall_model(with_shade=None):
+    """One 10x3 m wall facing -y (south); optional shade polygons."""
+    m = BuildingModel()
+    m.add_substance(Substance(
+        "c", thermal_conductivity=0.8, density=1700.0,
+        specific_heat_capacity=800.0,
+    ))
+    m.add_material(Material("c20", "c", 0.2))
+    m.add_construction(Construction("wall", ["c20"]))
+    m.add_space(SpaceDef("room", 300.0))
+    m.add_surface(SurfaceDef(
+        "w", "wall", Boundary.outdoor(), Boundary.space_("room"),
+        vertices=np.array(
+            [[0, 0, 0], [10, 0, 0], [10, 0, 3], [0, 0, 3]], float
+        ),
+    ))
+    for p in with_shade or []:
+        m.add_shade(p)
+    return m
+
+
+def test_point_in_polygon():
+    sq = np.array([[0, 0], [2, 0], [2, 2], [0, 2]], float)
+    px = np.array([1.0, 3.0, -0.1, 1.999])
+    py = np.array([1.0, 1.0, 1.0, 0.001])
+    np.testing.assert_array_equal(
+        _in_polygon(px, py, sq), [True, False, False, True]
+    )
+    # Concave L-shape: the notch is outside.
+    L = np.array([[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], float)
+    assert _in_polygon(np.array(0.5), np.array(1.5), L)
+    assert not _in_polygon(np.array(1.5), np.array(1.5), L)
+
+
+def test_sample_points_interior():
+    v = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 2], [0, 0, 2]], float)
+    pts = sample_points(v)
+    assert pts.shape == (5, 3)
+    np.testing.assert_allclose(pts[0], [2, 0, 1])  # centroid
+    assert (pts[:, 0] > 0).all() and (pts[:, 0] < 4).all()
+    assert np.allclose(pts[:, 1], 0.0)  # stays in the plane
+
+
+def test_full_screen_blocks_beam():
+    """A large screen parallel to the wall, between it and the southern
+    sun: fully blocked from the south, untouched from the north/at
+    night; removing the screen restores 1.0 everywhere."""
+    screen = np.array(
+        [[-10, -2, -5], [20, -2, -5], [20, -2, 10], [-10, -2, 10]], float
+    )
+    m = _wall_model([screen])
+    alt = np.radians([30.0, 30.0, -10.0])
+    az = np.radians([180.0, 0.0, 180.0])  # south, north, night-south
+    f = sunlit_fraction(m, alt, az)
+    np.testing.assert_allclose(f[:, 0], [0.0, 1.0, 1.0])
+    f0 = sunlit_fraction(_wall_model(), alt, az)
+    np.testing.assert_allclose(f0, 1.0)
+
+
+def test_overhang_high_sun_only():
+    """A horizontal overhang at the wall top shades high sun, not low sun
+    (the textbook passive-solar configuration)."""
+    overhang = np.array(
+        [[0, 0, 3], [10, 0, 3], [10, -2, 3], [0, -2, 3]], float
+    )
+    m = _wall_model([overhang])
+    az = np.radians([180.0, 180.0])
+    alt = np.radians([70.0, 10.0])
+    f = sunlit_fraction(m, alt, az)
+    assert f[0, 0] < 0.35  # high sun: mostly shaded
+    assert f[1, 0] > 0.9  # low winter sun slips under
+
+
+def test_self_shadowing_opt_in():
+    """include_building=True lets the building's own massing shade it: a
+    second wall due south of the first blocks southern sun; a surface
+    never shades itself (every lone wall stays fully lit)."""
+    m = _wall_model()
+    m.add_surface(SurfaceDef(
+        "blocker", "wall", Boundary.outdoor(), Boundary.space_("room"),
+        vertices=np.array(
+            [[0, -3, 0], [10, -3, 0], [10, -3, 5], [0, -3, 5]], float
+        ),
+    ))
+    alt = np.radians([20.0])
+    az = np.radians([180.0])
+    f_off = sunlit_fraction(m, alt, az)
+    np.testing.assert_allclose(f_off, 1.0)
+    f_on = sunlit_fraction(m, alt, az, include_building=True)
+    assert f_on[0, 0] == 0.0  # wall w fully behind the blocker
+    assert f_on[0, 1] == 1.0  # the blocker itself is unshaded
+
+
+def test_beam_fraction_scales_direct_only():
+    from heatx.weather.solar import poa_irradiance
+
+    kw = dict(
+        dni=800.0, dhi=100.0, ghi=500.0, altitude_rad=np.radians(40.0),
+        azimuth_rad=np.radians(180.0), normal_x=0.0, normal_y=-1.0,
+        cos_tilt=0.0, albedo=0.2,
+    )
+    full = poa_irradiance(**kw)
+    half = poa_irradiance(**kw, beam_fraction=0.5)
+    dark = poa_irradiance(**kw, beam_fraction=0.0)
+    diffuse_only = poa_irradiance(**{**kw, "dni": 0.0})
+    assert dark == pytest.approx(diffuse_only)
+    assert half == pytest.approx((full + dark) / 2.0)
+
+
+def test_idf_shading_surfaces_and_cli(ref_fixtures, tmp_path, capsys):
+    """Shading:*:Detailed polygons import as model.shades and the CLI
+    ray-casts them: a big southern screen cools a sunny run."""
+    import csv
+    import os
+
+    from heatx.cli import main
+    from heatx.model.idf import load_idf
+
+    EPW = f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw"
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    base = """
+Timestep, 1;
+Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+Construction, Wall, Concrete;
+Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+BuildingSurface:Detailed, N-Wall, Wall, Wall, A, Outdoors, , Sun, Wind, 0,
+    4, 10,5,3, 10,5,0, 0,5,0, 0,5,3;
+"""
+    shaded = base + """
+Shading:Site:Detailed, Screen, , 4,
+    -20,7,-5, 30,7,-5, 30,7,60, -20,7,60;
+"""
+    loaded = load_idf(shaded)
+    (shade,) = loaded.model.shades
+    assert shade.shape == (4, 3)
+    # Zone-attached shading resolves the base surface's frame too.
+    loaded2 = load_idf(base + """
+Shading:Zone:Detailed, Fin, N-Wall, , 4,
+    0,5,0, 0,8,0, 0,8,3, 0,5,3;
+""")
+    assert len(loaded2.model.shades) == 1
+    with pytest.warns(UserWarning, match="treated as opaque"):
+        load_idf(shaded.replace(
+            "Shading:Site:Detailed, Screen, ,",
+            "Shading:Site:Detailed, Screen, HalfOpen,",
+        ) + "Schedule:Constant, HalfOpen, , 0.5;\n")
+
+    temps = {}
+    for tag, text in (("open", base), ("shaded", shaded)):
+        p = tmp_path / f"{tag}.idf"
+        p.write_text(text)
+        o = tmp_path / f"{tag}.csv"
+        assert main(["simulate", str(p), EPW, "--hours", "48", "--engine",
+                     "xla", "--mode", "trbdf2", "--f64", "-o", str(o)]) == 0
+        temps[tag] = np.asarray(
+            [r[1] for r in list(csv.reader(open(o)))[1:]], float
+        )
+    assert "context shading: 1 polygon(s)" in capsys.readouterr().err
+    # A north wall in Santiago (southern hemisphere) is the sunny facade:
+    # screening its beam reads clearly in the 48 h mean.
+    assert temps["shaded"].mean() < temps["open"].mean() - 0.1
