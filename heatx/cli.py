@@ -916,10 +916,18 @@ def cmd_size(args) -> int:
                     model, ch_y["hvac_power"]
                 )
             extra.update(ch_y)
+        solar_scale = None
+        if loaded is not None and loaded.shading:
+            solar_scale = loaded.shading_series(epw.n_hours)
+            print(
+                f"# window shading: {len(loaded.shading)} rule(s) applied "
+                "to the annual sizing",
+                file=sys.stderr,
+            )
         ann = annual_peak_loads(
             model, epw, heat_sp=args.heat_sp, cool_sp=args.cool_sp,
             coverage=args.coverage, n=n, config=cfg,
-            extra_channels=extra or None,
+            extra_channels=extra or None, solar_scale=solar_scale,
         )
         print(ann.summary())
         out["annual"] = {

@@ -1105,6 +1105,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     # -- fenestration: a window hosted in a wall ------------------------------
     host_area_cut: Dict[str, float] = {}
     fen_shading_ctl: Dict[str, str] = {}  # pane -> pre-9.0 control name
+    rect_win_ctl: List[tuple] = []  # (owner, maybe-control-name) to check
     for o in by_type.get("fenestrationsurface:detailed", []):
         # Name, Surface Type, Construction, Building Surface Name,
         # OBC Object, View Factor, Frame, Multiplier, N, coords...
@@ -1168,6 +1169,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             # — parse from the tail.
             name, construction, host = o[1], o[2], o[3]
             host = _host_ref(host, f"{o[0]} {name!r}")
+            if _str(o, 4):
+                # In the pre-9.0 schema field 4 is the Shading Control
+                # Name; whether it is one is only knowable once the
+                # control objects are parsed (checked at the end).
+                rect_win_ctl.append((f"{o[0]} {name!r}", _str(o, 4).lower()))
             last = max(i for i, f in enumerate(o) if f != "")
             if last < 7:
                 raise ValueError(
@@ -1291,43 +1297,53 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     # zone frame).  Opaque blockers for the beam ray-cast
     # (heatx.weather.shadow); a Transmittance Schedule is honestly
     # approximated as opaque with a warning when it can be nonzero.
-    def _shade_verts(o, first, zone=""):
-        nf = _str(o, first).lower()
-        base = first + 1
-        if nf in ("", "autocalculate"):
-            ncoord = len(o) - base
-            if ncoord < 9 or ncoord % 3:
-                raise ValueError(
-                    f"{o[0]} {o[1]!r}: vertex coordinates must come in "
-                    "whole (x, y, z) triples"
-                )
+    def _shade_verts(o, first, zone):
         return _to_world(_vertices(o, first), zone)
 
-    for kind, sched_at in (("shading:site:detailed", 2),
-                           ("shading:building:detailed", 2)):
-        for o in by_type.get(kind, []):
-            sched = _str(o, sched_at)
-            if sched and out.schedules.get(sched.lower(), np.ones(1)).max() > 0:
-                warnings.warn(
-                    f"{o[0]} {o[1]!r}: Transmittance Schedule "
-                    f"{sched!r} treated as opaque (partial shade "
-                    "transmission is not imported)",
-                    stacklevel=2,
-                )
-            m.add_shade(_shade_verts(o, sched_at + 1))
-    for o in by_type.get("shading:zone:detailed", []):
-        base_surf = _str(o, 2)
-        zone = surf_zone.get(
-            surf_canon.get(base_surf.lower(), base_surf), ""
-        )
-        sched = _str(o, 3)
+    def _warn_transmittance(o, sched):
         if sched and out.schedules.get(sched.lower(), np.ones(1)).max() > 0:
             warnings.warn(
-                f"Shading:Zone:Detailed {o[1]!r}: Transmittance Schedule "
-                f"{sched!r} treated as opaque",
-                stacklevel=2,
+                f"{o[0]} {o[1]!r}: Transmittance Schedule {sched!r} "
+                "treated as opaque (partial shade transmission is not "
+                "imported)",
+                stacklevel=3,
             )
-        m.add_shade(_shade_verts(o, 4, zone))
+
+    def _rotated(verts, deg):
+        # Clockwise-positive building rotation in the xy plane.
+        if clockwise:
+            verts = verts[::-1]
+        if deg:
+            b = np.radians(deg)
+            c, s = np.cos(b), np.sin(b)
+            x, y = verts[:, 0], verts[:, 1]
+            verts = np.column_stack(
+                [c * x + s * y, -s * x + c * y, verts[:, 2]]
+            )
+        return verts
+
+    for o in by_type.get("shading:site:detailed", []):
+        # Site shading is world-fixed: never rotated by the building
+        # north axis (EnergyPlus semantics), whatever the coordinate mode.
+        _warn_transmittance(o, _str(o, 2))
+        m.add_shade(_rotated(_vertices(o, 3), 0.0))
+    for o in by_type.get("shading:building:detailed", []):
+        # Building shading rotates WITH the building (north axis), in
+        # both World and Relative coordinate modes.
+        _warn_transmittance(o, _str(o, 2))
+        m.add_shade(_rotated(_vertices(o, 3), north_axis))
+    for o in by_type.get("shading:zone:detailed", []):
+        base_surf = _str(o, 2)
+        host = surf_canon.get(base_surf.lower())
+        if host is None:
+            # EnergyPlus hard-errors too; a silent world-frame fallback
+            # would misplace the fin in Relative-coordinate models.
+            raise ValueError(
+                f"Shading:Zone:Detailed {o[1]!r}: Base Surface Name "
+                f"{base_surf!r} names no parsed surface"
+            )
+        _warn_transmittance(o, _str(o, 3))
+        m.add_shade(_shade_verts(o, 4, surf_zone[host]))
 
     for o in by_type.get("internalmass", []):
         # Name, Construction, Zone or ZoneList, [Space — 22.1+], Surface
@@ -1553,6 +1569,8 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     def _shade_rule(owner, construction_with, control_type, sched,
                     device_material, fen_names):
         ct = control_type.lower().replace(" ", "")
+        if ct == "alwaysoff":
+            return  # never deployed: running unshaded IS the semantics
         if ct == "alwayson":
             schedule = None
         elif ct == "onifscheduleallows":
@@ -1596,6 +1614,12 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 )
         if fens:
             out.shading.append(ShadingRule(owner, fens, tau, schedule))
+        else:
+            warnings.warn(
+                f"{owner}: no fenestration names given — the rule "
+                "controls nothing",
+                stacklevel=3,
+            )
 
     for o in by_type.get("windowshadingcontrol", []):
         # 9.0+ schema: ..., Shading Type(4), Construction with Shading(5),
@@ -1609,6 +1633,15 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         o[1].lower(): o
         for o in by_type.get("windowproperty:shadingcontrol", [])
     }
+    for owner, maybe_ctl in rect_win_ctl:
+        if maybe_ctl in pre9_ctls:
+            warnings.warn(
+                f"{owner}: Shading Control {maybe_ctl!r} on a rectangular "
+                "window is not imported (model the pane as "
+                "FenestrationSurface:Detailed for scheduled shading) — "
+                "the pane runs unshaded",
+                stacklevel=2,
+            )
     ctl_fens: Dict[str, List[str]] = {}
     for fname, cname in fen_shading_ctl.items():
         ctl_fens.setdefault(cname, []).append(fname)

@@ -303,6 +303,16 @@ def design_day_loads(
         dni, dhi = ashrae_clear_sky(alt, day.month, clearness=day.clearness)
         ghi = dni * np.clip(np.sin(alt), 0.0, None) + dhi
         gv = model_ground_views(sized)
+        beam = None
+        if sized.shades:
+            # Permanent context geometry (overhangs, neighbors) shades
+            # the design day too; scheduled WINDOW shades are deliberately
+            # excluded here — ignoring them oversizes, the conservative
+            # direction (the annual method applies them exactly via
+            # solar_scale).
+            from heatx.weather.shadow import sunlit_fraction
+
+            beam = sunlit_fraction(sized, alt, az)
 
         def poa(sign):
             return poa_irradiance(
@@ -312,6 +322,7 @@ def design_day_loads(
                 sign * np.asarray(sb.normal[:, 1])[None, :],
                 (sign * ct)[None, :],
                 albedo=albedo, ground_view=gv[None, :],
+                beam_fraction=beam,
             )
 
         sol_f = poa(1.0)
@@ -407,6 +418,7 @@ def annual_peak_loads(
     max_repeats: int = 25,
     engine: str = "xla",
     block_size: int = 1024,
+    solar_scale=None,
 ) -> AnnualSizing:
     """Sizing by simulation: the whole EPW year with unlimited ideal loads.
 
@@ -427,6 +439,12 @@ def annual_peak_loads(
     ASHRAE design-condition convention).  ``extra_channels`` adds
     scheduled gains/airflows, as in :func:`design_day_loads` but [T]-long.
     Returns the signed demand series too, so callers can study the peaks.
+
+    Context shading polygons (``model.shades``) ray-cast into the beam
+    term automatically; ``solar_scale`` ([T, S]) additionally multiplies
+    the incident solar — pass ``LoadedIdf.shading_series(epw.n_hours)``
+    to include scheduled window shades (the CLI's ``size --annual``
+    does).
 
     ``engine="kernel"`` runs the year through the fused Pallas day kernel
     instead of the XLA scan (hourly main steps only) — city-scale sizing:
@@ -465,17 +483,30 @@ def annual_peak_loads(
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
     gv = model_ground_views(sized)
     sun = sun_and_sky(epw)
+    beam = None
+    if sized.shades:
+        # Context shading geometry shades the sizing year exactly like
+        # the simulate path (the beam term only).
+        from heatx.weather.shadow import sunlit_fraction
+
+        beam = sunlit_fraction(sized, sun[3], sun[4])
     sol_f = surface_irradiance(epw, b, albedo=albedo, sky=sky,
-                               ground_view=gv, sun=sun) * out_front
+                               ground_view=gv, sun=sun,
+                               beam_fraction=beam) * out_front
     ir_f = surface_longwave(epw, b) * out_front
     if out_back.any():
         sol_b = surface_irradiance(epw, b, albedo=albedo, sky=sky,
                                    side="back", ground_view=gv,
-                                   sun=sun) * out_back
+                                   sun=sun, beam_fraction=beam) * out_back
         ir_b = surface_longwave(epw, b, side="back") * out_back
     else:
         sol_b = np.zeros_like(sol_f)
         ir_b = np.zeros_like(ir_f)
+    if solar_scale is not None:
+        # Scheduled window shading (LoadedIdf.shading_series): [T, S]
+        # multipliers on the incident solar, both faces.
+        sol_f = sol_f * solar_scale
+        sol_b = sol_b * solar_scale
     channels = dict(
         t_out=epw.dry_bulb, wind_speed=epw.wind_speed,
         wind_direction=epw.wind_direction_rad,

@@ -30,17 +30,11 @@ _EPS = 1e-6  # m along the ray; also excludes coplanar geometry (t ~ 0)
 def _poly_plane(poly: np.ndarray):
     """Plane + 2D projection basis of a vertex loop: (origin, normal,
     e1, e2, verts2 [V, 2])."""
+    from heatx.model.geometry import polygon_normal
+
     v = np.asarray(poly, np.float64)
     origin = v[0]
-    # Newell normal (robust for near-degenerate/concave loops).
-    nx = np.sum((v[:, 1] - np.roll(v[:, 1], -1)) * (v[:, 2] + np.roll(v[:, 2], -1)))
-    ny = np.sum((v[:, 2] - np.roll(v[:, 2], -1)) * (v[:, 0] + np.roll(v[:, 0], -1)))
-    nz = np.sum((v[:, 0] - np.roll(v[:, 0], -1)) * (v[:, 1] + np.roll(v[:, 1], -1)))
-    n = np.array([nx, ny, nz])
-    norm = np.linalg.norm(n)
-    if norm < 1e-12:
-        raise ValueError("degenerate shading polygon (zero area)")
-    n = n / norm
+    n = polygon_normal(v)  # Newell normal; raises on degenerate loops
     e1 = v[1] - v[0]
     e1 = e1 - n * (e1 @ n)
     e1 = e1 / np.linalg.norm(e1)
@@ -114,6 +108,22 @@ def sunlit_fraction(
                 own.append((i, np.asarray(sd.vertices, np.float64)))
     if not blockers and not own:
         return out
+    no_geom = [
+        sd.name for sd in defs
+        if sd.vertices is None or len(sd.vertices) < 3
+    ]
+    if no_geom:
+        import warnings
+
+        # Silence here would read as "shading applied" while the panes
+        # most exposed to beam gain stayed fully sunlit.
+        warnings.warn(
+            "context shading cannot ray-cast surfaces without vertex "
+            f"geometry — they stay fully sunlit: {', '.join(no_geom)} "
+            "(rectangular Window/GlazedDoor imports carry no vertex loop; "
+            "model them as FenestrationSurface:Detailed to shade them)",
+            stacklevel=2,
+        )
 
     d = np.column_stack(sun_vector(alt, az))  # [T, 3] toward the sun
     up = alt > 0.0

@@ -965,7 +965,7 @@ FenestrationSurface:Detailed, Win3, Window, Glz, W, , 0, Ghost, , 1,
 """)
 
 
-def test_cli_applies_shading(tmp_path, capsys):
+def test_cli_applies_shading(ref_fixtures, tmp_path, capsys):
     """The simulate command scales the controlled panes' incident solar:
     the always-shaded variant runs cooler on a sunny day."""
     import csv as _csv
@@ -973,7 +973,7 @@ def test_cli_applies_shading(tmp_path, capsys):
 
     from heatx.cli import main
 
-    EPW = "/root/reference/tests/epw/CHL_Santiago.855740_IWEC.epw"
+    EPW = f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw"
     if not _os.path.isfile(EPW):
         pytest.skip("reference EPW unavailable")
     base = _SHADE_IDF + "Timestep, 1;\n"

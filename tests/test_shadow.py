@@ -173,3 +173,55 @@ Shading:Zone:Detailed, Fin, N-Wall, , 4,
     # A north wall in Santiago (southern hemisphere) is the sunny facade:
     # screening its beam reads clearly in the 48 h mean.
     assert temps["shaded"].mean() < temps["open"].mean() - 0.1
+
+
+def test_sizing_respects_context_shading(ref_fixtures):
+    """A big screen on the sunny side reduces the sized summer cooling
+    peak (design day AND annual method)."""
+    from heatx.sizing import (
+        annual_peak_loads,
+        design_day_loads,
+        design_days_from_epw,
+    )
+    from heatx.weather.epw import read_epw
+
+    epw = read_epw(f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw")
+    cfg = heatx.SimConfig(dtype=np.float64, interior_mrt=True)
+
+    def north_wall_model(screen=False):
+        m = BuildingModel()
+        m.add_substance(Substance(
+            "c", thermal_conductivity=0.8, density=1700.0,
+            specific_heat_capacity=800.0,
+        ))
+        m.add_material(Material("c20", "c", 0.2))
+        m.add_construction(Construction("wall", ["c20"]))
+        m.add_space(SpaceDef("room", 300.0))
+        m.add_surface(SurfaceDef(
+            "n", "wall", Boundary.outdoor(), Boundary.space_("room"),
+            vertices=np.array(
+                [[10, 5, 3], [10, 5, 0], [0, 5, 0], [0, 5, 3]], float
+            ),
+        ))
+        if screen:
+            m.add_shade(np.array(
+                [[-20, 7, -5], [30, 7, -5], [30, 7, 60], [-20, 7, 60]],
+                float,
+            ))
+        return m
+
+    days = design_days_from_epw(epw)
+    dd_open = design_day_loads(north_wall_model(), days["summer"],
+                               epw=epw, config=cfg)
+    dd_scr = design_day_loads(north_wall_model(True), days["summer"],
+                              epw=epw, config=cfg)
+    assert float(dd_scr.peak_W[0]) < float(dd_open.peak_W[0])
+    an_open = annual_peak_loads(north_wall_model(), epw, config=cfg)
+    an_scr = annual_peak_loads(north_wall_model(True), epw, config=cfg)
+    assert float(an_scr.peak_cooling_W[0]) < float(an_open.peak_cooling_W[0])
+    # solar_scale multiplies on top (a 0-transmittance shade kills solar).
+    an_dark = annual_peak_loads(
+        north_wall_model(), epw, config=cfg,
+        solar_scale=np.zeros((epw.n_hours, 1)),
+    )
+    assert float(an_dark.peak_cooling_W[0]) <= float(an_scr.peak_cooling_W[0])
