@@ -1374,7 +1374,28 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         # the temperature/wind control terms (fields 9+) model controlled
         # natural ventilation, which heatx leaves to the caller (the
         # channels are per-step inputs — drive vent_vol with any control
-        # law you like).
+        # law you like).  Active gates get an honest warning: silently
+        # ventilating through them would overstate heat loss.
+        gates = (
+            (16, "Minimum Indoor Temperature", -100.0),
+            (18, "Maximum Indoor Temperature", 100.0),
+            (20, "Delta Temperature", -100.0),
+            (22, "Minimum Outdoor Temperature", -100.0),
+            (24, "Maximum Outdoor Temperature", 100.0),
+        )
+        active = [
+            label for k, label, dflt in gates
+            if _num(o, k) is not None and _num(o, k, dflt) != dflt
+        ]
+        if active:
+            warnings.warn(
+                f"ZoneVentilation {o[1]!r}: temperature gates "
+                f"({', '.join(active)}) are not imported — the design "
+                "flow applies whenever the schedule allows (drive "
+                "StepInputs.vent_vol with your own control law to model "
+                "them)",
+                stacklevel=2,
+            )
         _airflow(o, "ventilation", out.ventilation)
 
     # -- internal gains: Lights / ElectricEquipment / People -------------------

@@ -996,3 +996,29 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , AlwaysOn,
     # South-facing (shade side in Santiago) glazing sees mostly diffuse;
     # the shade still reads clearly against the 48 h mean.
     assert temps["shaded"].mean() < temps["open"].mean() - 0.03
+
+
+def test_zoneventilation_gate_warning():
+    """Temperature-controlled ventilation gates warn honestly (the design
+    flow would otherwise silently apply through them); wide-open defaults
+    stay silent."""
+    import warnings as _w
+
+    base = """
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    Schedule:Constant, On, , 1.0;
+    """
+    gated = base + """
+    ZoneVentilation:DesignFlowRate, V, A, On, Flow/Zone,
+        0.1, , , , Natural, , , 1, 0, 0, 0, 22, , 100, , 2;
+    """
+    with pytest.warns(UserWarning, match="Minimum Indoor Temperature"):
+        loaded = load_idf(gated)
+    assert loaded.ventilation["A"] == pytest.approx(0.1)
+    open_vent = base + """
+    ZoneVentilation:DesignFlowRate, V, A, On, Flow/Zone,
+        0.1, , , , Natural, , , 1, 0, 0, 0, -100, , 100, , -100;
+    """
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        load_idf(open_vent)  # defaults: no warning
