@@ -801,6 +801,24 @@ def cmd_simulate(args) -> int:
                     for z, name in enumerate(znames)
                 },
             }
+            if T >= 2 * 24 and start % 8760 == 0 and T <= 8784:
+                # Whole-year-aligned runs get a calendar-month breakdown
+                # (partial trailing months report what was simulated).
+                month_days = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+                if T == 8784:
+                    month_days[1] = 29
+                edges = np.concatenate(
+                    [[0], np.cumsum(np.array(month_days) * 24)]
+                ).clip(max=T)
+                mh, mc = [], []
+                for lo, hi in zip(edges[:-1], edges[1:]):
+                    if hi <= lo:
+                        break
+                    seg = loads[lo:hi]
+                    mh.append(kwh(seg.clip(min=0).sum()))
+                    mc.append(kwh(-seg.clip(max=0).sum()))
+                summary["demand"]["monthly_heating_kwh"] = mh
+                summary["demand"]["monthly_cooling_kwh"] = mc
             # Unmet setpoint hours (zone-hours outside the setpoint +-0.5 K
             # throttling range, the ASHRAE 90.1 convention): nonzero only
             # when capacity limits (max_heating/max_cooling) bind — ideal

@@ -650,3 +650,31 @@ BuildingSurface:Detailed,
     np.testing.assert_allclose(pmv2, ref, atol=2e-3)  # CSV rounding
     assert main(["simulate", str(p), EPW, "--hours", "6", "--engine",
                  "xla", "--comfort-csv", str(oc)]) == 2
+
+
+@pytest.mark.slow
+def test_cli_summary_monthly_breakdown(tmp_path):
+    """Year-aligned runs get a calendar-month demand breakdown whose sum
+    equals the annual totals (partial trailing months report what ran)."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    idf = _SLAB_IDF.replace("Ground", "Outdoors") + """
+HVACTemplate:Thermostat, TST, , 20.0, , 26.0;
+HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
+"""
+    p = tmp_path / "m.idf"
+    p.write_text(idf)
+    js = tmp_path / "s.json"
+    # 60 days + 1: January + February + a 25 h partial March.
+    assert main(["simulate", str(p), EPW, "--hours", str(59 * 24 + 25),
+                 "--engine", "xla", "--mode", "trbdf2", "--f64",
+                 "--summary-json", str(js)]) == 0
+    import json
+
+    d = json.loads(js.read_text())["demand"]
+    mh, mc = d["monthly_heating_kwh"], d["monthly_cooling_kwh"]
+    assert len(mh) == 3 and len(mc) == 3  # Jan, Feb, partial Mar
+    assert sum(mh) == pytest.approx(d["heating_kwh"], abs=0.01)
+    assert sum(mc) == pytest.approx(d["cooling_kwh"], abs=0.01)
+    # Santiago January (summer): cooling-dominated month.
+    assert mc[0] > mh[0]
