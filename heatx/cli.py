@@ -272,6 +272,7 @@ def cmd_simulate(args) -> int:
 
     out_front = np.asarray(sb.front_code) == B_OUTDOOR
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
+    sky_view = None  # context-shading sky obstruction (set under --solar)
     if args.solar:
         # The sun path and tiled irradiance columns are side-independent:
         # compute once, project onto both faces.  Explicit per-surface
@@ -282,22 +283,28 @@ def cmd_simulate(args) -> int:
         gv = model_ground_views(model)
         sun = sun_and_sky(epw, hours=Tx, start_hour=start)
         beam_frac = None
+        sky_view = None
         if model.shades:
             # Context shading (overhangs / fins / neighbors): ray-cast
-            # sunlit fractions scale the beam term on both faces.
-            from heatx.weather.shadow import sunlit_fraction
+            # sunlit fractions scale the beam term on both faces, and a
+            # static sky-view factor carries the obstruction into the
+            # diffuse sky term and the longwave (the blocked dome
+            # radiates at ~air temperature).
+            from heatx.weather.shadow import sky_view_fraction, sunlit_fraction
 
             _, _, _, alt_s, az_s, _ = sun
             beam_frac = sunlit_fraction(model, alt_s, az_s)
+            sky_view = sky_view_fraction(model)
             print(
                 f"# context shading: {len(model.shades)} polygon(s) "
-                "ray-cast into beam sunlit fractions",
+                "ray-cast into beam sunlit fractions (min sky view "
+                f"{sky_view.min():.2f})",
                 file=sys.stderr,
             )
         sol_f = (
             surface_irradiance(
                 epw, b, hours=Tx, albedo=args.albedo, sky=args.sky, sun=sun,
-                ground_view=gv, beam_fraction=beam_frac,
+                ground_view=gv, beam_fraction=beam_frac, sky_view=sky_view,
             )
             * out_front
         )
@@ -305,7 +312,7 @@ def cmd_simulate(args) -> int:
             surface_irradiance(
                 epw, b, hours=Tx, albedo=args.albedo, side="back",
                 sky=args.sky, sun=sun, ground_view=gv,
-                beam_fraction=beam_frac,
+                beam_fraction=beam_frac, sky_view=sky_view,
             )
             * out_back
         )
@@ -328,9 +335,16 @@ def cmd_simulate(args) -> int:
         # EnergyPlus-style exterior longwave: sky through F_sky (split
         # sky/air by sqrt(F_sky)), ground at air temperature through
         # F_ground.  A vertical wall sees ~35% cold sky instead of 100%.
+        # Context shades reduce the visible sky further (sky_view from
+        # the solar block above; None without shades or with --no-solar).
         ct = np.asarray(sb.cos_tilt, np.float64)
-        ir_f = longwave_irradiance(ir[:, None], dry[:, None], ct[None, :])
-        ir_b = longwave_irradiance(ir[:, None], dry[:, None], -ct[None, :])
+        sv = sky_view[None, :] if sky_view is not None else None
+        ir_f = longwave_irradiance(
+            ir[:, None], dry[:, None], ct[None, :], sky_view=sv
+        )
+        ir_b = longwave_irradiance(
+            ir[:, None], dry[:, None], -ct[None, :], sky_view=sv
+        )
         ir_f = ir_f * out_front
         ir_b = ir_b * out_back
     else:

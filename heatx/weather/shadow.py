@@ -66,6 +66,97 @@ def sample_points(vertices: np.ndarray, shrink: float = 0.3) -> np.ndarray:
     return np.vstack([c[None, :], c + (1.0 - shrink) * (v - c)])
 
 
+def _fibonacci_hemisphere(n: int) -> np.ndarray:
+    """[n, 3] deterministic unit directions over the +z hemisphere
+    (Fibonacci spiral — low-discrepancy, reproducible)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    z = i / n  # uniform in z: equal-area bands on the hemisphere
+    phi = i * (np.pi * (3.0 - np.sqrt(5.0)))
+    r = np.sqrt(np.clip(1.0 - z**2, 0.0, None))
+    return np.column_stack([r * np.cos(phi), r * np.sin(phi), z])
+
+
+def sky_view_fraction(
+    model,
+    samples: int = 256,
+    include_building: bool = False,
+    shrink: float = 0.3,
+    extra_shades: Optional[List[np.ndarray]] = None,
+) -> np.ndarray:
+    """Per-surface unobstructed sky fraction under context shading.
+
+    For each vertex-bearing surface, cosine-weighted hemisphere rays
+    (deterministic Fibonacci directions, restricted above the horizon and
+    in front of the face) are cast from its :func:`sample_points` against
+    the blockers; the result is the visible fraction of the isotropic-sky
+    irradiance the unobstructed surface would receive.  Returns [S] in
+    the compiled order (1.0 where there is nothing to ray-cast or no
+    geometry).
+
+    Use it to carry obstruction into the DIFFUSE terms — scale the sky
+    diffuse (``poa_irradiance(sky_view=...)``) and blend the longwave
+    (an obstruction radiates at ~air temperature where the cold sky
+    would be) — on top of :func:`sunlit_fraction`'s beam handling.
+    """
+    from heatx.model.geometry import polygon_normal
+
+    defs = list(model.surfaces) + list(model.fenestrations)
+    S = len(defs)
+    out = np.ones(S)
+    blockers = [np.asarray(p, np.float64) for p in model.shades]
+    if extra_shades:
+        blockers += [np.asarray(p, np.float64) for p in extra_shades]
+    own = []
+    if include_building:
+        for i, sd in enumerate(defs):
+            if sd.vertices is not None and len(sd.vertices) >= 3:
+                own.append((i, np.asarray(sd.vertices, np.float64)))
+    if not blockers and not own:
+        return out
+
+    dirs = _fibonacci_hemisphere(int(samples))  # +z hemisphere (sky dome)
+    planes = [(None, _poly_plane(p)) for p in blockers]
+    own_planes = [(i, _poly_plane(p)) for i, p in own]
+
+    for si, sd in enumerate(defs):
+        if sd.vertices is None or len(sd.vertices) < 3:
+            continue
+        n = polygon_normal(sd.vertices)
+        # Rays the surface's sky irradiance actually arrives on: above
+        # the horizon (the dome) AND in front of the face.  Weight by
+        # cos(incidence) — the isotropic-sky kernel.
+        w_front = np.clip(dirs @ n, 0.0, None)
+        w_back = np.clip(dirs @ (-n), 0.0, None)
+        # A vertical/tilted surface has sky view on both faces; weight
+        # each ray by whichever face it reaches (fronts and backs share
+        # the one geometric factor, like sunlit_fraction).
+        w = np.maximum(w_front, w_back)
+        total = w.sum()
+        if total <= 0.0:
+            continue
+        pts = sample_points(sd.vertices, shrink=shrink)
+        blocked = np.zeros((len(dirs), len(pts)), bool)
+        for owner, (q0, nq, e1, e2, v2) in planes + own_planes:
+            if owner == si:
+                continue
+            denom = dirs @ nq
+            ok = np.abs(denom) > 1e-12
+            tdist = np.where(
+                ok[:, None],
+                ((q0 - pts) @ nq)[None, :] / np.where(ok, denom, 1.0)[:, None],
+                -1.0,
+            )
+            hit = tdist > _EPS
+            if not hit.any():
+                continue
+            x = pts[None, :, :] + tdist[:, :, None] * dirs[:, None, :]
+            rel = x - q0
+            blocked |= hit & _in_polygon(rel @ e1, rel @ e2, v2)
+        visible = 1.0 - blocked.mean(axis=1)  # per-direction
+        out[si] = float((w * visible).sum() / total)
+    return out
+
+
 def sunlit_fraction(
     model,
     altitude_rad,

@@ -156,7 +156,7 @@ def perez_sky_diffuse(dhi, cos_tilt, cos_inc, zenith_rad, F1, F2):
 def poa_irradiance(
     dni, dhi, ghi, altitude_rad, azimuth_rad, normal_x, normal_y, cos_tilt,
     albedo=0.2, sky="isotropic", day_of_year=None, ground_view=None,
-    beam_fraction=None,
+    beam_fraction=None, sky_view=None,
 ):
     """Plane-of-array irradiance.
 
@@ -196,6 +196,11 @@ def poa_irradiance(
         sky_term = iso_sky
     else:
         raise ValueError(f"unknown sky model {sky!r}")
+    if sky_view is not None:
+        # Static obstruction of the sky dome (shadow.sky_view_fraction):
+        # scales the sky diffuse only (obstruction-reflected solar and
+        # blocked ground view are not modeled).
+        sky_term = sky_term * np.asarray(sky_view, np.float64)
     f_gnd = (1.0 - cos_tilt) / 2.0
     if ground_view is not None:
         gv = np.asarray(ground_view, np.float64)
@@ -204,7 +209,9 @@ def poa_irradiance(
     return direct + sky_term + ground
 
 
-def longwave_irradiance(ir_horizontal, t_air_c, cos_tilt, t_ground_c=None):
+def longwave_irradiance(
+    ir_horizontal, t_air_c, cos_tilt, t_ground_c=None, sky_view=None,
+):
     """Incident longwave IR on a tilted exterior face, W/m2.
 
     The EPW's ``horizontal_ir`` column is the sky's hemispheric blackbody
@@ -238,11 +245,18 @@ def longwave_irradiance(ir_horizontal, t_air_c, cos_tilt, t_ground_c=None):
         e_ground = e_air
     else:
         e_ground = SIGMA * (np.asarray(t_ground_c, np.float64) + 273.15) ** 4
+    if sky_view is not None:
+        # Context obstruction (heatx.weather.shadow.sky_view_fraction):
+        # the blocked part of the sky dome radiates at ~air temperature
+        # (a building face) instead of the cold sky column.
+        sv = np.asarray(sky_view, np.float64)
+        ir_h = sv * ir_h + (1.0 - sv) * e_air
     return f_sky * beta * ir_h + f_sky * (1.0 - beta) * e_air + f_ground * e_ground
 
 
 def surface_longwave(
-    epw, building, hours=None, side="front", start_hour=0, t_ground_c=None
+    epw, building, hours=None, side="front", start_hour=0, t_ground_c=None,
+    sky_view=None,
 ):
     """Per-surface incident longwave from an EPW: the [T, S] ``ir_front``
     input for a compiled building (:func:`longwave_irradiance` over each
@@ -270,7 +284,13 @@ def surface_longwave(
         tg = np.asarray(t_ground_c, np.float64)
         if tg.ndim == 1:
             tg = tg[:, None]
-    return longwave_irradiance(ir_h[:, None], t_air[:, None], ct[None, :], tg)
+    sv = None
+    if sky_view is not None:
+        sv = np.asarray(sky_view, np.float64)
+        sv = sv[None, :] if sv.ndim == 1 else sv
+    return longwave_irradiance(
+        ir_h[:, None], t_air[:, None], ct[None, :], tg, sky_view=sv
+    )
 
 
 def sun_and_sky(epw, hours=None, start_hour=0):
@@ -348,6 +368,7 @@ def model_ground_views(model):
 def surface_irradiance(
     epw, building, albedo=0.2, hours=None, side="front", sky="isotropic",
     start_hour=0, sun=None, ground_view=None, beam_fraction=None,
+    sky_view=None,
 ):
     """Per-surface incident solar from an EPW: the [T, S] ``sol_front``
     input for a compiled building (front faces are the outdoor side in
@@ -381,9 +402,13 @@ def surface_irradiance(
     if ground_view is not None:
         gv = np.asarray(ground_view, np.float64)
         gv = gv[None, :] if gv.ndim == 1 else gv
+    sv = None
+    if sky_view is not None:
+        sv = np.asarray(sky_view, np.float64)
+        sv = sv[None, :] if sv.ndim == 1 else sv
     return poa_irradiance(
         dni[:, None], dhi[:, None], ghi[:, None],
         alt[:, None], az[:, None], nx[None, :], ny[None, :], ct[None, :],
         albedo=albedo, sky=sky, day_of_year=day[:, None], ground_view=gv,
-        beam_fraction=beam_fraction,
+        beam_fraction=beam_fraction, sky_view=sv,
     )

@@ -225,3 +225,56 @@ def test_sizing_respects_context_shading(ref_fixtures):
         solar_scale=np.zeros((epw.n_hours, 1)),
     )
     assert float(an_dark.peak_cooling_W[0]) <= float(an_scr.peak_cooling_W[0])
+
+
+def test_sky_view_fraction_geometry():
+    """Sky-view truths: no shades -> 1.0; a full dome-blocking box -> ~0;
+    an infinite-ish horizontal canopy just above a horizontal roof -> ~0,
+    while a vertical wall under the same canopy keeps roughly the
+    below-horizon... none of its sky (the wall's sky view halves)."""
+    from heatx.weather.shadow import sky_view_fraction
+
+    m = _wall_model()
+    np.testing.assert_allclose(sky_view_fraction(m), 1.0)
+
+    # A huge canopy 1 m above everything: the vertical wall loses its
+    # whole sky dome (every upward ray hits it).
+    canopy = np.array(
+        [[-500, -500, 4], [500, -500, 4], [500, 500, 4], [-500, 500, 4]],
+        float,
+    )
+    m2 = _wall_model([canopy])
+    sv = sky_view_fraction(m2)
+    assert sv[0] < 0.05
+
+    # A half-plane canopy covering only the south half (y < 0): the wall
+    # at y=0 loses roughly half its cosine-weighted sky.
+    half = np.array(
+        [[-500, -500, 4], [500, -500, 4], [500, 0, 4], [-500, 0, 4]], float
+    )
+    sv_half = sky_view_fraction(_wall_model([half]))
+    assert 0.3 < sv_half[0] < 0.7
+
+
+def test_sky_view_scales_diffuse_and_longwave():
+    from heatx.constants import SIGMA
+    from heatx.weather.solar import longwave_irradiance, poa_irradiance
+
+    kw = dict(
+        dni=0.0, dhi=300.0, ghi=300.0, altitude_rad=np.radians(40.0),
+        azimuth_rad=np.radians(180.0), normal_x=0.0, normal_y=-1.0,
+        cos_tilt=0.0, albedo=0.0,
+    )
+    full = poa_irradiance(**kw)
+    halved = poa_irradiance(**kw, sky_view=0.5)
+    assert halved == pytest.approx(full * 0.5)
+    # Longwave: zero sky view replaces the cold sky with an
+    # air-temperature blackbody -> tilt-invariant e_air.
+    t_air = 10.0
+    ir_h = SIGMA * 263.15**4
+    e_air = SIGMA * (t_air + 273.15) ** 4
+    blocked = longwave_irradiance(ir_h, t_air, 0.0, sky_view=0.0)
+    assert blocked == pytest.approx(e_air, rel=1e-12)
+    open_sky = longwave_irradiance(ir_h, t_air, 0.0)
+    partial = longwave_irradiance(ir_h, t_air, 0.0, sky_view=0.6)
+    assert open_sky < partial < blocked  # colder sky -> less incident IR
