@@ -272,7 +272,8 @@ def cmd_simulate(args) -> int:
 
     out_front = np.asarray(sb.front_code) == B_OUTDOOR
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
-    sky_view = None  # context-shading sky obstruction (set under --solar)
+    # Context-shading per-face sky obstruction (set under --solar).
+    sky_view_f = sky_view_b = None
     if args.solar:
         # The sun path and tiled irradiance columns are side-independent:
         # compute once, project onto both faces.  Explicit per-surface
@@ -283,28 +284,30 @@ def cmd_simulate(args) -> int:
         gv = model_ground_views(model)
         sun = sun_and_sky(epw, hours=Tx, start_hour=start)
         beam_frac = None
-        sky_view = None
         if model.shades:
             # Context shading (overhangs / fins / neighbors): ray-cast
-            # sunlit fractions scale the beam term on both faces, and a
-            # static sky-view factor carries the obstruction into the
-            # diffuse sky term and the longwave (the blocked dome
+            # sunlit fractions scale the beam term on both faces, and
+            # per-FACE static sky-view factors carry the obstruction into
+            # the diffuse sky term and the longwave (the blocked dome
             # radiates at ~air temperature).
             from heatx.weather.shadow import sky_view_fraction, sunlit_fraction
 
             _, _, _, alt_s, az_s, _ = sun
             beam_frac = sunlit_fraction(model, alt_s, az_s)
-            sky_view = sky_view_fraction(model)
+            sky_view_f = sky_view_fraction(model)
+            if out_back.any():
+                sky_view_b = sky_view_fraction(model, side="back")
             print(
                 f"# context shading: {len(model.shades)} polygon(s) "
                 "ray-cast into beam sunlit fractions (min sky view "
-                f"{sky_view.min():.2f})",
+                f"{sky_view_f.min():.2f})",
                 file=sys.stderr,
             )
         sol_f = (
             surface_irradiance(
                 epw, b, hours=Tx, albedo=args.albedo, sky=args.sky, sun=sun,
-                ground_view=gv, beam_fraction=beam_frac, sky_view=sky_view,
+                ground_view=gv, beam_fraction=beam_frac,
+                sky_view=sky_view_f,
             )
             * out_front
         )
@@ -312,7 +315,7 @@ def cmd_simulate(args) -> int:
             surface_irradiance(
                 epw, b, hours=Tx, albedo=args.albedo, side="back",
                 sky=args.sky, sun=sun, ground_view=gv,
-                beam_fraction=beam_frac, sky_view=sky_view,
+                beam_fraction=beam_frac, sky_view=sky_view_b,
             )
             * out_back
         )
@@ -335,15 +338,16 @@ def cmd_simulate(args) -> int:
         # EnergyPlus-style exterior longwave: sky through F_sky (split
         # sky/air by sqrt(F_sky)), ground at air temperature through
         # F_ground.  A vertical wall sees ~35% cold sky instead of 100%.
-        # Context shades reduce the visible sky further (sky_view from
-        # the solar block above; None without shades or with --no-solar).
+        # Context shades reduce the visible sky further (per-face factors
+        # from the solar block above; None without shades or --no-solar).
         ct = np.asarray(sb.cos_tilt, np.float64)
-        sv = sky_view[None, :] if sky_view is not None else None
+        svf = sky_view_f[None, :] if sky_view_f is not None else None
+        svb = sky_view_b[None, :] if sky_view_b is not None else None
         ir_f = longwave_irradiance(
-            ir[:, None], dry[:, None], ct[None, :], sky_view=sv
+            ir[:, None], dry[:, None], ct[None, :], sky_view=svf
         )
         ir_b = longwave_irradiance(
-            ir[:, None], dry[:, None], -ct[None, :], sky_view=sv
+            ir[:, None], dry[:, None], -ct[None, :], sky_view=svb
         )
         ir_f = ir_f * out_front
         ir_b = ir_b * out_back
@@ -815,11 +819,13 @@ def cmd_simulate(args) -> int:
                     for z, name in enumerate(znames)
                 },
             }
-            if T >= 2 * 24 and start % 8760 == 0 and T <= 8784:
-                # Whole-year-aligned runs get a calendar-month breakdown
-                # (partial trailing months report what was simulated).
+            if T >= 2 * 24 and start % epw.n_hours == 0 and T <= epw.n_hours:
+                # Whole-year-aligned runs within one weather year get a
+                # calendar-month breakdown (partial trailing months report
+                # what was simulated).  Leap Februaries come from the
+                # EPW's own length, not the simulated horizon.
                 month_days = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
-                if T == 8784:
+                if epw.n_hours == 8784:
                     month_days[1] = 29
                 edges = np.concatenate(
                     [[0], np.cumsum(np.array(month_days) * 24)]

@@ -1382,10 +1382,22 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             (20, "Delta Temperature", -100.0),
             (22, "Minimum Outdoor Temperature", -100.0),
             (24, "Maximum Outdoor Temperature", 100.0),
+            (26, "Maximum Wind Speed", 40.0),
         )
         active = [
             label for k, label, dflt in gates
             if _num(o, k) is not None and _num(o, k, dflt) != dflt
+        ]
+        # Schedule-valued gates (fields alongside the numeric ones).
+        active += [
+            label for k, label in (
+                (17, "Minimum Indoor Temperature Schedule"),
+                (19, "Maximum Indoor Temperature Schedule"),
+                (21, "Delta Temperature Schedule"),
+                (23, "Minimum Outdoor Temperature Schedule"),
+                (25, "Maximum Outdoor Temperature Schedule"),
+            )
+            if _str(o, k)
         ]
         if active:
             warnings.warn(

@@ -282,8 +282,22 @@ def design_day_loads(
     out_front = np.asarray(sb.front_code) == B_OUTDOOR
     out_back = np.asarray(sb.back_code) == B_OUTDOOR
     ct = np.asarray(sb.cos_tilt, np.float64)
-    ir_f = longwave_irradiance(ir_h[:, None], t_out[:, None], ct[None, :])
-    ir_b = longwave_irradiance(ir_h[:, None], t_out[:, None], -ct[None, :])
+    sv_front = sv_back = None
+    if sized.shades:
+        # Per-face sky-view factors: context geometry blocks the cold
+        # design sky on both seasons' longwave (and the summer diffuse).
+        from heatx.weather.shadow import sky_view_fraction
+
+        sv_front = sky_view_fraction(sized)
+        sv_back = sky_view_fraction(sized, side="back")
+    ir_f = longwave_irradiance(
+        ir_h[:, None], t_out[:, None], ct[None, :],
+        sky_view=None if sv_front is None else sv_front[None, :],
+    )
+    ir_b = longwave_irradiance(
+        ir_h[:, None], t_out[:, None], -ct[None, :],
+        sky_view=None if sv_back is None else sv_back[None, :],
+    )
 
     S = b.n_surfaces
     sol_f = np.zeros((T, S))
@@ -315,6 +329,7 @@ def design_day_loads(
             beam = sunlit_fraction(sized, alt, az)
 
         def poa(sign):
+            sv = sv_front if sign > 0 else sv_back
             return poa_irradiance(
                 dni[:, None], dhi[:, None], ghi[:, None],
                 alt[:, None], az[:, None],
@@ -323,6 +338,7 @@ def design_day_loads(
                 (sign * ct)[None, :],
                 albedo=albedo, ground_view=gv[None, :],
                 beam_fraction=beam,
+                sky_view=None if sv is None else sv[None, :],
             )
 
         sol_f = poa(1.0)
@@ -484,21 +500,29 @@ def annual_peak_loads(
     gv = model_ground_views(sized)
     sun = sun_and_sky(epw)
     beam = None
+    sv_f = sv_b = None
     if sized.shades:
         # Context shading geometry shades the sizing year exactly like
-        # the simulate path (the beam term only).
-        from heatx.weather.shadow import sunlit_fraction
+        # the simulate path: beam sunlit fractions plus the per-face
+        # sky-view factors on the diffuse and longwave terms.
+        from heatx.weather.shadow import sky_view_fraction, sunlit_fraction
 
         beam = sunlit_fraction(sized, sun[3], sun[4])
+        sv_f = sky_view_fraction(sized)
+        if out_back.any():
+            sv_b = sky_view_fraction(sized, side="back")
     sol_f = surface_irradiance(epw, b, albedo=albedo, sky=sky,
                                ground_view=gv, sun=sun,
-                               beam_fraction=beam) * out_front
-    ir_f = surface_longwave(epw, b) * out_front
+                               beam_fraction=beam,
+                               sky_view=sv_f) * out_front
+    ir_f = surface_longwave(epw, b, sky_view=sv_f) * out_front
     if out_back.any():
         sol_b = surface_irradiance(epw, b, albedo=albedo, sky=sky,
                                    side="back", ground_view=gv,
-                                   sun=sun, beam_fraction=beam) * out_back
-        ir_b = surface_longwave(epw, b, side="back") * out_back
+                                   sun=sun, beam_fraction=beam,
+                                   sky_view=sv_b) * out_back
+        ir_b = surface_longwave(epw, b, side="back",
+                                sky_view=sv_b) * out_back
     else:
         sol_b = np.zeros_like(sol_f)
         ir_b = np.zeros_like(ir_f)

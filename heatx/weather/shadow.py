@@ -7,9 +7,11 @@ ray-cast: sample points on each receiving surface, trace toward the sun,
 and test intersections against every opaque shading polygon
 (``BuildingModel.shades`` — overhangs, fins, neighboring buildings).
 The resulting [T, S] sunlit fraction multiplies the BEAM component of
-the plane-of-array irradiance (``surface_irradiance(beam_fraction=...)``)
-— diffuse shading (sky-view reduction) is not modeled, matching
-EnergyPlus's own "MinimalShadowing" tier.
+the plane-of-array irradiance (``surface_irradiance(beam_fraction=...)``);
+:func:`sky_view_fraction` additionally carries the obstruction into the
+DIFFUSE terms — the static per-face unobstructed-sky fraction scales the
+sky diffuse and blends the longwave (one tier beyond EnergyPlus's
+"MinimalShadowing").
 
 Resolution: each surface samples its centroid plus its vertices shrunk
 30 % toward the centroid (V+1 points — exact for fully-lit /
@@ -76,22 +78,64 @@ def _fibonacci_hemisphere(n: int) -> np.ndarray:
     return np.column_stack([r * np.cos(phi), r * np.sin(phi), z])
 
 
+def _gather_planes(model, defs, include_building, extra_shades):
+    """(owner, plane) blocker list: owner None for shade polygons, the
+    surface index for the building's own massing (so a surface can skip
+    itself)."""
+    blockers = [np.asarray(p, np.float64) for p in model.shades]
+    if extra_shades:
+        blockers += [np.asarray(p, np.float64) for p in extra_shades]
+    planes = [(None, _poly_plane(p)) for p in blockers]
+    if include_building:
+        for i, sd in enumerate(defs):
+            if sd.vertices is not None and len(sd.vertices) >= 3:
+                planes.append((i, _poly_plane(np.asarray(sd.vertices,
+                                                         np.float64))))
+    return planes
+
+
+def _blocked(pts, dirs, planes, skip):
+    """[D, K] mask: does the ray from point k along direction d hit any
+    blocker plane polygon (excluding owner ``skip``)?"""
+    blocked = np.zeros((len(dirs), len(pts)), bool)
+    for owner, (q0, nq, e1, e2, v2) in planes:
+        if owner == skip:
+            continue  # a surface never shades itself
+        denom = dirs @ nq
+        ok = np.abs(denom) > 1e-12
+        tdist = np.where(
+            ok[:, None],
+            ((q0 - pts) @ nq)[None, :] / np.where(ok, denom, 1.0)[:, None],
+            -1.0,
+        )
+        hit = tdist > _EPS
+        if not hit.any():
+            continue
+        x = pts[None, :, :] + tdist[:, :, None] * dirs[:, None, :]
+        rel = x - q0
+        blocked |= hit & _in_polygon(rel @ e1, rel @ e2, v2)
+    return blocked
+
+
 def sky_view_fraction(
     model,
     samples: int = 256,
+    side: str = "front",
     include_building: bool = False,
     shrink: float = 0.3,
     extra_shades: Optional[List[np.ndarray]] = None,
 ) -> np.ndarray:
-    """Per-surface unobstructed sky fraction under context shading.
+    """Per-FACE unobstructed sky fraction under context shading.
 
     For each vertex-bearing surface, cosine-weighted hemisphere rays
     (deterministic Fibonacci directions, restricted above the horizon and
-    in front of the face) are cast from its :func:`sample_points` against
-    the blockers; the result is the visible fraction of the isotropic-sky
-    irradiance the unobstructed surface would receive.  Returns [S] in
-    the compiled order (1.0 where there is nothing to ray-cast or no
-    geometry).
+    in front of the requested face) are cast from its
+    :func:`sample_points` against the blockers; the result is the visible
+    fraction of the isotropic-sky irradiance the unobstructed face would
+    receive.  Returns [S] in the compiled order (1.0 where there is
+    nothing to ray-cast or no geometry).  ``side`` selects the face — a
+    wall hard against a neighbor has ~0 sky view on that face while the
+    other face may be wide open, so the factor is inherently per-face.
 
     Use it to carry obstruction into the DIFFUSE terms — scale the sky
     diffuse (``poa_irradiance(sky_view=...)``) and blend the longwave
@@ -100,59 +144,27 @@ def sky_view_fraction(
     """
     from heatx.model.geometry import polygon_normal
 
+    sign = 1.0 if side == "front" else -1.0
     defs = list(model.surfaces) + list(model.fenestrations)
-    S = len(defs)
-    out = np.ones(S)
-    blockers = [np.asarray(p, np.float64) for p in model.shades]
-    if extra_shades:
-        blockers += [np.asarray(p, np.float64) for p in extra_shades]
-    own = []
-    if include_building:
-        for i, sd in enumerate(defs):
-            if sd.vertices is not None and len(sd.vertices) >= 3:
-                own.append((i, np.asarray(sd.vertices, np.float64)))
-    if not blockers and not own:
+    out = np.ones(len(defs))
+    planes = _gather_planes(model, defs, include_building, extra_shades)
+    if not planes:
         return out
 
     dirs = _fibonacci_hemisphere(int(samples))  # +z hemisphere (sky dome)
-    planes = [(None, _poly_plane(p)) for p in blockers]
-    own_planes = [(i, _poly_plane(p)) for i, p in own]
-
     for si, sd in enumerate(defs):
         if sd.vertices is None or len(sd.vertices) < 3:
             continue
-        n = polygon_normal(sd.vertices)
-        # Rays the surface's sky irradiance actually arrives on: above
-        # the horizon (the dome) AND in front of the face.  Weight by
-        # cos(incidence) — the isotropic-sky kernel.
-        w_front = np.clip(dirs @ n, 0.0, None)
-        w_back = np.clip(dirs @ (-n), 0.0, None)
-        # A vertical/tilted surface has sky view on both faces; weight
-        # each ray by whichever face it reaches (fronts and backs share
-        # the one geometric factor, like sunlit_fraction).
-        w = np.maximum(w_front, w_back)
+        n = sign * polygon_normal(sd.vertices)
+        # Rays this face's sky irradiance actually arrives on: above the
+        # horizon AND in front of the face, weighted by cos(incidence) —
+        # the isotropic-sky kernel.
+        w = np.clip(dirs @ n, 0.0, None)
         total = w.sum()
         if total <= 0.0:
-            continue
+            continue  # the face sees no sky at all (e.g. a floor's top)
         pts = sample_points(sd.vertices, shrink=shrink)
-        blocked = np.zeros((len(dirs), len(pts)), bool)
-        for owner, (q0, nq, e1, e2, v2) in planes + own_planes:
-            if owner == si:
-                continue
-            denom = dirs @ nq
-            ok = np.abs(denom) > 1e-12
-            tdist = np.where(
-                ok[:, None],
-                ((q0 - pts) @ nq)[None, :] / np.where(ok, denom, 1.0)[:, None],
-                -1.0,
-            )
-            hit = tdist > _EPS
-            if not hit.any():
-                continue
-            x = pts[None, :, :] + tdist[:, :, None] * dirs[:, None, :]
-            rel = x - q0
-            blocked |= hit & _in_polygon(rel @ e1, rel @ e2, v2)
-        visible = 1.0 - blocked.mean(axis=1)  # per-direction
+        visible = 1.0 - _blocked(pts, dirs, planes, si).mean(axis=1)
         out[si] = float((w * visible).sum() / total)
     return out
 
@@ -189,15 +201,8 @@ def sunlit_fraction(
     S = len(defs)
     out = np.ones((T, S))
 
-    blockers = [np.asarray(p, np.float64) for p in model.shades]
-    if extra_shades:
-        blockers += [np.asarray(p, np.float64) for p in extra_shades]
-    own = []  # (receiver index, polygon) for include_building
-    if include_building:
-        for i, sd in enumerate(defs):
-            if sd.vertices is not None and len(sd.vertices) >= 3:
-                own.append((i, np.asarray(sd.vertices, np.float64)))
-    if not blockers and not own:
+    planes = _gather_planes(model, defs, include_building, extra_shades)
+    if not planes:
         return out
     no_geom = [
         sd.name for sd in defs
@@ -218,33 +223,10 @@ def sunlit_fraction(
 
     d = np.column_stack(sun_vector(alt, az))  # [T, 3] toward the sun
     up = alt > 0.0
-    planes = [_poly_plane(p) for p in blockers]
-    own_planes = [(i, _poly_plane(p)) for i, p in own]
-
     for si, sd in enumerate(defs):
         if sd.vertices is None or len(sd.vertices) < 3:
             continue
         pts = sample_points(sd.vertices, shrink=shrink)  # [K, 3]
-        K = len(pts)
-        blocked = np.zeros((T, K), bool)
-        for owner, (q0, nq, e1, e2, v2) in (
-            [(None, pl) for pl in planes]
-            + [(i, pl) for i, pl in own_planes]
-        ):
-            if owner == si:
-                continue  # a surface never shades itself
-            denom = d @ nq  # [T]
-            ok = np.abs(denom) > 1e-12
-            tdist = np.where(
-                ok[:, None],
-                ((q0 - pts) @ nq)[None, :] / np.where(ok, denom, 1.0)[:, None],
-                -1.0,
-            )  # [T, K]
-            hit = tdist > _EPS
-            if not hit.any():
-                continue
-            x = pts[None, :, :] + tdist[:, :, None] * d[:, None, :]
-            rel = x - q0
-            blocked |= hit & _in_polygon(rel @ e1, rel @ e2, v2)
+        blocked = _blocked(pts, d, planes, si)  # [T, K]
         out[:, si] = np.where(up, 1.0 - blocked.mean(axis=1), 1.0)
     return out

@@ -179,28 +179,45 @@ def poa_irradiance(
     sx, sy, sz = sun_vector(altitude_rad, azimuth_rad)
     cos_inc = sx * normal_x + sy * normal_y + sz * cos_tilt
     up = np.asarray(altitude_rad) > 0.0
+    bf = (
+        np.asarray(beam_fraction, np.float64)
+        if beam_fraction is not None else None
+    )
+    sv = (
+        np.asarray(sky_view, np.float64) if sky_view is not None else None
+    )
     direct = np.asarray(dni) * np.clip(cos_inc, 0.0, None) * up
-    if beam_fraction is not None:
+    if bf is not None:
         # Sunlit fraction from context shading (heatx.weather.shadow):
-        # scales the beam only; diffuse sky-view reduction is not modeled.
-        direct = direct * np.asarray(beam_fraction, np.float64)
+        # scales the beam (and, under Perez, the circumsolar — it follows
+        # the sun, so the per-hour beam visibility gates it, not the
+        # hemispheric average).
+        direct = direct * bf
     iso_sky = np.asarray(dhi) * (1.0 + cos_tilt) / 2.0
     if sky == "perez":
         if day_of_year is None:
             raise ValueError("sky='perez' requires day_of_year")
         zenith = np.pi / 2.0 - np.asarray(altitude_rad)
         F1, F2 = perez_brightness_coefficients(dni, dhi, zenith, day_of_year)
-        anis = perez_sky_diffuse(dhi, cos_tilt, cos_inc, zenith, F1, F2)
-        sky_term = np.where(up, anis, iso_sky)
+        dhi_a = np.asarray(dhi, np.float64)
+        a = np.clip(cos_inc, 0.0, None)
+        b = np.maximum(np.cos(85.0 * _DEG), np.cos(zenith))
+        sin_tilt = np.sqrt(np.clip(1.0 - np.asarray(cos_tilt) ** 2, 0.0, None))
+        circ = dhi_a * F1 * a / b  # circumsolar: beam-like
+        dome = dhi_a * ((1.0 - F1) * (1.0 + cos_tilt) / 2.0 + F2 * sin_tilt)
+        if sv is not None:
+            dome = dome * sv
+        if bf is not None:
+            circ = circ * bf
+        elif sv is not None:
+            circ = circ * sv  # best available obstruction estimate
+        anis = np.clip(dome + circ, 0.0, None)
+        iso_down = iso_sky * sv if sv is not None else iso_sky
+        sky_term = np.where(up, anis, iso_down)
     elif sky == "isotropic":
-        sky_term = iso_sky
+        sky_term = iso_sky * sv if sv is not None else iso_sky
     else:
         raise ValueError(f"unknown sky model {sky!r}")
-    if sky_view is not None:
-        # Static obstruction of the sky dome (shadow.sky_view_fraction):
-        # scales the sky diffuse only (obstruction-reflected solar and
-        # blocked ground view are not modeled).
-        sky_term = sky_term * np.asarray(sky_view, np.float64)
     f_gnd = (1.0 - cos_tilt) / 2.0
     if ground_view is not None:
         gv = np.asarray(ground_view, np.float64)

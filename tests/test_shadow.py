@@ -227,33 +227,34 @@ def test_sizing_respects_context_shading(ref_fixtures):
     assert float(an_dark.peak_cooling_W[0]) <= float(an_scr.peak_cooling_W[0])
 
 
-def test_sky_view_fraction_geometry():
-    """Sky-view truths: no shades -> 1.0; a full dome-blocking box -> ~0;
-    an infinite-ish horizontal canopy just above a horizontal roof -> ~0,
-    while a vertical wall under the same canopy keeps roughly the
-    below-horizon... none of its sky (the wall's sky view halves)."""
+def test_sky_view_fraction_per_face():
+    """Per-FACE sky-view truths: no shades -> 1.0 everywhere; a huge
+    canopy kills both faces' sky; a canopy over only the south half
+    blocks the south-facing front face (~0) while the north face stays
+    wide open (~1) — the urban-canyon case a merged factor would get
+    wrong by 2x."""
     from heatx.weather.shadow import sky_view_fraction
 
     m = _wall_model()
     np.testing.assert_allclose(sky_view_fraction(m), 1.0)
+    np.testing.assert_allclose(sky_view_fraction(m, side="back"), 1.0)
 
-    # A huge canopy 1 m above everything: the vertical wall loses its
-    # whole sky dome (every upward ray hits it).
     canopy = np.array(
         [[-500, -500, 4], [500, -500, 4], [500, 500, 4], [-500, 500, 4]],
         float,
     )
     m2 = _wall_model([canopy])
-    sv = sky_view_fraction(m2)
-    assert sv[0] < 0.05
+    assert sky_view_fraction(m2)[0] < 0.05
+    assert sky_view_fraction(m2, side="back")[0] < 0.05
 
-    # A half-plane canopy covering only the south half (y < 0): the wall
-    # at y=0 loses roughly half its cosine-weighted sky.
+    # South-half canopy: the wall's front face (normal -y) sees only the
+    # covered half-dome; the back face sees the open north half.
     half = np.array(
         [[-500, -500, 4], [500, -500, 4], [500, 0, 4], [-500, 0, 4]], float
     )
-    sv_half = sky_view_fraction(_wall_model([half]))
-    assert 0.3 < sv_half[0] < 0.7
+    m3 = _wall_model([half])
+    assert sky_view_fraction(m3)[0] < 0.05
+    assert sky_view_fraction(m3, side="back")[0] > 0.95
 
 
 def test_sky_view_scales_diffuse_and_longwave():
