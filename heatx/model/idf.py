@@ -1172,8 +1172,10 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             if _str(o, 4):
                 # In the pre-9.0 schema field 4 is the Shading Control
                 # Name; whether it is one is only knowable once the
-                # control objects are parsed (checked at the end).
-                rect_win_ctl.append((f"{o[0]} {name!r}", _str(o, 4).lower()))
+                # control objects are parsed (resolved at the end).
+                rect_win_ctl.append(
+                    (f"{o[0]} {name!r}", name, _str(o, 4).lower())
+                )
             last = max(i for i, f in enumerate(o) if f != "")
             if last < 7:
                 raise ValueError(
@@ -1187,15 +1189,36 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 raise ValueError(
                     f"{o[0]} {name!r}: Length and Height are required"
                 )
+            start_x = _num(o, last - 3, 0.0) or 0.0
             host_sd = surf_def[host]
             _, _, normal0, h0 = host_sd.resolved_geometry()
             base_z = (
                 float(np.min(host_sd.vertices[:, 2]))
                 if host_sd.vertices is not None else h0
             )
+            # Reconstruct the pane's vertex loop in the host plane (it
+            # feeds the context-shading ray-cast; the area/perimeter
+            # overrides below carry the multiplier).  E+ measures Starting
+            # X along the wall from the lower-left corner as viewed from
+            # outside, Starting Z up the surface.
+            verts = None
+            n0 = np.asarray(normal0, np.float64)
+            horiz = np.array([-n0[1], n0[0], 0.0])  # cross(z_hat, n)
+            if host_sd.vertices is not None and np.linalg.norm(horiz) > 1e-9:
+                u = horiz / np.linalg.norm(horiz)
+                v_up = np.cross(n0, u)
+                hv = np.asarray(host_sd.vertices, np.float64)
+                s, t = hv @ u, hv @ v_up
+                origin = hv[np.lexsort((s, t))[0]]  # lowest, then leftmost
+                c0 = origin + start_x * u + start_z * v_up
+                verts = np.vstack([
+                    c0, c0 + length * u,
+                    c0 + length * u + height * v_up, c0 + height * v_up,
+                ])
             m.add_fenestration(SurfaceDef(
                 name, construction, surf_front.get(host, Boundary.outdoor()),
                 Boundary.space_(surf_zone[host]),
+                vertices=verts,
                 area=length * height * mult,
                 perimeter=2.0 * (length + height) * mult,
                 normal=tuple(float(v) for v in normal0),
@@ -1666,15 +1689,12 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         o[1].lower(): o
         for o in by_type.get("windowproperty:shadingcontrol", [])
     }
-    for owner, maybe_ctl in rect_win_ctl:
+    for owner, pane, maybe_ctl in rect_win_ctl:
         if maybe_ctl in pre9_ctls:
-            warnings.warn(
-                f"{owner}: Shading Control {maybe_ctl!r} on a rectangular "
-                "window is not imported (model the pane as "
-                "FenestrationSurface:Detailed for scheduled shading) — "
-                "the pane runs unshaded",
-                stacklevel=2,
-            )
+            # Pre-9.0 schema confirmed: the rectangular window's field 4
+            # names a shading control — attach it like a detailed
+            # fenestration's reference.
+            fen_shading_ctl[pane] = maybe_ctl
     ctl_fens: Dict[str, List[str]] = {}
     for fname, cname in fen_shading_ctl.items():
         ctl_fens.setdefault(cname, []).append(fname)

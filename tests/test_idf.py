@@ -1022,3 +1022,71 @@ def test_zoneventilation_gate_warning():
     with _w.catch_warnings():
         _w.simplefilter("error")
         load_idf(open_vent)  # defaults: no warning
+
+
+def test_rectangular_window_vertices_synthesized():
+    """Rectangular Window objects reconstruct their vertex loop in the
+    host plane (Starting X along the wall from the lower-left corner
+    viewed from outside, Starting Z up) — so context shading can ray-cast
+    them; multiplier area/perimeter overrides are untouched."""
+    idf = """
+    Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+    WindowMaterial:Glazing, Clear3, SpectralAverage, , 0.003, 0.837, 0.075,
+        0.075, 0.898, 0.081, 0.081, 0.0, 0.84, 0.84, 0.9;
+    Construction, Wall, Concrete;
+    Construction, Glz, Clear3;
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    BuildingSurface:Detailed, W, Wall, Wall, A, Outdoors, , Sun, Wind, 0,
+        4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+    Window, Win, Glz, W, , 2, 1.0, 0.5, 4.0, 1.5;
+    """
+    loaded = load_idf(idf)
+    (win,) = loaded.model.fenestrations
+    v = win.vertices
+    assert v is not None and v.shape == (4, 3)
+    # In the host plane (y = 0), 1 m from the wall's lower-left corner,
+    # 0.5 m up, 4 x 1.5 m.
+    np.testing.assert_allclose(sorted(set(np.round(v[:, 2], 9))), [0.5, 2.0])
+    assert np.allclose(v[:, 1], 0.0)
+    assert np.ptp(v[:, 0]) == pytest.approx(4.0)
+    # Overrides still carry the multiplier (2 panes).
+    area, perim, _, h = win.resolved_geometry()
+    assert area == pytest.approx(2 * 4.0 * 1.5)
+    assert h == pytest.approx(0.5 + 0.75)
+    # And the ray-cast covers it now: a huge screen in front blocks it.
+    from heatx.weather.shadow import sunlit_fraction
+
+    loaded.model.add_shade(np.array(
+        [[-20, -2, -5], [30, -2, -5], [30, -2, 60], [-20, -2, 60]], float
+    ))
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # no 'cannot ray-cast' warning anymore
+        f = sunlit_fraction(
+            loaded.model, np.radians([30.0]), np.radians([180.0])
+        )
+    assert f[0, 1] == 0.0  # the window (index 1) is behind the screen
+
+
+def test_rectangular_window_pre9_shading_control_attaches():
+    """Pre-9.0 rectangular Window referencing a WindowProperty:
+    ShadingControl gets the rule (it used to be silently dropped)."""
+    idf = """
+    Material, Concrete, Rough, 0.2, 0.816, 1700, 800, 0.9, 0.7, 0.7;
+    WindowMaterial:Glazing, Clear3, SpectralAverage, , 0.003, 0.837, 0.075,
+        0.075, 0.898, 0.081, 0.081, 0.0, 0.84, 0.84, 0.9;
+    WindowMaterial:Shade, Roller, 0.3, 0.5, 0.3, 0.5, 0.9, 0.0, 0.003, 0.1;
+    Construction, Wall, Concrete;
+    Construction, Glz, Clear3;
+    Zone, A, 0, 0, 0, 0, 1, 1, 3, 300, 100;
+    BuildingSurface:Detailed, W, Wall, Wall, A, Outdoors, , Sun, Wind, 0,
+        4, 0,0,3, 0,0,0, 10,0,0, 10,0,3;
+    Window, Win, Glz, W, OldSC, , 1, 1.0, 0.5, 4.0, 1.5;
+    WindowProperty:ShadingControl, OldSC, ExteriorShade, , AlwaysOn,
+        , , No, No, Roller;
+    """
+    loaded = load_idf(idf)
+    (rule,) = loaded.shading
+    assert rule.fenestrations == ["Win"]
+    assert rule.transmittance == pytest.approx(0.3)
