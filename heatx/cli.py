@@ -320,9 +320,24 @@ def cmd_simulate(args) -> int:
             * out_back
         )
         if loaded0 is not None and loaded0.shading:
-            # Imported scheduled window shading: scale the controlled
-            # panes' incident solar by the deployed shade's transmittance.
-            shade_mult = loaded0.shading_series(Tx, start)
+            # Imported window shading: scale the controlled panes'
+            # incident solar by the deployed shade's transmittance.
+            # Weather-dependent controls read the EPW columns and the
+            # pre-scaling incident solar (a pane's outdoor face is
+            # whichever side is exterior, so front+back covers both).
+            reps = -(-(start + Tx) // epw.n_hours)
+
+            def _tile(v):
+                return np.tile(np.asarray(v, np.float64), reps)[
+                    start : start + Tx
+                ]
+
+            shade_mult = loaded0.shading_series(
+                Tx, start,
+                dry_bulb=_tile(epw.dry_bulb),
+                horizontal_solar=_tile(epw.global_horizontal),
+                incident=sol_f + sol_b,
+            )
             sol_f = sol_f * shade_mult
             sol_b = sol_b * shade_mult
             print(
@@ -956,7 +971,14 @@ def cmd_size(args) -> int:
             extra.update(ch_y)
         solar_scale = None
         if loaded is not None and loaded.shading:
-            solar_scale = loaded.shading_series(epw.n_hours)
+            # No per-pane incident context here (annual_peak_loads
+            # computes its own solar): OnIfHighSolarOnWindow rules warn
+            # and run unshaded — conservative for the cooling peak.
+            solar_scale = loaded.shading_series(
+                epw.n_hours,
+                dry_bulb=epw.dry_bulb,
+                horizontal_solar=epw.global_horizontal,
+            )
             print(
                 f"# window shading: {len(loaded.shading)} rule(s) applied "
                 "to the annual sizing",

@@ -186,14 +186,25 @@ class AirflowRule:
 
 @dataclass
 class ShadingRule:
-    """A scheduled window-shading rule (WindowShadingControl /
+    """A window-shading rule (WindowShadingControl /
     WindowProperty:ShadingControl subset): when deployed, the controlled
-    panes' incident solar scales by the shade's transmittance."""
+    panes' incident solar scales by the shade's transmittance.
+
+    ``control`` is the normalized deployment condition — ``"always"``
+    (AlwaysOn / OnIfScheduleAllows), ``"high_solar"``
+    (OnIfHighSolarOnWindow: incident solar on the pane > setpoint W/m2),
+    ``"high_horizontal_solar"`` (OnIfHighHorizontalSolar: global
+    horizontal > setpoint W/m2) or ``"high_outdoor_temp"``
+    (OnIfHighOutdoorAirTemperature: dry bulb > setpoint C).  A
+    ``schedule`` (when present) additionally gates deployment, matching
+    EnergyPlus's "and schedule, if specified, allows shading"."""
 
     name: str
     fenestrations: List[str]
     transmittance: float  # the shade material's solar transmittance
-    schedule: Optional[str] = None  # None = always deployed (AlwaysOn)
+    schedule: Optional[str] = None  # AND-gate; None = no schedule gate
+    control: str = "always"
+    setpoint: float = 0.0  # W/m2 or C, per control
 
 
 @dataclass
@@ -242,13 +253,30 @@ class LoadedIdf:
             raise KeyError(f"schedule {name!r} not found in the IDF")
         return s[(start_hour + np.arange(T)) % 8760]
 
-    def shading_series(self, T: int, start_hour: int = 0) -> np.ndarray:
+    def shading_series(
+        self,
+        T: int,
+        start_hour: int = 0,
+        *,
+        dry_bulb: Optional[np.ndarray] = None,
+        horizontal_solar: Optional[np.ndarray] = None,
+        incident: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
         """Per-hour incident-solar multipliers from the imported shading
         rules: a [T, n_surfaces + n_fenestrations] array aligned with the
         compiled surface order, 1.0 everywhere except controlled panes
         during deployed hours, where it is the shade's solar
         transmittance.  Multiply the ``sol_front``/``sol_back`` inputs by
         it (the CLI does this automatically).
+
+        Weather-dependent control types evaluate host-side from the
+        keyword context: ``dry_bulb`` [T] C for
+        OnIfHighOutdoorAirTemperature, ``horizontal_solar`` [T] W/m2
+        (EPW global horizontal) for OnIfHighHorizontalSolar, and
+        ``incident`` [T, n_surfaces + n_fenestrations] W/m2 (the same
+        incident-solar array the multipliers will scale, pre-scaling) for
+        OnIfHighSolarOnWindow.  A rule whose needed context is missing
+        warns and leaves its panes unshaded for this call.
 
         Approximation (documented in the import warning semantics): a
         deployed shade scales the pane's incident solar by its
@@ -261,6 +289,11 @@ class LoadedIdf:
             f.name: S + i for i, f in enumerate(self.model.fenestrations)
         }
         out = np.ones((T, S + len(self.model.fenestrations)))
+        needs = {
+            "high_outdoor_temp": ("dry_bulb", dry_bulb),
+            "high_horizontal_solar": ("horizontal_solar", horizontal_solar),
+            "high_solar": ("incident", incident),
+        }
         for rule in self.shading:
             if rule.schedule is None:
                 deployed = np.ones(T, bool)
@@ -268,10 +301,40 @@ class LoadedIdf:
                 deployed = self.schedule_series(
                     rule.schedule, T, start_hour
                 ) > 0.0
+            if rule.control in needs:
+                kw, ctx = needs[rule.control]
+                if ctx is None:
+                    warnings.warn(
+                        f"{rule.name}: control needs the {kw}= weather "
+                        "context (not passed to shading_series) — these "
+                        "panes run unshaded for this call",
+                        stacklevel=2,
+                    )
+                    continue
+                ctx = np.asarray(ctx, np.float64)
+                if ctx.shape[0] != T:
+                    raise ValueError(
+                        f"{rule.name}: {kw} has {ctx.shape[0]} steps, "
+                        f"expected {T}"
+                    )
+                if kw == "incident" and ctx.shape[1:] != out.shape[1:]:
+                    raise ValueError(
+                        f"{rule.name}: incident must be [T, "
+                        f"{out.shape[1]}] (surfaces then fenestrations "
+                        "in compiled order)"
+                    )
+                if rule.control != "high_solar":
+                    deployed = deployed & (ctx > rule.setpoint)
             for fname in rule.fenestrations:
                 col = names[fname]
-                out[deployed, col] = np.minimum(
-                    out[deployed, col], rule.transmittance
+                dep = deployed
+                if rule.control == "high_solar":
+                    dep = deployed & (
+                        np.asarray(incident, np.float64)[:, col]
+                        > rule.setpoint
+                    )
+                out[dep, col] = np.minimum(
+                    out[dep, col], rule.transmittance
                 )
         return out
 
@@ -1611,10 +1674,14 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             )
 
     # -- scheduled window shading (subset) ------------------------------------
-    # Supported: AlwaysOn / OnIfScheduleAllows with a WindowMaterial:Shade
-    # device (directly named, or found as a layer of the "Construction with
-    # Shading").  State-dependent control types (OnIfHighSolarOnWindow, ...)
-    # need in-run logic and are honestly skipped with a warning.  The rules
+    # Supported: AlwaysOn / OnIfScheduleAllows / the weather-dependent
+    # controls (OnIfHighSolarOnWindow, OnIfHighHorizontalSolar,
+    # OnIfHighOutdoorAirTemperature — their deployment reads only the EPW /
+    # incident solar, so it evaluates exactly host-side) with a
+    # WindowMaterial:Shade device (directly named, or found as a layer of
+    # the "Construction with Shading").  Zone-state-dependent control types
+    # (OnIfHighZoneAirTemperature, glare, night/day combinations) need
+    # in-run logic and are honestly skipped with a warning.  The rules
     # render to incident-solar multipliers (LoadedIdf.shading_series).
     shade_tau: Dict[str, float] = {}
     for o in by_type.get("windowmaterial:shade", []):
@@ -1622,27 +1689,62 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     fen_canon = {f.name.lower(): f.name for f in m.fenestrations}
     constr_canon = {c.lower(): c for c in m.constructions}
 
+    # Control Type -> (normalized kind, schedule role).  Weather-dependent
+    # types evaluate exactly host-side in shading_series (the deployment
+    # condition reads only the EPW / incident solar, never zone state);
+    # zone-state-dependent types (OnIfHighZoneAirTemperature, glare,
+    # OnNightIf*, combined night/day rules) need in-run logic and keep the
+    # honest skip-with-warning below.
+    _CONTROLS = {
+        "alwayson": ("always", "none"),
+        "onifscheduleallows": ("always", "required"),
+        "onifhighsolaronwindow": ("high_solar", "optional"),
+        "onifhighhorizontalsolar": ("high_horizontal_solar", "optional"),
+        "onifhighoutdoorairtemperature": ("high_outdoor_temp", "optional"),
+    }
+
     def _shade_rule(owner, construction_with, control_type, sched,
-                    device_material, fen_names):
+                    device_material, fen_names, setpoint=None,
+                    is_scheduled=""):
         ct = control_type.lower().replace(" ", "")
         if ct == "alwaysoff":
             return  # never deployed: running unshaded IS the semantics
-        if ct == "alwayson":
-            schedule = None
-        elif ct == "onifscheduleallows":
+        if ct not in _CONTROLS:
+            warnings.warn(
+                f"{owner}: Shading Control Type {control_type!r} is "
+                "state-dependent and not imported (supported: AlwaysOn, "
+                "OnIfScheduleAllows, OnIfHighSolarOnWindow, "
+                "OnIfHighHorizontalSolar, OnIfHighOutdoorAirTemperature) "
+                "— these panes run unshaded",
+                stacklevel=3,
+            )
+            return
+        kind, sched_role = _CONTROLS[ct]
+        schedule = None
+        if sched_role == "required":
             schedule = _sched_ref(sched, owner)
             if schedule is None:
                 raise ValueError(
                     f"{owner}: OnIfScheduleAllows needs a Schedule Name"
                 )
-        else:
-            warnings.warn(
-                f"{owner}: Shading Control Type {control_type!r} is "
-                "state-dependent and not imported (supported: AlwaysOn, "
-                "OnIfScheduleAllows) — these panes run unshaded",
-                stacklevel=3,
+        elif sched_role == "optional" and sched:
+            # EnergyPlus: "and schedule, if specified, allows shading";
+            # the schedule only participates when Shading Control Is
+            # Scheduled = Yes (E+ errors on Yes without a schedule and
+            # ignores a schedule without Yes).
+            if is_scheduled.lower() == "yes":
+                schedule = _sched_ref(sched, owner)
+            else:
+                warnings.warn(
+                    f"{owner}: Schedule {sched!r} named but Shading "
+                    "Control Is Scheduled is not Yes — the schedule is "
+                    "ignored (EnergyPlus semantics)",
+                    stacklevel=3,
+                )
+        if kind != "always" and setpoint is None:
+            raise ValueError(
+                f"{owner}: Control Type {control_type!r} needs a Setpoint"
             )
-            return
         tau = None
         if device_material:
             tau = shade_tau.get(device_material.lower())
@@ -1669,7 +1771,10 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                     f"{owner}: fenestration {fn!r} names no parsed window"
                 )
         if fens:
-            out.shading.append(ShadingRule(owner, fens, tau, schedule))
+            out.shading.append(ShadingRule(
+                owner, fens, tau, schedule,
+                control=kind, setpoint=float(setpoint or 0.0),
+            ))
         else:
             warnings.warn(
                 f"{owner}: no fenestration names given — the rule "
@@ -1679,11 +1784,13 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     for o in by_type.get("windowshadingcontrol", []):
         # 9.0+ schema: ..., Shading Type(4), Construction with Shading(5),
-        # Control Type(6), Schedule(7), ..., Device Material(11), ...,
-        # Multiple Surface Control Type(16), Fenestration names(17+).
+        # Control Type(6), Schedule(7), Setpoint(8), Is Scheduled(9), ...,
+        # Device Material(11), ..., Multiple Surface Control Type(16),
+        # Fenestration names(17+).
         _shade_rule(
             f"WindowShadingControl {o[1]!r}", _str(o, 5), _str(o, 6),
             _str(o, 7), _str(o, 11), [_str(o, k) for k in range(17, len(o))],
+            setpoint=_num(o, 8), is_scheduled=_str(o, 9),
         )
     pre9_ctls = {
         o[1].lower(): o
@@ -1709,10 +1816,12 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             )
             continue
         # Pre-9.0 schema: Shading Type(2), Construction with Shading(3),
-        # Control Type(4), Schedule(5), ..., Device Material(9).
+        # Control Type(4), Schedule(5), Setpoint(6), Is Scheduled(7), ...,
+        # Device Material(9).
         _shade_rule(
             f"WindowProperty:ShadingControl {o[1]!r}", _str(o, 3),
             _str(o, 4), _str(o, 5), _str(o, 9), fens,
+            setpoint=_num(o, 6), is_scheduled=_str(o, 7),
         )
 
     return out

@@ -939,12 +939,12 @@ WindowProperty:ShadingControl, OldSC, InteriorShade, , AlwaysOn,
 
 
 def test_window_shading_unsupported_honest():
-    """State-dependent control types and missing shade devices warn and
-    leave the panes unshaded; unknown pane names are hard errors."""
+    """Zone-state-dependent control types and missing shade devices warn
+    and leave the panes unshaded; unknown pane names are hard errors."""
     with pytest.warns(UserWarning, match="state-dependent"):
         loaded = load_idf(_SHADE_IDF + """
-WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighSolarOnWindow,
-    , 200, No, No, Roller, , , , , Sequential, Win1;
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
+    , 26, No, No, Roller, , , , , Sequential, Win1;
 """)
     assert loaded.shading == []
     with pytest.warns(UserWarning, match="no WindowMaterial:Shade"):
@@ -963,6 +963,116 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , AlwaysOn,
 FenestrationSurface:Detailed, Win3, Window, Glz, W, , 0, Ghost, , 1,
     4, 8,0,2, 8,0,1, 9,0,1, 9,0,2;
 """)
+
+
+def test_window_shading_high_outdoor_temperature():
+    """OnIfHighOutdoorAirTemperature deploys exactly on the hours where
+    the passed dry bulb exceeds the setpoint."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighOutdoorAirTemperature,
+    , 25, No, No, Roller, , , , , Group, Win1, Win2;
+""")
+    (rule,) = loaded.shading
+    assert rule.control == "high_outdoor_temp"
+    assert rule.setpoint == pytest.approx(25.0)
+    db = np.array([20.0, 26.0, 30.0, 24.0])
+    mult = loaded.shading_series(4, dry_bulb=db)
+    np.testing.assert_allclose(mult[:, 0], 1.0)  # the wall is untouched
+    np.testing.assert_allclose(mult[:, 1], [1.0, 0.25, 0.25, 1.0])
+    np.testing.assert_allclose(mult[:, 2], [1.0, 0.25, 0.25, 1.0])
+
+
+def test_window_shading_high_horizontal_solar():
+    """OnIfHighHorizontalSolar gates on the global-horizontal series."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighHorizontalSolar,
+    , 300, No, No, Roller, , , , , Sequential, Win1;
+""")
+    ghi = np.array([0.0, 250.0, 500.0])
+    mult = loaded.shading_series(3, horizontal_solar=ghi)
+    np.testing.assert_allclose(mult[:, 1], [1.0, 1.0, 0.25])
+    np.testing.assert_allclose(mult[:, 2], 1.0)  # Win2 uncontrolled
+
+
+def test_window_shading_high_solar_on_window_per_pane():
+    """OnIfHighSolarOnWindow reads the pane's own column of the incident
+    array: two panes under one rule deploy independently."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighSolarOnWindow,
+    , 200, No, No, Roller, , , , , Group, Win1, Win2;
+""")
+    (rule,) = loaded.shading
+    assert rule.control == "high_solar"
+    incident = np.array([
+        [0.0, 150.0, 250.0],  # only Win2 over the 200 W/m2 setpoint
+        [0.0, 300.0, 100.0],  # only Win1
+        [0.0, 50.0, 50.0],  # neither
+    ])
+    mult = loaded.shading_series(3, incident=incident)
+    np.testing.assert_allclose(mult[:, 1], [1.0, 0.25, 1.0])
+    np.testing.assert_allclose(mult[:, 2], [0.25, 1.0, 1.0])
+
+
+def test_window_shading_weather_control_schedule_gate():
+    """A schedule on a weather-dependent control (Shading Control Is
+    Scheduled = Yes) ANDs with the condition; named-but-not-Yes warns and
+    is ignored (EnergyPlus semantics)."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighOutdoorAirTemperature,
+    Afternoons, 25, Yes, No, Roller, , , , , Sequential, Win1;
+""")
+    (rule,) = loaded.shading
+    assert rule.schedule == "afternoons"
+    db = np.full(24, 30.0)  # always over the setpoint...
+    mult = loaded.shading_series(24, dry_bulb=db)
+    # ...but deployed only during the 12:00-18:00 schedule window.
+    np.testing.assert_allclose(mult[10, 1], 1.0)
+    np.testing.assert_allclose(mult[13, 1], 0.25)
+    with pytest.warns(UserWarning, match="schedule is ignored"):
+        loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighOutdoorAirTemperature,
+    Afternoons, 25, No, No, Roller, , , , , Sequential, Win1;
+""")
+    (rule,) = loaded.shading
+    assert rule.schedule is None
+
+
+def test_window_shading_weather_context_missing():
+    """A weather-dependent rule without its context warns and leaves the
+    panes unshaded for that call; a wrong-length context is an error."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighOutdoorAirTemperature,
+    , 25, No, No, Roller, , , , , Sequential, Win1;
+""")
+    with pytest.warns(UserWarning, match="dry_bulb= weather context"):
+        mult = loaded.shading_series(4)
+    np.testing.assert_allclose(mult, 1.0)
+    with pytest.raises(ValueError, match="expected 4"):
+        loaded.shading_series(4, dry_bulb=np.zeros(3))
+
+
+def test_window_shading_weather_control_needs_setpoint():
+    with pytest.raises(ValueError, match="needs a Setpoint"):
+        load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighHorizontalSolar,
+    , , No, No, Roller, , , , , Sequential, Win1;
+""")
+
+
+def test_window_shading_pre9_weather_control():
+    """Pre-9.0 WindowProperty:ShadingControl carries the setpoint in
+    field 6 (after Schedule)."""
+    loaded = load_idf(_SHADE_IDF + """
+FenestrationSurface:Detailed, Win3, Window, Glz, W, , 0, OldSC, , 1,
+    4, 8,0,2, 8,0,1, 9,0,1, 9,0,2;
+WindowProperty:ShadingControl, OldSC, ExteriorShade, ,
+    OnIfHighOutdoorAirTemperature, , 27.5, No, No, Roller;
+""")
+    (rule,) = loaded.shading
+    assert rule.control == "high_outdoor_temp"
+    assert rule.setpoint == pytest.approx(27.5)
+    mult = loaded.shading_series(2, dry_bulb=np.array([20.0, 30.0]))
+    np.testing.assert_allclose(mult[:, 3], [1.0, 0.25])
 
 
 def test_cli_applies_shading(ref_fixtures, tmp_path, capsys):
