@@ -130,7 +130,8 @@ _SUPPORTED_TYPES = {
     "hvactemplate:thermostat", "hvactemplate:zone:idealloadsairsystem",
     "zonecontrol:thermostat", "thermostatsetpoint:dualsetpoint",
     "thermostatsetpoint:singleheating", "thermostatsetpoint:singlecooling",
-    "windowmaterial:shade", "windowshadingcontrol",
+    "windowmaterial:shade", "windowmaterial:screen", "windowmaterial:blind",
+    "windowshadingcontrol",
     "windowproperty:shadingcontrol",
     "shading:site:detailed", "shading:building:detailed",
     "shading:zone:detailed",
@@ -1678,14 +1679,50 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     # controls (OnIfHighSolarOnWindow, OnIfHighHorizontalSolar,
     # OnIfHighOutdoorAirTemperature — their deployment reads only the EPW /
     # incident solar, so it evaluates exactly host-side) with a
-    # WindowMaterial:Shade device (directly named, or found as a layer of
-    # the "Construction with Shading").  Zone-state-dependent control types
+    # WindowMaterial:Shade/Screen/Blind device (directly named, or found as
+    # a layer of the "Construction with Shading"; screens/blinds reduce to
+    # effective transmittances, see shade_tau below).  Zone-state-dependent
+    # control types
     # (OnIfHighZoneAirTemperature, glare, night/day combinations) need
     # in-run logic and are honestly skipped with a warning.  The rules
     # render to incident-solar multipliers (LoadedIdf.shading_series).
+    # Shading device -> effective solar transmittance of the deployed
+    # device.  Shade: the material's solar transmittance directly.
+    # Screen: the openness area fraction (1 - d/s)^2 — EnergyPlus's own
+    # normal-incidence beam transmittance (Engineering Reference,
+    # window screens); scattered/reflected transmission is dropped
+    # (conservative for gain reduction).  Blind: geometric slat coverage
+    # at normal incidence, cover = min(1, (w/s)*|cos(slat angle)|) with
+    # the E+ slat-angle convention (0 deg = slat normal parallel to the
+    # glazing normal = closed; 90 deg = open), passing the covered
+    # fraction at the slat's beam transmittance — a static approximation
+    # of E+'s profile-angle-resolved blind model, stated plainly.
     shade_tau: Dict[str, float] = {}
     for o in by_type.get("windowmaterial:shade", []):
         shade_tau[o[1].lower()] = float(_num(o, 2, 0.0) or 0.0)
+    for o in by_type.get("windowmaterial:screen", []):
+        # Fields: ..., Screen Material Spacing(7), Diameter(8).
+        s, d = _num(o, 7), _num(o, 8)
+        if not s or d is None or d >= s:
+            raise ValueError(
+                f"WindowMaterial:Screen {o[1]!r}: needs Material Spacing "
+                "> Material Diameter >= 0"
+            )
+        shade_tau[o[1].lower()] = (1.0 - d / s) ** 2
+    for o in by_type.get("windowmaterial:blind", []):
+        # Fields: ..., Slat Width(3), Separation(4), Thickness(5),
+        # Angle(6), Conductivity(7), Beam Solar Transmittance(8).
+        w, sep = _num(o, 3), _num(o, 4)
+        ang = _num(o, 6)  # 0.0 is a legal (fully closed) slat angle
+        ang = 45.0 if ang is None else ang
+        tau_slat = _num(o, 8, 0.0) or 0.0
+        if not w or not sep:
+            raise ValueError(
+                f"WindowMaterial:Blind {o[1]!r}: needs Slat Width and "
+                "Slat Separation"
+            )
+        cover = min(1.0, (w / sep) * abs(np.cos(np.radians(ang))))
+        shade_tau[o[1].lower()] = (1.0 - cover) + cover * tau_slat
     fen_canon = {f.name.lower(): f.name for f in m.fenestrations}
     constr_canon = {c.lower(): c for c in m.constructions}
 
@@ -1756,8 +1793,8 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                     break
         if tau is None:
             warnings.warn(
-                f"{owner}: no WindowMaterial:Shade device found (blinds/"
-                "screens/switchable glazing are not imported) — these "
+                f"{owner}: no WindowMaterial:Shade/Screen/Blind device "
+                "found (switchable glazing is not imported) — these "
                 "panes run unshaded",
                 stacklevel=3,
             )

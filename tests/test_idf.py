@@ -1059,6 +1059,59 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighHorizontalSolar,
 """)
 
 
+def test_window_shading_screen_device():
+    """WindowMaterial:Screen reduces to its openness area fraction
+    (1 - d/s)^2 — EnergyPlus's normal-incidence beam transmittance."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowMaterial:Screen, Bug, DoNotModel, 0.08, 0.08, 0.9, 221,
+    0.0025, 0.001, 0.025;
+WindowShadingControl, SC, A, 1, ExteriorScreen, , AlwaysOn,
+    , , No, No, Bug, , , , , Sequential, Win1;
+""")
+    (rule,) = loaded.shading
+    assert rule.transmittance == pytest.approx((1.0 - 0.001 / 0.0025) ** 2)
+    with pytest.raises(ValueError, match="Material Spacing"):
+        load_idf(_SHADE_IDF + """
+WindowMaterial:Screen, Bad, DoNotModel, 0.08, 0.08, 0.9, 221,
+    0.001, 0.0025, 0.025;
+WindowShadingControl, SC, A, 1, ExteriorScreen, , AlwaysOn,
+    , , No, No, Bad, , , , , Sequential, Win1;
+""")
+
+
+def test_window_shading_blind_device():
+    """WindowMaterial:Blind reduces to a slat-coverage transmittance:
+    cover = min(1, (w/s)|cos angle|) with E+'s slat-angle convention
+    (0 = closed, 90 = open), the covered fraction passing the slat's
+    beam transmittance."""
+
+    def tau_for(width, sep, angle, tau_slat=0.0):
+        loaded = load_idf(_SHADE_IDF + f"""
+WindowMaterial:Blind, Slats, Horizontal, {width}, {sep}, 0.001, {angle},
+    160, {tau_slat}, 0.6, 0.6, 0.7, 0.7, 0.6, 0.6, 0.7, 0.7, 0.0, 0.9;
+WindowShadingControl, SC, A, 1, InteriorBlind, , AlwaysOn,
+    , , No, No, Slats, , , , , Sequential, Win1;
+""")
+        (rule,) = loaded.shading
+        return rule.transmittance
+
+    # Closed (angle 0, w >= s): fully covered, only slat transmittance.
+    assert tau_for(0.025, 0.019, 0.0, 0.1) == pytest.approx(0.1)
+    # Open (angle 90): cover ~ 0 regardless of w/s.
+    assert tau_for(0.025, 0.019, 90.0) == pytest.approx(1.0, abs=1e-12)
+    # 45 deg, w = s: cover = cos(45), pass-through = 1 - cover.
+    assert tau_for(0.02, 0.02, 45.0) == pytest.approx(
+        1.0 - np.cos(np.radians(45.0))
+    )
+    with pytest.raises(ValueError, match="Slat Width"):
+        load_idf(_SHADE_IDF + """
+WindowMaterial:Blind, Bad, Horizontal, , 0.019, 0.001, 45,
+    160, 0, 0.6, 0.6, 0.7, 0.7, 0.6, 0.6, 0.7, 0.7, 0.0, 0.9;
+WindowShadingControl, SC, A, 1, InteriorBlind, , AlwaysOn,
+    , , No, No, Bad, , , , , Sequential, Win1;
+""")
+
+
 def test_window_shading_pre9_weather_control():
     """Pre-9.0 WindowProperty:ShadingControl carries the setpoint in
     field 6 (after Schedule)."""
