@@ -134,7 +134,9 @@ _SUPPORTED_TYPES = {
     "windowshadingcontrol",
     "windowproperty:shadingcontrol",
     "shading:site:detailed", "shading:building:detailed",
-    "shading:zone:detailed",
+    "shading:zone:detailed", "shading:site", "shading:building",
+    "shading:overhang", "shading:overhang:projection",
+    "shading:fin", "shading:fin:projection",
 }
 # Pure-reporting / solver-configuration types that genuinely have no thermal
 # content to import — silently skipped.
@@ -1396,10 +1398,8 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 stacklevel=3,
             )
 
-    def _rotated(verts, deg):
+    def _north_rot(verts, deg):
         # Clockwise-positive building rotation in the xy plane.
-        if clockwise:
-            verts = verts[::-1]
         if deg:
             b = np.radians(deg)
             c, s = np.cos(b), np.sin(b)
@@ -1408,6 +1408,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 [c * x + s * y, -s * x + c * y, verts[:, 2]]
             )
         return verts
+
+    def _rotated(verts, deg):
+        if clockwise:
+            verts = verts[::-1]
+        return _north_rot(verts, deg)
 
     for o in by_type.get("shading:site:detailed", []):
         # Site shading is world-fixed: never rotated by the building
@@ -1431,6 +1436,150 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             )
         _warn_transmittance(o, _str(o, 3))
         m.add_shade(_shade_verts(o, 4, surf_zone[host]))
+
+    # -- rectangular shading shortcuts -----------------------------------------
+    # Shading:Site / Shading:Building (azimuth/tilt/origin/length/height
+    # rectangles) and the window-attached Shading:Overhang[:Projection] /
+    # Shading:Fin[:Projection] devices, lowered to the same opaque
+    # blocker polygons as the :Detailed forms.
+    def _rect_shade(o, owner):
+        # Name(1), Azimuth(2), Tilt(3, default 90), Starting X/Y/Z(4-6),
+        # Length(7), Height(8).  The starting corner is the lower-left
+        # corner viewed from the facing direction; the rectangle spans
+        # Length along the horizontal width axis and Height up the slope.
+        az, tilt = _num(o, 2, 0.0) or 0.0, _num(o, 3)
+        tilt = 90.0 if tilt is None else tilt
+        length, height = _num(o, 7), _num(o, 8)
+        if not length or not height or length <= 0 or height <= 0:
+            raise ValueError(f"{owner}: needs positive Length and Height")
+        g, b = np.radians(az), np.radians(tilt)
+        n = np.array([np.sin(g) * np.sin(b), np.cos(g) * np.sin(b),
+                      np.cos(b)])
+        w = np.array([-np.cos(g), np.sin(g), 0.0])  # width axis (horizontal)
+        u = np.cross(n, w)  # up-slope axis
+        p = np.array([_num(o, k, 0.0) or 0.0 for k in (4, 5, 6)])
+        return np.vstack([p, p + length * w,
+                          p + length * w + height * u, p + height * u])
+
+    for o in by_type.get("shading:site", []):
+        m.add_shade(_rect_shade(o, f"Shading:Site {o[1]!r}"))
+    for o in by_type.get("shading:building", []):
+        # Rotates with the building north axis, like the :Detailed form.
+        m.add_shade(_north_rot(
+            _rect_shade(o, f"Shading:Building {o[1]!r}"), north_axis
+        ))
+
+    fen_def_by_name = {f.name.lower(): f for f in m.fenestrations}
+
+    def _fen_frame(win_name, owner):
+        """The window's in-plane frame for attached shading devices:
+        (n, w, u, s0, s1, t0, t1, d) with w the horizontal width axis,
+        u the up-slope axis, [s0, s1] x [t0, t1] the vertex extents in
+        (w, u) coordinates and d the plane offset along the outward
+        normal n (a point is s*w + t*u + d*n)."""
+        fd = fen_def_by_name.get(win_name.lower())
+        if fd is None:
+            raise ValueError(
+                f"{owner}: Window or Door Name {win_name!r} names no "
+                "parsed fenestration"
+            )
+        if fd.vertices is None:
+            warnings.warn(
+                f"{owner}: window {fd.name!r} carries no vertex loop "
+                "(rectangular window on a host without vertices) — the "
+                "shading device is skipped",
+                stacklevel=2,
+            )
+            return None
+        v = np.asarray(fd.vertices, np.float64)
+        _, _, n0, _ = fd.resolved_geometry()
+        n = np.asarray(n0, np.float64)
+        horiz = np.array([-n[1], n[0], 0.0])  # cross(z_hat, n)
+        nh = float(np.linalg.norm(horiz))
+        if nh < 1e-9:
+            warnings.warn(
+                f"{owner}: window {fd.name!r} is horizontal — "
+                "overhang/fin geometry is undefined, skipped",
+                stacklevel=2,
+            )
+            return None
+        w = horiz / nh
+        u = np.cross(n, w)
+        s, t = v @ w, v @ u
+        return (n, w, u, float(s.min()), float(s.max()),
+                float(t.min()), float(t.max()), float(v[0] @ n))
+
+    for kind in ("shading:overhang", "shading:overhang:projection"):
+        for o in by_type.get(kind, []):
+            # Name(1), Window or Door(2), Height above Window(3), Tilt
+            # Angle from Window(4, default 90 = perpendicular), Left
+            # extension(5), Right extension(6), Depth(7) — the
+            # :Projection form's field 7 is Depth as a Fraction of
+            # Window/Door Height instead of meters.
+            owner = f"{o[0]} {o[1]!r}"
+            fr = _fen_frame(_str(o, 2), owner)
+            if fr is None:
+                continue
+            n, w, u, s0, s1, t0, t1, d = fr
+            above = _num(o, 3, 0.0) or 0.0
+            tilt = _num(o, 4)
+            tilt = 90.0 if tilt is None else tilt
+            left, right = _num(o, 5, 0.0) or 0.0, _num(o, 6, 0.0) or 0.0
+            depth = _num(o, 7)
+            if kind.endswith("projection") and depth is not None:
+                depth *= t1 - t0
+            if not depth or depth <= 0:
+                raise ValueError(f"{owner}: needs a positive Depth")
+            tb = np.radians(tilt)
+            dirv = np.cos(tb) * u + np.sin(tb) * n
+            a = (s0 - left) * w + (t1 + above) * u + d * n
+            b = (s1 + right) * w + (t1 + above) * u + d * n
+            m.add_shade(np.vstack(
+                [a, b, b + depth * dirv, a + depth * dirv]
+            ))
+
+    for kind in ("shading:fin", "shading:fin:projection"):
+        for o in by_type.get(kind, []):
+            # Name(1), Window or Door(2), then per side {Extension from
+            # Window(+0), Distance Above Top(+1), Distance Below
+            # Bottom(+2), Tilt Angle from Window(+3, default 90),
+            # Depth(+4)}: Left at 3-7, Right at 8-12.  The :Projection
+            # form's depths are fractions of the window width.  A side
+            # with no positive depth is simply absent (E+ allows
+            # left-only / right-only fins).
+            owner = f"{o[0]} {o[1]!r}"
+            fr = _fen_frame(_str(o, 2), owner)
+            if fr is None:
+                continue
+            n, w, u, s0, s1, t0, t1, d = fr
+            added = 0
+            for side, base in (("left", 3), ("right", 8)):
+                ext = _num(o, base, 0.0) or 0.0
+                above = _num(o, base + 1, 0.0) or 0.0
+                below = _num(o, base + 2, 0.0) or 0.0
+                tilt = _num(o, base + 3)
+                tilt = 90.0 if tilt is None else tilt
+                depth = _num(o, base + 4)
+                if kind.endswith("projection") and depth is not None:
+                    depth *= s1 - s0
+                if not depth or depth <= 0:
+                    continue
+                tb = np.radians(tilt)
+                out_w = -w if side == "left" else w
+                s_att = (s0 - ext) if side == "left" else (s1 + ext)
+                dirv = np.cos(tb) * out_w + np.sin(tb) * n
+                a = s_att * w + (t0 - below) * u + d * n
+                b = s_att * w + (t1 + above) * u + d * n
+                m.add_shade(np.vstack(
+                    [a, b, b + depth * dirv, a + depth * dirv]
+                ))
+                added += 1
+            if not added:
+                warnings.warn(
+                    f"{owner}: neither Left nor Right Depth is positive "
+                    "— the fin shades nothing",
+                    stacklevel=2,
+                )
 
     for o in by_type.get("internalmass", []):
         # Name, Construction, Zone or ZoneList, [Space — 22.1+], Surface

@@ -1128,6 +1128,160 @@ WindowProperty:ShadingControl, OldSC, ExteriorShade, ,
     np.testing.assert_allclose(mult[:, 3], [1.0, 0.25])
 
 
+def _loops_match(got, expected, atol=1e-9):
+    """The two vertex loops describe the same polygon (any rotation of
+    the cycle, either winding — blockers are winding-agnostic)."""
+    got, expected = np.asarray(got, float), np.asarray(expected, float)
+    assert got.shape == expected.shape
+    for cand in (got, got[::-1]):
+        for k in range(len(cand)):
+            if np.allclose(np.roll(cand, k, axis=0), expected, atol=atol):
+                return True
+    return False
+
+
+def test_shading_site_rectangle():
+    """Shading:Site lowers its azimuth/tilt/origin/length/height spec to
+    the world rectangle: lower-left corner at the origin, Length along
+    the horizontal width axis, Height up the slope."""
+    loaded = load_idf(_SHADE_IDF + """
+Shading:Site, Screen, 180, 90, 0, -5, 0, 4, 3;
+""")
+    (shade,) = loaded.model.shades
+    assert _loops_match(shade, [
+        [0, -5, 0], [4, -5, 0], [4, -5, 3], [0, -5, 3]
+    ])
+    # Tilt defaults to 90 (vertical).
+    loaded2 = load_idf(_SHADE_IDF + """
+Shading:Site, Screen, 180, , 0, -5, 0, 4, 3;
+""")
+    assert _loops_match(loaded2.model.shades[0], shade)
+    with pytest.raises(ValueError, match="Length and Height"):
+        load_idf(_SHADE_IDF + "Shading:Site, Bad, 180, 90, 0, -5, 0, 4;\n")
+
+
+def test_shading_site_rectangle_tilted():
+    """A tilted Shading:Site rectangle slopes up away from the facing
+    direction (the up-slope axis tips back by the tilt)."""
+    loaded = load_idf(_SHADE_IDF + """
+Shading:Site, Awning, 180, 30, 0, -5, 2, 4, 2;
+""")
+    (shade,) = loaded.model.shades
+    c30, s30 = np.cos(np.radians(30)), np.sin(np.radians(30))
+    assert _loops_match(shade, [
+        [0, -5, 2], [4, -5, 2],
+        [4, -5 + 2 * c30, 2 + 2 * s30], [0, -5 + 2 * c30, 2 + 2 * s30]
+    ])
+
+
+def test_shading_building_rotates_with_north_axis():
+    """Shading:Building rotates with the Building north axis (like the
+    :Detailed form); Shading:Site does not."""
+    text = """
+Building, Rotated, 90, , , , , 1, 25;
+""" + _SHADE_IDF + """
+Shading:Building, Attached, 180, 90, 0, -5, 0, 4, 3;
+"""
+    loaded = load_idf(text)
+    (shade,) = loaded.model.shades
+    # (x, y) -> (y, -x) under a 90-degree clockwise building rotation.
+    assert _loops_match(shade, [
+        [-5, 0, 0], [-5, -4, 0], [-5, -4, 3], [-5, 0, 3]
+    ])
+    site = load_idf(text.replace("Shading:Building", "Shading:Site"))
+    assert _loops_match(site.model.shades[0], [
+        [0, -5, 0], [4, -5, 0], [4, -5, 3], [0, -5, 3]
+    ])
+
+
+def test_shading_overhang():
+    """Shading:Overhang hangs a plate above the window: Height above the
+    window top, spanning width + left/right extensions, projecting Depth
+    perpendicular to the window at the default 90-degree tilt.  Win1
+    spans x 1-3, z 1-2 on the y=0 south wall."""
+    loaded = load_idf(_SHADE_IDF + """
+Shading:Overhang, OH, Win1, 0.5, 90, 0.2, 0.3, 1.0;
+""")
+    (shade,) = loaded.model.shades
+    assert _loops_match(shade, [
+        [0.8, 0, 2.5], [3.3, 0, 2.5], [3.3, -1, 2.5], [0.8, -1, 2.5]
+    ])
+    # The :Projection form's depth is a fraction of the window height.
+    loaded2 = load_idf(_SHADE_IDF + """
+Shading:Overhang:Projection, OH, Win1, 0.5, 90, 0.2, 0.3, 0.5;
+""")
+    (shade2,) = loaded2.model.shades
+    assert _loops_match(shade2, [
+        [0.8, 0, 2.5], [3.3, 0, 2.5], [3.3, -0.5, 2.5], [0.8, -0.5, 2.5]
+    ])
+    # A tilted overhang (45 degrees from the window) droops accordingly.
+    loaded3 = load_idf(_SHADE_IDF + """
+Shading:Overhang, OH, Win1, 0, 45, 0, 0, 1.0;
+""")
+    (shade3,) = loaded3.model.shades
+    r = np.sqrt(0.5)
+    assert _loops_match(shade3, [
+        [1, 0, 2], [3, 0, 2], [3, -r, 2 + r], [1, -r, 2 + r]
+    ])
+    with pytest.raises(ValueError, match="positive Depth"):
+        load_idf(_SHADE_IDF + "Shading:Overhang, OH, Win1, 0.5, 90, 0, 0;\n")
+    with pytest.raises(ValueError, match="names no parsed fenestration"):
+        load_idf(_SHADE_IDF + "Shading:Overhang, OH, Nope, 0.5, 90, 0, 0, 1;\n")
+
+
+def test_shading_fin():
+    """Shading:Fin hangs vertical plates at the window's sides, each
+    with its own extension / above / below / tilt / depth; a side with
+    no positive depth is absent (E+ allows one-sided fins)."""
+    loaded = load_idf(_SHADE_IDF + """
+Shading:Fin, FN, Win1, 0.1, 0.2, 0.3, 90, 0.8, 0.1, 0.2, 0.3, 90, 0.6;
+""")
+    left, right = loaded.model.shades
+    assert _loops_match(left, [
+        [0.9, 0, 0.7], [0.9, 0, 2.2], [0.9, -0.8, 2.2], [0.9, -0.8, 0.7]
+    ])
+    assert _loops_match(right, [
+        [3.1, 0, 0.7], [3.1, 0, 2.2], [3.1, -0.6, 2.2], [3.1, -0.6, 0.7]
+    ])
+    # Left-only fin: the blank right side is simply absent.
+    loaded2 = load_idf(_SHADE_IDF + """
+Shading:Fin, FN, Win1, 0.1, 0.2, 0.3, 90, 0.8;
+""")
+    assert len(loaded2.model.shades) == 1
+    # The :Projection form's depths are fractions of the window width (2 m).
+    loaded3 = load_idf(_SHADE_IDF + """
+Shading:Fin:Projection, FN, Win1, 0, 0, 0, 90, 0.4;
+""")
+    (fin,) = loaded3.model.shades
+    assert _loops_match(fin, [
+        [1, 0, 1], [1, 0, 2], [1, -0.8, 2], [1, -0.8, 1]
+    ])
+    with pytest.warns(UserWarning, match="shades nothing"):
+        load_idf(_SHADE_IDF + "Shading:Fin, FN, Win1, 0.1, 0, 0, 90, 0;\n")
+
+
+def test_shading_overhang_blocks_high_sun():
+    """End to end through the ray-cast: the imported overhang shades the
+    window under high sun but passes low sun (the passive-solar truth,
+    same as tests/test_shadow.py's hand-built polygon)."""
+    from heatx.weather.shadow import sunlit_fraction
+
+    loaded = load_idf(_SHADE_IDF + """
+Shading:Overhang, OH, Win1, 0.5, 90, 0.5, 0.5, 1.0;
+""")
+    m = loaded.model
+    win_col = len(m.surfaces) + [f.name for f in m.fenestrations].index(
+        "Win1"
+    )
+    # 0.5 m above a 1 m window, 1 m deep: 70-degree sun casts 2.75 m down
+    # the wall (full shade); 10-degree sun casts 0.18 m (clears the top).
+    alt = np.radians([70.0, 10.0])
+    az = np.radians([180.0, 180.0])
+    f = sunlit_fraction(m, alt, az)
+    assert f[0, win_col] == 0.0  # high sun: fully shaded
+    assert f[1, win_col] == 1.0  # low winter sun slips under
+
+
 def test_cli_applies_shading(ref_fixtures, tmp_path, capsys):
     """The simulate command scales the controlled panes' incident solar:
     the always-shaded variant runs cooler on a sunny day."""
