@@ -36,4 +36,5 @@ from heatx.model.building import (  # noqa: F401
     SpaceDef,
     Substance,
     SurfaceDef,
+    ZoneShadingControl,
 )

@@ -111,8 +111,8 @@ class ThermalModel:
         additionally carry a trailing ``[dt_subdivisions]`` axis for
         sub-step-interpolated values ([T, sub] per-step, [sub] static).  A
         1-D weather array of length T is read as a per-step series.
-        ``mix_vol``/``heat_sp``/``cool_sp`` keep their documented
-        static-or-scheduled forms (the scan lifts them itself).
+        ``mix_vol``/``heat_sp``/``cool_sp``/``shade_sp`` keep their
+        documented static-or-scheduled forms (the scan lifts them itself).
         """
         import jax.numpy as jnp
 
@@ -120,7 +120,7 @@ class ThermalModel:
         weather = ("t_out", "wind_speed", "wind_direction")
         upd = {}
         for name in StepInputs._fields:
-            if name in ("mix_vol", "heat_sp", "cool_sp"):
+            if name in ("mix_vol", "heat_sp", "cool_sp", "shade_sp"):
                 if overrides.get(name) is not None:
                     upd[name] = jnp.asarray(overrides[name])
                 continue

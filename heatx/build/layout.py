@@ -281,6 +281,19 @@ class CompiledBuilding:
     ctl_max_cool: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
     has_ideal_hvac: bool = False
 
+    # In-run zone-state window shading (heatx extension; EnergyPlus's
+    # OnIfHighZoneAirTemperature control family).  Dense [S] arrays:
+    # shade_zone[s] is the controlling zone (-1 = uncontrolled),
+    # shade_tau the deployed transmittance, shade_sp the zone-air
+    # setpoint (C; the optional StepInputs.shade_sp channel overrides it
+    # per main step — schedule gates render blocked hours as +1e9).
+    # has_zone_shading is static so uncontrolled buildings trace zero
+    # extra ops.
+    shade_zone: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    shade_tau: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    shade_sp: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    has_zone_shading: bool = False
+
     @property
     def n_surfaces(self) -> int:
         return self.surfaces.n_surfaces
@@ -302,6 +315,8 @@ class CompiledBuilding:
             ctl_cool_sp=self.ctl_cool_sp.astype(dtype),
             ctl_max_heat=self.ctl_max_heat.astype(dtype),
             ctl_max_cool=self.ctl_max_cool.astype(dtype),
+            shade_tau=self.shade_tau.astype(dtype),
+            shade_sp=self.shade_sp.astype(dtype),
         )
 
     def set_fixed_h(self, front=None, back=None):
@@ -358,6 +373,7 @@ _CB_CHILDREN = (
     "surfaces", "zone_volume", "lum_space", "hvac_pair_space", "hvac_pair_unit",
     "mix_src", "mix_dst", "mix_vol",
     "ctl_heat_sp", "ctl_cool_sp", "ctl_max_heat", "ctl_max_cool",
+    "shade_zone", "shade_tau", "shade_sp",
 )
 _CB_STATIC = (
     "n_zones",
@@ -369,6 +385,7 @@ _CB_STATIC = (
     "n_real_surfaces",
     "config",
     "has_ideal_hvac",
+    "has_zone_shading",
 )
 
 
@@ -736,6 +753,26 @@ def compile_building(
         else:
             raise ValueError(f"unknown HVAC type {type(hvac)}")
 
+    # In-run zone-state window shading (heatx extension): dense [S]
+    # arrays over the compiled surface order, -1 zone = uncontrolled.
+    shade_zone = np.full(S, -1, dtype=np.int32)
+    shade_tau = np.ones(S, dtype=f64)
+    shade_sp_arr = np.full(S, 1e9, dtype=f64)
+    has_zone_shading = False
+    if model.zone_shading:
+        surf_index = {sd.name: i for i, (sd, _) in enumerate(surf_defs)}
+        for ctl in model.zone_shading:
+            si = surf_index.get(ctl.surface)
+            if si is None:
+                raise ValueError(
+                    f"zone shading control names unknown surface "
+                    f"{ctl.surface!r}"
+                )
+            shade_zone[si] = model.space_index(ctl.space)
+            shade_tau[si] = float(ctl.transmittance)
+            shade_sp_arr[si] = float(ctl.setpoint)
+            has_zone_shading = True
+
     # Inter-zone mixing pairs (heatx extension; model.rs:546).
     mix_src = np.array(
         [model.space_index(f) for f, _, _ in model.mixings], dtype=np.int32
@@ -768,4 +805,8 @@ def compile_building(
         ctl_max_heat=ctl_max_heat,
         ctl_max_cool=ctl_max_cool,
         has_ideal_hvac=has_ideal,
+        shade_zone=shade_zone,
+        shade_tau=shade_tau,
+        shade_sp=shade_sp_arr,
+        has_zone_shading=has_zone_shading,
     )

@@ -375,13 +375,27 @@ def cmd_simulate(args) -> int:
         # The fused kernel implements parity, both trbdf2 modes, and the
         # interior-MRT network; exp stays on the XLA host loop even on TPU.
         # It marches whole hours, so sub-hourly main steps (--n / IDF
-        # Timestep > 1) stay on XLA.
+        # Timestep > 1) stay on XLA, as do in-run zone-state shading
+        # controls (the kernel rejects them at construction).
         on_tpu = jax.default_backend() == "tpu"
-        engine = "kernel" if (on_tpu and args.mode != "exp" and n == 1) else "xla"
+        engine = (
+            "kernel"
+            if (on_tpu and args.mode != "exp" and n == 1
+                and not model.zone_shading)
+            else "xla"
+        )
     if engine == "kernel" and n > 1:
         print(
             "error: --engine kernel marches hourly main steps; rebuild with "
             "--n 1 or use --engine xla",
+            file=sys.stderr,
+        )
+        return 2
+    if engine == "kernel" and model.zone_shading:
+        print(
+            "error: in-run zone-state window shading "
+            "(OnIfHighZoneAirTemperature) is not supported by the fused "
+            "kernel; use --engine xla",
             file=sys.stderr,
         )
         return 2
@@ -435,6 +449,20 @@ def cmd_simulate(args) -> int:
                 gain_kw = {
                     k: np.repeat(v, n, axis=0) for k, v in gain_kw.items()
                 }
+        if loaded.zone_shading:
+            # In-run zone-state shading: the controls are compiled into the
+            # model; only their schedule AND-gates need a per-step channel.
+            sp_series = loaded.shading_setpoint_series(T, start_hour=start)
+            if sp_series is not None:
+                if n > 1:
+                    sp_series = np.repeat(sp_series, n, axis=0)
+                gain_kw["shade_sp"] = sp_series
+            print(
+                f"# in-run zone shading: {len(loaded.zone_shading)} "
+                "rule(s) compiled into the march"
+                + (" (with schedule gates)" if sp_series is not None else ""),
+                file=sys.stderr,
+            )
 
     # IDF infiltration/ventilation flows: outdoor air exchanged at the
     # scheduled m3/s per zone, inlet at the (interpolated) outdoor dry bulb.

@@ -310,8 +310,13 @@ def exp_march(
 ):
     """One main step in fast mode: freeze coefficients + propagators, then run
     ``substeps`` exact sub-steps (scanned)."""
+    from heatx.engine.step import apply_zone_shading
+
     if substeps < 1:
         raise ValueError(f"substeps must be >= 1, got {substeps}")
+    # In-run zone-shading deployment: step-start decision, frozen for the
+    # sub-steps (the frozen-coefficient cadence).
+    inputs = apply_zone_shading(building, state, inputs)
     main_dt = 3600.0 / building.n_steps_per_hour
     dt_sub = main_dt / substeps
 

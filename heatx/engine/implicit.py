@@ -51,6 +51,7 @@ import jax
 import jax.numpy as jnp
 
 from heatx.build.layout import CompiledBuilding
+from heatx.engine import step as step_mod
 from heatx.engine import surface as surf_mod
 from heatx.engine import zone as zone_mod
 from heatx.engine.exponential import _full_system_K, _substep_forcing
@@ -215,6 +216,10 @@ def imp_march(
     (surface.rs:596-717) at the fast mode's sub-step count."""
     if substeps < 1:
         raise ValueError(f"substeps must be >= 1, got {substeps}")
+    # In-run zone-shading deployment: evaluated once per main step from
+    # the step-start zone temperatures, frozen for the sub-steps (the
+    # same cadence as the frozen film coefficients).
+    inputs = step_mod.apply_zone_shading(building, state, inputs)
     main_dt = 3600.0 / building.n_steps_per_hour
     dt_sub = main_dt / substeps
 

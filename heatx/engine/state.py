@@ -70,6 +70,11 @@ class StepInputs(NamedTuple):
     # FastRunner(scheduled_setpoints=True).
     heat_sp: jnp.ndarray = None
     cool_sp: jnp.ndarray = None
+    # Optional per-main-step override of the compiled zone-shading
+    # setpoints ([S]; heatx extension, buildings with in-run
+    # ZoneShadingControl only): schedule gates render blocked hours as
+    # +1e9 (never deploy).  None = use the compiled setpoints.
+    shade_sp: jnp.ndarray = None
 
 
 def initial_state(building, dtype=None) -> SimState:

@@ -22,6 +22,29 @@ from heatx.engine import zone as zone_mod
 from heatx.engine.state import SimState, StepInputs
 
 
+def apply_zone_shading(
+    building: CompiledBuilding, state: SimState, inputs: StepInputs
+) -> StepInputs:
+    """In-run window-shading deployment (heatx extension; EnergyPlus's
+    zone-state-dependent WindowShadingControl family): scale each
+    controlled pane's incident front solar by its deployed-device
+    transmittance while the controlling zone's air temperature — read
+    from the marching state at main-step start, i.e. the previous
+    timestep's value, EnergyPlus's own control convention — exceeds the
+    setpoint.  The optional ``inputs.shade_sp`` channel overrides the
+    compiled setpoints for this step (schedule gates pass +1e9 on
+    blocked hours).  A no-op (zero traced ops) on buildings without
+    zone-shading controls."""
+    if not building.has_zone_shading:
+        return inputs
+    zi = building.shade_zone
+    sp = inputs.shade_sp if inputs.shade_sp is not None else building.shade_sp
+    t_zone = jnp.take(state.zone_T, jnp.maximum(zi, 0))
+    deploy = (zi >= 0) & (t_zone > sp)
+    mult = jnp.where(deploy, building.shade_tau, 1.0)
+    return inputs._replace(sol_front=inputs.sol_front * mult)
+
+
 def substep(
     building: CompiledBuilding,
     state: SimState,
@@ -128,6 +151,7 @@ def march(
     Equivalent to one ``ThermalModel::march`` call: weather may vary per
     sub-step; irradiance and gains are held for the whole main step.
     """
+    inputs = apply_zone_shading(building, state, inputs)
     t_out = _per_substep_weather(building, inputs.t_out)
     ws = _per_substep_weather(building, inputs.wind_speed)
     wd = _per_substep_weather(building, inputs.wind_direction)
@@ -174,6 +198,8 @@ def _with_time_axis_mix(inputs_seq: StepInputs) -> StepInputs:
     over the scanned time axis; None leaves stay absent.
 
     * ``mix_vol``: a [M] constant becomes [T, M] (schedules pass [T, M]).
+    * ``shade_sp``: a [S] constant becomes [T, S] (schedule gates pass
+      [T, S]).
     * ``heat_sp``/``cool_sp``: a scalar or [Z] constant becomes [T, ...];
       a 1-D array of length T is a per-step SCALAR schedule (one setpoint
       for all zones each step) and becomes [T, 1] — the natural single-zone
@@ -182,12 +208,13 @@ def _with_time_axis_mix(inputs_seq: StepInputs) -> StepInputs:
     """
     T = jnp.asarray(inputs_seq.t_out).shape[0]
     upd = {}
-    mv = inputs_seq.mix_vol
-    if mv is not None:
-        mv = jnp.asarray(mv)
-        upd["mix_vol"] = (
-            jnp.broadcast_to(mv, (T,) + mv.shape) if mv.ndim == 1 else mv
-        )
+    for name in ("mix_vol", "shade_sp"):
+        mv = getattr(inputs_seq, name)
+        if mv is not None:
+            mv = jnp.asarray(mv)
+            upd[name] = (
+                jnp.broadcast_to(mv, (T,) + mv.shape) if mv.ndim == 1 else mv
+            )
     for name in ("heat_sp", "cool_sp"):
         v = getattr(inputs_seq, name)
         if v is None:

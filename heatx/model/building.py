@@ -252,6 +252,28 @@ class Luminaire:
 
 
 @dataclass
+class ZoneShadingControl:
+    """In-run window-shading control (heatx extension — the reference has
+    no shading machinery; EnergyPlus's zone-state-dependent
+    WindowShadingControl types, e.g. OnIfHighZoneAirTemperature).
+
+    While the controlling ``space``'s air temperature exceeds
+    ``setpoint`` (C), the pane's incident FRONT solar input is scaled by
+    the deployed device's ``transmittance``.  Deployment is evaluated at
+    each main-step start from the marching zone temperature — the
+    previous timestep's value, EnergyPlus's own control convention — so
+    it runs inside the compiled scan on every XLA integrator (the fused
+    kernel rejects it at construction).  The optional
+    ``StepInputs.shade_sp`` channel overrides the compiled setpoints per
+    main step (a schedule gate renders blocked hours as +inf there)."""
+
+    surface: str  # controlled pane (fenestration or surface) name
+    space: str  # the zone whose air temperature controls deployment
+    transmittance: float  # deployed-device solar transmittance, 0..1
+    setpoint: float  # zone air temperature threshold, C
+
+
+@dataclass
 class SiteDetails:
     """Terrain class for the wind-speed profile (surface.rs:135-166)."""
 
@@ -310,6 +332,8 @@ class BuildingModel:
     #: part of the thermal network: heatx.weather.shadow ray-casts them
     #: into per-surface sunlit beam fractions for the solar inputs.
     shades: List[np.ndarray] = field(default_factory=list)
+    #: In-run zone-state window-shading controls (see ZoneShadingControl).
+    zone_shading: List[ZoneShadingControl] = field(default_factory=list)
 
     # -- construction helpers ------------------------------------------------
 
@@ -362,6 +386,25 @@ class BuildingModel:
             )
         self.shades.append(v)
         return v
+
+    def add_zone_shading(self, ctl: ZoneShadingControl) -> ZoneShadingControl:
+        """Register an in-run zone-state window-shading control: while
+        ``ctl.space``'s air temperature exceeds ``ctl.setpoint``, the
+        named pane's incident front solar scales by
+        ``ctl.transmittance`` (evaluated each main step from the
+        previous step's zone temperature, inside the compiled scan)."""
+        if not 0.0 <= ctl.transmittance <= 1.0:
+            raise ValueError(
+                f"zone shading on {ctl.surface!r}: transmittance must be "
+                f"in [0, 1], got {ctl.transmittance}"
+            )
+        if any(c.surface == ctl.surface for c in self.zone_shading):
+            raise ValueError(
+                f"surface {ctl.surface!r} already has a zone-shading "
+                "control"
+            )
+        self.zone_shading.append(ctl)
+        return ctl
 
     def add_mixing(
         self, from_space: str, to_space: str, vol_rate: float, bidirectional: bool = True

@@ -98,6 +98,7 @@ from heatx.model.building import (
     SpaceDef,
     Substance,
     SurfaceDef,
+    ZoneShadingControl,
 )
 
 # Equivalent-slab properties for Material:NoMass (see module docstring).
@@ -200,7 +201,15 @@ class ShadingRule:
     horizontal > setpoint W/m2) or ``"high_outdoor_temp"``
     (OnIfHighOutdoorAirTemperature: dry bulb > setpoint C).  A
     ``schedule`` (when present) additionally gates deployment, matching
-    EnergyPlus's "and schedule, if specified, allows shading"."""
+    EnergyPlus's "and schedule, if specified, allows shading".
+
+    Zone-state-dependent rules (``"high_zone_temp"``,
+    OnIfHighZoneAirTemperature: the controlling ``zone``'s air
+    temperature > setpoint C) do NOT render host-side — load_idf lowers
+    them to in-run ``ZoneShadingControl``s on the model (deployment
+    reads the marching zone temperature inside the compiled scan) and
+    lists them in ``LoadedIdf.zone_shading``; their schedule AND-gates
+    render through :meth:`LoadedIdf.shading_setpoint_series`."""
 
     name: str
     fenestrations: List[str]
@@ -208,6 +217,7 @@ class ShadingRule:
     schedule: Optional[str] = None  # AND-gate; None = no schedule gate
     control: str = "always"
     setpoint: float = 0.0  # W/m2 or C, per control
+    zone: Optional[str] = None  # controlling zone (high_zone_temp only)
 
 
 @dataclass
@@ -248,6 +258,9 @@ class LoadedIdf:
     thermostats: List[ImportedThermostat] = field(default_factory=list)
     #: scheduled window-shading rules (shading_series renders them).
     shading: List["ShadingRule"] = field(default_factory=list)
+    #: zone-state shading rules (lowered to in-run ZoneShadingControls on
+    #: the model; shading_setpoint_series renders their schedule gates).
+    zone_shading: List["ShadingRule"] = field(default_factory=list)
 
     def schedule_series(self, name: str, T: int, start_hour: int = 0):
         """The named schedule rendered over ``T`` hours (year-periodic)."""
@@ -339,6 +352,33 @@ class LoadedIdf:
                 out[dep, col] = np.minimum(
                     out[dep, col], rule.transmittance
                 )
+        return out
+
+    def shading_setpoint_series(
+        self, T: int, start_hour: int = 0
+    ) -> Optional[np.ndarray]:
+        """The ``StepInputs.shade_sp`` override implementing the schedule
+        AND-gates of the imported in-run (zone-state) shading rules: a
+        [T, n_surfaces + n_fenestrations] array carrying each controlled
+        pane's setpoint on schedule-allowed hours and +1e9 (never
+        deploy) on blocked hours / uncontrolled panes.  ``None`` when no
+        in-run rule carries a schedule — the compiled setpoints then
+        already say everything (pass nothing to the run)."""
+        if not any(r.schedule for r in self.zone_shading):
+            return None
+        S = len(self.model.surfaces)
+        names = {
+            f.name: S + i for i, f in enumerate(self.model.fenestrations)
+        }
+        out = np.full((T, S + len(self.model.fenestrations)), 1e9)
+        for rule in self.zone_shading:
+            allow = (
+                np.ones(T, bool)
+                if rule.schedule is None
+                else self.schedule_series(rule.schedule, T, start_hour) > 0.0
+            )
+            for fname in rule.fenestrations:
+                out[:, names[fname]] = np.where(allow, rule.setpoint, 1e9)
         return out
 
     def airflow_series(self, T: int, start_hour: int = 0) -> Dict[str, np.ndarray]:
@@ -1873,25 +1913,36 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         cover = min(1.0, (w / sep) * abs(np.cos(np.radians(ang))))
         shade_tau[o[1].lower()] = (1.0 - cover) + cover * tau_slat
     fen_canon = {f.name.lower(): f.name for f in m.fenestrations}
+    # Pane -> its zone (the back boundary's space; in-run zone-state rules
+    # default to it when the control carries no Zone Name).
+    fen_zone = {
+        f.name: f.back_boundary.space
+        for f in m.fenestrations
+        if f.back_boundary.kind == "space"
+    }
     constr_canon = {c.lower(): c for c in m.constructions}
 
     # Control Type -> (normalized kind, schedule role).  Weather-dependent
     # types evaluate exactly host-side in shading_series (the deployment
     # condition reads only the EPW / incident solar, never zone state);
-    # zone-state-dependent types (OnIfHighZoneAirTemperature, glare,
-    # OnNightIf*, combined night/day rules) need in-run logic and keep the
-    # honest skip-with-warning below.
+    # OnIfHighZoneAirTemperature lowers to an IN-RUN ZoneShadingControl on
+    # the model (deployment reads the marching zone temperature inside
+    # the compiled scan — EnergyPlus's previous-timestep convention; its
+    # schedule gate renders through shading_setpoint_series); the
+    # remaining zone-state types (glare, OnIfHighZoneCooling, OnNightIf*
+    # combined night/day rules) keep the honest skip-with-warning below.
     _CONTROLS = {
         "alwayson": ("always", "none"),
         "onifscheduleallows": ("always", "required"),
         "onifhighsolaronwindow": ("high_solar", "optional"),
         "onifhighhorizontalsolar": ("high_horizontal_solar", "optional"),
         "onifhighoutdoorairtemperature": ("high_outdoor_temp", "optional"),
+        "onifhighzoneairtemperature": ("high_zone_temp", "optional"),
     }
 
     def _shade_rule(owner, construction_with, control_type, sched,
                     device_material, fen_names, setpoint=None,
-                    is_scheduled=""):
+                    is_scheduled="", zone=""):
         ct = control_type.lower().replace(" ", "")
         if ct == "alwaysoff":
             return  # never deployed: running unshaded IS the semantics
@@ -1900,8 +1951,8 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 f"{owner}: Shading Control Type {control_type!r} is "
                 "state-dependent and not imported (supported: AlwaysOn, "
                 "OnIfScheduleAllows, OnIfHighSolarOnWindow, "
-                "OnIfHighHorizontalSolar, OnIfHighOutdoorAirTemperature) "
-                "— these panes run unshaded",
+                "OnIfHighHorizontalSolar, OnIfHighOutdoorAirTemperature, "
+                "OnIfHighZoneAirTemperature) — these panes run unshaded",
                 stacklevel=3,
             )
             return
@@ -1956,17 +2007,46 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 raise ValueError(
                     f"{owner}: fenestration {fn!r} names no parsed window"
                 )
-        if fens:
-            out.shading.append(ShadingRule(
-                owner, fens, tau, schedule,
-                control=kind, setpoint=float(setpoint or 0.0),
-            ))
-        else:
+        if not fens:
             warnings.warn(
                 f"{owner}: no fenestration names given — the rule "
                 "controls nothing",
                 stacklevel=3,
             )
+            return
+        if kind == "high_zone_temp":
+            # Zone-state rule: lower to in-run controls on the model (the
+            # deployment condition reads the marching zone temperature).
+            # The controlling zone is the control's Zone Name when given
+            # (9.0+ schema), else each pane's own zone (pre-9.0 schema has
+            # no zone field — EnergyPlus uses the window's zone there).
+            ctl_zone = None
+            if zone:
+                ctl_zone = zone_canon.get(zone.lower())
+                if ctl_zone is None:
+                    raise ValueError(
+                        f"{owner}: Zone Name {zone!r} is not a parsed zone"
+                    )
+            for fn in fens:
+                z = ctl_zone or fen_zone.get(fn)
+                if z is None:
+                    raise ValueError(
+                        f"{owner}: pane {fn!r} has no zone and the "
+                        "control names none — OnIfHighZoneAirTemperature "
+                        "needs a controlling zone"
+                    )
+                m.add_zone_shading(ZoneShadingControl(
+                    fn, z, tau, float(setpoint)
+                ))
+            out.zone_shading.append(ShadingRule(
+                owner, fens, tau, schedule,
+                control=kind, setpoint=float(setpoint), zone=ctl_zone,
+            ))
+            return
+        out.shading.append(ShadingRule(
+            owner, fens, tau, schedule,
+            control=kind, setpoint=float(setpoint or 0.0),
+        ))
 
     for o in by_type.get("windowshadingcontrol", []):
         # 9.0+ schema: ..., Shading Type(4), Construction with Shading(5),
@@ -1976,7 +2056,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         _shade_rule(
             f"WindowShadingControl {o[1]!r}", _str(o, 5), _str(o, 6),
             _str(o, 7), _str(o, 11), [_str(o, k) for k in range(17, len(o))],
-            setpoint=_num(o, 8), is_scheduled=_str(o, 9),
+            setpoint=_num(o, 8), is_scheduled=_str(o, 9), zone=_str(o, 2),
         )
     pre9_ctls = {
         o[1].lower(): o

@@ -162,6 +162,12 @@ def block_building(
     (needed by ``make_hour_march(collect_operative=True)`` on buildings
     that don't run ``config.interior_mrt`` physics); default: only when
     the config enables interior MRT."""
+    if building.has_zone_shading:
+        raise ValueError(
+            "in-run zone-state window shading (ZoneShadingControl) is not "
+            "supported by the fused kernel engine — use an XLA integrator "
+            "(march / run with mode parity|trbdf2|trbdf2_refresh|exp)"
+        )
     layout = build_blocks(building, block_size=block_size, node_split=node_split)
     sb = building.surfaces
 

@@ -75,13 +75,15 @@ def state_shardings(mesh: Mesh, axis: str = SURFACE_AXIS, has_loads: bool = True
 
 
 def inputs_shardings(
-    mesh: Mesh, axis: str = SURFACE_AXIS, with_sp: bool = False
+    mesh: Mesh, axis: str = SURFACE_AXIS, with_sp: bool = False,
+    with_shade_sp: bool = False,
 ) -> StepInputs:
     s = NamedSharding(mesh, P(axis))
     r = NamedSharding(mesh, P())
     return StepInputs(
         heat_sp=(r if with_sp else None),
         cool_sp=(r if with_sp else None),
+        shade_sp=(s if with_shade_sp else None),  # per-surface [S]
         t_out=r,
         wind_speed=r,
         wind_direction=r,
@@ -109,7 +111,9 @@ def shard_state(state: SimState, mesh: Mesh, axis: str = SURFACE_AXIS) -> SimSta
 
 def shard_inputs(inputs: StepInputs, mesh: Mesh, axis: str = SURFACE_AXIS) -> StepInputs:
     sp = inputs.heat_sp is not None or inputs.cool_sp is not None
-    sh = inputs_shardings(mesh, axis, with_sp=sp)
+    sh = inputs_shardings(
+        mesh, axis, with_sp=sp, with_shade_sp=inputs.shade_sp is not None
+    )
     if sp:
         # Only replicate the setpoint leaves that are actually present.
         sh = sh._replace(
@@ -176,6 +180,7 @@ def make_sharded_march(
     mode: str = "parity",
     substeps: int = 12,
     scheduled_setpoints: bool = False,
+    scheduled_shade_sp: bool = False,
 ):
     """jit-compiled main-step function with surface-axis sharding.
 
@@ -186,6 +191,9 @@ def make_sharded_march(
     Pass ``scheduled_setpoints=True`` when the inputs will carry
     StepInputs.heat_sp/cool_sp schedules (the input specs then include the
     replicated setpoint leaves; inputs must then ALWAYS carry both).
+    ``scheduled_shade_sp=True`` does the same for the per-surface
+    StepInputs.shade_sp zone-shading schedule (sharded over the surface
+    axis; without it, zone-shaded buildings use their compiled setpoints).
     """
     _check_divisible(building, mesh)
     building = building.astype(building.config.dtype)
@@ -196,7 +204,10 @@ def make_sharded_march(
         _march_for_mode(mode, substeps),
         in_shardings=(
             bld_sh, st_sh,
-            inputs_shardings(mesh, axis, with_sp=scheduled_setpoints),
+            inputs_shardings(
+                mesh, axis, with_sp=scheduled_setpoints,
+                with_shade_sp=scheduled_shade_sp,
+            ),
         ),
         out_shardings=st_sh,
         donate_argnums=(1,) if donate else (),

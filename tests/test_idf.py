@@ -943,7 +943,7 @@ def test_window_shading_unsupported_honest():
     and leave the panes unshaded; unknown pane names are hard errors."""
     with pytest.warns(UserWarning, match="state-dependent"):
         loaded = load_idf(_SHADE_IDF + """
-WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
+WindowShadingControl, SC, A, 1, InteriorShade, , OnIfHighGlare,
     , 26, No, No, Roller, , , , , Sequential, Win1;
 """)
     assert loaded.shading == []
@@ -1110,6 +1110,105 @@ WindowMaterial:Blind, Bad, Horizontal, , 0.019, 0.001, 45,
 WindowShadingControl, SC, A, 1, InteriorBlind, , AlwaysOn,
     , , No, No, Bad, , , , , Sequential, Win1;
 """)
+
+
+def test_window_shading_zone_air_temperature_in_run():
+    """OnIfHighZoneAirTemperature lowers to in-run ZoneShadingControls on
+    the model (deployment reads the marching zone temperature — a
+    host-side series cannot express it), not to shading_series rules."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
+    , 26, No, No, Roller, , , , , Sequential, Win1, Win2;
+""")
+    assert loaded.shading == []  # nothing renders host-side
+    (rule,) = loaded.zone_shading
+    assert rule.control == "high_zone_temp"
+    assert rule.zone == "A"
+    assert rule.setpoint == pytest.approx(26.0)
+    ctls = loaded.model.zone_shading
+    assert [(c.surface, c.space) for c in ctls] == [
+        ("Win1", "A"), ("Win2", "A")
+    ]
+    assert all(c.transmittance == pytest.approx(0.25) for c in ctls)
+    # No schedule gate -> the compiled setpoints say everything.
+    assert loaded.shading_setpoint_series(4) is None
+    # The model compiles and the compiled arrays carry the control.
+    from heatx.build.layout import compile_building
+
+    b = compile_building(loaded.model, n=1)
+    assert b.has_zone_shading
+    zs = np.asarray(b.shade_zone)
+    assert (zs >= 0).sum() == 2
+
+    with pytest.raises(ValueError, match="needs a Setpoint"):
+        load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
+    , , No, No, Roller, , , , , Sequential, Win1;
+""")
+    with pytest.raises(ValueError, match="not a parsed zone"):
+        load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, Nope, 1, ExteriorShade, ,
+    OnIfHighZoneAirTemperature, , 26, No, No, Roller, , , , , Sequential,
+    Win1;
+""")
+
+
+def test_window_shading_zone_air_temperature_schedule_gate():
+    """A 'Shading Control Is Scheduled = Yes' schedule renders to the
+    StepInputs.shade_sp override: blocked hours +1e9, allowed hours the
+    setpoint (uncontrolled panes +1e9 throughout)."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
+    Afternoons, 26, Yes, No, Roller, , , , , Sequential, Win1;
+""")
+    (rule,) = loaded.zone_shading
+    assert rule.schedule == "afternoons"
+    sp = loaded.shading_setpoint_series(24)
+    S = len(loaded.model.surfaces)
+    win1 = S + [f.name for f in loaded.model.fenestrations].index("Win1")
+    # Afternoons: 12:00-18:00 on; hour h covers [h, h+1).
+    np.testing.assert_allclose(sp[:12, win1], 1e9)
+    np.testing.assert_allclose(sp[12:18, win1], 26.0)
+    np.testing.assert_allclose(sp[18:, win1], 1e9)
+    # Every other column (wall + the uncontrolled Win2) stays +1e9.
+    other = [c for c in range(sp.shape[1]) if c != win1]
+    np.testing.assert_allclose(sp[:, other], 1e9)
+
+
+def test_window_shading_zone_temperature_marches():
+    """End to end: the imported in-run control actually sheds solar when
+    the zone runs hot — the controlled building ends cooler under strong
+    sun, identical when the zone never crosses the setpoint."""
+    import jax
+
+    import heatx
+    from heatx.build.layout import compile_building
+    from heatx.engine import state as state_mod
+    from heatx.engine import step as step_mod
+
+    def run(text, sol, steps=48):
+        loaded = load_idf(_SHADE_IDF + text)
+        b = compile_building(
+            loaded.model, n=1,
+            config=heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=1),
+        ).astype(np.float64)
+        st = state_mod.initial_state(b)
+        inp = state_mod.default_inputs(
+            b, t_out=25.0, wind_speed=2.0,
+            sol_front=np.full(b.n_surfaces, sol),
+        )
+        march = jax.jit(step_mod.march)
+        for _ in range(steps):
+            st = march(b, st, inp)
+        return float(np.asarray(st.zone_T)[0])
+
+    ctl = """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
+    , 26, No, No, Roller, , , , , Sequential, Win1, Win2;
+"""
+    assert run(ctl, sol=800.0) < run("", sol=800.0) - 0.3
+    # Never crossing the setpoint: bit-identical to the unshaded model.
+    assert run(ctl, sol=5.0) == run("", sol=5.0)
 
 
 def test_window_shading_pre9_weather_control():
@@ -1313,6 +1412,45 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , AlwaysOn,
     # South-facing (shade side in Santiago) glazing sees mostly diffuse;
     # the shade still reads clearly against the 48 h mean.
     assert temps["shaded"].mean() < temps["open"].mean() - 0.03
+
+
+def test_cli_in_run_zone_shading(ref_fixtures, tmp_path, capsys):
+    """The simulate command compiles OnIfHighZoneAirTemperature into the
+    march (XLA engine), notes it on stderr, and refuses the fused kernel
+    with a clear error."""
+    import csv as _csv
+    import os as _os
+
+    from heatx.cli import main
+
+    EPW = f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw"
+    if not _os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    base = _SHADE_IDF + "Timestep, 1;\n"
+    ctl = base + """
+WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
+    , 10, No, No, Roller, , , , , Group, Win1, Win2;
+"""
+    temps = {}
+    for tag, text in (("open", base), ("ctl", ctl)):
+        p = tmp_path / f"{tag}.idf"
+        p.write_text(text)
+        o = tmp_path / f"{tag}.csv"
+        assert main(["simulate", str(p), EPW, "--hours", "48", "--engine",
+                     "xla", "--mode", "trbdf2", "--f64", "-o", str(o)]) == 0
+        temps[tag] = np.asarray(
+            [r[1] for r in list(_csv.reader(open(o)))[1:]], float
+        )
+    err = capsys.readouterr().err
+    assert "in-run zone shading: 1 rule(s)" in err
+    # A 10 C setpoint deploys essentially always on this January run:
+    # the controlled building sheds window solar and runs cooler.
+    assert temps["ctl"].mean() < temps["open"].mean() - 0.01
+    # The fused kernel refuses with a clean CLI error (exit 2).
+    p = tmp_path / "ctl.idf"
+    assert main(["simulate", str(p), EPW, "--hours", "24", "--engine",
+                 "kernel", "--f64", "-o", str(tmp_path / "x.csv")]) == 2
+    assert "not supported by the fused kernel" in capsys.readouterr().err
 
 
 def test_zoneventilation_gate_warning():
