@@ -487,6 +487,22 @@ def _str(fields: List[str], i: int, default: str = "") -> str:
     return fields[i] if i < len(fields) else default
 
 
+def _plane_frame(n: np.ndarray):
+    """In-plane axes of a non-horizontal surface with outward normal
+    ``n``: ``(w, u)`` with ``w`` the horizontal width axis
+    (``cross(z_hat, n)`` normalized — "to the right" viewed from
+    outside) and ``u`` the up-slope axis (``cross(n, w)``).  ``None``
+    for (near-)horizontal surfaces, where the frame is undefined.
+    Shared by the rectangular-window vertex synthesis and the
+    Overhang/Fin shading lowering."""
+    horiz = np.array([-n[1], n[0], 0.0])  # cross(z_hat, n)
+    nh = float(np.linalg.norm(horiz))
+    if nh < 1e-9:
+        return None
+    w = horiz / nh
+    return w, np.cross(n, w)
+
+
 def _vertices(fields: List[str], n_field: int) -> np.ndarray:
     # Number of Vertices may be blank OR 'autocalculate' (the E+ default
     # many tools emit): both mean "derive from the coordinate list".
@@ -1309,10 +1325,9 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             # outside, Starting Z up the surface.
             verts = None
             n0 = np.asarray(normal0, np.float64)
-            horiz = np.array([-n0[1], n0[0], 0.0])  # cross(z_hat, n)
-            if host_sd.vertices is not None and np.linalg.norm(horiz) > 1e-9:
-                u = horiz / np.linalg.norm(horiz)
-                v_up = np.cross(n0, u)
+            frame = _plane_frame(n0)
+            if host_sd.vertices is not None and frame is not None:
+                u, v_up = frame
                 hv = np.asarray(host_sd.vertices, np.float64)
                 s, t = hv @ u, hv @ v_up
                 origin = hv[np.lexsort((s, t))[0]]  # lowest, then leftmost
@@ -1534,17 +1549,15 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         v = np.asarray(fd.vertices, np.float64)
         _, _, n0, _ = fd.resolved_geometry()
         n = np.asarray(n0, np.float64)
-        horiz = np.array([-n[1], n[0], 0.0])  # cross(z_hat, n)
-        nh = float(np.linalg.norm(horiz))
-        if nh < 1e-9:
+        frame = _plane_frame(n)
+        if frame is None:
             warnings.warn(
                 f"{owner}: window {fd.name!r} is horizontal — "
                 "overhang/fin geometry is undefined, skipped",
                 stacklevel=2,
             )
             return None
-        w = horiz / nh
-        u = np.cross(n, w)
+        w, u = frame
         s, t = v @ w, v @ u
         return (n, w, u, float(s.min()), float(s.max()),
                 float(t.min()), float(t.max()), float(v[0] @ n))
@@ -1887,12 +1900,24 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     # fraction at the slat's beam transmittance — a static approximation
     # of E+'s profile-angle-resolved blind model, stated plainly.
     shade_tau: Dict[str, float] = {}
+
+    def _device_tau(owner, tau):
+        # A transmittance outside [0, 1] would silently AMPLIFY the
+        # controlled panes' incident solar through shading_series.
+        if not 0.0 <= tau <= 1.0:
+            raise ValueError(
+                f"{owner}: solar transmittance {tau} is outside [0, 1]"
+            )
+        return tau
+
     for o in by_type.get("windowmaterial:shade", []):
-        shade_tau[o[1].lower()] = float(_num(o, 2, 0.0) or 0.0)
+        shade_tau[o[1].lower()] = _device_tau(
+            f"WindowMaterial:Shade {o[1]!r}", float(_num(o, 2, 0.0) or 0.0)
+        )
     for o in by_type.get("windowmaterial:screen", []):
         # Fields: ..., Screen Material Spacing(7), Diameter(8).
         s, d = _num(o, 7), _num(o, 8)
-        if not s or d is None or d >= s:
+        if not s or s <= 0 or d is None or d < 0 or d >= s:
             raise ValueError(
                 f"WindowMaterial:Screen {o[1]!r}: needs Material Spacing "
                 "> Material Diameter >= 0"
@@ -1905,11 +1930,15 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         ang = _num(o, 6)  # 0.0 is a legal (fully closed) slat angle
         ang = 45.0 if ang is None else ang
         tau_slat = _num(o, 8, 0.0) or 0.0
-        if not w or not sep:
+        if not w or w <= 0 or not sep or sep <= 0:
             raise ValueError(
-                f"WindowMaterial:Blind {o[1]!r}: needs Slat Width and "
-                "Slat Separation"
+                f"WindowMaterial:Blind {o[1]!r}: needs positive Slat "
+                "Width and Slat Separation"
             )
+        _device_tau(
+            f"WindowMaterial:Blind {o[1]!r} (Beam Solar Transmittance)",
+            tau_slat,
+        )
         cover = min(1.0, (w / sep) * abs(np.cos(np.radians(ang))))
         shade_tau[o[1].lower()] = (1.0 - cover) + cover * tau_slat
     fen_canon = {f.name.lower(): f.name for f in m.fenestrations}
@@ -1939,6 +1968,16 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         "onifhighoutdoorairtemperature": ("high_outdoor_temp", "optional"),
         "onifhighzoneairtemperature": ("high_zone_temp", "optional"),
     }
+
+    # One control per pane: EnergyPlus 9.0+ allows several
+    # WindowShadingControls to reference the same window (Shading Control
+    # Sequence Number orders them; the first whose condition is met
+    # deploys).  heatx keeps the first rule per pane in sequence order
+    # and honestly skips the rest with a warning — the lowered forms
+    # (host-side multiplier / in-run control) cannot express
+    # per-timestep fall-through, and letting two rules both shade one
+    # pane would double-apply.
+    claimed: Dict[str, str] = {}  # pane -> owning rule
 
     def _shade_rule(owner, construction_with, control_type, sched,
                     device_material, fen_names, setpoint=None,
@@ -2014,6 +2053,28 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 stacklevel=3,
             )
             return
+        free = []
+        for fn in fens:
+            if fn in claimed:
+                warnings.warn(
+                    f"{owner}: pane {fn!r} is already controlled by "
+                    f"{claimed[fn]} (first rule in sequence order wins; "
+                    "EnergyPlus's per-timestep control fall-through is "
+                    "not modeled) — this rule skips the pane",
+                    stacklevel=3,
+                )
+            else:
+                free.append(fn)
+        if not free:
+            warnings.warn(
+                f"{owner}: every named pane is controlled by an earlier "
+                "rule — the rule controls nothing",
+                stacklevel=3,
+            )
+            return
+        fens = free
+        for fn in fens:
+            claimed[fn] = owner
         if kind == "high_zone_temp":
             # Zone-state rule: lower to in-run controls on the model (the
             # deployment condition reads the marching zone temperature).
@@ -2048,8 +2109,13 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             control=kind, setpoint=float(setpoint or 0.0),
         ))
 
-    for o in by_type.get("windowshadingcontrol", []):
-        # 9.0+ schema: ..., Shading Type(4), Construction with Shading(5),
+    for o in sorted(
+        by_type.get("windowshadingcontrol", []),
+        key=lambda o: _num(o, 3, 1.0) or 1.0,
+    ):
+        # 9.0+ schema, applied in Shading Control Sequence Number(3)
+        # order (the pane-claim rule above keeps the first per pane):
+        # ..., Shading Type(4), Construction with Shading(5),
         # Control Type(6), Schedule(7), Setpoint(8), Is Scheduled(9), ...,
         # Device Material(11), ..., Multiple Surface Control Type(16),
         # Fenestration names(17+).

@@ -1211,6 +1211,74 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
     assert run(ctl, sol=5.0) == run("", sol=5.0)
 
 
+def test_window_shading_one_control_per_pane():
+    """Several WindowShadingControls may legally reference the same pane
+    (Shading Control Sequence Number orders them in E+); heatx keeps the
+    first per pane in sequence order and warns on the rest — it must NOT
+    abort the import, and a pane named by both a zone-state and a
+    weather rule must not get shaded twice."""
+    # Two sequenced zone-temperature rules on Win1: sequence 1 wins even
+    # though it appears second in the file.
+    with pytest.warns(UserWarning, match="already controlled"):
+        loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC2, A, 2, ExteriorShade, ,
+    OnIfHighZoneAirTemperature, , 28, No, No, Roller, , , , , Sequential,
+    Win1;
+WindowShadingControl, SC1, A, 1, ExteriorShade, ,
+    OnIfHighZoneAirTemperature, , 26, No, No, Roller, , , , , Sequential,
+    Win1;
+""")
+    (ctl,) = loaded.model.zone_shading
+    assert ctl.setpoint == pytest.approx(26.0)  # sequence 1's setpoint
+    # Mixed kinds: the zone-state rule claims Win1 first; the weather
+    # rule keeps only Win2 (no double shading of Win1).
+    with pytest.warns(UserWarning, match="already controlled"):
+        loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SCZ, A, 1, ExteriorShade, ,
+    OnIfHighZoneAirTemperature, , 26, No, No, Roller, , , , , Sequential,
+    Win1;
+WindowShadingControl, SCW, A, 2, ExteriorShade, , AlwaysOn,
+    , , No, No, Roller, , , , , Sequential, Win1, Win2;
+""")
+    (rule,) = loaded.shading
+    assert rule.fenestrations == ["Win2"]
+    assert [c.surface for c in loaded.model.zone_shading] == ["Win1"]
+    # Every pane already claimed -> the extra rule controls nothing.
+    with pytest.warns(UserWarning, match="controls nothing"):
+        load_idf(_SHADE_IDF + """
+WindowShadingControl, SC1, A, 1, ExteriorShade, , AlwaysOn,
+    , , No, No, Roller, , , , , Sequential, Win1;
+WindowShadingControl, SC2, A, 2, ExteriorShade, , AlwaysOn,
+    , , No, No, Roller, , , , , Sequential, Win1;
+""")
+
+
+def test_window_shading_device_validation():
+    """Out-of-range device parameters are import errors, not silent
+    solar amplifiers: a negative screen diameter / slat width would give
+    a 'transmittance' > 1 that shading_series would multiply in."""
+    with pytest.raises(ValueError, match="Material Spacing"):
+        load_idf(_SHADE_IDF + """
+WindowMaterial:Screen, Bad, DoNotModel, 0.08, 0.08, 0.9, 221,
+    0.0025, -0.001, 0.025;
+WindowShadingControl, SC, A, 1, ExteriorScreen, , AlwaysOn,
+    , , No, No, Bad, , , , , Sequential, Win1;
+""")
+    with pytest.raises(ValueError, match="positive Slat"):
+        load_idf(_SHADE_IDF + """
+WindowMaterial:Blind, Bad, Horizontal, -0.02, 0.019, 0.001, 45,
+    160, 0, 0.6, 0.6, 0.7, 0.7, 0.6, 0.6, 0.7, 0.7, 0.0, 0.9;
+WindowShadingControl, SC, A, 1, InteriorBlind, , AlwaysOn,
+    , , No, No, Bad, , , , , Sequential, Win1;
+""")
+    with pytest.raises(ValueError, match="outside \\[0, 1\\]"):
+        load_idf(_SHADE_IDF + """
+WindowMaterial:Shade, Bad, 1.5, 0.5, 0.25, 0.5, 0.9, 0.0, 0.003, 0.1;
+WindowShadingControl, SC, A, 1, ExteriorShade, , AlwaysOn,
+    , , No, No, Bad, , , , , Sequential, Win1;
+""")
+
+
 def test_window_shading_pre9_weather_control():
     """Pre-9.0 WindowProperty:ShadingControl carries the setpoint in
     field 6 (after Schedule)."""
