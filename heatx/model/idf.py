@@ -1979,9 +1979,23 @@ def load_idf(path_or_text: str) -> LoadedIdf:
     # pane would double-apply.
     claimed: Dict[str, str] = {}  # pane -> owning rule
 
+    def _system_tau(constr_name, owner):
+        """ISO 9050 system solar transmittance of a (glazing)
+        construction — the heatx glazing machinery the compiler itself
+        uses for the per-node absorbed-solar split."""
+        from heatx.build.layout import glazing_system
+        from heatx.physics.glazing import combine_layers
+
+        c = m.constructions[constr_canon[constr_name.lower()]]
+        try:
+            pairs = glazing_system(c, m)
+        except ValueError as e:
+            raise ValueError(f"{owner}: {e}") from None
+        return combine_layers([g for _, g in pairs]).tau
+
     def _shade_rule(owner, construction_with, control_type, sched,
                     device_material, fen_names, setpoint=None,
-                    is_scheduled="", zone=""):
+                    is_scheduled="", zone="", shading_type=""):
         ct = control_type.lower().replace(" ", "")
         if ct == "alwaysoff":
             return  # never deployed: running unshaded IS the semantics
@@ -2022,7 +2036,22 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 f"{owner}: Control Type {control_type!r} needs a Setpoint"
             )
         tau = None
-        if device_material:
+        switchable = shading_type.lower().replace(" ", "") == "switchableglazing"
+        if switchable:
+            # Electrochromic glazing: deployment switches the pane to the
+            # darkened "Construction with Shading".  Thermally the pane
+            # keeps its base construction here; the deployed state is
+            # approximated as scaling the incident solar by the ratio of
+            # the two systems' ISO 9050 solar transmittances (computed
+            # per pane below — it depends on each pane's own base
+            # construction).
+            if not construction_with or construction_with.lower() not in constr_canon:
+                raise ValueError(
+                    f"{owner}: SwitchableGlazing needs a parsed "
+                    "Construction with Shading Name (got "
+                    f"{construction_with!r})"
+                )
+        elif device_material:
             tau = shade_tau.get(device_material.lower())
         elif construction_with and construction_with.lower() in constr_canon:
             c = m.constructions[constr_canon[construction_with.lower()]]
@@ -2030,11 +2059,10 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 if layer.lower() in shade_tau:
                     tau = shade_tau[layer.lower()]
                     break
-        if tau is None:
+        if tau is None and not switchable:
             warnings.warn(
                 f"{owner}: no WindowMaterial:Shade/Screen/Blind device "
-                "found (switchable glazing is not imported) — these "
-                "panes run unshaded",
+                "found — these panes run unshaded",
                 stacklevel=3,
             )
             return
@@ -2075,6 +2103,24 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         fens = free
         for fn in fens:
             claimed[fn] = owner
+        pane_tau = {fn: tau for fn in fens}
+        if switchable:
+            tau_sw = _system_tau(construction_with, owner)
+            for fn in fens:
+                base_c = fen_def_by_name[fn.lower()].construction
+                tau_base = _system_tau(base_c, f"{owner} (pane {fn!r})")
+                if tau_base <= 1e-12:
+                    raise ValueError(
+                        f"{owner}: pane {fn!r}'s construction {base_c!r} "
+                        "is opaque — SwitchableGlazing cannot apply"
+                    )
+                pane_tau[fn] = min(1.0, tau_sw / tau_base)
+        # One rule per distinct transmittance (switchable panes with
+        # different base constructions get different ratios; ordinary
+        # devices collapse to a single group).
+        groups: Dict[float, List[str]] = {}
+        for fn in fens:
+            groups.setdefault(pane_tau[fn], []).append(fn)
         if kind == "high_zone_temp":
             # Zone-state rule: lower to in-run controls on the model (the
             # deployment condition reads the marching zone temperature).
@@ -2097,17 +2143,19 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                         "needs a controlling zone"
                     )
                 m.add_zone_shading(ZoneShadingControl(
-                    fn, z, tau, float(setpoint)
+                    fn, z, pane_tau[fn], float(setpoint)
                 ))
-            out.zone_shading.append(ShadingRule(
-                owner, fens, tau, schedule,
-                control=kind, setpoint=float(setpoint), zone=ctl_zone,
-            ))
+            for g_tau, g_fens in groups.items():
+                out.zone_shading.append(ShadingRule(
+                    owner, g_fens, g_tau, schedule,
+                    control=kind, setpoint=float(setpoint), zone=ctl_zone,
+                ))
             return
-        out.shading.append(ShadingRule(
-            owner, fens, tau, schedule,
-            control=kind, setpoint=float(setpoint or 0.0),
-        ))
+        for g_tau, g_fens in groups.items():
+            out.shading.append(ShadingRule(
+                owner, g_fens, g_tau, schedule,
+                control=kind, setpoint=float(setpoint or 0.0),
+            ))
 
     for o in sorted(
         by_type.get("windowshadingcontrol", []),
@@ -2123,6 +2171,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             f"WindowShadingControl {o[1]!r}", _str(o, 5), _str(o, 6),
             _str(o, 7), _str(o, 11), [_str(o, k) for k in range(17, len(o))],
             setpoint=_num(o, 8), is_scheduled=_str(o, 9), zone=_str(o, 2),
+            shading_type=_str(o, 4),
         )
     pre9_ctls = {
         o[1].lower(): o
@@ -2154,6 +2203,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             f"WindowProperty:ShadingControl {o[1]!r}", _str(o, 3),
             _str(o, 4), _str(o, 5), _str(o, 9), fens,
             setpoint=_num(o, 6), is_scheduled=_str(o, 7),
+            shading_type=_str(o, 2),
         )
 
     return out

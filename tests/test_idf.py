@@ -1211,6 +1211,46 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
     assert run(ctl, sol=5.0) == run("", sol=5.0)
 
 
+def test_window_shading_switchable_glazing():
+    """SwitchableGlazing (electrochromic) deploys by switching the pane
+    to the darkened 'Construction with Shading'; heatx approximates the
+    deployed state by scaling incident solar by the ratio of the two
+    systems' ISO 9050 solar transmittances (per pane — it depends on
+    each pane's own base construction)."""
+    dark = """
+WindowMaterial:Glazing, Dark3, SpectralAverage, , 0.003, 0.1, 0.075,
+    0.075, 0.2, 0.081, 0.081, 0.0, 0.84, 0.84, 0.9;
+Construction, GlzDark, Dark3;
+"""
+    loaded = load_idf(_SHADE_IDF + dark + """
+WindowShadingControl, SC, A, 1, SwitchableGlazing, GlzDark, AlwaysOn,
+    , , No, No, , , , , , Sequential, Win1;
+""")
+    (rule,) = loaded.shading
+    assert rule.transmittance == pytest.approx(0.1 / 0.837)
+    # Zone-state control: the ratio lands on the in-run control.
+    loaded2 = load_idf(_SHADE_IDF + dark + """
+WindowShadingControl, SC, A, 1, SwitchableGlazing, GlzDark,
+    OnIfHighZoneAirTemperature, , 26, No, No, , , , , , Sequential, Win1;
+""")
+    (ctl,) = loaded2.model.zone_shading
+    assert ctl.transmittance == pytest.approx(0.1 / 0.837)
+    # Missing / unknown switched construction is an error, not a warning.
+    with pytest.raises(ValueError, match="SwitchableGlazing needs"):
+        load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, SwitchableGlazing, , AlwaysOn,
+    , , No, No, , , , , , Sequential, Win1;
+""")
+    # An opaque base pane cannot switch.
+    with pytest.raises(ValueError, match="is opaque"):
+        load_idf(_SHADE_IDF + dark + """
+FenestrationSurface:Detailed, WinOp, Window, Wall, W, , 0, , 1,
+    4, 8,0,2, 8,0,1, 9,0,1, 9,0,2;
+WindowShadingControl, SC, A, 1, SwitchableGlazing, GlzDark, AlwaysOn,
+    , , No, No, , , , , , Sequential, WinOp;
+""")
+
+
 def test_window_shading_one_control_per_pane():
     """Several WindowShadingControls may legally reference the same pane
     (Shading Control Sequence Number orders them in E+); heatx keeps the
