@@ -486,6 +486,10 @@ class FastRunner:
         # per hour is noise next to the sub-step work, and it is what lets
         # run(assert_finite=True) fail fast with hour resolution (the
         # reference asserts every sub-step, model.rs:416-419).
+        # Zone-shaded buildings always take the shade-setpoint series operand
+        # (so run(shade_sp=...) schedule gates work without a constructor
+        # flag); the series defaults to the compiled setpoints.
+        self._scheduled_shade = bool(building.has_zone_shading)
         if mesh is not None:
             from heatx.parallel import sharding as _sharding
 
@@ -495,6 +499,7 @@ class FastRunner:
                 collect_hq=collect_fluxes,
                 scheduled_setpoints=scheduled_setpoints,
                 collect_operative=collect_operative,
+                scheduled_shade_sp=self._scheduled_shade,
             )
         else:
             self._hour_march, self._params = pallas_step.make_hour_march(
@@ -502,6 +507,7 @@ class FastRunner:
                 hours=hours, collect_bad=True, collect_hq=collect_fluxes,
                 scheduled_setpoints=scheduled_setpoints,
                 collect_operative=collect_operative,
+                scheduled_shade_sp=self._scheduled_shade,
             )
         self._scheduled_sp = scheduled_setpoints
         self._jit = jax.jit(self._hour_march)
@@ -718,6 +724,22 @@ class FastRunner:
             out = out + (
                 sp_rows(inputs.heat_sp, b.ctl_heat_sp),
                 sp_rows(inputs.cool_sp, b.ctl_cool_sp),
+            )
+        if inputs.shade_sp is not None and not self._scheduled_shade:
+            raise ValueError(
+                "StepInputs.shade_sp requires in-run zone-shading controls "
+                "(BuildingModel.add_zone_shading)"
+            )
+        if self._scheduled_shade:
+            # Zone-shading setpoint series, held for this call (schedule
+            # gates pass +1e9 on blocked hours); defaults to the compiled
+            # per-pane setpoints.  Padded lanes have all-zero gather
+            # one-hots, so their value is inert.
+            sv = b.shade_sp if inputs.shade_sp is None else inputs.shade_sp
+            a = np.broadcast_to(np.asarray(sv, np.float64), (b.n_surfaces,))
+            row = j.asarray(lay.surfaces_to_blocked(a, fill=1e9), dt)
+            out = out + (
+                j.broadcast_to(row[None], (self._hours, row.shape[0])),
             )
         return out
 
@@ -1037,6 +1059,48 @@ class FastRunner:
                 sp_series(inputs_seq.cool_sp, b.ctl_cool_sp),
             )
 
+        if inputs_seq.shade_sp is not None and not self._scheduled_shade:
+            raise ValueError(
+                "StepInputs.shade_sp requires in-run zone-shading controls "
+                "(BuildingModel.add_zone_shading)"
+            )
+        shade_full = None
+        if self._scheduled_shade:
+            # Zone-shading setpoint series: [S] constants stay compact
+            # (broadcast per chunk inside the jitted blocker); [T, S]
+            # schedules slice per chunk.  Defaults to the compiled per-pane
+            # setpoints (schedule AND-gates pass +1e9 on blocked hours,
+            # engine.step.apply_zone_shading semantics).
+            if getattr(self, "_shade_jit", None) is None:
+                idx = self._layout_idx()
+                perm_c, perm_ok = idx.perm_c, idx.perm_ok
+
+                @partial(jax.jit, static_argnames=("T_steps",))
+                def shade_block(a, T_steps):
+                    a = j.broadcast_to(j.asarray(a, dt), (T_steps, S_real))
+                    out = j.where(perm_ok[None, :], a[:, perm_c], 1e9)
+                    return out.reshape(T_steps // H, H, SP)
+
+                self._shade_jit = shade_block
+
+            sv = inputs_seq.shade_sp
+            if sv is None:
+                shade_full = ("const", j.asarray(b.shade_sp, dt))
+            else:
+                sh = np.shape(sv)
+                if len(sh) == 2 and sh[0] == T_steps:
+                    shade_full = ("ts", j.asarray(sv, dt))
+                elif len(sh) <= 1:
+                    shade_full = (
+                        "const",
+                        j.broadcast_to(j.asarray(sv, dt), (S_real,)),
+                    )
+                else:
+                    raise ValueError(
+                        f"shade_sp schedule shape {sh} not understood: pass "
+                        f"scalar, [S], or [T, S] (T={T_steps}, S={S_real})"
+                    )
+
         def chunk_xs(d0, n_days):
             sl = slice(d0 * H, (d0 + n_days) * H)
             raw_c = tuple(
@@ -1052,6 +1116,13 @@ class FastRunner:
                         arr[sl] if kind == "ts" else arr, T_steps=n_days * H
                     )
                     for kind, arr in sp_full
+                )
+            if shade_full is not None:
+                kind, arr = shade_full
+                xs_c = xs_c + (
+                    self._shade_jit(
+                        arr[sl] if kind == "ts" else arr, T_steps=n_days * H
+                    ),
                 )
             return xs_c
 

@@ -58,6 +58,15 @@ def _union_find_components(building: CompiledBuilding):
         np.asarray(building.mix_src), np.asarray(building.mix_dst)
     ):
         union(int(src), int(dst))
+    # In-run zone-state window shading reads the controlling zone's air
+    # temperature inside the kernel: the control zone must share a block
+    # with the pane's own zone(s).
+    if building.has_zone_shading:
+        shade_zone = np.asarray(building.shade_zone)
+        for s in np.nonzero(shade_zone >= 0)[0]:
+            for code, space in ((fronts[s], fspace[s]), (backs[s], bspace[s])):
+                if code == B_SPACE:
+                    union(int(shade_zone[s]), int(space))
 
     comp_of_zone = np.array([find(z) for z in range(Z)], dtype=np.int64)
     return comp_of_zone
@@ -220,7 +229,14 @@ def build_blocks(
     comp_of_zone = _union_find_components(building)
 
     # Component id per surface (via its zones; surfaces without zones get
-    # their own pseudo-component).
+    # their own pseudo-component).  A zone-shaded pane with no space
+    # boundary of its own still joins its CONTROLLING zone's component —
+    # the kernel reads that zone's temperature block-locally.
+    shade_zone = (
+        np.asarray(building.shade_zone)
+        if building.has_zone_shading
+        else np.full(S, -1, np.int64)
+    )
     comp_surfaces: dict = {}
     comp_zones: dict = {}
     solo = []
@@ -229,6 +245,8 @@ def build_blocks(
             c = int(comp_of_zone[fspace[s]])
         elif backs[s] == B_SPACE:
             c = int(comp_of_zone[bspace[s]])
+        elif shade_zone[s] >= 0:
+            c = int(comp_of_zone[shade_zone[s]])
         else:
             solo.append(s)
             continue

@@ -372,30 +372,21 @@ def cmd_simulate(args) -> int:
 
     engine = args.engine
     if engine == "auto":
-        # The fused kernel implements parity, both trbdf2 modes, and the
-        # interior-MRT network; exp stays on the XLA host loop even on TPU.
-        # It marches whole hours, so sub-hourly main steps (--n / IDF
-        # Timestep > 1) stay on XLA, as do in-run zone-state shading
-        # controls (the kernel rejects them at construction).
+        # The fused kernel implements parity, both trbdf2 modes, the
+        # interior-MRT network, and in-run zone-state shading controls;
+        # exp stays on the XLA host loop even on TPU.  It marches whole
+        # hours, so sub-hourly main steps (--n / IDF Timestep > 1) stay
+        # on XLA.
         on_tpu = jax.default_backend() == "tpu"
         engine = (
             "kernel"
-            if (on_tpu and args.mode != "exp" and n == 1
-                and not model.zone_shading)
+            if (on_tpu and args.mode != "exp" and n == 1)
             else "xla"
         )
     if engine == "kernel" and n > 1:
         print(
             "error: --engine kernel marches hourly main steps; rebuild with "
             "--n 1 or use --engine xla",
-            file=sys.stderr,
-        )
-        return 2
-    if engine == "kernel" and model.zone_shading:
-        print(
-            "error: in-run zone-state window shading "
-            "(OnIfHighZoneAirTemperature) is not supported by the fused "
-            "kernel; use --engine xla",
             file=sys.stderr,
         )
         return 2

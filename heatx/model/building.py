@@ -262,8 +262,9 @@ class ZoneShadingControl:
     the deployed device's ``transmittance``.  Deployment is evaluated at
     each main-step start from the marching zone temperature — the
     previous timestep's value, EnergyPlus's own control convention — so
-    it runs inside the compiled scan on every XLA integrator (the fused
-    kernel rejects it at construction).  The optional
+    it runs inside the compiled scan on every XLA integrator and inside
+    the fused Pallas kernel (the controlling zone is read from the
+    in-VMEM carry; blocking places it in the pane's block).  The optional
     ``StepInputs.shade_sp`` channel overrides the compiled setpoints per
     main step (a schedule gate renders blocked hours as +inf there)."""
 

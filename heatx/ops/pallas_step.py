@@ -73,6 +73,13 @@ class BlockedBuilding:
     # emissivities (eps_eff_front, eps_eff_back) as [SP] arrays, 0 for
     # non-participating faces; None when the option is off.
     mrt_eps: tuple = None
+    # In-run zone-state window shading (heatx extension, engine.step.
+    # apply_zone_shading): (shade_oh [SP, ZB] one-hot of the block-local
+    # controlling zone, shade_tau [SP], shade_sp [SP]) — uncontrolled
+    # lanes carry all-zero one-hot rows / tau 1 / setpoint +1e9, so their
+    # panes march bit-identically.  None when the building has no
+    # zone-shading controls.
+    shade: tuple = None
 
     @property
     def config(self) -> SimConfig:
@@ -162,12 +169,6 @@ def block_building(
     (needed by ``make_hour_march(collect_operative=True)`` on buildings
     that don't run ``config.interior_mrt`` physics); default: only when
     the config enables interior MRT."""
-    if building.has_zone_shading:
-        raise ValueError(
-            "in-run zone-state window shading (ZoneShadingControl) is not "
-            "supported by the fused kernel engine — use an XLA integrator "
-            "(march / run with mode parity|trbdf2|trbdf2_refresh|exp)"
-        )
     layout = build_blocks(building, block_size=block_size, node_split=node_split)
     sb = building.surfaces
 
@@ -266,6 +267,37 @@ def block_building(
             layout.n_blocks, layout.zones_per_block,
         )
 
+    shade = None
+    if building.has_zone_shading:
+        # Deployment reads the controlling zone's temperature via a one-hot
+        # gather (the same [ZB, W] row-matmul trick as the boundary temps).
+        # Blocking unions the controlling zone into the pane's component
+        # (build_blocks), so it is always block-local here.
+        SPn = layout.padded_surfaces
+        ZBn = layout.zones_per_block
+        sz = layout.surfaces_to_blocked(
+            np.asarray(building.shade_zone, np.int64), fill=-1
+        )
+        sz = np.where(layout.surf_valid, sz, -1)
+        tau = np.where(
+            sz >= 0, perm_surf(building.shade_tau, 1.0), 1.0
+        ).astype(np.float64)
+        sp = np.where(
+            sz >= 0, perm_surf(building.shade_sp, 1e9), 1e9
+        ).astype(np.float64)
+        oh = np.zeros((SPn, ZBn), np.float64)
+        zt = layout.zone_table
+        for i in np.nonzero(sz >= 0)[0]:
+            bi = i // layout.block_size
+            loc = np.nonzero(zt[bi] == sz[i])[0]
+            if loc.size == 0:  # defensive: blocking guarantees locality
+                raise AssertionError(
+                    f"zone-shading control zone {int(sz[i])} not in block "
+                    f"{bi}'s zone table (blocking invariant violated)"
+                )
+            oh[i, loc[0]] = 1.0
+        shade = (oh, tau, sp)
+
     return BlockedBuilding(
         base=building,
         layout=layout,
@@ -277,6 +309,7 @@ def block_building(
         mix_wt=mix_wt,
         ctl=ctl,
         mrt_eps=mrt_eps,
+        shade=shade,
     )
 
 
@@ -893,6 +926,7 @@ def make_hour_march(
     collect_hq: bool = False,
     scheduled_setpoints: bool = False,
     collect_operative: bool = False,
+    scheduled_shade_sp: bool = False,
 ):
     """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
 
@@ -940,6 +974,16 @@ def make_hour_march(
     hour's final state — step.run(collect_operative=True) at kernel speed;
     requires the blocked building's MRT statics,
     ``block_building(mrt_statics=True)``).
+
+    In-run zone-state window shading (``bb.shade``, engine.step.
+    apply_zone_shading) runs in-kernel: each hour starts by scaling the
+    controlled panes' incident front solar by the device transmittance
+    wherever the controlling zone's carry temperature exceeds the setpoint
+    — one kernel "hour" is one MAIN step (``substeps`` sub-steps of the
+    main-step dt), so this is exactly the XLA integrators' per-main-step
+    cadence.  ``scheduled_shade_sp=True`` appends an optional trailing
+    ``shade_sp [hours, SP]`` hour-input overriding the compiled setpoints
+    (schedule AND-gates pass +1e9 on blocked hours).
     """
     if mode not in ("parity", "trbdf2", "trbdf2_refresh"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
@@ -953,6 +997,11 @@ def make_hour_march(
         raise ValueError(
             "scheduled_setpoints requires setpoint-driven HVAC "
             "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
+        )
+    if scheduled_shade_sp and bb.shade is None:
+        raise ValueError(
+            "scheduled_shade_sp requires in-run zone-shading controls "
+            "(BuildingModel.add_zone_shading)"
         )
     if mode == "parity":
         if bb.config.nomass_fixed_iters is None and bb.surfaces.has_nomass:
@@ -1134,11 +1183,34 @@ def make_hour_march(
         if bool(oh_b.any()):
             aux["back_oh"] = oh_b
             aux["back_ohT"] = _t(oh_b)
+        if bb.shade is not None:
+            # In-run zone shading: the controlling-zone gather one-hot plus
+            # the tau/setpoint lane rows — only for parts that actually hold
+            # a controlled pane (other parts trace zero shading ops).
+            sh_oh = slice_oh(bb.shade[0], lo, w)
+            if bool(sh_oh.any()):
+                surf_arrays["shade_tau"] = row(
+                    np.asarray(slice_vec(bb.shade[1], lo, w), dtype)
+                )
+                surf_arrays["shade_sp"] = row(
+                    np.asarray(slice_vec(bb.shade[2], lo, w), dtype)
+                )
+                aux["shade_ohT"] = _t(sh_oh)
         part_oh.append(aux)
 
     part_node_names = [list(d) for d in part_node_arrays]
     part_surf_names = [list(d) for d in part_surf_arrays]
     part_aux_names = [list(d) for d in part_oh]
+    # Parts holding zone-shading-controlled panes; with scheduled_shade_sp
+    # each gets one extra per-hour operand (the setpoint-override series).
+    shaded_set = frozenset(
+        pi for pi in range(n_parts) if "shade_ohT" in part_aux_names[pi]
+    )
+    hour_op_names = [
+        ["sol_front", "sol_back", "ir_front", "ir_back"]
+        + (["shade_sp_xs"] if scheduled_shade_sp and pi in shaded_set else [])
+        for pi in range(n_parts)
+    ]
 
     def kernel(*refs):
         i = 0
@@ -1169,7 +1241,7 @@ def make_hour_march(
                 r_shared[nm] = refs[i]
                 i += 1
         for pi in range(n_parts):
-            for name in ["sol_front", "sol_back", "ir_front", "ir_back"]:
+            for name in hour_op_names[pi]:
                 r_parts[pi][name] = refs[i]
                 i += 1
         r_shared["a_extra"] = refs[i]
@@ -1319,6 +1391,26 @@ def make_hour_march(
             for pi, (sb_vals, rp) in enumerate(part_vals):
                 names = part_aux_names[pi]
                 snames = part_surf_names[pi]
+                sol_front = rp["sol_front"][hs, :][0]
+                if pi in shaded_set:
+                    # In-run zone shading (engine.step.apply_zone_shading):
+                    # scale the controlled panes' incident front solar by
+                    # the device transmittance wherever the controlling
+                    # zone's temperature AT MAIN-STEP START (the carry zT —
+                    # one kernel "hour" is one main step) exceeds the
+                    # setpoint.  Uncontrolled lanes: t_ctl 0, sp +1e9,
+                    # tau 1 — the multiply is a bit-exact no-op.
+                    t_ctl = jnp.dot(
+                        zT, rp["shade_ohT"][...], preferred_element_type=dtype
+                    )[0]
+                    sp_row = (
+                        rp["shade_sp_xs"][hs, :][0]
+                        if scheduled_shade_sp
+                        else rp["shade_sp"][0]
+                    )
+                    sol_front = sol_front * jnp.where(
+                        t_ctl > sp_row, rp["shade_tau"][0], jnp.asarray(1.0, dtype)
+                    )
                 parts.append(
                     SimpleNamespace(
                         sb=sb_vals,
@@ -1330,7 +1422,7 @@ def make_hour_march(
                         back_ohT=rp["back_ohT"][...] if "back_ohT" in names else None,
                         mrt_ef=rp["mrt_eps_f"][0] if "mrt_eps_f" in snames else None,
                         mrt_eb=rp["mrt_eps_b"][0] if "mrt_eps_b" in snames else None,
-                        sol_front=rp["sol_front"][hs, :][0],
+                        sol_front=sol_front,
                         sol_back=rp["sol_back"][hs, :][0],
                         ir_front=rp["ir_front"][hs, :][0],
                         ir_back=rp["ir_back"][hs, :][0],
@@ -1596,8 +1688,10 @@ def make_hour_march(
                 jnp.asarray(_pad_zone_rows(np.asarray(arr).reshape(NB, 1, ZB), 8), dtype)
             )
             param_axes.append("row")
-    for rows, lo, w in parts_meta:
-        in_specs += [vspec(hours, w)] * 4  # sol_f, sol_b, ir_f, ir_b
+    for pi, (rows, lo, w) in enumerate(parts_meta):
+        # sol_f, sol_b, ir_f, ir_b (+ the shade-setpoint series on
+        # scheduled-shading parts)
+        in_specs += [vspec(hours, w)] * len(hour_op_names[pi])
     in_specs += [zone_spec(HR8), zone_spec(HR8)]  # a_extra, b_extra
     if scheduled_setpoints:
         in_specs += [zone_spec(HR8), zone_spec(HR8)]  # heat_sp, cool_sp series
@@ -1664,6 +1758,15 @@ def make_hour_march(
         return v.reshape(v.shape[0], NBl * w)
 
     def hour_march(params, T, zT_blocked, hour_inputs):
+        # Optional trailing extras, parsed back-to-front: the zone-shading
+        # setpoint series [hours, SP] (scheduled_shade_sp), then the
+        # heat/cool setpoint pair (scheduled_setpoints).  Either may be
+        # omitted; defaults broadcast from the compiled params.
+        hour_inputs = tuple(hour_inputs)
+        shade_xs = None
+        if scheduled_shade_sp and len(hour_inputs) in (10, 12):
+            shade_xs = hour_inputs[-1].reshape(hours, SPl)
+            hour_inputs = hour_inputs[:-1]
         if scheduled_setpoints and len(hour_inputs) == 11:
             (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra,
              sp_heat, sp_cool) = hour_inputs
@@ -1691,9 +1794,17 @@ def make_hour_march(
             wdr.reshape(hours * substeps).astype(dtype),
         ]
         operands += list(params)
-        for rows, lo, w in parts_meta:
+        for pi, (rows, lo, w) in enumerate(parts_meta):
             for a in (sol_f, sol_b, ir_f, ir_b):
                 operands.append(_lane_split(a, hours, lo, w))
+            if scheduled_shade_sp and pi in shaded_set:
+                if shade_xs is not None:
+                    operands.append(_lane_split(shade_xs, hours, lo, w))
+                else:
+                    # Default: the compiled per-pane setpoints, hour-constant
+                    # (read from the PARAMS argument, repo convention).
+                    p = params[param_index[(pi, "shade_sp")]]
+                    operands.append(jnp.broadcast_to(p, (hours, p.shape[1])))
         def gains_rows(a):
             # [hours, NB, ZB] -> [NB*HR8, ZB] (hour rows grouped per block,
             # padded to the 8-row sublane tile)
@@ -1792,5 +1903,6 @@ def make_hour_march(
     hour_march.collect_hq = collect_hq
     hour_march.collect_loads = bb.ctl is not None
     hour_march.scheduled_setpoints = scheduled_setpoints
+    hour_march.scheduled_shade_sp = scheduled_shade_sp
     hour_march.collect_operative = collect_operative
     return hour_march, params

@@ -231,6 +231,7 @@ def make_sharded_hour_march(
     collect_hq: bool = False,
     scheduled_setpoints: bool = False,
     collect_operative: bool = False,
+    scheduled_shade_sp: bool = False,
 ):
     """Shard the fused Pallas hour/day kernel over the device mesh.
 
@@ -292,6 +293,7 @@ def make_sharded_hour_march(
         collect_hq=collect_hq,
         scheduled_setpoints=scheduled_setpoints,
         collect_operative=collect_operative,
+        scheduled_shade_sp=scheduled_shade_sp,
     )
     pspec = tuple(
         P(None, axis) if ax == "lane" else P(axis, None) for ax in hm.param_axes
@@ -306,6 +308,10 @@ def make_sharded_hour_march(
     if scheduled_setpoints:
         # heat_sp / cool_sp series [hours, NB, ZB] (blocked zone rows)
         hi_spec = hi_spec + (P(None, axis, None), P(None, axis, None))
+    if scheduled_shade_sp:
+        # zone-shading setpoint series [hours, SP] (surface-axis sharded;
+        # shard_map pins the pytree structure, so it MUST be passed)
+        hi_spec = hi_spec + (lane2,)
     in_specs = (pspec, lane2, P(axis, None), hi_spec)
     out_specs = (
         lane2,  # T  [N, SP]
@@ -339,6 +345,7 @@ def make_sharded_hour_march(
     fn.collect_hq = hm.collect_hq
     fn.collect_loads = hm.collect_loads
     fn.scheduled_setpoints = hm.scheduled_setpoints
+    fn.scheduled_shade_sp = hm.scheduled_shade_sp
     fn.collect_operative = hm.collect_operative
     return fn, params
 

@@ -1524,8 +1524,8 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , AlwaysOn,
 
 def test_cli_in_run_zone_shading(ref_fixtures, tmp_path, capsys):
     """The simulate command compiles OnIfHighZoneAirTemperature into the
-    march (XLA engine), notes it on stderr, and refuses the fused kernel
-    with a clear error."""
+    march, notes it on stderr, and the fused kernel engine agrees with
+    the XLA engine on the controlled building."""
     import csv as _csv
     import os as _os
 
@@ -1554,11 +1554,16 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
     # A 10 C setpoint deploys essentially always on this January run:
     # the controlled building sheds window solar and runs cooler.
     assert temps["ctl"].mean() < temps["open"].mean() - 0.01
-    # The fused kernel refuses with a clean CLI error (exit 2).
+    # The fused kernel engine runs the control in-kernel and matches XLA
+    # (interpret mode on CPU; same mode/precision as the XLA run above).
     p = tmp_path / "ctl.idf"
-    assert main(["simulate", str(p), EPW, "--hours", "24", "--engine",
-                 "kernel", "--f64", "-o", str(tmp_path / "x.csv")]) == 2
-    assert "not supported by the fused kernel" in capsys.readouterr().err
+    ok = tmp_path / "k.csv"
+    assert main(["simulate", str(p), EPW, "--hours", "48", "--engine",
+                 "kernel", "--mode", "trbdf2", "--f64", "-o", str(ok)]) == 0
+    kernel_T = np.asarray(
+        [r[1] for r in list(_csv.reader(open(ok)))[1:]], float
+    )
+    np.testing.assert_allclose(kernel_T, temps["ctl"], atol=1e-6)
 
 
 def test_zoneventilation_gate_warning():

@@ -16,7 +16,9 @@ Contracts:
 * the whole-run scan matches the host loop of marches;
 * StepInputs.shade_sp schedules override the compiled setpoint;
 * sharded march stays bit-equal to single-device;
-* the fused kernel rejects the feature at construction (honest).
+* the fused Pallas kernel runs the control in-VMEM: it matches the XLA
+  integrators through a dynamically-toggling run, honors schedule gates,
+  places remote controlling zones block-locally, and shards bit-exactly.
 """
 
 from functools import partial
@@ -254,9 +256,131 @@ def test_sharded_march_bit_equal():
     )
 
 
-def test_fused_kernel_rejects_zone_shading():
-    from heatx.ops.pallas_step import block_building
+def _fast_seq(tm, T=48, seed=3):
+    """A 48 h sequence whose control crosses the setpoint dynamically."""
+    b = tm.building
+    rng = np.random.default_rng(seed)
+    sol = rng.uniform(0, 800, (T, b.n_surfaces))
+    t_out = 18.0 + 8 * np.sin(np.arange(T) / 24 * 2 * np.pi)
+    return tm.inputs_sequence(T, t_out=t_out, wind_speed=2.0, sol_front=sol)
 
-    b = _compile(_model())
-    with pytest.raises(ValueError, match="not supported by the fused kernel"):
-        block_building(b)
+
+@pytest.mark.parametrize("mode", ["parity", "trbdf2"])
+def test_fused_kernel_matches_xla(mode):
+    """The in-run control inside the Pallas day kernel: the controlling
+    zone's carry temperature gates the solar scale each main step, matching
+    the XLA integrators through a run that crosses the setpoint both ways
+    (the tolerance covers the kernel's series-form expm1)."""
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(_model(setpoint=22.4), n=1, config=cfg)
+    seq = _fast_seq(tm)
+    st0 = tm.initial_state()
+    kw = dict(substeps=6) if mode != "parity" else {}
+    _, zx = tm.run(st0, seq, mode=mode, **kw)
+    fr = tm.fast_runner(block_size=8, mode=mode, hours=4, interpret=True,
+                        **kw)
+    _, zk = fr.run(st0, seq)
+    # The run must actually exercise BOTH branches of the control.
+    on = np.asarray(zx) > 22.4
+    assert 0.05 < on.mean() < 0.95, "control never toggled — test is vacuous"
+    np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=5e-8)
+
+
+def test_fused_kernel_schedule_gate():
+    """A +1e9 shade_sp series through FastRunner.run blocks deployment:
+    bit-comparable to the uncontrolled building on the same kernel."""
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(_model(setpoint=-1e9), n=1, config=cfg)
+    seq = _fast_seq(tm)
+    st0 = tm.initial_state()
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=6, hours=4,
+                        interpret=True)
+    gate = np.full((48, tm.building.n_surfaces), 1e9)
+    _, z_gated = fr.run(st0, seq._replace(shade_sp=gate))
+
+    tm0 = heatx.ThermalModel(_model(controlled=False), n=1, config=cfg)
+    fr0 = tm0.fast_runner(block_size=8, mode="trbdf2", substeps=6, hours=4,
+                          interpret=True)
+    _, z_off = fr0.run(tm0.initial_state(), _fast_seq(tm0))
+    np.testing.assert_array_equal(np.asarray(z_gated), np.asarray(z_off))
+
+    # And without a series, the compiled always-on setpoint deploys: equal
+    # to pre-scaling the pane's solar by tau on the uncontrolled building.
+    _, z_on = fr.run(st0, seq)
+    seq_scaled = _fast_seq(tm0)
+    seq_scaled = seq_scaled._replace(sol_front=seq_scaled.sol_front * TAU)
+    _, z_ref = fr0.run(tm0.initial_state(), seq_scaled)
+    np.testing.assert_allclose(np.asarray(z_on), np.asarray(z_ref),
+                               rtol=0, atol=1e-12)
+
+
+def test_fused_kernel_remote_control_zone_blocks_together():
+    """A pane whose controlling zone is ANOTHER zone: blocking must place
+    the pane with that zone's component and the kernel must read it."""
+    opts = SingleZoneOptions(construction=[TestMat.concrete(0.15)])
+    m = single_zone_building(opts)
+    # second zone with its own wall; its temperature controls the first
+    # zone's pane
+    from heatx.model.building import Boundary, SpaceDef, SurfaceDef
+
+    m.add_space(SpaceDef("ctl_zone", 80.0))
+    m.add_surface(
+        SurfaceDef(
+            "ctl wall", m.surfaces[0].construction, Boundary.outdoor(),
+            Boundary.space_("ctl_zone"),
+            vertices=np.array(
+                [[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float
+            ),
+        )
+    )
+    m.add_zone_shading(
+        ZoneShadingControl("the surface", "ctl_zone", TAU, -1e9)
+    )
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(m, n=1, config=cfg)
+    st0 = tm.initial_state()
+    seq = _fast_seq(tm, T=24)
+    _, zx = tm.run(st0, seq, mode="trbdf2", substeps=6)
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=6, hours=4,
+                        interpret=True)
+    # both zones (and both surfaces) must share a block
+    zt = fr.layout.zone_table
+    assert (zt[0] >= 0).sum() == 2, zt
+    _, zk = fr.run(st0, seq)
+    np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=5e-8)
+
+
+def test_fused_kernel_sharded_bit_equal():
+    """Mesh-sharded FastRunner with zone shading == single-device kernel."""
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    from heatx.parallel.sharding import make_mesh
+
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    # enough single-zone copies to give every device a block
+    m = _model(setpoint=22.4)
+    from heatx.model.building import Boundary, SpaceDef, SurfaceDef
+
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(n_dev * 2 - 1):
+        m.add_space(SpaceDef(f"extra{z}", 60.0))
+        m.add_surface(
+            SurfaceDef(f"wall{z}", m.surfaces[0].construction,
+                       Boundary.outdoor(), Boundary.space_(f"extra{z}"),
+                       vertices=verts)
+        )
+        m.add_zone_shading(
+            ZoneShadingControl(f"wall{z}", f"extra{z}", TAU, 22.0 + 0.1 * z)
+        )
+    tm = heatx.ThermalModel(m, n=1, config=cfg)
+    seq = _fast_seq(tm)
+    st0 = tm.initial_state()
+    fr1 = tm.fast_runner(block_size=2, mode="trbdf2", substeps=4, hours=4,
+                         interpret=True)
+    assert fr1.layout.n_blocks % n_dev == 0, fr1.layout.n_blocks
+    _, z1 = fr1.run(st0, seq)
+    frm = tm.fast_runner(block_size=2, mode="trbdf2", substeps=4, hours=4,
+                         interpret=True, mesh=make_mesh())
+    _, zm = frm.run(st0, seq)
+    np.testing.assert_array_equal(np.asarray(zm), np.asarray(z1))
