@@ -37,4 +37,5 @@ from heatx.model.building import (  # noqa: F401
     Substance,
     SurfaceDef,
     ZoneShadingControl,
+    ZoneVentilationControl,
 )

@@ -461,6 +461,12 @@ class FastRunner:
 
         self._tm = tm
         building = tm._device()
+        if building.has_vent_gates:
+            raise ValueError(
+                "FastRunner does not run in-run ventilation temperature "
+                "gates (ZoneVentilationControl) yet — use the XLA modes "
+                "(ThermalModel.run / make_run_fn with a fast march_fn)"
+            )
         self._bb = pallas_step.block_building(
             building, block_size=block_size,
             # The operative-T observable needs the Carroll statics even when

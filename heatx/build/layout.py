@@ -294,6 +294,19 @@ class CompiledBuilding:
     shade_sp: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
     has_zone_shading: bool = False
 
+    # In-run ventilation temperature gates (heatx extension; EnergyPlus's
+    # ZoneVentilation:DesignFlowRate limit fields).  Dense [Z] arrays of
+    # gate limits; EnergyPlus's no-op defaults (+-100 C, 40 m/s) on
+    # uncontrolled zones.  has_vent_gates is static so uncontrolled
+    # buildings trace zero extra ops.
+    vent_min_tin: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    vent_max_tin: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    vent_delta: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    vent_min_tout: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    vent_max_tout: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    vent_max_wind: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float64))
+    has_vent_gates: bool = False
+
     @property
     def n_surfaces(self) -> int:
         return self.surfaces.n_surfaces
@@ -317,6 +330,12 @@ class CompiledBuilding:
             ctl_max_cool=self.ctl_max_cool.astype(dtype),
             shade_tau=self.shade_tau.astype(dtype),
             shade_sp=self.shade_sp.astype(dtype),
+            vent_min_tin=self.vent_min_tin.astype(dtype),
+            vent_max_tin=self.vent_max_tin.astype(dtype),
+            vent_delta=self.vent_delta.astype(dtype),
+            vent_min_tout=self.vent_min_tout.astype(dtype),
+            vent_max_tout=self.vent_max_tout.astype(dtype),
+            vent_max_wind=self.vent_max_wind.astype(dtype),
         )
 
     def set_fixed_h(self, front=None, back=None):
@@ -374,6 +393,8 @@ _CB_CHILDREN = (
     "mix_src", "mix_dst", "mix_vol",
     "ctl_heat_sp", "ctl_cool_sp", "ctl_max_heat", "ctl_max_cool",
     "shade_zone", "shade_tau", "shade_sp",
+    "vent_min_tin", "vent_max_tin", "vent_delta",
+    "vent_min_tout", "vent_max_tout", "vent_max_wind",
 )
 _CB_STATIC = (
     "n_zones",
@@ -386,6 +407,7 @@ _CB_STATIC = (
     "config",
     "has_ideal_hvac",
     "has_zone_shading",
+    "has_vent_gates",
 )
 
 
@@ -773,6 +795,25 @@ def compile_building(
             shade_sp_arr[si] = float(ctl.setpoint)
             has_zone_shading = True
 
+    # In-run ventilation temperature gates (heatx extension): dense [Z]
+    # limit arrays, EnergyPlus's no-op defaults on uncontrolled zones.
+    vent_min_tin = np.full(Z, -100.0, dtype=f64)
+    vent_max_tin = np.full(Z, 100.0, dtype=f64)
+    vent_delta = np.full(Z, -100.0, dtype=f64)
+    vent_min_tout = np.full(Z, -100.0, dtype=f64)
+    vent_max_tout = np.full(Z, 100.0, dtype=f64)
+    vent_max_wind = np.full(Z, 40.0, dtype=f64)
+    has_vent_gates = False
+    for vctl in model.vent_controls:
+        zi = model.space_index(vctl.space)
+        vent_min_tin[zi] = float(vctl.min_indoor)
+        vent_max_tin[zi] = float(vctl.max_indoor)
+        vent_delta[zi] = float(vctl.delta)
+        vent_min_tout[zi] = float(vctl.min_outdoor)
+        vent_max_tout[zi] = float(vctl.max_outdoor)
+        vent_max_wind[zi] = float(vctl.max_wind)
+        has_vent_gates = True
+
     # Inter-zone mixing pairs (heatx extension; model.rs:546).
     mix_src = np.array(
         [model.space_index(f) for f, _, _ in model.mixings], dtype=np.int32
@@ -809,4 +850,11 @@ def compile_building(
         shade_tau=shade_tau,
         shade_sp=shade_sp_arr,
         has_zone_shading=has_zone_shading,
+        vent_min_tin=vent_min_tin,
+        vent_max_tin=vent_max_tin,
+        vent_delta=vent_delta,
+        vent_min_tout=vent_min_tout,
+        vent_max_tout=vent_max_tout,
+        vent_max_wind=vent_max_wind,
+        has_vent_gates=has_vent_gates,
     )

@@ -380,9 +380,18 @@ def cmd_simulate(args) -> int:
         on_tpu = jax.default_backend() == "tpu"
         engine = (
             "kernel"
-            if (on_tpu and args.mode != "exp" and n == 1)
+            if (on_tpu and args.mode != "exp" and n == 1
+                and not b.has_vent_gates)
             else "xla"
         )
+    if engine == "kernel" and b.has_vent_gates:
+        print(
+            "error: --engine kernel does not run in-run ventilation "
+            "temperature gates (imported ZoneVentilation limit fields); "
+            "use --engine xla",
+            file=sys.stderr,
+        )
+        return 2
     if engine == "kernel" and n > 1:
         print(
             "error: --engine kernel marches hourly main steps; rebuild with "

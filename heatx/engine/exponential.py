@@ -310,13 +310,14 @@ def exp_march(
 ):
     """One main step in fast mode: freeze coefficients + propagators, then run
     ``substeps`` exact sub-steps (scanned)."""
-    from heatx.engine.step import apply_zone_shading
+    from heatx.engine.step import apply_state_controls
 
     if substeps < 1:
         raise ValueError(f"substeps must be >= 1, got {substeps}")
-    # In-run zone-shading deployment: step-start decision, frozen for the
-    # sub-steps (the frozen-coefficient cadence).
-    inputs = apply_zone_shading(building, state, inputs)
+    # In-run zone-state controls (shading deployment + ventilation
+    # gates): step-start decision, frozen for the sub-steps (the
+    # frozen-coefficient cadence).
+    inputs = apply_state_controls(building, state, inputs)
     main_dt = 3600.0 / building.n_steps_per_hour
     dt_sub = main_dt / substeps
 

@@ -216,10 +216,11 @@ def imp_march(
     (surface.rs:596-717) at the fast mode's sub-step count."""
     if substeps < 1:
         raise ValueError(f"substeps must be >= 1, got {substeps}")
-    # In-run zone-shading deployment: evaluated once per main step from
-    # the step-start zone temperatures, frozen for the sub-steps (the
-    # same cadence as the frozen film coefficients).
-    inputs = step_mod.apply_zone_shading(building, state, inputs)
+    # In-run zone-state controls (shading deployment + ventilation
+    # gates): evaluated once per main step from the step-start zone
+    # temperatures, frozen for the sub-steps (the same cadence as the
+    # frozen film coefficients).
+    inputs = step_mod.apply_state_controls(building, state, inputs)
     main_dt = 3600.0 / building.n_steps_per_hour
     dt_sub = main_dt / substeps
 

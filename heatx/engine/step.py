@@ -45,6 +45,44 @@ def apply_zone_shading(
     return inputs._replace(sol_front=inputs.sol_front * mult)
 
 
+def apply_vent_gates(
+    building: CompiledBuilding, state: SimState, inputs: StepInputs
+) -> StepInputs:
+    """In-run ventilation temperature gates (heatx extension; EnergyPlus's
+    ZoneVentilation:DesignFlowRate limit fields): mask each controlled
+    zone's ventilation channel off for this main step unless ALL gates
+    pass — min_indoor < T_zone < max_indoor, T_zone - T_out > delta,
+    min_outdoor < T_out < max_outdoor, wind < max_wind.  The zone
+    temperature is read from the marching state at main-step start (the
+    previous timestep's value, EnergyPlus's own control convention); the
+    outdoor conditions are the step means (weather may vary per
+    sub-step).  Infiltration is never gated.  A no-op (zero traced ops)
+    on buildings without ventilation controls."""
+    if not building.has_vent_gates:
+        return inputs
+    t_out = jnp.mean(jnp.asarray(inputs.t_out))
+    wind = jnp.mean(jnp.asarray(inputs.wind_speed))
+    zT = state.zone_T
+    on = (
+        (zT > building.vent_min_tin)
+        & (zT < building.vent_max_tin)
+        & (zT - t_out > building.vent_delta)
+        & (t_out > building.vent_min_tout)
+        & (t_out < building.vent_max_tout)
+        & (wind < building.vent_max_wind)
+    )
+    return inputs._replace(vent_mask=inputs.vent_mask & on)
+
+
+def apply_state_controls(
+    building: CompiledBuilding, state: SimState, inputs: StepInputs
+) -> StepInputs:
+    """All in-run zone-state controls, evaluated once at main-step start:
+    window-shading deployment and ventilation temperature gates."""
+    inputs = apply_zone_shading(building, state, inputs)
+    return apply_vent_gates(building, state, inputs)
+
+
 def substep(
     building: CompiledBuilding,
     state: SimState,
@@ -151,7 +189,7 @@ def march(
     Equivalent to one ``ThermalModel::march`` call: weather may vary per
     sub-step; irradiance and gains are held for the whole main step.
     """
-    inputs = apply_zone_shading(building, state, inputs)
+    inputs = apply_state_controls(building, state, inputs)
     t_out = _per_substep_weather(building, inputs.t_out)
     ws = _per_substep_weather(building, inputs.wind_speed)
     wd = _per_substep_weather(building, inputs.wind_direction)

@@ -275,6 +275,37 @@ class ZoneShadingControl:
 
 
 @dataclass
+class ZoneVentilationControl:
+    """In-run ventilation temperature gates (heatx extension — the
+    reference has no airflow control machinery; EnergyPlus's
+    ZoneVentilation:DesignFlowRate temperature/wind limit fields).
+
+    While any gate FAILS, the controlled ``space``'s ventilation channel
+    (``StepInputs.vent_vol``/``vent_temp``/``vent_mask``) is masked off
+    for that main step.  Gates pass when
+
+    * ``min_indoor < T_zone < max_indoor`` (zone air temperature, read
+      from the marching state at main-step start — the previous
+      timestep's value, EnergyPlus's own control convention),
+    * ``T_zone - T_out > delta`` (free cooling only while the zone is
+      warmer than outdoors by at least ``delta``),
+    * ``min_outdoor < T_out < max_outdoor`` and
+      ``wind_speed < max_wind`` (step-mean outdoor conditions).
+
+    Defaults are EnergyPlus's own no-op limits, so a default-constructed
+    control gates nothing.  Infiltration is NOT gated (EnergyPlus
+    semantics: ZoneInfiltration has no temperature controls)."""
+
+    space: str  # the ventilated zone (gates read ITS air temperature)
+    min_indoor: float = -100.0  # C; vent off while T_zone <= min_indoor
+    max_indoor: float = 100.0  # C; vent off while T_zone >= max_indoor
+    delta: float = -100.0  # K; vent off while T_zone - T_out <= delta
+    min_outdoor: float = -100.0  # C
+    max_outdoor: float = 100.0  # C
+    max_wind: float = 40.0  # m/s; vent off while wind_speed >= max_wind
+
+
+@dataclass
 class SiteDetails:
     """Terrain class for the wind-speed profile (surface.rs:135-166)."""
 
@@ -335,6 +366,8 @@ class BuildingModel:
     shades: List[np.ndarray] = field(default_factory=list)
     #: In-run zone-state window-shading controls (see ZoneShadingControl).
     zone_shading: List[ZoneShadingControl] = field(default_factory=list)
+    #: In-run ventilation temperature gates (see ZoneVentilationControl).
+    vent_controls: List[ZoneVentilationControl] = field(default_factory=list)
 
     # -- construction helpers ------------------------------------------------
 
@@ -405,6 +438,32 @@ class BuildingModel:
                 "control"
             )
         self.zone_shading.append(ctl)
+        return ctl
+
+    def add_vent_control(
+        self, ctl: ZoneVentilationControl
+    ) -> ZoneVentilationControl:
+        """Register in-run ventilation temperature gates: the named
+        space's ventilation channel is masked off on main steps where any
+        gate fails (evaluated from the previous step's zone temperature
+        and the step-mean outdoor conditions, inside the compiled scan).
+        One control per space."""
+        if ctl.min_indoor >= ctl.max_indoor:
+            raise ValueError(
+                f"ventilation control on {ctl.space!r}: min_indoor "
+                f"({ctl.min_indoor}) must be < max_indoor ({ctl.max_indoor})"
+            )
+        if ctl.min_outdoor >= ctl.max_outdoor:
+            raise ValueError(
+                f"ventilation control on {ctl.space!r}: min_outdoor "
+                f"({ctl.min_outdoor}) must be < max_outdoor "
+                f"({ctl.max_outdoor})"
+            )
+        if any(c.space == ctl.space for c in self.vent_controls):
+            raise ValueError(
+                f"space {ctl.space!r} already has a ventilation control"
+            )
+        self.vent_controls.append(ctl)
         return ctl
 
     def add_mixing(

@@ -99,6 +99,7 @@ from heatx.model.building import (
     Substance,
     SurfaceDef,
     ZoneShadingControl,
+    ZoneVentilationControl,
 )
 
 # Equivalent-slab properties for Material:NoMass (see module docstring).
@@ -1658,27 +1659,29 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     for o in by_type.get("zoneinfiltration:designflowrate", []):
         _airflow(o, "infiltration", out.infiltration)
+    # Numeric temperature/wind limit fields lower to in-run
+    # ZoneVentilationControls (the gates read the MARCHING zone
+    # temperature, so they compile into the march; building.py
+    # ZoneVentilationControl).  The gates are per-OBJECT in EnergyPlus
+    # but per-ZONE in heatx (the engine channel is the per-zone
+    # vent_vol), so a zone whose ventilation objects disagree on gate
+    # values falls back, with a warning, to ungated flow.
+    # Schedule-valued gate fields (annual limit series) stay unimported.
+    _VENT_GATES = (
+        (16, "Minimum Indoor Temperature", -100.0),
+        (18, "Maximum Indoor Temperature", 100.0),
+        (20, "Delta Temperature", -100.0),
+        (22, "Minimum Outdoor Temperature", -100.0),
+        (24, "Maximum Outdoor Temperature", 100.0),
+        (26, "Maximum Wind Speed", 40.0),
+    )
+    _VENT_DEFAULTS = tuple(d for _, _, d in _VENT_GATES)
+    vent_gates_by_zone: Dict[str, List[tuple]] = {}
     for o in by_type.get("zoneventilation:designflowrate", []):
-        # The flow/schedule subset only: Ventilation Type, fan pressure and
-        # the temperature/wind control terms (fields 9+) model controlled
-        # natural ventilation, which heatx leaves to the caller (the
-        # channels are per-step inputs — drive vent_vol with any control
-        # law you like).  Active gates get an honest warning: silently
-        # ventilating through them would overstate heat loss.
-        gates = (
-            (16, "Minimum Indoor Temperature", -100.0),
-            (18, "Maximum Indoor Temperature", 100.0),
-            (20, "Delta Temperature", -100.0),
-            (22, "Minimum Outdoor Temperature", -100.0),
-            (24, "Maximum Outdoor Temperature", 100.0),
-            (26, "Maximum Wind Speed", 40.0),
-        )
-        active = [
-            label for k, label, dflt in gates
-            if _num(o, k) is not None and _num(o, k, dflt) != dflt
-        ]
-        # Schedule-valued gates (fields alongside the numeric ones).
-        active += [
+        # Ventilation Type and the fan pressure/efficiency fields model
+        # the fan energy, not the zone heat balance — not imported.
+        gates = tuple(_num(o, k, dflt) for k, _, dflt in _VENT_GATES)
+        sched_gates = [
             label for k, label in (
                 (17, "Minimum Indoor Temperature Schedule"),
                 (19, "Maximum Indoor Temperature Schedule"),
@@ -1688,16 +1691,34 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             )
             if _str(o, k)
         ]
-        if active:
+        if sched_gates:
             warnings.warn(
-                f"ZoneVentilation {o[1]!r}: temperature gates "
-                f"({', '.join(active)}) are not imported — the design "
-                "flow applies whenever the schedule allows (drive "
-                "StepInputs.vent_vol with your own control law to model "
-                "them)",
+                f"ZoneVentilation {o[1]!r}: schedule-valued gates "
+                f"({', '.join(sched_gates)}) are not imported — only the "
+                "constant limit fields gate the flow",
                 stacklevel=2,
             )
+        for zone in _expand_zones(o[2], f"ZoneVentilation {o[1]!r}"):
+            vent_gates_by_zone.setdefault(zone, []).append(gates)
         _airflow(o, "ventilation", out.ventilation)
+    for zone, gate_list in vent_gates_by_zone.items():
+        if all(g == _VENT_DEFAULTS for g in gate_list):
+            continue  # no active gates anywhere in this zone
+        if len(set(gate_list)) > 1:
+            warnings.warn(
+                f"Zone {zone!r}: its ZoneVentilation objects carry "
+                "DIFFERENT temperature/wind gates (heatx gates the "
+                "per-zone ventilation channel as a whole) — the zone "
+                "runs ungated (drive StepInputs.vent_vol with your own "
+                "control law to model per-object gates)",
+                stacklevel=2,
+            )
+            continue
+        mi, ma, de, mo, xo, mw = gate_list[0]
+        m.add_vent_control(ZoneVentilationControl(
+            zone, min_indoor=mi, max_indoor=ma, delta=de,
+            min_outdoor=mo, max_outdoor=xo, max_wind=mw,
+        ))
 
     # -- internal gains: Lights / ElectricEquipment / People -------------------
     def _floor_area(zone: str, owner: str) -> float:

@@ -1566,10 +1566,11 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighZoneAirTemperature,
     np.testing.assert_allclose(kernel_T, temps["ctl"], atol=1e-6)
 
 
-def test_zoneventilation_gate_warning():
-    """Temperature-controlled ventilation gates warn honestly (the design
-    flow would otherwise silently apply through them); wide-open defaults
-    stay silent."""
+def test_zoneventilation_gates_lower_to_controls():
+    """Numeric temperature/wind limit fields lower to in-run
+    ZoneVentilationControls (they read the marching zone temperature, so
+    they compile into the march); wide-open defaults lower to nothing;
+    schedule-valued gates and per-zone gate conflicts warn honestly."""
     import warnings as _w
 
     base = """
@@ -1580,16 +1581,61 @@ def test_zoneventilation_gate_warning():
     ZoneVentilation:DesignFlowRate, V, A, On, Flow/Zone,
         0.1, , , , Natural, , , 1, 0, 0, 0, 22, , 100, , 2;
     """
-    with pytest.warns(UserWarning, match="Minimum Indoor Temperature"):
+    with _w.catch_warnings():
+        _w.simplefilter("error")
         loaded = load_idf(gated)
     assert loaded.ventilation["A"] == pytest.approx(0.1)
+    (ctl,) = loaded.model.vent_controls
+    assert ctl.space == "A"
+    assert ctl.min_indoor == pytest.approx(22.0)
+    assert ctl.max_indoor == pytest.approx(100.0)
+    assert ctl.delta == pytest.approx(2.0)
+    assert ctl.max_wind == pytest.approx(40.0)  # default preserved
+
     open_vent = base + """
     ZoneVentilation:DesignFlowRate, V, A, On, Flow/Zone,
         0.1, , , , Natural, , , 1, 0, 0, 0, -100, , 100, , -100;
     """
     with _w.catch_warnings():
         _w.simplefilter("error")
-        load_idf(open_vent)  # defaults: no warning
+        loaded = load_idf(open_vent)  # defaults: no warning, no control
+    assert loaded.model.vent_controls == []
+
+    # Schedule-valued gate fields stay unimported, with a warning.
+    sched_gate = base + """
+    Schedule:Constant, MinT, , 18.0;
+    ZoneVentilation:DesignFlowRate, V, A, On, Flow/Zone,
+        0.1, , , , Natural, , , 1, 0, 0, 0, , MinT;
+    """
+    with pytest.warns(UserWarning, match="Minimum Indoor Temperature Sch"):
+        loaded = load_idf(sched_gate)
+    assert loaded.model.vent_controls == []
+
+    # Two objects in one zone with DIFFERENT gates: the per-zone channel
+    # cannot express per-object gating — warn and run ungated.
+    mixed = base + """
+    ZoneVentilation:DesignFlowRate, V1, A, On, Flow/Zone,
+        0.1, , , , Natural, , , 1, 0, 0, 0, 22;
+    ZoneVentilation:DesignFlowRate, V2, A, On, Flow/Zone,
+        0.2, , , , Natural, , , 1, 0, 0, 0, 18;
+    """
+    with pytest.warns(UserWarning, match="DIFFERENT temperature/wind"):
+        loaded = load_idf(mixed)
+    assert loaded.model.vent_controls == []
+    assert loaded.ventilation["A"] == pytest.approx(0.3)
+
+    # Two objects with IDENTICAL gates lower to one per-zone control.
+    same = base + """
+    ZoneVentilation:DesignFlowRate, V1, A, On, Flow/Zone,
+        0.1, , , , Natural, , , 1, 0, 0, 0, 22;
+    ZoneVentilation:DesignFlowRate, V2, A, On, Flow/Zone,
+        0.2, , , , Natural, , , 1, 0, 0, 0, 22;
+    """
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        loaded = load_idf(same)
+    (ctl,) = loaded.model.vent_controls
+    assert ctl.min_indoor == pytest.approx(22.0)
 
 
 def test_rectangular_window_vertices_synthesized():
