@@ -461,12 +461,6 @@ class FastRunner:
 
         self._tm = tm
         building = tm._device()
-        if building.has_vent_gates:
-            raise ValueError(
-                "FastRunner does not run in-run ventilation temperature "
-                "gates (ZoneVentilationControl) yet — use the XLA modes "
-                "(ThermalModel.run / make_run_fn with a fast march_fn)"
-            )
         self._bb = pallas_step.block_building(
             building, block_size=block_size,
             # The operative-T observable needs the Carroll statics even when
@@ -673,9 +667,11 @@ class FastRunner:
         if b.lum_space.size:
             np.add.at(a_gain, np.asarray(b.lum_space), np.asarray(inputs.lum_power))
         b_gain = np.zeros(b.n_zones)
-        for vol, temp, mask in [
-            (inputs.inf_vol, inputs.inf_temp, inputs.inf_mask),
-            (inputs.vent_vol, inputs.vent_temp, inputs.vent_mask),
+        gate = self._bb.vent is not None
+        vent_rows = None
+        for kind, vol, temp, mask in [
+            ("inf", inputs.inf_vol, inputs.inf_temp, inputs.inf_mask),
+            ("vent", inputs.vent_vol, inputs.vent_temp, inputs.vent_mask),
         ]:
             vol = np.asarray(vol)
             temp = np.asarray(temp)
@@ -690,8 +686,31 @@ class FastRunner:
             )
             # Mask the product too (a masked-off channel may carry NaN
             # temperatures; 0 * NaN = NaN) — matches zone.air_exchange.
-            a_gain = a_gain + np.where(mask, term * temp, 0.0)
-            b_gain = b_gain + term
+            if kind == "vent" and gate:
+                # In-run ventilation gates: route the WHOLE vent channel
+                # through the kernel's gated A/B rows (indoor gates run
+                # in-kernel from the carry zone T; the weather-only
+                # outdoor/wind gates apply here, like engine.step.
+                # apply_vent_gates' step-mean evaluation).  Ungated
+                # zones' no-op limits always pass, so this is the same
+                # sum in the same order.
+                tmean = float(np.mean(np.asarray(inputs.t_out)))
+                wmean = float(np.mean(np.asarray(inputs.wind_speed)))
+                out_ok = (
+                    (tmean > np.asarray(b.vent_min_tout))
+                    & (tmean < np.asarray(b.vent_max_tout))
+                    & (wmean < np.asarray(b.vent_max_wind))
+                )
+                a_v = np.where(mask & out_ok, term * temp, 0.0)
+                b_v = np.where(out_ok, term, 0.0)
+                thr = np.asarray(b.vent_delta, np.float64) + tmean
+                vent_rows = tuple(
+                    j.asarray(lay.zones_to_blocked(x), dt)
+                    for x in (a_v, b_v, thr)
+                )
+            else:
+                a_gain = a_gain + np.where(mask, term * temp, 0.0)
+                b_gain = b_gain + term
 
         out = (
             per_sub(inputs.t_out),
@@ -704,6 +723,8 @@ class FastRunner:
             j.asarray(lay.zones_to_blocked(a_gain), dt),
             j.asarray(lay.zones_to_blocked(b_gain), dt),
         )
+        if vent_rows is not None:
+            out = out + vent_rows
         has_sp = inputs.heat_sp is not None or inputs.cool_sp is not None
         if has_sp and not self._scheduled_sp:
             raise ValueError(
@@ -752,7 +773,14 @@ class FastRunner:
     def _gains_dev(self, inputs_seq, T_steps):
         """Per-hour zone A/B gain terms for a [T, ...] input sequence —
         DEVICE-side (jitted; the host-numpy version was O(T x Z) per call,
-        which dominated wall-clock for annual runs at scale)."""
+        which dominated wall-clock for annual runs at scale).
+
+        Returns ``(a_gain, b_gain)`` — or, for vent-gated buildings,
+        ``(a_gain, b_gain, a_vent, b_vent, vent_thr)`` with the
+        ventilation channel routed through the kernel's in-run gate rows
+        (weather-only outdoor/wind gates applied here from the per-step
+        mean outdoor conditions, matching engine.step.apply_vent_gates;
+        the indoor gates run in-kernel from the carry zone T)."""
         import jax.numpy as jnp
         import numpy as np
 
@@ -762,6 +790,7 @@ class FastRunner:
         b = self._tm.building
         Z = b.n_zones
         dt = self._dtype
+        gate = self._bb.vent is not None
 
         # Built ONCE and cached: a fresh jitted closure per call re-traces
         # the [T, Z] scatter graph every run (~0.8 s/call at annual 10k
@@ -771,6 +800,7 @@ class FastRunner:
                 inputs_seq.hvac_power, inputs_seq.lum_power,
                 inputs_seq.inf_vol, inputs_seq.inf_temp, inputs_seq.inf_mask,
                 inputs_seq.vent_vol, inputs_seq.vent_temp, inputs_seq.vent_mask,
+                inputs_seq.t_out, inputs_seq.wind_speed,
                 T_steps=T_steps,
             )
 
@@ -782,7 +812,7 @@ class FastRunner:
 
         @partial(jax.jit, static_argnames=("T_steps",))
         def gains(hvac, lum, inf_vol, inf_temp, inf_mask, vent_vol, vent_temp,
-                  vent_mask, T_steps):
+                  vent_mask, t_out, wind, T_steps):
             a_gain = jnp.zeros((T_steps, Z), dt)
             if b.hvac_pair_unit.size:
                 hv = seq2(hvac, b.n_hvacs, T_steps)
@@ -794,9 +824,10 @@ class FastRunner:
                     seq2(lum, b.n_luminaires, T_steps)
                 )
             b_gain = jnp.zeros((T_steps, Z), dt)
-            for vol, temp, mask in [
-                (inf_vol, inf_temp, inf_mask),
-                (vent_vol, vent_temp, vent_mask),
+            vent_out = ()
+            for kind, vol, temp, mask in [
+                ("inf", inf_vol, inf_temp, inf_mask),
+                ("vent", vent_vol, vent_temp, vent_mask),
             ]:
                 vol = seq2(vol, Z, T_steps)
                 temp = seq2(temp, Z, T_steps)
@@ -810,15 +841,36 @@ class FastRunner:
                     0.0,
                 )
                 # Masked product (NaN-safe), matching zone.air_exchange.
-                a_gain = a_gain + jnp.where(mask > 0, term * temp, 0.0)
-                b_gain = b_gain + term
-            return a_gain, b_gain
+                if kind == "vent" and gate:
+                    # Per-step mean outdoor conditions ([T] hourly scalars
+                    # or [T, sub] per-sub-step series).
+                    def mean1(v):
+                        v = jnp.asarray(v, dt)
+                        v = jnp.broadcast_to(v, (T_steps,) + v.shape[1:])
+                        return v if v.ndim == 1 else jnp.mean(v, axis=1)
+
+                    tm_ = mean1(t_out)[:, None]
+                    wm_ = mean1(wind)[:, None]
+                    out_ok = (
+                        (tm_ > jnp.asarray(b.vent_min_tout, dt)[None])
+                        & (tm_ < jnp.asarray(b.vent_max_tout, dt)[None])
+                        & (wm_ < jnp.asarray(b.vent_max_wind, dt)[None])
+                    )
+                    a_v = jnp.where((mask > 0) & out_ok, term * temp, 0.0)
+                    b_v = jnp.where(out_ok, term, 0.0)
+                    thr = jnp.asarray(b.vent_delta, dt)[None] + tm_
+                    vent_out = (a_v, b_v, jnp.broadcast_to(thr, (T_steps, Z)))
+                else:
+                    a_gain = a_gain + jnp.where(mask > 0, term * temp, 0.0)
+                    b_gain = b_gain + term
+            return (a_gain, b_gain) + vent_out
 
         self._gains_jit = gains
         return gains(
             inputs_seq.hvac_power, inputs_seq.lum_power,
             inputs_seq.inf_vol, inputs_seq.inf_temp, inputs_seq.inf_mask,
             inputs_seq.vent_vol, inputs_seq.vent_temp, inputs_seq.vent_mask,
+            inputs_seq.t_out, inputs_seq.wind_speed,
             T_steps=T_steps,
         )
 
@@ -988,7 +1040,21 @@ class FastRunner:
 
             self._prep_jit = jax.jit(prep, static_argnames=("T_steps", "is_ts"))
 
-        a_gain, b_gain = self._gains_dev(inputs_seq, T_steps)
+        gains_all = self._gains_dev(inputs_seq, T_steps)
+        a_gain, b_gain = gains_all[:2]
+        vent_seq = gains_all[2:] if len(gains_all) > 2 else None
+        if vent_seq is not None and getattr(self, "_zrows_jit", None) is None:
+            # [chunkT, Z] zone series -> blocked [D, H, NB, ZB] rows (the
+            # vent-gate channels; same gather as the setpoint blocker).
+            idx = self._layout_idx()
+            zt_c, zt_ok = idx.zt_c, idx.zt_ok
+
+            @partial(jax.jit, static_argnames=("T_steps",))
+            def zrows(a, T_steps):
+                out = j.where(zt_ok[None], j.asarray(a, dt)[:, zt_c], 0.0)
+                return out.reshape(T_steps // H, H, NB, ZB)
+
+            self._zrows_jit = zrows
         w_xs = (
             weather(inputs_seq.t_out),
             weather(inputs_seq.wind_speed),
@@ -1116,6 +1182,11 @@ class FastRunner:
                 raw_c, (a_gain[sl], b_gain[sl]), T_steps=n_days * H,
                 is_ts=surf_is_ts,
             )
+            if vent_seq is not None:
+                xs_c = xs_c + tuple(
+                    self._zrows_jit(v[sl], T_steps=n_days * H)
+                    for v in vent_seq
+                )
             if sp_full is not None:
                 xs_c = xs_c + tuple(
                     self._sp_jit(

@@ -373,25 +373,17 @@ def cmd_simulate(args) -> int:
     engine = args.engine
     if engine == "auto":
         # The fused kernel implements parity, both trbdf2 modes, the
-        # interior-MRT network, and in-run zone-state shading controls;
-        # exp stays on the XLA host loop even on TPU.  It marches whole
+        # interior-MRT network, and the in-run zone-state controls
+        # (window shading + ventilation temperature gates); exp stays on
+        # the XLA host loop even on TPU.  It marches whole
         # hours, so sub-hourly main steps (--n / IDF Timestep > 1) stay
         # on XLA.
         on_tpu = jax.default_backend() == "tpu"
         engine = (
             "kernel"
-            if (on_tpu and args.mode != "exp" and n == 1
-                and not b.has_vent_gates)
+            if (on_tpu and args.mode != "exp" and n == 1)
             else "xla"
         )
-    if engine == "kernel" and b.has_vent_gates:
-        print(
-            "error: --engine kernel does not run in-run ventilation "
-            "temperature gates (imported ZoneVentilation limit fields); "
-            "use --engine xla",
-            file=sys.stderr,
-        )
-        return 2
     if engine == "kernel" and n > 1:
         print(
             "error: --engine kernel marches hourly main steps; rebuild with "

@@ -199,9 +199,14 @@ class ShadingRule:
     (AlwaysOn / OnIfScheduleAllows), ``"high_solar"``
     (OnIfHighSolarOnWindow: incident solar on the pane > setpoint W/m2),
     ``"high_horizontal_solar"`` (OnIfHighHorizontalSolar: global
-    horizontal > setpoint W/m2) or ``"high_outdoor_temp"``
-    (OnIfHighOutdoorAirTemperature: dry bulb > setpoint C).  A
-    ``schedule`` (when present) additionally gates deployment, matching
+    horizontal > setpoint W/m2), ``"high_outdoor_temp"``
+    (OnIfHighOutdoorAirTemperature: dry bulb > setpoint C), or one of
+    the AND-combinations ``"high_outdoor_and_solar"`` /
+    ``"high_outdoor_and_horizontal"``
+    (OnIfHighOutdoorAirTempAndHighSolarOnWindow /
+    OnIfHighOutdoorAirTempAndHighHorizontalSolar: dry bulb > setpoint C
+    AND the solar condition > ``setpoint2`` W/m2).  A ``schedule``
+    (when present) additionally gates deployment, matching
     EnergyPlus's "and schedule, if specified, allows shading".
 
     Zone-state-dependent rules (``"high_zone_temp"``,
@@ -218,6 +223,7 @@ class ShadingRule:
     schedule: Optional[str] = None  # AND-gate; None = no schedule gate
     control: str = "always"
     setpoint: float = 0.0  # W/m2 or C, per control
+    setpoint2: float = 0.0  # W/m2 (the AND-combination solar condition)
     zone: Optional[str] = None  # controlling zone (high_zone_temp only)
 
 
@@ -306,10 +312,22 @@ class LoadedIdf:
             f.name: S + i for i, f in enumerate(self.model.fenestrations)
         }
         out = np.ones((T, S + len(self.model.fenestrations)))
+        # (kw, context, is-per-pane, which rule setpoint) conditions per
+        # control kind; AND-combinations list two.
         needs = {
-            "high_outdoor_temp": ("dry_bulb", dry_bulb),
-            "high_horizontal_solar": ("horizontal_solar", horizontal_solar),
-            "high_solar": ("incident", incident),
+            "high_outdoor_temp": [("dry_bulb", dry_bulb, False, "setpoint")],
+            "high_horizontal_solar": [
+                ("horizontal_solar", horizontal_solar, False, "setpoint")
+            ],
+            "high_solar": [("incident", incident, True, "setpoint")],
+            "high_outdoor_and_solar": [
+                ("dry_bulb", dry_bulb, False, "setpoint"),
+                ("incident", incident, True, "setpoint2"),
+            ],
+            "high_outdoor_and_horizontal": [
+                ("dry_bulb", dry_bulb, False, "setpoint"),
+                ("horizontal_solar", horizontal_solar, False, "setpoint2"),
+            ],
         }
         for rule in self.shading:
             if rule.schedule is None:
@@ -318,38 +336,41 @@ class LoadedIdf:
                 deployed = self.schedule_series(
                     rule.schedule, T, start_hour
                 ) > 0.0
-            if rule.control in needs:
-                kw, ctx = needs[rule.control]
-                if ctx is None:
-                    warnings.warn(
-                        f"{rule.name}: control needs the {kw}= weather "
-                        "context (not passed to shading_series) — these "
-                        "panes run unshaded for this call",
-                        stacklevel=2,
-                    )
-                    continue
+            conds = needs.get(rule.control, [])
+            missing = [kw for kw, ctx, _, _ in conds if ctx is None]
+            if missing:
+                warnings.warn(
+                    f"{rule.name}: control needs the "
+                    f"{'/'.join(missing)}= weather context (not passed "
+                    "to shading_series) — these panes run unshaded for "
+                    "this call",
+                    stacklevel=2,
+                )
+                continue
+            per_pane = []  # (ctx [T, cols], threshold) per-pane conditions
+            for kw, ctx, is_pane, sp_attr in conds:
                 ctx = np.asarray(ctx, np.float64)
                 if ctx.shape[0] != T:
                     raise ValueError(
                         f"{rule.name}: {kw} has {ctx.shape[0]} steps, "
                         f"expected {T}"
                     )
-                if kw == "incident" and ctx.shape[1:] != out.shape[1:]:
-                    raise ValueError(
-                        f"{rule.name}: incident must be [T, "
-                        f"{out.shape[1]}] (surfaces then fenestrations "
-                        "in compiled order)"
-                    )
-                if rule.control != "high_solar":
-                    deployed = deployed & (ctx > rule.setpoint)
+                sp = getattr(rule, sp_attr)
+                if is_pane:
+                    if ctx.shape[1:] != out.shape[1:]:
+                        raise ValueError(
+                            f"{rule.name}: incident must be [T, "
+                            f"{out.shape[1]}] (surfaces then "
+                            "fenestrations in compiled order)"
+                        )
+                    per_pane.append((ctx, sp))
+                else:
+                    deployed = deployed & (ctx > sp)
             for fname in rule.fenestrations:
                 col = names[fname]
                 dep = deployed
-                if rule.control == "high_solar":
-                    dep = deployed & (
-                        np.asarray(incident, np.float64)[:, col]
-                        > rule.setpoint
-                    )
+                for ctx, sp in per_pane:
+                    dep = dep & (ctx[:, col] > sp)
                 out[dep, col] = np.minimum(
                     out[dep, col], rule.transmittance
                 )
@@ -1988,6 +2009,17 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         "onifhighhorizontalsolar": ("high_horizontal_solar", "optional"),
         "onifhighoutdoorairtemperature": ("high_outdoor_temp", "optional"),
         "onifhighzoneairtemperature": ("high_zone_temp", "optional"),
+        # AND-combinations (weather-only: dry bulb > Setpoint AND the
+        # solar condition > Setpoint 2).  EnergyPlus spells these with
+        # "Temp"; accept the spelled-out form too.
+        "onifhighoutdoorairtempandhighsolaronwindow":
+            ("high_outdoor_and_solar", "optional"),
+        "onifhighoutdoorairtemperatureandhighsolaronwindow":
+            ("high_outdoor_and_solar", "optional"),
+        "onifhighoutdoorairtempandhighhorizontalsolar":
+            ("high_outdoor_and_horizontal", "optional"),
+        "onifhighoutdoorairtemperatureandhighhorizontalsolar":
+            ("high_outdoor_and_horizontal", "optional"),
     }
 
     # One control per pane: EnergyPlus 9.0+ allows several
@@ -2016,7 +2048,8 @@ def load_idf(path_or_text: str) -> LoadedIdf:
 
     def _shade_rule(owner, construction_with, control_type, sched,
                     device_material, fen_names, setpoint=None,
-                    is_scheduled="", zone="", shading_type=""):
+                    is_scheduled="", zone="", shading_type="",
+                    setpoint2=None):
         ct = control_type.lower().replace(" ", "")
         if ct == "alwaysoff":
             return  # never deployed: running unshaded IS the semantics
@@ -2026,6 +2059,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
                 "state-dependent and not imported (supported: AlwaysOn, "
                 "OnIfScheduleAllows, OnIfHighSolarOnWindow, "
                 "OnIfHighHorizontalSolar, OnIfHighOutdoorAirTemperature, "
+                "their OnIfHighOutdoorAirTempAnd… combinations, and "
                 "OnIfHighZoneAirTemperature) — these panes run unshaded",
                 stacklevel=3,
             )
@@ -2055,6 +2089,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         if kind != "always" and setpoint is None:
             raise ValueError(
                 f"{owner}: Control Type {control_type!r} needs a Setpoint"
+            )
+        if kind.startswith("high_outdoor_and_") and setpoint2 is None:
+            raise ValueError(
+                f"{owner}: Control Type {control_type!r} needs Setpoint 2 "
+                "(the solar condition, W/m2)"
             )
         tau = None
         switchable = shading_type.lower().replace(" ", "") == "switchableglazing"
@@ -2176,6 +2215,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             out.shading.append(ShadingRule(
                 owner, g_fens, g_tau, schedule,
                 control=kind, setpoint=float(setpoint or 0.0),
+                setpoint2=float(setpoint2 or 0.0),
             ))
 
     for o in sorted(
@@ -2192,7 +2232,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             f"WindowShadingControl {o[1]!r}", _str(o, 5), _str(o, 6),
             _str(o, 7), _str(o, 11), [_str(o, k) for k in range(17, len(o))],
             setpoint=_num(o, 8), is_scheduled=_str(o, 9), zone=_str(o, 2),
-            shading_type=_str(o, 4),
+            shading_type=_str(o, 4), setpoint2=_num(o, 14),
         )
     pre9_ctls = {
         o[1].lower(): o
@@ -2224,7 +2264,7 @@ def load_idf(path_or_text: str) -> LoadedIdf:
             f"WindowProperty:ShadingControl {o[1]!r}", _str(o, 3),
             _str(o, 4), _str(o, 5), _str(o, 9), fens,
             setpoint=_num(o, 6), is_scheduled=_str(o, 7),
-            shading_type=_str(o, 2),
+            shading_type=_str(o, 2), setpoint2=_num(o, 12),
         )
 
     return out

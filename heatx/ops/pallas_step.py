@@ -80,6 +80,14 @@ class BlockedBuilding:
     # panes march bit-identically.  None when the building has no
     # zone-shading controls.
     shade: tuple = None
+    # In-run ventilation temperature gates (heatx extension, engine.step.
+    # apply_vent_gates): (vent_min_tin, vent_max_tin) as [n_blocks, ZB]
+    # arrays of indoor-temperature limits (EnergyPlus's no-op +-100 C
+    # defaults on uncontrolled/padded slots).  The per-hour gated
+    # ventilation A/B terms and the delta-gate threshold ride as extra
+    # hour inputs (the caller pre-applies the weather-only outdoor/wind
+    # gates host-side).  None when the building has no vent controls.
+    vent: tuple = None
 
     @property
     def config(self) -> SimConfig:
@@ -298,6 +306,17 @@ def block_building(
             oh[i, loc[0]] = 1.0
         shade = (oh, tau, sp)
 
+    vent = None
+    if building.has_vent_gates:
+        def zbv(v, fill):
+            out = layout.zones_to_blocked(np.asarray(v), fill=fill)
+            return np.where(layout.zone_valid, out, fill)
+
+        vent = (
+            zbv(building.vent_min_tin, -100.0),
+            zbv(building.vent_max_tin, 100.0),
+        )
+
     return BlockedBuilding(
         base=building,
         layout=layout,
@@ -310,6 +329,7 @@ def block_building(
         ctl=ctl,
         mrt_eps=mrt_eps,
         shade=shade,
+        vent=vent,
     )
 
 
@@ -984,6 +1004,15 @@ def make_hour_march(
     cadence.  ``scheduled_shade_sp=True`` appends an optional trailing
     ``shade_sp [hours, SP]`` hour-input overriding the compiled setpoints
     (schedule AND-gates pass +1e9 on blocked hours).
+
+    In-run ventilation temperature gates (``bb.vent``, engine.step.
+    apply_vent_gates) also run in-kernel: the hour-input tuple grows
+    three zone-row leaves after ``b_extra`` — ``a_vent``/``b_vent``
+    ([hours, n_blocks, ZB] gated ventilation A/B terms, with the
+    weather-only outdoor/wind gates pre-applied host-side as zero rows)
+    and ``vent_thr`` (the delta-gate threshold, vent_delta + hour-mean
+    outdoor temperature) — and each hour adds them to a_extra/b_extra
+    only where the carry zone temperature passes the indoor gates.
     """
     if mode not in ("parity", "trbdf2", "trbdf2_refresh"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
@@ -1240,6 +1269,10 @@ def make_hour_march(
             for nm in ("ctl_heat", "ctl_cool", "ctl_mxh", "ctl_mxc"):
                 r_shared[nm] = refs[i]
                 i += 1
+        if bb.vent is not None:
+            for nm in ("vent_min", "vent_max"):
+                r_shared[nm] = refs[i]
+                i += 1
         for pi in range(n_parts):
             for name in hour_op_names[pi]:
                 r_parts[pi][name] = refs[i]
@@ -1247,6 +1280,12 @@ def make_hour_march(
         r_shared["a_extra"] = refs[i]
         r_shared["b_extra"] = refs[i + 1]
         i += 2
+        if bb.vent is not None:
+            # Gated ventilation A/B terms + the delta-gate threshold rows
+            # (vent_delta + hour-mean outdoor temperature, folded host-side).
+            for nm in ("a_vent", "b_vent", "vent_thr"):
+                r_shared[nm] = refs[i]
+                i += 1
         if scheduled_setpoints:
             # Per-hour setpoint schedules override the compiled ctl rows.
             r_shared["sp_heat"] = refs[i]
@@ -1428,12 +1467,36 @@ def make_hour_march(
                         ir_back=rp["ir_back"][hs, :][0],
                     )
                 )
+            a_row = r_shared["a_extra"][pl.ds(h, 1), :]
+            b_row = r_shared["b_extra"][pl.ds(h, 1), :]
+            if bb.vent is not None:
+                # In-run ventilation temperature gates (engine.step.
+                # apply_vent_gates): include this hour's ventilation A/B
+                # terms only where the indoor gates pass, evaluated from
+                # the carry zone temperature AT MAIN-STEP START (one kernel
+                # "hour" is one main step — the XLA integrators' exact
+                # previous-timestep cadence).  The weather-only outdoor/
+                # wind gates and the hour-mean outdoor temperature of the
+                # delta threshold are pre-applied host-side (zero rows /
+                # vent_thr), so uncontrolled zones add exactly 0.0.
+                on = (
+                    (zT > r_shared["vent_min"][...][0:1])
+                    & (zT < r_shared["vent_max"][...][0:1])
+                    & (zT > r_shared["vent_thr"][pl.ds(h, 1), :])
+                )
+                zero = jnp.asarray(0.0, dtype)
+                a_row = a_row + jnp.where(
+                    on, r_shared["a_vent"][pl.ds(h, 1), :], zero
+                )
+                b_row = b_row + jnp.where(
+                    on, r_shared["b_vent"][pl.ds(h, 1), :], zero
+                )
             return body(
                 cfg,
                 parts,
                 r_shared["zone_volume"][...][0:1],
-                r_shared["a_extra"][pl.ds(h, 1), :],
-                r_shared["b_extra"][pl.ds(h, 1), :],
+                a_row,
+                b_row,
                 r_shared["t_out"],
                 r_shared["wind"],
                 r_shared["wdir"],
@@ -1688,11 +1751,21 @@ def make_hour_march(
                 jnp.asarray(_pad_zone_rows(np.asarray(arr).reshape(NB, 1, ZB), 8), dtype)
             )
             param_axes.append("row")
+    if bb.vent is not None:
+        for arr in bb.vent:  # vent gate min/max indoor-temperature rows
+            in_specs.append(zone_spec())
+            params.append(
+                jnp.asarray(_pad_zone_rows(np.asarray(arr).reshape(NB, 1, ZB), 8), dtype)
+            )
+            param_axes.append("row")
     for pi, (rows, lo, w) in enumerate(parts_meta):
         # sol_f, sol_b, ir_f, ir_b (+ the shade-setpoint series on
         # scheduled-shading parts)
         in_specs += [vspec(hours, w)] * len(hour_op_names[pi])
     in_specs += [zone_spec(HR8), zone_spec(HR8)]  # a_extra, b_extra
+    if bb.vent is not None:
+        # a_vent, b_vent, vent_thr per-hour zone rows
+        in_specs += [zone_spec(HR8)] * 3
     if scheduled_setpoints:
         in_specs += [zone_spec(HR8), zone_spec(HR8)]  # heat_sp, cool_sp series
     for rows, lo, w in parts_meta:
@@ -1763,10 +1836,22 @@ def make_hour_march(
         # heat/cool setpoint pair (scheduled_setpoints).  Either may be
         # omitted; defaults broadcast from the compiled params.
         hour_inputs = tuple(hour_inputs)
+        # Base tuple: 9 leaves, +3 with vent gates (a_vent, b_vent,
+        # vent_thr follow b_extra).
+        n_base = 12 if bb.vent is not None else 9
         shade_xs = None
-        if scheduled_shade_sp and len(hour_inputs) in (10, 12):
+        if scheduled_shade_sp and len(hour_inputs) in (n_base + 1, n_base + 3):
             shade_xs = hour_inputs[-1].reshape(hours, SPl)
             hour_inputs = hour_inputs[:-1]
+        vent_xs = None
+        if bb.vent is not None:
+            if len(hour_inputs) < n_base:
+                raise ValueError(
+                    "vent-gated kernels take the 12-leaf hour-input tuple "
+                    "(..., a_extra, b_extra, a_vent, b_vent, vent_thr)"
+                )
+            vent_xs = hour_inputs[9:12]
+            hour_inputs = hour_inputs[:9] + hour_inputs[12:]
         if scheduled_setpoints and len(hour_inputs) == 11:
             (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra,
              sp_heat, sp_cool) = hour_inputs
@@ -1819,6 +1904,8 @@ def make_hour_march(
             return jnp.concatenate([a, pad], axis=1).reshape(NBl * 8, ZB)
 
         operands += [gains_rows(a_extra), gains_rows(b_extra)]
+        if vent_xs is not None:
+            operands += [gains_rows(x.astype(dtype)) for x in vent_xs]
         if scheduled_setpoints:
             operands += [
                 gains_rows(sp_heat.astype(dtype)),

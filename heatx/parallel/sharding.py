@@ -305,6 +305,12 @@ def make_sharded_hour_march(
         lane2, lane2, lane2, lane2,  # sol/ir [hours, SP]
         P(None, axis, None), P(None, axis, None),  # gains [hours, NB, ZB]
     )
+    if bb.vent is not None:
+        # a_vent / b_vent / vent_thr series [hours, NB, ZB] (blocked zone
+        # rows; the in-run ventilation gate channels)
+        hi_spec = hi_spec + (
+            P(None, axis, None), P(None, axis, None), P(None, axis, None),
+        )
     if scheduled_setpoints:
         # heat_sp / cool_sp series [hours, NB, ZB] (blocked zone rows)
         hi_spec = hi_spec + (P(None, axis, None), P(None, axis, None))

@@ -994,6 +994,56 @@ WindowShadingControl, SC, A, 1, ExteriorShade, , OnIfHighHorizontalSolar,
     np.testing.assert_allclose(mult[:, 2], 1.0)  # Win2 uncontrolled
 
 
+def test_window_shading_outdoor_and_solar_combinations():
+    """The weather-only AND-combinations deploy only when BOTH the dry
+    bulb exceeds Setpoint and the solar condition exceeds Setpoint 2
+    (field 14): per-pane incident for ...AndHighSolarOnWindow, global
+    horizontal for ...AndHighHorizontalSolar."""
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, ,
+    OnIfHighOutdoorAirTempAndHighSolarOnWindow,
+    , 25, No, No, Roller, , , 200, , Sequential, Win1;
+""")
+    (rule,) = loaded.shading
+    assert rule.control == "high_outdoor_and_solar"
+    assert rule.setpoint == pytest.approx(25.0)
+    assert rule.setpoint2 == pytest.approx(200.0)
+    db = np.array([20.0, 30.0, 30.0, 20.0])
+    inc = np.zeros((4, 3))
+    inc[:, 1] = [300.0, 100.0, 300.0, 300.0]  # Win1's column
+    mult = loaded.shading_series(4, dry_bulb=db, incident=inc)
+    # Deploys only where BOTH 30 > 25 and 300 > 200 (hour 2).
+    np.testing.assert_allclose(mult[:, 1], [1.0, 1.0, 0.25, 1.0])
+    np.testing.assert_allclose(mult[:, 2], 1.0)
+
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, ,
+    OnIfHighOutdoorAirTempAndHighHorizontalSolar,
+    , 25, No, No, Roller, , , 400, , Sequential, Win1;
+""")
+    (rule,) = loaded.shading
+    assert rule.control == "high_outdoor_and_horizontal"
+    ghi = np.array([500.0, 500.0, 300.0, 500.0])
+    mult = loaded.shading_series(4, dry_bulb=db, horizontal_solar=ghi)
+    np.testing.assert_allclose(mult[:, 1], [1.0, 0.25, 1.0, 1.0])
+
+    # Missing Setpoint 2 is a hard error; missing context warns honestly.
+    with pytest.raises(ValueError, match="Setpoint 2"):
+        load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, ,
+    OnIfHighOutdoorAirTempAndHighSolarOnWindow,
+    , 25, No, No, Roller, , , , , Sequential, Win1;
+""")
+    loaded = load_idf(_SHADE_IDF + """
+WindowShadingControl, SC, A, 1, ExteriorShade, ,
+    OnIfHighOutdoorAirTempAndHighSolarOnWindow,
+    , 25, No, No, Roller, , , 200, , Sequential, Win1;
+""")
+    with pytest.warns(UserWarning, match="incident"):
+        mult = loaded.shading_series(4, dry_bulb=db)  # no incident context
+    np.testing.assert_allclose(mult, 1.0)
+
+
 def test_window_shading_high_solar_on_window_per_pane():
     """OnIfHighSolarOnWindow reads the pane's own column of the incident
     array: two panes under one rule deploy independently."""

@@ -301,13 +301,119 @@ def test_sharded_march_bit_equal():
         )
 
 
-def test_fast_runner_rejects_gated_building():
-    from heatx.api import FastRunner, ThermalModel
-
-    tm = ThermalModel(
-        _model(ZoneVentilationControl("Space", min_indoor=16.0)),
-        n=1,
-        config=heatx.SimConfig(dtype=jnp.float64),
+def _fast_seq(tm, T=48):
+    """A 48 h sequence whose gates toggle: cold nights / warm days with
+    steady cold-air ventilation."""
+    b = tm.building
+    t_out = 8.0 + 14.0 * np.sin(np.arange(T) / 24 * 2 * np.pi)  # [-6, 22] C
+    ir = 5.670374419e-8 * (273.15 + t_out) ** 4
+    return tm.inputs_sequence(
+        T, t_out=t_out, wind_speed=2.0,
+        ir_front=np.broadcast_to(ir[:, None], (T, b.n_surfaces)),
+        ir_back=np.broadcast_to(ir[:, None], (T, b.n_surfaces)),
+        vent_vol=np.full(b.n_zones, VENT),
+        vent_temp=t_out[:, None] * np.ones((1, b.n_zones)),
+        vent_mask=np.ones(b.n_zones, bool),
+        inf_vol=np.full(b.n_zones, 0.005),
+        inf_temp=t_out[:, None] * np.ones((1, b.n_zones)),
+        inf_mask=np.ones(b.n_zones, bool),
     )
-    with pytest.raises(ValueError, match="ventilation temperature gates"):
-        FastRunner(tm, block_size=4, interpret=True)
+
+
+@pytest.mark.parametrize("mode", ["parity", "trbdf2"])
+def test_fused_kernel_matches_xla(mode):
+    """The in-run gates inside the Pallas day kernel: the carry zone
+    temperature gates the hour's ventilation A/B terms each main step,
+    matching the XLA integrators through a run whose min-indoor gate
+    toggles dynamically."""
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    ctl = ZoneVentilationControl("Space", min_indoor=15.0)
+    tm = heatx.ThermalModel(_model(ctl), n=1, config=cfg)
+    seq = _fast_seq(tm)
+    st0 = tm.initial_state()
+    kw = dict(substeps=6) if mode != "parity" else {}
+    _, zx = tm.run(st0, seq, mode=mode, **kw)
+    fr = tm.fast_runner(block_size=8, mode=mode, hours=4, interpret=True,
+                        **kw)
+    _, zk = fr.run(st0, seq)
+    # The run must actually exercise BOTH branches of the gate.
+    on = np.asarray(zx) > 15.0
+    assert 0.05 < on.mean() < 0.95, "gate never toggled — test is vacuous"
+    np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=5e-8)
+
+
+def test_fused_kernel_outdoor_gate_matches_xla():
+    """Weather-only gates (min/max outdoor, wind) are pre-applied to the
+    kernel's vent rows host-side: a max_outdoor gate must match the XLA
+    path through a warm/cold-toggling run."""
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    ctl = ZoneVentilationControl("Space", max_outdoor=12.0, delta=-2.0)
+    tm = heatx.ThermalModel(_model(ctl), n=1, config=cfg)
+    seq = _fast_seq(tm)
+    st0 = tm.initial_state()
+    _, zx = tm.run(st0, seq, mode="trbdf2", substeps=6)
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=6, hours=4,
+                        interpret=True)
+    _, zk = fr.run(st0, seq)
+    np.testing.assert_allclose(np.asarray(zk), np.asarray(zx), atol=5e-8)
+
+
+def test_fused_kernel_noop_control_matches_uncontrolled():
+    """A default (no-op limits) control through the kernel engine equals
+    the uncontrolled building's kernel run."""
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(
+        _model(ZoneVentilationControl("Space")), n=1, config=cfg
+    )
+    tm0 = heatx.ThermalModel(_model(), n=1, config=cfg)
+    st0 = tm.initial_state()
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=6, hours=4,
+                        interpret=True)
+    fr0 = tm0.fast_runner(block_size=8, mode="trbdf2", substeps=6, hours=4,
+                          interpret=True)
+    _, zk = fr.run(st0, _fast_seq(tm))
+    _, zk0 = fr0.run(tm0.initial_state(), _fast_seq(tm0))
+    np.testing.assert_allclose(
+        np.asarray(zk), np.asarray(zk0), rtol=0, atol=1e-12
+    )
+
+
+def test_fused_kernel_sharded_bit_equal():
+    """The gated kernel under shard_map over the block axis: bit-equal to
+    the single-device kernel run."""
+    from heatx.parallel.sharding import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs >= 2 devices")
+    cfg = heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    # enough single-zone copies to give every device a block, with
+    # per-zone gate limits that straddle the trajectory
+    m = _model(ZoneVentilationControl("Space", min_indoor=15.0))
+    from heatx.model.building import Boundary, SpaceDef, SurfaceDef
+
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(n_dev * 2 - 1):
+        m.add_space(SpaceDef(f"extra{z}", 60.0))
+        m.add_surface(
+            SurfaceDef(f"wall{z}", m.surfaces[0].construction,
+                       Boundary.outdoor(), Boundary.space_(f"extra{z}"),
+                       vertices=verts)
+        )
+        m.add_vent_control(
+            ZoneVentilationControl(f"extra{z}", min_indoor=13.0 + 0.5 * z)
+        )
+    tm = heatx.ThermalModel(m, n=1, config=cfg)
+    st0 = tm.initial_state()
+    seq = _fast_seq(tm)
+    fr1 = tm.fast_runner(block_size=2, hours=4, mode="trbdf2", substeps=4,
+                         interpret=True)
+    assert fr1.layout.n_blocks % n_dev == 0, fr1.layout.n_blocks
+    _, z1 = fr1.run(st0, seq)
+    mesh = make_mesh()
+    frm = tm.fast_runner(block_size=2, hours=4, mode="trbdf2", substeps=4,
+                         interpret=True, mesh=mesh)
+    _, zm = frm.run(st0, seq)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(zm)), np.asarray(z1)
+    )
