@@ -754,11 +754,24 @@ def cmd_simulate(args) -> int:
                 for t in range(T):
                     w.writerow([start + t] + [f"{v:.1f}" for v in loads[t]])
             print(f"# wrote {args.loads_csv}", file=sys.stderr)
-        heat_kwh = loads.clip(min=0).sum() / 1e3
-        cool_kwh = (-loads.clip(max=0)).sum() / 1e3
+        # Zone Multipliers (EnergyPlus Zone field 7): each zone is
+        # simulated once; its contribution to BUILDING totals scales by
+        # the multiplier.  Per-zone series/figures stay per-instance.
+        zmult = (
+            loaded0.multipliers()
+            if loaded0 is not None
+            else np.ones(len(znames))
+        )
+        mloads = loads * zmult[None, :]
+        heat_kwh = mloads.clip(min=0).sum() / 1e3
+        cool_kwh = (-mloads.clip(max=0)).sum() / 1e3
+        mult_note = (
+            "" if np.all(zmult == 1.0)
+            else f", zone multipliers x{zmult.sum():g} instances"
+        )
         print(
             f"demand: heating {heat_kwh:.1f} kWh  cooling {cool_kwh:.1f} kWh "
-            f"({len(znames)} zones, {T} h)"
+            f"({len(znames)} zones, {T} h{mult_note})"
         )
     if operative is not None:
         operative = np.asarray(operative)
@@ -840,11 +853,14 @@ def cmd_simulate(args) -> int:
             def kwh(x):
                 return round(float(x) / 1e3, 3) + 0.0  # +0.0 kills -0.0
 
+            # Building totals apply the Zone Multipliers (see the demand
+            # print above); per-zone figures stay per-instance.
+            mloads_s = loads * zmult[None, :]
             summary["demand"] = {
-                "heating_kwh": kwh(loads.clip(min=0).sum()),
-                "cooling_kwh": kwh(-loads.clip(max=0).sum()),
-                "peak_heating_w": round(max(0.0, float(loads.max())), 1),
-                "peak_cooling_w": round(max(0.0, float(-loads.min())), 1),
+                "heating_kwh": kwh(mloads_s.clip(min=0).sum()),
+                "cooling_kwh": kwh(-mloads_s.clip(max=0).sum()),
+                "peak_heating_w": round(max(0.0, float(mloads_s.max())), 1),
+                "peak_cooling_w": round(max(0.0, float(-mloads_s.min())), 1),
                 "per_zone_heating_kwh": {
                     name: kwh(loads[:, z].clip(min=0).sum())
                     for z, name in enumerate(znames)
@@ -854,6 +870,12 @@ def cmd_simulate(args) -> int:
                     for z, name in enumerate(znames)
                 },
             }
+            if not np.all(zmult == 1.0):
+                summary["demand"]["zone_multipliers"] = {
+                    name: float(zmult[z])
+                    for z, name in enumerate(znames)
+                    if zmult[z] != 1.0
+                }
             if T >= 2 * 24 and start % epw.n_hours == 0 and T <= epw.n_hours:
                 # Whole-year-aligned runs within one weather year get a
                 # calendar-month breakdown (partial trailing months report
@@ -869,7 +891,7 @@ def cmd_simulate(args) -> int:
                 for lo, hi in zip(edges[:-1], edges[1:]):
                     if hi <= lo:
                         break
-                    seg = loads[lo:hi]
+                    seg = mloads_s[lo:hi]
                     mh.append(kwh(seg.clip(min=0).sum()))
                     mc.append(kwh(-seg.clip(max=0).sum()))
                 summary["demand"]["monthly_heating_kwh"] = mh
@@ -937,6 +959,7 @@ def cmd_size(args) -> int:
 
     Z = len(model.spaces)
     zidx = {sp.name: z for z, sp in enumerate(model.spaces)}
+    size_mult = loaded.multipliers() if loaded is not None else np.ones(Z)
     inf_vol = np.zeros(Z)
     if loaded is not None:
         for src in (loaded.infiltration, loaded.ventilation):
@@ -1029,6 +1052,14 @@ def cmd_size(args) -> int:
                 nm: round(float(ann.max_cooling_W[z]), 1)
                 for z, nm in enumerate(ann.zone_names)
             },
+            # Building totals apply the Zone Multipliers (per-zone peaks
+            # stay per-instance, EnergyPlus semantics).
+            "total_peak_heating_W": round(
+                float((ann.peak_heating_W * size_mult).sum()), 1
+            ),
+            "total_peak_cooling_W": round(
+                float((ann.peak_cooling_W * size_mult).sum()), 1
+            ),
         }
     for season in ("winter", "summer"):
         if season not in days:
@@ -1061,7 +1092,11 @@ def cmd_size(args) -> int:
                 nm: round(float(res.peak_W[z]), 1)
                 for z, nm in enumerate(res.zone_names)
             },
-            f"total_peak_{verb}_W": round(float(res.peak_W.sum()), 1),
+            # Building total applies the Zone Multipliers (per-zone peaks
+            # stay per-instance, EnergyPlus semantics).
+            f"total_peak_{verb}_W": round(
+                float((res.peak_W * size_mult).sum()), 1
+            ),
         }
     if args.sizing_json:
         import json

@@ -268,6 +268,13 @@ class LoadedIdf:
     #: zone-state shading rules (lowered to in-run ZoneShadingControls on
     #: the model; shading_setpoint_series renders their schedule gates).
     zone_shading: List["ShadingRule"] = field(default_factory=list)
+    #: zone name -> Zone Multiplier (only non-1 entries).  heatx marches
+    #: ONE instance of the zone (EnergyPlus's own semantics: the
+    #: multiplier scales the zone's contribution to building totals, not
+    #: its physics); multiply per-zone loads by these when aggregating —
+    #: :meth:`multipliers` gives the compiled-order vector, and the CLI
+    #: applies it to the building demand totals automatically.
+    zone_multipliers: Dict[str, float] = field(default_factory=dict)
 
     def schedule_series(self, name: str, T: int, start_hour: int = 0):
         """The named schedule rendered over ``T`` hours (year-periodic)."""
@@ -275,6 +282,15 @@ class LoadedIdf:
         if s is None:
             raise KeyError(f"schedule {name!r} not found in the IDF")
         return s[(start_hour + np.arange(T)) % 8760]
+
+    def multipliers(self) -> np.ndarray:
+        """[n_zones] Zone Multiplier vector in compiled zone order (1.0
+        where unset) — multiply per-zone loads by this when aggregating
+        to building totals (EnergyPlus Zone field 7 semantics)."""
+        return np.array([
+            self.zone_multipliers.get(sp.name, 1.0)
+            for sp in self.model.spaces
+        ])
 
     def shading_series(
         self,
@@ -1079,12 +1095,11 @@ def load_idf(path_or_text: str) -> LoadedIdf:
         name = o[1]
         mult = _num(o, 7, 1.0) or 1.0
         if mult != 1.0:
-            warnings.warn(
-                f"Zone {name!r}: Multiplier {mult:g} is ignored (heatx "
-                "simulates the single declared zone; whole-building totals "
-                "will be understated accordingly)",
-                stacklevel=3,
-            )
+            # EnergyPlus semantics: the multiplier scales the zone's
+            # contribution to building totals; the zone itself is
+            # simulated once.  Recorded for aggregation (the CLI demand
+            # totals apply it; LoadedIdf.multipliers).
+            out.zone_multipliers[name] = float(mult)
         vol = _str(o, 9).lower()
         ch = _str(o, 8).lower()
         pending_zones.append((

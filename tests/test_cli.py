@@ -397,6 +397,47 @@ HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
     assert d["unmet_heating_hours"] == 0 and d["unmet_cooling_hours"] == 0
 
 
+def test_cli_zone_multiplier_scales_building_totals(tmp_path):
+    """Zone Multiplier (Zone field 7): the zone is simulated once, the
+    BUILDING demand totals scale by the multiplier; per-zone figures stay
+    per-instance (EnergyPlus semantics)."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    base = _SLAB_IDF.replace("Ground", "Outdoors") + """
+HVACTemplate:Thermostat, TST, , 20.0, , 26.0;
+HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
+"""
+    mult = base.replace(
+        "Zone, Room, 0, 0, 0, 0, 1, 1, 3, 300, 100;",
+        "Zone, Room, 0, 0, 0, 0, 1, 3, 3, 300, 100;",
+    )
+    assert mult != base  # the replace actually hit
+    import json
+
+    results = {}
+    for tag, text in (("one", base), ("three", mult)):
+        p = tmp_path / f"{tag}.idf"
+        p.write_text(text)
+        js = tmp_path / f"{tag}.json"
+        assert main(["simulate", str(p), EPW, "--hours", "24", "--engine",
+                     "xla", "--mode", "trbdf2",
+                     "--summary-json", str(js)]) == 0
+        results[tag] = json.loads(js.read_text())["demand"]
+    one, three = results["one"], results["three"]
+    # Per-zone (per-instance) figures identical; building totals x3.
+    assert three["per_zone_heating_kwh"]["Room"] == pytest.approx(
+        one["per_zone_heating_kwh"]["Room"], abs=1e-6
+    )
+    assert three["heating_kwh"] == pytest.approx(
+        3 * one["heating_kwh"], rel=1e-6
+    )
+    assert three["cooling_kwh"] == pytest.approx(
+        3 * one["cooling_kwh"], rel=1e-6
+    )
+    assert three["zone_multipliers"] == {"Room": 3.0}
+    assert "zone_multipliers" not in one
+
+
 def test_cli_warmup_days(tmp_path, capsys):
     """--warmup-days repeats the first day to convergence before the
     reported horizon: the first reported hour moves from the 22 C

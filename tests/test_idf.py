@@ -822,17 +822,30 @@ def test_idf_missing_path_raises():
         load_idf("typo_name.idf")
 
 
-def test_idf_zone_multiplier_warns():
+def test_idf_zone_multiplier_recorded():
+    """Zone Multiplier (field 7) is recorded for aggregation — the zone
+    marches once; LoadedIdf.multipliers() gives the compiled-order
+    vector (EnergyPlus's building-total semantics).  No warning."""
     import warnings
 
     idf = _MINI_IDF.replace(
         "Zone, RoomA, 0, 0, 0, 0, 1, 1, 3.0, 90.0;",
         "Zone, RoomA, 0, 0, 0, 0, 1, 10, 3.0, 90.0;",
     )
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        load_idf(idf)
-    assert any("Multiplier 10" in str(c.message) for c in caught)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        loaded = load_idf(idf)
+    assert loaded.zone_multipliers == {"RoomA": 10.0}
+    mv = loaded.multipliers()
+    names = [sp.name for sp in loaded.model.spaces]
+    assert mv[names.index("RoomA")] == 10.0
+    assert all(
+        m == 1.0 for n, m in zip(names, mv) if n != "RoomA"
+    )
+    # Unmultiplied file: empty dict, all-ones vector.
+    loaded1 = load_idf(_MINI_IDF)
+    assert loaded1.zone_multipliers == {}
+    assert np.all(loaded1.multipliers() == 1.0)
 
 
 def test_idf_unknown_obc_zone_clear_error():
