@@ -333,6 +333,7 @@ class ThermalModel:
         inputs: StepInputs,
         substeps: int = 12,
         refresh_h: bool = False,
+        refresh_every: int = None,
     ) -> SimState:
         """One main timestep in TR-BDF2 implicit fast mode: like
         :meth:`march_exp` (coefficients frozen per step, ~10x fewer
@@ -342,17 +343,20 @@ class ThermalModel:
         fused fast-mode Pallas kernel (heatx.ops.pallas_step mode="trbdf2").
         ``refresh_h=True`` re-evaluates the film coefficients and stage
         matrices every sub-step (kernel mode="trbdf2_refresh"): ~6x the
-        frozen-h accuracy at the same sub-step count.  See
-        :mod:`heatx.engine.implicit`."""
+        frozen-h accuracy at the same sub-step count.  ``refresh_every=k``
+        is the hybrid cadence (rebuild every k sub-steps; k must divide
+        ``substeps``).  See :mod:`heatx.engine.implicit`."""
         _check_setpoint_order(self.building, inputs.heat_sp, inputs.cool_sp)
         if self._march_imp is None:
             from heatx.engine.implicit import imp_march
 
             self._march_imp = jax.jit(
-                imp_march, static_argnames=("substeps", "refresh_h")
+                imp_march,
+                static_argnames=("substeps", "refresh_h", "refresh_every"),
             )
         return self._march_imp(
-            self._device(), state, inputs, substeps=substeps, refresh_h=refresh_h
+            self._device(), state, inputs, substeps=substeps,
+            refresh_h=refresh_h, refresh_every=refresh_every,
         )
 
     def fast_runner(
@@ -366,6 +370,7 @@ class ThermalModel:
         scheduled_setpoints: bool = False,
         mesh=None,
         collect_operative: bool = False,
+        refresh_every: int = None,
     ) -> "FastRunner":
         """The fused Pallas hour-kernel path.
 
@@ -376,10 +381,12 @@ class ThermalModel:
         ``substeps`` sub-steps instead of the stability-dictated ~120 —
         another ~8x on a TPU; see heatx.engine.implicit).
         mode="trbdf2_refresh" is TR-BDF2 with the film coefficients /
-        cavity U / stage factorizations re-evaluated EVERY sub-step (the
-        parity path's coefficient cadence): ~6x the frozen-h accuracy
-        (0.05 K vs 0.33 K on the 3-week regime gate) at the fast mode's
-        sub-step count.
+        cavity U / stage factorizations re-evaluated every ``refresh_every``
+        sub-steps (default 1 = every sub-step, the parity path's
+        coefficient cadence): ~14x the frozen-h accuracy (0.024 K vs
+        0.33 K on the 3-week regime gate) at the fast mode's sub-step
+        count; ``refresh_every=2`` keeps most of that accuracy at nearly
+        frozen-mode cost (PERF.md cadence ablation).
 
         ``mesh=`` shards the kernel over a ``jax.sharding.Mesh`` (one
         zone-closed block group per device, no collectives) with the full
@@ -388,7 +395,7 @@ class ThermalModel:
             self, block_size=block_size, mode=mode, substeps=substeps,
             hours=hours, interpret=interpret, collect_fluxes=collect_fluxes,
             scheduled_setpoints=scheduled_setpoints, mesh=mesh,
-            collect_operative=collect_operative,
+            collect_operative=collect_operative, refresh_every=refresh_every,
         )
 
 
@@ -453,6 +460,7 @@ class FastRunner:
         scheduled_setpoints: bool = False,
         mesh=None,
         collect_operative: bool = False,
+        refresh_every: int = None,
     ):
         import jax.numpy as jnp
         import numpy as np
@@ -500,6 +508,7 @@ class FastRunner:
                 scheduled_setpoints=scheduled_setpoints,
                 collect_operative=collect_operative,
                 scheduled_shade_sp=self._scheduled_shade,
+                refresh_every=refresh_every,
             )
         else:
             self._hour_march, self._params = pallas_step.make_hour_march(
@@ -508,6 +517,7 @@ class FastRunner:
                 scheduled_setpoints=scheduled_setpoints,
                 collect_operative=collect_operative,
                 scheduled_shade_sp=self._scheduled_shade,
+                refresh_every=refresh_every,
             )
         self._scheduled_sp = scheduled_setpoints
         self._jit = jax.jit(self._hour_march)

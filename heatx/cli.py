@@ -854,13 +854,20 @@ def cmd_simulate(args) -> int:
                 return round(float(x) / 1e3, 3) + 0.0  # +0.0 kills -0.0
 
             # Building totals apply the Zone Multipliers (see the demand
-            # print above); per-zone figures stay per-instance.
+            # print above); per-zone figures stay per-instance.  Peaks are
+            # the coincident building-wide maxima (largest hourly sum of
+            # the multiplied per-zone loads, heating and cooling separately
+            # — not the single-zone peak).
             mloads_s = loads * zmult[None, :]
             summary["demand"] = {
                 "heating_kwh": kwh(mloads_s.clip(min=0).sum()),
                 "cooling_kwh": kwh(-mloads_s.clip(max=0).sum()),
-                "peak_heating_w": round(max(0.0, float(mloads_s.max())), 1),
-                "peak_cooling_w": round(max(0.0, float(-mloads_s.min())), 1),
+                "peak_heating_w": round(
+                    max(0.0, float(mloads_s.clip(min=0).sum(axis=1).max())), 1
+                ),
+                "peak_cooling_w": round(
+                    max(0.0, float(-mloads_s.clip(max=0).sum(axis=1).min())), 1
+                ),
                 "per_zone_heating_kwh": {
                     name: kwh(loads[:, z].clip(min=0).sum())
                     for z, name in enumerate(znames)

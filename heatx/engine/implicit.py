@@ -205,6 +205,7 @@ def imp_march(
     inputs: StepInputs,
     substeps: int,
     refresh_h: bool = False,
+    refresh_every: int = None,
 ):
     """One main step in implicit fast mode: freeze coefficients + stage
     matrices, then run ``substeps`` TR-BDF2 sub-steps (scanned).
@@ -213,9 +214,26 @@ def imp_march(
     radiation / cavity U and re-assembles the stage matrices EVERY sub-step
     (from the marching state and the per-sub-step weather) instead of
     freezing them for the hour — the parity path's coefficient cadence
-    (surface.rs:596-717) at the fast mode's sub-step count."""
+    (surface.rs:596-717) at the fast mode's sub-step count.
+
+    ``refresh_every=k`` is the hybrid cadence: coefficients re-evaluate at
+    the start of every group of ``k`` consecutive sub-steps (k must divide
+    ``substeps``).  k=1 is exactly ``refresh_h=True``; k=substeps is
+    exactly the frozen default (both freeze from the main-step-start state
+    and weather).  Within a group only the boundary air temperatures track
+    the marching state, like the frozen mode."""
     if substeps < 1:
         raise ValueError(f"substeps must be >= 1, got {substeps}")
+    if refresh_every is not None:
+        if refresh_every < 1:
+            raise ValueError(f"refresh_every must be >= 1, got {refresh_every}")
+        if substeps % refresh_every:
+            raise ValueError(
+                f"refresh_every {refresh_every} must divide substeps {substeps}"
+            )
+        refresh_h = True  # group cadence reuses the per-group rebuild path
+    elif refresh_h:
+        refresh_every = 1
     # In-run zone-state controls (shading deployment + ventilation
     # gates): evaluated once per main step from the step-start zone
     # temperatures, frozen for the sub-steps (the same cadence as the
@@ -273,16 +291,42 @@ def imp_march(
 
     collect_load = building.has_ideal_hvac
 
+    if refresh_h:
+        # Grouped cadence: rebuild the operators from the carry state + the
+        # group's first sub-step weather, then run ``refresh_every`` frozen
+        # sub-steps on them (imp_substep re-reads the boundary air each
+        # sub-step either way, so k=substeps reproduces the frozen mode
+        # exactly and k=1 the classic every-sub-step refresh).
+        k = refresh_every
+
+        def grp(v):
+            return v.reshape(substeps // k, k)
+
+        def body(carry, x):
+            t_g, ws_g, wd_g = x
+            ops_g = build_operators(
+                building, carry, t_g[0], ws_g[0], wd_g[0], inputs, dt_sub,
+                mrt_static,
+            )
+
+            def inner(c, xi):
+                new = imp_substep(building, ops_g, c, xi[0], inputs, dt_sub)
+                return new, (new.ideal_load if collect_load else None)
+
+            return jax.lax.scan(inner, carry, (t_g, ws_g, wd_g))
+
+        state, loads = jax.lax.scan(
+            body, state, (grp(t_out_seq), grp(ws_seq), grp(wd_seq))
+        )
+        if collect_load:
+            state = state._replace(
+                ideal_load=jnp.mean(loads, axis=(0, 1))
+            )
+        return state
+
     def body(carry, x):
         t_i, ws_i, wd_i = x
-        ops_i = (
-            build_operators(
-                building, carry, t_i, ws_i, wd_i, inputs, dt_sub, mrt_static
-            )
-            if refresh_h
-            else ops
-        )
-        new = imp_substep(building, ops_i, carry, t_i, inputs, dt_sub)
+        new = imp_substep(building, ops, carry, t_i, inputs, dt_sub)
         return new, (new.ideal_load if collect_load else None)
 
     state, loads = jax.lax.scan(body, state, (t_out_seq, ws_seq, wd_seq))

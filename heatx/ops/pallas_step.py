@@ -739,6 +739,7 @@ def _hour_body_imp(
     mix_wt=None,  # [ZB, ZB] block-local inter-zone mixing matrix
     ctl=None,  # (heat_sp, cool_sp, max_heat, max_cool) [1, ZB] rows, or None
     refresh_h=False,
+    refresh_every=None,
 ):
     """One hour of TR-BDF2 fast-mode sub-steps for one block (see
     heatx.engine.implicit): coefficients freeze once per hour, each sub-step
@@ -752,7 +753,13 @@ def _hour_body_imp(
     weather — the parity path's coefficient cadence (surface.rs:596-717) at
     the fast mode's sub-step count (frozen-h is the fast mode's dominant
     error term: 0.33 K RMSE frozen vs 0.05 K refreshed on the 3-week
-    regime-gate workload)."""
+    regime-gate workload).
+
+    ``refresh_every=k`` is the hybrid cadence between those extremes: the
+    operators rebuild at the start of every group of ``k`` consecutive
+    sub-steps (k must divide ``substeps``; k=1 is refresh_h, k=substeps is
+    bit-identical to the frozen mode).  The accuracy/cost trade is measured
+    in PERF.md's cadence ablation."""
     from heatx.engine import implicit as imp_mod
     from heatx.engine.exponential import _full_system_K, _substep_forcing
     from heatx.ops import tridiag
@@ -824,31 +831,28 @@ def _hour_body_imp(
             )
         return ops
 
-    if not refresh_h:
-        # -- per-hour frozen operators ---------------------------------------
-        frozen = build_ops(
-            T0s, zT0, t_out_arr[off], wind_arr[off], wdir_arr[off]
+    if refresh_h and refresh_every is None:
+        refresh_every = 1
+    if refresh_every is not None and substeps % refresh_every:
+        raise ValueError(
+            f"refresh_every {refresh_every} must divide substeps {substeps}"
         )
 
-    def substep(carry, i):
+    def substep(carry, i, fzs):
         Ts, zT = carry
         t_out = t_out_arr[off + i]
-        fzs = (
-            build_ops(Ts, zT, t_out, wind_arr[off + i], wdir_arr[off + i])
-            if refresh_h
-            else frozen
-        )
         new_Ts = []
         hqs = []
         envs = []
         for p, st, fz, T in zip(parts, statics, fzs, Ts):
             t_front, t_back = _boundary_temps(p.sb, p, zT, t_out, f32)
-            if refresh_h:
-                # build_ops already evaluated the envs from this state/air.
-                env_f, env_b = fz.env_f0, fz.env_b0
-            else:
-                env_f = fz.env_f0._replace(air=t_front)
-                env_b = fz.env_b0._replace(air=t_back)
+            # Boundary air tracks the marching state every sub-step; the
+            # film coefficients / stage factorizations stay at the ops'
+            # cadence.  (When fzs was just rebuilt from this very state the
+            # replace is a bit-exact no-op — build_ops evaluated the same
+            # _boundary_temps — so one code path serves every cadence.)
+            env_f = fz.env_f0._replace(air=t_front)
+            env_b = fz.env_b0._replace(air=t_back)
             q = _substep_forcing(env_f, env_b, fz.rad_hs_f, fz.rad_hs_b, fz.solar_q, st)
 
             lower, diag, upper = fz.K
@@ -894,26 +898,44 @@ def _hour_body_imp(
     hq0 = tuple(
         tuple(jnp.zeros_like(p.sol_front) for _ in range(4)) for p in parts
     )
-    if ctl is None:
+    lsum0 = None if ctl is None else jnp.zeros_like(zT0)
+    carry0 = ((T0s, zT0), hq0, lsum0)
 
-        def loop_body(i, carry):
-            (Ts, zT), _ = carry
-            st, hqs, _ = substep((Ts, zT), i)
-            return st, hqs
+    def inner_loop(carry, i0, n, fzs):
+        """n consecutive sub-steps starting at global sub-step i0, all on
+        the same (frozen) operator set."""
 
-        (Ts, zT), hqs = jax.lax.fori_loop(
-            0, substeps, loop_body, ((T0s, zT0), hq0)
+        def body(j, c):
+            (Ts, zT), _, lsum = c
+            st, hqs, load = substep((Ts, zT), i0 + j, fzs)
+            return st, hqs, (None if lsum is None else lsum + load)
+
+        return jax.lax.fori_loop(0, n, body, carry)
+
+    if refresh_every is None:
+        # -- per-hour frozen operators (mode="trbdf2") ------------------------
+        frozen = build_ops(
+            T0s, zT0, t_out_arr[off], wind_arr[off], wdir_arr[off]
         )
+        (Ts, zT), hqs, lsum = inner_loop(carry0, 0, substeps, frozen)
+    else:
+        # -- grouped refresh (mode="trbdf2_refresh", every k sub-steps) -------
+        k = refresh_every
+
+        def group_body(g, c):
+            (Ts, zT), _, _ = c
+            i0 = g * k
+            fzs = build_ops(
+                Ts, zT, t_out_arr[off + i0], wind_arr[off + i0],
+                wdir_arr[off + i0],
+            )
+            return inner_loop(c, i0, k, fzs)
+
+        (Ts, zT), hqs, lsum = jax.lax.fori_loop(
+            0, substeps // k, group_body, carry0
+        )
+    if ctl is None:
         return Ts, zT, hqs, None
-
-    def loop_body(i, carry):
-        (Ts, zT), _, lsum = carry
-        st, hqs, load = substep((Ts, zT), i)
-        return st, hqs, lsum + load
-
-    (Ts, zT), hqs, lsum = jax.lax.fori_loop(
-        0, substeps, loop_body, ((T0s, zT0), hq0, jnp.zeros_like(zT0))
-    )
     return Ts, zT, hqs, lsum / substeps
 
 
@@ -947,6 +969,7 @@ def make_hour_march(
     scheduled_setpoints: bool = False,
     collect_operative: bool = False,
     scheduled_shade_sp: bool = False,
+    refresh_every: int = None,
 ):
     """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
 
@@ -961,7 +984,9 @@ def make_hour_march(
     mode (heatx.engine.implicit) at ``substeps`` (default 12) sub-steps/hour
     with coefficients frozen per hour; mode="trbdf2_refresh" is the same
     scheme with the coefficients and stage factorizations re-evaluated
-    every sub-step (parity coefficient cadence, ~6x the frozen-h accuracy).
+    every ``refresh_every`` sub-steps (default 1 = every sub-step, the
+    parity coefficient cadence; k>1 is the hybrid cadence — PERF.md's
+    cadence ablation measures the accuracy/cost trade).
 
     ``hours > 1`` marches that many consecutive hours per kernel invocation:
     one pallas_call costs a fixed ~0.7 ms/block in launch + HBM streaming of
@@ -1016,6 +1041,17 @@ def make_hour_march(
     """
     if mode not in ("parity", "trbdf2", "trbdf2_refresh"):
         raise ValueError(f"unknown hour-kernel mode {mode!r}")
+    if refresh_every is not None and mode != "trbdf2_refresh":
+        raise ValueError(
+            "refresh_every only applies to mode='trbdf2_refresh' "
+            f"(got mode={mode!r})"
+        )
+    if refresh_every is not None:
+        k_subs = substeps or 12
+        if refresh_every < 1 or k_subs % refresh_every:
+            raise ValueError(
+                f"refresh_every {refresh_every} must divide substeps {k_subs}"
+            )
     if collect_operative and bb.mrt_eps is None:
         raise ValueError(
             "collect_operative needs the blocked Carroll statics: build "
@@ -1421,7 +1457,11 @@ def make_hour_march(
             from functools import partial as _partial
 
             body = _partial(
-                _hour_body_imp, refresh_h=(mode == "trbdf2_refresh")
+                _hour_body_imp,
+                refresh_h=(mode == "trbdf2_refresh"),
+                refresh_every=(
+                    refresh_every if mode == "trbdf2_refresh" else None
+                ),
             )
 
         def one_hour(h, Ts, zT):

@@ -232,6 +232,7 @@ def make_sharded_hour_march(
     scheduled_setpoints: bool = False,
     collect_operative: bool = False,
     scheduled_shade_sp: bool = False,
+    refresh_every: int = None,
 ):
     """Shard the fused Pallas hour/day kernel over the device mesh.
 
@@ -294,6 +295,7 @@ def make_sharded_hour_march(
         scheduled_setpoints=scheduled_setpoints,
         collect_operative=collect_operative,
         scheduled_shade_sp=scheduled_shade_sp,
+        refresh_every=refresh_every,
     )
     pspec = tuple(
         P(None, axis) if ax == "lane" else P(axis, None) for ax in hm.param_axes

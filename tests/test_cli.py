@@ -436,6 +436,13 @@ HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
     )
     assert three["zone_multipliers"] == {"Room": 3.0}
     assert "zone_multipliers" not in one
+    # Coincident building-wide peaks scale with the multiplier too.
+    assert three["peak_heating_w"] == pytest.approx(
+        3 * one["peak_heating_w"], rel=1e-6
+    )
+    assert three["peak_cooling_w"] == pytest.approx(
+        3 * one["peak_cooling_w"], rel=1e-6
+    )
 
 
 def test_cli_warmup_days(tmp_path, capsys):

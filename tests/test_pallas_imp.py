@@ -61,10 +61,11 @@ def _march_xla(building, hours, solf, march):
     return st
 
 
-def _kernel_run(building, hours, substeps, solf, mode):
+def _kernel_run(building, hours, substeps, solf, mode, refresh_every=None):
     bb = pallas_step.block_building(building, block_size=16)
     hm, params = pallas_step.make_hour_march(
-        bb, substeps=substeps, interpret=True, mode=mode, hours=hours
+        bb, substeps=substeps, interpret=True, mode=mode, hours=hours,
+        refresh_every=refresh_every,
     )
     lay = bb.layout
     SP = lay.padded_surfaces
@@ -199,6 +200,93 @@ def test_trbdf2_refresh_kernel_matches_xla_refresh_march():
 
     zF, _, _ = _kernel_run(building, 4, 12, solf, "trbdf2")
     assert np.abs(zF - zK).max() > 1e-6, "refresh had no effect"
+
+
+def test_refresh_every_hybrid_kernel_matches_xla():
+    """refresh_every=k (hybrid cadence): operators rebuild at the start of
+    every group of k sub-steps.  The kernel must reproduce
+    imp_march(refresh_every=k) bit-for-bit, and the hybrid trajectory must
+    sit strictly between frozen (k=substeps) and full refresh (k=1)."""
+    building = _compiled(_city(), nomass_fixed_iters=1)
+    S = building.n_surfaces
+    rng = np.random.default_rng(3)
+    solf = rng.uniform(0.2, 1.0, (4, S)) * 300.0
+
+    march = jax.jit(
+        imp_mod.imp_march, static_argnames=("substeps", "refresh_every")
+    )
+    stx = _march_xla(
+        building, 4, solf,
+        lambda b, s, i: march(b, s, i, substeps=12, refresh_every=3),
+    )
+    zK, TK, _ = _kernel_run(building, 4, 12, solf, "trbdf2_refresh",
+                            refresh_every=3)
+    np.testing.assert_allclose(np.asarray(stx.zone_T), zK, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(stx.node_T), TK, atol=1e-12)
+
+    zF, _, _ = _kernel_run(building, 4, 12, solf, "trbdf2")
+    z1, _, _ = _kernel_run(building, 4, 12, solf, "trbdf2_refresh")
+    assert np.abs(zF - zK).max() > 1e-8, "hybrid identical to frozen"
+    assert np.abs(z1 - zK).max() > 1e-8, "hybrid identical to full refresh"
+    # the hybrid is the better approximation of the full-refresh trajectory
+    assert np.abs(z1 - zK).max() < np.abs(z1 - zF).max()
+
+
+def test_refresh_every_substeps_is_frozen():
+    """k=substeps freezes from the same (state, weather) as mode="trbdf2":
+    the two must agree bit-for-bit, on the XLA path and in the kernel."""
+    building = _compiled(_city(3), nomass_fixed_iters=1)
+    S = building.n_surfaces
+    rng = np.random.default_rng(4)
+    solf = rng.uniform(0.2, 1.0, (2, S)) * 250.0
+
+    march = jax.jit(
+        imp_mod.imp_march, static_argnames=("substeps", "refresh_every")
+    )
+    st_frozen = _march_xla(
+        building, 2, solf, lambda b, s, i: march(b, s, i, substeps=8)
+    )
+    st_k = _march_xla(
+        building, 2, solf,
+        lambda b, s, i: march(b, s, i, substeps=8, refresh_every=8),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_frozen.zone_T), np.asarray(st_k.zone_T)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st_frozen.node_T), np.asarray(st_k.node_T)
+    )
+
+    zF, TF, _ = _kernel_run(building, 2, 8, solf, "trbdf2")
+    zK, TK, _ = _kernel_run(building, 2, 8, solf, "trbdf2_refresh",
+                            refresh_every=8)
+    np.testing.assert_array_equal(zF, zK)
+    np.testing.assert_array_equal(TF, TK)
+
+
+def test_refresh_every_validation():
+    """Non-dividing cadences and mode mismatches fail loudly."""
+    import pytest
+
+    building = _compiled(_city(2), nomass_fixed_iters=1)
+    bb = pallas_step.block_building(building, block_size=16)
+    with pytest.raises(ValueError, match="must divide"):
+        pallas_step.make_hour_march(
+            bb, substeps=8, interpret=True, mode="trbdf2_refresh",
+            refresh_every=3,
+        )
+    with pytest.raises(ValueError, match="refresh_every"):
+        pallas_step.make_hour_march(
+            bb, substeps=8, interpret=True, mode="trbdf2", refresh_every=2
+        )
+    with pytest.raises(ValueError, match="must divide"):
+        imp_mod.imp_march(
+            building.astype(jnp.float64),
+            state_mod.initial_state(building),
+            state_mod.default_inputs(building),
+            substeps=8,
+            refresh_every=3,
+        )
 
 
 def test_trbdf2_refresh_kernel_cavity_matches_xla():

@@ -19,7 +19,8 @@ Contracts:
 * the whole-run scan matches the host loop of marches;
 * sharded march stays bit-equal to single-device;
 * infiltration is never gated;
-* the kernel engine (FastRunner) rejects gated buildings loudly.
+* the kernel engine (FastRunner) applies the gates in-kernel, bit-equal to
+  the XLA integrators (and to its own sharded variant).
 """
 
 from functools import partial
