@@ -511,13 +511,16 @@ class FastRunner:
                 refresh_every=refresh_every,
             )
         else:
-            self._hour_march, self._params = pallas_step.make_hour_march(
-                self._bb, substeps=substeps, interpret=interpret, mode=mode,
+            self._mk_kwargs = dict(
+                substeps=substeps, interpret=interpret, mode=mode,
                 hours=hours, collect_bad=True, collect_hq=collect_fluxes,
                 scheduled_setpoints=scheduled_setpoints,
                 collect_operative=collect_operative,
                 scheduled_shade_sp=self._scheduled_shade,
                 refresh_every=refresh_every,
+            )
+            self._hour_march, self._params = pallas_step.make_hour_march(
+                self._bb, **self._mk_kwargs
             )
         self._scheduled_sp = scheduled_setpoints
         self._jit = jax.jit(self._hour_march)
@@ -565,6 +568,88 @@ class FastRunner:
         if not hit:
             raise ValueError("model has no ground boundaries")
         self._params = tuple(params)
+
+    def update_building(self, building) -> None:
+        """Swap ALL building-derived kernel operands for a same-layout
+        :class:`CompiledBuilding` whose VALUES changed (e.g. scaled
+        ``surfaces.seg_u`` during calibration).  The kernel reads the
+        blocked building as per-dispatch traced arguments, so this is a
+        host-side re-block + operand swap with **no recompilation** — the
+        structural layout (node counts, block permutation, zone table) must
+        be identical to the compiled one.
+
+        Note: overrides any prior :meth:`set_ground_temperature` operand
+        writes (re-apply them after).  Not yet supported on the sharded
+        (``mesh=``) runner."""
+        import numpy as np
+
+        from heatx.ops import pallas_step
+
+        if self._mesh is not None:
+            raise NotImplementedError(
+                "update_building on the sharded runner is not supported yet"
+            )
+        bb2 = pallas_step.block_building(
+            building, block_size=self._bb.block_size,
+            mrt_statics=True if self._collect_op else None,
+        )
+        if not np.array_equal(
+            np.asarray(bb2.layout.surf_perm), np.asarray(self._bb.layout.surf_perm)
+        ):
+            raise ValueError(
+                "update_building requires an identical blocked layout: "
+                "re-discretized or re-ordered buildings need a fresh "
+                "fast_runner (only value changes on the compiled arrays "
+                "keep the layout)"
+            )
+        _, params2 = pallas_step.make_hour_march(bb2, **self._mk_kwargs)
+        old, new = self._params, tuple(params2)
+        if len(old) != len(new) or any(
+            getattr(a, "shape", None) != getattr(b, "shape", None)
+            for a, b in zip(old, new)
+        ):
+            raise ValueError(
+                "update_building produced different operand shapes; the "
+                "building's structure changed"
+            )
+        self._bb = bb2
+        self._params = new
+
+    def chunk_forward(self, apply_params, loss_fn, **run_kw):
+        """A kernel-speed ``forward_fn`` for
+        :func:`heatx.engine.adjoint.chunked_value_and_grad`.
+
+        ``apply_params(params) -> CompiledBuilding`` maps the optimization
+        parameters to a same-layout building (value changes only — e.g.
+        ``dataclasses.replace(building, surfaces=...)``);
+        ``loss_fn(zt_hist, xs) -> scalar`` scores one chunk from its
+        per-hour zone-temperature history ``[H, zones]`` (the same history
+        the XLA ``chunk_fn`` must score, so forward and backward agree).
+        Extra ``run_kw`` pass through to :meth:`run`.
+
+        The returned ``forward_fn(params, state, xs)`` re-blocks the kernel
+        operands only when the parameter VALUES change (once per optimizer
+        step, not once per chunk), then runs the fused kernel over the
+        chunk's hours.  Pair it with an XLA ``chunk_fn`` built on the same
+        integrator (``ThermalModel.march_imp`` with this runner's mode /
+        substeps) — the arithmetic matches bit-for-bit in f64
+        (tests/test_pallas_imp.py), so the backward sweep's gradients are
+        the kernel trajectory's gradients to fp tolerance."""
+        import numpy as np
+
+        last = [None]
+
+        def forward_fn(params, state, xs):
+            key = tuple(
+                np.asarray(v).tobytes() for v in jax.tree.leaves(params)
+            )
+            if last[0] != key:
+                self.update_building(apply_params(params))
+                last[0] = key
+            final, zt = self.run(state, xs, **run_kw)
+            return final, loss_fn(zt, xs)
+
+        return forward_fn
 
     def _layout_idx(self):
         """Cached device-side layout permutation indices, shared by every

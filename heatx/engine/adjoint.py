@@ -40,6 +40,7 @@ def chunked_value_and_grad(
     params: Any,
     state0: Any,
     xs_chunks: Any,
+    forward_fn: Callable[[Any, Any, Any], Tuple[Any, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Any]:
     """Value and parameter-gradient of a chunk-summed objective.
 
@@ -53,7 +54,18 @@ def chunked_value_and_grad(
     structure of ``params``.  Each chunk runs as its own bounded device
     dispatch in both sweeps; gradients are exactly those of the monolithic
     ``jax.grad`` of the same composition (same arithmetic, same order).
-    """
+
+    ``forward_fn`` (optional) computes the FORWARD sweep instead of
+    ``chunk_fn`` — same signature and contract, typically the fused Pallas
+    day kernel via :meth:`heatx.api.FastRunner.chunk_fn` (the kernel has no
+    VJP of its own; ~45x the XLA path's forward speed).  It is called as a
+    plain host-level function (not jitted here), so it may stage its own
+    dispatches and host-side prep.  The backward sweep still differentiates
+    ``chunk_fn`` at the forward trajectory's chunk-boundary states — this
+    is exact when the two implementations compute the same arithmetic
+    (gated by tests/test_pallas_imp.py for the TR-BDF2 kernel vs
+    :func:`heatx.engine.implicit.imp_march`; gradients then agree with the
+    pure-XLA adjoint to fp tolerance, tests/test_gradients.py)."""
     leaves = jax.tree.leaves(xs_chunks)
     if not leaves:
         raise ValueError("xs_chunks has no leaves")
@@ -67,7 +79,7 @@ def chunked_value_and_grad(
             f"{n_chunks} vs {bad[0][0]}"
         )
 
-    fwd = jax.jit(chunk_fn)
+    fwd = jax.jit(chunk_fn) if forward_fn is None else forward_fn
 
     @jax.jit
     def bwd(params, state, xs, state_cot, loss_cot):

@@ -350,3 +350,96 @@ def test_grad_through_interior_mrt_matches_fd():
 
     g0 = jax.grad(loss0)(1500.0)
     assert abs(float(g) - float(g0)) > 1e-12
+
+
+def test_kernel_forward_chunked_grad_matches_xla():
+    """The fused day kernel as the FORWARD sweep of the chunked adjoint
+    (FastRunner.chunk_forward + chunked_value_and_grad(forward_fn=...)):
+    the kernel has no VJP, so the backward sweep re-runs each chunk through
+    the XLA TR-BDF2 path at the kernel's chunk-boundary states.  In f64 the
+    two implementations are bit-equivalent (tests/test_pallas_imp.py), so
+    value AND gradient must match the pure-XLA chunked adjoint to fp
+    tolerance — this is what lets calibration run its forward passes at
+    kernel speed (examples/calibrate.py)."""
+    import bench as B
+    from heatx.engine import implicit as imp_mod
+    from heatx.engine.adjoint import chunked_value_and_grad
+
+    cfg = F64.replace(nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(B.build_city_model(3, 10), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    sb0 = building.surfaces
+    SUBS = 6
+    T, C = 8, 2  # 8 hours in 2 chunks
+
+    rng = np.random.default_rng(0)
+    seq = tm.inputs_sequence(
+        T,
+        t_out=jnp.asarray(rng.uniform(-2.0, 10.0, T)),
+        wind_speed=jnp.asarray(rng.uniform(1.0, 5.0, T)),
+        wind_direction=45.0,
+        hvac_power=jnp.full((building.n_hvacs,), 500.0),
+        lum_power=jnp.full((building.n_luminaires,), 150.0),
+    )
+    seq = seq._replace(
+        sol_front=jnp.asarray(
+            rng.uniform(0.0, 300.0, (T, building.n_surfaces))
+        )
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (
+            v.reshape((C, T // C) + v.shape[1:])
+            if v.ndim and v.shape[0] == T
+            else jnp.broadcast_to(v, (C, T // C) + v.shape)
+        ),
+        seq,
+    )
+
+    def with_params(params):
+        sb = dataclasses.replace(sb0, seg_u=sb0.seg_u * params["u_scale"])
+        return dataclasses.replace(building, surfaces=sb)
+
+    def chunk_fn(params, state, xs):
+        b = with_params(params)
+
+        def hour(s, x):
+            s = imp_mod.imp_march(b, s, x, substeps=SUBS)
+            return s, s.zone_T
+
+        state, hist = jax.lax.scan(hour, state, xs)
+        return state, jnp.mean(hist * hist)
+
+    params = {"u_scale": jnp.asarray(1.3)}
+    v_xla, g_xla = chunked_value_and_grad(chunk_fn, params, st, xs_chunks)
+
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS, hours=2)
+    n_blocked = [0]
+    orig = fr.update_building
+
+    def counting(b):
+        n_blocked[0] += 1
+        return orig(b)
+
+    fr.update_building = counting
+    forward_fn = fr.chunk_forward(
+        with_params, lambda zt, xs: jnp.mean(zt * zt)
+    )
+    v_k, g_k = chunked_value_and_grad(
+        chunk_fn, params, st, xs_chunks, forward_fn=forward_fn
+    )
+    # one re-block for both chunks (values unchanged between chunks)
+    assert n_blocked[0] == 1
+    np.testing.assert_allclose(float(v_k), float(v_xla), rtol=1e-9)
+    np.testing.assert_allclose(
+        float(g_k["u_scale"]), float(g_xla["u_scale"]), rtol=1e-6
+    )
+    assert np.isfinite(float(g_k["u_scale"]))
+
+    # second call with DIFFERENT params re-blocks (and moves the value)
+    params2 = {"u_scale": jnp.asarray(1.0)}
+    v_k2, _ = chunked_value_and_grad(
+        chunk_fn, params2, st, xs_chunks, forward_fn=forward_fn
+    )
+    assert n_blocked[0] == 2
+    assert abs(float(v_k2) - float(v_k)) > 1e-9
