@@ -72,6 +72,8 @@ def main():
     )
     ap.add_argument("--out", default="/tmp/heatx_city_checkpoint.npz")
     args = ap.parse_args()
+    if os.environ.get("HEATX_EXAMPLE_FAST") == "1":  # smoke-test settings
+        args.zones, args.hours = min(args.zones, 4), min(args.hours, 48)
 
     import jax.numpy as jnp
 

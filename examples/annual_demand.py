@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--hours", type=int, default=8760)
     ap.add_argument("--block-size", type=int, default=2048)
     args = ap.parse_args()
+    if os.environ.get("HEATX_EXAMPLE_FAST") == "1":  # smoke-test settings
+        args.zones = min(args.zones, 4)
+        args.hours = min(args.hours, 48)
+        args.block_size = min(args.block_size, 16)
 
     import jax
     import jax.numpy as jnp

@@ -92,6 +92,8 @@ def main():
     )
     ap.add_argument("--hours", type=int, default=168)
     args = ap.parse_args()
+    if os.environ.get("HEATX_EXAMPLE_FAST") == "1":  # smoke-test settings
+        args.hours = min(args.hours, 48)
 
     import jax
 

@@ -122,8 +122,9 @@ def main():
     )
 
     # 7x7 grid: insulation conductance scale x wall solar absorptance scale.
-    u_scales = jnp.linspace(0.4, 2.0, 7)
-    a_scales = jnp.linspace(0.3, 1.3, 7)
+    grid = 3 if os.environ.get("HEATX_EXAMPLE_FAST") == "1" else 7
+    u_scales = jnp.linspace(0.4, 2.0, grid)
+    a_scales = jnp.linspace(0.3, 1.3, grid)
     uu, aa = jnp.meshgrid(u_scales, a_scales, indexing="ij")
     params_e = {"u_scale": uu.ravel().astype(jnp.float32),
                 "alpha_scale": aa.ravel().astype(jnp.float32)}

@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--out", default="/tmp/office_zones.csv")
     ap.add_argument("--loads", default="/tmp/office_demand.csv")
     args = ap.parse_args()
+    if os.environ.get("HEATX_EXAMPLE_FAST") == "1":  # smoke-test settings
+        args.hours = min(args.hours, 48)
     if not os.path.isfile(args.epw):
         print(f"EPW not found: {args.epw} (set --epw)", file=sys.stderr)
         return 2

@@ -95,11 +95,13 @@ def main():
         updates, opt_state = opt.update(g, opt_state)
         return optax.apply_updates(raw, updates), opt_state, val
 
+    fast = os.environ.get("HEATX_EXAMPLE_FAST") == "1"
+    iters = 10 if fast else 150
     raw = jnp.full((T,), 1.0)  # ~1.3 kW flat start
     opt_state = opt.init(raw)
-    for i in range(150):
+    for i in range(iters):
         raw, opt_state, val = descend(raw, opt_state)
-        if i % 30 == 0 or i == 149:
+        if i % 30 == 0 or i == iters - 1:
             print(f"iter {i:3d}  objective {float(val):8.2f}")
 
     power = jax.nn.softplus(raw)
@@ -109,7 +111,9 @@ def main():
     print(f"optimized schedule: {kwh:.1f} kWh, min zone T {worst:.2f} C "
           f"(setpoint {SETPOINT})")
     print("hourly kW:", np.round(np.asarray(power), 2))
-    assert worst > SETPOINT - 0.5, "comfort constraint badly violated"
+    assert np.isfinite(worst) and np.isfinite(kwh)
+    if not fast:  # 10 smoke iterations don't reach the constraint yet
+        assert worst > SETPOINT - 0.5, "comfort constraint badly violated"
     flat = jnp.full((T,), kwh / T)
     worst_flat = float(jnp.min(simulate(flat)))
     print(f"same energy as a flat schedule would give min T {worst_flat:.2f} C"

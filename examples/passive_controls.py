@@ -83,6 +83,9 @@ def main(argv=None):
     ap.add_argument("--epw", default=DEFAULT_EPW)
     ap.add_argument("--days", type=int, default=7)
     args = ap.parse_args(argv)
+    fast = os.environ.get("HEATX_EXAMPLE_FAST") == "1"
+    if fast:  # smoke-test settings
+        args.days = min(args.days, 2)
 
     import jax
 
@@ -134,7 +137,9 @@ def main(argv=None):
           f"hours above 27 C from {hot_f} to {hot_c} (shading clips the "
           "afternoon spike; the delta-gated night vent dumps the stored "
           "heat without ever under-cooling the slab).")
-    assert dmean > 1.0 and hot_c < hot_f, "controls should visibly cool"
+    assert np.isfinite(dmean)
+    if not fast:  # 2 smoke days carry too much of the shared 22C init
+        assert dmean > 1.0 and hot_c < hot_f, "controls should visibly cool"
     return 0
 
 

@@ -53,6 +53,7 @@ def main():
         help="capacity = margin x sized peak (try 0.5 to see failures)",
     )
     args = ap.parse_args()
+    fast = os.environ.get("HEATX_EXAMPLE_FAST") == "1"
     if not os.path.isfile(args.epw):
         print(f"EPW not found: {args.epw} (set --epw)", file=sys.stderr)
         return 2
@@ -128,17 +129,26 @@ def main():
         print(dd[season].summary())
 
     # -- 2. sizing by simulation ---------------------------------------------
-    ann = annual_peak_loads(
-        model, epw, heat_sp=HEAT_SP, cool_sp=COOL_SP, coverage=99.6,
-        config=cfg, extra_channels=sizing_extra,
-    )
-    print(ann.summary())
+    if fast:
+        # Smoke-test path: size from the design days alone (the annual
+        # march is the expensive step; it is exercised by bench.py and the
+        # sizing tests).
+        heat_cap = dd["winter"].peak_W * args.margin
+        cool_cap = dd["summer"].peak_W * args.margin
+    else:
+        ann = annual_peak_loads(
+            model, epw, heat_sp=HEAT_SP, cool_sp=COOL_SP, coverage=99.6,
+            config=cfg, extra_channels=sizing_extra,
+        )
+        print(ann.summary())
 
-    # Heating: the winter design day is the stricter test (the year may
-    # never reach the 99.6% design temperature); cooling: the annual
-    # percentile (the design day's constant-max assumptions oversize).
-    heat_cap = np.maximum(dd["winter"].peak_W, ann.peak_heating_W) * args.margin
-    cool_cap = ann.peak_cooling_W * args.margin
+        # Heating: the winter design day is the stricter test (the year may
+        # never reach the 99.6% design temperature); cooling: the annual
+        # percentile (the design day's constant-max assumptions oversize).
+        heat_cap = (
+            np.maximum(dd["winter"].peak_W, ann.peak_heating_W) * args.margin
+        )
+        cool_cap = ann.peak_cooling_W * args.margin
 
     # -- 3. the year at the sized capacities ---------------------------------
     for h in model.hvacs:
@@ -182,12 +192,15 @@ def main():
         tm.initial_state(), day1,
         run=lambda s: tm.run(s, day1, collect_zone_T=False, mode="trbdf2")[0],
     )
+    T_run = 72 if fast else T  # smoke-test: 3 verification days
+    if soil is not None:
+        soil = soil[:T_run]
     if soil is None:
-        state, zt = tm.run(state, seq, mode="trbdf2")
+        state, zt = tm.run(state, _sl(seq, 0, T_run), mode="trbdf2")
         zt = np.asarray(zt)
     else:
         bounds = np.concatenate(
-            [[0], np.flatnonzero(np.diff(soil)) + 1, [T]]
+            [[0], np.flatnonzero(np.diff(soil)) + 1, [T_run]]
         )
         zt_parts = []
         for lo, hi in zip(bounds[:-1], bounds[1:]):

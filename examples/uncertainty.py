@@ -55,8 +55,9 @@ def main():
     from heatx.engine import state as state_mod
     from heatx.engine.state import StepInputs
 
-    E = 128
-    T = 168  # one winter week
+    fast = os.environ.get("HEATX_EXAMPLE_FAST") == "1"
+    E = 16 if fast else 128
+    T = 48 if fast else 168  # one winter week
     cfg = heatx.SimConfig(dtype=jnp.float32, nomass_fixed_iters=1)
     b = compile_building(build(), n=1, config=cfg).astype(jnp.float32)
     st = state_mod.initial_state(b)

@@ -1621,20 +1621,27 @@ def make_hour_march(
                 _, tm = _mrt_context(op_parts, op_statics, Ts, tfbs, zT, dtype)
                 return (zT + tm) / 2.0
 
+        # Explicitly typed 0/1 constants: Python-float literals are
+        # weak-typed and resolve to float64 under jax_enable_x64, which
+        # would silently promote an f32 building's fori-loop history
+        # carries (dtype-mismatch error on the scan/fori carry).
+        zero_d = jnp.asarray(0.0, dtype)
+        one_d = jnp.asarray(1.0, dtype)
+
         def row_mask(h):
-            return jnp.where(hour_row_iota == h, 1.0, 0.0)
+            return jnp.where(hour_row_iota == h, one_d, zero_d)
 
         def bad_count(Ts, zT):
             # Non-finite values in the current state, one scalar.  Nested
             # wheres (no bool arithmetic — the i1->f32 vector casts
             # miscompile under Mosaic).
-            bad = jnp.sum(jnp.where(jnp.isfinite(zT), 0.0, 1.0))
+            bad = jnp.sum(jnp.where(jnp.isfinite(zT), zero_d, one_d))
             for (sb_vals, _), T in zip(part_vals, Ts):
                 bad = bad + jnp.sum(
                     jnp.where(
                         sb_vals.node_mask,
-                        jnp.where(jnp.isfinite(T), 0.0, 1.0),
-                        0.0,
+                        jnp.where(jnp.isfinite(T), zero_d, one_d),
+                        zero_d,
                     )
                 )
             return bad

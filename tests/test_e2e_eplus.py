@@ -28,14 +28,38 @@ from heatx.weather.epw import read_epw
 # (max zone-T RMSE [K], max |bias| [K]) per fixture, ~1.5x the measured
 # values (massive 0.120/-0.114, nomass 0.165/-0.102, mixed 0.110/-0.109,
 # tilted 0.225/-0.170, horizontal 0.151/-0.027).  All well under the
-# ASHRAE-style 1 K comfort resolution; the dominant residual is shared
-# warm-up/initialization transient, not steady physics.
+# ASHRAE-style 1 K comfort resolution.
+#
+# ATTRIBUTION (the converged-start experiment below): replaying the 21-day
+# horizon twice (passes=2, a converged initial state — the same protocol
+# that collapsed the replay suite's mixed-case residuals,
+# test_eplus_replay.py) leaves these residuals essentially UNCHANGED
+# (massive 0.1202 -> 0.1202, nomass 0.1646 -> 0.1646, mixed
+# 0.1097 -> 0.0963, tilted 0.2255 -> 0.2255, horizontal 0.1513 -> 0.1513).
+# So — unlike the replay suite — the e2e residual is NOT the 22 C
+# cold-start transient: it is a steady, systematically negative
+# weather-model bias (~-0.1 K; heatx's computed incident solar/longwave
+# slightly under-heats the zone relative to EnergyPlus's own).  Only the
+# insulated mixed wall carries a small transient share (~0.013 K rmse).
 E2E_THRESHOLDS = {
     "massive_full": (0.20, 0.20),
     "nomass_full": (0.25, 0.20),
     "mixed_full": (0.20, 0.20),
     "tilted": (0.35, 0.30),
     "horizontal": (0.25, 0.20),
+}
+
+# Converged-start (passes=2) thresholds: ~1.5x the measured converged
+# values above.  These bound the WEATHER-MODEL error itself, with the
+# protocol transient removed — the e2e analogue of the replay suite's
+# test_mixed_bias_is_cold_start_artifact discipline
+# (validate_wall_heat_transfer.rs:615-711's warm-up intent).
+E2E_WARM_THRESHOLDS = {
+    "massive_full": (0.18, 0.17),
+    "nomass_full": (0.25, 0.16),
+    "mixed_full": (0.15, 0.14),
+    "tilted": (0.34, 0.26),
+    "horizontal": (0.23, 0.08),
 }
 
 
@@ -53,6 +77,29 @@ def test_end_to_end_zone_temperature(name, ref_fixtures):
     max_rmse, max_bias = E2E_THRESHOLDS[name]
     assert rmse < max_rmse, (name, rmse, bias)
     assert abs(bias) < max_bias, (name, rmse, bias)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["massive_full", "mixed_full"])
+def test_e2e_warm_start(name, ref_fixtures):
+    """Converged-start e2e gate: passes=2 hands the solver a converged
+    initial state, so the residual is pure weather-model error.  Bounds are
+    ~1.5x the measured converged residuals (module docstring carries the
+    full attribution experiment).  Two fixtures run in CI (the massive
+    baseline and the one case with a measurable transient share); the
+    measured table covers all five."""
+    expected, found = run_end_to_end_case(name, ref_fixtures, passes=2)
+    err = found - expected
+    rmse = float(np.sqrt((err**2).mean()))
+    bias = float(err.mean())
+    max_rmse, max_bias = E2E_WARM_THRESHOLDS[name]
+    assert rmse < max_rmse, (name, rmse, bias)
+    assert abs(bias) < max_bias, (name, rmse, bias)
+    if name == "mixed_full":
+        # The converged mixed residual must sit below the cold-start one:
+        # the (small) transient share is real and removable.
+        cold_rmse = 0.1097
+        assert rmse < cold_rmse, (rmse, cold_rmse)
 
 
 @pytest.mark.parametrize("name", ["massive_full", "tilted", "horizontal"])
