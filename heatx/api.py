@@ -224,6 +224,7 @@ class ThermalModel:
         collect_operative: bool = False,
         mode: str = "parity",
         substeps: Optional[int] = None,
+        refresh_every: Optional[int] = None,
     ) -> Tuple[SimState, Optional[jax.Array]]:
         """March a whole [T, ...] input sequence in one compiled scan.
 
@@ -250,6 +251,10 @@ class ThermalModel:
                     "substeps applies to the fast modes; the parity "
                     "integrator's sub-step count is stability-dictated"
                 )
+            if refresh_every is not None:
+                raise ValueError(
+                    "refresh_every applies to mode='trbdf2_refresh'"
+                )
         else:
             # Normalize BEFORE building the partial and the cache key:
             # `substeps or 8` would silently run an invalid 0 at 8, and
@@ -257,12 +262,17 @@ class ThermalModel:
             substeps = 8 if substeps is None else int(substeps)
             if substeps < 1:
                 raise ValueError(f"substeps must be >= 1, got {substeps}")
+            if refresh_every is not None and mode != "trbdf2_refresh":
+                raise ValueError(
+                    "refresh_every applies to mode='trbdf2_refresh'"
+                )
             if mode in ("trbdf2", "trbdf2_refresh"):
                 from heatx.engine.implicit import imp_march
 
                 march_fn = partial(
                     imp_march, substeps=substeps,
                     refresh_h=(mode == "trbdf2_refresh"),
+                    refresh_every=refresh_every,
                 )
             elif mode == "exp":
                 from heatx.engine.exponential import exp_march
@@ -271,7 +281,7 @@ class ThermalModel:
             else:
                 raise ValueError(f"unknown mode {mode!r}")
         key = (collect_zone_T, collect_loads, collect_operative,
-               mode, substeps)
+               mode, substeps, refresh_every)
         if key not in self._run:
             self._run[key] = jax.jit(partial(
                 step_mod.run, collect_zone_T=collect_zone_T,
@@ -538,35 +548,50 @@ class FastRunner:
         operands (the fused-path analogue of
         :meth:`ThermalModel.set_ground_temperature`).  The blocked building
         rides as per-dispatch traced arguments, so the swap is a few device
-        writes with no recompilation."""
+        writes with no recompilation.
+
+        The ground masks are static — they derive from the boundary codes —
+        so they compute ONCE (host numpy) and each later swap is a single
+        cached-jit where per operand.  The old per-call eager ``== / any``
+        chain cost several device round trips per month of an annual run,
+        which dominated small-model wall clock through a remote tunnel."""
+        import numpy as np
+
         from heatx.build.layout import B_GROUND
 
         j = self._jnp
         idx = self._hour_march.param_index
         specs = getattr(self._hour_march, "param_specs", None)
-        params = list(self._params)
-        hit = False
-        for side in ("front", "back"):
-            for (pi, name), k in idx.items():
-                if name != f"{side}_temp":
-                    continue
-                code = params[idx[(pi, f"{side}_code")]]
-                mask = code == B_GROUND
-                if bool(mask.any()):
-                    hit = True
-                new = j.where(mask, j.asarray(value, self._dtype), params[k])
-                if specs is not None:
-                    # Sharded runner: keep the swapped operand pinned to its
-                    # block sharding (eager propagation already preserves it;
-                    # the explicit put makes the invariant load-bearing).
-                    from jax.sharding import NamedSharding
-
-                    new = jax.device_put(
-                        new, NamedSharding(self._hour_march.mesh, specs[k])
-                    )
-                params[k] = new
-        if not hit:
+        if getattr(self, "_ground_ks", None) is None:
+            ks = []
+            for side in ("front", "back"):
+                for (pi, name), k in idx.items():
+                    if name != f"{side}_temp":
+                        continue
+                    code = np.asarray(self._params[idx[(pi, f"{side}_code")]])
+                    mask = code == B_GROUND
+                    if mask.any():
+                        ks.append((k, j.asarray(mask)))
+            self._ground_ks = ks
+            self._gswap_jit = jax.jit(
+                lambda mask, v, old: j.where(mask, v, old)
+            )
+        if not self._ground_ks:
             raise ValueError("model has no ground boundaries")
+        params = list(self._params)
+        v = j.asarray(value, self._dtype)
+        for k, mask in self._ground_ks:
+            new = self._gswap_jit(mask, v, params[k])
+            if specs is not None:
+                # Sharded runner: keep the swapped operand pinned to its
+                # block sharding (eager propagation already preserves it;
+                # the explicit put makes the invariant load-bearing).
+                from jax.sharding import NamedSharding
+
+                new = jax.device_put(
+                    new, NamedSharding(self._hour_march.mesh, specs[k])
+                )
+            params[k] = new
         self._params = tuple(params)
 
     def update_building(self, building) -> None:
@@ -1098,14 +1123,21 @@ class FastRunner:
         # Per-surface irradiance and zone gains prep runs ON DEVICE (jitted
         # gathers): the host-numpy permutation was O(T x S) per call and
         # would dominate wall-clock for annual runs at 10k+ surfaces.  Raw
-        # arrays transfer in their natural shape ([S] stays [S]).
-        if getattr(self, "_prep_jit", None) is None:
+        # arrays transfer in their natural shape ([S] stays [S]).  ALL the
+        # per-chunk blockers (irradiance, gains, vent gates, setpoint and
+        # shade schedules) fuse into ONE jitted call per dispatch chunk —
+        # each separate jitted call costs a host round trip, and at
+        # small-model scale (the 3-zone office year: 12 monthly chunks x
+        # up to 7 prep calls) the round trips dominated the wall clock.
+        if getattr(self, "_chunk_prep_jit", None) is None:
             idx = self._layout_idx()
             perm_c, perm_ok = idx.perm_c, idx.perm_ok
             zt_c, zt_ok = idx.zt_c, idx.zt_ok
             S_real = b.n_surfaces
+            Z_real = b.n_zones
 
-            def prep(surf_raw, gains_raw, T_steps, is_ts):
+            def chunk_prep(surf_raw, gains_raw, vent_c, sp_c, shade_c,
+                           T_steps, is_ts):
                 # ``is_ts`` is the per-channel time-leading classification,
                 # decided ONCE over the FULL horizon (never re-derived from
                 # the chunk length: a [T] series sliced to a chunk whose
@@ -1128,28 +1160,31 @@ class FastRunner:
                     out = j.where(zt_ok[None], a[:, zt_c], 0.0)
                     return out.reshape(T_steps // H, H, NB, ZB)
 
-                a_gain, b_gain = gains_raw
-                return tuple(
-                    surf_xs(v, ts) for v, ts in zip(surf_raw, is_ts)
-                ) + (zone_xs(a_gain), zone_xs(b_gain))
+                def zone_rows(a):  # [chunkT, Z], [chunkT, 1] or [Z]
+                    a = j.broadcast_to(j.asarray(a, dt), (T_steps, Z_real))
+                    return zone_xs(a)
 
-            self._prep_jit = jax.jit(prep, static_argnames=("T_steps", "is_ts"))
+                def shade_rows(a):  # [chunkT, S] or [S]
+                    a = j.broadcast_to(j.asarray(a, dt), (T_steps, S_real))
+                    out = j.where(perm_ok[None, :], a[:, perm_c], 1e9)
+                    return out.reshape(T_steps // H, H, SP)
+
+                a_gain, b_gain = gains_raw
+                return (
+                    tuple(surf_xs(v, ts) for v, ts in zip(surf_raw, is_ts))
+                    + (zone_xs(a_gain), zone_xs(b_gain))
+                    + tuple(zone_xs(j.asarray(v, dt)) for v in vent_c)
+                    + tuple(zone_rows(v) for v in sp_c)
+                    + tuple(shade_rows(v) for v in shade_c)
+                )
+
+            self._chunk_prep_jit = jax.jit(
+                chunk_prep, static_argnames=("T_steps", "is_ts")
+            )
 
         gains_all = self._gains_dev(inputs_seq, T_steps)
         a_gain, b_gain = gains_all[:2]
         vent_seq = gains_all[2:] if len(gains_all) > 2 else None
-        if vent_seq is not None and getattr(self, "_zrows_jit", None) is None:
-            # [chunkT, Z] zone series -> blocked [D, H, NB, ZB] rows (the
-            # vent-gate channels; same gather as the setpoint blocker).
-            idx = self._layout_idx()
-            zt_c, zt_ok = idx.zt_c, idx.zt_ok
-
-            @partial(jax.jit, static_argnames=("T_steps",))
-            def zrows(a, T_steps):
-                out = j.where(zt_ok[None], j.asarray(a, dt)[:, zt_c], 0.0)
-                return out.reshape(T_steps // H, H, NB, ZB)
-
-            self._zrows_jit = zrows
         w_xs = (
             weather(inputs_seq.t_out),
             weather(inputs_seq.wind_speed),
@@ -1190,18 +1225,6 @@ class FastRunner:
             # (step._with_time_axis_mix): a 1-D length-T array is a
             # per-step scalar schedule.
             Z = b.n_zones
-            if getattr(self, "_sp_jit", None) is None:
-                idx = self._layout_idx()
-                zt_c, zt_ok = idx.zt_c, idx.zt_ok
-
-                @partial(jax.jit, static_argnames=("T_steps",))
-                def sp_block(a, T_steps):
-                    # a: [chunkT, Z], [chunkT, 1] (scalar series) or [Z]
-                    a = j.broadcast_to(j.asarray(a, dt), (T_steps, Z))
-                    out = j.where(zt_ok[None], a[:, zt_c], 0.0)
-                    return out.reshape(T_steps // H, H, NB, ZB)
-
-                self._sp_jit = sp_block
 
             def sp_series(v, compiled):
                 """-> ("ts", [T, Z|1]) or ("const", [Z])."""
@@ -1238,18 +1261,6 @@ class FastRunner:
             # schedules slice per chunk.  Defaults to the compiled per-pane
             # setpoints (schedule AND-gates pass +1e9 on blocked hours,
             # engine.step.apply_zone_shading semantics).
-            if getattr(self, "_shade_jit", None) is None:
-                idx = self._layout_idx()
-                perm_c, perm_ok = idx.perm_c, idx.perm_ok
-
-                @partial(jax.jit, static_argnames=("T_steps",))
-                def shade_block(a, T_steps):
-                    a = j.broadcast_to(j.asarray(a, dt), (T_steps, S_real))
-                    out = j.where(perm_ok[None, :], a[:, perm_c], 1e9)
-                    return out.reshape(T_steps // H, H, SP)
-
-                self._shade_jit = shade_block
-
             sv = inputs_seq.shade_sp
             if sv is None:
                 shade_full = ("const", j.asarray(b.shade_sp, dt))
@@ -1273,30 +1284,23 @@ class FastRunner:
             raw_c = tuple(
                 v[sl] if ts else v for v, ts in zip(surf_raw, surf_is_ts)
             )
-            xs_c = tuple(w[d0 : d0 + n_days] for w in w_xs) + self._prep_jit(
-                raw_c, (a_gain[sl], b_gain[sl]), T_steps=n_days * H,
-                is_ts=surf_is_ts,
+            vent_c = (
+                tuple(v[sl] for v in vent_seq) if vent_seq is not None else ()
             )
-            if vent_seq is not None:
-                xs_c = xs_c + tuple(
-                    self._zrows_jit(v[sl], T_steps=n_days * H)
-                    for v in vent_seq
-                )
-            if sp_full is not None:
-                xs_c = xs_c + tuple(
-                    self._sp_jit(
-                        arr[sl] if kind == "ts" else arr, T_steps=n_days * H
-                    )
-                    for kind, arr in sp_full
-                )
+            sp_c = (
+                tuple(arr[sl] if kind == "ts" else arr for kind, arr in sp_full)
+                if sp_full is not None
+                else ()
+            )
+            shade_c = ()
             if shade_full is not None:
                 kind, arr = shade_full
-                xs_c = xs_c + (
-                    self._shade_jit(
-                        arr[sl] if kind == "ts" else arr, T_steps=n_days * H
-                    ),
-                )
-            return xs_c
+                shade_c = (arr[sl] if kind == "ts" else arr,)
+            # One fused device call blocks every channel for the chunk.
+            return tuple(w[d0 : d0 + n_days] for w in w_xs) + self._chunk_prep_jit(
+                raw_c, (a_gain[sl], b_gain[sl]), vent_c, sp_c, shade_c,
+                T_steps=n_days * H, is_ts=surf_is_ts,
+            )
 
         if self._run_jit is None:
             hour_march = self._hour_march
@@ -1390,6 +1394,14 @@ class FastRunner:
         pending = None  # one-chunk lag: check chunk i after dispatching i+1,
         # so the finiteness fetch overlaps the next chunk's execution instead
         # of serializing the dispatch pipeline.
+        # For SMALL workloads the per-chunk host sync itself is the cost:
+        # each float() is a device round trip, and a 3-zone year in 12
+        # monthly dispatches computes in ~0.1 s total — fail-fast buys
+        # nothing there.  Defer to one end-of-run reduction (a single
+        # round trip; the per-chunk localization still runs on the rare
+        # failure path) whenever a chunk's surface-hours are tiny.
+        defer_check = (min(chunk_D, D) * H) * b.n_surfaces < int(1e7)
+        deferred = []
         starts = set(range(0, D, chunk_D))
         if gday is not None:
             # Split dispatches at soil-temperature changes so each dispatch
@@ -1405,9 +1417,12 @@ class FastRunner:
                 self._params, Tb, zTb, xs_c, collect_zone_T
             )
             if assert_finite:
-                if pending is not None:
-                    check_bad(*pending)
-                pending = (d0, bad_c)
+                if defer_check:
+                    deferred.append((d0, bad_c))
+                else:
+                    if pending is not None:
+                        check_bad(*pending)
+                    pending = (d0, bad_c)
             if collect_zone_T:
                 hists.append(hist_c)
             if collect_fluxes:
@@ -1424,6 +1439,17 @@ class FastRunner:
                     lds = [ld_c]
         if pending is not None:
             check_bad(*pending)
+        if deferred:
+            # One fused total across every chunk (single host round trip);
+            # localize per chunk only on the failure path.
+            if getattr(self, "_badsum_jit", None) is None:
+                self._badsum_jit = jax.jit(
+                    lambda bs: sum(j.sum(x) for x in bs)
+                )
+            total = self._badsum_jit(tuple(bc for _, bc in deferred))
+            if float(total) > 0:
+                for d0, bc in deferred:
+                    check_bad(d0, bc)
         final = self.from_blocked(Tb, zTb, hq)
         if has_loads:
             self._converters()  # ensure _zinv_d

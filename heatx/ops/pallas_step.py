@@ -1857,6 +1857,19 @@ def make_hour_march(
         [pltpu.VMEM((N, SB), dtype) for _ in range(5)] if use_loop_thomas else []
     )
 
+    # Optional raised scoped-VMEM ceiling (HEATX_KERNEL_VMEM_MB): the
+    # many-block compile rejection at very large grids (100k surfaces at
+    # block 2048/4096 — PERF.md "residual capacity limit") is a clean
+    # VMEM-capacity heuristic; raising the scoped limit admits larger
+    # blocks at scale.  Off by default — the stock limit is right for the
+    # common shapes, and bench.py's block-size probe records whatever
+    # configuration actually compiled.
+    call_kw = {}
+    vmem_mb = os.environ.get("HEATX_KERNEL_VMEM_MB")
+    if vmem_mb and not interpret:
+        call_kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(float(vmem_mb) * 1024 * 1024)
+        )
     call = pl.pallas_call(
         kernel,
         grid=(NBl,),
@@ -1865,6 +1878,7 @@ def make_hour_march(
         out_specs=tuple(out_specs),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **call_kw,
     )
 
     # Building operands are returned to the caller and passed per call, so a

@@ -153,17 +153,22 @@ def _check_divisible(building: CompiledBuilding, mesh: Mesh):
         )
 
 
-def _march_for_mode(mode: str, substeps: int):
+def _march_for_mode(mode: str, substeps: int, refresh_every: int = None):
     """Main-step integrator (building, state, inputs) -> state for a mode:
     "parity" (reference sub-step physics), "trbdf2" / "exp" (the fast modes,
-    h frozen per main step, ``substeps`` sub-steps)."""
+    h frozen per main step, ``substeps`` sub-steps; mode="trbdf2_refresh"
+    re-evaluates coefficients every ``refresh_every`` sub-steps, default 1)."""
+    if refresh_every is not None and mode != "trbdf2_refresh":
+        raise ValueError("refresh_every applies to mode='trbdf2_refresh'")
     if mode == "parity":
         return step_mod.march
     if mode in ("trbdf2", "trbdf2_refresh"):
         from heatx.engine.implicit import imp_march
 
         return partial(
-            imp_march, substeps=substeps, refresh_h=(mode == "trbdf2_refresh")
+            imp_march, substeps=substeps,
+            refresh_h=(mode == "trbdf2_refresh"),
+            refresh_every=refresh_every,
         )
     if mode == "exp":
         from heatx.engine.exponential import exp_march
@@ -181,6 +186,7 @@ def make_sharded_march(
     substeps: int = 12,
     scheduled_setpoints: bool = False,
     scheduled_shade_sp: bool = False,
+    refresh_every: int = None,
 ):
     """jit-compiled main-step function with surface-axis sharding.
 
@@ -201,7 +207,7 @@ def make_sharded_march(
     building = _put_tree(building, bld_sh)
     st_sh = state_shardings(mesh, axis, has_loads=building.has_ideal_hvac)
     jitted = jax.jit(
-        _march_for_mode(mode, substeps),
+        _march_for_mode(mode, substeps, refresh_every),
         in_shardings=(
             bld_sh, st_sh,
             inputs_shardings(
