@@ -508,27 +508,21 @@ class FastRunner:
         # (so run(shade_sp=...) schedule gates work without a constructor
         # flag); the series defaults to the compiled setpoints.
         self._scheduled_shade = bool(building.has_zone_shading)
+        self._mk_kwargs = dict(
+            substeps=substeps, interpret=interpret, mode=mode,
+            hours=hours, collect_bad=True, collect_hq=collect_fluxes,
+            scheduled_setpoints=scheduled_setpoints,
+            collect_operative=collect_operative,
+            scheduled_shade_sp=self._scheduled_shade,
+            refresh_every=refresh_every,
+        )
         if mesh is not None:
             from heatx.parallel import sharding as _sharding
 
             self._hour_march, self._params = _sharding.make_sharded_hour_march(
-                self._bb, mesh, substeps=substeps, mode=mode, hours=hours,
-                interpret=interpret, collect_bad=True,
-                collect_hq=collect_fluxes,
-                scheduled_setpoints=scheduled_setpoints,
-                collect_operative=collect_operative,
-                scheduled_shade_sp=self._scheduled_shade,
-                refresh_every=refresh_every,
+                self._bb, mesh, **self._mk_kwargs
             )
         else:
-            self._mk_kwargs = dict(
-                substeps=substeps, interpret=interpret, mode=mode,
-                hours=hours, collect_bad=True, collect_hq=collect_fluxes,
-                scheduled_setpoints=scheduled_setpoints,
-                collect_operative=collect_operative,
-                scheduled_shade_sp=self._scheduled_shade,
-                refresh_every=refresh_every,
-            )
             self._hour_march, self._params = pallas_step.make_hour_march(
                 self._bb, **self._mk_kwargs
             )
@@ -604,16 +598,12 @@ class FastRunner:
         be identical to the compiled one.
 
         Note: overrides any prior :meth:`set_ground_temperature` operand
-        writes (re-apply them after).  Not yet supported on the sharded
-        (``mesh=``) runner."""
+        writes (re-apply them after).  On the sharded (``mesh=``) runner
+        the fresh operands re-pin to the stored block shardings."""
         import numpy as np
 
         from heatx.ops import pallas_step
 
-        if self._mesh is not None:
-            raise NotImplementedError(
-                "update_building on the sharded runner is not supported yet"
-            )
         bb2 = pallas_step.block_building(
             building, block_size=self._bb.block_size,
             mrt_statics=True if self._collect_op else None,
@@ -627,7 +617,22 @@ class FastRunner:
                 "fast_runner (only value changes on the compiled arrays "
                 "keep the layout)"
             )
-        _, params2 = pallas_step.make_hour_march(bb2, **self._mk_kwargs)
+        kw = dict(self._mk_kwargs)
+        if self._mesh is not None:
+            ndev = int(
+                np.prod([self._mesh.shape[a] for a in self._mesh.axis_names])
+            )
+            kw["grid_blocks"] = bb2.n_blocks // ndev
+        _, params2 = pallas_step.make_hour_march(bb2, **kw)
+        if self._mesh is not None:
+            from heatx.parallel.sharding import _put_spec_tree
+
+            params2 = tuple(
+                _put_spec_tree(
+                    list(params2), self._mesh,
+                    list(self._hour_march.param_specs),
+                )
+            )
         old, new = self._params, tuple(params2)
         if len(old) != len(new) or any(
             getattr(a, "shape", None) != getattr(b, "shape", None)

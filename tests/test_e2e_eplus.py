@@ -37,10 +37,19 @@ from heatx.weather.epw import read_epw
 # (massive 0.1202 -> 0.1202, nomass 0.1646 -> 0.1646, mixed
 # 0.1097 -> 0.0963, tilted 0.2255 -> 0.2255, horizontal 0.1513 -> 0.1513).
 # So — unlike the replay suite — the e2e residual is NOT the 22 C
-# cold-start transient: it is a steady, systematically negative
-# weather-model bias (~-0.1 K; heatx's computed incident solar/longwave
-# slightly under-heats the zone relative to EnergyPlus's own).  Only the
-# insulated mixed wall carries a small transient share (~0.013 K rmse).
+# cold-start transient: it is a steady, systematically negative bias
+# (~-0.1 K).  Decomposition (round-4 measurements):
+#   * the replay path (EnergyPlus's own logged inputs) already carries
+#     -0.015..-0.045 K of it (solver/film/timestep-convention share);
+#   * the computed incident LONGWAVE is exonerated: vs the fixture-implied
+#     incident IR (gain/(A*eps) + sigma*Ts^4) the bias is < 0.06 W/m2 on
+#     every fixture (rmse ~4.5 W/m2 = sub-hour structure only);
+#   * the remainder tracks the computed SOLAR's small mean offsets
+#     (-1.1..+1.5 W/m2, test_solar_model_matches_logged_incident) — the
+#     known Perez-variant + hourly-interpolation differences vs
+#     EnergyPlus's sub-hour solar, not a model defect.
+# Only the insulated mixed wall carries a small removable transient share
+# (~0.013 K rmse).
 E2E_THRESHOLDS = {
     "massive_full": (0.20, 0.20),
     "nomass_full": (0.25, 0.20),

@@ -414,3 +414,62 @@ def test_fast_runner_on_mesh_interior_mrt_operative():
     stx, (ztx, topx) = tm.run(st, seq, collect_operative=True)
     np.testing.assert_allclose(np.asarray(zt0), np.asarray(ztx), atol=1e-9)
     np.testing.assert_allclose(np.asarray(top0), np.asarray(topx), atol=1e-9)
+
+
+def test_fast_runner_mesh_update_building_matches_single():
+    """update_building on the mesh runner: value-swapped operands re-pin to
+    the stored block shardings and reproduce the single-device runner's
+    swapped results exactly."""
+    import dataclasses
+
+    from heatx.api import ThermalModel
+    from heatx.model.building import (
+        BuildingModel, Construction, Material, SpaceDef, Substance,
+        SurfaceDef,
+    )
+    from heatx.parallel.sharding import make_mesh
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device mesh")
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(n_dev):
+        m.add_space(SpaceDef(f"z{z}", 100.0))
+        for si in range(2):
+            m.add_surface(
+                SurfaceDef(f"s{z}_{si}", "wall", Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+    tm = ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    building = tm._device()
+    b2 = dataclasses.replace(
+        building,
+        surfaces=dataclasses.replace(
+            building.surfaces, seg_u=building.surfaces.seg_u * 1.5
+        ),
+    )
+    st = tm.initial_state()
+    seq = tm.inputs_sequence(4, t_out=-5.0, wind_speed=4.0)
+
+    fr1 = tm.fast_runner(block_size=2, mode="trbdf2", substeps=4, hours=2,
+                         interpret=True)
+    fr1.update_building(b2)
+    _, z1 = fr1.run(st, seq)
+
+    frm = tm.fast_runner(block_size=2, mode="trbdf2", substeps=4, hours=2,
+                         interpret=True, mesh=make_mesh())
+    frm.update_building(b2)
+    _, zm = frm.run(st, seq)
+    np.testing.assert_array_equal(np.asarray(zm), np.asarray(z1))
+    # and the swap actually changed the physics
+    fr0 = tm.fast_runner(block_size=2, mode="trbdf2", substeps=4, hours=2,
+                         interpret=True)
+    _, z0 = fr0.run(st, seq)
+    assert np.abs(np.asarray(z0) - np.asarray(z1)).max() > 1e-6
