@@ -410,6 +410,11 @@ def main():
         help="skip the frozen-h TR-BDF2 row (frozen_* fields)",
     )
     ap.add_argument(
+        "--skip-refresh",
+        action="store_true",
+        help="skip the full-refresh TR-BDF2 row (refresh_* fields)",
+    )
+    ap.add_argument(
         "--skip-parity",
         action="store_true",
         help="emit only the headline TR-BDF2 row (skip the parity-kernel "
@@ -581,11 +586,12 @@ def main():
         days = (args.hours + H - 1) // H
         span = days * H
 
-        def build_runner(block_size, mode, SUBF, refresh_every=None):
+        def build_runner(block_size, mode, SUBF, refresh_every=None,
+                         vmem_mb=None):
             bb = pallas_step.block_building(building, block_size=block_size)
             hm, params = pallas_step.make_hour_march(
                 bb, substeps=(None if mode == "parity" else SUBF), mode=mode,
-                hours=H, refresh_every=refresh_every,
+                hours=H, refresh_every=refresh_every, vmem_limit_mb=vmem_mb,
             )
             lay = bb.layout
             SP = lay.padded_surfaces
@@ -661,34 +667,40 @@ def main():
             runs twice and keeps the better run (the refresh rows showed a
             ~15% run-to-run spread in round 3; two reps bound it)."""
             SUBF = subs if mode == "parity" else args.exp_substeps
-            # Probe block sizes largest-first: build + full-schedule warmup
-            # IS the probe (every dispatch shape must compile before timing
-            # anyway).  Mosaic rejects some (model, block) combinations —
-            # block 2048 at 100k surfaces scatters a kernel that 1024
-            # handles (PERF.md carries the captured error + repro) — so the
-            # chosen size is a first-class tuning decision recorded in the
-            # JSON line, not a silent degradation.
-            candidates = [args.block_size]
+            # Probe (block size, vmem limit) pairs largest-first: build +
+            # full-schedule warmup IS the probe (every dispatch shape must
+            # compile before timing anyway).  The many-block rejection at
+            # very large grids is the compiler's default scoped-VMEM
+            # heuristic (clean exit-code-1), so each rejected block size
+            # retries once with a raised 100 MB scoped limit — measured
+            # round 4 to admit block 2048/4096 at 100k surfaces — before
+            # halving.  The chosen configuration is a first-class tuning
+            # decision recorded in the JSON line, not a silent degradation.
+            candidates = [(args.block_size, None), (args.block_size, 100)]
             bs = args.block_size
             while bs > 512:
                 bs //= 2
-                candidates.append(bs)
+                candidates += [(bs, None), (bs, 100)]
             t0 = time.time()
             last_err = None
-            for bs in candidates:
+            for bs, vmem_mb in candidates:
                 try:
-                    run_all, T0, zT0 = build_runner(bs, mode, SUBF, refresh_every)
+                    run_all, T0, zT0 = build_runner(
+                        bs, mode, SUBF, refresh_every, vmem_mb
+                    )
                     # Warm up with the full chunk schedule: every dispatch
                     # shape (the fixed chunk and any remainder) must be
                     # compiled before timing.
                     T1, zT1 = run_all(T0, zT0)
                     zone0 = float(zT1[0, 0])  # force: block_until_ready unreliable
                     block_size = bs
+                    block_vmem = vmem_mb
                     break
                 except Exception as e:  # noqa: PERF203 - probe loop
                     last_err = e
                     print(
-                        f"# block-size probe: {bs} rejected "
+                        f"# block-size probe: {bs} (vmem "
+                        f"{vmem_mb or 'default'}) rejected "
                         f"({type(e).__name__}: {str(e)[:160]})",
                         file=sys.stderr,
                     )
@@ -734,7 +746,8 @@ def main():
             assert np.isfinite(zone0), f"{mode} simulation diverged"
             return dict(
                 wall=wall, rate=rate, substeps=SUBF, zone0=zone0,
-                block_size=block_size, reps=(round(w1, 3), round(w2, 3)),
+                block_size=block_size, block_vmem=block_vmem,
+                reps=(round(w1, 3), round(w2, 3)),
             )
 
         # Headline: the hybrid-cadence TR-BDF2 kernel (coefficients
@@ -762,6 +775,8 @@ def main():
             "substeps_per_hour": res["substeps"],
             "block_size": res["block_size"],
         }
+        if res.get("block_vmem"):
+            row["block_vmem_mb"] = res["block_vmem"]
         if headline_k is not None:
             row["refresh_every"] = headline_k
         if (not args.parity_kernel and not args.frozen_headline
@@ -795,6 +810,8 @@ def main():
             except Exception as e:  # headline row survives a parity failure
                 print(f"# parity kernel row failed: {e}", file=sys.stderr)
                 row.update(parity_error=str(e)[:200])
+        if (not args.parity_kernel and not args.skip_parity
+                and not args.skip_refresh):
             # The refresh middle point: film coefficients re-evaluated every
             # sub-step (parity cadence) at the fast mode's sub-step count —
             # 0.05 K vs parity where frozen-h sits at 0.33 K.

@@ -549,8 +549,6 @@ class FastRunner:
         cached-jit where per operand.  The old per-call eager ``== / any``
         chain cost several device round trips per month of an annual run,
         which dominated small-model wall clock through a remote tunnel."""
-        import numpy as np
-
         from heatx.build.layout import B_GROUND
 
         j = self._jnp
@@ -562,10 +560,13 @@ class FastRunner:
                 for (pi, name), k in idx.items():
                     if name != f"{side}_temp":
                         continue
-                    code = np.asarray(self._params[idx[(pi, f"{side}_code")]])
-                    mask = code == B_GROUND
-                    if mask.any():
-                        ks.append((k, j.asarray(mask)))
+                    # Device-side mask (never np.asarray: a multi-process
+                    # sharded operand has non-addressable shards); the any()
+                    # reduction is replicated, so the bool fetch is legal on
+                    # every process.
+                    mask = self._params[idx[(pi, f"{side}_code")]] == B_GROUND
+                    if bool(mask.any()):
+                        ks.append((k, mask))
             self._ground_ks = ks
             self._gswap_jit = jax.jit(
                 lambda mask, v, old: j.where(mask, v, old)

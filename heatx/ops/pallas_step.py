@@ -970,6 +970,7 @@ def make_hour_march(
     collect_operative: bool = False,
     scheduled_shade_sp: bool = False,
     refresh_every: int = None,
+    vmem_limit_mb: float = None,
 ):
     """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
 
@@ -1857,15 +1858,16 @@ def make_hour_march(
         [pltpu.VMEM((N, SB), dtype) for _ in range(5)] if use_loop_thomas else []
     )
 
-    # Optional raised scoped-VMEM ceiling (HEATX_KERNEL_VMEM_MB): the
-    # many-block compile rejection at very large grids (100k surfaces at
-    # block 2048/4096 — PERF.md "residual capacity limit") is a clean
-    # VMEM-capacity heuristic; raising the scoped limit admits larger
-    # blocks at scale.  Off by default — the stock limit is right for the
-    # common shapes, and bench.py's block-size probe records whatever
-    # configuration actually compiled.
+    # Optional raised scoped-VMEM ceiling (``vmem_limit_mb`` argument, env
+    # override HEATX_KERNEL_VMEM_MB): the many-block compile rejection at
+    # very large grids was the compiler's default scoped-VMEM heuristic —
+    # measured round 4 at 100k surfaces, raising the limit to 100 MB admits
+    # block 2048 (49 blocks) and 4096 (27 blocks) cleanly where the stock
+    # limit rejects both (PERF.md).  Off by default: the stock limit is
+    # right for the common shapes, and bench.py's probe retries a rejected
+    # block size at 100 MB before halving, recording what actually ran.
     call_kw = {}
-    vmem_mb = os.environ.get("HEATX_KERNEL_VMEM_MB")
+    vmem_mb = os.environ.get("HEATX_KERNEL_VMEM_MB") or vmem_limit_mb
     if vmem_mb and not interpret:
         call_kw["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=int(float(vmem_mb) * 1024 * 1024)
