@@ -186,6 +186,10 @@ def _first_day(seq, total_steps: int, day_steps: int):
 
 
 def cmd_simulate(args) -> int:
+    if args.refresh_every is not None and args.mode != "trbdf2_refresh":
+        print("error: --refresh-every applies to --mode trbdf2_refresh",
+              file=sys.stderr)
+        return 2
     if args.engine == "kernel" and args.mode == "exp":
         print(
             "error: --engine kernel supports --mode parity/trbdf2 only; "
@@ -545,6 +549,7 @@ def cmd_simulate(args) -> int:
             scheduled_setpoints="heat_sp" in gain_kw,
             collect_fluxes=want_fluxes,
             collect_operative=want_op,
+            refresh_every=args.refresh_every,
         )
         in_dt = np.float64 if args.f64 else np.float32
         seq = tm.inputs(**inf_kw)._replace(
@@ -654,6 +659,7 @@ def cmd_simulate(args) -> int:
                 return tm.march_imp(
                     state, step, substeps=substeps,
                     refresh_h=args.mode == "trbdf2_refresh",
+                    refresh_every=args.refresh_every,
                 )
         if args.warmup_days:
             day, day_is_time = _first_day(seq, T_steps, 24 * n)
@@ -1193,6 +1199,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="XLA scan or fused Pallas day kernel (auto: kernel on TPU)",
     )
     p.add_argument("--substeps", type=int, default=8, help="fast-mode sub-steps/h")
+    p.add_argument(
+        "--refresh-every", type=int, default=None,
+        help="trbdf2_refresh hybrid cadence: rebuild film coefficients / "
+        "stage factorizations every k sub-steps (default every sub-step; "
+        "2 is the scored-bench headline setting — see PERF.md)",
+    )
     p.add_argument("--block-size", type=int, default=1024)
     p.add_argument(
         "--no-ground", dest="ground", action="store_false",
