@@ -259,15 +259,24 @@ def run_office_bench(args, dtype):
     )
     st = tm.initial_state()
     kw = dict(ground_hourly=ground, collect_loads=True)
+
+    def timed():
+        t0 = time.time()
+        final, zt, loads = fr.run(st, seq, **kw)
+        heat = float(jnp.sum(jnp.clip(loads, min=0))) / 1000.0
+        cool = float(-jnp.sum(jnp.clip(loads, max=0))) / 1000.0
+        return time.time() - t0, heat, cool
+
+    # Warm the FULL timed computation, then keep the better of two reps —
+    # the first post-compile rep can carry process-state noise through the
+    # remote tunnel (same discipline as the demand/kernel rows).
     t0 = time.time()
-    _, _, loads = fr.run(st, seq, **kw)
-    jax.block_until_ready(loads)
+    timed()
     print(f"# office-idf compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
-    t0 = time.time()
-    final, zt, loads = fr.run(st, seq, **kw)
-    heat = float(jnp.sum(jnp.clip(loads, min=0))) / 1000.0
-    cool = float(-jnp.sum(jnp.clip(loads, max=0))) / 1000.0
-    wall = time.time() - t0
+    wall, heat, cool = timed()
+    w2, h2, c2 = timed()
+    if w2 < wall:
+        wall, heat, cool = w2, h2, c2
     assert np.isfinite(heat) and np.isfinite(cool)
     print(
         f"# office-idf workflow: {T}h x {Z} zones in {wall:.2f}s; "
