@@ -25,6 +25,12 @@ from heatx.engine import step as step_mod
 from heatx.engine.state import SimState, StepInputs, default_inputs, initial_state
 from heatx.model.building import BuildingModel
 
+#: FastRunner.run defers the per-chunk finiteness sync to one end-of-run
+#: reduction when a dispatch chunk covers fewer surface-hours than this
+#: (the per-chunk host round trip costs more than it protects at small
+#: scale; large runs keep the lagged per-chunk fail-fast check).
+DEFER_CHECK_SURFACE_HOURS = int(1e7)
+
 
 class ThermalModel:
     """A compiled, jit-ready whole-building thermal model."""
@@ -1406,7 +1412,9 @@ class FastRunner:
         # nothing there.  Defer to one end-of-run reduction (a single
         # round trip; the per-chunk localization still runs on the rare
         # failure path) whenever a chunk's surface-hours are tiny.
-        defer_check = (min(chunk_D, D) * H) * b.n_surfaces < int(1e7)
+        defer_check = (
+            (min(chunk_D, D) * H) * b.n_surfaces < DEFER_CHECK_SURFACE_HOURS
+        )
         deferred = []
         starts = set(range(0, D, chunk_D))
         if gday is not None:

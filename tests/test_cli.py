@@ -726,3 +726,30 @@ HVACTemplate:Zone:IdealLoadsAirSystem, Room, TST;
     assert sum(mc) == pytest.approx(d["cooling_kwh"], abs=0.01)
     # Santiago January (summer): cooling-dominated month.
     assert mc[0] > mh[0]
+
+
+def test_cli_refresh_every(tmp_path):
+    """--refresh-every k: validated against --mode mismatch, and
+    k=substeps reproduces the frozen trbdf2 run exactly (the cadence
+    identity the kernel/XLA paths are gated on)."""
+    if not os.path.isfile(EPW):
+        pytest.skip("reference EPW unavailable")
+    p = tmp_path / "m.idf"
+    p.write_text(_SLAB_IDF.replace("Ground", "Outdoors"))
+    # mode mismatch fails loudly
+    assert main(["simulate", str(p), EPW, "--hours", "2", "--engine", "xla",
+                 "--mode", "trbdf2", "--refresh-every", "2",
+                 "-o", str(tmp_path / "x.csv")]) == 2
+    outs = {}
+    for tag, argv in (
+        ("frozen", ["--mode", "trbdf2"]),
+        ("k=subs", ["--mode", "trbdf2_refresh", "--refresh-every", "8"]),
+        ("k2", ["--mode", "trbdf2_refresh", "--refresh-every", "2"]),
+    ):
+        o = tmp_path / f"{tag}.csv"
+        assert main(["simulate", str(p), EPW, "--hours", "24", "--engine",
+                     "xla", "--substeps", "8", "-o", str(o)] + argv) == 0
+        with open(o) as f:
+            outs[tag] = [r for r in csv.reader(f)][1:]
+    assert outs["frozen"] == outs["k=subs"]  # cadence identity
+    assert outs["k2"] != outs["frozen"]  # the hybrid actually refreshes

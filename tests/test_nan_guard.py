@@ -88,3 +88,22 @@ def test_fast_runner_assert_finite():
     # Clean inputs pass.
     final, hist = fr.run(st, _seq(tm, 4), assert_finite=True)
     assert np.all(np.isfinite(np.asarray(hist)))
+
+
+def test_fast_runner_assert_finite_per_chunk_path(monkeypatch):
+    """Large-workload regime: chunks above the surface-hours threshold keep
+    the LAGGED per-chunk sync (fail-fast mid-run) instead of the small-model
+    end-of-run reduction — forced here by dropping the threshold to 0, with
+    the same hour-resolution localization either way."""
+    import heatx.api as api_mod
+
+    monkeypatch.setattr(api_mod, "DEFER_CHECK_SURFACE_HOURS", 0)
+    tm = _model()
+    st = tm.initial_state()
+    fr = tm.fast_runner(block_size=8, mode="parity", interpret=True)
+    seq = _seq(tm, 4, poison_at=2)
+    with pytest.raises(FloatingPointError) as e:
+        fr.run(st, seq, assert_finite=True, dispatch_days=1)
+    assert "hour 2" in str(e.value), str(e.value)
+    final, hist = fr.run(st, _seq(tm, 4), assert_finite=True, dispatch_days=1)
+    assert np.all(np.isfinite(np.asarray(hist)))
