@@ -16,9 +16,11 @@ The optimization runs through the CHUNKED HYBRID ADJOINT
 the fused Pallas day kernel (FastRunner.chunk_forward — no VJP needed,
 ~45x the XLA path's speed on TPU), and the backward sweep re-runs each
 chunk through the bit-equivalent XLA TR-BDF2 path under jax.vjp from the
-kernel's chunk-boundary states.  On CPU (or with HEATX_EXAMPLE_FAST=1)
-the forward sweep falls back to the XLA path too — the interpret-mode
-kernel is a test vehicle, not a fast path.
+kernel's chunk-boundary states.  By default the example pins CPU +
+float64 (correct everywhere); set HEATX_CALIBRATE_TPU=1 on a TPU-attached
+host to run the kernel-forward hybrid in float32 — on CPU the forward
+sweep uses the XLA path too (the interpret-mode kernel is a test vehicle,
+not a fast path).
 
 Run:  python examples/calibrate.py
 """
@@ -32,8 +34,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 FAST = os.environ.get("HEATX_EXAMPLE_FAST") == "1"
-if FAST or jax.default_backend() not in ("tpu", "axon"):
+# Platform must be pinned BEFORE any backend-initializing call
+# (jax.default_backend() would lock in the ambient backend and make a
+# later jax_platforms update a no-op).  Default: CPU + float64 — correct
+# everywhere.  Set HEATX_CALIBRATE_TPU=1 to run the kernel-forward hybrid
+# on an attached TPU in float32 instead.
+USE_TPU = os.environ.get("HEATX_CALIBRATE_TPU") == "1" and not FAST
+if not USE_TPU:
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/heatx-jax-cache")
 
 import jax.numpy as jnp
@@ -77,7 +86,7 @@ def main():
     from heatx.engine import implicit as imp_mod
     from heatx.engine.adjoint import chunked_value_and_grad
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = USE_TPU
     dtype = np.float32 if on_tpu else np.float64
     cfg = heatx.SimConfig(dtype=dtype, nomass_fixed_iters=1)
     tm = heatx.ThermalModel(build(), n=1, config=cfg)

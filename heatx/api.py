@@ -250,16 +250,14 @@ class ThermalModel:
         _check_setpoint_order(
             self.building, inputs_seq.heat_sp, inputs_seq.cool_sp
         )
+        if refresh_every is not None and mode != "trbdf2_refresh":
+            raise ValueError("refresh_every applies to mode='trbdf2_refresh'")
         if mode == "parity":
             march_fn = None
             if substeps is not None:
                 raise ValueError(
                     "substeps applies to the fast modes; the parity "
                     "integrator's sub-step count is stability-dictated"
-                )
-            if refresh_every is not None:
-                raise ValueError(
-                    "refresh_every applies to mode='trbdf2_refresh'"
                 )
         else:
             # Normalize BEFORE building the partial and the cache key:
@@ -268,10 +266,6 @@ class ThermalModel:
             substeps = 8 if substeps is None else int(substeps)
             if substeps < 1:
                 raise ValueError(f"substeps must be >= 1, got {substeps}")
-            if refresh_every is not None and mode != "trbdf2_refresh":
-                raise ValueError(
-                    "refresh_every applies to mode='trbdf2_refresh'"
-                )
             if mode in ("trbdf2", "trbdf2_refresh"):
                 from heatx.engine.implicit import imp_march
 
@@ -626,10 +620,17 @@ class FastRunner:
             )
         kw = dict(self._mk_kwargs)
         if self._mesh is not None:
+            # Mirrors make_sharded_hour_march's per-device grid sizing (its
+            # divisibility check already ran at construction; the layout
+            # equality above guarantees n_blocks is unchanged).
             ndev = int(
                 np.prod([self._mesh.shape[a] for a in self._mesh.axis_names])
             )
             kw["grid_blocks"] = bb2.n_blocks // ndev
+        # make_hour_march also rebuilds the (discarded) kernel wrapper; the
+        # cost is host-side numpy blocking, ~ms at building scale, paid once
+        # per parameter UPDATE (chunk_forward caches on values), so a
+        # params-only derivation path hasn't been worth splitting out.
         _, params2 = pallas_step.make_hour_march(bb2, **kw)
         if self._mesh is not None:
             from heatx.parallel.sharding import _put_spec_tree
@@ -1027,9 +1028,14 @@ class FastRunner:
         temperature at each hour boundary (the fused-path analogue of the
         reference's per-sub-step NaN asserts, model.rs:416-419) — and raises
         :class:`FloatingPointError` naming the first bad hour and block.
-        Combined with ``dispatch_days`` the check runs per dispatch chunk,
+        For LARGE workloads (a dispatch chunk covering at least
+        ``heatx.api.DEFER_CHECK_SURFACE_HOURS`` surface-hours, 1e7 by
+        default) the check runs per dispatch chunk with a one-chunk lag,
         so a divergent annual run fails within days of the blow-up instead
-        of marching 8760 h of garbage.
+        of marching 8760 h of garbage.  Below that threshold the whole run
+        computes faster than one host sync, so the per-chunk counts
+        accumulate and ONE end-of-run reduction checks them — the raised
+        error still names the first bad hour and block either way.
 
         ``dispatch_days`` splits the sequence into chunks of that many
         kernel invocations per device dispatch (None = one dispatch for the

@@ -190,6 +190,15 @@ def cmd_simulate(args) -> int:
         print("error: --refresh-every applies to --mode trbdf2_refresh",
               file=sys.stderr)
         return 2
+    if args.refresh_every is not None and (
+        args.refresh_every < 1 or args.substeps % args.refresh_every
+    ):
+        print(
+            f"error: --refresh-every {args.refresh_every} must divide "
+            f"--substeps {args.substeps}",
+            file=sys.stderr,
+        )
+        return 2
     if args.engine == "kernel" and args.mode == "exp":
         print(
             "error: --engine kernel supports --mode parity/trbdf2 only; "

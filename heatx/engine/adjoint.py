@@ -57,7 +57,7 @@ def chunked_value_and_grad(
 
     ``forward_fn`` (optional) computes the FORWARD sweep instead of
     ``chunk_fn`` — same signature and contract, typically the fused Pallas
-    day kernel via :meth:`heatx.api.FastRunner.chunk_fn` (the kernel has no
+    day kernel via :meth:`heatx.api.FastRunner.chunk_forward` (the kernel has no
     VJP of its own; ~45x the XLA path's forward speed).  It is called as a
     plain host-level function (not jitted here), so it may stage its own
     dispatches and host-side prep.  The backward sweep still differentiates
