@@ -153,6 +153,9 @@ def main():
                     choices=["parity", "trbdf2", "trbdf2_refresh"])
     ap.add_argument("--substeps", type=int, default=8,
                     help="sub-steps/hour in trbdf2 mode")
+    ap.add_argument("--refresh-every", type=int, default=None,
+                    help="trbdf2_refresh hybrid cadence (operators rebuild "
+                         "every k sub-steps; default every sub-step)")
     ap.add_argument("--nomass-iters", type=int, default=1,
                     help="fixed no-mass iterations (0 = exact adaptive "
                          "while_loop, parity mode only)")
@@ -198,6 +201,8 @@ def main():
     hm, params = pallas_step.make_hour_march(
         bb, substeps=(None if args.mode == "parity" else args.substeps),
         mode=args.mode, hours=H,
+        refresh_every=(args.refresh_every
+                       if args.mode == "trbdf2_refresh" else None),
     )
     lay = bb.layout
     SP = lay.padded_surfaces
