@@ -740,6 +740,7 @@ def _hour_body_imp(
     ctl=None,  # (heat_sp, cool_sp, max_heat, max_cool) [1, ZB] rows, or None
     refresh_h=False,
     refresh_every=None,
+    unroll=False,  # Python loops instead of fori (reverse-differentiable)
 ):
     """One hour of TR-BDF2 fast-mode sub-steps for one block (see
     heatx.engine.implicit): coefficients freeze once per hour, each sub-step
@@ -903,13 +904,21 @@ def _hour_body_imp(
 
     def inner_loop(carry, i0, n, fzs):
         """n consecutive sub-steps starting at global sub-step i0, all on
-        the same (frozen) operator set."""
+        the same (frozen) operator set.  ``unroll=True`` runs the same
+        sub-steps as a Python loop — required by the adjoint kernel, which
+        reverse-differentiates the hour with ``jax.vjp`` (fori_loop has no
+        reverse-mode rule); the arithmetic is identical."""
 
         def body(j, c):
             (Ts, zT), _, lsum = c
             st, hqs, load = substep((Ts, zT), i0 + j, fzs)
             return st, hqs, (None if lsum is None else lsum + load)
 
+        if unroll:
+            c = carry
+            for j in range(n):
+                c = body(j, c)
+            return c
         return jax.lax.fori_loop(0, n, body, carry)
 
     if refresh_every is None:
@@ -931,9 +940,15 @@ def _hour_body_imp(
             )
             return inner_loop(c, i0, k, fzs)
 
-        (Ts, zT), hqs, lsum = jax.lax.fori_loop(
-            0, substeps // k, group_body, carry0
-        )
+        if unroll:
+            c = carry0
+            for g in range(substeps // k):
+                c = group_body(g, c)
+            (Ts, zT), hqs, lsum = c
+        else:
+            (Ts, zT), hqs, lsum = jax.lax.fori_loop(
+                0, substeps // k, group_body, carry0
+            )
     if ctl is None:
         return Ts, zT, hqs, None
     return Ts, zT, hqs, lsum / substeps
@@ -957,143 +972,18 @@ _SURF_NAMES = [
 ]
 
 
-def make_hour_march(
-    bb: BlockedBuilding,
-    substeps: int = None,
-    interpret: bool = False,
-    mode: str = "parity",
-    hours: int = 1,
-    grid_blocks: int = None,
-    collect_bad: bool = False,
-    collect_hq: bool = False,
-    scheduled_setpoints: bool = False,
-    collect_operative: bool = False,
-    scheduled_shade_sp: bool = False,
-    refresh_every: int = None,
-    vmem_limit_mb: float = None,
-):
-    """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
-
-    hour_inputs = (t_out[hours*sub], wind[hours*sub], wdir[hours*sub],
-    sol_front[hours, SP], sol_back[hours, SP], ir_front[hours, SP],
-    ir_back[hours, SP], a_extra[hours, n_blocks, ZB],
-    b_extra[hours, n_blocks, ZB]) — with ``hours == 1`` the leading hour
-    axis may be omitted on every leaf.
-
-    mode="parity" runs the reference-parity sub-step physics at the
-    stability-dictated sub-step count; mode="trbdf2" runs the implicit fast
-    mode (heatx.engine.implicit) at ``substeps`` (default 12) sub-steps/hour
-    with coefficients frozen per hour; mode="trbdf2_refresh" is the same
-    scheme with the coefficients and stage factorizations re-evaluated
-    every ``refresh_every`` sub-steps (default 1 = every sub-step, the
-    parity coefficient cadence; k>1 is the hybrid cadence — PERF.md's
-    cadence ablation measures the accuracy/cost trade).
-
-    ``hours > 1`` marches that many consecutive hours per kernel invocation:
-    one pallas_call costs a fixed ~0.7 ms/block in launch + HBM streaming of
-    the building arrays regardless of sub-step count, so amortizing it over a
-    day (hours=24) is what makes the fast mode fast.
-
-    When the blocked layout carries a node-height split, the kernel marches
-    each block as two sub-batches (short lanes at their own node height) —
-    the interface stays full-width [N, SP]; slicing/reassembly happens in the
-    jitted wrapper outside the kernel.
-
-    ``grid_blocks`` (default: all blocks) sizes the *per-call* grid — used by
-    the sharded path, which builds the call for n_blocks/n_devices blocks and
-    runs it per device under ``shard_map`` (blocks are zone-closed, so the
-    kernel shards embarrassingly over the block axis).  The returned function
-    carries ``param_axes`` ("lane" / "row" per params entry) describing which
-    axis of each static operand is the block axis.
-
-    ``collect_bad`` appends a per-hour non-finite count ``[hours, NBl]`` to
-    the outputs (one masked reduce over node temps + zone temps at each hour
-    boundary) — the fused-path analogue of the reference's per-sub-step NaN
-    asserts (model.rs:416-419), giving the caller fail-fast with hour/block
-    resolution without leaving the kernel.  ``collect_hq`` appends the
-    per-hour h/q history ``4 x [hours, SPl]`` (post-hour front/back
-    convection coefficient and convective flux — the reference's observable
-    state channels, surface_trait.rs:223-354), accumulated with the same
-    one-hot-row trick as the zone history.  ``collect_operative`` appends
-    the per-hour operative-temperature history ``[hours, NBl, ZB]``
-    (``(T_air + T_mrt)/2`` with the Carroll zone MRT solved from each
-    hour's final state — step.run(collect_operative=True) at kernel speed;
-    requires the blocked building's MRT statics,
-    ``block_building(mrt_statics=True)``).
-
-    In-run zone-state window shading (``bb.shade``, engine.step.
-    apply_zone_shading) runs in-kernel: each hour starts by scaling the
-    controlled panes' incident front solar by the device transmittance
-    wherever the controlling zone's carry temperature exceeds the setpoint
-    — one kernel "hour" is one MAIN step (``substeps`` sub-steps of the
-    main-step dt), so this is exactly the XLA integrators' per-main-step
-    cadence.  ``scheduled_shade_sp=True`` appends an optional trailing
-    ``shade_sp [hours, SP]`` hour-input overriding the compiled setpoints
-    (schedule AND-gates pass +1e9 on blocked hours).
-
-    In-run ventilation temperature gates (``bb.vent``, engine.step.
-    apply_vent_gates) also run in-kernel: the hour-input tuple grows
-    three zone-row leaves after ``b_extra`` — ``a_vent``/``b_vent``
-    ([hours, n_blocks, ZB] gated ventilation A/B terms, with the
-    weather-only outdoor/wind gates pre-applied host-side as zero rows)
-    and ``vent_thr`` (the delta-gate threshold, vent_delta + hour-mean
-    outdoor temperature) — and each hour adds them to a_extra/b_extra
-    only where the carry zone temperature passes the indoor gates.
-    """
-    if mode not in ("parity", "trbdf2", "trbdf2_refresh"):
-        raise ValueError(f"unknown hour-kernel mode {mode!r}")
-    if refresh_every is not None and mode != "trbdf2_refresh":
-        raise ValueError(
-            "refresh_every only applies to mode='trbdf2_refresh' "
-            f"(got mode={mode!r})"
-        )
-    if refresh_every is not None:
-        k_subs = substeps or 12
-        if refresh_every < 1 or k_subs % refresh_every:
-            raise ValueError(
-                f"refresh_every {refresh_every} must divide substeps {k_subs}"
-            )
-    if collect_operative and bb.mrt_eps is None:
-        raise ValueError(
-            "collect_operative needs the blocked Carroll statics: build "
-            "with block_building(..., mrt_statics=True) (automatic when "
-            "config.interior_mrt is set)"
-        )
-    if scheduled_setpoints and bb.ctl is None:
-        raise ValueError(
-            "scheduled_setpoints requires setpoint-driven HVAC "
-            "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
-        )
-    if scheduled_shade_sp and bb.shade is None:
-        raise ValueError(
-            "scheduled_shade_sp requires in-run zone-shading controls "
-            "(BuildingModel.add_zone_shading)"
-        )
-    if mode == "parity":
-        if bb.config.nomass_fixed_iters is None and bb.surfaces.has_nomass:
-            if os.environ.get("HEATX_KERNEL_WHILE", "0") != "1":
-                raise ValueError(
-                    "the parity hour kernel requires config.nomass_fixed_iters"
-                    " (data-dependent while_loop in the fused pipeline is"
-                    " experimental: set HEATX_KERNEL_WHILE=1 to try the exact"
-                    " adaptive loop in-kernel)"
-                )
-        substeps = substeps or bb.base.dt_subdivisions
-        dt = bb.base.dt
-    else:
-        substeps = substeps or 12
-        dt = 3600.0 / (bb.base.n_steps_per_hour * substeps)
-    dtype = bb.config.dtype
+def _prep_parts(bb: "BlockedBuilding", dtype, scheduled_shade_sp: bool):
+    """Host-side operand prep shared by make_hour_march and the adjoint
+    factory (pure code motion from make_hour_march): lane/row slicing of
+    the blocked building into node-height parts, the per-part
+    SurfaceBatch values, operand dicts, zone one-hots, and the per-part
+    hour-input names.  Returns a SimpleNamespace of everything the
+    kernel factories consume."""
     N = bb.max_nodes
     SB = bb.block_size
     ZB = bb.zones_per_block
-    NB = bb.n_blocks  # global block count (shapes of the static params)
+    NB = bb.n_blocks
     SP = NB * SB
-    NBl = grid_blocks or NB  # per-call grid (local block count when sharded)
-    SPl = NBl * SB
-    if NB % NBl != 0:
-        raise ValueError(f"grid_blocks {NBl} must divide n_blocks {NB}")
-
     sbb = bb.surfaces.astype(dtype)
     split = bb.layout.split
     if split is None:
@@ -1277,6 +1167,164 @@ def make_hour_march(
         + (["shade_sp_xs"] if scheduled_shade_sp and pi in shaded_set else [])
         for pi in range(n_parts)
     ]
+    return SimpleNamespace(
+        parts_meta=parts_meta, n_parts=n_parts, part_sbs=part_sbs,
+        part_node_arrays=part_node_arrays,
+        part_surf_arrays=part_surf_arrays, part_oh=part_oh,
+        part_node_names=part_node_names,
+        part_surf_names=part_surf_names, part_aux_names=part_aux_names,
+        shaded_set=shaded_set, hour_op_names=hour_op_names,
+    )
+
+
+def make_hour_march(
+    bb: BlockedBuilding,
+    substeps: int = None,
+    interpret: bool = False,
+    mode: str = "parity",
+    hours: int = 1,
+    grid_blocks: int = None,
+    collect_bad: bool = False,
+    collect_hq: bool = False,
+    scheduled_setpoints: bool = False,
+    collect_operative: bool = False,
+    scheduled_shade_sp: bool = False,
+    refresh_every: int = None,
+    vmem_limit_mb: float = None,
+):
+    """Build the jitted hour-march: (T, zT_blocked, hour_inputs) -> updated.
+
+    hour_inputs = (t_out[hours*sub], wind[hours*sub], wdir[hours*sub],
+    sol_front[hours, SP], sol_back[hours, SP], ir_front[hours, SP],
+    ir_back[hours, SP], a_extra[hours, n_blocks, ZB],
+    b_extra[hours, n_blocks, ZB]) — with ``hours == 1`` the leading hour
+    axis may be omitted on every leaf.
+
+    mode="parity" runs the reference-parity sub-step physics at the
+    stability-dictated sub-step count; mode="trbdf2" runs the implicit fast
+    mode (heatx.engine.implicit) at ``substeps`` (default 12) sub-steps/hour
+    with coefficients frozen per hour; mode="trbdf2_refresh" is the same
+    scheme with the coefficients and stage factorizations re-evaluated
+    every ``refresh_every`` sub-steps (default 1 = every sub-step, the
+    parity coefficient cadence; k>1 is the hybrid cadence — PERF.md's
+    cadence ablation measures the accuracy/cost trade).
+
+    ``hours > 1`` marches that many consecutive hours per kernel invocation:
+    one pallas_call costs a fixed ~0.7 ms/block in launch + HBM streaming of
+    the building arrays regardless of sub-step count, so amortizing it over a
+    day (hours=24) is what makes the fast mode fast.
+
+    When the blocked layout carries a node-height split, the kernel marches
+    each block as two sub-batches (short lanes at their own node height) —
+    the interface stays full-width [N, SP]; slicing/reassembly happens in the
+    jitted wrapper outside the kernel.
+
+    ``grid_blocks`` (default: all blocks) sizes the *per-call* grid — used by
+    the sharded path, which builds the call for n_blocks/n_devices blocks and
+    runs it per device under ``shard_map`` (blocks are zone-closed, so the
+    kernel shards embarrassingly over the block axis).  The returned function
+    carries ``param_axes`` ("lane" / "row" per params entry) describing which
+    axis of each static operand is the block axis.
+
+    ``collect_bad`` appends a per-hour non-finite count ``[hours, NBl]`` to
+    the outputs (one masked reduce over node temps + zone temps at each hour
+    boundary) — the fused-path analogue of the reference's per-sub-step NaN
+    asserts (model.rs:416-419), giving the caller fail-fast with hour/block
+    resolution without leaving the kernel.  ``collect_hq`` appends the
+    per-hour h/q history ``4 x [hours, SPl]`` (post-hour front/back
+    convection coefficient and convective flux — the reference's observable
+    state channels, surface_trait.rs:223-354), accumulated with the same
+    one-hot-row trick as the zone history.  ``collect_operative`` appends
+    the per-hour operative-temperature history ``[hours, NBl, ZB]``
+    (``(T_air + T_mrt)/2`` with the Carroll zone MRT solved from each
+    hour's final state — step.run(collect_operative=True) at kernel speed;
+    requires the blocked building's MRT statics,
+    ``block_building(mrt_statics=True)``).
+
+    In-run zone-state window shading (``bb.shade``, engine.step.
+    apply_zone_shading) runs in-kernel: each hour starts by scaling the
+    controlled panes' incident front solar by the device transmittance
+    wherever the controlling zone's carry temperature exceeds the setpoint
+    — one kernel "hour" is one MAIN step (``substeps`` sub-steps of the
+    main-step dt), so this is exactly the XLA integrators' per-main-step
+    cadence.  ``scheduled_shade_sp=True`` appends an optional trailing
+    ``shade_sp [hours, SP]`` hour-input overriding the compiled setpoints
+    (schedule AND-gates pass +1e9 on blocked hours).
+
+    In-run ventilation temperature gates (``bb.vent``, engine.step.
+    apply_vent_gates) also run in-kernel: the hour-input tuple grows
+    three zone-row leaves after ``b_extra`` — ``a_vent``/``b_vent``
+    ([hours, n_blocks, ZB] gated ventilation A/B terms, with the
+    weather-only outdoor/wind gates pre-applied host-side as zero rows)
+    and ``vent_thr`` (the delta-gate threshold, vent_delta + hour-mean
+    outdoor temperature) — and each hour adds them to a_extra/b_extra
+    only where the carry zone temperature passes the indoor gates.
+    """
+    if mode not in ("parity", "trbdf2", "trbdf2_refresh"):
+        raise ValueError(f"unknown hour-kernel mode {mode!r}")
+    if refresh_every is not None and mode != "trbdf2_refresh":
+        raise ValueError(
+            "refresh_every only applies to mode='trbdf2_refresh' "
+            f"(got mode={mode!r})"
+        )
+    if refresh_every is not None:
+        k_subs = substeps or 12
+        if refresh_every < 1 or k_subs % refresh_every:
+            raise ValueError(
+                f"refresh_every {refresh_every} must divide substeps {k_subs}"
+            )
+    if collect_operative and bb.mrt_eps is None:
+        raise ValueError(
+            "collect_operative needs the blocked Carroll statics: build "
+            "with block_building(..., mrt_statics=True) (automatic when "
+            "config.interior_mrt is set)"
+        )
+    if scheduled_setpoints and bb.ctl is None:
+        raise ValueError(
+            "scheduled_setpoints requires setpoint-driven HVAC "
+            "(IdealHeaterCooler with heat_setpoint/cool_setpoint)"
+        )
+    if scheduled_shade_sp and bb.shade is None:
+        raise ValueError(
+            "scheduled_shade_sp requires in-run zone-shading controls "
+            "(BuildingModel.add_zone_shading)"
+        )
+    if mode == "parity":
+        if bb.config.nomass_fixed_iters is None and bb.surfaces.has_nomass:
+            if os.environ.get("HEATX_KERNEL_WHILE", "0") != "1":
+                raise ValueError(
+                    "the parity hour kernel requires config.nomass_fixed_iters"
+                    " (data-dependent while_loop in the fused pipeline is"
+                    " experimental: set HEATX_KERNEL_WHILE=1 to try the exact"
+                    " adaptive loop in-kernel)"
+                )
+        substeps = substeps or bb.base.dt_subdivisions
+        dt = bb.base.dt
+    else:
+        substeps = substeps or 12
+        dt = 3600.0 / (bb.base.n_steps_per_hour * substeps)
+    dtype = bb.config.dtype
+    N = bb.max_nodes
+    SB = bb.block_size
+    ZB = bb.zones_per_block
+    NB = bb.n_blocks  # global block count (shapes of the static params)
+    SP = NB * SB
+    NBl = grid_blocks or NB  # per-call grid (local block count when sharded)
+    SPl = NBl * SB
+    if NB % NBl != 0:
+        raise ValueError(f"grid_blocks {NBl} must divide n_blocks {NB}")
+
+    pp = _prep_parts(bb, dtype, scheduled_shade_sp)
+    parts_meta, n_parts = pp.parts_meta, pp.n_parts
+    part_sbs = pp.part_sbs
+    part_node_arrays = pp.part_node_arrays
+    part_surf_arrays = pp.part_surf_arrays
+    part_oh = pp.part_oh
+    part_node_names = pp.part_node_names
+    part_surf_names = pp.part_surf_names
+    part_aux_names = pp.part_aux_names
+    shaded_set = pp.shaded_set
+    hour_op_names = pp.hour_op_names
 
     def kernel(*refs):
         i = 0
