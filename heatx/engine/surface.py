@@ -239,8 +239,16 @@ def forced_context(sb: SurfaceBatch, wind_direction, wind_speed):
     # (convection.rs:151-168); pre-factored variants (hoisted P*wind_mod/A,
     # scalar sqrt(v)) produced wrong lane-0 values under the sharded
     # interpret-mode kernel — see PERF.md "interpret-mode fusion sensitivity".
-    base = 2.537 * wf * sb.rf * jnp.sqrt(
-        sb.perimeter * (wind_speed * sb.wind_mod) / sb.area
+    # Double-where around the sqrt: at P*v/A = 0 exactly (calm air; padded
+    # lanes carry perimeter 0) sqrt' -> inf, and reverse-mode AD (the
+    # adjoint kernel differentiates through this) would turn the zero
+    # cotangent into NaN (0 * inf) poisoning the area/perimeter gradients.
+    # Value-identical: sqrt(0) = 0 either way, and the sqrt still sees the
+    # full product in the reference's association.
+    pva = sb.perimeter * (wind_speed * sb.wind_mod) / sb.area
+    pnz = pva > 0.0
+    base = 2.537 * wf * sb.rf * jnp.where(
+        pnz, jnp.sqrt(jnp.where(pnz, pva, 1.0)), 0.0
     )
     zero = jnp.zeros_like(base)
     forced_front = jnp.where(sb.front_code == B_OUTDOOR, base, zero)

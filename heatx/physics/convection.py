@@ -111,7 +111,15 @@ def tarp_convection_coefficient(
     """
     rf = jnp.asarray(ROUGHNESS_COEFFICIENTS)[roughness_index]
     wf = jnp.where(windward, 1.0, 0.5)
-    forced = 2.537 * wf * rf * jnp.sqrt(perimeter * air_speed / area)
+    # Double-where around the sqrt: at P*v/A = 0 exactly (calm air, padded
+    # lanes with perimeter 0) sqrt' -> inf and reverse-mode AD would turn a
+    # zero cotangent into NaN (0 * inf) that poisons the area/perimeter
+    # gradients.  Value-identical: sqrt(0) = 0 either way.
+    pva = perimeter * air_speed / area
+    nz = pva > 0.0
+    forced = 2.537 * wf * rf * jnp.where(
+        nz, jnp.sqrt(jnp.where(nz, pva, 1.0)), 0.0
+    )
     natural = tarp_natural_convection_coefficient(
         air_temperature, surface_temperature, cos_surface_tilt, mosaic_compat
     )
