@@ -70,6 +70,10 @@ from heatx.physics import gas
 
 # Building parameter arrays the adjoint kernel differentiates.  Keys into
 # the per-part node / surface operand dicts of pallas_step._prep_parts.
+def _r8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
 DIFF_NODE = ("mass", "seg_u", "front_alphas", "back_alphas")
 DIFF_SURF = (
     "area",
@@ -498,8 +502,15 @@ def make_day_adjoint(
         def fwd_body(h, carry):
             Ts, zT = carry
             for pi, (rows, lo, w) in enumerate(parts_meta):
-                TH_s[pi][pl.ds(h * rows, rows), :] = Ts[pi]
-            zTH_s[pl.ds(h, 1), :] = zT
+                # Store a full 8-aligned sublane tile at an 8-aligned dynamic
+                # offset (Mosaic requires the store index provably % 8 == 0;
+                # a rows=6 part at offset h*6 is not).
+                r8 = _r8(rows)
+                pad = jnp.zeros((r8 - rows, w), dtype)
+                TH_s[pi][pl.ds(h * r8, r8), :] = jnp.concatenate(
+                    [Ts[pi], pad], axis=0
+                )
+            zTH_s[pl.ds(h * 8, 8), :] = jnp.broadcast_to(zT, (8, ZB))
             Ts, zT, _, _ = hour_fn(
                 Ts, zT, diffp0, read_channels(h), read_scalars(h), unroll=True
             )
@@ -521,10 +532,10 @@ def make_day_adjoint(
             dTs, dzT, dP = carry
             h = hours - 1 - j
             Ts_h = tuple(
-                TH_s[pi][pl.ds(h * rows, rows), :]
+                TH_s[pi][pl.ds(h * _r8(rows), _r8(rows)), :][:rows]
                 for pi, (rows, lo, w) in enumerate(parts_meta)
             )
-            zT_h = zTH_s[pl.ds(h, 1), :]
+            zT_h = zTH_s[pl.ds(h * 8, 8), :][0:1]
             ch = read_channels(h)
             sc = read_scalars(h)
             out, vjp_fn = jax.vjp(
@@ -564,8 +575,8 @@ def make_day_adjoint(
 
     # VMEM scratch: per-part hour-start node states + hour-start zone temps.
     scratch_shapes = [
-        pltpu.VMEM((hours * rows, w), dtype) for rows, lo, w in parts_meta
-    ] + [pltpu.VMEM((HR8, ZB), dtype)]
+        pltpu.VMEM((hours * _r8(rows), w), dtype) for rows, lo, w in parts_meta
+    ] + [pltpu.VMEM((hours * 8, ZB), dtype)]
 
     call_kw = {}
     vmem_mb = os.environ.get("HEATX_KERNEL_VMEM_MB") or vmem_limit_mb
