@@ -673,21 +673,230 @@ class FastRunner:
         substeps) — the arithmetic matches bit-for-bit in f64
         (tests/test_pallas_imp.py), so the backward sweep's gradients are
         the kernel trajectory's gradients to fp tolerance."""
-        import numpy as np
-
-        last = [None]
-
         def forward_fn(params, state, xs):
-            key = tuple(
-                np.asarray(v).tobytes() for v in jax.tree.leaves(params)
-            )
-            if last[0] != key:
-                self.update_building(apply_params(params))
-                last[0] = key
+            self._sync_params(apply_params, params)
             final, zt = self.run(state, xs, **run_kw)
             return final, loss_fn(zt, xs)
 
         return forward_fn
+
+    def _sync_params(self, apply_params, params):
+        """Re-block the kernel operands iff the parameter VALUES changed —
+        shared by chunk_forward and chunk_grad so one optimizer step
+        re-blocks once, not once per sweep."""
+        import numpy as np
+
+        key = tuple(np.asarray(v).tobytes() for v in jax.tree.leaves(params))
+        if getattr(self, "_param_key", None) != key:
+            self.update_building(apply_params(params))
+            self._param_key = key
+
+    def chunk_grad(
+        self,
+        apply_params,
+        loss_fn,
+        interp_weather: bool = False,
+        vmem_limit_mb: float = None,
+    ):
+        """A kernel-speed ``backward_fn`` for
+        :func:`heatx.engine.adjoint.chunked_value_and_grad` — the adjoint
+        day kernel (:mod:`heatx.ops.pallas_adjoint`) run day-by-day in
+        reverse over the chunk.  Pair with :meth:`chunk_forward` built from
+        the SAME ``apply_params``/``loss_fn``: value and gradient then both
+        run fused in VMEM (~45x the XLA backward at bench scale).
+
+        Contract (matching chunk_forward): ``apply_params(params)`` maps the
+        optimization parameters to a same-layout CompiledBuilding with jnp
+        arithmetic (jax.vjp pulls the building-array cotangents back through
+        it), and ``loss_fn(zt_hist, xs) -> scalar`` scores the chunk from
+        its per-hour zone-temperature history.  The objective must flow
+        through ``zt_hist`` and the carried (node_T, zone_T) state only —
+        cotangents arriving on the h/q observables are not propagated.
+
+        Differentiated building parameters: the DIFF_NODE/DIFF_SURF arrays
+        and zone_volume of heatx.ops.pallas_adjoint (mass, seg_u, alphas,
+        area, perimeter, cos_tilt, wind_mod, emissivities, rf, boundary
+        temps, fixed h).  Parameters feeding only other arrays (e.g. cavity
+        gas properties, thermostat setpoints) silently get zero gradient —
+        use the XLA backward for those.
+
+        Scope: TR-BDF2 modes on the single-device runner without scheduled
+        setpoints, in-run shading/vent gates, or mid-chunk ground swaps.
+        ``interp_weather`` must match the forward's run_kw."""
+        import numpy as np
+
+        from heatx.engine.state import SimState
+        from heatx.ops import pallas_adjoint
+
+        mk = self._mk_kwargs
+        if mk["mode"] == "parity":
+            raise ValueError(
+                "chunk_grad differentiates the TR-BDF2 modes (the parity "
+                "kernel's fixed-point regime is not in the adjoint's scope)"
+            )
+        if self._mesh is not None:
+            raise ValueError("chunk_grad: mesh runners are not supported yet")
+        if self._scheduled_sp or self._scheduled_shade:
+            raise ValueError(
+                "chunk_grad: scheduled setpoints / zone shading are not "
+                "supported (use the XLA backward)"
+            )
+        adj = pallas_adjoint.make_day_adjoint(
+            self._bb,
+            substeps=self._substeps,
+            mode=mk["mode"],
+            hours=self._hours,
+            refresh_every=mk["refresh_every"],
+            interpret=mk["interpret"],
+            # The adjoint's vjp residuals need more scoped VMEM than the
+            # stock 16 MB heuristic admits at bench shapes; 100 MB is the
+            # measured-safe setting (PERF.md round-4).
+            vmem_limit_mb=(100.0 if vmem_limit_mb is None else vmem_limit_mb),
+        )
+        j = self._jnp
+        H = self._hours
+        NB, ZB = self._bb.n_blocks, self._bb.zones_per_block
+        hour_march = self._hour_march
+
+        @jax.jit
+        def fwd_scan(params, T, zT, tuples):
+            def body(carry, tup):
+                T, zT = carry
+                outs = hour_march(params, T, zT, tup)
+                return (outs[0], outs[1]), (T, zT, outs[3])
+
+            (T, zT), (T0s, zT0s, zts) = jax.lax.scan(body, (T, zT), tuples)
+            return T, zT, T0s, zT0s, zts
+
+        @jax.jit
+        def bwd_scan(params, dT, dzT, tuples, T0s, zT0s, d_zts):
+            def body(carry, x):
+                dT, dzT, acc = carry
+                tup, T0d, zT0d, dz = x
+                g = adj(params, T0d, zT0d, tup, (dT, dzT, dz, None))
+                contrib = dict(g["d_params"])
+                contrib["zone_volume"] = g["d_zone_volume"]
+                acc = jax.tree.map(j.add, acc, contrib)
+                return (g["dT0"], g["d_zT0"], acc), None
+
+            # Zero accumulators shaped like one day's contributions (the
+            # adjoint returns full blocked layouts: [N, SP] node, [SP]
+            # surface, [NB, ZB] zone arrays).
+            SPl = self._bb.layout.padded_surfaces
+            Nn = self._bb.max_nodes
+            dt = self._dtype
+            acc0 = {
+                name: j.zeros((Nn, SPl), dt)
+                for name in pallas_adjoint.DIFF_NODE
+            }
+            acc0.update(
+                {name: j.zeros((SPl,), dt) for name in pallas_adjoint.DIFF_SURF}
+            )
+            acc0["zone_volume"] = j.zeros((NB, ZB), dt)
+            rev = lambda a: j.flip(a, axis=0)  # noqa: E731
+            (dT, dzT, acc), _ = jax.lax.scan(
+                body,
+                (dT, dzT, acc0),
+                (
+                    jax.tree.map(rev, tuples),
+                    jax.tree.map(rev, T0s),
+                    rev(zT0s),
+                    rev(d_zts),
+                ),
+            )
+            return dT, dzT, acc
+
+        def _day_tuples(xs, T_steps):
+            """The chunk's per-day hour-input tuples, stacked [D, ...] —
+            the same prep transforms run() applies (weather repeat/interp,
+            jitted channel blocker, device-side gains)."""
+            self._ensure_chunk_prep()
+            gains_all = self._gains_dev(xs, T_steps)
+            a_gain, b_gain = gains_all[:2]
+            w_xs = tuple(
+                self._weather_xs(v, T_steps, interp_weather)
+                for v in (xs.t_out, xs.wind_speed, xs.wind_direction)
+            )
+            surf_raw = (xs.sol_front, xs.sol_back, xs.ir_front, xs.ir_back)
+
+            def time_leading(v):
+                sh = np.shape(v)
+                if len(sh) == 2 and sh[0] == T_steps:
+                    return True
+                return len(sh) == 1 and sh[0] == T_steps
+
+            surf_is_ts = tuple(time_leading(v) for v in surf_raw)
+            surf_raw = tuple(j.asarray(v, self._dtype) for v in surf_raw)
+            blocked = self._chunk_prep_jit(
+                surf_raw, (a_gain, b_gain), (), (), (),
+                T_steps=T_steps, is_ts=surf_is_ts,
+            )
+            sol_f, sol_b, ir_f, ir_b, a_x, b_x = blocked
+            return w_xs + (sol_f, sol_b, ir_f, ir_b, a_x, b_x)
+
+        def backward_fn(params, state, xs, state_cot, loss_cot):
+            self._sync_params(apply_params, params)
+            b = self._tm.building
+            T_steps = np.shape(np.asarray(xs.t_out))[0]
+            if T_steps % H:
+                raise ValueError(
+                    f"chunk length {T_steps} not divisible by the runner's "
+                    f"hours={H}"
+                )
+            tuples = _day_tuples(xs, T_steps)
+            to_blocked, _ = self._converters()
+            T, zT = to_blocked(state.node_T, state.zone_T)
+            _, _, T0s, zT0s, zts = fwd_scan(self._params, T, zT, tuples)
+
+            idx = self._layout_idx()
+            zin = self._zinv_d
+            zt_flat = zts.reshape(T_steps, NB * ZB)[:, zin]
+            _, lvjp = jax.vjp(lambda z: loss_fn(z, xs), zt_flat)
+            (d_zt,) = lvjp(j.asarray(loss_cot, zt_flat.dtype))
+            d_zt_b = j.where(idx.zt_ok[None], d_zt[:, idx.zt_c], 0.0).reshape(
+                T_steps // H, H, NB, ZB
+            )
+
+            dT, dzT = to_blocked(state_cot.node_T, state_cot.zone_T)
+            dT, dzT, acc = bwd_scan(
+                self._params, dT, dzT, tuples, T0s, zT0s, d_zt_b
+            )
+
+            # ---- pull the blocked cotangents back to the params pytree ----
+            lay = self._bb.layout
+            S, Z = b.n_surfaces, b.n_zones
+            names = pallas_adjoint.DIFF_NODE + pallas_adjoint.DIFF_SURF
+            cot = {
+                name: lay.surfaces_from_blocked(
+                    np.asarray(acc[name], np.float64), S
+                )
+                for name in names
+            }
+            cot["zone_volume"] = lay.zones_from_blocked(
+                np.asarray(acc["zone_volume"], np.float64), Z
+            )
+
+            def extract(p):
+                bd = apply_params(p)
+                d = {name: getattr(bd.surfaces, name) for name in names}
+                d["zone_volume"] = bd.zone_volume
+                return d
+
+            shp = jax.eval_shape(extract, params)
+            _, pvjp = jax.vjp(extract, params)
+            (params_cot,) = pvjp(
+                {k: j.asarray(cot[k], shp[k].dtype) for k in cot}
+            )
+
+            node_cot = dT[:, idx.inv_d]
+            zone_cot = dzT.reshape(NB * ZB)[zin]
+            state_cot_out = jax.tree.map(j.zeros_like, state_cot)._replace(
+                node_T=node_cot.astype(state_cot.node_T.dtype),
+                zone_T=zone_cot.astype(state_cot.zone_T.dtype),
+            )
+            return params_cot, state_cot_out
+
+        return backward_fn
 
     def _layout_idx(self):
         """Cached device-side layout permutation indices, shared by every
@@ -1007,6 +1216,96 @@ class FastRunner:
             T_steps=T_steps,
         )
 
+    def _weather_xs(self, v, T_steps, interp_weather):
+        """[T] scalar weather series -> [D, hours*sub] kernel rows (O(T*sub)
+        host work, negligible).  Factored from run() so chunk_grad's
+        backward prep is the SAME transform."""
+        import numpy as np
+
+        j = self._jnp
+        sub = self._substeps
+        H = self._hours
+        a = np.broadcast_to(np.asarray(v, np.float64), (T_steps,))
+        if interp_weather:
+            from heatx.weather.epw import interpolate_to_steps
+
+            s = interpolate_to_steps(a, sub)[: T_steps * sub]
+        else:
+            s = np.repeat(a, sub)
+        return j.asarray(s.reshape(T_steps // H, H * sub), self._dtype)
+
+    def _ensure_chunk_prep(self):
+        """Build the jitted per-chunk operand blocker (shared by run() and
+        chunk_grad's backward prep).
+
+        ALL the per-chunk blockers (irradiance, gains, vent gates, setpoint
+        and shade schedules) fuse into ONE jitted call per dispatch chunk —
+        each separate jitted call costs a host round trip, and at
+        small-model scale (the 3-zone office year: 12 monthly chunks x
+        up to 7 prep calls) the round trips dominated the wall clock.
+        The host-numpy permutation alternative was O(T x S) per call and
+        would dominate wall-clock for annual runs at 10k+ surfaces."""
+        if getattr(self, "_chunk_prep_jit", None) is not None:
+            return
+        j = self._jnp
+        b = self._tm.building
+        bb = self._bb
+        H = self._hours
+        SP = bb.layout.padded_surfaces
+        NB, ZB = bb.n_blocks, bb.zones_per_block
+        dt = self._dtype
+        idx = self._layout_idx()
+        perm_c, perm_ok = idx.perm_c, idx.perm_ok
+        zt_c, zt_ok = idx.zt_c, idx.zt_ok
+        S_real = b.n_surfaces
+        Z_real = b.n_zones
+
+        def chunk_prep(surf_raw, gains_raw, vent_c, sp_c, shade_c,
+                       T_steps, is_ts):
+            # ``is_ts`` is the per-channel time-leading classification,
+            # decided ONCE over the FULL horizon (never re-derived from
+            # the chunk length: a [T] series sliced to a chunk whose
+            # length equals n_surfaces would otherwise be silently
+            # reinterpreted as a per-surface map).
+            def surf_xs(v, ts):
+                v = j.asarray(v, dt)
+                if ts and v.ndim == 1:
+                    v = v[:, None]  # [chunkT] hourly scalar series
+                elif not ts:
+                    if v.ndim == 0:
+                        v = j.broadcast_to(v, (1, 1))
+                    else:  # [S] static per-surface map
+                        v = j.broadcast_to(v, (1, S_real))
+                v = j.broadcast_to(v, (T_steps, S_real))
+                blocked = j.where(perm_ok[None, :], v[:, perm_c], 0.0)
+                return blocked.reshape(T_steps // H, H, SP)
+
+            def zone_xs(a):
+                out = j.where(zt_ok[None], a[:, zt_c], 0.0)
+                return out.reshape(T_steps // H, H, NB, ZB)
+
+            def zone_rows(a):  # [chunkT, Z], [chunkT, 1] or [Z]
+                a = j.broadcast_to(j.asarray(a, dt), (T_steps, Z_real))
+                return zone_xs(a)
+
+            def shade_rows(a):  # [chunkT, S] or [S]
+                a = j.broadcast_to(j.asarray(a, dt), (T_steps, S_real))
+                out = j.where(perm_ok[None, :], a[:, perm_c], 1e9)
+                return out.reshape(T_steps // H, H, SP)
+
+            a_gain, b_gain = gains_raw
+            return (
+                tuple(surf_xs(v, ts) for v, ts in zip(surf_raw, is_ts))
+                + (zone_xs(a_gain), zone_xs(b_gain))
+                + tuple(zone_xs(j.asarray(v, dt)) for v in vent_c)
+                + tuple(zone_rows(v) for v in sp_c)
+                + tuple(shade_rows(v) for v in shade_c)
+            )
+
+        self._chunk_prep_jit = jax.jit(
+            chunk_prep, static_argnames=("T_steps", "is_ts")
+        )
+
     def run(
         self,
         state: SimState,
@@ -1128,77 +1427,11 @@ class FastRunner:
         D = T_steps // H
 
         def weather(v):
-            # [T] scalar series only — O(T*sub) host work, negligible.
-            a = np.broadcast_to(np.asarray(v, np.float64), (T_steps,))
-            if interp_weather:
-                from heatx.weather.epw import interpolate_to_steps
-
-                s = interpolate_to_steps(a, sub)[: T_steps * sub]
-            else:
-                s = np.repeat(a, sub)
-            return j.asarray(s.reshape(D, H * sub), dt)
+            return self._weather_xs(v, T_steps, interp_weather)
 
         # Per-surface irradiance and zone gains prep runs ON DEVICE (jitted
-        # gathers): the host-numpy permutation was O(T x S) per call and
-        # would dominate wall-clock for annual runs at 10k+ surfaces.  Raw
-        # arrays transfer in their natural shape ([S] stays [S]).  ALL the
-        # per-chunk blockers (irradiance, gains, vent gates, setpoint and
-        # shade schedules) fuse into ONE jitted call per dispatch chunk —
-        # each separate jitted call costs a host round trip, and at
-        # small-model scale (the 3-zone office year: 12 monthly chunks x
-        # up to 7 prep calls) the round trips dominated the wall clock.
-        if getattr(self, "_chunk_prep_jit", None) is None:
-            idx = self._layout_idx()
-            perm_c, perm_ok = idx.perm_c, idx.perm_ok
-            zt_c, zt_ok = idx.zt_c, idx.zt_ok
-            S_real = b.n_surfaces
-            Z_real = b.n_zones
-
-            def chunk_prep(surf_raw, gains_raw, vent_c, sp_c, shade_c,
-                           T_steps, is_ts):
-                # ``is_ts`` is the per-channel time-leading classification,
-                # decided ONCE over the FULL horizon (never re-derived from
-                # the chunk length: a [T] series sliced to a chunk whose
-                # length equals n_surfaces would otherwise be silently
-                # reinterpreted as a per-surface map).
-                def surf_xs(v, ts):
-                    v = j.asarray(v, dt)
-                    if ts and v.ndim == 1:
-                        v = v[:, None]  # [chunkT] hourly scalar series
-                    elif not ts:
-                        if v.ndim == 0:
-                            v = j.broadcast_to(v, (1, 1))
-                        else:  # [S] static per-surface map
-                            v = j.broadcast_to(v, (1, S_real))
-                    v = j.broadcast_to(v, (T_steps, S_real))
-                    blocked = j.where(perm_ok[None, :], v[:, perm_c], 0.0)
-                    return blocked.reshape(T_steps // H, H, SP)
-
-                def zone_xs(a):
-                    out = j.where(zt_ok[None], a[:, zt_c], 0.0)
-                    return out.reshape(T_steps // H, H, NB, ZB)
-
-                def zone_rows(a):  # [chunkT, Z], [chunkT, 1] or [Z]
-                    a = j.broadcast_to(j.asarray(a, dt), (T_steps, Z_real))
-                    return zone_xs(a)
-
-                def shade_rows(a):  # [chunkT, S] or [S]
-                    a = j.broadcast_to(j.asarray(a, dt), (T_steps, S_real))
-                    out = j.where(perm_ok[None, :], a[:, perm_c], 1e9)
-                    return out.reshape(T_steps // H, H, SP)
-
-                a_gain, b_gain = gains_raw
-                return (
-                    tuple(surf_xs(v, ts) for v, ts in zip(surf_raw, is_ts))
-                    + (zone_xs(a_gain), zone_xs(b_gain))
-                    + tuple(zone_xs(j.asarray(v, dt)) for v in vent_c)
-                    + tuple(zone_rows(v) for v in sp_c)
-                    + tuple(shade_rows(v) for v in shade_c)
-                )
-
-            self._chunk_prep_jit = jax.jit(
-                chunk_prep, static_argnames=("T_steps", "is_ts")
-            )
+        # gathers): see _ensure_chunk_prep.
+        self._ensure_chunk_prep()
 
         gains_all = self._gains_dev(inputs_seq, T_steps)
         a_gain, b_gain = gains_all[:2]

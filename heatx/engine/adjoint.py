@@ -41,6 +41,7 @@ def chunked_value_and_grad(
     state0: Any,
     xs_chunks: Any,
     forward_fn: Callable[[Any, Any, Any], Tuple[Any, jnp.ndarray]] = None,
+    backward_fn: Callable = None,
 ) -> Tuple[jnp.ndarray, Any]:
     """Value and parameter-gradient of a chunk-summed objective.
 
@@ -65,7 +66,15 @@ def chunked_value_and_grad(
     is exact when the two implementations compute the same arithmetic
     (gated by tests/test_pallas_imp.py for the TR-BDF2 kernel vs
     :func:`heatx.engine.implicit.imp_march`; gradients then agree with the
-    pure-XLA adjoint to fp tolerance, tests/test_gradients.py)."""
+    pure-XLA adjoint to fp tolerance, tests/test_gradients.py).
+
+    ``backward_fn`` (optional) computes the BACKWARD sweep instead of
+    ``jax.vjp`` over ``chunk_fn`` — signature
+    ``backward_fn(params, state, xs, state_cot, loss_cot) ->
+    (params_cot, state_cot)`` with ``state``/``xs`` the chunk's START
+    state and inputs.  Typically :meth:`heatx.api.FastRunner.chunk_grad`
+    (the adjoint day kernel, heatx.ops.pallas_adjoint) — the whole
+    value-and-gradient then runs at kernel speed on both sweeps."""
     leaves = jax.tree.leaves(xs_chunks)
     if not leaves:
         raise ValueError("xs_chunks has no leaves")
@@ -81,10 +90,15 @@ def chunked_value_and_grad(
 
     fwd = jax.jit(chunk_fn) if forward_fn is None else forward_fn
 
-    @jax.jit
-    def bwd(params, state, xs, state_cot, loss_cot):
-        _, vjp_fn = jax.vjp(lambda p, s: chunk_fn(p, s, xs), params, state)
-        return vjp_fn((state_cot, loss_cot))
+    if backward_fn is None:
+
+        @jax.jit
+        def bwd(params, state, xs, state_cot, loss_cot):
+            _, vjp_fn = jax.vjp(lambda p, s: chunk_fn(p, s, xs), params, state)
+            return vjp_fn((state_cot, loss_cot))
+
+    else:
+        bwd = backward_fn
 
     def chunk(i):
         return jax.tree.map(lambda x: x[i], xs_chunks)
