@@ -861,40 +861,46 @@ class FastRunner:
             dT, dzT, acc = bwd_scan(
                 self._params, dT, dzT, tuples, T0s, zT0s, d_zt_b
             )
-
-            # ---- pull the blocked cotangents back to the params pytree ----
-            lay = self._bb.layout
-            S, Z = b.n_surfaces, b.n_zones
-            names = pallas_adjoint.DIFF_NODE + pallas_adjoint.DIFF_SURF
-            cot = {
-                name: lay.surfaces_from_blocked(
-                    np.asarray(acc[name], np.float64), S
-                )
-                for name in names
-            }
-            cot["zone_volume"] = lay.zones_from_blocked(
-                np.asarray(acc["zone_volume"], np.float64), Z
+            params_cot, node_cot, zone_cot = adj_pullback(
+                params, acc, dT, dzT
             )
-
-            def extract(p):
-                bd = apply_params(p)
-                d = {name: getattr(bd.surfaces, name) for name in names}
-                d["zone_volume"] = bd.zone_volume
-                return d
-
-            shp = jax.eval_shape(extract, params)
-            _, pvjp = jax.vjp(extract, params)
-            (params_cot,) = pvjp(
-                {k: j.asarray(cot[k], shp[k].dtype) for k in cot}
-            )
-
-            node_cot = dT[:, idx.inv_d]
-            zone_cot = dzT.reshape(NB * ZB)[zin]
             state_cot_out = jax.tree.map(j.zeros_like, state_cot)._replace(
                 node_T=node_cot.astype(state_cot.node_T.dtype),
                 zone_T=zone_cot.astype(state_cot.zone_T.dtype),
             )
             return params_cot, state_cot_out
+
+        # Pull the blocked cotangents back to the params pytree in ONE
+        # jitted call (layout-adjoint gathers + jax.vjp through
+        # apply_params) — the eager numpy version cost several host round
+        # trips per chunk.
+        names = pallas_adjoint.DIFF_NODE + pallas_adjoint.DIFF_SURF
+
+        def extract(p):
+            bd = apply_params(p)
+            d = {name: getattr(bd.surfaces, name) for name in names}
+            d["zone_volume"] = bd.zone_volume
+            return d
+
+        @jax.jit
+        def adj_pullback(params, acc, dT, dzT):
+            idx = self._layout_idx()
+            zin = self._zinv_d
+            outv, pvjp = jax.vjp(extract, params)
+            cot = {
+                name: acc[name][..., idx.inv_d].astype(outv[name].dtype)
+                for name in names
+            }
+            cot["zone_volume"] = (
+                acc["zone_volume"].reshape(NB * ZB)[zin]
+                .astype(outv["zone_volume"].dtype)
+            )
+            (params_cot,) = pvjp(cot)
+            node_cot = dT[:, idx.inv_d]
+            zone_cot = dzT.reshape(NB * ZB)[zin]
+            return params_cot, node_cot, zone_cot
+
+        self._converters()  # ensure _zinv_d before the first jitted call
 
         return backward_fn
 
