@@ -196,6 +196,106 @@ def run_demand_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
     )
 
 
+def run_grad_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
+    """Annual reverse-mode value_and_grad through the kernel adjoint
+    (heatx.ops.pallas_adjoint): forward sweep = fused day kernel, backward
+    sweep = adjoint day kernel, chunked (heatx.engine.adjoint).  The
+    calibration workload: gradient of an annual zone-temperature objective
+    w.r.t. a conductance scale and a solar-absorptance scale (one backward
+    pass prices every parameter; these two are the observables).  Returns
+    the grad_* fields for the bench JSON line.  The XLA-backward hybrid
+    measured 137 s on this workload (PERF.md 'Differentiation cost')."""
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    import heatx
+    from heatx.engine.adjoint import chunked_value_and_grad
+
+    model = build_city_model(args.zones, args.surfaces_per_zone)
+    tm = heatx.ThermalModel(
+        model, n=1, config=heatx.SimConfig(dtype=dtype),
+    )
+    b = tm.building
+    building = tm._device()
+    S = b.n_surfaces
+    T = args.hours
+    # Chunk count: bounded backward dispatches; chunks must be whole
+    # kernel-hours multiples (5 chunks of 73 days for the annual horizon).
+    C = 5 if T % (5 * args.kernel_hours) == 0 else 1
+    rng = np.random.default_rng(0)
+    sf = rng.uniform(0.2, 1.0, S)
+    seq = tm.inputs(hvac_power=np.full(b.n_hvacs, 500.0))._replace(
+        t_out=jnp.asarray(dry, dtype),
+        wind_speed=jnp.asarray(wind, dtype),
+        wind_direction=jnp.asarray(wdir, dtype),
+        sol_front=jnp.asarray(
+            np.asarray(ghi[:, None] * sf[None, :], np.float32), dtype
+        ),
+        ir_front=jnp.asarray(ir, dtype),
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (
+            v.reshape((C, T // C) + v.shape[1:])
+            if getattr(v, "ndim", 0) and v.shape[0] == T
+            else jnp.broadcast_to(v, (C, T // C) + jnp.shape(v))
+        ),
+        seq,
+    )
+    sb0 = building.surfaces
+
+    def with_params(p):
+        sb = dataclasses.replace(
+            sb0,
+            seg_u=sb0.seg_u * p["u_scale"],
+            front_alphas=sb0.front_alphas * p["alpha_scale"],
+        )
+        return dataclasses.replace(building, surfaces=sb)
+
+    def loss_fn(zt, xs):
+        return jnp.mean((zt - 21.0) ** 2) / C
+
+    fr = tm.fast_runner(
+        block_size=block_size, mode="trbdf2_refresh",
+        refresh_every=args.refresh_every, substeps=args.exp_substeps,
+        hours=args.kernel_hours,
+    )
+    kf = fr.chunk_forward(with_params, loss_fn)
+    kb = fr.chunk_grad(with_params, loss_fn)
+    st = tm.initial_state()
+    params = {"u_scale": jnp.asarray(1.2, dtype),
+              "alpha_scale": jnp.asarray(0.8, dtype)}
+
+    def timed():
+        t0 = time.time()
+        val, g = chunked_value_and_grad(
+            None, params, st, xs_chunks, forward_fn=kf, backward_fn=kb
+        )
+        gu, ga = float(g["u_scale"]), float(g["alpha_scale"])
+        return time.time() - t0, float(val), gu, ga
+
+    t0 = time.time()
+    timed()
+    print(f"# grad compile+run: {time.time() - t0:.1f}s", file=sys.stderr)
+    wall, val, gu, ga = timed()
+    wall2, v2, gu2, ga2 = timed()
+    if wall2 < wall:
+        wall, val, gu, ga = wall2, v2, gu2, ga2
+    assert np.isfinite(val) and np.isfinite(gu) and np.isfinite(ga)
+    print(
+        f"# grad kernel-adjoint annual value_and_grad: {wall:.2f}s "
+        f"(loss {val:.1f}, dL/du {gu:.1f}, dL/dalpha {ga:.1f})",
+        file=sys.stderr,
+    )
+    return dict(
+        grad_wall_clock_s=round(wall, 3),
+        grad_chunks=C,
+        grad_loss=round(val, 3),
+    )
+
+
 def run_office_bench(args, dtype):
     """The complete EnergyPlus-file workflow, timed on hardware: the
     committed ``examples/data/office.idf`` (envelope + windows with an
@@ -440,6 +540,13 @@ def main():
         action="store_true",
         help="skip the EnergyPlus-workflow row (examples/data/office.idf "
         "annual run) normally included as office_idf_* fields",
+    )
+    ap.add_argument(
+        "--skip-grad",
+        action="store_true",
+        help="skip the annual reverse-mode value_and_grad row (kernel "
+        "forward + adjoint day kernel backward) normally included as "
+        "grad_* fields in the JSON line",
     )
     ap.add_argument(
         "--skip-accuracy",
@@ -846,6 +953,16 @@ def main():
             except Exception as e:  # headline row survives a demand failure
                 print(f"# demand row failed: {e}", file=sys.stderr)
                 row.update(demand_error=str(e)[:200])
+        if not args.parity_kernel and not args.skip_grad:
+            # Annual reverse-mode value_and_grad through the adjoint day
+            # kernel (the calibration workload; PERF.md "Differentiation").
+            try:
+                row.update(run_grad_bench(
+                    args, dtype, row["block_size"], dry, wind, wdir, ghi, ir
+                ))
+            except Exception as e:  # headline row survives a grad failure
+                print(f"# grad row failed: {e}", file=sys.stderr)
+                row.update(grad_error=str(e)[:200])
         if not args.parity_kernel and not args.skip_accuracy:
             # Hardware-measured accuracy vs the committed f64-exact golden.
             try:

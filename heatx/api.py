@@ -652,6 +652,9 @@ class FastRunner:
             )
         self._bb = bb2
         self._params = new
+        # A manual operand swap must not be shadowed by a stale
+        # chunk_forward/chunk_grad value-sync (see _sync_params).
+        self._param_key = None
 
     def chunk_forward(self, apply_params, loss_fn, **run_kw):
         """A kernel-speed ``forward_fn`` for
@@ -683,10 +686,17 @@ class FastRunner:
     def _sync_params(self, apply_params, params):
         """Re-block the kernel operands iff the parameter VALUES changed —
         shared by chunk_forward and chunk_grad so one optimizer step
-        re-blocks once, not once per sweep."""
+        re-blocks once, not once per sweep.  The cache key includes the
+        ``apply_params`` callable's identity: two forwards built with
+        DIFFERENT parameter maps must not share a sync (same values through
+        a different map is a different building), and
+        :meth:`update_building` invalidates the key so a manual operand
+        swap is never shadowed by a stale sync."""
         import numpy as np
 
-        key = tuple(np.asarray(v).tobytes() for v in jax.tree.leaves(params))
+        key = (id(apply_params),) + tuple(
+            np.asarray(v).tobytes() for v in jax.tree.leaves(params)
+        )
         if getattr(self, "_param_key", None) != key:
             self.update_building(apply_params(params))
             self._param_key = key
@@ -757,6 +767,22 @@ class FastRunner:
         H = self._hours
         NB, ZB = self._bb.n_blocks, self._bb.zones_per_block
         hour_march = self._hour_march
+        # Drift guard: the adjoint kernel re-derives the forward kernel's
+        # operand ordering from the shared _prep_parts; assert the two
+        # enumerate the same building-operand keys in the same order so a
+        # forward-side operand addition that is not mirrored in the
+        # adjoint fails HERE instead of shifting refs into garbage
+        # gradients.
+        fwd_order = tuple(
+            k for k, _ in sorted(
+                hour_march.param_index.items(), key=lambda kv: kv[1]
+            )
+        )
+        if fwd_order != adj.param_order:
+            raise AssertionError(
+                "forward/adjoint kernel operand layouts diverged: "
+                f"{fwd_order} vs {adj.param_order}"
+            )
 
         @jax.jit
         def fwd_scan(params, T, zT, tuples):
@@ -836,7 +862,6 @@ class FastRunner:
 
         def backward_fn(params, state, xs, state_cot, loss_cot):
             self._sync_params(apply_params, params)
-            b = self._tm.building
             T_steps = np.shape(np.asarray(xs.t_out))[0]
             if T_steps % H:
                 raise ValueError(

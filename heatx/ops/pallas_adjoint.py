@@ -130,6 +130,18 @@ def make_day_adjoint(
             "adjoint kernel: in-run ventilation gates are not supported "
             "(use the XLA backward)"
         )
+    if bb.config.interior_mrt:
+        # The Carroll network's effective emissivities are precomputed
+        # statics (block_building._mrt_static_blocked) — the kernel cannot
+        # flow eps_front/eps_back cotangents through them, so interior-MRT
+        # emissivity gradients would be silently truncated.  Reject rather
+        # than return wrong calibration gradients; the XLA backward
+        # differentiates the full path.
+        raise ValueError(
+            "adjoint kernel: config.interior_mrt is not supported (the "
+            "blocked Carroll statics break the emissivity gradient path; "
+            "use the XLA backward)"
+        )
     substeps = substeps or 12
     if refresh_every is not None:
         if mode != "trbdf2_refresh":
@@ -720,4 +732,16 @@ def make_day_adjoint(
     day_adjoint.parts_meta = tuple(parts_meta)
     day_adjoint.hours = hours
     day_adjoint.substeps = substeps
+    # The building-operand ordering this kernel expects (drift guard: the
+    # forward kernel's param_index must enumerate the same keys in the
+    # same order — FastRunner.chunk_grad asserts it at construction, so a
+    # new forward operand that is not mirrored here fails loudly instead
+    # of shifting every subsequent ref into garbage gradients).
+    order = []
+    for pi in range(n_parts):
+        for name in pp.part_node_names[pi]:
+            order.append((pi, name))
+        for name in pp.part_surf_names[pi]:
+            order.append((pi, name))
+    day_adjoint.param_order = tuple(order)
     return day_adjoint

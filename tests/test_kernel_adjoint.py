@@ -150,14 +150,36 @@ def test_day_adjoint_matches_finite_differences(mode, revery):
     ad = float(jnp.sum(g["dT0"] * D))
     assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
 
-    # building parameters: conductances + solar absorption
-    for name, scale in [("seg_u", 1.0), ("front_alphas", 1.0)]:
+    # day-start zone state
+    Dz = jnp.asarray(rng.normal(size=(ns.NB, ns.ZB)))
+    fd = _fd(ns, lambda e: (ns.params, ns.T0, ns.zT0 + e * Dz, ns.hi))
+    ad = float(jnp.sum(g["d_zT0"] * Dz))
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
+
+    # building parameters.  The frozen variant sweeps the full DIFF set
+    # (incl. area/perimeter — the inputs the forced-convection double-where
+    # guard protects: an unguarded sqrt at P*v/A = 0 NaN-poisons exactly
+    # these two cotangents and nothing the forward tests observe); the
+    # hybrid variant keeps the two cheapest as a cadence gate.  Scales put
+    # the FD perturbation at a meaningful relative size per parameter.
+    node_names = [("seg_u", 1.0), ("front_alphas", 1.0)]
+    surf_names = []
+    if revery is None:
+        node_names.append(("mass", 1e4))
+        surf_names = [("area", 0.1), ("perimeter", 0.1), ("eps_front", 0.05)]
+    for name, scale in node_names:
         Dp = rng.normal(size=(ns.N, ns.SP)) * scale
         ad = float(jnp.sum(g["d_params"][name] * jnp.asarray(Dp)))
         fd = _fd(ns, lambda e: (_perturb_param(ns, name, Dp, e), ns.T0, ns.zT0, ns.hi))
         # k=1/k=2 cadences carry large curvature in the alphas direction;
         # the FD error is O(eps^2) (verified to converge to the adjoint
         # value at eps -> 0), so the gate is looser there.
+        assert abs(fd - ad) / max(abs(fd), abs(ad), 1e-12) < 5e-4, (name, fd, ad)
+    for name, scale in surf_names:
+        Dp = rng.normal(size=(ns.SP,)) * scale
+        ad = float(jnp.sum(g["d_params"][name] * jnp.asarray(Dp)))
+        fd = _fd(ns, lambda e: (_perturb_param(ns, name, Dp, e), ns.T0, ns.zT0, ns.hi))
+        assert np.isfinite(ad), (name, ad)  # the NaN-poisoning regression
         assert abs(fd - ad) / max(abs(fd), abs(ad), 1e-12) < 5e-4, (name, fd, ad)
 
     # per-hour channels: front solar + zone gain rows
@@ -311,6 +333,12 @@ def test_adjoint_scope_raises():
     bb = pallas_step.block_building(building, block_size=16)
     with pytest.raises(ValueError, match="TR-BDF2"):
         pallas_adjoint.make_day_adjoint(bb, mode="parity", interpret=True)
+    cfg_mrt = heatx.SimConfig(dtype=jnp.float64, interior_mrt=True)
+    bb_mrt = pallas_step.block_building(
+        compile_building(model, n=1, config=cfg_mrt), block_size=16
+    )
+    with pytest.raises(ValueError, match="interior_mrt"):
+        pallas_adjoint.make_day_adjoint(bb_mrt, mode="trbdf2", interpret=True)
     tm = heatx.ThermalModel(
         model, n=1, config=heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
     )
