@@ -479,6 +479,11 @@ class FastRunner:
 
         self._tm = tm
         building = tm._device()
+        # The REQUESTED block size: layout.block_size is rebound to the
+        # padded per-block lane total (SBtot) after the node split, so
+        # re-blocking with it (update_building) could pick a DIFFERENT
+        # auto-split and fail the identical-layout check at scale.
+        self._block_size = block_size
         self._bb = pallas_step.block_building(
             building, block_size=block_size,
             # The operative-T observable needs the Carroll statics even when
@@ -606,7 +611,7 @@ class FastRunner:
         from heatx.ops import pallas_step
 
         bb2 = pallas_step.block_building(
-            building, block_size=self._bb.block_size,
+            building, block_size=self._block_size,
             mrt_statics=True if self._collect_op else None,
         )
         if not np.array_equal(

@@ -362,3 +362,35 @@ def test_run_ground_hourly_matches_xla_leaf_swaps():
     bad = np.array([6.0] * 3 + [16.0] * 5)
     with pytest.raises(ValueError, match="constant within"):
         fr.run(tm.initial_state(), seq, ground_hourly=bad)
+
+
+def test_update_building_reblocks_at_requested_block_size():
+    """update_building must re-block at the REQUESTED block size, not the
+    padded per-block lane total: BlockedLayout.block_size is rebound to
+    SBtot after the node split, and re-blocking with SBtot as the request
+    picks a DIFFERENT auto-split at scale (reproduced at 100k surfaces:
+    the original 90-block (6,896)+(2,128)+(25,128) layout re-blocked at
+    its own SBtot=1152 into 79 blocks of (6,1024)+(2,128)+(25,128)),
+    failing every value-only parameter update with the identical-layout
+    error.  Gate: a pure value change on a node-split layout updates
+    cleanly, and the runner remembers the requested size."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    import bench as B
+
+    tm = heatx.ThermalModel(
+        B.build_city_model(50, 10), n=1,
+        config=heatx.SimConfig(dtype=jnp.float64),
+    )
+    building = tm._device()
+    fr = tm.fast_runner(block_size=256, mode="trbdf2", substeps=4, hours=1)
+    assert fr._block_size == 256
+    # The layout's stored block size is the padded lane total; on a
+    # node-split layout it differs from the request (the bug trigger).
+    assert fr._bb.layout.split is not None
+    sb = dataclasses.replace(
+        building.surfaces, seg_u=building.surfaces.seg_u * 1.3
+    )
+    fr.update_building(dataclasses.replace(building, surfaces=sb))  # no raise
