@@ -43,9 +43,14 @@ remains available for those.
 
 Scope: ``mode in ("trbdf2", "trbdf2_refresh")`` (any ``refresh_every``
 cadence), optional inter-zone mixing and thermostats.  In-run shading /
-ventilation gates and scheduled setpoint series are not supported (the
-factory raises; use the XLA backward).  The reference has no AD at all
-(SURVEY.md §2) — this is heatx's own capability bar.
+ventilation gates, ``config.interior_mrt`` and scheduled setpoint series
+are not supported (the factory raises; use the XLA backward).
+
+The reference has no autodiff at all — its observable channels are the
+per-step zone temperatures and surface h/q states
+(/root/reference/src/zone.rs:45-49, surface_trait.rs:223-354), which are
+exactly the outputs this kernel accepts cotangents on — so this is
+heatx's own capability bar (SURVEY.md §2), not parity.
 """
 
 from __future__ import annotations
