@@ -236,14 +236,17 @@ def run_grad_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
         ),
         ir_front=jnp.asarray(ir, dtype),
     )
-    xs_chunks = jax.tree.map(
-        lambda v: (
-            v.reshape((C, T // C) + v.shape[1:])
-            if getattr(v, "ndim", 0) and v.shape[0] == T
-            else jnp.broadcast_to(v, (C, T // C) + jnp.shape(v))
-        ),
-        seq,
-    )
+    def chunkize(v):
+        v = jnp.asarray(v)
+        if v.ndim and v.shape[0] == T:
+            return v.reshape((C, T // C) + v.shape[1:])
+        # Static channel: compact [C, ...] broadcast only — the runner
+        # broadcasts over hours lazily per dispatch chunk.  A full
+        # [C, T//C, S] materialization is 3.5 GB per channel at 100k
+        # surfaces (the same HBM hazard the demand row documents).
+        return jnp.broadcast_to(v, (C,) + v.shape)
+
+    xs_chunks = jax.tree.map(chunkize, seq)
     sb0 = building.surfaces
 
     def with_params(p):
