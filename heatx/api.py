@@ -661,7 +661,7 @@ class FastRunner:
         # chunk_forward/chunk_grad value-sync (see _sync_params).
         self._param_key = None
 
-    def chunk_forward(self, apply_params, loss_fn, **run_kw):
+    def chunk_forward(self, apply_params, loss_fn, collect_loads=False, **run_kw):
         """A kernel-speed ``forward_fn`` for
         :func:`heatx.engine.adjoint.chunked_value_and_grad`.
 
@@ -671,6 +671,10 @@ class FastRunner:
         ``loss_fn(zt_hist, xs) -> scalar`` scores one chunk from its
         per-hour zone-temperature history ``[H, zones]`` (the same history
         the XLA ``chunk_fn`` must score, so forward and backward agree).
+        With ``collect_loads=True`` (setpoint-driven HVAC only) the
+        contract becomes ``loss_fn(zt_hist, loads_hist, xs)`` with
+        ``loads_hist`` the [H, zones] per-hour mean ideal-load powers (W,
+        heating +, cooling −) — the demand/energy objective channel.
         Extra ``run_kw`` pass through to :meth:`run`.
 
         The returned ``forward_fn(params, state, xs)`` re-blocks the kernel
@@ -683,6 +687,11 @@ class FastRunner:
         the kernel trajectory's gradients to fp tolerance."""
         def forward_fn(params, state, xs):
             self._sync_params(apply_params, params)
+            if collect_loads:
+                final, zt, ld = self.run(
+                    state, xs, collect_loads=True, **run_kw
+                )
+                return final, loss_fn(zt, ld, xs)
             final, zt = self.run(state, xs, **run_kw)
             return final, loss_fn(zt, xs)
 
@@ -691,20 +700,27 @@ class FastRunner:
     def _sync_params(self, apply_params, params):
         """Re-block the kernel operands iff the parameter VALUES changed —
         shared by chunk_forward and chunk_grad so one optimizer step
-        re-blocks once, not once per sweep.  The cache key includes the
-        ``apply_params`` callable's identity: two forwards built with
+        re-blocks once, not once per sweep.  The cache key holds the
+        ``apply_params`` callable ITSELF (not its ``id()``: after the
+        original callable is garbage-collected a new one can land at the
+        same address, and identical parameter bytes would then silently
+        skip the sync against a stale building): two forwards built with
         DIFFERENT parameter maps must not share a sync (same values through
         a different map is a different building), and
         :meth:`update_building` invalidates the key so a manual operand
         swap is never shadowed by a stale sync."""
         import numpy as np
 
-        key = (id(apply_params),) + tuple(
+        value_key = tuple(
             np.asarray(v).tobytes() for v in jax.tree.leaves(params)
         )
-        if getattr(self, "_param_key", None) != key:
+        if (
+            getattr(self, "_param_fn", None) is not apply_params
+            or getattr(self, "_param_key", None) != value_key
+        ):
             self.update_building(apply_params(params))
-            self._param_key = key
+            self._param_fn = apply_params
+            self._param_key = value_key
 
     def chunk_grad(
         self,
@@ -712,6 +728,8 @@ class FastRunner:
         loss_fn,
         interp_weather: bool = False,
         vmem_limit_mb: float = None,
+        collect_loads: bool = False,
+        **run_kw,
     ):
         """A kernel-speed ``backward_fn`` for
         :func:`heatx.engine.adjoint.chunked_value_and_grad` — the adjoint
@@ -724,24 +742,53 @@ class FastRunner:
         optimization parameters to a same-layout CompiledBuilding with jnp
         arithmetic (jax.vjp pulls the building-array cotangents back through
         it), and ``loss_fn(zt_hist, xs) -> scalar`` scores the chunk from
-        its per-hour zone-temperature history.  The objective must flow
-        through ``zt_hist`` and the carried (node_T, zone_T) state only —
-        cotangents arriving on the h/q observables are not propagated.
+        its per-hour zone-temperature history.  With ``collect_loads=True``
+        (matching the paired chunk_forward) the contract becomes
+        ``loss_fn(zt_hist, loads_hist, xs)`` and the per-hour ideal-load
+        cotangent is seeded into the adjoint kernel — demand/kWh objectives
+        run the kernel backward too.  The objective must flow through
+        ``zt_hist`` / ``loads_hist`` and the carried (node_T, zone_T) state
+        only — cotangents arriving on the h/q observables are not
+        propagated.
 
         Differentiated building parameters: the DIFF_NODE/DIFF_SURF arrays
         and zone_volume of heatx.ops.pallas_adjoint (mass, seg_u, alphas,
         area, perimeter, cos_tilt, wind_mod, emissivities, rf, boundary
-        temps, fixed h).  Parameters feeding only other arrays (e.g. cavity
-        gas properties, thermostat setpoints) silently get zero gradient —
-        use the XLA backward for those.
+        temps, fixed h).  Parameters feeding only other arrays (e.g.
+        cavity gas properties, thermostat setpoints) silently get zero
+        gradient — use the XLA backward for those.
 
         Scope: TR-BDF2 modes on the single-device runner without scheduled
         setpoints, in-run shading/vent gates, or mid-chunk ground swaps.
-        ``interp_weather`` must match the forward's run_kw."""
+        ``run_kw`` must match the paired chunk_forward's
+        (trajectory-affecting options the backward recompute cannot honor
+        raise here)."""
         import numpy as np
 
         from heatx.engine.state import SimState
         from heatx.ops import pallas_adjoint
+
+        # Trajectory-affecting run() options the backward recompute does NOT
+        # honor must fail loudly: a chunk_forward(ground_hourly=...) paired
+        # with this backward would silently differentiate a DIFFERENT
+        # trajectory (ADVICE r4).  Trajectory-neutral keys are accepted and
+        # ignored (they only change what the forward collects/checks).
+        _neutral = {
+            "assert_finite", "dispatch_days", "collect_zone_T",
+            "collect_fluxes", "collect_operative", "collect_loads",
+        }
+        if "interp_weather" in run_kw:
+            interp_weather = run_kw.pop("interp_weather")
+        if "collect_loads" in run_kw:
+            collect_loads = bool(run_kw.pop("collect_loads"))
+        unsupported = set(run_kw) - _neutral
+        if unsupported:
+            raise ValueError(
+                f"chunk_grad: run options {sorted(unsupported)} change the "
+                "forward trajectory in ways the kernel backward does not "
+                "recompute (use the XLA backward, or drop them from the "
+                "paired chunk_forward)"
+            )
 
         mk = self._mk_kwargs
         if mk["mode"] == "parity":
@@ -749,12 +796,18 @@ class FastRunner:
                 "chunk_grad differentiates the TR-BDF2 modes (the parity "
                 "kernel's fixed-point regime is not in the adjoint's scope)"
             )
-        if self._mesh is not None:
-            raise ValueError("chunk_grad: mesh runners are not supported yet")
         if self._scheduled_sp or self._scheduled_shade:
             raise ValueError(
                 "chunk_grad: scheduled setpoints / zone shading are not "
                 "supported (use the XLA backward)"
+            )
+        if self._mesh is not None:
+            raise ValueError("chunk_grad: mesh runners are not supported yet")
+        has_loads = getattr(self._hour_march, "collect_loads", False)
+        if collect_loads and not has_loads:
+            raise ValueError(
+                "chunk_grad(collect_loads=True) requires setpoint-driven "
+                "HVAC (IdealHeaterCooler with heat/cool setpoints)"
             )
         adj = pallas_adjoint.make_day_adjoint(
             self._bb,
@@ -789,22 +842,29 @@ class FastRunner:
                 f"{fwd_order} vs {adj.param_order}"
             )
 
+        # Position of the per-hour ideal-load history in the hour-march
+        # outputs: (T, zT, hq, zt_hist, [hq_hist], bad, [ld_hist], [top]).
+        ld_idx = 5 + (1 if self._collect_hq else 0)
+
         @jax.jit
         def fwd_scan(params, T, zT, tuples):
             def body(carry, tup):
                 T, zT = carry
                 outs = hour_march(params, T, zT, tup)
-                return (outs[0], outs[1]), (T, zT, outs[3])
+                ys = (T, zT, outs[3]) + (
+                    (outs[ld_idx],) if collect_loads else ()
+                )
+                return (outs[0], outs[1]), ys
 
-            (T, zT), (T0s, zT0s, zts) = jax.lax.scan(body, (T, zT), tuples)
-            return T, zT, T0s, zT0s, zts
+            (T, zT), ys = jax.lax.scan(body, (T, zT), tuples)
+            return (T, zT) + ys
 
         @jax.jit
-        def bwd_scan(params, dT, dzT, tuples, T0s, zT0s, d_zts):
+        def bwd_scan(params, dT, dzT, tuples, T0s, zT0s, d_zts, d_lds):
             def body(carry, x):
                 dT, dzT, acc = carry
-                tup, T0d, zT0d, dz = x
-                g = adj(params, T0d, zT0d, tup, (dT, dzT, dz, None))
+                tup, T0d, zT0d, dz, dl = x
+                g = adj(params, T0d, zT0d, tup, (dT, dzT, dz, dl))
                 contrib = dict(g["d_params"])
                 contrib["zone_volume"] = g["d_zone_volume"]
                 acc = jax.tree.map(j.add, acc, contrib)
@@ -833,6 +893,7 @@ class FastRunner:
                     jax.tree.map(rev, T0s),
                     rev(zT0s),
                     rev(d_zts),
+                    jax.tree.map(rev, d_lds),  # None (no loads loss) is inert
                 ),
             )
             return dT, dzT, acc
@@ -876,20 +937,35 @@ class FastRunner:
             tuples = _day_tuples(xs, T_steps)
             to_blocked, _ = self._converters()
             T, zT = to_blocked(state.node_T, state.zone_T)
-            _, _, T0s, zT0s, zts = fwd_scan(self._params, T, zT, tuples)
+            outs = fwd_scan(self._params, T, zT, tuples)
+            T0s, zT0s, zts = outs[2:5]
+            lds = outs[5] if collect_loads else None
 
             idx = self._layout_idx()
             zin = self._zinv_d
+
+            def zone_blocked(d):
+                return j.where(idx.zt_ok[None], d[:, idx.zt_c], 0.0).reshape(
+                    T_steps // H, H, NB, ZB
+                )
+
             zt_flat = zts.reshape(T_steps, NB * ZB)[:, zin]
-            _, lvjp = jax.vjp(lambda z: loss_fn(z, xs), zt_flat)
-            (d_zt,) = lvjp(j.asarray(loss_cot, zt_flat.dtype))
-            d_zt_b = j.where(idx.zt_ok[None], d_zt[:, idx.zt_c], 0.0).reshape(
-                T_steps // H, H, NB, ZB
-            )
+            if collect_loads:
+                ld_flat = lds.reshape(T_steps, NB * ZB)[:, zin]
+                _, lvjp = jax.vjp(
+                    lambda z, l: loss_fn(z, l, xs), zt_flat, ld_flat
+                )
+                d_zt, d_ld = lvjp(j.asarray(loss_cot, zt_flat.dtype))
+                d_ld_b = zone_blocked(d_ld)
+            else:
+                _, lvjp = jax.vjp(lambda z: loss_fn(z, xs), zt_flat)
+                (d_zt,) = lvjp(j.asarray(loss_cot, zt_flat.dtype))
+                d_ld_b = None
+            d_zt_b = zone_blocked(d_zt)
 
             dT, dzT = to_blocked(state_cot.node_T, state_cot.zone_T)
             dT, dzT, acc = bwd_scan(
-                self._params, dT, dzT, tuples, T0s, zT0s, d_zt_b
+                self._params, dT, dzT, tuples, T0s, zT0s, d_zt_b, d_ld_b
             )
             params_cot, node_cot, zone_cot = adj_pullback(
                 params, acc, dT, dzT

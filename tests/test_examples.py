@@ -51,4 +51,4 @@ def test_example_runs(name, monkeypatch):
 def test_all_examples_covered():
     """The gallery list matches the on-disk scripts (a new example without
     a smoke run would bypass this suite silently)."""
-    assert len(SCRIPTS) == 10, SCRIPTS
+    assert len(SCRIPTS) == 11, SCRIPTS

@@ -227,9 +227,18 @@ def _calib_model(n_zones=4, ideal=False):
     return m
 
 
-@pytest.mark.parametrize("ideal", [False, True], ids=["heater", "thermostat"])
-def test_chunk_grad_matches_xla_adjoint(ideal):
-    """Kernel forward + kernel backward == pure-XLA chunked adjoint (f64)."""
+@pytest.mark.parametrize(
+    "ideal,demand",
+    [(False, False), (True, False), (True, True)],
+    ids=["heater", "thermostat", "demand"],
+)
+def test_chunk_grad_matches_xla_adjoint(ideal, demand):
+    """Kernel forward + kernel backward == pure-XLA chunked adjoint (f64).
+
+    ``demand=True`` scores a metered-energy objective on the per-hour
+    ideal-load history (plus a small zone-T term so both cotangent
+    channels are live) — the chunk_forward/chunk_grad(collect_loads=True)
+    contract, seeding the adjoint kernel's d_ld input."""
     SUBS = 6
     cfg = heatx.SimConfig(dtype=np.float64)
     tm = heatx.ThermalModel(_calib_model(ideal=ideal), n=1, config=cfg)
@@ -271,22 +280,29 @@ def test_chunk_grad_matches_xla_adjoint(ideal):
 
         def hour(s, x):
             s = imp_mod.imp_march(b, s, x, substeps=SUBS)
-            return s, s.zone_T
+            return s, (s.zone_T, s.ideal_load) if demand else s.zone_T
 
         return jax.lax.scan(hour, state, xs)
+
+    def score(zt, ld, target):
+        if demand:
+            d = (ld - target) / 1000.0
+            return jnp.mean(d * d) / C + 1e-4 * jnp.mean(zt) / C
+        d = zt - target
+        return jnp.mean(d * d) / C
 
     def chunk_fn(params, state, xs):
         xs, target = xs
         state, hist = hist_fn(params, state, xs)
-        d = hist - target
-        return state, jnp.mean(d * d) / C
+        zt, ld = hist if demand else (hist, None)
+        return state, score(zt, ld, target)
 
     true_params = {"u_scale": jnp.asarray(1.0), "alpha_scale": jnp.asarray(1.0)}
     run_hist = jax.jit(hist_fn)
     s, chunks = st, []
     for i in range(C):
         s, h = run_hist(true_params, s, jax.tree.map(lambda x: x[i], xs_chunks))
-        chunks.append(h)
+        chunks.append(h[1] if demand else h)
     measured = jnp.concatenate(chunks).reshape(C, T // C, -1)
     guess = {"u_scale": jnp.asarray(1.4), "alpha_scale": jnp.asarray(0.7)}
 
@@ -297,12 +313,15 @@ def test_chunk_grad_matches_xla_adjoint(ideal):
     fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS, hours=T // C)
     cell = {}
 
-    def loss(zt, xs):
-        d = zt - cell["t"]
-        return jnp.mean(d * d) / C
+    if demand:
+        def loss(zt, ld, xs):
+            return score(zt, ld, cell["t"])
+    else:
+        def loss(zt, xs):
+            return score(zt, None, cell["t"])
 
-    kf = fr.chunk_forward(with_params, loss)
-    kb = fr.chunk_grad(with_params, loss)
+    kf = fr.chunk_forward(with_params, loss, collect_loads=demand)
+    kb = fr.chunk_grad(with_params, loss, collect_loads=demand)
 
     def forward_fn(params, state, xs):
         inner, target = xs
@@ -324,6 +343,92 @@ def test_chunk_grad_matches_xla_adjoint(ideal):
             abs(float(g_ref[k])), 1e-12
         )
         assert rel < 1e-9, (k, float(g_k[k]), float(g_ref[k]))
+
+
+def test_day_adjoint_loads_cotangent_fd():
+    """FD gate for the ideal-load-history cotangent: a loss with a demand
+    term (sum ld*Wl) differentiates correctly through the adjoint kernel
+    (round-4 gap: chunk_grad hardwired this cotangent to None even though
+    the kernel accepts it).  Setpoints sit above the free-float band so
+    every zone heats on every sub-step — the FD directions stay inside one
+    smooth branch of the ideal-loads clip."""
+    from heatx.model.building import IdealHeaterCooler
+
+    model = _city(6)
+    for z in range(6):
+        model.add_hvac(IdealHeaterCooler(
+            f"t{z}", [f"z{z}"], heat_setpoint=25.0, cool_setpoint=35.0,
+            max_heating=1e5, max_cooling=1e5,
+        ))
+    hours, substeps = 2, 4
+    cfg = heatx.SimConfig(dtype=jnp.float64)
+    building = compile_building(model, n=1, config=cfg)
+    bb = pallas_step.block_building(building, block_size=16)
+    hm, params = pallas_step.make_hour_march(
+        bb, substeps=substeps, interpret=True, mode="trbdf2", hours=hours
+    )
+    adj = pallas_adjoint.make_day_adjoint(
+        bb, substeps=substeps, mode="trbdf2", hours=hours, interpret=True
+    )
+    rng = np.random.default_rng(3)
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    NB, ZB, N = bb.n_blocks, bb.zones_per_block, bb.max_nodes
+    st = state_mod.initial_state(building)
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)))
+    hi = (
+        jnp.repeat(jnp.asarray([2.0, 5.0][:hours]), substeps),
+        jnp.repeat(jnp.asarray([3.0, 4.0][:hours]), substeps),
+        jnp.repeat(jnp.asarray([0.7, 0.1][:hours]), substeps),
+        jnp.asarray(rng.uniform(0, 400, (hours, SP))),
+        jnp.zeros((hours, SP)),
+        jnp.full((hours, SP), 320.0),
+        jnp.zeros((hours, SP)),
+        jnp.zeros((hours, NB, ZB)),
+        jnp.zeros((hours, NB, ZB)),
+    )
+    WT = jnp.asarray(rng.normal(size=(N, SP)))
+    Wz = jnp.asarray(rng.normal(size=(NB, ZB)))
+    Wh = jnp.asarray(rng.normal(size=(hours, NB, ZB)))
+    # The load weight is scaled down so the W-magnitude load terms do not
+    # swamp the temperature terms in the FD quotient.
+    Wl = jnp.asarray(rng.normal(size=(hours, NB, ZB))) * 1e-3
+
+    def loss(params, T, zT, hi):
+        Tn, zTn, _, zth, ld = hm(params, T, zT, hi)[:5]
+        return (
+            jnp.sum(Tn * WT)
+            + jnp.sum(zTn.reshape(NB, ZB) * Wz)
+            + jnp.sum(zth * Wh)
+            + jnp.sum(ld * Wl)
+        )
+
+    g = adj(params, T0, zT0, hi, (WT, Wz, Wh, Wl))
+    ns = SimpleNS(
+        hm=hm, params=params, T0=T0, zT0=zT0, hi=hi, loss=loss, NB=NB,
+        ZB=ZB, bb=bb, parts_meta=adj.parts_meta,
+    )
+
+    # day-start state direction (flows into the loads through the free-float
+    # temperature and the required-power formula)
+    D = jnp.asarray(rng.normal(size=(N, SP)))
+    fd = _fd(ns, lambda e: (params, T0 + e * D, zT0, hi))
+    ad = float(jnp.sum(g["dT0"] * D))
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
+
+    # conductance direction (building-parameter pull-back through the loads)
+    Dp = rng.normal(size=(N, SP))
+    ad = float(jnp.sum(g["d_params"]["seg_u"] * jnp.asarray(Dp)))
+    fd = _fd(ns, lambda e: (_perturb_param(ns, "seg_u", Dp, e), T0, zT0, hi))
+    assert abs(fd - ad) / max(abs(fd), abs(ad), 1e-12) < 5e-4, (fd, ad)
+
+    # zone-gain channel direction (a_extra enters the required power directly)
+    Da = rng.normal(size=(hours, NB, ZB)) * 10
+    fd = _fd(ns, lambda e: (params, T0, zT0,
+                            hi[:7] + (hi[7] + e * jnp.asarray(Da), hi[8])))
+    ad = float(jnp.sum(g["d_a_extra"] * jnp.asarray(Da)))
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
 
 
 def test_adjoint_scope_raises():
