@@ -1,11 +1,24 @@
-"""Gradient-based optimal control: minimal-energy heating schedule.
+"""Gradient-based optimal control: minimal-energy heating schedules.
 
-Differentiates the simulator with respect to a 24-hour heater power
-schedule and finds the cheapest schedule that keeps the zone at or above a
-comfort setpoint through a cold day — the model-predictive-control pattern,
-solved directly through the physics instead of against a surrogate model.
-Runs the TR-BDF2 fast integrator (heatx/engine/implicit.py), which is
-differentiable end-to-end (tests/test_gradients.py).
+Two model-predictive-control phases, both solved directly through the
+physics instead of against a surrogate model:
+
+1. HEATER POWER schedule (XLA path): differentiate the TR-BDF2 integrator
+   (heatx/engine/implicit.py) w.r.t. a 24-hour heater power series and
+   find the cheapest schedule holding a comfort setpoint through a cold
+   day.
+2. THERMOSTAT SETPOINT schedule (kernel-adjoint path): a thermostatic
+   (ideal-loads) zone whose heating-setpoint schedule is the optimization
+   variable, run through the fused Pallas day kernel on BOTH sweeps —
+   FastRunner.chunk_forward/chunk_grad with ``schedule_fn`` pulls the
+   per-hour setpoint cotangents (heatx.ops.pallas_adjoint d_sp_heat)
+   back into the schedule parameters, with a finite-difference gate on
+   the gradient before optimizing.  This is night-setback optimization
+   at kernel speed.
+
+The reference has neither autodiff nor a working thermostat (its
+IdealHeaterCooler is `todo!()`, heating_cooling.rs:67) — both phases are
+heatx capability, not parity.
 
 Run:  python examples/optimal_control.py
 """
@@ -16,10 +29,16 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# Pin CPU BEFORE any backend-initializing call (sitecustomize would
+# otherwise register the remote TPU, where this f64 example cannot run —
+# f64 kernels have no Mosaic lowering).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/heatx-jax-cache")
+
 import jax.numpy as jnp
 import numpy as np
-
-jax.config.update("jax_enable_x64", True)
 
 
 def build():
@@ -118,7 +137,104 @@ def main():
     worst_flat = float(jnp.min(simulate(flat)))
     print(f"same energy as a flat schedule would give min T {worst_flat:.2f} C"
           " — the optimizer shifts heat ahead of the cold hours")
+    setpoint_phase(fast)
     print("optimal control OK")
+
+
+def setpoint_phase(fast):
+    """Phase 2: optimize a thermostat heating-SETPOINT schedule through
+    the kernel adjoint (chunk_forward/chunk_grad with schedule_fn)."""
+    import dataclasses
+
+    import heatx
+    import optax
+    from heatx.engine.adjoint import chunked_value_and_grad
+    from heatx.model.building import IdealHeaterCooler
+
+    m = build()
+    # Swap the electric heater for a thermostat: the setpoint schedule
+    # becomes the control variable, demand is the in-kernel ideal load.
+    m.hvacs = []
+    m.add_hvac(IdealHeaterCooler(
+        "tstat", ["room"], heat_setpoint=20.0, cool_setpoint=28.0,
+        max_heating=1e4, max_cooling=1e4,
+    ))
+    cfg = heatx.SimConfig(dtype=np.float64, nomass_fixed_iters=1)
+    tm = heatx.ThermalModel(m, n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    T = 12 if fast else 24
+    SUBS = 4
+    t_out = -12.0 + 4.0 * np.sin((np.arange(T) - 8) / 24 * 2 * np.pi)
+    seq = tm.inputs_sequence(T, t_out=jnp.asarray(t_out), wind_speed=3.0,
+                             wind_direction=45.0)
+    xs_chunks = jax.tree.map(lambda v: v[None], seq)  # one chunk
+
+    fr = tm.fast_runner(block_size=8, mode="trbdf2", substeps=SUBS, hours=T,
+                        scheduled_setpoints=True)
+    Z = building.n_zones
+    OCC = (np.arange(T) % 24 >= 8) & (np.arange(T) % 24 < 18)  # occupied
+    COMFORT, WEIGHT = 19.0, 20.0
+
+    def schedule_fn(params, xs):
+        # Setpoints in (14, 22) C via sigmoid — night setback allowed.
+        sp = 14.0 + 8.0 * jax.nn.sigmoid(params["raw"])
+        return {"heat_sp": jnp.broadcast_to(sp[:, None], (T, Z))}
+
+    def loss(zt, ld, xs):
+        energy_kwh = jnp.sum(ld) / 1e3  # hourly mean W -> kWh
+        discomfort = jnp.sum(
+            jnp.where(jnp.asarray(OCC)[:, None],
+                      jnp.maximum(COMFORT - zt, 0.0) ** 2, 0.0)
+        )
+        return energy_kwh + WEIGHT * discomfort
+
+    apply_params = lambda p: building  # noqa: E731 — schedule-only control
+
+    kf = fr.chunk_forward(apply_params, loss, collect_loads=True,
+                          schedule_fn=schedule_fn)
+    kb = fr.chunk_grad(apply_params, loss, collect_loads=True,
+                       schedule_fn=schedule_fn)
+
+    # Start at ~20 C (sigmoid(1.1) ~ 0.75): heating must be ACTIVE at the
+    # start point — below the free-float band the thermostat never fires
+    # and the schedule gradient is genuinely zero (flat landscape).
+    params = {"raw": jnp.full((T,), 1.1)}
+    val0, g = chunked_value_and_grad(
+        None, params, st, xs_chunks, forward_fn=kf, backward_fn=kb
+    )
+    # FD gate: the kernel-adjoint schedule gradient must match a central
+    # finite difference of the kernel forward along a random direction.
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=(T,)))
+    eps = 1e-5
+    _, vp = kf({"raw": params["raw"] + eps * d}, st, seq)
+    _, vm = kf({"raw": params["raw"] - eps * d}, st, seq)
+    fd = (float(vp) - float(vm)) / (2 * eps)
+    ad = float(jnp.sum(g["raw"] * d))
+    assert abs(ad) > 0, "schedule gradient has no signal"
+    rel = abs(fd - ad) / max(abs(fd), abs(ad))
+    print(f"setpoint-schedule FD gate: fd {fd:.6g}  adjoint {ad:.6g}  "
+          f"rel {rel:.2e}")
+    assert rel < 1e-3, (fd, ad)
+
+    opt = optax.adam(0.3)
+    opt_state = opt.init(params)
+    iters = 2 if fast else 25
+    for i in range(iters):
+        val, g = chunked_value_and_grad(
+            None, params, st, xs_chunks, forward_fn=kf, backward_fn=kb
+        )
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        if i % 5 == 0 or i == iters - 1:
+            print(f"setpoint iter {i:3d}  objective {float(val):8.3f}")
+    assert np.isfinite(float(val)) and float(val) <= float(val0)
+    sp = 14.0 + 8.0 * jax.nn.sigmoid(np.asarray(params["raw"]))
+    print("optimized heating setpoints (C):", np.round(sp, 2))
+    if not fast:
+        # Night setback: unoccupied-hour setpoints drop below occupied ones.
+        assert sp[OCC].mean() > sp[~OCC].mean() + 0.5, sp
 
 
 if __name__ == "__main__":

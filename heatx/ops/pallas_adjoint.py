@@ -35,15 +35,21 @@ Differentiated inputs per day dispatch:
 
 Cotangents arrive on the day's outputs: the final state, the per-hour
 zone-temperature history, and (for thermostatic buildings) the per-hour
-ideal-load history.  Structural operands (one-hots, masks, boundary codes,
-mixing weights, thermostat setpoint rows, cavity gas coefficients) are not
-differentiated; gradients w.r.t. them are either meaningless (structure)
-or out of v1 scope (cavity gas properties, setpoints) — the XLA adjoint
-remains available for those.
+ideal-load history.  Thermostatic buildings also get gradients w.r.t.
+their setpoints: the compiled thermostat rows (``d_ctl_heat``/
+``d_ctl_cool``) and, with ``scheduled_setpoints=True``, the per-hour
+schedule channels (``d_sp_heat``/``d_sp_cool``) — the setpoint-landing
+power formula (engine/zone.py, in-kernel ``_zone_update_ctl``) is smooth
+in the setpoints up to the capacity clamp.  Structural operands (one-hots,
+masks, boundary codes, mixing weights, capacity clamps, cavity gas
+coefficients) are not differentiated; gradients w.r.t. them are either
+meaningless (structure) or out of scope (cavity gas properties — the
+FastRunner.chunk_grad scope probe raises rather than zeroing) — the XLA
+adjoint remains available for those.
 
 Scope: ``mode in ("trbdf2", "trbdf2_refresh")`` (any ``refresh_every``
-cadence), optional inter-zone mixing and thermostats.  In-run shading /
-ventilation gates, ``config.interior_mrt`` and scheduled setpoint series
+cadence), optional inter-zone mixing, thermostats and scheduled setpoint
+series.  In-run shading / ventilation gates and ``config.interior_mrt``
 are not supported (the factory raises; use the XLA backward).
 
 The reference has no autodiff at all — its observable channels are the
@@ -105,6 +111,7 @@ def make_day_adjoint(
     interpret: bool = False,
     grid_blocks: int = None,
     vmem_limit_mb: float = None,
+    scheduled_setpoints: bool = False,
 ):
     """Build the jitted day-adjoint:
 
@@ -112,7 +119,9 @@ def make_day_adjoint(
 
     ``params`` is the SAME operand tuple make_hour_march returns (the two
     kernels share the blocked-operand layout), ``hour_inputs`` the same
-    9-leaf hour-input tuple, ``T0``/``zT0_blocked`` the day-START state.
+    9-leaf hour-input tuple (11-leaf with ``scheduled_setpoints``: the
+    per-hour heat/cool setpoint rows appended, mirroring the forward
+    kernel), ``T0``/``zT0_blocked`` the day-START state.
     ``cots = (dT_final, d_zT_final, d_zt_hist, d_ld_hist)`` carries the
     cotangents of the day's outputs (``d_ld_hist`` may be None unless the
     building is thermostatic; any entry may be None for zero).
@@ -121,7 +130,12 @@ def make_day_adjoint(
     ({(part, name): blocked cotangent} for DIFF_NODE/DIFF_SURF),
     ``d_zone_volume`` [NB, ZB], ``d_sol_front``/``d_sol_back``/
     ``d_ir_front``/``d_ir_back`` [hours, SP], and ``d_a_extra``/
-    ``d_b_extra`` [hours, NB, ZB].
+    ``d_b_extra`` [hours, NB, ZB].  Thermostatic buildings additionally
+    get ``d_ctl_heat``/``d_ctl_cool`` [NB, ZB] (the compiled thermostat
+    setpoint rows — the setpoint-landing power formula is smooth in them
+    up to the capacity clamp, engine/zone.py) and, with
+    ``scheduled_setpoints``, ``d_sp_heat``/``d_sp_cool`` [hours, NB, ZB]
+    (the per-hour schedule channels — optimal setpoint control).
     """
     if mode not in ("trbdf2", "trbdf2_refresh"):
         raise ValueError(f"adjoint kernel supports the TR-BDF2 modes, got {mode!r}")
@@ -203,6 +217,10 @@ def make_day_adjoint(
     for pi, (rows, lo, w) in enumerate(parts_meta):
         in_specs += [vspec(hours, w)] * 4  # sol_f, sol_b, ir_f, ir_b
     in_specs += [zone_spec(HR8), zone_spec(HR8)]  # a_extra, b_extra
+    if scheduled_setpoints:
+        if bb.ctl is None:
+            raise ValueError("scheduled_setpoints requires thermostats")
+        in_specs += [zone_spec(HR8), zone_spec(HR8)]  # sp_heat, sp_cool
     for rows, lo, w in parts_meta:
         in_specs.append(vspec(rows, w))  # T0
     in_specs.append(zone_spec())  # zT0
@@ -241,6 +259,12 @@ def make_day_adjoint(
         out_shape += [jax.ShapeDtypeStruct((hours, NBl * w), dtype)] * 4
     out_specs += [zone_spec(HR8), zone_spec(HR8)]  # d_a_extra, d_b_extra
     out_shape += [jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype)] * 2
+    if has_ctl:
+        out_specs += [zone_spec(), zone_spec()]  # d_ctl_heat, d_ctl_cool
+        out_shape += [jax.ShapeDtypeStruct((NBl * 8, ZB), dtype)] * 2
+    if scheduled_setpoints:
+        out_specs += [zone_spec(HR8), zone_spec(HR8)]  # d_sp_heat, d_sp_cool
+        out_shape += [jax.ShapeDtypeStruct((NBl * HR8, ZB), dtype)] * 2
 
     # In-kernel stage-solver choice mirrors the forward kernel (PCR compiled,
     # pre-factored Thomas under interpret — the interpret-mode PCR race,
@@ -287,6 +311,10 @@ def make_day_adjoint(
         r_shared["a_extra"] = refs[i]
         r_shared["b_extra"] = refs[i + 1]
         i += 2
+        if scheduled_setpoints:
+            r_shared["sp_heat"] = refs[i]
+            r_shared["sp_cool"] = refs[i + 1]
+            i += 2
         for pi in range(n_parts):
             r_parts[pi]["T0"] = refs[i]
             i += 1
@@ -320,6 +348,15 @@ def make_day_adjoint(
         g_a_ref = refs[i]
         g_b_ref = refs[i + 1]
         i += 2
+        g_ctlh_ref = g_ctlc_ref = g_sph_ref = g_spc_ref = None
+        if has_ctl:
+            g_ctlh_ref = refs[i]
+            g_ctlc_ref = refs[i + 1]
+            i += 2
+        if scheduled_setpoints:
+            g_sph_ref = refs[i]
+            g_spc_ref = refs[i + 1]
+            i += 2
         TH_s = refs[i : i + n_parts]
         i += n_parts
         zTH_s = refs[i]
@@ -388,10 +425,10 @@ def make_day_adjoint(
                 )
             )
         mix_val = r_shared["mix_wt"][...] if bb.mix_wt is not None else None
-        ctl_vals = (
+        # Capacity clamps stay non-differentiated (structural bounds); the
+        # setpoint rows move into the diff set below.
+        ctl_max = (
             (
-                r_shared["ctl_heat"][...][0:1],
-                r_shared["ctl_cool"][...][0:1],
                 r_shared["ctl_mxh"][...][0:1],
                 r_shared["ctl_mxc"][...][0:1],
             )
@@ -410,6 +447,13 @@ def make_day_adjoint(
                 for pi in range(n_parts)
             ],
         }
+        if has_ctl:
+            # The compiled thermostat setpoint rows: the setpoint-landing
+            # power formula (_zone_update_ctl) is smooth in them up to the
+            # capacity clamp.  Under scheduled mode the hour body reads the
+            # schedule channels instead, so these pull zero gradient there.
+            diffp0["ctl_heat"] = r_shared["ctl_heat"][...][0:1]
+            diffp0["ctl_cool"] = r_shared["ctl_cool"][...][0:1]
 
         def build_sb(pi, dv):
             """Per-part SurfaceBatch values: non-diff arrays from the refs
@@ -466,6 +510,9 @@ def make_day_adjoint(
                 "a_row": r_shared["a_extra"][hs, :],
                 "b_row": r_shared["b_extra"][hs, :],
             }
+            if scheduled_setpoints:
+                ch["sp_heat"] = r_shared["sp_heat"][hs, :]
+                ch["sp_cool"] = r_shared["sp_cool"][hs, :]
             return ch
 
         def hour_fn(Ts, zT, diffp, ch, sc, unroll):
@@ -490,6 +537,15 @@ def make_day_adjoint(
                     )
                 )
             t_seq, ws_seq, wd_seq = sc
+            if has_ctl:
+                sp = (
+                    (ch["sp_heat"], ch["sp_cool"])
+                    if scheduled_setpoints
+                    else (diffp["ctl_heat"], diffp["ctl_cool"])
+                )
+                ctl = sp + ctl_max
+            else:
+                ctl = None
             return _hour_body_imp(
                 cfg,
                 parts,
@@ -506,7 +562,7 @@ def make_day_adjoint(
                 solver=solver,
                 off=0,
                 mix_wt=mix_val,
-                ctl=ctl_vals,
+                ctl=ctl,
                 refresh_h=(mode == "trbdf2_refresh"),
                 refresh_every=refresh_every,
                 unroll=unroll,
@@ -539,6 +595,9 @@ def make_day_adjoint(
         # loop overwrites rows 0..hours-1).
         g_a_ref[...] = jnp.zeros(g_a_ref.shape, dtype)
         g_b_ref[...] = jnp.zeros(g_b_ref.shape, dtype)
+        if scheduled_setpoints:
+            g_sph_ref[...] = jnp.zeros(g_sph_ref.shape, dtype)
+            g_spc_ref[...] = jnp.zeros(g_spc_ref.shape, dtype)
 
         # ---- reverse sweep -------------------------------------------------
         dP0 = jax.tree.map(jnp.zeros_like, diffp0)
@@ -575,6 +634,9 @@ def make_day_adjoint(
                     ]
             g_a_ref[pl.ds(h, 1), :] = gch["a_row"]
             g_b_ref[pl.ds(h, 1), :] = gch["b_row"]
+            if scheduled_setpoints:
+                g_sph_ref[pl.ds(h, 1), :] = gch["sp_heat"]
+                g_spc_ref[pl.ds(h, 1), :] = gch["sp_cool"]
             dP = jax.tree.map(jnp.add, dP, gdp)
             return gTs, gzT, dP
 
@@ -589,6 +651,13 @@ def make_day_adjoint(
         for pi, name, kind in diff_entries:
             g_param_refs[(pi, name)][...] = dP["parts"][pi][name]
         g_zvol_ref[...] = jnp.broadcast_to(dP["zone_volume"], g_zvol_ref.shape)
+        if has_ctl:
+            g_ctlh_ref[...] = jnp.broadcast_to(
+                dP["ctl_heat"], g_ctlh_ref.shape
+            )
+            g_ctlc_ref[...] = jnp.broadcast_to(
+                dP["ctl_cool"], g_ctlc_ref.shape
+            )
 
     # VMEM scratch: per-part hour-start node states + hour-start zone temps.
     scratch_shapes = [
@@ -628,9 +697,15 @@ def make_day_adjoint(
         return jnp.concatenate([a, pad], axis=1).reshape(NBl * 8, ZB)
 
     def day_adjoint(params, T0, zT0_blocked, hour_inputs, cots):
-        (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra) = tuple(
-            hour_inputs
-        )
+        hour_inputs = tuple(hour_inputs)
+        sp_heat = sp_cool = None
+        if scheduled_setpoints:
+            (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra,
+             sp_heat, sp_cool) = hour_inputs
+        else:
+            (t_o, wnd, wdr, sol_f, sol_b, ir_f, ir_b, a_extra, b_extra) = (
+                hour_inputs
+            )
         dT_fin, d_zT_fin, d_zth, d_ld = cots
         if dT_fin is None:
             dT_fin = jnp.zeros((N, SPl), dtype)
@@ -655,6 +730,11 @@ def make_day_adjoint(
             gains_rows(a_extra.astype(dtype)),
             gains_rows(b_extra.astype(dtype)),
         ]
+        if scheduled_setpoints:
+            operands += [
+                gains_rows(sp_heat.astype(dtype)),
+                gains_rows(sp_cool.astype(dtype)),
+            ]
         for rows, lo, w in parts_meta:
             operands.append(_lane_split(T0.astype(dtype), rows, lo, w))
         operands.append(zone_rows(zT0_blocked.reshape(NBl, ZB).astype(dtype)))
@@ -686,6 +766,20 @@ def make_day_adjoint(
             oi += 4
         d_a = jnp.moveaxis(outs[oi].reshape(NBl, HR8, ZB)[:, :hours], 1, 0)
         d_b = jnp.moveaxis(outs[oi + 1].reshape(NBl, HR8, ZB)[:, :hours], 1, 0)
+        oi += 2
+        d_ctl = {}
+        if has_ctl:
+            d_ctl["d_ctl_heat"] = outs[oi].reshape(NBl, 8, ZB)[:, 0]
+            d_ctl["d_ctl_cool"] = outs[oi + 1].reshape(NBl, 8, ZB)[:, 0]
+            oi += 2
+        if scheduled_setpoints:
+            d_ctl["d_sp_heat"] = jnp.moveaxis(
+                outs[oi].reshape(NBl, HR8, ZB)[:, :hours], 1, 0
+            )
+            d_ctl["d_sp_cool"] = jnp.moveaxis(
+                outs[oi + 1].reshape(NBl, HR8, ZB)[:, :hours], 1, 0
+            )
+            oi += 2
 
         dT0 = jnp.zeros((N, NBl, SB), dtype)
         for pi, (rows, lo, w) in enumerate(parts_meta):
@@ -731,12 +825,14 @@ def make_day_adjoint(
             },
             "d_a_extra": d_a,
             "d_b_extra": d_b,
+            **d_ctl,
         }
 
     day_adjoint.diff_entries = tuple(diff_entries)
     day_adjoint.parts_meta = tuple(parts_meta)
     day_adjoint.hours = hours
     day_adjoint.substeps = substeps
+    day_adjoint.scheduled_setpoints = scheduled_setpoints
     # The building-operand ordering this kernel expects (drift guard: the
     # forward kernel's param_index must enumerate the same keys in the
     # same order — FastRunner.chunk_grad asserts it at construction, so a

@@ -2097,6 +2097,10 @@ def make_hour_march(
 
     hour_march.param_axes = tuple(param_axes)
     hour_march.param_index = param_index
+    # Params position of the thermostat rows (heat_sp, cool_sp, max_heat,
+    # max_cool in order; None without thermostats) — lets callers/tests
+    # perturb or swap the compiled setpoint operands directly.
+    hour_march.ctl_param_base = ctl_param_base if bb.ctl is not None else None
     hour_march.collect_bad = collect_bad
     hour_march.collect_hq = collect_hq
     hour_march.collect_loads = bb.ctl is not None

@@ -11,8 +11,12 @@ Contracts:
   ``chunked_value_and_grad``) reproduces the pure-XLA chunked adjoint's
   value and parameter gradients to fp-exactness in f64, including on a
   thermostatic (ideal-loads) building;
+* thermostat setpoints differentiate: the compiled ctl rows and (on
+  scheduled runners) the per-hour schedule channels are FD-gated, and the
+  chunk_grad schedule_fn / ctl_heat_sp pull-backs match the XLA adjoint;
 * out-of-scope configurations (parity mode, in-run shading / vent gates,
-  scheduled setpoints) raise instead of silently dropping gradients.
+  apply_params feeding non-differentiated arrays) raise instead of
+  silently dropping gradients.
 
 The reference has no autodiff at all (SURVEY.md §2) — these gate heatx's
 own capability bar: the calibration/optimal-control workflow at fused-
@@ -345,32 +349,37 @@ def test_chunk_grad_matches_xla_adjoint(ideal, demand):
         assert rel < 1e-9, (k, float(g_k[k]), float(g_ref[k]))
 
 
-def test_day_adjoint_loads_cotangent_fd():
-    """FD gate for the ideal-load-history cotangent: a loss with a demand
-    term (sum ld*Wl) differentiates correctly through the adjoint kernel
-    (round-4 gap: chunk_grad hardwired this cotangent to None even though
-    the kernel accepts it).  Setpoints sit above the free-float band so
-    every zone heats on every sub-step — the FD directions stay inside one
-    smooth branch of the ideal-loads clip."""
+def _tstat_city(n_zones=6, heat=25.0, cool=35.0):
+    """City model + per-zone thermostats whose heating setpoint sits ABOVE
+    the free-float band, so every zone heats on every sub-step — FD
+    directions stay inside one smooth branch of the ideal-loads clip."""
     from heatx.model.building import IdealHeaterCooler
 
-    model = _city(6)
-    for z in range(6):
+    model = _city(n_zones)
+    for z in range(n_zones):
         model.add_hvac(IdealHeaterCooler(
-            f"t{z}", [f"z{z}"], heat_setpoint=25.0, cool_setpoint=35.0,
+            f"t{z}", [f"z{z}"], heat_setpoint=heat, cool_setpoint=cool,
             max_heating=1e5, max_cooling=1e5,
         ))
-    hours, substeps = 2, 4
+    return model
+
+
+def _tstat_setup(hours=2, substeps=4, scheduled=False, seed=3):
+    """Shared fixture for the thermostat-gradient FD gates: blocked city
+    model, forward + adjoint kernels, and randomized day inputs."""
+    model = _tstat_city(6)
     cfg = heatx.SimConfig(dtype=jnp.float64)
     building = compile_building(model, n=1, config=cfg)
     bb = pallas_step.block_building(building, block_size=16)
     hm, params = pallas_step.make_hour_march(
-        bb, substeps=substeps, interpret=True, mode="trbdf2", hours=hours
+        bb, substeps=substeps, interpret=True, mode="trbdf2", hours=hours,
+        scheduled_setpoints=scheduled,
     )
     adj = pallas_adjoint.make_day_adjoint(
-        bb, substeps=substeps, mode="trbdf2", hours=hours, interpret=True
+        bb, substeps=substeps, mode="trbdf2", hours=hours, interpret=True,
+        scheduled_setpoints=scheduled,
     )
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(seed)
     lay = bb.layout
     SP = lay.padded_surfaces
     NB, ZB, N = bb.n_blocks, bb.zones_per_block, bb.max_nodes
@@ -388,6 +397,29 @@ def test_day_adjoint_loads_cotangent_fd():
         jnp.zeros((hours, NB, ZB)),
         jnp.zeros((hours, NB, ZB)),
     )
+    if scheduled:
+        zmask = np.asarray(lay.zone_table) >= 0
+        sp_h = np.where(zmask, 25.0, 0.0)[None].repeat(hours, 0)
+        sp_c = np.where(zmask, 35.0, 0.0)[None].repeat(hours, 0)
+        hi = hi + (jnp.asarray(sp_h), jnp.asarray(sp_c))
+    return SimpleNS(
+        hm=hm, adj=adj, params=params, T0=T0, zT0=zT0, hi=hi, rng=rng,
+        bb=bb, N=N, SP=SP, NB=NB, ZB=ZB, parts_meta=adj.parts_meta,
+        building=building, hours=hours,
+    )
+
+
+def test_day_adjoint_loads_cotangent_fd():
+    """FD gate for the ideal-load-history cotangent: a loss with a demand
+    term (sum ld*Wl) differentiates correctly through the adjoint kernel
+    (round-4 gap: chunk_grad hardwired this cotangent to None even though
+    the kernel accepts it)."""
+    ns0 = _tstat_setup()
+    hm, adj, params, T0, zT0, hi = (
+        ns0.hm, ns0.adj, ns0.params, ns0.T0, ns0.zT0, ns0.hi
+    )
+    rng = ns0.rng
+    N, SP, NB, ZB, hours = ns0.N, ns0.SP, ns0.NB, ns0.ZB, ns0.hours
     WT = jnp.asarray(rng.normal(size=(N, SP)))
     Wz = jnp.asarray(rng.normal(size=(NB, ZB)))
     Wh = jnp.asarray(rng.normal(size=(hours, NB, ZB)))
@@ -407,7 +439,7 @@ def test_day_adjoint_loads_cotangent_fd():
     g = adj(params, T0, zT0, hi, (WT, Wz, Wh, Wl))
     ns = SimpleNS(
         hm=hm, params=params, T0=T0, zT0=zT0, hi=hi, loss=loss, NB=NB,
-        ZB=ZB, bb=bb, parts_meta=adj.parts_meta,
+        ZB=ZB, bb=ns0.bb, parts_meta=adj.parts_meta,
     )
 
     # day-start state direction (flows into the loads through the free-float
@@ -429,6 +461,266 @@ def test_day_adjoint_loads_cotangent_fd():
                             hi[:7] + (hi[7] + e * jnp.asarray(Da), hi[8])))
     ad = float(jnp.sum(g["d_a_extra"] * jnp.asarray(Da)))
     assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
+
+
+def _rows0(D, NB, ZB):
+    """[NB, ZB] zone values -> the kernel's [NB*8, ZB] zone-row operand
+    layout (data on row 0 of each 8-row tile)."""
+    out = np.zeros((NB, 8, ZB))
+    out[:, 0] = np.asarray(D)
+    return out.reshape(NB * 8, ZB)
+
+
+def test_day_adjoint_compiled_setpoint_fd():
+    """FD gate for the compiled thermostat setpoint rows (d_ctl_heat):
+    the setpoint-landing power formula is smooth in the setpoint, so the
+    adjoint kernel now differentiates the ctl rows instead of treating
+    them as structure (round-4 weak #1)."""
+    ns = _tstat_setup(seed=5)
+    hm, adj, params = ns.hm, ns.adj, ns.params
+    rng = ns.rng
+    NB, ZB, hours = ns.NB, ns.ZB, ns.hours
+    Wz = jnp.asarray(rng.normal(size=(NB, ZB)))
+    Wh = jnp.asarray(rng.normal(size=(hours, NB, ZB)))
+    Wl = jnp.asarray(rng.normal(size=(hours, NB, ZB))) * 1e-3
+
+    def loss(params, T, zT, hi):
+        _, zTn, _, zth, ld = hm(params, T, zT, hi)[:5]
+        return (
+            jnp.sum(zTn.reshape(NB, ZB) * Wz)
+            + jnp.sum(zth * Wh)
+            + jnp.sum(ld * Wl)
+        )
+
+    g = adj(params, ns.T0, ns.zT0, ns.hi, (None, Wz, Wh, Wl))
+    assert hm.ctl_param_base is not None
+    base = hm.ctl_param_base
+
+    # Perturb only REAL zone slots (padded slots carry -1e9 sentinels whose
+    # loads never trigger; their gradient is structurally zero).
+    zmask = np.asarray(ns.bb.layout.zone_table) >= 0
+    D = rng.normal(size=(NB, ZB)) * zmask
+    ad = float(jnp.sum(g["d_ctl_heat"] * jnp.asarray(D)))
+
+    def perturbed(e):
+        newp = list(params)
+        newp[base] = params[base] + e * jnp.asarray(_rows0(D, NB, ZB))
+        return tuple(newp)
+
+    eps = 1e-5
+    fd = (
+        float(loss(perturbed(+eps), ns.T0, ns.zT0, ns.hi))
+        - float(loss(perturbed(-eps), ns.T0, ns.zT0, ns.hi))
+    ) / (2 * eps)
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 5e-4, (fd, ad)
+    # The cooling branch never activates in this always-heating regime:
+    # its gradient must be exactly zero (and finite).
+    assert float(jnp.max(jnp.abs(g["d_ctl_cool"]))) == 0.0
+
+
+def test_day_adjoint_scheduled_setpoint_fd():
+    """FD gate for the per-hour setpoint schedule channels (d_sp_heat):
+    scheduled-setpoints buildings differentiate their heat/cool schedule
+    series through the adjoint kernel — the optimal-control gradient."""
+    ns = _tstat_setup(scheduled=True, seed=7)
+    hm, adj, params = ns.hm, ns.adj, ns.params
+    rng = ns.rng
+    NB, ZB, hours = ns.NB, ns.ZB, ns.hours
+    Wz = jnp.asarray(rng.normal(size=(NB, ZB)))
+    Wh = jnp.asarray(rng.normal(size=(hours, NB, ZB)))
+    Wl = jnp.asarray(rng.normal(size=(hours, NB, ZB))) * 1e-3
+
+    def loss(params, T, zT, hi):
+        _, zTn, _, zth, ld = hm(params, T, zT, hi)[:5]
+        return (
+            jnp.sum(zTn.reshape(NB, ZB) * Wz)
+            + jnp.sum(zth * Wh)
+            + jnp.sum(ld * Wl)
+        )
+
+    g = adj(params, ns.T0, ns.zT0, ns.hi, (None, Wz, Wh, Wl))
+    zmask = np.asarray(ns.bb.layout.zone_table) >= 0
+    Ds = rng.normal(size=(hours, NB, ZB)) * zmask[None]
+    ad = float(jnp.sum(g["d_sp_heat"] * jnp.asarray(Ds)))
+
+    def perturbed(e):
+        return ns.hi[:9] + (ns.hi[9] + e * jnp.asarray(Ds), ns.hi[10])
+
+    eps = 1e-5
+    fd = (
+        float(loss(params, ns.T0, ns.zT0, perturbed(+eps)))
+        - float(loss(params, ns.T0, ns.zT0, perturbed(-eps)))
+    ) / (2 * eps)
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 5e-4, (fd, ad)
+    # Scheduled mode: the (unused) compiled ctl rows pull zero gradient.
+    assert float(jnp.max(jnp.abs(g["d_ctl_heat"]))) == 0.0
+
+
+def test_chunk_grad_setpoint_params_match_xla():
+    """Full-pipeline gate: calibrating the COMPILED thermostat setpoints
+    (building.ctl_heat_sp via apply_params) through chunk_grad matches the
+    pure-XLA chunked adjoint in f64."""
+    SUBS = 6
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(_calib_model(ideal=True), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    T, C = 8, 2
+    t_out = -5.0 + 3.0 * np.sin(np.arange(T) / 4)
+    seq = tm.inputs_sequence(
+        T, t_out=jnp.asarray(t_out), wind_speed=3.0, wind_direction=45.0
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (v.reshape((C, T // C) + v.shape[1:])
+                   if v.ndim and v.shape[0] == T
+                   else jnp.broadcast_to(v, (C, T // C) + v.shape)),
+        seq,
+    )
+
+    def with_params(params):
+        return dataclasses.replace(
+            building, ctl_heat_sp=building.ctl_heat_sp + params["sp_shift"]
+        )
+
+    def chunk_fn(params, state, xs):
+        b = with_params(params)
+
+        def hour(s, x):
+            s = imp_mod.imp_march(b, s, x, substeps=SUBS)
+            return s, (s.zone_T, s.ideal_load)
+
+        state, (zt, ld) = jax.lax.scan(hour, state, xs)
+        return state, (jnp.mean(ld) / 1e3 + jnp.mean(zt)) / C
+
+    guess = {"sp_shift": jnp.asarray(1.5)}
+    val_ref, g_ref = chunked_value_and_grad(chunk_fn, guess, st, xs_chunks)
+
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS,
+                        hours=T // C)
+
+    def loss(zt, ld, xs):
+        return (jnp.mean(ld) / 1e3 + jnp.mean(zt)) / C
+
+    kf = fr.chunk_forward(with_params, loss, collect_loads=True)
+    kb = fr.chunk_grad(with_params, loss, collect_loads=True)
+    val_k, g_k = chunked_value_and_grad(
+        chunk_fn, guess, st, xs_chunks, forward_fn=kf, backward_fn=kb
+    )
+    assert abs(float(val_k) - float(val_ref)) / abs(float(val_ref)) < 1e-9
+    rel = abs(float(g_k["sp_shift"]) - float(g_ref["sp_shift"])) / max(
+        abs(float(g_ref["sp_shift"])), 1e-12
+    )
+    assert rel < 1e-9, (float(g_k["sp_shift"]), float(g_ref["sp_shift"]))
+
+
+def test_chunk_grad_schedule_fn_matches_xla():
+    """Full-pipeline gate: optimizing a SETPOINT SCHEDULE (schedule_fn on a
+    scheduled-setpoints runner) through chunk_grad matches the pure-XLA
+    chunked adjoint in f64 — the optimal-control contract."""
+    SUBS = 6
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(_calib_model(ideal=True), n=1, config=cfg)
+    building = tm._device()
+    Z = building.n_zones
+    st = tm.initial_state()
+    T, C = 8, 2
+    H = T // C
+    t_out = -5.0 + 3.0 * np.sin(np.arange(T) / 4)
+    seq = tm.inputs_sequence(
+        T, t_out=jnp.asarray(t_out), wind_speed=3.0, wind_direction=45.0
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (v.reshape((C, T // C) + v.shape[1:])
+                   if v.ndim and v.shape[0] == T
+                   else jnp.broadcast_to(v, (C, T // C) + v.shape)),
+        seq,
+    )
+    # Thread the chunk index through xs so schedule_fn can slice its chunk.
+    xs_chunks = (xs_chunks, jnp.arange(C))
+
+    def schedule(params):  # [T, Z] heating-setpoint schedule
+        return jnp.broadcast_to((18.0 + params["sp_raw"])[:, None], (T, Z))
+
+    def apply_params(params):
+        return building  # the schedule is the only optimization variable
+
+    def chunk_fn(params, state, xs):
+        xs, ci = xs
+        sp = jax.lax.dynamic_slice_in_dim(schedule(params), ci * H, H)
+
+        def hour(s, x):
+            x_in, sp_row = x
+            s = imp_mod.imp_march(
+                building, s, x_in._replace(heat_sp=sp_row), substeps=SUBS
+            )
+            return s, (s.zone_T, s.ideal_load)
+
+        state, (zt, ld) = jax.lax.scan(hour, state, (xs, sp))
+        return state, (jnp.mean(ld) / 1e3 + jnp.mean(zt)) / C
+
+    guess = {"sp_raw": jnp.asarray(np.linspace(0.0, 3.0, T))}
+    val_ref, g_ref = chunked_value_and_grad(chunk_fn, guess, st, xs_chunks)
+
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS,
+                        hours=H, scheduled_setpoints=True)
+
+    def schedule_fn(params, xs):
+        xs, ci = xs
+        return {
+            "heat_sp": jax.lax.dynamic_slice_in_dim(
+                schedule(params), ci * H, H
+            )
+        }
+
+    def loss(zt, ld, xs):
+        return (jnp.mean(ld) / 1e3 + jnp.mean(zt)) / C
+
+    def forward_fn(params, state, xs):
+        kf = fr.chunk_forward(
+            apply_params, loss, collect_loads=True,
+            schedule_fn=lambda p, inner: schedule_fn(p, xs),
+        )
+        return kf(params, state, xs[0])
+
+    def backward_fn(params, state, xs, state_cot, loss_cot):
+        kb = fr.chunk_grad(
+            apply_params, loss, collect_loads=True,
+            schedule_fn=lambda p, inner: schedule_fn(p, xs),
+        )
+        return kb(params, state, xs[0], state_cot, loss_cot)
+
+    val_k, g_k = chunked_value_and_grad(
+        chunk_fn, guess, st, xs_chunks,
+        forward_fn=forward_fn, backward_fn=backward_fn,
+    )
+    assert abs(float(val_k) - float(val_ref)) / abs(float(val_ref)) < 1e-9
+    gr = np.asarray(g_ref["sp_raw"])
+    gk = np.asarray(g_k["sp_raw"])
+    assert np.allclose(gk, gr, rtol=1e-9, atol=1e-12), (gk, gr)
+
+
+def test_chunk_grad_scope_probe_raises():
+    """apply_params feeding a NON-differentiated building array (capacity
+    clamps) raises on the first backward call instead of silently pulling
+    zero gradient."""
+    SUBS = 4
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(_calib_model(ideal=True), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    T = 4
+    seq = tm.inputs_sequence(T, t_out=0.0, wind_speed=3.0)
+
+    def bad_apply(params):
+        return dataclasses.replace(
+            building, ctl_max_heat=building.ctl_max_heat * params["cap"]
+        )
+
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS, hours=T)
+    kb = fr.chunk_grad(bad_apply, lambda z, xs: jnp.sum(z))
+    zero_cot = jax.tree.map(jnp.zeros_like, st)
+    with pytest.raises(ValueError, match="does not differentiate"):
+        kb({"cap": jnp.asarray(1.2)}, st, seq, zero_cot, jnp.asarray(1.0))
 
 
 def test_adjoint_scope_raises():
