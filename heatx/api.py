@@ -946,6 +946,15 @@ class FastRunner:
                 f"{fwd_order} vs {adj.param_order}"
             )
 
+        # Interior-MRT buildings: the adjoint also differentiates the
+        # Carroll effective-emissivity operands; their cotangents pull back
+        # through the differentiable blocking-statics twin below.
+        mrt_names = tuple(sorted({
+            name
+            for (_, name, kind) in adj.diff_entries
+            if name in ("mrt_eps_f", "mrt_eps_b")
+        }))
+
         # Position of the per-hour ideal-load history in the hour-march
         # outputs: (T, zT, hq, zt_hist, [hq_hist], bad, [ld_hist], [top]).
         ld_idx = 5 + (1 if self._collect_hq else 0)
@@ -995,6 +1004,7 @@ class FastRunner:
             acc0.update(
                 {name: j.zeros((SPl,), dt) for name in pallas_adjoint.DIFF_SURF}
             )
+            acc0.update({name: j.zeros((SPl,), dt) for name in mrt_names})
             acc0["zone_volume"] = j.zeros((NB, ZB), dt)
             if has_loads:
                 acc0["ctl_heat"] = j.zeros((NB, ZB), dt)
@@ -1158,6 +1168,19 @@ class FastRunner:
         # trips per chunk.
         names = pallas_adjoint.DIFF_NODE + pallas_adjoint.DIFF_SURF
 
+        if mrt_names:
+            from heatx.ops import pallas_step as _ps
+
+            _bbx = self._bb
+            _mrt_part = _ps._mrt_part_mask(
+                _bbx.surfaces, _bbx.front_oh, _bbx.back_oh, NB,
+                _bbx.zones_per_block,
+            )
+            _mrt_oh = (
+                np.asarray(_bbx.front_oh, np.float64),
+                np.asarray(_bbx.back_oh, np.float64),
+            )
+
         def extract(p):
             bd = apply_params(p)
             d = {name: getattr(bd.surfaces, name) for name in names}
@@ -1167,6 +1190,33 @@ class FastRunner:
                 # (d_ctl_heat/d_ctl_cool from the adjoint kernel).
                 d["ctl_heat_sp"] = bd.ctl_heat_sp
                 d["ctl_cool_sp"] = bd.ctl_cool_sp
+            if mrt_names:
+                # Recompute the Carroll effective emissivities with the
+                # DIFFERENTIABLE twin of the blocking statics so the
+                # adjoint kernel's mrt_eps cotangents chain back into
+                # area/eps (pallas_step.mrt_eps_blocked_jnp).
+                from heatx.ops import pallas_step as _ps2
+
+                idx = self._layout_idx()
+
+                def blocked_surf(a, fill):
+                    return j.where(
+                        idx.perm_ok, j.asarray(a, self._dtype)[idx.perm_c],
+                        fill,
+                    )
+
+                with jax.default_matmul_precision("highest"):
+                    mef, meb = _ps2.mrt_eps_blocked_jnp(
+                        blocked_surf(bd.surfaces.area, 1.0),
+                        blocked_surf(bd.surfaces.eps_front, 0.0),
+                        blocked_surf(bd.surfaces.eps_back, 0.0),
+                        _mrt_part, _mrt_oh[0], _mrt_oh[1], NB,
+                        self._bb.zones_per_block,
+                    )
+                if "mrt_eps_f" in mrt_names:
+                    d["mrt_eps_f"] = mef
+                if "mrt_eps_b" in mrt_names:
+                    d["mrt_eps_b"] = meb
             return d
 
         @jax.jit
@@ -1190,6 +1240,9 @@ class FastRunner:
                         acc[src].reshape(NB * ZB)[zin]
                         .astype(outv[dst].dtype)
                     )
+            for n in mrt_names:
+                # Already in the blocked [SP] layout extract produced.
+                cot[n] = acc[n].astype(outv[n].dtype)
             (params_cot,) = pvjp(cot)
             node_cot = dT[:, idx.inv_d]
             zone_cot = dzT.reshape(NB * ZB)[zin]

@@ -149,18 +149,12 @@ def make_day_adjoint(
             "adjoint kernel: in-run ventilation gates are not supported "
             "(use the XLA backward)"
         )
-    if bb.config.interior_mrt:
-        # The Carroll network's effective emissivities are precomputed
-        # statics (block_building._mrt_static_blocked) — the kernel cannot
-        # flow eps_front/eps_back cotangents through them, so interior-MRT
-        # emissivity gradients would be silently truncated.  Reject rather
-        # than return wrong calibration gradients; the XLA backward
-        # differentiates the full path.
-        raise ValueError(
-            "adjoint kernel: config.interior_mrt is not supported (the "
-            "blocked Carroll statics break the emissivity gradient path; "
-            "use the XLA backward)"
-        )
+    # config.interior_mrt IS supported: the Carroll effective emissivities
+    # ride as per-part operands (mrt_eps_f/mrt_eps_b), the kernel
+    # differentiates them like any other surface parameter, and
+    # FastRunner.chunk_grad pulls their cotangents back through a jnp twin
+    # of the blocking statics (pallas_step.mrt_eps_blocked_jnp) so
+    # eps/area calibration gradients include the radiant-network chain.
     substeps = substeps or 12
     if refresh_every is not None:
         if mode != "trbdf2_refresh":
@@ -183,6 +177,16 @@ def make_day_adjoint(
 
     pp = _prep_parts(bb, dtype, scheduled_shade_sp=False)
     parts_meta, n_parts = pp.parts_meta, pp.n_parts
+
+    # Interior-MRT buildings carry the Carroll effective emissivities as
+    # extra per-part surface operands; they join the differentiated set
+    # (presence varies per part side — _prep_parts skips all-zero rows).
+    MRT_NAMES = ("mrt_eps_f", "mrt_eps_b")
+    part_diff_surf = [
+        DIFF_SURF
+        + tuple(n for n in MRT_NAMES if n in pp.part_surf_names[pi])
+        for pi in range(n_parts)
+    ]
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
@@ -248,7 +252,7 @@ def make_day_adjoint(
             out_specs.append(vspec(a.shape[0], w))
             out_shape.append(jax.ShapeDtypeStruct((a.shape[0], NBl * w), dtype))
             diff_entries.append((pi, name, "node"))
-        for name in DIFF_SURF:
+        for name in part_diff_surf[pi]:
             out_specs.append(vspec(1, w))
             out_shape.append(jax.ShapeDtypeStruct((1, NBl * w), dtype))
             diff_entries.append((pi, name, "surf"))
@@ -412,16 +416,6 @@ def make_day_adjoint(
                     back_oh=rp["back_oh"][...] if "back_oh" in names else None,
                     front_ohT=rp["front_ohT"][...] if "front_ohT" in names else None,
                     back_ohT=rp["back_ohT"][...] if "back_ohT" in names else None,
-                    mrt_ef=(
-                        rp["mrt_eps_f"][0]
-                        if "mrt_eps_f" in pp.part_surf_names[pi]
-                        else None
-                    ),
-                    mrt_eb=(
-                        rp["mrt_eps_b"][0]
-                        if "mrt_eps_b" in pp.part_surf_names[pi]
-                        else None
-                    ),
                 )
             )
         mix_val = r_shared["mix_wt"][...] if bb.mix_wt is not None else None
@@ -442,7 +436,7 @@ def make_day_adjoint(
             "parts": [
                 {
                     name: r_parts[pi][name][...]
-                    for name in DIFF_NODE + DIFF_SURF
+                    for name in DIFF_NODE + part_diff_surf[pi]
                 }
                 for pi in range(n_parts)
             ],
@@ -519,17 +513,22 @@ def make_day_adjoint(
             parts = []
             for pi in range(n_parts):
                 nd = nd_parts[pi]
+                dv = diffp["parts"][pi]
                 parts.append(
                     SimpleNamespace(
-                        sb=build_sb(pi, diffp["parts"][pi]),
+                        sb=build_sb(pi, dv),
                         front_any=nd.front_any,
                         back_any=nd.back_any,
                         front_oh=nd.front_oh,
                         back_oh=nd.back_oh,
                         front_ohT=nd.front_ohT,
                         back_ohT=nd.back_ohT,
-                        mrt_ef=nd.mrt_ef,
-                        mrt_eb=nd.mrt_eb,
+                        mrt_ef=(
+                            dv["mrt_eps_f"][0] if "mrt_eps_f" in dv else None
+                        ),
+                        mrt_eb=(
+                            dv["mrt_eps_b"][0] if "mrt_eps_b" in dv else None
+                        ),
                         sol_front=ch["parts"][pi]["sol_front"],
                         sol_back=ch["parts"][pi]["sol_back"],
                         ir_front=ch["parts"][pi]["ir_front"],
@@ -800,9 +799,14 @@ def make_day_adjoint(
                     g.reshape(g.shape[0], NBl, w)
                 )
             d_params[name] = full.reshape(N, SPl)
-        for name in DIFF_SURF:
+        surf_names_all = DIFF_SURF + tuple(
+            n for n in MRT_NAMES if any(n in pds for pds in part_diff_surf)
+        )
+        for name in surf_names_all:
             full = jnp.zeros((NBl, SB), dtype)
             for pi, (rows, lo, w) in enumerate(parts_meta):
+                if (pi, name) not in d_parts:
+                    continue  # e.g. a part side with no MRT faces
                 g = d_parts[(pi, name)]
                 full = full.at[:, lo : lo + w].set(g.reshape(NBl, w))
             d_params[name] = full.reshape(SPl)

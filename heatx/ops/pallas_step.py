@@ -126,6 +126,22 @@ def _mrt_static_blocked(sb: SurfaceBatch, front_oh, back_oh, n_blocks, zones_per
     NB, ZB = n_blocks, zones_per_block
     area = np.asarray(sb.area, np.float64)
     SP = area.shape[0]
+    part = _mrt_part_mask(sb, front_oh, back_oh, NB, ZB)
+    out = mrt_eps_blocked_jnp(
+        area, np.asarray(sb.eps_front, np.float64),
+        np.asarray(sb.eps_back, np.float64),
+        part, np.asarray(front_oh, np.float64),
+        np.asarray(back_oh, np.float64), NB, ZB, xp=np,
+    )
+    return np.asarray(out[0]).reshape(SP), np.asarray(out[1]).reshape(SP)
+
+
+def _mrt_part_mask(sb, front_oh, back_oh, n_blocks, zones_per_block):
+    """STATIC participation mask [2, NB, SB] of the Carroll network: a face
+    participates when it bounds a space, emits (eps > 1e-6), and its zone
+    has >= 2 participating faces (engine.surface._mrt_solve).  Structural —
+    derived from boundary codes, not calibrated values."""
+    NB, ZB = n_blocks, zones_per_block
     oh = np.stack(
         [
             np.asarray(front_oh, np.float64).reshape(NB, -1, ZB),
@@ -138,26 +154,47 @@ def _mrt_static_blocked(sb: SurfaceBatch, front_oh, back_oh, n_blocks, zones_per
             (np.asarray(sb.back_code) == B_SPACE) & (np.asarray(sb.eps_back) > 1e-6),
         ]
     ).reshape(2, NB, -1)
-    a2 = np.broadcast_to(area.reshape(1, NB, -1), part.shape)
-
-    # An exchange network needs >= 2 participating faces in the zone
-    # (engine.surface._mrt_solve).
     count = np.einsum("fnsz,fns->nz", oh, part.astype(np.float64))
-    part = part & (np.einsum("fnsz,nz->fns", oh, count) >= 1.5)
+    return part & (np.einsum("fnsz,nz->fns", oh, count) >= 1.5)
+
+
+def mrt_eps_blocked_jnp(
+    area, eps_front, eps_back, part, front_oh, back_oh, n_blocks,
+    zones_per_block, xp=None,
+):
+    """Carroll view-factor fixed point + effective emissivities, written
+    array-module-generically (``xp=np`` reproduces the blocking statics
+    bit-for-bit; ``xp=jnp`` is DIFFERENTIABLE in area/eps_front/eps_back —
+    FastRunner.chunk_grad pulls the adjoint kernel's mrt_eps cotangents
+    back through this to close the interior-MRT calibration chain).
+
+    ``area``/``eps_*`` are blocked [SP] arrays, ``part`` the static
+    [2, NB, SB] participation mask (_mrt_part_mask).  Returns
+    ``(eps_eff_front, eps_eff_back)`` as [SP] arrays (0 = face does not
+    participate)."""
+    if xp is None:
+        import jax.numpy as xp  # noqa: PLC0415
+    NB, ZB = n_blocks, zones_per_block
+    oh = xp.stack(
+        [
+            xp.reshape(front_oh, (NB, -1, ZB)),
+            xp.reshape(back_oh, (NB, -1, ZB)),
+        ]
+    )  # [2, NB, SB, ZB]
+    a2 = xp.broadcast_to(xp.reshape(area, (1, NB, -1)), part.shape)
 
     # Carroll view-factor fixed point (engine.surface.carroll_view_factors).
-    F = np.ones_like(a2)
+    F = xp.ones_like(a2)
     for _ in range(20):
-        af = np.where(part, a2 * F, 0.0)
-        tot = np.einsum("fnsz,fns->nz", oh, af)
-        denom = 1.0 - af / np.maximum(np.einsum("fnsz,nz->fns", oh, tot), 1e-30)
-        F = 1.0 / np.maximum(denom, 0.05)
-    F = np.where(part, F, 0.0)
-    eps = np.stack(
-        [np.asarray(sb.eps_front, np.float64), np.asarray(sb.eps_back, np.float64)]
-    ).reshape(2, NB, -1)
-    denom = np.where(part, F * (1.0 - eps) + eps, 1.0)  # 0/0 on masked faces
-    eps_eff = np.where(part, eps * F / denom, 0.0)
+        af = xp.where(part, a2 * F, 0.0)
+        tot = xp.einsum("fnsz,fns->nz", oh, af)
+        denom = 1.0 - af / xp.maximum(xp.einsum("fnsz,nz->fns", oh, tot), 1e-30)
+        F = 1.0 / xp.maximum(denom, 0.05)
+    F = xp.where(part, F, 0.0)
+    eps = xp.stack([eps_front, eps_back]).reshape(2, NB, -1)
+    denom = xp.where(part, F * (1.0 - eps) + eps, 1.0)  # 0/0 on masked faces
+    eps_eff = xp.where(part, eps * F / denom, 0.0)
+    SP = np.shape(area)[0]
     return eps_eff[0].reshape(SP), eps_eff[1].reshape(SP)
 
 

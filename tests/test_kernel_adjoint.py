@@ -723,6 +723,134 @@ def test_chunk_grad_scope_probe_raises():
         kb({"cap": jnp.asarray(1.2)}, st, seq, zero_cot, jnp.asarray(1.0))
 
 
+def test_day_adjoint_interior_mrt_fd():
+    """config.interior_mrt buildings differentiate through the adjoint
+    kernel: the Carroll effective-emissivity operands (mrt_eps_b for these
+    outdoor-front/space-back surfaces) carry FD-correct gradients, and the
+    in-kernel 4-iteration MRT fixed point is part of the vjp (round-4
+    weak: interior_mrt was rejected)."""
+    model = _city(6)
+    cfg = heatx.SimConfig(dtype=jnp.float64, interior_mrt=True)
+    building = compile_building(model, n=1, config=cfg)
+    bb = pallas_step.block_building(building, block_size=16)
+    hours, substeps = 2, 4
+    hm, params = pallas_step.make_hour_march(
+        bb, substeps=substeps, interpret=True, mode="trbdf2", hours=hours
+    )
+    adj = pallas_adjoint.make_day_adjoint(
+        bb, substeps=substeps, mode="trbdf2", hours=hours, interpret=True
+    )
+    rng = np.random.default_rng(11)
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    NB, ZB, N = bb.n_blocks, bb.zones_per_block, bb.max_nodes
+    st = state_mod.initial_state(building)
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)))
+    hi = (
+        jnp.repeat(jnp.asarray([2.0, 5.0]), substeps),
+        jnp.repeat(jnp.asarray([3.0, 4.0]), substeps),
+        jnp.repeat(jnp.asarray([0.7, 0.1]), substeps),
+        jnp.asarray(rng.uniform(0, 400, (hours, SP))),
+        jnp.zeros((hours, SP)),
+        jnp.full((hours, SP), 320.0),
+        jnp.zeros((hours, SP)),
+        jnp.zeros((hours, NB, ZB)),
+        jnp.zeros((hours, NB, ZB)),
+    )
+    WT = jnp.asarray(rng.normal(size=(N, SP)))
+    Wz = jnp.asarray(rng.normal(size=(NB, ZB)))
+    Wh = jnp.asarray(rng.normal(size=(hours, NB, ZB)))
+
+    def loss(params, T, zT, hi):
+        Tn, zTn, _, zth = hm(params, T, zT, hi)[:4]
+        return (
+            jnp.sum(Tn * WT)
+            + jnp.sum(zTn.reshape(NB, ZB) * Wz)
+            + jnp.sum(zth * Wh)
+        )
+
+    g = adj(params, T0, zT0, hi, (WT, Wz, Wh, None))
+    ns = SimpleNS(
+        hm=hm, params=params, T0=T0, zT0=zT0, hi=hi, loss=loss, NB=NB,
+        ZB=ZB, bb=bb, parts_meta=adj.parts_meta,
+    )
+    assert "mrt_eps_b" in g["d_params"], sorted(g["d_params"])
+
+    # Effective-emissivity operand direction (the MRT network chain).
+    Dp = rng.normal(size=(SP,)) * 0.05
+    ad = float(jnp.sum(g["d_params"]["mrt_eps_b"] * jnp.asarray(Dp)))
+    fd = _fd(ns, lambda e: (
+        _perturb_param(ns, "mrt_eps_b", Dp, e), T0, zT0, hi))
+    assert abs(fd - ad) / max(abs(fd), abs(ad), 1e-12) < 5e-4, (fd, ad)
+
+    # Direct emissivity operand still FD-correct alongside the MRT path.
+    Dp2 = rng.normal(size=(SP,)) * 0.05
+    ad = float(jnp.sum(g["d_params"]["eps_back"] * jnp.asarray(Dp2)))
+    fd = _fd(ns, lambda e: (
+        _perturb_param(ns, "eps_back", Dp2, e), T0, zT0, hi))
+    assert abs(fd - ad) / max(abs(fd), abs(ad), 1e-12) < 5e-4, (fd, ad)
+
+
+def test_chunk_grad_interior_mrt_matches_xla():
+    """Full-pipeline gate for interior-MRT calibration: eps_back gradients
+    through chunk_grad (direct path + Carroll-statics chain via
+    mrt_eps_blocked_jnp) match the pure-XLA chunked adjoint, which
+    differentiates the whole composition natively."""
+    SUBS = 6
+    cfg = heatx.SimConfig(dtype=np.float64, interior_mrt=True)
+    tm = heatx.ThermalModel(_calib_model(), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    T, C = 8, 2
+    t_out = 5.0 + 8.0 * np.sin(np.arange(T) / 4)
+    seq = tm.inputs_sequence(
+        T, t_out=jnp.asarray(t_out), wind_speed=3.0, wind_direction=45.0,
+        hvac_power=jnp.full((building.n_hvacs,), 800.0),
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (v.reshape((C, T // C) + v.shape[1:])
+                   if v.ndim and v.shape[0] == T
+                   else jnp.broadcast_to(v, (C, T // C) + v.shape)),
+        seq,
+    )
+    sb0 = building.surfaces
+
+    def with_params(params):
+        sb = dataclasses.replace(sb0, eps_back=sb0.eps_back * params["e"])
+        return dataclasses.replace(building, surfaces=sb)
+
+    def chunk_fn(params, state, xs):
+        b = with_params(params)
+
+        def hour(s, x):
+            s = imp_mod.imp_march(b, s, x, substeps=SUBS)
+            return s, s.zone_T
+
+        state, zt = jax.lax.scan(hour, state, xs)
+        return state, jnp.mean(zt) / C
+
+    guess = {"e": jnp.asarray(0.9)}
+    val_ref, g_ref = chunked_value_and_grad(chunk_fn, guess, st, xs_chunks)
+
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS,
+                        hours=T // C)
+
+    def loss(zt, xs):
+        return jnp.mean(zt) / C
+
+    kf = fr.chunk_forward(with_params, loss)
+    kb = fr.chunk_grad(with_params, loss)
+    val_k, g_k = chunked_value_and_grad(
+        chunk_fn, guess, st, xs_chunks, forward_fn=kf, backward_fn=kb
+    )
+    assert abs(float(val_k) - float(val_ref)) / abs(float(val_ref)) < 1e-9
+    rel = abs(float(g_k["e"]) - float(g_ref["e"])) / max(
+        abs(float(g_ref["e"])), 1e-12
+    )
+    assert rel < 1e-8, (float(g_k["e"]), float(g_ref["e"]))
+
+
 def test_adjoint_scope_raises():
     model = _city(6)
     cfg = heatx.SimConfig(dtype=jnp.float64)
@@ -730,12 +858,6 @@ def test_adjoint_scope_raises():
     bb = pallas_step.block_building(building, block_size=16)
     with pytest.raises(ValueError, match="TR-BDF2"):
         pallas_adjoint.make_day_adjoint(bb, mode="parity", interpret=True)
-    cfg_mrt = heatx.SimConfig(dtype=jnp.float64, interior_mrt=True)
-    bb_mrt = pallas_step.block_building(
-        compile_building(model, n=1, config=cfg_mrt), block_size=16
-    )
-    with pytest.raises(ValueError, match="interior_mrt"):
-        pallas_adjoint.make_day_adjoint(bb_mrt, mode="trbdf2", interpret=True)
     tm = heatx.ThermalModel(
         model, n=1, config=heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
     )
