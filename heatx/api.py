@@ -858,10 +858,13 @@ class FastRunner:
         first backward call instead of silently zeroing
         (:meth:`_check_grad_scope`) — use the XLA backward for those.
 
-        Scope: TR-BDF2 modes on the single-device runner without in-run
-        shading/vent gates or mid-chunk ground swaps.  ``run_kw`` must
-        match the paired chunk_forward's (trajectory-affecting options the
-        backward recompute cannot honor raise here)."""
+        Scope: the TR-BDF2 modes and parity mode (which unrolls the
+        stability-dictated sub-step count — requires
+        ``config.nomass_fixed_iters``; the unrolled trace is large at the
+        default ~118 sub-steps/hour) on the single-device runner, without
+        in-run shading/vent gates or mid-chunk ground swaps.  ``run_kw``
+        must match the paired chunk_forward's (trajectory-affecting
+        options the backward recompute cannot honor raise here)."""
         import numpy as np
 
         from heatx.engine.state import SimState
@@ -890,11 +893,6 @@ class FastRunner:
             )
 
         mk = self._mk_kwargs
-        if mk["mode"] == "parity":
-            raise ValueError(
-                "chunk_grad differentiates the TR-BDF2 modes (the parity "
-                "kernel's fixed-point regime is not in the adjoint's scope)"
-            )
         if self._scheduled_shade:
             raise ValueError(
                 "chunk_grad: in-run zone shading is not supported (use the "

@@ -51,6 +51,12 @@ class SimConfig:
     # XLA-preferred ones.  Not a user knob.
     kernel_mode: bool = False
 
+    # Set (internally) by the adjoint kernel factory: statically unroll the
+    # fixed-iteration loops kernel_mode would otherwise run as fori_loop
+    # (fori has no reverse-mode rule; the unrolled arithmetic is
+    # identical).  Not a user knob.
+    unroll_fixed_loops: bool = False
+
     # Flush RK4 stage values below ~1e-25 to zero: near equilibrium the stage
     # values decay into the subnormal range, where the XLA substep path's
     # fused vector loops drop onto a ~20x slow path.  The Pallas kernel path

@@ -798,7 +798,7 @@ def march_nomass(
         # update/convergence masking.  Loop form keeps the compiled body
         # small (important for Mosaic); unrolled form lets XLA fuse across
         # iterations.
-        if config.kernel_mode:
+        if config.kernel_mode and not config.unroll_fixed_loops:
             carry = jax.lax.fori_loop(
                 0,
                 config.nomass_fixed_iters,

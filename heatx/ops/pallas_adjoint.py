@@ -47,10 +47,15 @@ meaningless (structure) or out of scope (cavity gas properties — the
 FastRunner.chunk_grad scope probe raises rather than zeroing) — the XLA
 adjoint remains available for those.
 
-Scope: ``mode in ("trbdf2", "trbdf2_refresh")`` (any ``refresh_every``
-cadence), optional inter-zone mixing, thermostats and scheduled setpoint
-series.  In-run shading / ventilation gates and ``config.interior_mrt``
-are not supported (the factory raises; use the XLA backward).
+Scope: ``mode in ("parity", "trbdf2", "trbdf2_refresh")`` (any
+``refresh_every`` cadence), optional inter-zone mixing, thermostats,
+scheduled setpoint series and ``config.interior_mrt``.  Parity mode
+unrolls the stability-dictated sub-step count and requires
+``config.nomass_fixed_iters`` (the adaptive while_loop has no reverse
+rule) — tractable at coarse discretizations; at the default ~118
+sub-steps/hour the unrolled trace is large (see PERF.md).  In-run
+shading / ventilation gates are not supported (the factory raises; use
+the XLA backward).
 
 The reference has no autodiff at all — its observable channels are the
 per-step zone temperatures and surface h/q states
@@ -74,6 +79,7 @@ from jax.experimental.pallas import tpu as pltpu
 from heatx.ops import tridiag
 from heatx.ops.pallas_step import (
     BlockedBuilding,
+    _hour_body,
     _hour_body_imp,
     _prep_parts,
 )
@@ -137,8 +143,22 @@ def make_day_adjoint(
     ``scheduled_setpoints``, ``d_sp_heat``/``d_sp_cool`` [hours, NB, ZB]
     (the per-hour schedule channels — optimal setpoint control).
     """
-    if mode not in ("trbdf2", "trbdf2_refresh"):
-        raise ValueError(f"adjoint kernel supports the TR-BDF2 modes, got {mode!r}")
+    if mode not in ("parity", "trbdf2", "trbdf2_refresh"):
+        raise ValueError(
+            f"adjoint kernel supports parity and the TR-BDF2 modes, got {mode!r}"
+        )
+    if mode == "parity":
+        if substeps is None:
+            raise ValueError(
+                "mode='parity' needs the stability-dictated sub-step count "
+                "(building.dt_subdivisions) passed as substeps"
+            )
+        if bb.surfaces.has_nomass and bb.config.nomass_fixed_iters is None:
+            raise ValueError(
+                "parity adjoint requires config.nomass_fixed_iters (the "
+                "adaptive while_loop fixed point has no reverse-mode rule; "
+                "the fixed-iteration composition unrolls instead)"
+            )
     if bb.shade is not None:
         raise ValueError(
             "adjoint kernel: in-run zone shading is not supported (use the "
@@ -278,7 +298,12 @@ def make_day_adjoint(
     )
     solver = tridiag.solve_pcr if _solver_kind == "pcr" else tridiag.solve
 
-    cfg = bb.config.replace(kernel_mode=True, flush_tiny=False)
+    # unroll_fixed_loops: the no-mass fixed-iteration loop runs unrolled
+    # instead of fori (fori has no reverse rule; identical arithmetic).
+    # Inert for the TR-BDF2 modes, which never enter march_nomass.
+    cfg = bb.config.replace(
+        kernel_mode=True, flush_tiny=False, unroll_fixed_loops=True
+    )
 
     def kernel(*refs):
         i = 0
@@ -545,6 +570,26 @@ def make_day_adjoint(
                 ctl = sp + ctl_max
             else:
                 ctl = None
+            if mode == "parity":
+                return _hour_body(
+                    cfg,
+                    parts,
+                    diffp["zone_volume"],
+                    ch["a_row"],
+                    ch["b_row"],
+                    t_seq,
+                    ws_seq,
+                    wd_seq,
+                    Ts,
+                    zT,
+                    substeps,
+                    dt,
+                    solver=solver,
+                    off=0,
+                    mix_wt=mix_val,
+                    ctl=ctl,
+                    unroll=unroll,
+                )
             return _hour_body_imp(
                 cfg,
                 parts,

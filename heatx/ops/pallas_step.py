@@ -647,11 +647,15 @@ def _hour_body(
     off=0,  # weather offset (multi-hour kernels pass hour*substeps)
     mix_wt=None,  # [ZB, ZB] block-local inter-zone mixing matrix
     ctl=None,  # (heat_sp, cool_sp, max_heat, max_cool) [1, ZB] rows, or None
+    unroll=False,  # Python loops instead of fori (reverse-differentiable)
 ):
     """One hour of reference-parity sub-steps for one block; pure jnp.
 
     Mirrors engine.step.substep + engine.zone per sub-step, marching every
     node-height sub-batch and accumulating their zone couplings together.
+    ``unroll=True`` runs the same sub-steps as a Python loop — required by
+    the parity adjoint kernel (fori_loop has no reverse-mode rule); the
+    arithmetic is identical.
     """
     f32 = T0s[0].dtype
     # Hoist the loop-invariant network masks, the static K/q pieces and RK4
@@ -739,9 +743,14 @@ def _hour_body(
             )
             return st, hqs
 
-        (Ts, zT), hqs = jax.lax.fori_loop(
-            0, substeps, loop_body, ((T0s, zT0), hq0)
-        )
+        carry0 = ((T0s, zT0), hq0)
+        if unroll:
+            c = carry0
+            for i in range(substeps):
+                c = loop_body(i, c)
+            (Ts, zT), hqs = c
+        else:
+            (Ts, zT), hqs = jax.lax.fori_loop(0, substeps, loop_body, carry0)
         return Ts, zT, hqs, None
 
     def loop_body(i, carry):
@@ -751,9 +760,16 @@ def _hour_body(
         )
         return st, hqs, lsum + load
 
-    (Ts, zT), hqs, lsum = jax.lax.fori_loop(
-        0, substeps, loop_body, ((T0s, zT0), hq0, jnp.zeros_like(zT0))
-    )
+    carry0 = ((T0s, zT0), hq0, jnp.zeros_like(zT0))
+    if unroll:
+        c = carry0
+        for i in range(substeps):
+            c = loop_body(i, c)
+        (Ts, zT), hqs, lsum = c
+    else:
+        (Ts, zT), hqs, lsum = jax.lax.fori_loop(
+            0, substeps, loop_body, carry0
+        )
     # Mean ideal power over the hour's sub-steps (energy-consistent).
     return Ts, zT, hqs, lsum / substeps
 

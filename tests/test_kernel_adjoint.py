@@ -851,16 +851,169 @@ def test_chunk_grad_interior_mrt_matches_xla():
     assert rel < 1e-8, (float(g_k["e"]), float(g_ref["e"]))
 
 
+#: Coarse-discretization config: max_dx/min_dt relaxed so the stability
+#: search lands at dt_subdivisions=6 instead of the default ~118 (the
+#: insulation layer's no-mass classification descends to the min_dt
+#: floor) — the parity adjoint unrolls the sub-step count, so tests run
+#: it at a tractable trace size (the physics paths exercised — massive
+#: RK4 + relaxed no-mass fixed point — are identical).
+def _coarse_cfg(**kw):
+    return heatx.SimConfig(
+        dtype=np.float64, max_dx=0.5, min_dt=900.0, nomass_fixed_iters=2,
+        **kw,
+    )
+
+
+def test_day_adjoint_parity_fd():
+    """FD gate for the PARITY-mode adjoint: the reference-parity sub-step
+    composition (TARP border conditions + RK4 massive march + the relaxed
+    no-mass fixed point at nomass_fixed_iters=2, unrolled) differentiates
+    correctly (round-4 next-step #5)."""
+    model = _calib_model()
+    cfg = _coarse_cfg()
+    building = compile_building(model, n=1, config=cfg)
+    assert building.dt_subdivisions <= 8, building.dt_subdivisions
+    substeps = building.dt_subdivisions
+    hours = 2
+    bb = pallas_step.block_building(building, block_size=16)
+    hm, params = pallas_step.make_hour_march(
+        bb, substeps=None, interpret=True, mode="parity", hours=hours
+    )
+    adj = pallas_adjoint.make_day_adjoint(
+        bb, substeps=substeps, mode="parity", hours=hours, interpret=True
+    )
+    rng = np.random.default_rng(13)
+    lay = bb.layout
+    SP = lay.padded_surfaces
+    NB, ZB, N = bb.n_blocks, bb.zones_per_block, bb.max_nodes
+    st = state_mod.initial_state(building)
+    T0 = jnp.asarray(lay.surfaces_to_blocked(np.asarray(st.node_T)))
+    zT0 = jnp.asarray(lay.zones_to_blocked(np.asarray(st.zone_T)))
+    hi = (
+        jnp.repeat(jnp.asarray([2.0, 5.0]), substeps),
+        jnp.repeat(jnp.asarray([3.0, 4.0]), substeps),
+        jnp.repeat(jnp.asarray([0.7, 0.1]), substeps),
+        jnp.asarray(rng.uniform(0, 400, (hours, SP))),
+        jnp.zeros((hours, SP)),
+        jnp.full((hours, SP), 320.0),
+        jnp.zeros((hours, SP)),
+        jnp.zeros((hours, NB, ZB)),
+        jnp.zeros((hours, NB, ZB)),
+    )
+    WT = jnp.asarray(rng.normal(size=(N, SP)))
+    Wz = jnp.asarray(rng.normal(size=(NB, ZB)))
+    Wh = jnp.asarray(rng.normal(size=(hours, NB, ZB)))
+
+    def loss(params, T, zT, hi):
+        Tn, zTn, _, zth = hm(params, T, zT, hi)[:4]
+        return (
+            jnp.sum(Tn * WT)
+            + jnp.sum(zTn.reshape(NB, ZB) * Wz)
+            + jnp.sum(zth * Wh)
+        )
+
+    g = adj(params, T0, zT0, hi, (WT, Wz, Wh, None))
+    ns = SimpleNS(
+        hm=hm, params=params, T0=T0, zT0=zT0, hi=hi, loss=loss, NB=NB,
+        ZB=ZB, bb=bb, parts_meta=adj.parts_meta,
+    )
+
+    D = jnp.asarray(rng.normal(size=(N, SP)))
+    fd = _fd(ns, lambda e: (params, T0 + e * D, zT0, hi))
+    ad = float(jnp.sum(g["dT0"] * D))
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
+
+    Dp = rng.normal(size=(N, SP))
+    ad = float(jnp.sum(g["d_params"]["seg_u"] * jnp.asarray(Dp)))
+    fd = _fd(ns, lambda e: (_perturb_param(ns, "seg_u", Dp, e), T0, zT0, hi))
+    assert abs(fd - ad) / max(abs(fd), abs(ad), 1e-12) < 5e-4, (fd, ad)
+
+    Ds = rng.normal(size=(ns.hi[3].shape)) * 10
+    fd = _fd(ns, lambda e: (params, T0, zT0,
+                            hi[:3] + (hi[3] + e * jnp.asarray(Ds),) + hi[4:]))
+    ad = float(jnp.sum(g["d_sol_front"] * jnp.asarray(Ds)))
+    assert abs(fd - ad) / max(abs(fd), abs(ad)) < 2e-5, (fd, ad)
+
+
+def test_chunk_grad_parity_matches_xla():
+    """Full-pipeline gate: chunk_grad on a PARITY-mode runner matches the
+    pure-XLA chunked adjoint over the reference-parity integrator
+    (engine.step.march), f64.  Calibration against the replay-validated
+    physics at kernel speed — the api.py parity rejection is gone."""
+    from heatx.engine import step as step_mod
+
+    cfg = _coarse_cfg()
+    tm = heatx.ThermalModel(_calib_model(), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    T, C = 8, 2
+    t_out = 5.0 + 8.0 * np.sin(np.arange(T) / 4)
+    sol = np.maximum(0.0, 600.0 * np.sin((np.arange(T) - 2) / 6 * np.pi))
+    seq = tm.inputs_sequence(
+        T, t_out=jnp.asarray(t_out), wind_speed=3.0, wind_direction=45.0,
+        hvac_power=jnp.full((building.n_hvacs,), 800.0),
+    )
+    S = building.n_surfaces
+    seq = seq._replace(
+        sol_front=jnp.broadcast_to(jnp.asarray(sol)[:, None], (T, S)),
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (v.reshape((C, T // C) + v.shape[1:])
+                   if v.ndim and v.shape[0] == T
+                   else jnp.broadcast_to(v, (C, T // C) + v.shape)),
+        seq,
+    )
+    sb0 = building.surfaces
+
+    def with_params(params):
+        sb = dataclasses.replace(
+            sb0,
+            seg_u=sb0.seg_u * params["u_scale"],
+            front_alphas=sb0.front_alphas * params["alpha_scale"],
+        )
+        return dataclasses.replace(building, surfaces=sb)
+
+    def chunk_fn(params, state, xs):
+        b = with_params(params)
+
+        def hour(s, x):
+            s = step_mod.march(b, s, x)
+            return s, s.zone_T
+
+        state, zt = jax.lax.scan(hour, state, xs)
+        return state, jnp.mean(zt) / C
+
+    guess = {"u_scale": jnp.asarray(1.3), "alpha_scale": jnp.asarray(0.8)}
+    val_ref, g_ref = chunked_value_and_grad(chunk_fn, guess, st, xs_chunks)
+
+    fr = tm.fast_runner(block_size=16, mode="parity", hours=T // C)
+
+    def loss(zt, xs):
+        return jnp.mean(zt) / C
+
+    kf = fr.chunk_forward(with_params, loss)
+    kb = fr.chunk_grad(with_params, loss)
+    val_k, g_k = chunked_value_and_grad(
+        chunk_fn, guess, st, xs_chunks, forward_fn=kf, backward_fn=kb
+    )
+    assert abs(float(val_k) - float(val_ref)) / abs(float(val_ref)) < 1e-9
+    for k in g_ref:
+        rel = abs(float(g_k[k]) - float(g_ref[k])) / max(
+            abs(float(g_ref[k])), 1e-12
+        )
+        assert rel < 1e-8, (k, float(g_k[k]), float(g_ref[k]))
+
+
 def test_adjoint_scope_raises():
     model = _city(6)
     cfg = heatx.SimConfig(dtype=jnp.float64)
     building = compile_building(model, n=1, config=cfg)
     bb = pallas_step.block_building(building, block_size=16)
-    with pytest.raises(ValueError, match="TR-BDF2"):
+    # Parity mode needs the sub-step count and, on no-mass buildings, the
+    # fixed-iteration fixed point (the adaptive while_loop has no VJP).
+    with pytest.raises(ValueError, match="stability-dictated"):
         pallas_adjoint.make_day_adjoint(bb, mode="parity", interpret=True)
-    tm = heatx.ThermalModel(
-        model, n=1, config=heatx.SimConfig(dtype=jnp.float64, nomass_fixed_iters=1)
-    )
-    fr = tm.fast_runner(block_size=16, mode="parity")
-    with pytest.raises(ValueError, match="TR-BDF2"):
-        fr.chunk_grad(lambda p: building, lambda z, xs: jnp.sum(z))
+    with pytest.raises(ValueError, match="nomass_fixed_iters"):
+        pallas_adjoint.make_day_adjoint(
+            bb, mode="parity", substeps=4, interpret=True
+        )
