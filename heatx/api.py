@@ -861,7 +861,9 @@ class FastRunner:
         Scope: the TR-BDF2 modes and parity mode (which unrolls the
         stability-dictated sub-step count — requires
         ``config.nomass_fixed_iters``; the unrolled trace is large at the
-        default ~118 sub-steps/hour) on the single-device runner, without
+        default ~118 sub-steps/hour), on single-device AND ``mesh=``
+        runners (the adjoint kernel shard_maps over zone-closed blocks
+        exactly like the forward — multi-chip calibration), without
         in-run shading/vent gates or mid-chunk ground swaps.  ``run_kw``
         must match the paired chunk_forward's (trajectory-affecting
         options the backward recompute cannot honor raise here)."""
@@ -898,8 +900,6 @@ class FastRunner:
                 "chunk_grad: in-run zone shading is not supported (use the "
                 "XLA backward)"
             )
-        if self._mesh is not None:
-            raise ValueError("chunk_grad: mesh runners are not supported yet")
         has_loads = getattr(self._hour_march, "collect_loads", False)
         if collect_loads and not has_loads:
             raise ValueError(
@@ -910,6 +910,15 @@ class FastRunner:
             raise ValueError(
                 "schedule_fn requires a scheduled_setpoints=True runner"
             )
+        grid_blocks = None
+        if self._mesh is not None:
+            # Mirror the sharded forward: per-device grids of
+            # n_blocks/n_devices zone-closed blocks (the adjoint of a
+            # block-local forward is block-local — no collectives).
+            ndev = int(np.prod(
+                [self._mesh.shape[a] for a in self._mesh.axis_names]
+            ))
+            grid_blocks = self._bb.n_blocks // ndev
         adj = pallas_adjoint.make_day_adjoint(
             self._bb,
             substeps=self._substeps,
@@ -922,7 +931,15 @@ class FastRunner:
             # measured-safe setting (PERF.md round-4).
             vmem_limit_mb=(100.0 if vmem_limit_mb is None else vmem_limit_mb),
             scheduled_setpoints=self._scheduled_sp,
+            grid_blocks=grid_blocks,
         )
+        if self._mesh is not None:
+            from heatx.parallel.sharding import shard_day_adjoint
+
+            adj = shard_day_adjoint(
+                adj, self._hour_march, self._mesh,
+                with_ld_cot=collect_loads,
+            )
         j = self._jnp
         H = self._hours
         NB, ZB = self._bb.n_blocks, self._bb.zones_per_block

@@ -882,6 +882,7 @@ def make_day_adjoint(
     day_adjoint.hours = hours
     day_adjoint.substeps = substeps
     day_adjoint.scheduled_setpoints = scheduled_setpoints
+    day_adjoint.has_ctl = has_ctl
     # The building-operand ordering this kernel expects (drift guard: the
     # forward kernel's param_index must enumerate the same keys in the
     # same order — FastRunner.chunk_grad asserts it at construction, so a

@@ -225,6 +225,104 @@ def make_sharded_march(
     return fn
 
 
+def _resolve_shard_map():
+    """jax.shard_map across the supported jax versions (check_rep was
+    renamed check_vma somewhere in the 0.8 line; inspect the public
+    signature rather than assuming — intermediate versions export
+    jax.shard_map but still take check_rep)."""
+    try:
+        import inspect
+
+        from jax import shard_map as _shard_map  # jax >= 0.8
+
+        _params = inspect.signature(_shard_map).parameters
+
+        def shard_map(f, **kw):
+            if "check_rep" in kw and "check_rep" not in _params:
+                kw["check_vma"] = kw.pop("check_rep")
+            return _shard_map(f, **kw)
+
+        return shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map
+
+
+def shard_day_adjoint(
+    adj,
+    forward_hm,
+    mesh: Mesh,
+    axis: str = SURFACE_AXIS,
+    with_ld_cot: bool = False,
+):
+    """Shard the adjoint day kernel (heatx.ops.pallas_adjoint) over the
+    device mesh, mirroring :func:`make_sharded_hour_march`.
+
+    The adjoint is per-zone-closed-block with no cross-block communication
+    (the backward of a block-local forward is block-local), so it shards
+    embarrassingly: each device runs the same pallas_call over its
+    ``grid_blocks`` blocks of the blocked operands; no collectives.  Build
+    ``adj`` with ``grid_blocks = n_blocks // n_devices`` (exactly like the
+    forward) and pass the SHARDED forward's metadata (``param_specs``) as
+    ``forward_hm`` — the two kernels share the operand layout.
+
+    ``with_ld_cot``: the ideal-load-history cotangent slot of ``cots`` is
+    an array (True) or None (False) — shard_map pins the pytree.
+
+    Returns the wrapped ``day_adjoint`` with the same calling convention;
+    outputs keep the forward's shardings (lane-sharded surface arrays,
+    block-row zone arrays)."""
+    shard_map = _resolve_shard_map()
+    pspec = tuple(forward_hm.param_specs)
+    r = P()
+    lane2 = P(None, axis)
+    zrow = P(axis, None)
+    hz = P(None, axis, None)
+    hi_spec = (r, r, r, lane2, lane2, lane2, lane2, hz, hz)
+    if adj.scheduled_setpoints:
+        hi_spec = hi_spec + (hz, hz)
+    cot_spec = (lane2, zrow, hz, hz if with_ld_cot else None)
+    in_specs = (pspec, lane2, zrow, hi_spec, cot_spec)
+
+    node_names = {n for (_, n, k) in adj.diff_entries if k == "node"}
+    surf_names = {n for (_, n, k) in adj.diff_entries if k == "surf"}
+    d_params_spec = {n: lane2 for n in node_names}
+    d_params_spec.update({n: P(axis) for n in surf_names})
+    out_specs = {
+        "dT0": lane2,
+        "d_zT0": zrow,
+        "d_params": d_params_spec,
+        "d_zone_volume": zrow,
+        "d_sol_front": lane2,
+        "d_sol_back": lane2,
+        "d_ir_front": lane2,
+        "d_ir_back": lane2,
+        "d_a_extra": hz,
+        "d_b_extra": hz,
+    }
+    if adj.has_ctl:
+        out_specs["d_ctl_heat"] = zrow
+        out_specs["d_ctl_cool"] = zrow
+    if adj.scheduled_setpoints:
+        out_specs["d_sp_heat"] = hz
+        out_specs["d_sp_cool"] = hz
+
+    fn = shard_map(
+        adj, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False,
+    )
+    fn.diff_entries = adj.diff_entries
+    fn.param_order = adj.param_order
+    fn.parts_meta = adj.parts_meta
+    fn.hours = adj.hours
+    fn.substeps = adj.substeps
+    fn.scheduled_setpoints = adj.scheduled_setpoints
+    fn.has_ctl = adj.has_ctl
+    fn.mesh = mesh
+    return fn
+
+
 def make_sharded_hour_march(
     bb,
     mesh: Mesh,
@@ -262,23 +360,7 @@ def make_sharded_hour_march(
     between dispatches — e.g. seasonal ground temperatures — exactly as on
     the single-device path.
     """
-    try:
-        import inspect
-
-        from jax import shard_map as _shard_map  # jax >= 0.8
-
-        # check_rep was renamed check_vma somewhere in the 0.8 line; inspect
-        # the public signature rather than assuming (intermediate versions
-        # export jax.shard_map but still take check_rep).
-        _params = inspect.signature(_shard_map).parameters
-
-        def shard_map(f, **kw):
-            if "check_rep" in kw and "check_rep" not in _params:
-                kw["check_vma"] = kw.pop("check_rep")
-            return _shard_map(f, **kw)
-
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+    shard_map = _resolve_shard_map()
 
     from heatx.ops import pallas_step
 

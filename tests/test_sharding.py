@@ -332,6 +332,98 @@ def test_fast_runner_on_mesh_matches_single_device():
     assert not np.array_equal(np.asarray(zt0)[:24], np.asarray(zt0)[24:])
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_chunk_grad_on_mesh_matches_single_device():
+    """The ADJOINT day kernel shards over the mesh exactly like the
+    forward (shard_day_adjoint): chunk_grad on a FastRunner(mesh=...)
+    reproduces the single-device value AND every parameter/state gradient
+    — multi-chip calibration, including the demand (ideal-load) cotangent
+    and the compiled-thermostat-setpoint pull-back."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from heatx.api import FastRunner, ThermalModel
+    from heatx.model.building import (
+        BuildingModel,
+        Construction,
+        IdealHeaterCooler,
+        Material,
+        SpaceDef,
+        Substance,
+        SurfaceDef,
+    )
+
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(8):
+        m.add_space(SpaceDef(f"z{z}", 100.0))
+        for si in range(3):
+            m.add_surface(
+                SurfaceDef(f"s{z}_{si}", "wall", Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+        m.add_hvac(IdealHeaterCooler(
+            f"t{z}", [f"z{z}"], heat_setpoint=20.0, cool_setpoint=26.0,
+            max_heating=1e4, max_cooling=1e4,
+        ))
+    tm = ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    building = tm._device()
+    st = tm.initial_state()
+    T = 8
+    rng = np.random.default_rng(17)
+    seq = tm.inputs_sequence(
+        T,
+        t_out=np.linspace(-5.0, 4.0, T),
+        wind_speed=np.full(T, 3.0),
+        sol_front=rng.uniform(0.0, 300.0, (T, tm.building.n_surfaces)),
+    )
+    sb0 = building.surfaces
+
+    def with_params(p):
+        sb = dataclasses.replace(sb0, seg_u=sb0.seg_u * p["u"])
+        return dataclasses.replace(
+            building, surfaces=sb, ctl_heat_sp=building.ctl_heat_sp + p["sp"]
+        )
+
+    def loss(zt, ld, xs):
+        return jnp.mean((ld / 1e3) ** 2) + 1e-3 * jnp.mean(zt)
+
+    params = {"u": jnp.asarray(1.2), "sp": jnp.asarray(0.5)}
+    zero_cot = jax.tree.map(jnp.zeros_like, st)
+
+    kw = dict(block_size=4, mode="trbdf2", substeps=4, hours=4)
+    results = []
+    for mesh in (None, sh.make_mesh(jax.devices()[:8])):
+        fr = FastRunner(tm, mesh=mesh, **kw)
+        if mesh is not None:
+            assert fr._bb.n_blocks == 8
+        kf = fr.chunk_forward(with_params, loss, collect_loads=True)
+        kb = fr.chunk_grad(with_params, loss, collect_loads=True)
+        _, val = kf(params, st, seq)
+        g, sc = kb(params, st, seq, zero_cot, jnp.asarray(1.0))
+        results.append((float(val), g, sc))
+
+    (v0, g0, sc0), (v1, g1, sc1) = results
+    assert v0 > 0 and abs(v1 - v0) <= 1e-12 * abs(v0)
+    for k in g0:
+        a, b = float(g0[k]), float(g1[k])
+        assert a != 0.0, k  # both parameters must carry signal
+        assert abs(a - b) <= 1e-10 * abs(a), (k, a, b)
+    for l0, l1 in zip(sc0, sc1):
+        if l0 is None:
+            assert l1 is None
+            continue
+        assert np.allclose(np.asarray(l0), np.asarray(l1), rtol=1e-12,
+                           atol=1e-12)
+
+
 def fast_runner_comparison_model():
     """The 4-zone soil-contact model the 2-process DCN harness and its
     single-device reference both build (tests/test_distributed.py): one
