@@ -49,21 +49,74 @@ FULL_CASES = ("massive_full", "nomass_full", "mixed_full", "tilted", "horizontal
 HOURS = 21 * 24  # every fixture: a 21-day January run period
 
 
-def weather_model_inputs(epw, model, building, sky="perez"):
-    """The [T, S] incident solar and longwave heatx computes for a fixture
-    model from the EPW alone (T = the 21-day horizon + 1 hour for
-    sub-hour interpolation past the last record)."""
-    from heatx.weather.solar import sun_and_sky
+def fixture_anomaly_sun(epw, steps_per_hour, hours, day_fixed=11.0):
+    """The 21-day fixtures' APPARENT sun path: frozen near mid-run.
+
+    Best-fit analysis of the logged per-timestep incident solar (round 5)
+    shows the fixtures' sun path does NOT advance with the calendar: for
+    run days 1-20 the logged series best matches a sun position computed
+    for day ~10-13 (fitting each day independently: [10, 10, 9, 10, 10,
+    9, 10, 11, 11, 11, 11, 11, 11, 11, 11, 11, 12, 13, 13, 12]), while
+    day 21 matches the TRUE day-21 path exactly.  No smooth solar model
+    drifts 7x slower than the January declination rate, and heatx's own
+    path checks out against the closed-form geometry (Santiago noon
+    altitude Jan 1: computed 79.63 deg vs 90-|lat-dec| = 79.55), so this
+    is an EnergyPlus-side run-period quirk in the pre-baked fixtures.
+    This helper reproduces it (sun frozen at ``day_fixed`` through day
+    20, live afterwards) so the attribution is a checked, reproducible
+    experiment (tests/test_e2e_eplus.py): with it, the tilted fixture's
+    zone-T residual drops 0.217 -> 0.079 K RMSE and its -0.17 K bias
+    vanishes — i.e. the residual is the fixtures' sun, not heatx's."""
+    from heatx.weather.solar import solar_position, sun_and_sky_steps
+
+    sph = int(steps_per_hour)
+    dni, dhi, ghi, alt, az, day = sun_and_sky_steps(epw, sph, hours=hours)
+    dayf = np.where(day <= 20, float(day_fixed), day)
+    t = (np.arange(hours * sph, dtype=np.float64) + 1.0) / sph
+    alt2, az2 = solar_position(
+        epw.latitude_deg, epw.longitude_deg, epw.tz_hours, dayf, t % 24.0
+    )
+    return dni, dhi, ghi, alt2, az2, dayf
+
+
+def weather_model_inputs(epw, model, building, sky="perez",
+                         steps_per_hour=None, mimic_fixture_sun=False):
+    """The incident solar and longwave heatx computes for a fixture model
+    from the EPW alone.
+
+    ``steps_per_hour=None``: hourly [HOURS+1, S] arrays (one extra hour
+    for sub-hour interpolation past the last record).
+    ``steps_per_hour=k``: the solar comes from the SUB-HOUR EnergyPlus-
+    convention chain (heatx.weather.solar.surface_irradiance_steps — the
+    fixtures run Timestep 20, and EnergyPlus computes per-timestep solar
+    from mid-hour-centered interpolated irradiance with a per-timestep sun
+    position; matching it halves the incident-solar residual and removes
+    the -1.1..+1.5 W/m2 mean offsets the round-4 attribution measured) as
+    [HOURS*k, S]; the longwave stays hourly [HOURS+1, S] (it is a smooth
+    blend of T^4 terms — the round-4 decomposition exonerated it to
+    < 0.06 W/m2 bias)."""
+    from heatx.weather.solar import sun_and_sky, surface_irradiance_steps
 
     gv = model_ground_views(model)
     sun = sun_and_sky(epw, hours=HOURS + 1)  # shared by both faces
     sol = {}
     ir = {}
     for side in ("front", "back"):
-        sol[side] = surface_irradiance(
-            epw, building, hours=HOURS + 1, sky=sky, side=side,
-            ground_view=gv, sun=sun,
-        )
+        if steps_per_hour is None:
+            sol[side] = surface_irradiance(
+                epw, building, hours=HOURS + 1, sky=sky, side=side,
+                ground_view=gv, sun=sun,
+            )
+        else:
+            sun_steps = (
+                fixture_anomaly_sun(epw, steps_per_hour, HOURS)
+                if mimic_fixture_sun
+                else None
+            )
+            sol[side] = surface_irradiance_steps(
+                epw, building, steps_per_hour, hours=HOURS, side=side,
+                ground_view=gv, sun=sun_steps,
+            )
         ir[side] = surface_longwave(epw, building, hours=HOURS + 1, side=side)
     return sol, ir
 
@@ -75,8 +128,14 @@ def run_end_to_end_case(
     dtype=np.float64,
     sky: str = "perez",
     passes: int = 1,
+    mimic_fixture_sun: bool = False,
 ):
     """March one fixture under heatx's own weather models.
+
+    ``mimic_fixture_sun`` substitutes the fixtures' apparent frozen sun
+    path (:func:`fixture_anomaly_sun`) for heatx's correct one — the
+    attribution experiment isolating the fixture-side sun-path share of
+    the residual.
 
     Returns ``(expected, found)`` zone-temperature series after the
     reference's 5000-step warm-up skip — same scoring as the replay suite.
@@ -114,8 +173,12 @@ def run_end_to_end_case(
     T = run.n_steps
     steps_per_hour = T // HOURS
 
-    sol, ir = weather_model_inputs(epw, model, b, sky=sky)
-    # Hour-mid values -> the fixture's sub-hour mid-step grid.
+    # Solar at the fixture's own sub-hour resolution (EnergyPlus
+    # convention); longwave hourly, interpolated to the mid-step grid.
+    sol, ir = weather_model_inputs(
+        epw, model, b, sky=sky, steps_per_hour=steps_per_hour,
+        mimic_fixture_sun=mimic_fixture_sun,
+    )
     t_mid = (np.arange(T) + 0.5) / steps_per_hour
     hr_mid = np.arange(HOURS + 1) + 0.5
 
@@ -126,7 +189,7 @@ def run_end_to_end_case(
 
     front_out = front_outdoor
     side = "front" if front_out else "back"
-    sol_s = to_steps(np.asarray(sol[side]))
+    sol_s = np.asarray(sol[side])
     ir_s = to_steps(np.asarray(ir[side]))
 
     base = state_mod.default_inputs(b)

@@ -25,50 +25,53 @@ from heatx.validate.endtoend import (
 )
 from heatx.weather.epw import read_epw
 
-# (max zone-T RMSE [K], max |bias| [K]) per fixture, ~1.5x the measured
-# values (massive 0.120/-0.114, nomass 0.165/-0.102, mixed 0.110/-0.109,
-# tilted 0.225/-0.170, horizontal 0.151/-0.027).  All well under the
-# ASHRAE-style 1 K comfort resolution.
+# (max zone-T RMSE [K], max |bias| [K]) per fixture, ~1.5x the round-5
+# measured values (massive 0.058/-0.046, nomass 0.132/-0.035, mixed
+# 0.038/-0.034, tilted 0.217/-0.168, horizontal 0.147/-0.079).  Round 5
+# implemented EnergyPlus's SUB-HOUR solar convention
+# (heatx.weather.solar.surface_irradiance_steps: mid-hour-centered
+# irradiance interpolation, per-timestep sun position at the step end,
+# Perez normalized by the 1367 W/m2 solar constant, ground reflection
+# from the reconstructed horizontal) — halving the incident-solar
+# residual and cutting massive/mixed zone-T error ~3x (0.120 -> 0.058,
+# 0.110 -> 0.038).
 #
-# ATTRIBUTION (the converged-start experiment below): replaying the 21-day
-# horizon twice (passes=2, a converged initial state — the same protocol
-# that collapsed the replay suite's mixed-case residuals,
-# test_eplus_replay.py) leaves these residuals essentially UNCHANGED
-# (massive 0.1202 -> 0.1202, nomass 0.1646 -> 0.1646, mixed
-# 0.1097 -> 0.0963, tilted 0.2255 -> 0.2255, horizontal 0.1513 -> 0.1513).
-# So — unlike the replay suite — the e2e residual is NOT the 22 C
-# cold-start transient: it is a steady, systematically negative bias
-# (~-0.1 K).  Decomposition (round-4 measurements):
-#   * the replay path (EnergyPlus's own logged inputs) already carries
-#     -0.015..-0.045 K of it (solver/film/timestep-convention share);
-#   * the computed incident LONGWAVE is exonerated: vs the fixture-implied
-#     incident IR (gain/(A*eps) + sigma*Ts^4) the bias is < 0.06 W/m2 on
-#     every fixture (rmse ~4.5 W/m2 = sub-hour structure only);
-#   * the remainder tracks the computed SOLAR's small mean offsets
-#     (-1.1..+1.5 W/m2, test_solar_model_matches_logged_incident) — the
-#     known Perez-variant + hourly-interpolation differences vs
-#     EnergyPlus's sub-hour solar, not a model defect.
-# Only the insulated mixed wall carries a small removable transient share
-# (~0.013 K rmse).
+# ATTRIBUTION of what remains:
+#   * Converged-start (passes=2) leaves every residual essentially
+#     unchanged (mixed 0.038 -> 0.035 only) — not cold-start transient.
+#   * The tilted/horizontal residual is the FIXTURES' OWN SUN PATH:
+#     per-day best-fit analysis shows their logged incident solar follows
+#     a sun frozen near day 11 through run days 1-20 (day 21 is live) —
+#     see heatx.validate.endtoend.fixture_anomaly_sun.  heatx's path
+#     matches the closed-form geometry (noon altitude Jan 1: 79.63 vs
+#     90-|lat-dec| = 79.55 deg), and test_e2e_sun_anomaly_attribution
+#     below CHECKS the attribution: mimicking the frozen path collapses
+#     tilted to 0.079 K RMSE / -0.010 K bias (horizontal 0.114/-0.035,
+#     nomass 0.102/+0.010) — all five fixtures then sit at or under
+#     ~0.11 K RMSE / 0.05 K |bias|.
+#   * The replay path (EnergyPlus's own logged inputs) carries
+#     -0.015..-0.045 K (solver/film/timestep-convention share); the
+#     computed longwave is exonerated to < 0.06 W/m2 bias (round 4).
 E2E_THRESHOLDS = {
-    "massive_full": (0.20, 0.20),
-    "nomass_full": (0.25, 0.20),
-    "mixed_full": (0.20, 0.20),
-    "tilted": (0.35, 0.30),
-    "horizontal": (0.25, 0.20),
+    "massive_full": (0.09, 0.07),
+    "nomass_full": (0.20, 0.06),
+    "mixed_full": (0.06, 0.05),
+    "tilted": (0.33, 0.25),
+    "horizontal": (0.22, 0.12),
 }
 
 # Converged-start (passes=2) thresholds: ~1.5x the measured converged
-# values above.  These bound the WEATHER-MODEL error itself, with the
-# protocol transient removed — the e2e analogue of the replay suite's
+# values (identical to cold start except mixed 0.035/-0.017).  These
+# bound the WEATHER-MODEL error itself, with the protocol transient
+# removed — the e2e analogue of the replay suite's
 # test_mixed_bias_is_cold_start_artifact discipline
 # (validate_wall_heat_transfer.rs:615-711's warm-up intent).
 E2E_WARM_THRESHOLDS = {
-    "massive_full": (0.18, 0.17),
-    "nomass_full": (0.25, 0.16),
-    "mixed_full": (0.15, 0.14),
-    "tilted": (0.34, 0.26),
-    "horizontal": (0.23, 0.08),
+    "massive_full": (0.09, 0.07),
+    "nomass_full": (0.20, 0.06),
+    "mixed_full": (0.055, 0.03),
+    "tilted": (0.33, 0.25),
+    "horizontal": (0.22, 0.12),
 }
 
 
@@ -89,14 +92,12 @@ def test_end_to_end_zone_temperature(name, ref_fixtures):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("name", ["massive_full", "mixed_full"])
+@pytest.mark.parametrize("name", FULL_CASES)
 def test_e2e_warm_start(name, ref_fixtures):
-    """Converged-start e2e gate: passes=2 hands the solver a converged
-    initial state, so the residual is pure weather-model error.  Bounds are
-    ~1.5x the measured converged residuals (module docstring carries the
-    full attribution experiment).  Two fixtures run in CI (the massive
-    baseline and the one case with a measurable transient share); the
-    measured table covers all five."""
+    """Converged-start e2e gate, ALL FIVE fixtures: passes=2 hands the
+    solver a converged initial state, so the residual is pure
+    weather-model error.  Bounds are ~1.5x the measured converged
+    residuals (module docstring carries the full attribution)."""
     expected, found = run_end_to_end_case(name, ref_fixtures, passes=2)
     err = found - expected
     rmse = float(np.sqrt((err**2).mean()))
@@ -107,17 +108,54 @@ def test_e2e_warm_start(name, ref_fixtures):
     if name == "mixed_full":
         # The converged mixed residual must sit below the cold-start one:
         # the (small) transient share is real and removable.
-        cold_rmse = 0.1097
+        cold_rmse = 0.0379
         assert rmse < cold_rmse, (rmse, cold_rmse)
+
+
+@pytest.mark.slow
+def test_e2e_sun_anomaly_attribution(ref_fixtures):
+    """The tilted fixture's residual is the FIXTURES' sun path, not
+    heatx's: substituting the apparent frozen-at-day-11 sun
+    (heatx.validate.endtoend.fixture_anomaly_sun — derived by per-day
+    best-fit against the logged incident solar) collapses the residual
+    ~3x and removes the bias.  Gates at ~1.5x the measured frozen-sun
+    values (0.079 K RMSE / -0.010 K bias)."""
+    expected, found = run_end_to_end_case(
+        "tilted", ref_fixtures, mimic_fixture_sun=True
+    )
+    err = found - expected
+    rmse = float(np.sqrt((err**2).mean()))
+    bias = float(err.mean())
+    assert rmse < 0.12, (rmse, bias)
+    assert abs(bias) < 0.05, (rmse, bias)
+    # The attribution is only meaningful if the frozen path explains the
+    # bulk of the standard run's residual (measured 0.217 -> 0.079).
+    std_rmse, _ = E2E_THRESHOLDS["tilted"]
+    assert rmse < 0.6 * (std_rmse / 1.5), rmse
+
+
+#: Measured per-step incident-solar residuals (round 5, the EnergyPlus
+#: sub-hour chain): (rmse [W/m2], |bias| [W/m2]) gates at ~1.5x measured
+#: (massive 2.82/+0.02, tilted 5.81/+0.08, horizontal 3.17/+0.30; the
+#: tilted rmse is dominated by the fixtures' frozen sun path — with it
+#: mimicked the tilted rmse drops to 3.96).
+SOLAR_THRESHOLDS = {
+    "massive_full": (4.5, 0.5),
+    "tilted": (8.5, 0.5),
+    "horizontal": (5.0, 0.6),
+}
 
 
 @pytest.mark.parametrize("name", ["massive_full", "tilted", "horizontal"])
 def test_solar_model_matches_logged_incident(name, ref_fixtures):
-    """heatx's Perez plane-of-array (with the fixture's explicit View
-    Factor to Ground) reproduces EnergyPlus's logged per-timestep incident
-    solar.  The horizontal fixture is the sharp check: its roof pins
-    VFg = 0.5, which EnergyPlus honors for the ground-reflected term even
-    though the geometric factor is 0 — worth ~10 % of GHI."""
+    """heatx's EnergyPlus-convention sub-hour solar chain
+    (surface_irradiance_steps: mid-hour-centered irradiance
+    interpolation, per-timestep sun position, Perez with the 1367 W/m2
+    constant, reconstructed-horizontal ground term, the fixture's
+    explicit View Factor to Ground) reproduces EnergyPlus's logged
+    per-timestep incident solar — the horizontal fixture is the sharp
+    VFg check (its roof pins 0.5 where the geometric factor is 0, worth
+    ~10 % of GHI)."""
     import heatx
     from heatx.validate.replay import WALL_CASES, build_case_model
 
@@ -128,7 +166,8 @@ def test_solar_model_matches_logged_incident(name, ref_fixtures):
     ).building
     epw = read_epw(f"{ref_fixtures}/epw/CHL_Santiago.855740_IWEC.epw")
     run = read_eplusout(f"{ref_fixtures}/{name}/eplusout.csv")
-    sol, _ = weather_model_inputs(epw, model, b)
+    sph = run.n_steps // HOURS
+    sol, _ = weather_model_inputs(epw, model, b, steps_per_hour=sph)
     from heatx.build.layout import B_OUTDOOR
 
     side = (
@@ -136,22 +175,19 @@ def test_solar_model_matches_logged_incident(name, ref_fixtures):
         if np.asarray(b.surfaces.front_code)[0] == B_OUTDOOR
         else "back"
     )
-    ours = np.asarray(sol[side])[:, 0]
-    t_mid = (np.arange(run.n_steps) + 0.5) / 20.0
-    ours_steps = np.interp(t_mid, np.arange(HOURS + 1) + 0.5, ours)
+    ours_steps = np.asarray(sol[side])[:, 0]
     err = ours_steps - run.incident_solar
     rmse = float(np.sqrt((err**2).mean()))
     bias = float(err.mean())
-    # Measured: massive 5.1/-1.1, tilted 6.4/+0.1, horizontal 6.3/+1.5
-    # W/m2 (residual = sub-hour structure the hourly EPW cannot resolve).
-    assert rmse < 10.0, (name, rmse, bias)
-    assert abs(bias) < 3.0, (name, rmse, bias)
-    # Daily energy within 6% (sub-hour cloud structure + Perez-variant
-    # differences on diffuse-dominated days), 21-day total within 2.5%.
-    ld = _hourly_mean(run.incident_solar).reshape(21, 24).sum(1)
-    od = _hourly_mean(ours_steps).reshape(21, 24).sum(1)
-    np.testing.assert_allclose(od, ld, rtol=0.06)
-    assert abs(od.sum() / ld.sum() - 1.0) < 0.025
+    max_rmse, max_bias = SOLAR_THRESHOLDS[name]
+    assert rmse < max_rmse, (name, rmse, bias)
+    assert abs(bias) < max_bias, (name, rmse, bias)
+    # Daily energy within 4.5% (measured max 3.0% — the fixtures' frozen
+    # sun path dominates), 21-day total within 0.5% (measured <= 0.08%).
+    ld = _hourly_mean(run.incident_solar, sph).reshape(21, 24).sum(1)
+    od = _hourly_mean(ours_steps, sph).reshape(21, 24).sum(1)
+    np.testing.assert_allclose(od, ld, rtol=0.045)
+    assert abs(od.sum() / ld.sum() - 1.0) < 0.005
 
 
 def test_fixture_weather_is_the_epw(ref_fixtures):
