@@ -486,6 +486,102 @@ def run_accuracy_bench(args, dtype):
     return out
 
 
+def run_annual_accuracy_bench(args, dtype):
+    """Annual-horizon accuracy: the headline f32 kernel cadence over a FULL
+    8760 h of EPW weather on a reduced city model (2 zones x 10 surfaces),
+    scored against the committed f64 reference-exact golden
+    (tests/data/accuracy_golden_annual.npz, regenerated by
+    scripts/make_accuracy_golden.py — the state carries through ~1M parity
+    sub-steps there).  The 504 h row (run_accuracy_bench) measures
+    per-regime accuracy at bench scale; THIS row measures what the
+    headline actually claims: the error at the annual horizon, including
+    any f32 accumulation across the carried state — reported whole-year
+    and per season (Jan/Apr/Jul/Oct windows), plus a first-half vs
+    second-half split that would expose drift."""
+    import jax.numpy as jnp
+
+    import heatx
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "data", "accuracy_golden_annual.npz",
+    )
+    with np.load(golden_path) as g:
+        zhist_gold = g["zhist_par"]
+        hours, warm = int(g["hours"]), int(g["warmup"])
+        zones, spz = int(g["zones"]), int(g["surfaces_per_zone"])
+
+    dry, wind, wdir, ghi, ir = (v[:hours] for v in load_weather(hours))
+    model = build_city_model(zones, spz)
+    tm = heatx.ThermalModel(
+        model, n=1,
+        config=heatx.SimConfig(
+            dtype=dtype,
+            nomass_fixed_iters=args.nomass_iters if args.nomass_iters > 0 else None,
+        ),
+    )
+    b = tm.building
+    sf = np.random.default_rng(0).uniform(0.2, 1.0, b.n_surfaces)
+    seq = tm.inputs(
+        hvac_power=np.full(b.n_hvacs, 500.0),
+        lum_power=np.full(b.n_luminaires, 150.0),
+    )._replace(
+        t_out=jnp.asarray(dry, dtype),
+        wind_speed=jnp.asarray(wind, dtype),
+        wind_direction=jnp.asarray(wdir, dtype),
+        sol_front=jnp.asarray(np.asarray(ghi[:, None] * sf[None, :]), dtype),
+        ir_front=jnp.asarray(ir, dtype),
+    )
+    st = tm.initial_state()
+    k = args.refresh_every if args.refresh_every > 1 else None
+    fr = tm.fast_runner(
+        block_size=128, mode="trbdf2_refresh", hours=24,
+        substeps=args.exp_substeps, refresh_every=k,
+    )
+    _, zt = fr.run(st, seq, interp_weather=True)
+    err = np.asarray(zt, np.float64) - zhist_gold
+    rng_T = float(zhist_gold[warm:].max() - zhist_gold[warm:].min())
+
+    def rmse(sl):
+        d = err[sl]
+        return float(np.sqrt((d**2).mean()))
+
+    out = {
+        "accuracy_annual_hours": hours,
+        "accuracy_annual_rmse_K": round(rmse(slice(warm, None)), 4),
+        "accuracy_annual_bias_K": round(float(err[warm:].mean()), 4),
+        "accuracy_annual_rmse_frac_of_range": round(
+            rmse(slice(warm, None)) / rng_T, 5
+        ),
+    }
+    # Seasonal windows (month starts in a non-leap year).
+    for name, h0 in (("jan", 0), ("apr", 2160), ("jul", 4344), ("oct", 6552)):
+        out[f"accuracy_annual_{name}_rmse_K"] = round(
+            rmse(slice(max(h0, warm), h0 + 504)), 4
+        )
+    half = (hours - warm) // 2
+    first, second = rmse(slice(warm, warm + half)), rmse(slice(warm + half, None))
+    out["accuracy_annual_firsthalf_rmse_K"] = round(first, 4)
+    out["accuracy_annual_secondhalf_rmse_K"] = round(second, 4)
+    print(
+        f"# annual accuracy ({args.dtype}, trbdf2_refresh@{k or 1}) vs "
+        f"f64-exact golden, {hours}h: rmse {out['accuracy_annual_rmse_K']} K "
+        f"({out['accuracy_annual_rmse_frac_of_range'] * 100:.2f}% of "
+        f"{rng_T:.1f} K range), halves "
+        f"{first:.4f}/{second:.4f} K, seasons "
+        + " ".join(
+            f"{m} {out[f'accuracy_annual_{m}_rmse_K']}"
+            for m in ("jan", "apr", "jul", "oct")
+        ),
+        file=sys.stderr,
+    )
+    # Gates: the annual error stays in the headline class, and the second
+    # half shows no accumulation blow-up relative to the first.
+    assert out["accuracy_annual_rmse_K"] < 0.3, out
+    assert second < 2.0 * first + 0.05, out
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--zones", type=int, default=1000)
@@ -973,6 +1069,13 @@ def main():
             except Exception as e:  # headline row survives an accuracy failure
                 print(f"# accuracy row failed: {e}", file=sys.stderr)
                 row.update(accuracy_error=str(e)[:200])
+            # Annual-horizon accuracy (f32 accumulation gate) vs the
+            # committed annual golden on the reduced model.
+            try:
+                row.update(run_annual_accuracy_bench(args, dtype))
+            except Exception as e:
+                print(f"# annual accuracy row failed: {e}", file=sys.stderr)
+                row.update(accuracy_annual_error=str(e)[:200])
         if not args.parity_kernel and not args.skip_office:
             # The complete EnergyPlus-file workflow (examples/data/office.idf)
             # timed on hardware.

@@ -173,6 +173,34 @@ def test_committed_golden_matches_parity_run(regime_runs):
     np.testing.assert_allclose(gold, np.asarray(zhist_par), atol=5e-4)
 
 
+def test_committed_annual_golden_prefix(ref_fixtures_module):
+    """The committed ANNUAL golden (bench.py's accuracy_annual_* row: f32
+    accumulation over 8760 h on the reduced 2-zone model) must track the
+    live parity integrator.  Recomputing the full year in CI would cost
+    minutes, but the integrator is deterministic from the initial state,
+    so matching a fresh 48 h prefix pins the whole trajectory (any
+    numerics change shows up in the first hours).  Regenerate with
+    scripts/make_accuracy_golden.py after legitimate changes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import make_accuracy_golden as mg
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "accuracy_golden_annual.npz")
+    with np.load(path) as g:
+        gold = g["zhist_par"]
+        assert int(g["hours"]) == mg.ANNUAL_HOURS
+        assert int(g["zones"]) == mg.ANNUAL_ZONES
+        assert gold.shape == (mg.ANNUAL_HOURS, mg.ANNUAL_ZONES)
+    # 49 h computed, 48 h compared: the per-sub-step weather interpolation
+    # of the last hour reads the NEXT hourly record, so a truncated-horizon
+    # run only matches the full-year trajectory away from its own tail.
+    fresh = mg.parity_annual_hist(ref_fixtures_module, hours=49)
+    np.testing.assert_allclose(gold[:48], fresh[:48], atol=5e-4)
+
+
 @pytest.mark.slow
 def test_refresh_regime_beats_frozen_h(regime_runs):
     """mode="trbdf2_refresh" (film coefficients / cavity U / stage
