@@ -787,7 +787,7 @@ def _day_week_year_schedules(by_type, start_dow: int) -> Dict[str, np.ndarray]:
             for day in range(d0, min(d1, 364) + 1):
                 hourly[day] = wk[(start_dow + day) % 7]
         if np.isnan(hourly).any():
-            d = int(np.argwhere(np.isnan(hourly[:, 0]))[0])
+            d = int(np.argwhere(np.isnan(hourly[:, 0]))[0, 0])
             raise ValueError(
                 f"Schedule:Year {o[1]!r} leaves day {d + 1} uncovered "
                 "(periods must span 1/1 through 12/31)"
