@@ -292,10 +292,110 @@ def run_grad_bench(args, dtype, block_size, dry, wind, wdir, ghi, ir):
         f"(loss {val:.1f}, dL/du {gu:.1f}, dL/dalpha {ga:.1f})",
         file=sys.stderr,
     )
-    return dict(
+    out = dict(
         grad_wall_clock_s=round(wall, 3),
         grad_chunks=C,
         grad_loss=round(val, 3),
+    )
+    try:
+        out.update(_grad_demand_variant(
+            args, dtype, block_size, C, (dry, wind, wdir, ghi, ir), sf,
+            chunkize,
+        ))
+    except Exception as e:  # the zt-objective row survives a demand failure
+        print(f"# grad-demand variant failed: {e}", file=sys.stderr)
+        out["grad_demand_error"] = str(e)[:200]
+    return out
+
+
+def _grad_demand_variant(args, dtype, block_size, C, weather, sf, chunkize):
+    """The DEMAND-objective gradient at bench scale: a thermostat per zone,
+    a metered-energy loss on the in-kernel ideal-load history
+    (chunk_forward/chunk_grad(collect_loads=True) — the d_ld cotangent
+    path), and a thermostat-setpoint calibration parameter (the ctl
+    pull-back) alongside the conductance scale.  The most common real
+    calibration target, timed on hardware; returns grad_demand_* fields."""
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    import heatx
+    from heatx.engine.adjoint import chunked_value_and_grad
+    from heatx.model.building import IdealHeaterCooler
+
+    model = build_city_model(args.zones, args.surfaces_per_zone)
+    for z in range(args.zones):
+        model.add_hvac(IdealHeaterCooler(
+            f"tstat{z}", [f"z{z}"], heat_setpoint=20.0, cool_setpoint=26.0,
+        ))
+    tm = heatx.ThermalModel(model, n=1, config=heatx.SimConfig(dtype=dtype))
+    building = tm._device()
+    sb0 = building.surfaces
+    dry, wind, wdir, ghi, ir = weather
+    # Own input set: this model carries 2x the hvac units (heater +
+    # thermostat per zone), so the zt-row's seq shapes do not transfer.
+    seq = tm.inputs(
+        lum_power=np.full(building.n_luminaires, 150.0),
+    )._replace(
+        t_out=jnp.asarray(dry, dtype),
+        wind_speed=jnp.asarray(wind, dtype),
+        wind_direction=jnp.asarray(wdir, dtype),
+        sol_front=jnp.asarray(
+            np.asarray(ghi[:, None] * sf[None, :], np.float32), dtype
+        ),
+        ir_front=jnp.asarray(ir, dtype),
+    )
+    xs_chunks = jax.tree.map(chunkize, seq)
+
+    def with_params(p):
+        sb = dataclasses.replace(sb0, seg_u=sb0.seg_u * p["u_scale"])
+        return dataclasses.replace(
+            building, surfaces=sb,
+            ctl_heat_sp=building.ctl_heat_sp + p["sp_shift"],
+        )
+
+    def loss_fn(zt, ld, xs):
+        return jnp.mean((ld / 1e3) ** 2) / C + 1e-4 * jnp.mean(zt) / C
+
+    fr = tm.fast_runner(
+        block_size=block_size, mode="trbdf2_refresh",
+        refresh_every=args.refresh_every, substeps=args.exp_substeps,
+        hours=args.kernel_hours,
+    )
+    kf = fr.chunk_forward(with_params, loss_fn, collect_loads=True)
+    kb = fr.chunk_grad(with_params, loss_fn, collect_loads=True)
+    st = tm.initial_state()
+    params = {"u_scale": jnp.asarray(1.2, dtype),
+              "sp_shift": jnp.asarray(0.5, dtype)}
+
+    def timed():
+        t0 = time.time()
+        val, g = chunked_value_and_grad(
+            None, params, st, xs_chunks, forward_fn=kf, backward_fn=kb
+        )
+        return (time.time() - t0, float(val), float(g["u_scale"]),
+                float(g["sp_shift"]))
+
+    t0 = time.time()
+    timed()
+    print(f"# grad-demand compile+run: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    wall, val, gu, gsp = timed()
+    wall2, v2, gu2, gsp2 = timed()
+    if wall2 < wall:
+        wall, val, gu, gsp = wall2, v2, gu2, gsp2
+    assert np.isfinite(val) and np.isfinite(gu) and np.isfinite(gsp)
+    assert gsp != 0.0, "setpoint gradient carries no signal"
+    print(
+        f"# grad-demand kernel-adjoint annual value_and_grad: {wall:.2f}s "
+        f"(loss {val:.3f}, dL/du {gu:.3g}, dL/dsp {gsp:.3g})",
+        file=sys.stderr,
+    )
+    return dict(
+        grad_demand_wall_clock_s=round(wall, 3),
+        grad_demand_loss=round(val, 4),
     )
 
 
