@@ -15,7 +15,7 @@ time is a ``lax.scan``; scale-out shards the surface axis over a device mesh
 with a ``segment_sum`` + ``psum`` zone reduction.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 from heatx import config, constants, ensemble  # noqa: F401
 from heatx.api import ThermalModel  # noqa: F401
