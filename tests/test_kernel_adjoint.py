@@ -699,6 +699,67 @@ def test_chunk_grad_schedule_fn_matches_xla():
     assert np.allclose(gk, gr, rtol=1e-9, atol=1e-12), (gk, gr)
 
 
+def test_chunk_grad_fixed_schedule_in_xs_matches_xla():
+    """A scheduled-setpoints runner whose schedule rides in ``xs`` as a
+    [T] scalar series (NOT optimized — no schedule_fn): the backward's
+    trajectory recompute must honor the schedule through _day_tuples'
+    normalization, and building-parameter gradients must match the XLA
+    adjoint."""
+    SUBS = 6
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(_calib_model(ideal=True), n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    T, C = 8, 2
+    t_out = -5.0 + 3.0 * np.sin(np.arange(T) / 4)
+    sched = np.where(np.arange(T) % 4 < 2, 21.0, 18.0)  # [T] setback
+    seq = tm.inputs_sequence(
+        T, t_out=jnp.asarray(t_out), wind_speed=3.0, wind_direction=45.0,
+        heat_sp=jnp.asarray(sched),
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (v.reshape((C, T // C) + v.shape[1:])
+                   if v.ndim and v.shape[0] == T
+                   else jnp.broadcast_to(v, (C, T // C) + v.shape)),
+        seq,
+    )
+    sb0 = building.surfaces
+
+    def with_params(params):
+        sb = dataclasses.replace(sb0, seg_u=sb0.seg_u * params["u"])
+        return dataclasses.replace(building, surfaces=sb)
+
+    def chunk_fn(params, state, xs):
+        b = with_params(params)
+
+        def hour(s, x):
+            s = imp_mod.imp_march(b, s, x, substeps=SUBS)
+            return s, (s.zone_T, s.ideal_load)
+
+        state, (zt, ld) = jax.lax.scan(hour, state, xs)
+        return state, (jnp.mean(ld) / 1e3 + jnp.mean(zt)) / C
+
+    guess = {"u": jnp.asarray(1.3)}
+    val_ref, g_ref = chunked_value_and_grad(chunk_fn, guess, st, xs_chunks)
+
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS,
+                        hours=T // C, scheduled_setpoints=True)
+
+    def loss(zt, ld, xs):
+        return (jnp.mean(ld) / 1e3 + jnp.mean(zt)) / C
+
+    kf = fr.chunk_forward(with_params, loss, collect_loads=True)
+    kb = fr.chunk_grad(with_params, loss, collect_loads=True)
+    val_k, g_k = chunked_value_and_grad(
+        chunk_fn, guess, st, xs_chunks, forward_fn=kf, backward_fn=kb
+    )
+    assert abs(float(val_k) - float(val_ref)) / abs(float(val_ref)) < 1e-9
+    rel = abs(float(g_k["u"]) - float(g_ref["u"])) / max(
+        abs(float(g_ref["u"])), 1e-12
+    )
+    assert rel < 1e-9, (float(g_k["u"]), float(g_ref["u"]))
+
+
 def test_chunk_grad_scope_probe_raises():
     """apply_params feeding a NON-differentiated building array (capacity
     clamps) raises on the first backward call instead of silently pulling

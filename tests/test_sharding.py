@@ -424,6 +424,78 @@ def test_chunk_grad_on_mesh_matches_single_device():
                            atol=1e-12)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_chunk_grad_on_mesh_scheduled_setpoints():
+    """Mesh + scheduled setpoints + schedule_fn: the sharded adjoint's
+    per-hour setpoint channels ride the block-row sharding, and the
+    schedule-parameter gradient matches the single-device runner."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from heatx.api import FastRunner, ThermalModel
+    from heatx.model.building import (
+        BuildingModel,
+        Construction,
+        IdealHeaterCooler,
+        Material,
+        SpaceDef,
+        Substance,
+        SurfaceDef,
+    )
+
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(8):
+        m.add_space(SpaceDef(f"z{z}", 100.0))
+        for si in range(2):
+            m.add_surface(
+                SurfaceDef(f"s{z}_{si}", "wall", Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+        m.add_hvac(IdealHeaterCooler(
+            f"t{z}", [f"z{z}"], heat_setpoint=20.0, cool_setpoint=26.0,
+            max_heating=1e4, max_cooling=1e4,
+        ))
+    tm = ThermalModel(m, n=1, config=heatx.SimConfig(dtype=np.float64))
+    building = tm._device()
+    Z = building.n_zones
+    st = tm.initial_state()
+    T = 4
+    seq = tm.inputs_sequence(
+        T, t_out=np.linspace(-6.0, 0.0, T), wind_speed=np.full(T, 3.0)
+    )
+
+    def schedule_fn(params, xs):
+        sp = 16.0 + 6.0 * jax.nn.sigmoid(params["raw"])  # [T]
+        return {"heat_sp": jnp.broadcast_to(sp[:, None], (T, Z))}
+
+    apply_params = lambda p: building  # noqa: E731
+
+    def loss(zt, ld, xs):
+        return jnp.mean((ld / 1e3) ** 2) + 1e-3 * jnp.mean(zt)
+
+    params = {"raw": jnp.asarray(np.linspace(0.5, 1.5, T))}
+    zero_cot = jax.tree.map(jnp.zeros_like, st)
+    grads = []
+    for mesh in (None, sh.make_mesh(jax.devices()[:8])):
+        fr = FastRunner(tm, mesh=mesh, block_size=2, mode="trbdf2",
+                        substeps=4, hours=2, scheduled_setpoints=True)
+        kb = fr.chunk_grad(apply_params, loss, collect_loads=True,
+                           schedule_fn=schedule_fn)
+        g, _ = kb(params, st, seq, zero_cot, jnp.asarray(1.0))
+        grads.append(np.asarray(g["raw"]))
+    g0, g1 = grads
+    assert np.abs(g0).max() > 0, g0  # the schedule carries signal
+    np.testing.assert_allclose(g1, g0, rtol=1e-10, atol=1e-14)
+
+
 def fast_runner_comparison_model():
     """The 4-zone soil-contact model the 2-process DCN harness and its
     single-device reference both build (tests/test_distributed.py): one
