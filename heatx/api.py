@@ -697,6 +697,15 @@ class FastRunner:
             raise ValueError(
                 "schedule_fn requires a scheduled_setpoints=True runner"
             )
+        # Contract record for the paired chunk_grad: a backward built on
+        # this runner with diverging trajectory options would silently
+        # differentiate a DIFFERENT trajectory (ADVICE r4) — chunk_grad
+        # checks this and raises on mismatch.
+        self._fw_contract = dict(
+            interp_weather=bool(run_kw.get("interp_weather", False)),
+            collect_loads=bool(collect_loads),
+            schedule_fn=schedule_fn,
+        )
 
         def forward_fn(params, state, xs):
             self._sync_params(apply_params, params)
@@ -910,6 +919,30 @@ class FastRunner:
             raise ValueError(
                 "schedule_fn requires a scheduled_setpoints=True runner"
             )
+        fw = getattr(self, "_fw_contract", None)
+        if fw is not None:
+            # The paired chunk_forward's trajectory options must match:
+            # a mismatch means the backward recomputes (and
+            # differentiates) a different trajectory than the forward
+            # marched.  Build the backward on a fresh runner to pair
+            # deliberately different contracts.
+            mine = dict(
+                interp_weather=bool(interp_weather),
+                collect_loads=bool(collect_loads),
+                # Callables compare by PRESENCE only (callers routinely
+                # rebuild closure wrappers per chunk).
+                schedule_fn=schedule_fn is not None,
+            )
+            ref = dict(fw, schedule_fn=fw["schedule_fn"] is not None)
+            bad = [k for k in mine if mine[k] != ref[k]]
+            if bad:
+                raise ValueError(
+                    f"chunk_grad: {bad} differ from this runner's last "
+                    "chunk_forward — the backward would differentiate a "
+                    "different trajectory.  Pass matching options (or use "
+                    "a separate runner for an intentionally different "
+                    "pairing)"
+                )
         grid_blocks = None
         if self._mesh is not None:
             # Mirror the sharded forward: per-device grids of

@@ -1065,6 +1065,23 @@ def test_chunk_grad_parity_matches_xla():
         assert rel < 1e-8, (k, float(g_k[k]), float(g_ref[k]))
 
 
+def test_chunk_grad_contract_mismatch_raises():
+    """A backward whose trajectory options diverge from the runner's last
+    chunk_forward raises instead of silently differentiating a different
+    trajectory (ADVICE r4)."""
+    cfg = heatx.SimConfig(dtype=np.float64)
+    tm = heatx.ThermalModel(_calib_model(ideal=True), n=1, config=cfg)
+    building = tm._device()
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=4, hours=2)
+    fr.chunk_forward(lambda p: building, lambda z, l, xs: jnp.sum(l),
+                     collect_loads=True)
+    with pytest.raises(ValueError, match="differ from this runner"):
+        fr.chunk_grad(lambda p: building, lambda z, xs: jnp.sum(z))
+    # Matching contracts build fine.
+    fr.chunk_grad(lambda p: building, lambda z, l, xs: jnp.sum(l),
+                  collect_loads=True)
+
+
 def test_adjoint_scope_raises():
     model = _city(6)
     cfg = heatx.SimConfig(dtype=jnp.float64)
