@@ -1065,6 +1065,122 @@ def test_chunk_grad_parity_matches_xla():
         assert rel < 1e-8, (k, float(g_k[k]), float(g_ref[k]))
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_chunk_grad_matches_xla(seed):
+    """Randomized adjoint gate: a random small building (zone count,
+    surface mix, volumes, thermostats on/off, interior MRT on/off,
+    random weather/solar) must produce kernel-adjoint gradients matching
+    the pure-XLA chunked adjoint — the same discipline as the forward
+    fuzz suite (test_fuzz_parity), pointed at the backward sweep."""
+    rng = np.random.default_rng(seed)
+    nz = int(rng.integers(2, 5))
+    ideal = bool(rng.integers(0, 2))
+    mrt = bool(rng.integers(0, 2))
+
+    from heatx.model.building import IdealHeaterCooler
+
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0, front_solar_absorbtance=0.7,
+                  back_solar_absorbtance=0.6)
+    )
+    m.add_substance(
+        Substance("poly", thermal_conductivity=0.0252, density=17.5,
+                  specific_heat_capacity=2400.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_material(Material("c6", "concrete", 0.06))
+    m.add_material(Material("p5", "poly", 0.05))
+    m.add_construction(Construction("wallA", ["p5", "c10"]))
+    m.add_construction(Construction("wallB", ["c6"]))
+    verts = np.array([[0, 0, 0], [6, 0, 0], [6, 0, 3], [0, 0, 3]], float)
+    for z in range(nz):
+        m.add_space(SpaceDef(f"r{z}", float(rng.uniform(80, 250))))
+        for s in range(int(rng.integers(2, 5))):
+            m.add_surface(SurfaceDef(
+                f"w{z}_{s}", "wallA" if rng.integers(0, 2) else "wallB",
+                Boundary.outdoor(), Boundary.space_(f"r{z}"), vertices=verts,
+            ))
+        if ideal:
+            m.add_hvac(IdealHeaterCooler(
+                f"h{z}", [f"r{z}"], heat_setpoint=float(rng.uniform(18, 21)),
+                cool_setpoint=float(rng.uniform(25, 28)),
+                max_heating=3000.0, max_cooling=3000.0,
+            ))
+
+    SUBS = 4
+    cfg = heatx.SimConfig(dtype=np.float64, interior_mrt=mrt)
+    tm = heatx.ThermalModel(m, n=1, config=cfg)
+    building = tm._device()
+    st = tm.initial_state()
+    T, C = 8, 2
+    S = building.n_surfaces
+    seq = tm.inputs_sequence(
+        T,
+        t_out=jnp.asarray(rng.uniform(-8, 12, T)),
+        wind_speed=jnp.asarray(rng.uniform(0.5, 8, T)),
+        wind_direction=float(rng.uniform(0, 6)),
+        sol_front=jnp.asarray(rng.uniform(0, 500, (T, S))),
+        ir_front=jnp.asarray(rng.uniform(280, 380, (T, S))),
+    )
+    xs_chunks = jax.tree.map(
+        lambda v: (v.reshape((C, T // C) + v.shape[1:])
+                   if v.ndim and v.shape[0] == T
+                   else jnp.broadcast_to(v, (C, T // C) + v.shape)),
+        seq,
+    )
+    sb0 = building.surfaces
+
+    def with_params(p):
+        sb = dataclasses.replace(
+            sb0,
+            seg_u=sb0.seg_u * p["u"],
+            eps_back=sb0.eps_back * p["e"],
+        )
+        return dataclasses.replace(building, surfaces=sb)
+
+    def chunk_fn(params, state, xs):
+        b = with_params(params)
+
+        def hour(s, x):
+            s = imp_mod.imp_march(b, s, x, substeps=SUBS)
+            return s, (s.zone_T, s.ideal_load) if ideal else s.zone_T
+
+        state, hist = jax.lax.scan(hour, state, xs)
+        if ideal:
+            zt, ld = hist
+            return state, (jnp.mean(ld) / 1e3 + jnp.mean(zt)) / C
+        return state, jnp.mean(hist * hist) / C
+
+    guess = {"u": jnp.asarray(float(rng.uniform(0.8, 1.4))),
+             "e": jnp.asarray(float(rng.uniform(0.8, 1.1)))}
+    val_ref, g_ref = chunked_value_and_grad(chunk_fn, guess, st, xs_chunks)
+
+    fr = tm.fast_runner(block_size=16, mode="trbdf2", substeps=SUBS,
+                        hours=T // C)
+    if ideal:
+        def loss(zt, ld, xs):
+            return (jnp.mean(ld) / 1e3 + jnp.mean(zt)) / C
+    else:
+        def loss(zt, xs):
+            return jnp.mean(zt * zt) / C
+    kf = fr.chunk_forward(with_params, loss, collect_loads=ideal)
+    kb = fr.chunk_grad(with_params, loss, collect_loads=ideal)
+    val_k, g_k = chunked_value_and_grad(
+        chunk_fn, guess, st, xs_chunks, forward_fn=kf, backward_fn=kb
+    )
+    assert abs(float(val_k) - float(val_ref)) / max(
+        abs(float(val_ref)), 1e-12
+    ) < 1e-8, (seed, float(val_k), float(val_ref))
+    for k in g_ref:
+        rel = abs(float(g_k[k]) - float(g_ref[k])) / max(
+            abs(float(g_ref[k])), 1e-12
+        )
+        assert rel < 1e-7, (seed, k, float(g_k[k]), float(g_ref[k]))
+
+
 def test_chunk_grad_contract_mismatch_raises():
     """A backward whose trajectory options diverge from the runner's last
     chunk_forward raises instead of silently differentiating a different
