@@ -888,12 +888,8 @@ class FastRunner:
         # ignored (they only change what the forward collects/checks).
         _neutral = {
             "assert_finite", "dispatch_days", "collect_zone_T",
-            "collect_fluxes", "collect_operative", "collect_loads",
+            "collect_fluxes", "collect_operative",
         }
-        if "interp_weather" in run_kw:
-            interp_weather = run_kw.pop("interp_weather")
-        if "collect_loads" in run_kw:
-            collect_loads = bool(run_kw.pop("collect_loads"))
         unsupported = set(run_kw) - _neutral
         if unsupported:
             raise ValueError(
