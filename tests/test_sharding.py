@@ -425,6 +425,74 @@ def test_chunk_grad_on_mesh_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_chunk_grad_on_mesh_interior_mrt():
+    """interior_mrt + mesh adjoint: the Carroll effective-emissivity
+    cotangent operands ride the surface-lane sharding like every other
+    DIFF_SURF entry, and the emissivity gradient (direct path + the
+    blocking-statics chain) matches the single-device runner."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from heatx.api import FastRunner, ThermalModel
+    from heatx.model.building import (
+        BuildingModel,
+        Construction,
+        Material,
+        SpaceDef,
+        Substance,
+        SurfaceDef,
+    )
+
+    m = BuildingModel()
+    m.add_substance(
+        Substance("concrete", thermal_conductivity=0.816, density=1700.0,
+                  specific_heat_capacity=800.0)
+    )
+    m.add_material(Material("c10", "concrete", 0.1))
+    m.add_construction(Construction("wall", ["c10"]))
+    verts = np.array([[0, 0, 0], [4, 0, 0], [4, 0, 3], [0, 0, 3]], float)
+    for z in range(8):
+        m.add_space(SpaceDef(f"z{z}", 100.0))
+        for si in range(3):
+            m.add_surface(
+                SurfaceDef(f"s{z}_{si}", "wall", Boundary.outdoor(),
+                           Boundary.space_(f"z{z}"), vertices=verts)
+            )
+    tm = ThermalModel(
+        m, n=1, config=heatx.SimConfig(dtype=np.float64, interior_mrt=True)
+    )
+    building = tm._device()
+    st = tm.initial_state()
+    T = 4
+    seq = tm.inputs_sequence(
+        T, t_out=np.linspace(-4.0, 4.0, T), wind_speed=np.full(T, 3.0),
+        sol_front=np.full((T, building.n_surfaces), 200.0),
+    )
+    sb0 = building.surfaces
+
+    def with_params(p):
+        sb = dataclasses.replace(sb0, eps_back=sb0.eps_back * p["e"])
+        return dataclasses.replace(building, surfaces=sb)
+
+    def loss(zt, xs):
+        return jnp.mean(zt)
+
+    params = {"e": jnp.asarray(0.9)}
+    zero_cot = jax.tree.map(jnp.zeros_like, st)
+    grads = []
+    for mesh in (None, sh.make_mesh(jax.devices()[:8])):
+        fr = FastRunner(tm, mesh=mesh, block_size=4, mode="trbdf2",
+                        substeps=4, hours=2)
+        kb = fr.chunk_grad(with_params, loss)
+        g, _ = kb(params, st, seq, zero_cot, jnp.asarray(1.0))
+        grads.append(float(g["e"]))
+    g0, g1 = grads
+    assert g0 != 0.0
+    assert abs(g1 - g0) <= 1e-10 * abs(g0), (g0, g1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_chunk_grad_on_mesh_scheduled_setpoints():
     """Mesh + scheduled setpoints + schedule_fn: the sharded adjoint's
     per-hour setpoint channels ride the block-row sharding, and the
